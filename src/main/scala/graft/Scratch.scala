@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    println("ENTRY ROWS=" + df.count())
+    df.show(10, false)
+    spark.stop()
+  }
+}

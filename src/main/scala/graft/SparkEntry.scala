@@ -1,13 +1,613 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.gf
+import graft.dedup.Dedup
+import graft.ann.Ann
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` wherever the operator is
+ * SQL-expressible.
+ *
+ * Determinism rules used throughout (so Spark and DuckDB hash-match):
+ *  - money math in exact int64 cents (`round(x*100)::bigint`), never float
+ *    sums: partial-aggregation order then cannot change results;
+ *  - event timestamps kept as int64 nanoseconds (parquet stores
+ *    TIMESTAMP(NANOS) which Spark reads via nanosAsLong; DuckDB compares via
+ *    epoch_ns) — pure integer math on both sides;
+ *  - every query ends in a total ORDER BY;
+ *  - double outputs only as (a) ratios of exactly-equal integers computed
+ *    the same way on both sides, or (b) round(x, 4-6) of such values.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------- helpers
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS): read it as int64 nanos. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+  }
+
+  /** Exact cents from a 2-decimal double column. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship (SURVEY §7.2 slice query shape): filter -> groupby_count ->
+    * sort desc -> top-k over events. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = events(spark, "/root/testdata/sf0.001")
+    ev.where(col("value") > 50.0)
+      .groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), col("key"))
+      .limit(5)
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters (SURVEY §2.3: filter, basic-filter predicates)
+    "q_filter_range" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+               col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_match_filter" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .where(col("text").contains("spark join") && col("lang") === "en")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_range_filter" -> ((s, dir) => {
+      events(s, dir)
+        .where(col("value").between(100.0, 150.0) && col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- projections / maps (§2.3: map, with_property, augment_text, regex_replace)
+    "q_map_project" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_c4"))
+        .where(col("l_orderkey") <= 100)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_regex_replace" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "spark", "SPARK"), 1, 60).as("snippet"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_augment_text" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("["), col("lang"), lit("] "), substring(col("text"), 1, 40)).as("augmented"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- aggregations (§2.6)
+    "q_count" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+    "q_count_distinct" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).as("cnt"))),
+    "q_groupby_count" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("key"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(col("key"))
+    }),
+    "q_groupby_count_unique" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("key"))
+        .agg(countDistinct(col("l_orderkey")).as("count"))
+        .orderBy(col("key"))
+    }),
+    "q_agg_pricing" -> ((s, dir) => {
+      // TPC-H Q1 shape in exact cents math.
+      val li = tbl(s, dir, "lineitem")
+      li.where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("sum_disc_c4"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) *
+              (lit(100L) + cents(col("l_tax")))).as("sum_charge_c6"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("n"))
+        .withColumn("avg_price_c", col("sum_base_c").cast("double") / col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_aggregate" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(cents(col("o_totalprice"))).as("min_c"),
+          max(cents(col("o_totalprice"))).as("max_c"),
+          sum(cents(col("o_totalprice"))).as("sum_c"))
+        .withColumn("avg_c", col("sum_c").cast("double") / col("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q_reduce" -> ((s, dir) => {
+      // groupwise deterministic reduce (reference sorts sub_docs before fn:
+      // transforms/aggregation.py:221) — here: sorted concat per group.
+      tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderstatus")))).as("statuses"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q_term_frequency" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .where(col("doc_id") < 10)
+        .select(col("doc_id"), explode(gf.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    // ---- sorts / limits / top-k / sampling (§2.7)
+    "q_sort_topk" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_c"))
+        .orderBy(desc("price_c"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+    "q_limit" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .limit(10)
+    }),
+    "q_topk_groups" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type").as("key"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(desc("count"), col("key"))
+        .limit(5)
+    }),
+    "q_random_sample" -> ((s, dir) => {
+      // rows-only: engine-specific RNG has no cross-engine oracle.
+      tbl(s, dir, "documents").sample(0.1, 42).select(col("doc_id"))
+    }),
+
+    // ---- joins / set ops (§2.5)
+    "q_field_in" -> ((s, dir) => {
+      val customer = tbl(s, dir, "customer")
+      val nation = tbl(s, dir, "nation").where(col("n_regionkey") === 2)
+      customer.join(broadcast(nation),
+          customer("c_nationkey") === nation("n_nationkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_union" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").unionAll(o.where(col("o_totalprice") > 100000.0))
+        .groupBy(col("o_orderstatus").as("key"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(col("key"))
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+    "q_except" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+    "q_join_inner" -> ((s, dir) => {
+      // fact ⋈ broadcast dims; revenue per nation in exact cents.
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+      val nation = tbl(s, dir, "nation")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("revenue_c"))
+        .orderBy(col("n_name"))
+    }),
+    "q_join_left" -> ((s, dir) => {
+      val customer = tbl(s, dir, "customer")
+      val orders = tbl(s, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- restructuring (§2.4: unroll/explode)
+    "q_unroll" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("word"))
+        .orderBy(col("p_partkey"), col("word"))
+    }),
+
+    // ---- window / analytic (§2.11 gap we fill natively)
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      // order by µs + event_id: sub-µs ordering is invisible to the oracle.
+      val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("running_c", sum(cents(col("value"))).over(w))
+        .select(col("user_id"), col("event_id"), col("running_c"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // 30-minute-gap sessionization. Micros, not nanos: DuckDB truncates
+      // parquet TIMESTAMP(NANOS) to micros, so the oracle can only see µs.
+      val gapUs = 30L * 60 * 1000000L
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    "q_time_window" -> ((s, dir) => {
+      // tumbling 1h windows on int64 nanos: hour bucket = ts - (ts mod 3600e9).
+      val hourNs = 3600L * 1000000000L
+      events(s, dir)
+        .groupBy((col("ts") - (col("ts") % hourNs)).as("hour_ns"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+        .orderBy(col("hour_ns"), col("event_type"))
+    }),
+
+    // ---- semi-structured (§1.3 dynamic properties; events.props is JSON)
+    "q_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // ---- scalar math op (query layer's Math operator, query/operators/math.py)
+    "q_math" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").agg(
+        sum(cents(col("o_totalprice"))).as("sum_c"), count(lit(1)).as("n"))
+      o.select((col("sum_c").cast("double") / col("n")).as("avg_order_c"))
+    }),
+
+    // ---- text analysis (training-data ops)
+    "q_token_count" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          gf.tokenCount(col("text")).cast("long").as("n_ws"),
+          gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          gf.punctCount(col("text")).cast("long").as("n_punct"),
+          round(gf.alphaRatio(col("text")), 6).as("alpha_ratio"),
+          round(gf.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(gf.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_langid" -> ((s, dir) => {
+      // rows-only: heuristic has no SQL oracle.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gf.langId(col("text")).as("lang_detected"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      // rolling modular hash — mirrored exactly by DuckDB list_reduce.
+      val code = aggregate(split(col("text"), ""), lit(0L),
+        (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % 1000000007L)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), code.as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup family (training-data ops; scalable redesign of
+    //      reference's SketchUniquify, transforms/sketcher.py:64)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_rows" -> ((s, dir) => {
+      Dedup.exactRows(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, threshold = 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    "q_minhash_dedup" -> ((s, dir) => {
+      // rows-only: xxhash64-based signatures have no DuckDB equivalent.
+      Dedup.minhashLsh(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      // rows-only likewise.
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy(col("idA"), col("idB"))
+    }),
+    "q_cosine_pairs" -> ((s, dir) => {
+      Dedup.embeddingCosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          col("label"), threshold = 0.4)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // ---- similarity search (training-data ops)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Ann.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // rows-only: IVF probe set depends on our centroid derivation.
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val centroids = emb.where(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      Ann.ivfTopK(emb, "vec_id", "embedding", centroids, q, 10, nprobe = 3)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    })
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  /** DuckDB equivalents. Notes: SUM() in DuckDB widens to HUGEINT — always
+    * cast back to BIGINT/DOUBLE; events.ts is TIMESTAMP_NS — epoch_ns() gives
+    * the same int64 nanos Spark reads. */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_match_filter" ->
+      """SELECT doc_id, source FROM documents
+         WHERE text LIKE '%spark join%' AND lang = 'en' ORDER BY doc_id""",
+    "q_range_filter" ->
+      """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS value_cents
+         FROM events
+         WHERE value BETWEEN 100.0 AND 150.0 AND event_type = 'purchase'
+         ORDER BY event_id""",
+    "q_map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(round(l_extendedprice*100) AS BIGINT) *
+                (100 - CAST(round(l_discount*100) AS BIGINT)) AS revenue_c4
+         FROM lineitem WHERE l_orderkey <= 100
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_regex_replace" ->
+      """SELECT doc_id, substr(regexp_replace(text, 'spark', 'SPARK', 'g'), 1, 60) AS snippet
+         FROM documents ORDER BY doc_id""",
+    "q_augment_text" ->
+      """SELECT doc_id, '[' || lang || '] ' || substr(text, 1, 40) AS augmented
+         FROM documents ORDER BY doc_id""",
+    "q_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_count_distinct" -> "SELECT count(DISTINCT l_partkey) AS cnt FROM lineitem",
+    "q_groupby_count" ->
+      """SELECT o_orderpriority AS key, count(*) AS count FROM orders
+         GROUP BY 1 ORDER BY key""",
+    "q_groupby_count_unique" ->
+      """SELECT l_returnflag AS key, count(DISTINCT l_orderkey) AS count FROM lineitem
+         GROUP BY 1 ORDER BY key""",
+    "q_agg_pricing" ->
+      """WITH c AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+                  CAST(round(l_discount*100) AS BIGINT) AS disc_p,
+                  CAST(round(l_tax*100) AS BIGINT) AS tax_p
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
+         SELECT l_returnflag, l_linestatus,
+                CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                CAST(SUM(price_c) AS BIGINT) AS sum_base_c,
+                CAST(SUM(price_c * (100 - disc_p)) AS BIGINT) AS sum_disc_c4,
+                CAST(SUM(price_c * (100 - disc_p) * (100 + tax_p)) AS BIGINT) AS sum_charge_c6,
+                count(*) AS n,
+                CAST(SUM(qty) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(SUM(price_c) AS DOUBLE) / count(*) AS avg_price_c
+         FROM c GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_aggregate" ->
+      """SELECT o_custkey,
+                count(*) AS n_orders,
+                CAST(MIN(round(o_totalprice*100)) AS BIGINT) AS min_c,
+                CAST(MAX(round(o_totalprice*100)) AS BIGINT) AS max_c,
+                CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c,
+                CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / count(*) AS avg_c
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_reduce" ->
+      """SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_term_frequency" ->
+      """SELECT doc_id, t.token, count(*) AS tf
+         FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+         WHERE doc_id < 10
+         GROUP BY doc_id, t.token ORDER BY doc_id, t.token""",
+    "q_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+         FROM lineitem ORDER BY price_c DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q_limit" ->
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 10",
+    "q_topk_groups" ->
+      """SELECT event_type AS key, count(*) AS count FROM events
+         GROUP BY 1 ORDER BY count DESC, key LIMIT 5""",
+    "q_field_in" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+         ORDER BY c_custkey""",
+    "q_union" ->
+      """SELECT o_orderstatus AS key, count(*) AS count FROM (
+           SELECT * FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT * FROM orders WHERE o_totalprice > 100000.0)
+         GROUP BY 1 ORDER BY key""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "q_join_inner" ->
+      """SELECT n_name, count(*) AS n_orders,
+                CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_unroll" ->
+      """SELECT p_partkey, t.word FROM part, unnest(str_split(p_type, ' ')) AS t(word)
+         ORDER BY p_partkey, t.word""",
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, price_c FROM (
+           SELECT o_custkey, o_orderkey,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+         FROM events ORDER BY user_id, event_id""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts_us,
+                  CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                                THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM e)
+         SELECT user_id, session_id, count(*) AS n_events,
+                CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_time_window" ->
+      """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hour_ns, event_type,
+                count(*) AS n,
+                CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+         FROM events GROUP BY 1, 2 ORDER BY hour_ns, event_type""",
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY k""",
+    "q_math" ->
+      """SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / count(*)
+                AS avg_order_c FROM orders""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_ws,
+                len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents)
+         SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                           / length(text) END, 6) AS alpha_ratio,
+                round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(toks, t -> list_contains(
+                             ['the','a','an','of','and','or','to','in','is','are','was',
+                              'for','on','with','as','at','by','it','that','this','be'], t))) AS DOUBLE)
+                           / len(toks) END, 6) AS stop_ratio,
+                round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / len(toks) END, 6) AS mean_tok_len
+         FROM t ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                CAST(list_reduce(list_prepend(0::BIGINT, list_transform(str_split(text, ''), x -> ascii(x)::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "q_dedup_rows" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(0, greatest(len(toks) - 5, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+5)], ' ')))) AS sh
+                FROM t),
+         n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         shared AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS shared
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT idA, idB,
+                round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+         FROM shared JOIN n na ON idA = na.doc_id JOIN n nb ON idB = nb.doc_id
+         WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+         ORDER BY idA, idB""",
+    "q_cosine_pairs" ->
+      """SELECT a.vec_id AS idA, b.vec_id AS idB,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY idA, idB""",
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         top AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS c
+                 FROM embeddings, q ORDER BY c DESC, vec_id LIMIT 10)
+         SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id"""
+  )
 }

@@ -1,0 +1,163 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/**
+ * Corpus deduplication operators, designed scale-first: every variant is a
+ * shuffle-bounded DataFrame pipeline (no driver-side state, no O(n^2) stage),
+ * unlike the reference's single-actor pairwise SketchUniquify
+ * (reference: lib/sycamore/sycamore/transforms/sketcher.py:64-90).
+ *
+ * All take/return DataFrames so they compose with any schema; `id` and `text`
+ * are column names in `df`.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: group by content hash, keep the smallest id per group.
+   * One shuffle on a 64-bit key; map-side partial aggregation applies.
+   */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(xxhash64(col(text)).as("content_hash"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+
+  /**
+   * Exact-dedup the rows themselves: keep the min-id row per distinct text.
+   * Implemented as an aggregation (not a window) — a single hash aggregate
+   * beats sort-based windowing at scale.
+   */
+  def exactRows(df: DataFrame, id: String, text: String): DataFrame = {
+    val keyed = df.groupBy(col(text)).agg(min(col(id)).as(id))
+    df.join(keyed, Seq(text, id), "left_semi")
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: docs sharing >= 1 LSH band of their minhash
+   * signature. Returns (idA, idB, estJaccard) with idA < idB.
+   *
+   * Scale shape: explode to (bandKey, id, signature) -> self-join on bandKey.
+   * Shuffle volume is rows x bands; band buckets are small when signatures
+   * are discriminative, so the join output stays near-linear in the number
+   * of true near-dup pairs. estJaccard = fraction of matching signature
+   * slots (standard MinHash estimator).
+   */
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+                      shingleSize: Int = 5, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(id).as("_id"),
+      gf.minhashSignature(gf.wordShingles(col(text), shingleSize), numHashes).as("_sig"))
+    val banded = sig
+      .select(col("_id"), col("_sig"),
+        explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
+    val a = banded.select(col("_band"), col("_id").as("idA"), col("_sig").as("sigA"))
+    val b = banded.select(col("_band"), col("_id").as("idB"), col("_sig").as("sigB"))
+    val est = size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), m => m))
+      .cast("double") / numHashes
+    a.join(b, Seq("_band"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), est.as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** MinHash-LSH dedup: drop near-duplicates, keeping the smallest id of each
+    * candidate group (greedy: any doc matched by a smaller-id doc is dropped). */
+  def minhashLsh(df: DataFrame, id: String, text: String,
+                 shingleSize: Int = 5, numHashes: Int = 16,
+                 bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val dupIds = minhashLshPairs(df, id, text, shingleSize, numHashes, bands, threshold)
+      .select(col("idB").as(id)).distinct()
+    df.join(dupIds, Seq(id), "left_anti")
+  }
+
+  /**
+   * SimHash near-dup candidate pairs: 64-bit simhash, bucketed by the four
+   * 16-bit quarters (pigeonhole: hamming distance <= 3 guarantees at least
+   * one identical quarter), verified by exact hamming distance.
+   */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(id).as("_id"), gf.simhash64(col(text)).as("_sh"))
+    val chunked = hashed.select(col("_id"), col("_sh"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"), shiftrightunsigned(col("_sh"), q * 16)
+          .bitwiseAND(lit(0xffffL)).as("v"))
+      }: _*)).as("_chunk"))
+    val a = chunked.select(col("_chunk"), col("_id").as("idA"), col("_sh").as("shA"))
+    val b = chunked.select(col("_chunk"), col("_id").as("idB"), col("_sh").as("shB"))
+    a.join(b, Seq("_chunk"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), gf.hamming64(col("shA"), col("shB")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs: inverted index on distinct word shingles,
+   * pair counts via self-join + aggregation, |A u B| from per-doc distinct
+   * counts. Exact (not an estimate); shuffle-bounded by shingle
+   * frequency — hot shingles should be pre-filtered at extreme scale
+   * (we cap via `maxShingleFreq`).
+   */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        shingleSize: Int = 5, threshold: Double = 0.5,
+                        maxShingleFreq: Long = 1000): DataFrame = {
+    val shingled = df.select(col(id).as("_id"),
+        explode(array_distinct(gf.wordShingles(col(text), shingleSize))).as("_sh"))
+    val counts = shingled.groupBy("_id").agg(count(lit(1)).as("_n"))
+    // Drop stop-shingles that would blow up the self-join (documented cap).
+    val filtered = shingled.join(
+      shingled.groupBy("_sh").agg(count(lit(1)).as("_freq"))
+        .where(col("_freq") <= maxShingleFreq).select("_sh"),
+      Seq("_sh"), "left_semi")
+    val a = filtered.select(col("_sh"), col("_id").as("idA"))
+    val b = filtered.select(col("_sh"), col("_id").as("idB"))
+    val shared = a.join(b, Seq("_sh")).where(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("_shared"))
+    shared
+      .join(counts.withColumnRenamed("_id", "idA").withColumnRenamed("_n", "_nA"), "idA")
+      .join(counts.withColumnRenamed("_id", "idB").withColumnRenamed("_n", "_nB"), "idB")
+      .select(col("idA"), col("idB"),
+        (col("_shared").cast("double") /
+          (col("_nA") + col("_nB") - col("_shared"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Embedding near-dup pairs: cosine >= threshold among vectors sharing a
+   * coarse bucket. `bucket` should be a cheap partitioner (a cluster label,
+   * an LSH sign-bucket, ...) that co-locates near-neighbors; comparisons are
+   * quadratic only within buckets.
+   */
+  def embeddingCosinePairs(df: DataFrame, id: String, vec: String, bucket: Column,
+                           threshold: Double): DataFrame = {
+    val v = df.select(col(id).as("_id"), col(vec).as("_v"), bucket.as("_bkt"))
+    val a = v.select(col("_bkt"), col("_id").as("idA"), col("_v").as("vA"))
+    val b = v.select(col("_bkt"), col("_id").as("idB"), col("_v").as("vB"))
+    a.join(b, Seq("_bkt"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        gf.cosineSimilarity(col("vA"), col("vB")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Random-hyperplane sign bucket for embeddingCosinePairs when no label
+    * exists: k deterministic pseudo-random hyperplanes via xxhash64-derived
+    * coefficients. */
+  def signBucket(vec: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
+    val bits = (0 until planes).map { p =>
+      // hyperplane coefficients in [-1,1) derived from (seed, p, i)
+      val dot = (0 until dim).map { i =>
+        val h = ((java.lang.Long.rotateLeft(0x9e3779b97f4a7c15L * (seed + p * 1315423911L + i), 17)
+          >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+        element_at(vec, i + 1).cast("double") * lit(h)
+      }.reduce(_ + _)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Column-level function library. Everything here is composed from Spark's
+ * built-in (whole-stage-codegen'd) functions — no Scala/Python UDFs — so the
+ * hot path stays inside Tungsten at any scale.
+ *
+ * Covers the reference's scalar-function surface (tokenizers
+ * functions/tokenizer.py:6-58, simhash/shingles functions/simhash.py,
+ * transforms/sketcher.py:29) plus the training-data-pipeline functions
+ * (language id, quality scoring, token counting, fingerprinting,
+ * vector similarity) that a 100 TB corpus pipeline needs.
+ */
+object gf {
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace tokenizer (reference: functions/tokenizer.py CharacterTokenizer
+    * counterpart is trivial; this is the standard word tokenizer). */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish token count: words and punctuation runs counted separately,
+    * approximating a subword tokenizer's granularity without a vocab.
+    * Pure regex -> codegen'd. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles: array of space-joined n-token windows. Short texts
+    * (< n tokens) yield one shingle of all tokens. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    transform(
+      sequence(lit(0), greatest(size(ts) - n, lit(0))),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+  }
+
+  /** Character n-gram shingles over the lowercased text. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = lower(c)
+    transform(
+      sequence(lit(0), greatest(length(s) - n, lit(0))),
+      i => substring(s, lit(1) + i, lit(n)).cast("string"))
+  }
+
+  // ------------------------------------------------------------ sketches
+
+  /**
+   * MinHash signature: k independent min-hashes over the shingle set
+   * (reference computes 16 minhashes over rolling-window hashes,
+   * functions/simhash.py:84-133, transforms/sketcher.py:29).
+   * Seeded via xxhash64's extra-column trick: hash_j(s) = xxhash64(s, j).
+   */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(j => array_min(transform(shingles, s => xxhash64(s, lit(j))))): _*)
+
+  /**
+   * LSH band keys for a minhash signature: split the signature into `bands`
+   * bands of `rowsPerBand` and hash each band. Docs sharing any band key are
+   * near-duplicate candidates — the scalable replacement for the reference's
+   * single-actor O(n^2) SketchUniquify (transforms/sketcher.py:64-90).
+   */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+
+  /**
+   * 64-bit SimHash over token hashes (reference: functions/simhash.py).
+   * bit_i(doc) = sign( sum_tokens(+1 if bit_i(hash(t)) else -1) ).
+   * 64 codegen'd folds over the token array — O(64·n) per doc, no UDF.
+   */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(tokens(c), t => xxhash64(t))
+    val bitCols = (0 until 64).map { i =>
+      val vote = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Rolling polynomial fingerprint of the full text (document fingerprinting;
+   * Rabin-Karp-style as in reference functions/simhash.py:28-60) — stable
+   * 64-bit content id, cheaper than md5 for dedup keys.
+   */
+  def fingerprint64(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => acc * lit(1000003L) + ascii(ch).cast("long"))
+
+  // ------------------------------------------------------------- vectors
+
+  /** Dot product of two numeric array columns (double math, left fold —
+    * deterministic order). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm of a numeric array column. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity of two numeric array columns. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // -------------------------------------------------------- text quality
+
+  // POSIX punct class — identical semantics in Java regex (\p{Punct}) and
+  // RE2 ([[:punct:]]), which keeps DuckDB oracles bit-identical.
+  private val punctRe = "\\p{Punct}"
+
+  /** Count of punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, punctRe, ""))
+
+  /** Fraction of characters that are alphabetic. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "[a-zA-Z]", ""))).cast("double") / length(c))
+
+  /** English stopwords used by the heuristics below. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "that", "this", "be")
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val ts = tokens(c)
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.isin(stopwords: _*))).cast("double") / size(ts))
+  }
+
+  /** Mean whitespace-token length in characters. */
+  def meanTokenLength(c: Column): Column = {
+    val ts = tokens(c)
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /**
+   * Composite document-quality score in [0,1]: blends length, alpha ratio,
+   * stopword presence, and punctuation density — the usual pre-training
+   * corpus filters (C4/Gopher-style rules), deterministic and codegen'd.
+   */
+  def qualityScore(c: Column): Column = {
+    val lenScore  = least(length(c).cast("double") / 500.0, lit(1.0))
+    val alpha     = alphaRatio(c)
+    val stopwords = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctPenalty = least(punctCount(c).cast("double") /
+      greatest(length(c), lit(1)).cast("double") * 4.0, lit(1.0))
+    round((lenScore * 0.3 + alpha * 0.3 + stopwords * 0.3 + (lit(1.0) - punctPenalty) * 0.1), 6)
+  }
+
+  // ------------------------------------------------------- language id
+
+  private val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "with", "was", "this"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "que", "pour", "dans", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "dem", "ein", "eine", "nicht", "auf"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这", "不", "就"))
+
+  /**
+   * Heuristic language id: argmax of per-language stopword hits over the
+   * token set; "und" (undetermined) when nothing matches. An n-gram model
+   * would be the production path; the stopword heuristic is deterministic
+   * and dependency-free.
+   */
+  def langId(c: Column): Column = {
+    val ts = tokens(c)
+    val scores = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(ts, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}
