@@ -369,6 +369,26 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // ---- DocSet facade routed through the gate (groupby_count contract:
+    //      documents with properties {key,count}, reference groupby_count.py:86)
+    "q_docset_groupby_count" -> ((s, dir) => {
+      val docs = graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+      docs.groupbyCount("properties.lang")
+        .toDF
+        .select(element_at(col("properties"), "key").as("key"),
+          element_at(col("properties"), "count").cast("long").as("count"))
+        .orderBy(col("key"))
+    }),
+    "q_docset_topk" -> ((s, dir) => {
+      val docs = graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+      docs.topK("properties.source", 3)
+        .toDF
+        .select(element_at(col("properties"), "key").as("key"),
+          element_at(col("properties"), "count").cast("long").as("count"))
+    }),
+
     // ---- similarity search (training-data ops)
     "q_ann_bruteforce" -> ((s, dir) => {
       val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
@@ -604,6 +624,12 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
          ORDER BY idA, idB""",
+    "q_docset_groupby_count" ->
+      """SELECT lang AS key, count(*) AS count FROM documents
+         GROUP BY lang ORDER BY key""",
+    "q_docset_topk" ->
+      """SELECT source AS key, count(*) AS count FROM documents
+         GROUP BY source ORDER BY count DESC, key LIMIT 3""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          top AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS c

@@ -1,0 +1,427 @@
+package graft.docset
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Document, Element}
+import graft.operators.ElementMerger
+import graft.llm.{EntityExtractor, LlmClient, PromptTemplate}
+import graft.embed.Embedder
+
+/**
+ * The product API: a fluent facade over Dataset[Document] exposing the
+ * reference's DocSet verb set (reference: lib/sycamore/sycamore/docset.py —
+ * 1846 LoC of Ray plumbing collapses to a thin wrapper here because Catalyst
+ * replaces the Node tree: every verb is lazy, the plan is optimized by
+ * Spark, and actions trigger execution).
+ */
+final class DocSet(val ds: Dataset[Document]) extends Serializable {
+  import DocSet._
+
+  def spark: SparkSession = ds.sparkSession
+  def toDF: DataFrame = ds.toDF()
+
+  // ----------------------------------------------------------- per-doc maps
+  // (reference: docset.py:1010 map, :1097 flat_map, :1261 map_batch,
+  //  :1160 filter, :1315 map_elements, :1186 filter_elements)
+
+  def map(f: Document => Document): DocSet = wrap(ds.map(f))
+  def flatMap(f: Document => Seq[Document]): DocSet = wrap(ds.flatMap(f))
+  /** Batch-friendly map (reference MapBatch) = mapPartitions. */
+  def mapBatch(f: Iterator[Document] => Iterator[Document]): DocSet = wrap(ds.mapPartitions(f))
+  def filter(p: Document => Boolean): DocSet = wrap(ds.filter(p))
+  def mapElements(f: Element => Element): DocSet =
+    map(d => d.copy(elements = d.elements.map(f)))
+  def filterElements(p: Element => Boolean): DocSet =
+    map(d => d.copy(elements = d.elements.filter(p)))
+
+  /** reference: docset.py:315 with_property. */
+  def withProperty(name: String, f: Document => String): DocSet =
+    map(d => d.withProp(name, f(d)))
+  def withProperties(fs: (String, Document => String)*): DocSet =
+    map(d => fs.foldLeft(d) { case (acc, (n, f)) => acc.withProp(n, f(acc)) })
+
+  /** Copy doc-level properties down to every element
+    * (reference: transforms/spread_properties.py:8). */
+  def spreadProperties(keys: Seq[String]): DocSet = map { d =>
+    val spread = keys.flatMap(k => d.properties.get(k).map(k -> _)).toMap
+    d.copy(elements = d.elements.map(e => e.copy(properties = spread ++ e.properties)))
+  }
+
+  /** Lift the first matching element's properties up to the doc
+    * (reference: transforms/assign_doc_properties.py). */
+  def assignDocProperties(elementType: String, prefix: String = "entity"): DocSet = map { d =>
+    d.elements.find(_.elementType == elementType) match {
+      case Some(e) => d.copy(properties = d.properties ++
+        e.properties.map { case (k, v) => s"$prefix.$k" -> v })
+      case None => d
+    }
+  }
+
+  /** Regex substitutions over element text (reference: transforms/regex_replace.py:16). */
+  def regexReplace(spec: Seq[(String, String)]): DocSet = mapElements { e =>
+    e.textRepresentation match {
+      case Some(t) => e.withText(spec.foldLeft(t) { case (s, (re, rep)) => s.replaceAll(re, rep) })
+      case None => e
+    }
+  }
+
+  /** Rewrite text_representation from a template over properties
+    * (reference: transforms/augment_text.py). Template placeholders: {key}. */
+  def augmentText(template: String): DocSet = map { d =>
+    val out = PromptTemplate.render(template, d)
+    d.withText(out)
+  }
+
+  // --------------------------------------------------------- restructuring
+  // (reference: §2.4 — explode, unroll, split_elements, merge, markdown)
+
+  /** Promote each element to a top-level Document; parent retained (with
+    * elements cleared), children get parent_id + inherit "_"-prefixed props
+    * (reference: transforms/explode.py:10,42-55). */
+  def explode(): DocSet = flatMap { d =>
+    val inherited = d.properties.filter { case (k, _) => k.startsWith("_") }
+    val children = d.elements.map { e =>
+      Document(
+        docId = s"${d.docId}#${e.elementIndex}",
+        lineageId = Document.lineageOf(s"${d.lineageId}#${e.elementIndex}"),
+        docType = Some(e.elementType),
+        textRepresentation = e.textRepresentation,
+        binaryRepresentation = e.binaryRepresentation,
+        elements = Nil,
+        embedding = e.embedding,
+        shingles = None,
+        parentId = Some(d.docId),
+        bbox = e.bbox,
+        properties = inherited ++ e.properties)
+    }
+    d.copy(elements = Nil) +: children
+  }
+
+  /** Split a multi-valued (comma-separated) property into one doc per value
+    * (reference: transforms/explode.py:68 UnRoll). */
+  def unroll(field: String, sep: String = ","): DocSet = flatMap { d =>
+    d.fieldToValue(field) match {
+      case Some(v) => v.split(sep).toSeq.zipWithIndex.map { case (part, i) =>
+        d.setField(field, part.trim).copy(docId = s"${d.docId}#u$i")
+      }
+      case None => Seq(d)
+    }
+  }
+
+  /** Apply an element merger per doc — sequential fold in element order
+    * (reference: transforms/merge_elements.py; order preserved via
+    * elementIndex sort, SURVEY §7.3). */
+  def merge(merger: ElementMerger): DocSet = map { d =>
+    d.copy(elements = merger.merge(d.elements.sortBy(_.elementIndex))
+      .zipWithIndex.map { case (e, i) => e.copy(elementIndex = i) })
+  }
+
+  /** Recursively bisect over-long elements (reference: transforms/split_elements.py:12). */
+  def splitElements(maxTokens: Int): DocSet = map { d =>
+    d.copy(elements = graft.operators.SplitElements.split(d.elements, maxTokens)
+      .zipWithIndex.map { case (e, i) => e.copy(elementIndex = i) })
+  }
+
+  /** Rewrite all elements as one markdown text blob (reference: transforms/markdown.py:8). */
+  def markdown(): DocSet = map(graft.operators.Markdown.toMarkdown)
+
+  // -------------------------------------------------- relational operators
+
+  /** Keep docs whose `field1` appears in docset2's `field2` — left semi join
+    * (reference: docset.py:1646 field_in COLLECTS the build side to the
+    * driver; here Spark picks a broadcast semi join itself). */
+  def fieldIn(other: DocSet, field1: String, field2: String): DocSet = {
+    val left = ds.toDF()
+    val right = other.ds.toDF().select(fieldCol(field2).as("__k")).distinct()
+    wrap(left.join(right, fieldCol(field1) === col("__k"), "left_semi").as[Document](docEnc))
+  }
+
+  /** Bag union, no dedup (reference: transforms/union.py — binary-tree merge
+    * is unnecessary; Spark unions are metadata-only). */
+  def union(others: DocSet*): DocSet =
+    wrap(others.foldLeft(ds)((acc, o) => acc.unionAll(o.ds)))
+
+  def randomSample(fraction: Double, seed: Long = 42L): DocSet =
+    wrap(ds.sample(withReplacement = false, fraction, seed))
+
+  /** Sort by dotted field. With no default value, docs missing the field are
+    * dropped — faithfully matching the reference (transforms/sort.py:12
+    * DropIfMissingField). */
+  def sort(descending: Boolean, field: String, defaultVal: Option[String] = None): DocSet = {
+    val key = fieldCol(field)
+    val df = ds.toDF().withColumn("__key",
+      defaultVal.map(d => coalesce(key, lit(d))).getOrElse(key))
+    val pruned = if (defaultVal.isEmpty) df.where(col("__key").isNotNull) else df
+    wrap(pruned.orderBy(if (descending) desc("__key") else asc("__key"))
+      .drop("__key").as[Document](docEnc))
+  }
+
+  /** Distributed limit (reference iterates on the driver, basics.py:11). */
+  def limit(n: Int): DocSet = wrap(ds.limit(n))
+
+  // ----------------------------------------------------------- aggregation
+
+  def count(): Long = ds.count()
+
+  def countDistinct(field: String): Long =
+    ds.toDF().select(fieldCol(field)).na.drop().distinct().count()
+
+  /** groupby_count contract: output Documents with properties {key, count}
+    * (reference: transforms/groupby_count.py:86-92 — the query layer depends
+    * on exactly this shape). */
+  def groupbyCount(field: String, uniqueField: Option[String] = None): DocSet = {
+    val keyed = ds.toDF().select(fieldCol(field).cast("string").as("key"),
+      uniqueField.map(u => fieldCol(u).cast("string")).getOrElse(lit(1)).as("u"))
+      .where(col("key").isNotNull)
+    val counted = uniqueField match {
+      case Some(_) => keyed.groupBy(col("key")).agg(countDistinctCol(col("u")).as("count"))
+      case None    => keyed.groupBy(col("key"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+    }
+    val out = counted.as[(String, Long)](Encoders.product[(String, Long)]).map { kc =>
+      Document.of(s"groupby_count:${kc._1}",
+        properties = Map("key" -> kc._1, "count" -> kc._2.toString))
+    }(docEnc)
+    wrap(out)
+  }
+
+  /** top_k = groupby_count -> sort desc -> limit k (reference: docset.py:1485;
+    * Catalyst compiles the sort+limit into TakeOrderedAndProject). */
+  def topK(field: String, k: Int, descending: Boolean = true,
+           uniqueField: Option[String] = None): DocSet =
+    groupbyCount(field, uniqueField)
+      .sortByCountKey(descending)
+      .limit(k)
+
+  /** count sorted with deterministic key tiebreak (internal helper for topK). */
+  private def sortByCountKey(descending: Boolean): DocSet = {
+    val df = ds.toDF()
+      .withColumn("__c", element_at(col("properties"), "count").cast("long"))
+      .withColumn("__k", element_at(col("properties"), "key"))
+    val sorted = df.orderBy(
+      (if (descending) desc("__c") else asc("__c")), asc("__k"))
+    wrap(sorted.drop("__c", "__k").as[Document](docEnc))
+  }
+
+  /** Whole-docset aggregation (group of everything). */
+  def aggregate(agg: DocAggregation): DocSet = groupby(_ => "__all__").aggregate(agg)
+
+  def groupby(keyFn: Document => String): GroupedDocSet =
+    new GroupedDocSet(ds.groupByKey(keyFn)(Encoders.STRING))
+
+  /** Groupwise deterministic reduce (reference: aggregation.py:221 Reduce —
+    * sub_docs sorted by doc_id before fn for determinism). */
+  def reduce(fn: Seq[Document] => Document, keyFn: Document => String): DocSet =
+    groupby(keyFn).reduce(fn)
+
+  /** Per-doc token->count table into properties.term_frequency
+    * (reference: transforms/term_frequency.py:8). */
+  def termFrequency(): DocSet = map { d =>
+    val tf = d.text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val json = tf.toSeq.sortBy(_._1)
+      .map { case (t, n) => s""""${t.replace("\"", "\\\"")}":$n""" }
+      .mkString("{", ",", "}")
+    d.withProp("term_frequency", json)
+  }
+
+  // --------------------------------------------------------- vectors / ML
+
+  /** Batch-embed text_representation -> embedding (reference: transforms/embed.py;
+    * model handle is per-partition, batched — the Spark shape of their GPU
+    * actor pool). */
+  def embed(embedder: Embedder, batchSize: Int = 64): DocSet = mapBatch { it =>
+    it.grouped(batchSize).flatMap { batch =>
+      val vecs = embedder.embed(batch.map(_.text))
+      batch.zip(vecs).map { case (d, v) => d.copy(embedding = Some(v)) }
+    }
+  }
+
+  /** K-Means over the embedding column via MLlib (reference hand-rolls the
+    * loop over Ray, transforms/clustering.py:4-74; MLlib's implementation is
+    * the battle-tested distributed one). Returns centroids. */
+  def kmeans(k: Int, maxIter: Int = 20, seed: Long = 42L): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = ds.toDF().where(col("embedding").isNotNull)
+      .select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed).fit(feats)
+    model.clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
+
+  /** Assign nearest-centroid id into properties.cluster
+    * (reference: docset.py:1082 clustering). */
+  def clustering(centroids: Seq[Seq[Double]], property: String = "cluster"): DocSet = map { d =>
+    d.embedding match {
+      case Some(v) =>
+        val cid = centroids.zipWithIndex.minBy { case (c, _) =>
+          var s = 0.0; var i = 0
+          while (i < c.length) { val diff = c(i) - v(i); s += diff * diff; i += 1 }
+          s
+        }._2
+        d.withProp(property, cid.toString)
+      case None => d
+    }
+  }
+
+  /** Compute near-dup shingle sketch into `shingles`
+    * (reference: transforms/sketcher.py:29; functions/simhash.py). */
+  def sketch(window: Int = 17, number: Int = 16): DocSet =
+    map(d => d.copy(shingles = Some(graft.operators.Sketcher.shingles(d.text, window, number))))
+
+  /** Drop near-duplicates via LSH banding over shingle sketches — the
+    * scalable replacement for the reference's O(n^2) single-actor
+    * SketchUniquify (transforms/sketcher.py:64). Keeps the smallest doc_id
+    * of each candidate group. */
+  def sketchDedup(bands: Int = 4): DocSet = {
+    val sk = ds.toDF().where(col("shingles").isNotNull)
+    val rows = 16 / bands
+    val banded = sk.select(col("docId"),
+      org.apache.spark.sql.functions.explode(
+        graft.functions.gf.lshBandKeys(col("shingles"), bands, rows)).as("band"))
+    val keep = banded.groupBy(col("band")).agg(min(col("docId")).as("keeper"))
+    val dropIds = banded.join(keep, "band")
+      .where(col("docId") =!= col("keeper"))
+      .select(col("docId")).distinct()
+    wrap(ds.toDF().join(dropIds, Seq("docId"), "left_anti").as[Document](docEnc))
+  }
+
+  /** Rerank by a similarity scorer then sort desc
+    * (reference: transforms/similarity.py:19; scorer is pluggable — a
+    * cross-encoder in production, deterministic token-overlap fake in tests). */
+  def rerank(scorer: (String, String) => Double, query: String,
+             limitN: Option[Int] = None): DocSet = {
+    val limited = limitN.map(limit).getOrElse(this)
+    val scored = limited.map(d => d.withProp("_rerank_score", scorer(query, d.text).toString))
+    // numeric sort on the score (string sort would put "9" after "10")
+    wrap(scored.ds.toDF()
+      .withColumn("__s", element_at(col("properties"), "_rerank_score").cast("double"))
+      .orderBy(desc_nulls_last("__s"), asc("docId"))
+      .drop("__s").as[Document](docEnc))
+  }
+
+  // ------------------------------------------------------------ LLM family
+  // (reference §2.8: all are mapPartitions + prompt render + pluggable
+  //  client + parse; the engine-side shape is identical for every one)
+
+  /** Render prompt per doc, call LLM, store output in a property
+    * (reference: transforms/base_llm.py:76 LLMMap). */
+  def llmMap(client: LlmClient, prompt: String, outputField: String): DocSet =
+    mapBatch { it =>
+      it.grouped(16).flatMap { batch =>
+        val outs = client.generateBatch(batch.map(d => PromptTemplate.render(prompt, d)))
+        batch.zip(outs).map { case (d, o) => d.setField(outputField, o) }
+      }
+    }
+
+  /** Same per element (reference: base_llm.py LLMMapElements). */
+  def llmMapElements(client: LlmClient, prompt: String, outputKey: String): DocSet =
+    map { d =>
+      val outs = client.generateBatch(
+        d.elements.map(e => PromptTemplate.renderElement(prompt, d, e)))
+      d.copy(elements = d.elements.zip(outs).map { case (e, o) => e.withProps(outputKey -> o) })
+    }
+
+  /** LLM-scored filter: keep docs whose score >= threshold
+    * (reference: transforms/llm_filter.py:113). */
+  def llmFilter(client: LlmClient, prompt: String, threshold: Int = 3,
+                scoreField: String = "properties._llm_filter_score"): DocSet =
+    llmMap(client, prompt, scoreField)
+      .filter { d =>
+        val score = d.fieldToValue(scoreField).flatMap { v =>
+          val digits = v.trim.takeWhile(_.isDigit)
+          if (digits.isEmpty) None else Some(digits.toInt)
+        }
+        score.exists(_ >= threshold)
+      }
+
+  /** Extract one named entity into properties[name]
+    * (reference: transforms/extract_entity.py:50). */
+  def extractEntity(extractor: EntityExtractor): DocSet = mapBatch(extractor.extract)
+
+  /** Summarize each doc into properties.summary (reference: transforms/summarize.py). */
+  def summarize(client: LlmClient,
+                prompt: String = "Summarize: {text_representation}"): DocSet =
+    llmMap(client, prompt, "properties.summary")
+
+  // -------------------------------------------------------------- actions
+
+  def take(n: Int): Seq[Document] = ds.take(n).toSeq
+  def takeAll(): Seq[Document] = ds.collect().toSeq
+  def show(n: Int = 20): Unit = ds.toDF()
+    .select(col("docId"), col("docType"), substring(col("textRepresentation"), 1, 60))
+    .show(n, truncate = false)
+
+  /** Checkpoint to parquet; read back with DocRead.materialized
+    * (reference: materialize.py — success markers / retry batching are
+    * subsumed by Spark's committed parquet writes + task retry). */
+  def materialize(path: String): DocSet = {
+    ds.write.mode("overwrite").parquet(path)
+    wrap(spark.read.parquet(path).as[Document](docEnc))
+  }
+
+  def writeJson(path: String): Unit = ds.toDF().write.mode("overwrite").json(path)
+  def writeParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
+
+  /** Promote hot dotted properties to real columns so Catalyst can prune,
+    * push down, and join on them (SURVEY §7.1 withSchema projection). */
+  def project(fields: Seq[String]): DataFrame =
+    ds.toDF().select(fields.map(f => fieldCol(f).as(f.replace('.', '_'))): _*)
+
+  private def countDistinctCol(c: Column): Column = count_distinct(c)
+}
+
+object DocSet {
+  implicit val docEnc: Encoder[Document] = Encoders.product[Document]
+
+  def wrap(ds: Dataset[Document]): DocSet = new DocSet(ds)
+
+  def of(spark: SparkSession, docs: Seq[Document]): DocSet =
+    wrap(spark.createDataset(docs)(docEnc))
+
+  /** Dotted-path -> Column (columnar twin of Document.fieldToValue). */
+  def fieldCol(path: String): Column = path match {
+    case "doc_id"              => col("docId")
+    case "lineage_id"          => col("lineageId")
+    case "type"                => col("docType")
+    case "text_representation" => col("textRepresentation")
+    case "parent_id"           => col("parentId")
+    case p if p.startsWith("properties.") =>
+      element_at(col("properties"), p.stripPrefix("properties."))
+    case other => col(other)
+  }
+}
+
+/** Grouped view (reference: transforms/grouped_data.py + aggregation.py). */
+final class GroupedDocSet(val grouped: org.apache.spark.sql.KeyValueGroupedDataset[String, Document]) {
+  import DocSet.docEnc
+
+  /** Per-group count -> {properties.key, properties.count} documents. */
+  def count(): DocSet = DocSet.wrap(
+    grouped.count().map { kc =>
+      Document.of(s"group:${kc._1}", properties = Map("key" -> kc._1, "count" -> kc._2.toString))
+    }(docEnc))
+
+  /** Generic partial aggregation (hash agg with map-side combine). */
+  def aggregate(agg: DocAggregation): DocSet = DocSet.wrap(
+    grouped.agg(DocAggregation.toAggregator(agg).toColumn)
+      .map { case (k, d) => d.withProp("key", k) }(docEnc))
+
+  /** Groupwise reduce with doc_id-sorted determinism (reference:
+    * aggregation.py:221). Collects each group; groups must fit in memory. */
+  def reduce(fn: Seq[Document] => Document): DocSet = DocSet.wrap(
+    grouped.mapGroups { (k, docs) =>
+      fn(docs.toSeq.sortBy(_.docId)).withProp("key", k)
+    }(docEnc))
+
+  /** Per-group collect into elements of a summary document
+    * (reference: grouped_data.py:52 collect). */
+  def collect(): DocSet = reduce { docs =>
+    Document.of(s"collect:${docs.headOption.map(_.docId).getOrElse("")}")
+      .copy(elements = docs.zipWithIndex.map { case (d, i) =>
+        Element(d.docType.getOrElse("doc"), d.textRepresentation, None, d.bbox,
+          d.embedding, i, Nil, d.properties + ("doc_id" -> d.docId))
+      })
+  }
+}

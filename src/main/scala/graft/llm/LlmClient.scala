@@ -1,0 +1,83 @@
+package graft.llm
+
+import graft.model.{Document, Element}
+
+/**
+ * Pluggable LLM client (reference: lib/sycamore/sycamore/llms/ — OpenAI,
+ * Anthropic, Bedrock, Gemini clients behind one interface; llms/llms.py).
+ * The engine only needs generate/generateBatch; sync/async/batch modes
+ * (reference: transforms/base_llm.py:28-74 LLMMode) collapse to
+ * generateBatch over partition-local batches.
+ */
+trait LlmClient extends Serializable {
+  def generate(prompt: String): String
+  def generateBatch(prompts: Seq[String]): Seq[String] = prompts.map(generate)
+}
+
+/**
+ * Deterministic offline fake for tests and zero-egress runs: answers are a
+ * pure function of the prompt. Modes:
+ *  - "echo:<n>"  — first n chars of the prompt
+ *  - "score"     — stable pseudo-score 0-4 from the prompt hash
+ *  - "extract"   — first capitalized token in the prompt
+ */
+final class FakeLlmClient(mode: String = "echo:64") extends LlmClient {
+  override def generate(prompt: String): String = mode match {
+    case m if m.startsWith("echo:") => prompt.take(m.stripPrefix("echo:").toInt)
+    case "score" => (math.abs(scala.util.hashing.MurmurHash3.stringHash(prompt)) % 5).toString
+    case "extract" =>
+      prompt.split("\\s+").find(t => t.nonEmpty && t.head.isUpper && t.forall(_.isLetter))
+        .getOrElse("")
+    case other => s"[fake:$other]"
+  }
+}
+
+/** Prompt template rendering: `{doc_id}`, `{text_representation}`,
+  * `{properties.x.y}` placeholders (reference prompt objects render the
+  * same dotted fields). */
+object PromptTemplate {
+  private val ph = "\\{([a-zA-Z0-9_.]+)\\}".r
+
+  def render(template: String, d: Document): String =
+    ph.replaceAllIn(template, m =>
+      java.util.regex.Matcher.quoteReplacement(d.fieldToValue(m.group(1)).getOrElse("")))
+
+  def renderElement(template: String, d: Document, e: Element): String =
+    ph.replaceAllIn(template, m => java.util.regex.Matcher.quoteReplacement(m.group(1) match {
+      case "text_representation" => e.text
+      case "type"                => e.elementType
+      case p if p.startsWith("properties.") =>
+        e.prop(p.stripPrefix("properties."))
+          .orElse(d.fieldToValue(p)).getOrElse("")
+      case p => d.fieldToValue(p).getOrElse("")
+    }))
+}
+
+/**
+ * Entity extraction (reference: transforms/extract_entity.py:50
+ * OpenAIEntityExtractor shape): batched over partitions, writes
+ * properties[name]. The LLM flavor prompts and parses; the deterministic
+ * regex flavor is the offline fake with real extraction semantics.
+ */
+trait EntityExtractor extends Serializable {
+  def name: String
+  def extract(docs: Iterator[Document]): Iterator[Document]
+}
+
+final class LlmEntityExtractor(client: LlmClient, val name: String, prompt: String)
+    extends EntityExtractor {
+  override def extract(docs: Iterator[Document]): Iterator[Document] =
+    docs.grouped(16).flatMap { batch =>
+      val outs = client.generateBatch(batch.map(d => PromptTemplate.render(prompt, d)))
+      batch.zip(outs).map { case (d, o) => d.withProp(name, o.trim) }
+    }
+}
+
+final class RegexEntityExtractor(val name: String, pattern: String, group: Int = 1)
+    extends EntityExtractor {
+  @transient private lazy val re = pattern.r
+  override def extract(docs: Iterator[Document]): Iterator[Document] =
+    docs.map { d =>
+      re.findFirstMatchIn(d.text).map(m => d.withProp(name, m.group(group))).getOrElse(d)
+    }
+}

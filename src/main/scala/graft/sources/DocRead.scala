@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.docset.DocSet
+import graft.model.Document
+
+/**
+ * Sources: files -> DocSet (reference: lib/sycamore/sycamore/reader.py +
+ * connectors/file/file_scan.py). The reference hand-rolls recursive listing
+ * and S3/local dispatch over pyarrow; Spark's binaryFile/json sources give
+ * the same (plus partition parallelism, predicate pushdown on path/length,
+ * and any Hadoop filesystem) for free.
+ */
+object DocRead {
+
+  /** One Document per file, bytes in binary_representation, path metadata in
+    * properties (reference: reader.py:46 read.binary, file_scan.py:156
+    * BinaryScan). `binary_format` becomes docType; extension filtering via
+    * pathGlobFilter pushes into the file listing. */
+  def binary(spark: SparkSession, paths: String, binaryFormat: String): DocSet = {
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$binaryFormat")
+      .load(paths)
+    val ds = df.select(col("path"), col("content"), col("length"),
+        col("modificationTime").cast("string").as("mtime"))
+      .as[(String, Array[Byte], Long, String)](
+        Encoders.product[(String, Array[Byte], Long, String)])
+      .map { case (path, content, len, mtime) =>
+        Document.of(path, docType = binaryFormat,
+            properties = Map("path" -> path, "filetype" -> binaryFormat,
+              "file_size" -> len.toString, "file_mtime" -> mtime))
+          .copy(binaryRepresentation = Some(content))
+      }(DocSet.docEnc)
+    DocSet.wrap(ds)
+  }
+
+  /** Binary scan + per-file metadata from a manifest map, joined on path
+    * (reference: reader.py:94 read.manifest — JsonManifestMetadataProvider;
+    * the manifest is small -> broadcast join by construction). */
+  def manifest(spark: SparkSession, paths: String, binaryFormat: String,
+               metadata: Map[String, Map[String, String]]): DocSet = {
+    val meta = spark.sparkContext.broadcast(metadata)
+    binary(spark, paths, binaryFormat).map { d =>
+      meta.value.get(d.docId) match {
+        case Some(m) => d.copy(properties = d.properties ++ m)
+        case None => d
+      }
+    }
+  }
+
+  /** JSON/JSONL records -> Documents: every top-level field becomes a dotted
+    * property (reference: reader.py:145 read.json, file_scan.py:291 JsonScan). */
+  def json(spark: SparkSession, paths: String,
+           docIdField: Option[String] = None,
+           textField: Option[String] = None): DocSet = {
+    val df = spark.read.json(paths)
+    fromDataFrame(df, docIdField, textField)
+  }
+
+  /** Any DataFrame -> DocSet: columns flatten into dotted properties
+    * (reference: reader.py:194-214 read.arrow/pandas/document — in-memory
+    * tables as docs; here every Spark source qualifies). */
+  def fromDataFrame(df: DataFrame, docIdField: Option[String] = None,
+                    textField: Option[String] = None): DocSet = {
+    val cols = df.schema.fieldNames.toSeq
+    val idCol = docIdField.getOrElse(cols.head)
+    val ds = df.select(
+      col(idCol).cast("string").as("__id"),
+      textField.map(t => col(t).cast("string")).getOrElse(lit(null).cast("string")).as("__text"),
+      to_json(struct(cols.map(col): _*)).as("__json"),
+      map_from_arrays(
+        array(cols.map(lit(_)): _*),
+        array(cols.map(c => col(c).cast("string")): _*)).as("__props"))
+      .as[(String, String, String, Map[String, String])](
+        Encoders.product[(String, String, String, Map[String, String])])
+      .map { case (id, text, json, props) =>
+        Document.of(id, text = text,
+          properties = props.filter(_._2 != null) + ("_json" -> json))
+      }(DocSet.docEnc)
+    DocSet.wrap(ds)
+  }
+
+  /** Read back a materialized DocSet (reference: reader.py:34
+    * read.materialize over pickle dirs; ours is plain parquet of the
+    * Document schema — splittable, columnar, predicate-pushable). */
+  def materialized(spark: SparkSession, path: String): DocSet =
+    DocSet.wrap(spark.read.parquet(path).as[Document](DocSet.docEnc))
+
+  /** JSONL where each record is a serialized Document
+    * (reference: reader.py:184 read.json_document, file_scan.py:398). */
+  def jsonDocument(spark: SparkSession, paths: String): DocSet =
+    DocSet.wrap(spark.read.schema(DocSet.docEnc.schema).json(paths)
+      .as[Document](DocSet.docEnc))
+}

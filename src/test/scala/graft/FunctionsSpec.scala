@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/** Column-function library semantics, evaluated through real Spark plans. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).head().getAs[T]("r")
+
+  test("tokenCount / bpeishTokenCount") {
+    assert(one[Int](gf.tokenCount($"t"), "a  b   c") == 3)
+    assert(one[Int](gf.tokenCount($"t"), "   ") == 0)
+    assert(one[Int](gf.bpeishTokenCount($"t"), "don't stop, now!") == 7)
+  }
+
+  test("wordShingles windows and short-text fallback") {
+    def shingles(n: Int, text: String): Seq[String] =
+      Seq(text).toDF("t").select(gf.wordShingles($"t", n).as("r"))
+        .head().getSeq[String](0).toList
+    assert(shingles(2, "a b c") == List("a b", "b c"))
+    assert(shingles(5, "a b") == List("a b"))
+  }
+
+  test("minhash signature: equal texts equal, length k, stable") {
+    val df = Seq("x y z w v u t s", "x y z w v u t s", "totally different words here now")
+      .toDF("t").select(gf.minhashSignature(gf.wordShingles($"t", 3), 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs.forall(_.length == 16))
+  }
+
+  test("simhash: identical -> hamming 0; near texts closer than far texts") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "astrophysics concerns stellar formation and galactic dynamics entirely")
+    val hs = texts.toDF("t").select(gf.simhash64($"t").as("h")).collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(0)) == 0)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+  }
+
+  test("cosineSimilarity / dotProduct on float arrays") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val sims = df.select(gf.cosineSimilarity($"a", $"b").as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("quality metrics ranges and langId stopword detection") {
+    val q = one[Double](gf.qualityScore($"t"),
+      "The quick brown fox is a reasonably normal English sentence with the usual words.")
+    assert(q > 0.3 && q <= 1.0)
+    assert(one[String](gf.langId($"t"), "the cat is on the mat and it is happy") == "en")
+    assert(one[String](gf.langId($"t"), "el gato es un animal y la casa es grande") == "es")
+    assert(one[String](gf.langId($"t"), "der hund und die katze sind nicht da") == "de")
+    assert(one[String](gf.langId($"t"), "qqq zzz xxx") == "und")
+  }
+
+  test("fingerprint64 stable and distinct") {
+    val fps = Seq("abc", "abc", "abd").toDF("t")
+      .select(gf.fingerprint64($"t").as("f")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("lshBandKeys: equal signatures share all bands") {
+    val df = Seq("p q r s t u v w", "p q r s t u v w").toDF("t")
+      .select(gf.lshBandKeys(gf.minhashSignature(gf.wordShingles($"t", 3), 16), 4, 4).as("b"))
+    val bands = df.collect().map(_.getSeq[Long](0))
+    assert(bands(0) == bands(1))
+    assert(bands(0).length == 4)
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Bbox, Document, Element, TableCell}
+import graft.operators._
+import graft.docset.DocSet
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  def el(i: Int, t: String, text: String, props: Map[String, String] = Map.empty): Element =
+    Element.text(i, t, text, properties = props)
+
+  test("GreedyTextElementMerger packs to token budget") {
+    val els = Seq(el(0, "NarrativeText", "a b c"), el(1, "NarrativeText", "d e"),
+      el(2, "NarrativeText", "f g h i j k"), el(3, "NarrativeText", "l"))
+    val merged = new GreedyTextElementMerger(6).merge(els)
+    assert(merged.map(_.text) == Seq("a b c\nd e", "f g h i j k", "l"))
+  }
+
+  test("GreedySectionMerger breaks on headings") {
+    val els = Seq(el(0, "Title", "S1"), el(1, "NarrativeText", "a"),
+      el(2, "Section-header", "S2"), el(3, "NarrativeText", "b"))
+    val merged = new GreedySectionMerger(100).merge(els)
+    assert(merged.map(_.text) == Seq("S1\na", "S2\nb"))
+  }
+
+  test("MarkedMerger drops _drop, breaks on _break") {
+    val els = Seq(
+      el(0, "T", "keep1"), el(1, "T", "junk", Map("_drop" -> "true")),
+      el(2, "T", "keep2"), el(3, "T", "new", Map("_break" -> "true")),
+      el(4, "T", "tail"))
+    val merged = new MarkedMerger().merge(els)
+    assert(merged.map(_.text) == Seq("keep1\nkeep2", "new\ntail"))
+  }
+
+  test("HeaderAugmenterMerger prepends section header") {
+    val els = Seq(el(0, "Section-header", "Intro"), el(1, "NarrativeText", "body"))
+    val merged = new HeaderAugmenterMerger().merge(els)
+    assert(merged(1).text == "Intro\nbody")
+    assert(merged(1).prop("_header").contains("Intro"))
+  }
+
+  test("TableMerger joins continuation tables") {
+    val t1 = el(0, "table", "Sales data").copy(tableCells = Seq(
+      TableCell("a", Array(0), Array(0), isHeader = true, None)))
+    val t2 = el(1, "table", "continued from previous page").copy(tableCells = Seq(
+      TableCell("b", Array(1), Array(0), isHeader = false, None)))
+    val merged = new TableMerger().merge(Seq(t1, t2))
+    assert(merged.size == 1)
+    assert(merged.head.tableCells.size == 2)
+  }
+
+  test("SplitElements bisects at sentence boundaries under token budget") {
+    val text = ("alpha bravo charlie. " * 10).trim
+    val out = SplitElements.splitOne(el(0, "NarrativeText", text), 12)
+    assert(out.size >= 2)
+    assert(out.forall(e => Tokens.count(e.text) <= 12))
+    // splits at sentence boundary: every piece ends with '.' except maybe last
+    assert(out.init.forall(_.text.endsWith(".")))
+    assert(out.map(_.text.replace("\n", " ")).mkString(" ").split("\\s+").length ==
+      text.split("\\s+").length)
+  }
+
+  test("Marks: preset pipeline sorts, drops header/footer+tiny, breaks pages/tokens") {
+    val d = Document.of("m1").copy(elements = Seq(
+      Element("NarrativeText", Some("page2 content"), None,
+        Some(Bbox(0.1, 0.2, 0.9, 0.4)), None, 0, Nil, Map("page_number" -> "2")),
+      Element("NarrativeText", Some("header text"), None,
+        Some(Bbox(0.1, 0.01, 0.9, 0.03)), None, 1, Nil, Map("page_number" -> "1")),
+      Element("NarrativeText", Some("tiny"), None,
+        Some(Bbox(0.5, 0.5, 0.5001, 0.5001)), None, 2, Nil, Map("page_number" -> "1")),
+      Element("NarrativeText", Some("page1 body"), None,
+        Some(Bbox(0.1, 0.3, 0.9, 0.5)), None, 3, Nil, Map("page_number" -> "1"))))
+    val out = Marks.bboxPreset()(d)
+    val byIdx = out.elements.sortBy(_.elementIndex)
+    assert(byIdx.head.prop("_drop").contains("true"))       // header band (page1 y=0.01)
+    assert(byIdx.map(_.text).indexOf("page1 body") < byIdx.map(_.text).indexOf("page2 content"))
+    assert(byIdx.find(_.text == "tiny").get.prop("_drop").contains("true"))
+    assert(byIdx.find(_.text == "page2 content").get.prop("_break").contains("true"))
+  }
+
+  test("Markdown renders tables with header separator") {
+    val cells = Seq(
+      TableCell("h1", Array(0), Array(0), isHeader = true, None),
+      TableCell("h2", Array(0), Array(1), isHeader = true, None),
+      TableCell("v1", Array(1), Array(0), isHeader = false, None),
+      TableCell("v2", Array(1), Array(1), isHeader = false, None))
+    assert(Markdown.renderTable(cells) ==
+      "| h1 | h2 |\n| --- | --- |\n| v1 | v2 |")
+  }
+
+  test("Standardizers: US state + datetime") {
+    val d = Document.of("s1", properties = Map(
+      "entity.location" -> "Atlanta, GA", "entity.date" -> "07/01/2023"))
+    val s1 = Standardizers.usState("properties.entity.location")(d)
+    assert(s1.prop("entity.location").contains("Atlanta, Georgia"))
+    val s2 = Standardizers.dateTime("properties.entity.date")(d)
+    assert(s2.prop("entity.date").contains("2023-07-01T00:00"))
+    assert(s2.prop("day").contains("2023-07-01"))
+  }
+
+  test("Sketcher: identical texts identical shingles; distance bounds") {
+    val a = Sketcher.shingles("the quick brown fox jumps over the lazy dog repeatedly")
+    val b = Sketcher.shingles("the quick brown fox jumps over the lazy dog repeatedly")
+    val c = Sketcher.shingles("completely different content with other words entirely here")
+    assert(Sketcher.distance(a, b) == 0.0)
+    assert(Sketcher.distance(a, c) > 0.5)
+    val near = Sketcher.shingles("the quick brown fox jumps over the lazy dog repeated")
+    assert(Sketcher.distance(a, near) < Sketcher.distance(a, c))
+  }
+
+  test("sketchDedup drops near-duplicates via LSH, keeps smallest id") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs = Seq(
+      Document.of("a1", text = base),
+      Document.of("a2", text = base),                       // exact dup
+      Document.of("b1", text = "totally unrelated text about spark query engines and shuffles"))
+    val out = DocSet.of(spark, docs).sketch().sketchDedup().takeAll()
+    assert(out.map(_.docId).sorted == Seq("a1", "b1"))
+  }
+
+  test("HtmlPartitioner extracts typed elements; explode round-trip") {
+    val html = """<html><head><title>My Doc</title></head><body>
+      <h1>Intro</h1><p>First para.</p><li>item one</li></body></html>"""
+    val d = Document.of("h1", text = html)
+    val out = new HtmlPartitioner().partition(d)
+    assert(out.elements.map(_.elementType) ==
+      Seq("Title", "Section-header", "NarrativeText", "List-item"))
+    assert(out.elements(2).text == "First para.")
+    val exploded = DocSet.of(spark, Seq(out)).explode()
+    assert(exploded.count() == 5)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.docset.DocSet
+import graft.model.Document
+import graft.sources.DocRead
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  test("binary source: one Document per file with path metadata") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("a.html"), "<p>hi</p>".getBytes)
+    Files.write(dir.resolve("b.html"), "<p>yo</p>".getBytes)
+    Files.write(dir.resolve("skip.txt"), "no".getBytes)
+    val ds = DocRead.binary(spark, dir.toString, "html")
+    val docs = ds.takeAll()
+    assert(docs.size == 2)
+    assert(docs.forall(_.docType.contains("html")))
+    assert(docs.forall(d => d.binaryRepresentation.exists(_.nonEmpty)))
+    assert(docs.forall(d => d.prop("path").exists(_.endsWith(".html"))))
+  }
+
+  test("manifest source merges per-file metadata") {
+    val dir = Files.createTempDirectory("graft_man")
+    val f = dir.resolve("x.html")
+    Files.write(f, "<p>hi</p>".getBytes)
+    val docs = DocRead.manifest(spark, dir.toString, "html",
+      Map(s"file:$f" -> Map("source" -> "crawl1"))).takeAll()
+    assert(docs.head.prop("source").contains("crawl1"))
+  }
+
+  test("fromDataFrame flattens columns into properties") {
+    val df = spark.createDataFrame(Seq((1L, "hello world", "en"))).toDF("id", "body", "lang")
+    val docs = DocRead.fromDataFrame(df, Some("id"), Some("body")).takeAll()
+    assert(docs.head.docId == "1")
+    assert(docs.head.text == "hello world")
+    assert(docs.head.prop("lang").contains("en"))
+  }
+
+  test("materialize round-trip preserves documents") {
+    val dir = Files.createTempDirectory("graft_mat").toString + "/out"
+    val docs = (0 until 5).map(i => Document.of(s"d$i", text = s"t$i",
+      properties = Map("k" -> i.toString)))
+    val back = DocSet.of(spark, docs).materialize(dir).takeAll()
+    assert(back.map(_.docId).sorted == docs.map(_.docId))
+    val again = DocRead.materialized(spark, dir).takeAll()
+    assert(again.map(_.docId).sorted == docs.map(_.docId))
+  }
+
+  test("jsonDocument reads serialized Documents; writeJson dumps them") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/docs"
+    val docs = Seq(Document.of("j1", text = "json doc", properties = Map("a" -> "1")))
+    DocSet.of(spark, docs).writeJson(dir)
+    val back = DocRead.jsonDocument(spark, dir).takeAll()
+    assert(back.head.docId == "j1")
+    assert(back.head.prop("a").contains("1"))
+  }
+}
