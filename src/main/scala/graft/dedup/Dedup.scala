@@ -15,6 +15,13 @@ import graft.functions.gf
  */
 object Dedup {
 
+  /** Round-robin rebalance before a compute-heavy per-row stage (sketching
+    * costs far more than the linear shuffle). Small inputs otherwise run in
+    * one task when the source is a single file split; at scale this also
+    * evens out skewed file sizes. */
+  private def rebalance(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /**
    * Exact dedup: group by content hash, keep the smallest id per group.
    * One shuffle on a 64-bit key; map-side partial aggregation applies.
@@ -47,12 +54,17 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(
-      col(id).as("_id"),
-      gf.minhashSignature(gf.wordShingles(col(text), shingleSize), numHashes).as("_sig"))
+    val sig = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
+      .select(col("_id"),
+        gf.minhashSignature(gf.wordShingles(col("_t"), shingleSize), numHashes).as("_sig"))
+    // repartition on the band key: (a) a shuffle barrier so CollapseProject
+    // can't inline the signature into both self-join branches — the scan +
+    // sketch runs once and both sides read the same reused exchange;
+    // (b) the join arrives pre-partitioned, so no further shuffle.
     val banded = sig
       .select(col("_id"), col("_sig"),
         explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
+      .repartition(col("_band"))
     val a = banded.select(col("_band"), col("_id").as("idA"), col("_sig").as("sigA"))
     val b = banded.select(col("_band"), col("_id").as("idB"), col("_sig").as("sigB"))
     val est = size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), m => m))
@@ -81,7 +93,8 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(id).as("_id"), gf.simhash64(col(text)).as("_sh"))
+    val hashed = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
+      .select(col("_id"), gf.simhash64(col("_t")).as("_sh"))
     val chunked = hashed.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"), shiftrightunsigned(col("_sh"), q * 16)
@@ -106,8 +119,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         shingleSize: Int = 5, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000): DataFrame = {
-    val shingled = df.select(col(id).as("_id"),
-        explode(array_distinct(gf.wordShingles(col(text), shingleSize))).as("_sh"))
+    // repartition on the shingle: computed once (shuffle barrier), and the
+    // downstream frequency aggregation, frequency semi-join, and a/b
+    // self-join are all co-partitioned on _sh — one exchange, reused thrice.
+    val shingled = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
+      .select(col("_id"),
+        explode(array_distinct(gf.wordShingles(col("_t"), shingleSize))).as("_sh"))
+      .repartition(col("_sh"))
     val counts = shingled.groupBy("_id").agg(count(lit(1)).as("_n"))
     // Drop stop-shingles that would blow up the self-join (documented cap).
     val filtered = shingled.join(
@@ -135,13 +153,19 @@ object Dedup {
    */
   def embeddingCosinePairs(df: DataFrame, id: String, vec: String, bucket: Column,
                            threshold: Double): DataFrame = {
-    val v = df.select(col(id).as("_id"), col(vec).as("_v"), bucket.as("_bkt"))
+    // normalize each vector ONCE before the join (repartition = shuffle
+    // barrier + co-partitioned self-join) — cosine per candidate pair is
+    // then a single dot-product fold instead of dot + two norms per pair.
+    val v = df.select(col(id).as("_id"),
+        transform(col(vec), x => x.cast("double") / gf.l2Norm(col(vec))).as("_v"),
+        bucket.as("_bkt"))
+      .repartition(col("_bkt"))
     val a = v.select(col("_bkt"), col("_id").as("idA"), col("_v").as("vA"))
     val b = v.select(col("_bkt"), col("_id").as("idB"), col("_v").as("vB"))
     a.join(b, Seq("_bkt"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        gf.cosineSimilarity(col("vA"), col("vB")).as("cosine"))
+        gf.dotProduct(col("vA"), col("vB")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

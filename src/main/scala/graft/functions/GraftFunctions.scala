@@ -51,14 +51,23 @@ object gf {
 
   // ------------------------------------------------------------ sketches
 
+  private def fromExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
   /**
    * MinHash signature: k independent min-hashes over the shingle set
    * (reference computes 16 minhashes over rolling-window hashes,
    * functions/simhash.py:84-133, transforms/sketcher.py:29).
-   * Seeded via xxhash64's extra-column trick: hash_j(s) = xxhash64(s, j).
+   *
+   * Custom Catalyst expression, not a functions._ composition: k separate
+   * `array_min(transform(...))` columns would re-evaluate the shingle
+   * subexpression k times after CollapseProject and blow the plan out of
+   * codegen (measured 45x at sf0.1). See SketchExpressions.scala.
    */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(j => array_min(transform(shingles, s => xxhash64(s, lit(j))))): _*)
+    fromExpr(MinHashSignatureExpr(toExpr(shingles), k))
 
   /**
    * LSH band keys for a minhash signature: split the signature into `bands`
@@ -67,26 +76,16 @@ object gf {
    * single-actor O(n^2) SketchUniquify (transforms/sketcher.py:64-90).
    */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b))
-    }: _*)
+    fromExpr(LshBandKeysExpr(toExpr(signature), bands, rowsPerBand))
 
   /**
-   * 64-bit SimHash over token hashes (reference: functions/simhash.py).
+   * 64-bit SimHash over tokens (reference: functions/simhash.py).
    * bit_i(doc) = sign( sum_tokens(+1 if bit_i(hash(t)) else -1) ).
-   * 64 codegen'd folds over the token array — O(64·n) per doc, no UDF.
+   * Single-pass custom expression (64 composed folds would duplicate the
+   * token array evaluation 64x — same rationale as minhashSignature).
    */
-  def simhash64(c: Column): Column = {
-    val hashes = transform(tokens(c), t => xxhash64(t))
-    val bitCols = (0 until 64).map { i =>
-      val vote = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash64(c: Column): Column =
+    fromExpr(SimHash64Expr(toExpr(tokens(c))))
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

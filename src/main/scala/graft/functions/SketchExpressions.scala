@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/**
+ * Custom Catalyst expressions for the sketch functions.
+ *
+ * Why not functions._ composition: a k-slot minhash expressed as k
+ * `array_min(transform(...))` columns duplicates the shingle-array
+ * subexpression k times after CollapseProject, and a 64-bit simhash
+ * duplicates its token fold 64 times — the plan blows past the codegen
+ * method-size limit and falls back to interpreted evaluation (measured 45x
+ * slowdown at sf0.1). A single expression evaluates its child ONCE and runs
+ * a tight JVM loop; plan stays small no matter how often the optimizer
+ * inlines it.
+ *
+ * Reference semantics: transforms/sketcher.py:29 (16 minhashes),
+ * functions/simhash.py (bitwise-majority simhash).
+ */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature needs array<string>, got $other")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(MinHashSignatureExpr.compute(arr, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSignatureExpr.compute($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignatureExpr {
+  /** Single pass over the shingle array; one UTF8 byte-copy per shingle,
+    * k seeded hashes each. Called from generated code. */
+  def compute(arr: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          val h = Xx64.hash(bytes, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** 64-bit SimHash over a token array: bit i = majority vote of token-hash
+  * bit i. Single pass, O(tokens) with constant-time vote updates. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs array<string>, got $other")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash64Expr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Expr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64Expr {
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Xx64.hash(arr.getUTF8String(i).getBytes, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** LSH band keys from a minhash signature: bands hashes of `rows`
+  * consecutive slots. Tiny input (k longs) but same single-eval rationale. */
+case class LshBandKeysExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_keys needs array<bigint>, got $other")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(LshBandKeysExpr.compute(arr, bands, rows))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.LshBandKeysExpr.compute($c, $bands, $rows))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_band_keys"
+}
+
+object LshBandKeysExpr {
+  def compute(arr: ArrayData, bands: Int, rows: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    val buf = new Array[Byte](rows * 8)
+    var b = 0
+    while (b < bands) {
+      var r = 0
+      while (r < rows) {
+        val v = arr.getLong(b * rows + r)
+        var byte = 0
+        while (byte < 8) {
+          buf(r * 8 + byte) = ((v >>> (byte * 8)) & 0xff).toByte
+          byte += 1
+        }
+        r += 1
+      }
+      out(b) = Xx64.hash(buf, b.toLong)
+      b += 1
+    }
+    out
+  }
+}
