@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Prints ONE JSON line for the driver.
+  *
+  * Each query is forced to FULL evaluation via `queryExecution.toRdd.count()`:
+  * executing the query's own physical plan materializes every output column.
+  * A plain `df.count()` would wrap the plan in Aggregate(count(1)) and let
+  * Catalyst prune all projections — map-only queries would then measure the
+  * parquet scan, not the operator.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,7 +21,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

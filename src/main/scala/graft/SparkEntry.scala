@@ -358,8 +358,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_simhash_pairs" -> ((s, dir) => {
-      // rows-only likewise.
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      // SQL-replicable polynomial simhash -> DuckDB recomputes the identical
+      // sketch and verifies pairs by exact hamming (recall guarantee:
+      // chunks = maxHamming+1). maxHamming scaled to the 31-bit sketch
+      // (radius 2/31 ~ radius 4/64); larger radii covered by the
+      // brute-force unit test on the 64-bit sketch.
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 2,
+          simhashFn = gf.simhashPoly31(_), bits = 31)
+        .select(col("idA"), col("idB"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("idA"), col("idB"))
     }),
     "q_cosine_pairs" -> ((s, dir) => {
@@ -399,13 +405,13 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, dir) => {
       // rows-only: IVF probe set depends on our centroid derivation.
+      // nlist=256 via NearestCentroidExpr: one plan node, no literal codebook
+      // in the expression tree (round-1 scale-killer fixed).
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val centroids = emb.where(col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
-      Ann.ivfTopK(emb, "vec_id", "embedding", centroids, q, 10, nprobe = 3)
+      val centroids = Ann.sampleCentroids(emb, "vec_id", "embedding", 256)
+      Ann.ivfTopK(emb, "vec_id", "embedding", centroids, q, 10, nprobe = 32)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     })
   )
@@ -630,6 +636,24 @@ object SparkEntry {
     "q_docset_topk" ->
       """SELECT source AS key, count(*) AS count FROM documents
          GROUP BY source ORDER BY count DESC, key LIMIT 3""",
+    "q_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, tok ->
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(str_split(tok, ''), ch -> ascii(ch)::BIGINT)),
+                   (a, c) -> (a * 31 + c) % 2147483647)) AS hs
+               FROM t),
+         s AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 31), b ->
+                   CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+                        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sh
+               FROM h)
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 2
+         ORDER BY idA, idB""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          top AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS c

@@ -24,11 +24,17 @@ object Dedup {
 
   /**
    * Exact dedup: group by content hash, keep the smallest id per group.
-   * One shuffle on a 64-bit key; map-side partial aggregation applies.
+   * One shuffle on a 192-bit key (xxhash64 + md5); map-side partial
+   * aggregation applies. 64 bits alone would birthday-collide at the
+   * billions-of-docs scale this targets (~50% chance of one collision at
+   * 5B docs); the extra 128 bits make collisions cosmologically unlikely
+   * while keeping the shuffle key 24 bytes instead of the full text.
    */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
-    df.groupBy(xxhash64(col(text)).as("content_hash"))
+    df.groupBy(xxhash64(col(text)).as("content_hash"),
+               unhex(md5(col(text))).as("content_md5"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+      .drop("content_md5")
 
   /**
    * Exact-dedup the rows themselves: keep the min-id row per distinct text.
@@ -87,19 +93,39 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup candidate pairs: 64-bit simhash, bucketed by the four
-   * 16-bit quarters (pigeonhole: hamming distance <= 3 guarantees at least
-   * one identical quarter), verified by exact hamming distance.
+   * SimHash near-dup candidate pairs: simhash sketch, bucketed by
+   * `maxHamming + 1` bit-chunks (pigeonhole: a pair at hamming distance
+   * <= maxHamming differs in at most maxHamming chunks, so at least one
+   * chunk is identical), verified by exact hamming distance. Chunk count
+   * deriving from maxHamming is the recall guarantee — a fixed chunking
+   * (the round-1 four-quarters bug) silently misses pairs whose differing
+   * bits spread across every chunk.
+   *
+   * Scale note: bucket discrimination is bits/(maxHamming+1) per chunk —
+   * 16 bits at maxHamming=3, ~7 bits at maxHamming=8. Radius-8 search over
+   * a 64-bit sketch inherently produces coarser buckets; the exact-hamming
+   * verify keeps the OUTPUT correct while the candidate join grows. Keep
+   * maxHamming modest at corpus scale, or raise `bits` with a wider sketch.
+   *
+   * `simhashFn` is the sketch (default 64-bit xxhash-token simhash); the
+   * gate passes the SQL-replicable polynomial variant so DuckDB can verify.
    */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   simhashFn: Column => Column = gf.simhash64(_),
+                   bits: Int = 64): DataFrame = {
+    val chunks = math.min(maxHamming + 1, bits)
+    // distribute `bits` over `chunks` as evenly as possible
+    val widths = Array.tabulate(chunks)(q => bits / chunks + (if (q < bits % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val hashed = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
-      .select(col("_id"), gf.simhash64(col("_t")).as("_sh"))
+      .select(col("_id"), simhashFn(col("_t")).as("_sh"))
     val chunked = hashed.select(col("_id"), col("_sh"),
-      explode(array((0 until 4).map { q =>
-        struct(lit(q).as("q"), shiftrightunsigned(col("_sh"), q * 16)
-          .bitwiseAND(lit(0xffffL)).as("v"))
+      explode(array((0 until chunks).map { q =>
+        struct(lit(q).as("q"), shiftrightunsigned(col("_sh"), offsets(q))
+          .bitwiseAND(lit((1L << widths(q)) - 1L)).as("v"))
       }: _*)).as("_chunk"))
+      .repartition(col("_chunk"))
     val a = chunked.select(col("_chunk"), col("_id").as("idA"), col("_sh").as("shA"))
     val b = chunked.select(col("_chunk"), col("_id").as("idB"), col("_sh").as("shB"))
     a.join(b, Seq("_chunk"))
@@ -156,10 +182,16 @@ object Dedup {
     // normalize each vector ONCE before the join (repartition = shuffle
     // barrier + co-partitioned self-join) — cosine per candidate pair is
     // then a single dot-product fold instead of dot + two norms per pair.
-    val v = df.select(col(id).as("_id"),
-        transform(col(vec), x => x.cast("double") / gf.l2Norm(col(vec))).as("_v"),
-        bucket.as("_bkt"))
+    // The norm is a separate column COMPUTED BEFORE the exchange: dividing
+    // by gf.l2Norm(col(vec)) inside the transform lambda would re-run the
+    // O(d) norm fold per element (no subexpression elimination inside
+    // higher-order-function lambdas) -> O(d^2) per row. The repartition
+    // barrier keeps CollapseProject from inlining it back.
+    val v = df.select(col(id).as("_id"), col(vec).as("_raw"),
+        gf.l2Norm(col(vec)).as("_n"), bucket.as("_bkt"))
       .repartition(col("_bkt"))
+      .select(col("_id"), col("_bkt"),
+        transform(col("_raw"), x => x.cast("double") / col("_n")).as("_v"))
     val a = v.select(col("_bkt"), col("_id").as("idA"), col("_v").as("vA"))
     val b = v.select(col("_bkt"), col("_id").as("idB"), col("_v").as("vB"))
     a.join(b, Seq("_bkt"))

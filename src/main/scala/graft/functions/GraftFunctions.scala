@@ -87,6 +87,12 @@ object gf {
   def simhash64(c: Column): Column =
     fromExpr(SimHash64Expr(toExpr(tokens(c))))
 
+  /** 31-bit SimHash over polynomial token hashes — weaker mixing than
+    * simhash64, but exactly replicable in the DuckDB oracle (see
+    * SimHashPolyExpr). */
+  def simhashPoly31(c: Column): Column =
+    fromExpr(SimHashPolyExpr(toExpr(tokens(c))))
+
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

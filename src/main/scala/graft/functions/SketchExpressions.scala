@@ -126,6 +126,75 @@ object SimHash64Expr {
   }
 }
 
+/**
+ * 31-bit SimHash over a token array using a POLYNOMIAL token hash
+ * ((acc*31 + codepoint) mod 2^31-1) instead of xxhash64. Weaker mixing than
+ * SimHash64Expr — its purpose is cross-engine verifiability: the identical
+ * sketch is expressible in ANSI-ish SQL (list_reduce + bit ops), so the
+ * DuckDB oracle can replay it exactly and hash-match the near-dup pairs.
+ * Majority rule: bit b set iff strictly more than half the tokens have it.
+ */
+case class SimHashPolyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_poly31 needs array<string>, got $other")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHashPolyExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashPolyExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_poly31"
+}
+
+object SimHashPolyExpr {
+  final val Bits = 31
+  final val Mod = 2147483647L // 2^31 - 1 (prime): values fit 31 bits, and
+                              // (acc*31 + cp) stays < 2^63 for both engines
+
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var acc = 0L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          acc = (acc * 31L + cp) % Mod
+          j += Character.charCount(cp)
+        }
+        var b = 0
+        while (b < Bits) {
+          if (((acc >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < Bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** LSH band keys from a minhash signature: bands hashes of `rows`
   * consecutive slots. Tiny input (k longs) but same single-eval rationale. */
 case class LshBandKeysExpr(child: Expression, bands: Int, rows: Int)

@@ -41,11 +41,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(survivors.contains(3L) && survivors.contains(4L))
   }
 
-  test("simhash pairs bucket by quarters and verify hamming") {
+  test("simhash pairs bucket and verify hamming") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 10)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash pairs match brute force exactly (recall at hamming > 3)") {
+    // 40 mutated variants -> many pairs at mid-range hamming distances.
+    // Round-1 bug: fixed 4-quarter bucketing missed distance 4-10 pairs whose
+    // differing bits spread across all quarters; chunks = maxHamming+1 fixes it.
+    val rnd = new scala.util.Random(7)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val docs = (0 until 40).map { i =>
+      val toks = base.map(t => if (rnd.nextDouble() < 0.15) t + rnd.nextInt(10) else t)
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxH = 8
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH)
+      .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    // brute-force oracle over collected sketches
+    val sk = docs.select(col("doc_id"), graft.functions.gf.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      h = java.lang.Long.bitCount(sk(a) ^ sk(b)) if h <= maxH
+    } yield (a, b) -> h).toMap
+    assert(got == want)
+    assert(want.values.exists(h => h > 3 && h <= maxH),
+      "test data must exercise the distance band the old bucketing missed")
   }
 
   test("ngram jaccard exact pairs with correct values") {
@@ -77,13 +103,60 @@ class DedupAnnSpec extends AnyFunSuite {
       val base = if (i < 20) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
       (i.toLong, base.map(x => x + (i % 5) * 0.01f), i / 20)
     }.toDF("vec_id", "embedding", "label")
-    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
-    val assigned = Ann.withCentroidId(vecs, "embedding", centroids)
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val assigned = vecs.withColumn("centroid_id",
+      Ann.nearestCentroid(col("embedding"), centroids))
     val byC = assigned.groupBy("centroid_id").count().as[(Int, Long)].collect().toMap
     assert(byC == Map(0 -> 20L, 1 -> 20L))
     val got = Ann.ivfTopK(vecs, "vec_id", "embedding", centroids, Seq(1.0, 0.0), 5, nprobe = 1)
       .select("vec_id").as[Long].collect().toSeq
     assert(got.size == 5)
     assert(got.forall(_ < 20)) // only the probed list is searched
+  }
+
+  test("IVF recall@10 >= 0.9 vs brute force on clustered vectors") {
+    // IVF presumes clusterable data (true of real embedding corpora; the
+    // synthetic testdata embeddings are uniform random unit vectors, where
+    // ANY partitioning index degenerates to recall ~ nprobe/nlist).
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, normalize(c.map(x => x + 0.3 * rnd.nextGaussian())).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val exact = Ann.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val centroids = Ann.sampleCentroids(vecs, "vec_id", "embedding", 64)
+    val approx = Ann.ivfTopK(vecs, "vec_id", "embedding", centroids, q, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(approx).size >= 9,
+      s"recall ${exact.intersect(approx).size}/10 too low")
+  }
+
+  test("IVF persisted index probes via partition pruning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val centroids = Ann.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    try {
+      Ann.buildIvfIndex(emb, "embedding", centroids, dir)
+      val got = Ann.ivfTopKIndexed(spark, dir, "vec_id", "embedding", centroids, q, 10, nprobe = 4)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [centroid_id") && plan.contains(" IN ("),
+        s"probe should prune partitions, plan:\n$plan")
+      assert(got.count() == 10)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 }
