@@ -7,6 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.gf
 import graft.dedup.Dedup
 import graft.ann.Ann
+import graft.llm.FakeLlmClient
+import graft.plan.{QDocs, QNumV, QPlan, QStrV, QueryExecutor, QValue}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -38,6 +40,30 @@ object SparkEntry {
 
   /** Exact cents from a 2-decimal double column. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Execute a serialized logical plan (SURVEY §3.2 layer) against the
+    * parquet tables in `dir`, with the deterministic offline LLM fake. */
+  private def runPlan(s: SparkSession, dir: String, planJson: String): QValue =
+    new QueryExecutor(s, new FakeLlmClient("echo:64"), name => tbl(s, dir, name))
+      .execute(QPlan.fromJson(planJson))
+
+  /** {properties.key, properties.count} docs -> (key, count) DataFrame
+    * (the groupby_count output contract, reference groupby_count.py:86). */
+  private def keyCountDf(v: QValue): DataFrame = v match {
+    case QDocs(ds) => ds.toDF
+      .select(element_at(col("properties"), "key").as("key"),
+        element_at(col("properties"), "count").cast("long").as("count"))
+    case other => throw new IllegalStateException(s"expected docs, got $other")
+  }
+
+  private def scalarDf(s: SparkSession, v: QValue, name: String): DataFrame = {
+    import s.implicits._
+    v match {
+      case QNumV(d)  => Seq(d).toDF(name)
+      case QStrV(st) => Seq(st).toDF(name)
+      case other => throw new IllegalStateException(s"expected scalar, got $other")
+    }
+  }
 
   // ------------------------------------------------------------ flagship
 
@@ -395,6 +421,80 @@ object SparkEntry {
           element_at(col("properties"), "count").cast("long").as("count"))
     }),
 
+    // ---- SycamoreQuery logical-plan layer (SURVEY §3.2): each q_plan_*
+    //      deserializes a JSON plan DAG, executes it through QueryExecutor,
+    //      and hash-matches the same oracle as a direct-DataFrame twin
+    //      (mirrors reference tests/unit/query/test_plan.py +
+    //      execution/test_sycamore_operator.py).
+    "q_plan_topk" -> ((s, dir) => {
+      val plan = """{"query":"top 3 sources among english documents","result_node":1,
+        "nodes":{
+          "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+                "index":"documents","query":{"match":{"lang":"en"}}},
+          "1": {"node_type":"TopK","node_id":1,"inputs":[0],
+                "field":"properties.source","K":3,"descending":true,
+                "llm_cluster":false}}}"""
+      keyCountDf(runPlan(s, dir, plan))
+    }),
+    "q_plan_groupby" -> ((s, dir) => {
+      val plan = """{"query":"documents per language","result_node":3,
+        "nodes":{
+          "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+          "1": {"node_type":"GroupBy","node_id":1,"inputs":[0],"field":"properties.lang"},
+          "2": {"node_type":"AggregateCount","node_id":2,"inputs":[1]},
+          "3": {"node_type":"Sort","node_id":3,"inputs":[2],
+                "field":"properties.key","descending":false}}}"""
+      keyCountDf(runPlan(s, dir, plan))
+    }),
+    "q_plan_filter_count" -> ((s, dir) => {
+      val plan = """{"query":"how many customers had mid-size orders","result_node":2,
+        "nodes":{
+          "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+          "1": {"node_type":"BasicFilter","node_id":1,"inputs":[0],
+                "field":"properties.o_totalprice","range_filter":true,
+                "start":50000,"end":150000},
+          "2": {"node_type":"Count","node_id":2,"inputs":[1],
+                "distinct_field":"properties.o_custkey"}}}"""
+      scalarDf(s, runPlan(s, dir, plan), "value").select(col("value").cast("long").as("value"))
+    }),
+    "q_plan_math" -> ((s, dir) => {
+      val plan = """{"query":"average lineitems per order","result_node":3,
+        "nodes":{
+          "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"lineitem"},
+          "1": {"node_type":"Count","node_id":1,"inputs":[0]},
+          "2": {"node_type":"QueryDatabase","node_id":2,"inputs":[],"index":"orders"},
+          "3": {"node_type":"Math","node_id":3,"inputs":[1,4],"operation":"divide"},
+          "4": {"node_type":"Count","node_id":4,"inputs":[2]}}}"""
+      scalarDf(s, runPlan(s, dir, plan), "value")
+    }),
+    "q_plan_fieldin" -> ((s, dir) => {
+      val plan = """{"query":"customers in region 2","result_node":2,
+        "nodes":{
+          "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"customer"},
+          "1": {"node_type":"QueryDatabase","node_id":1,"inputs":[],
+                "index":"nation","query":{"term":{"n_regionkey":2}}},
+          "2": {"node_type":"FieldIn","node_id":2,"inputs":[0,1],
+                "field_one":"properties.c_nationkey",
+                "field_two":"properties.n_nationkey"}}}"""
+      runPlan(s, dir, plan) match {
+        case QDocs(ds) => ds.toDF
+          .select(element_at(col("properties"), "c_custkey").cast("long").as("c_custkey"),
+            element_at(col("properties"), "c_name").as("c_name"))
+          .orderBy(col("c_custkey"))
+        case other => throw new IllegalStateException(s"$other")
+      }
+    }),
+    "q_plan_summarize" -> ((s, dir) => {
+      // rows-only: the deterministic fake echoes the synthesis prompt prefix.
+      val plan = """{"query":"how many orders are there","result_node":2,
+        "nodes":{
+          "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+          "1": {"node_type":"Count","node_id":1,"inputs":[0]},
+          "2": {"node_type":"SummarizeData","node_id":2,"inputs":[1],
+                "question":"how many orders are there"}}}"""
+      scalarDf(s, runPlan(s, dir, plan), "answer")
+    }),
+
     // ---- similarity search (training-data ops)
     "q_ann_bruteforce" -> ((s, dir) => {
       val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
@@ -636,6 +736,23 @@ object SparkEntry {
     "q_docset_topk" ->
       """SELECT source AS key, count(*) AS count FROM documents
          GROUP BY source ORDER BY count DESC, key LIMIT 3""",
+    "q_plan_topk" ->
+      """SELECT source AS key, count(*) AS count FROM documents
+         WHERE contains(lower(lang), 'en')
+         GROUP BY source ORDER BY count DESC, key LIMIT 3""",
+    "q_plan_groupby" ->
+      """SELECT lang AS key, count(*) AS count FROM documents
+         GROUP BY lang ORDER BY key""",
+    "q_plan_filter_count" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS value FROM orders
+         WHERE o_totalprice BETWEEN 50000 AND 150000""",
+    "q_plan_math" ->
+      """SELECT CAST(count(*) AS DOUBLE) /
+                (SELECT count(*) FROM orders) AS value FROM lineitem""",
+    "q_plan_fieldin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+         ORDER BY c_custkey""",
     "q_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),

@@ -186,13 +186,54 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     wrap(out)
   }
 
-  /** top_k = groupby_count -> sort desc -> limit k (reference: docset.py:1485;
-    * Catalyst compiles the sort+limit into TakeOrderedAndProject). */
+  /** top_k = [optional LLM normalize ->] groupby_count -> sort desc -> limit k
+    * (reference: docset.py:1485; Catalyst compiles the sort+limit into
+    * TakeOrderedAndProject). k <= 0 means no limit (reference K=None). */
   def topK(field: String, k: Int, descending: Boolean = true,
-           uniqueField: Option[String] = None): DocSet =
-    groupbyCount(field, uniqueField)
-      .sortByCountKey(descending)
-      .limit(k)
+           uniqueField: Option[String] = None,
+           llmCluster: Boolean = false, llmClient: Option[LlmClient] = None,
+           llmClusterInstruction: Option[String] = None): DocSet = {
+    val (src, keyField) =
+      if (llmCluster) {
+        val client = llmClient.getOrElse(throw new IllegalArgumentException(
+          "topK with llmCluster=true needs an LlmClient"))
+        (llmClusterEntity(client, llmClusterInstruction.getOrElse(""), field),
+          "properties._autogen_ClusterAssignment")
+      } else (this, field)
+    val counted = src.groupbyCount(keyField, uniqueField).sortByCountKey(descending)
+    if (k > 0) counted.limit(k) else counted
+  }
+
+  /** LLM-normalized clustering of a string field: sample distinct values ->
+    * ONE driver LLM call proposing group names -> broadcast groups ->
+    * per-doc batched assignment (reference: docset.py:1590 llm_cluster_entity,
+    * :1531 llm_generate_group — the sample->driver-LLM->broadcast-assign
+    * pattern; the driver call is O(sample), the assignment is partition-
+    * parallel, so the shape scales). */
+  def llmClusterEntity(client: LlmClient, instruction: String, field: String,
+                       newField: String = "properties._autogen_ClusterAssignment",
+                       sampleSize: Int = 100): DocSet = {
+    val sample = ds.toDF().select(fieldCol(field).cast("string").as("__v"))
+      .where(col("__v").isNotNull)
+      .distinct().orderBy(col("__v")).limit(sampleSize)
+      .as[String](Encoders.STRING).collect().toSeq
+    val groups = client.generate(
+        s"$instruction\nForm group names for these values, one per line:\n" +
+          sample.mkString("\n"))
+      .split("\n").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+    val bc = spark.sparkContext.broadcast(groups)
+    mapBatch { it =>
+      it.grouped(16).flatMap { batch =>
+        val prompts = batch.map { d =>
+          val v = d.fieldToValue(field).getOrElse("")
+          s"""Assign the value "$v" to exactly one of these groups; answer with the group name only:
+             |${bc.value.mkString("\n")}""".stripMargin
+        }
+        val outs = client.generateBatch(prompts)
+        batch.zip(outs).map { case (d, o) => d.setField(newField, o.trim) }
+      }
+    }
+  }
 
   /** count sorted with deterministic key tiebreak (internal helper for topK). */
   private def sortByCountKey(descending: Boolean): DocSet = {

@@ -32,6 +32,22 @@ final class FakeLlmClient(mode: String = "echo:64") extends LlmClient {
   }
 }
 
+/**
+ * Deterministic fake for the llm_cluster_entity flow (reference:
+ * docset.py:1590): the group-propose call returns the configured group
+ * names; the assignment call maps a value to the first group it contains
+ * (case-insensitive), else "Other".
+ */
+final class FakeClusterLlmClient(groups: Seq[String]) extends LlmClient {
+  private val quoted = "\"([^\"]*)\"".r
+  override def generate(prompt: String): String =
+    if (prompt.contains("Form group names")) groups.mkString("\n")
+    else {
+      val value = quoted.findFirstMatchIn(prompt).map(_.group(1)).getOrElse("")
+      groups.find(g => value.toLowerCase.contains(g.toLowerCase)).getOrElse("Other")
+    }
+}
+
 /** Prompt template rendering: `{doc_id}`, `{text_representation}`,
   * `{properties.x.y}` placeholders (reference prompt objects render the
   * same dotted fields). */

@@ -1,0 +1,289 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+import graft.docset.{DocSet, GroupedDocSet}
+import graft.llm.LlmClient
+import graft.sources.DocRead
+
+/** Runtime value flowing between plan nodes (reference: the executor passes
+  * DocSets, GroupedData, numbers and strings between physical operators). */
+sealed trait QValue
+final case class QDocs(ds: DocSet) extends QValue
+final case class QGroupedV(g: GroupedDocSet) extends QValue
+final case class QNumV(v: Double) extends QValue
+final case class QStrV(s: String) extends QValue
+
+/**
+ * Executes a QPlan by lowering each node onto a DocSet/Spark pipeline
+ * (reference: query/execution/sycamore_executor.py:347 — recursive
+ * post-order process_node with per-node materialize caching, and
+ * sycamore_operator.py:45-1053 for the per-operator lowering).
+ *
+ * Spark-first notes:
+ *  - the whole DocSet chain stays LAZY: one Catalyst plan per result, so
+ *    filters still push into the scan across node boundaries;
+ *  - per-node caching writes parquet at cacheDir/<subtree-sha256> and is
+ *    disabled for subtrees containing Sort (parquet read-back loses order —
+ *    same rule as the reference, sycamore_executor.py:127);
+ *  - QueryDatabase's filter DSL becomes a Column predicate on the raw
+ *    DataFrame before Document conversion, so it lands in PushedFilters.
+ *
+ * @param tables resolves a QueryDatabase `index` name to a DataFrame
+ *               (e.g. parquet table under a data dir).
+ */
+final class QueryExecutor(spark: SparkSession, llm: LlmClient,
+                          tables: String => DataFrame,
+                          cacheDir: Option[String] = None,
+                          summarizeMaxDocs: Int = 100) {
+
+  def execute(plan: QPlan): QValue = {
+    plan.validate()
+    val memo = scala.collection.mutable.Map[Int, (QValue, Boolean)]()
+
+    // (value, subtreeHasSort)
+    def rec(id: Int): (QValue, Boolean) = memo.getOrElseUpdate(id, {
+      val n = plan.node(id)
+      val ins = n.inputs.map(rec)
+      val sortBelow = n.isInstanceOf[QSort] || ins.exists(_._2)
+      val value = eval(plan, n, ins.map(_._1))
+      val cached = (value, cacheDir) match {
+        case (QDocs(ds), Some(dir)) if !sortBelow =>
+          val path = s"$dir/${plan.cacheKey(id)}"
+          val marker = new java.io.File(s"$path/_SUCCESS")
+          if (!marker.exists()) ds.writeParquet(path)
+          QDocs(DocRead.materialized(spark, path))
+        case _ => value
+      }
+      (cached, sortBelow)
+    })
+
+    rec(plan.resultNode)._1
+  }
+
+  // ------------------------------------------------------------- lowering
+
+  private def eval(plan: QPlan, n: QNode, ins: Seq[QValue]): QValue = n match {
+    case QDataLoader(_, _, _, path) =>
+      QDocs(docsFrom(spark.read.parquet(path)))
+
+    case QQueryDatabase(_, _, _, index, query) =>
+      val df = tables(index)
+      QDocs(docsFrom(query.map(q => df.where(Dsl.predicate(q))).getOrElse(df)))
+
+    case QBasicFilter(_, _, _, field, rangeFilter, query, start, end, isDate) =>
+      val ds = docs(ins.head)
+      val key = DocSet.fieldCol(field)
+      val pred =
+        if (rangeFilter) rangePredicate(key, start, end, isDate)
+        else matchPredicate(key, query.getOrElse(
+          throw new IllegalArgumentException("match filter needs `query`")))
+      QDocs(DocSet.wrap(ds.toDF.where(pred).as[graft.model.Document](DocSet.docEnc)))
+
+    case QLlmFilter(_, _, _, field, question) =>
+      QDocs(docs(ins.head).llmFilter(llm,
+        s"$question\nValue: {$field}\nRate 0-5 and answer with the number only.",
+        threshold = 3))
+
+    case QLlmExtractEntity(_, _, _, question, field, newField, newFieldType) =>
+      QDocs(docs(ins.head).llmMap(llm,
+        s"$question\nExtract a $newFieldType from: {$field}\nAnswer with the value only.",
+        s"properties.$newField"))
+
+    case QCount(_, _, _, distinctField) =>
+      val ds = docs(ins.head)
+      QNumV(distinctField.map(ds.countDistinct).getOrElse(ds.count()).toDouble)
+
+    case QSort(_, _, _, field, descending, defaultValue) =>
+      QDocs(docs(ins.head).sort(descending, field, defaultValue.map(Dsl.scalarString)))
+
+    case QLimit(_, _, _, numRecords) =>
+      QDocs(docs(ins.head).limit(numRecords))
+
+    case QTopK(_, _, _, field, primaryField, k, descending, llmCluster, instruction) =>
+      QDocs(docs(ins.head).topK(field, k.getOrElse(-1), descending, primaryField,
+        llmCluster, Some(llm), instruction))
+
+    case QFieldIn(_, _, _, fieldOne, fieldTwo) =>
+      QDocs(docs(ins(0)).fieldIn(docs(ins(1)), fieldOne, fieldTwo))
+
+    case QGroupBy(_, _, _, field) =>
+      QGroupedV(docs(ins.head).groupby(_.fieldToValue(field).getOrElse("")))
+
+    case QAggregateCount(_, _, _) =>
+      QDocs(grouped(ins.head).count())
+
+    case QAggregateCollect(_, _, _) =>
+      QDocs(grouped(ins.head).collect())
+
+    case QKMeanClustering(_, _, _, _, newField, k) =>
+      val ds = docs(ins.head)
+      val centroids = ds.kmeans(k.getOrElse(5))
+      QDocs(ds.clustering(centroids, newField))
+
+    case QLLMClustering(_, _, _, field, newField, instruction) =>
+      QDocs(docs(ins.head).llmClusterEntity(llm, instruction.getOrElse(""), field,
+        s"properties.$newField"))
+
+    case QUnroll(_, _, _, field) =>
+      QDocs(docs(ins.head).unroll(field))
+
+    case QMath(_, _, _, op) =>
+      val (a, b) = (num(ins(0)), num(ins(1)))
+      QNumV(op match {
+        case "add"      => a + b
+        case "subtract" => a - b
+        case "multiply" => a * b
+        case "divide"   => if (b == 0.0) Double.NaN else a / b
+        case other => throw new IllegalArgumentException(s"invalid math operator $other")
+      })
+
+    case QSummarizeData(_, _, _, question) =>
+      QStrV(summarizeData(question, ins))
+  }
+
+  // ----------------------------------------------------- filter semantics
+  // (reference: functions/basic_filters.py — MatchFilter substring-matches
+  //  strings case-insensitively, equality for numbers; RangeFilter is
+  //  inclusive with optional date coercion)
+
+  private def matchPredicate(key: Column, query: JValue): Column = query match {
+    case JString(s) => lower(key.cast("string")).contains(s.toLowerCase)
+    case JInt(v)    => key.cast("double") === v.toDouble
+    case JLong(v)   => key.cast("double") === v.toDouble
+    case JDouble(v) => key.cast("double") === v
+    case JBool(v)   => key.cast("boolean") === v
+    case other => throw new IllegalArgumentException(s"unsupported match query: $other")
+  }
+
+  private def rangePredicate(key: Column, start: Option[JValue], end: Option[JValue],
+                             isDate: Boolean): Column = {
+    def side(v: JValue): (Column, Column) = v match {
+      case JString(s) if isDate => (to_timestamp(key.cast("string")), to_timestamp(lit(s)))
+      case JString(s) => (key.cast("string"), lit(s))
+      case JInt(x)    => (key.cast("double"), lit(x.toDouble))
+      case JLong(x)   => (key.cast("double"), lit(x.toDouble))
+      case JDouble(x) => (key.cast("double"), lit(x))
+      case other => throw new IllegalArgumentException(s"unsupported range bound: $other")
+    }
+    val lo = start.map { v => val (k, b) = side(v); k >= b }
+    val hi = end.map { v => val (k, b) = side(v); k <= b }
+    (lo, hi) match {
+      case (Some(l), Some(h)) => l && h
+      case (Some(l), None)    => l
+      case (None, Some(h))    => h
+      case (None, None) =>
+        throw new IllegalArgumentException("range filter needs start and/or end")
+    }
+  }
+
+  // ------------------------------------------------------ answer synthesis
+
+  /** Collect-limited docs + scalars -> one driver LLM call (reference:
+    * query/execution/operations.py summarize_data — the final answer is a
+    * driver-side LLM synthesis by design; doc order fixed by doc_id sort). */
+  private def summarizeData(question: String, ins: Seq[QValue]): String = {
+    val parts = ins.zipWithIndex.map {
+      case (QDocs(ds), i) =>
+        val sample = ds.toDF
+          .select(col("docId"),
+            coalesce(col("textRepresentation"), to_json(col("properties"))).as("t"))
+          .orderBy(col("docId")).limit(summarizeMaxDocs)
+          .collect().map(r => r.getString(1))
+        s"Input ${i + 1} (documents):\n" + sample.mkString("\n")
+      case (QNumV(v), i) =>
+        val rendered = if (v.isWhole) v.toLong.toString else v.toString
+        s"Input ${i + 1}: $rendered"
+      case (QStrV(s), i) => s"Input ${i + 1}: $s"
+      case (QGroupedV(_), i) => s"Input ${i + 1}: <grouped data>"
+    }
+    llm.generate(s"Answer the question using the data below.\nQuestion: $question\n" +
+      parts.mkString("\n"))
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def docsFrom(df: DataFrame): DocSet = {
+    val cols = df.schema.fieldNames.toSet
+    DocRead.fromDataFrame(df,
+      docIdField = if (cols.contains("doc_id")) Some("doc_id") else None,
+      textField = if (cols.contains("text")) Some("text") else None)
+  }
+
+  private def docs(v: QValue): DocSet = v match {
+    case QDocs(ds) => ds
+    case other => throw new IllegalArgumentException(s"expected a docset, got $other")
+  }
+  private def grouped(v: QValue): GroupedDocSet = v match {
+    case QGroupedV(g) => g
+    case other => throw new IllegalArgumentException(s"expected grouped data, got $other")
+  }
+  private def num(v: QValue): Double = v match {
+    case QNumV(d) => d
+    case other => throw new IllegalArgumentException(s"expected a number, got $other")
+  }
+}
+
+/** The QueryDatabase filter DSL: a small subset of a search-engine bool
+  * query (match / match_phrase / term / range / bool.must / match_all),
+  * compiled to a Column predicate so Catalyst pushes it into the scan. */
+object Dsl {
+  def predicate(j: JValue): Column = j match {
+    case JObject(List(("query", inner))) => predicate(inner)
+    case JObject(List(("bool", JObject(clauses)))) =>
+      clauses.collect {
+        case ("must", JArray(xs)) => xs.map(predicate).reduce(_ && _)
+        case ("must", single: JObject) => predicate(single)
+        case ("must_not", JArray(xs)) => !xs.map(predicate).reduce(_ || _)
+        case ("must_not", single: JObject) => !predicate(single)
+      } match {
+        case Nil => throw new IllegalArgumentException("empty bool query")
+        case ps => ps.reduce(_ && _)
+      }
+    case JObject(List(("match", JObject(List((f, v)))))) =>
+      lower(col(f).cast("string")).contains(scalarString(v).toLowerCase)
+    case JObject(List(("match_phrase", JObject(List((f, v)))))) =>
+      col(f).cast("string").contains(scalarString(v))
+    case JObject(List(("term", JObject(List((f, v)))))) => v match {
+      case JString(s) => col(f) === s
+      case JInt(x)    => col(f) === x.toLong
+      case JLong(x)   => col(f) === x
+      case JDouble(x) => col(f) === x
+      case JBool(x)   => col(f) === x
+      case other => throw new IllegalArgumentException(s"unsupported term value: $other")
+    }
+    case JObject(List(("range", JObject(List((f, JObject(bounds))))))) =>
+      bounds.map {
+        case ("gte", v) => boundCol(f, v) >= boundLit(v)
+        case ("lte", v) => boundCol(f, v) <= boundLit(v)
+        case ("gt", v)  => boundCol(f, v) > boundLit(v)
+        case ("lt", v)  => boundCol(f, v) < boundLit(v)
+        case (other, _) => throw new IllegalArgumentException(s"unsupported range op: $other")
+      }.reduce(_ && _)
+    case JObject(List(("match_all", _))) => lit(true)
+    case other => throw new IllegalArgumentException(s"unsupported query DSL: $other")
+  }
+
+  private def boundCol(f: String, v: JValue): Column = v match {
+    case JString(_) => col(f).cast("string")
+    case _ => col(f).cast("double")
+  }
+  private def boundLit(v: JValue): Column = v match {
+    case JString(s) => lit(s)
+    case JInt(x)    => lit(x.toDouble)
+    case JLong(x)   => lit(x.toDouble)
+    case JDouble(x) => lit(x)
+    case other => throw new IllegalArgumentException(s"unsupported bound: $other")
+  }
+
+  def scalarString(v: JValue): String = v match {
+    case JString(s) => s
+    case JInt(x)    => x.toString
+    case JLong(x)   => x.toString
+    case JDouble(x) => x.toString
+    case JBool(x)   => x.toString
+    case other => throw new IllegalArgumentException(s"unsupported scalar: $other")
+  }
+}

@@ -1,0 +1,284 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plan._
+import graft.llm.{FakeClusterLlmClient, FakeLlmClient, LlmClient}
+
+/** Query-plan layer tests (mirrors reference tests/unit/query: test_plan.py
+  * serialization/compare/insert, execution/test_sycamore_operator.py
+  * per-operator lowering, test_sycamore_executor.py caching). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def tables(name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  private def executor(llm: LlmClient = new FakeLlmClient("echo:64"),
+                       cacheDir: Option[String] = None) =
+    new QueryExecutor(spark, llm, tables, cacheDir)
+
+  private val topkPlanJson =
+    """{"query": "top sources", "result_node": 1, "nodes": {
+      |  "0": {"node_type": "QueryDatabase", "node_id": 0, "inputs": [],
+      |        "index": "documents", "query": {"match": {"lang": "en"}}},
+      |  "1": {"node_type": "TopK", "node_id": 1, "inputs": [0],
+      |        "field": "properties.source", "K": 3, "descending": true,
+      |        "llm_cluster": false}}}""".stripMargin
+
+  test("plan JSON round-trip preserves structure and payload") {
+    val p = QPlan.fromJson(topkPlanJson)
+    assert(p.resultNode == 1 && p.nodes.size == 2)
+    val p2 = QPlan.fromJson(p.toJson)
+    assert(p.logicalCompare(p2))
+    assert(p.cacheKey(1) == p2.cacheKey(1))
+    // payload change -> different cache key; description change -> same key
+    val changed = QPlan.fromJson(topkPlanJson.replace("\"K\": 3", "\"K\": 4"))
+    assert(p.cacheKey(1) != changed.cacheKey(1))
+    val described = QPlan.fromJson(
+      topkPlanJson.replace("\"node_id\": 1,", "\"node_id\": 1, \"description\": \"x\","))
+    assert(p.cacheKey(1) == described.cacheKey(1))
+  }
+
+  test("validation rejects type errors, missing inputs, cycles") {
+    // Math fed a DocSet
+    val bad1 = """{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"Math","node_id":1,"inputs":[0,0],"operation":"add"}}}"""
+    assertThrows[IllegalArgumentException](QPlan.fromJson(bad1).validate())
+    val missing = """{"query":"","result_node":1,"nodes":{
+      "1": {"node_type":"Limit","node_id":1,"inputs":[9],"num_records":5}}}"""
+    assertThrows[IllegalArgumentException](QPlan.fromJson(missing).validate())
+    val cyclic = """{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"Limit","node_id":0,"inputs":[1],"num_records":5},
+      "1": {"node_type":"Limit","node_id":1,"inputs":[0],"num_records":5}}}"""
+    assertThrows[IllegalArgumentException](QPlan.fromJson(cyclic).validate())
+  }
+
+  test("TopK plan matches the direct DataFrame twin") {
+    val out = executor().execute(QPlan.fromJson(topkPlanJson)) match {
+      case QDocs(ds) => ds.toDF
+        .select(element_at(col("properties"), "key").as("key"),
+          element_at(col("properties"), "count").cast("long").as("count"))
+        .orderBy(desc("count"), col("key"))
+        .as[(String, Long)].collect().toSeq
+      case other => fail(s"expected docs, got $other")
+    }
+    val want = tables("documents").where(lower(col("lang")).contains("en"))
+      .groupBy(col("source")).count()
+      .orderBy(desc("count"), col("source")).limit(3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == want)
+  }
+
+  test("QueryDatabase DSL filter reaches the parquet scan (pushdown)") {
+    val p = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+            "index":"orders","query":{"bool":{"must":[
+              {"term":{"o_orderstatus":"F"}},
+              {"range":{"o_totalprice":{"gte":1000,"lte":100000}}}]}}}}}""")
+    val QDocs(ds) = executor().execute(p): @unchecked
+    val plan = ds.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(o_orderstatus,F)"), s"filter not pushed:\n$plan")
+  }
+
+  test("Count / distinct Count / Math divide") {
+    val countPlan = """{"query":"","result_node":2,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+      "1": {"node_type":"Count","node_id":1,"inputs":[0]},
+      "2": {"node_type":"Math","node_id":2,"inputs":[1,3],"operation":"divide"},
+      "3": {"node_type":"Count","node_id":3,"inputs":[0],"distinct_field":"properties.o_custkey"}}}"""
+    val n = tables("orders").count().toDouble
+    val d = tables("orders").select("o_custkey").distinct().count().toDouble
+    executor().execute(QPlan.fromJson(countPlan)) match {
+      case QNumV(v) => assert(v == n / d)
+      case other => fail(s"expected number, got $other")
+    }
+    // divide by zero -> NaN (reference operations.py math_operation)
+    val z = new QueryExecutor(spark, new FakeLlmClient(), tables)
+    val nan = """{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"region"},
+      "1": {"node_type":"Math","node_id":1,"inputs":[2,3],"operation":"divide"},
+      "2": {"node_type":"Count","node_id":2,"inputs":[0]},
+      "3": {"node_type":"Count","node_id":3,"inputs":[0],"distinct_field":"properties.nope"}}}"""
+    z.execute(QPlan.fromJson(nan)) match {
+      case QNumV(v) => assert(v.isNaN)
+      case other => fail(s"$other")
+    }
+  }
+
+  test("BasicFilter match is case-insensitive substring; range is inclusive") {
+    val matchPlan = """{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"BasicFilter","node_id":1,"inputs":[0],
+            "field":"properties.lang","range_filter":false,"query":"EN"}}}"""
+    val QDocs(m) = executor().execute(QPlan.fromJson(matchPlan)): @unchecked
+    val wantMatch = tables("documents").where(col("lang") === "en").count()
+    assert(m.count() == wantMatch)
+
+    val rangePlan = """{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+      "1": {"node_type":"BasicFilter","node_id":1,"inputs":[0],
+            "field":"properties.o_totalprice","range_filter":true,
+            "start":1000,"end":50000}}}"""
+    val QDocs(r) = executor().execute(QPlan.fromJson(rangePlan)): @unchecked
+    val wantRange = tables("orders")
+      .where(col("o_totalprice").between(1000.0, 50000.0)).count()
+    assert(r.count() == wantRange)
+  }
+
+  test("FieldIn keeps input-1 docs matched by input-2 values") {
+    val p = """{"query":"","result_node":2,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"customer"},
+      "1": {"node_type":"QueryDatabase","node_id":1,"inputs":[],
+            "index":"nation","query":{"term":{"n_regionkey":2}}},
+      "2": {"node_type":"FieldIn","node_id":2,"inputs":[0,1],
+            "field_one":"properties.c_nationkey","field_two":"properties.n_nationkey"}}}"""
+    val QDocs(ds) = executor().execute(QPlan.fromJson(p)): @unchecked
+    val want = tables("customer").join(
+      tables("nation").where(col("n_regionkey") === 2),
+      col("c_nationkey") === col("n_nationkey"), "left_semi").count()
+    assert(ds.count() == want)
+  }
+
+  test("GroupBy + AggregateCount matches groupbyCount; Sort + Limit; Unroll") {
+    val p = """{"query":"","result_node":3,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"GroupBy","node_id":1,"inputs":[0],"field":"properties.lang"},
+      "2": {"node_type":"AggregateCount","node_id":2,"inputs":[1]},
+      "3": {"node_type":"Sort","node_id":3,"inputs":[2],
+            "field":"properties.key","descending":false}}}"""
+    val QDocs(ds) = executor().execute(QPlan.fromJson(p)): @unchecked
+    val got = ds.toDF.select(element_at(col("properties"), "key"),
+        element_at(col("properties"), "count").cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val want = tables("documents").groupBy(col("lang")).count()
+      .orderBy("lang").as[(String, Long)].collect().toSeq
+    assert(got == want)
+
+    val unroll = """{"query":"","result_node":2,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+            "index":"part","query":{"range":{"p_partkey":{"lte":5}}}},
+      "1": {"node_type":"Unroll","node_id":1,"inputs":[0],"field":"properties.p_type"},
+      "2": {"node_type":"Limit","node_id":2,"inputs":[1],"num_records":4}}}"""
+    val QDocs(u) = executor().execute(QPlan.fromJson(unroll)): @unchecked
+    assert(u.count() == 4)
+  }
+
+  test("LlmFilter / LlmExtractEntity with fake clients") {
+    val scorePlan = """{"query":"","result_node":2,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"Limit","node_id":1,"inputs":[0],"num_records":20},
+      "2": {"node_type":"LlmFilter","node_id":2,"inputs":[1],
+            "field":"properties.source","question":"Is this a good source?"}}}"""
+    val QDocs(f) = executor(new FakeLlmClient("score"))
+      .execute(QPlan.fromJson(scorePlan)): @unchecked
+    val kept = f.count()
+    assert(kept < 20) // score fake spreads 0-4; threshold 3 must drop some
+
+    val extractPlan = """{"query":"","result_node":2,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"Limit","node_id":1,"inputs":[0],"num_records":5},
+      "2": {"node_type":"LlmExtractEntity","node_id":2,"inputs":[1],
+            "question":"What lang?","field":"properties.lang",
+            "new_field":"lang_entity","new_field_type":"string"}}}"""
+    val QDocs(e) = executor(new FakeLlmClient("echo:3"))
+      .execute(QPlan.fromJson(extractPlan)): @unchecked
+    assert(e.takeAll().forall(_.prop("lang_entity").isDefined))
+  }
+
+  test("TopK with llm_cluster normalizes via FakeClusterLlmClient") {
+    val docs = Seq(
+      ("a1", "New York City"), ("a2", "new york"), ("a3", "NYC area: new york"),
+      ("b1", "Boston"), ("b2", "boston downtown")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/plan_cluster_in")
+    val p = """{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"DataLoader","node_id":0,"inputs":[],"path":"/tmp/plan_cluster_in"},
+      "1": {"node_type":"TopK","node_id":1,"inputs":[0],
+            "field":"text_representation","K":2,"descending":true,
+            "llm_cluster":true,"llm_cluster_instruction":"group by city"}}}"""
+    val client = new FakeClusterLlmClient(Seq("new york", "boston"))
+    val QDocs(ds) = executor(client).execute(QPlan.fromJson(p)): @unchecked
+    val got = ds.toDF.select(element_at(col("properties"), "key"),
+      element_at(col("properties"), "count").cast("long")).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("new york", 3L), ("boston", 2L)))
+  }
+
+  test("SummarizeData synthesizes over docset and scalar inputs") {
+    val p = """{"query":"how many orders","result_node":2,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+      "1": {"node_type":"Count","node_id":1,"inputs":[0]},
+      "2": {"node_type":"SummarizeData","node_id":2,"inputs":[1],
+            "question":"how many orders"}}}"""
+    val echo = new LlmClient { def generate(prompt: String): String = prompt }
+    executor(echo).execute(QPlan.fromJson(p)) match {
+      case QStrV(s) =>
+        assert(s.contains("how many orders"))
+        assert(s.contains(tables("orders").count().toString))
+      case other => fail(s"$other")
+    }
+  }
+
+  test("executor caches subtrees by content hash and reuses them") {
+    val dir = java.nio.file.Files.createTempDirectory("plancache").toString
+    try {
+      val p = QPlan.fromJson(topkPlanJson)
+      val ex = executor(cacheDir = Some(dir))
+      val QDocs(first) = ex.execute(p): @unchecked
+      val rows1 = first.count()
+      val cachedDirs = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(cachedDirs.contains(p.cacheKey(0)) && cachedDirs.contains(p.cacheKey(1)))
+      // second executor run must read back identical results from cache
+      val QDocs(second) = executor(cacheDir = Some(dir)).execute(p): @unchecked
+      assert(second.count() == rows1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("insertNode shifts ids; LimitLlmOperations inserts a guard; AlwaysSummarize appends") {
+    val p = QPlan.fromJson("""{"query":"q","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"LlmFilter","node_id":1,"inputs":[0],
+            "field":"properties.lang","question":"english?"}}}""")
+    val guarded = LimitLlmOperations(50)(p)
+    assert(guarded.nodes.size == 3)
+    assert(guarded.node(1).isInstanceOf[QLimit])
+    assert(guarded.node(2).isInstanceOf[QLlmFilter] && guarded.node(2).inputs == Seq(1))
+    assert(guarded.resultNode == 2)
+    // idempotent: guard already present
+    assert(LimitLlmOperations(50)(guarded).nodes.size == 3)
+
+    val summarized = AlwaysSummarize(guarded)
+    assert(summarized.node(summarized.resultNode).isInstanceOf[QSummarizeData])
+    // trailing sort is stripped before appending
+    val sorted = QPlan.fromJson("""{"query":"q","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"Sort","node_id":1,"inputs":[0],"field":"properties.lang"}}}""")
+    val s2 = AlwaysSummarize(sorted)
+    assert(!s2.nodes.values.exists(_.isInstanceOf[QSort]))
+    assert(s2.node(s2.resultNode).isInstanceOf[QSummarizeData])
+  }
+
+  test("LlmPlanner builds a documented prompt and parses the LLM's JSON plan") {
+    val canned = new LlmClient {
+      def generate(prompt: String): String = {
+        assert(prompt.contains("QueryDatabase") && prompt.contains("documents"))
+        "Here is the plan:\n" + topkPlanJson
+      }
+    }
+    val planner = new LlmPlanner(canned,
+      schema = Map("documents" -> Seq("doc_id", "text", "lang", "source")),
+      processors = Seq(DefaultPlanValidator))
+    val p = planner.plan("top sources among english docs")
+    assert(p.nodes.size == 2 && p.query == "top sources among english docs")
+    assert(p.node(1).isInstanceOf[QTopK])
+  }
+}
