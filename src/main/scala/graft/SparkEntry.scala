@@ -421,6 +421,41 @@ object SparkEntry {
           element_at(col("properties"), "count").cast("long").as("count"))
     }),
 
+    // ---- LLM-ETL family (§2.8): deterministic fakes stand in for the model
+    //      so the prompt->JSON->cast->validate plumbing is oracle-verified.
+    "q_extract_properties" -> ((s, dir) => {
+      import org.json4s._
+      val schema = graft.llm.GSchema(Seq(
+        graft.llm.GSchemaField("first_word", "string",
+          validators = Seq(graft.llm.RegexValidator("[a-z]+"))),
+        graft.llm.GSchemaField("word_count", "int",
+          validators = Seq(graft.llm.BoundsValidator(1, 100000))),
+        graft.llm.GSchemaField("mentions_spark", "bool")))
+      val client = new graft.llm.FakeJsonExtractorClient(Map(
+        "first_word" -> (t => JString(t.trim.split("\\s+").headOption.getOrElse(""))),
+        "word_count" -> (t => JInt(t.trim.split("\\s+").count(_.nonEmpty))),
+        "mentions_spark" -> (t => JBool(t.contains("spark")))))
+      graft.sources.DocRead.fromDataFrame(tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .extractProperties(new graft.llm.LlmPropertyExtractor(client, "entity", Some(schema)))
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "entity.first_word").as("first_word"),
+          element_at(col("properties"), "entity.word_count").cast("long").as("word_count"),
+          element_at(col("properties"), "entity.mentions_spark").cast("boolean").as("mentions_spark"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_summarize_onestep" -> ((s, dir) => {
+      // one-step summarizer + echo fake: summary = first 80 chars of the
+      // synthesis prompt, exactly replicable in SQL.
+      graft.sources.DocRead.fromDataFrame(tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .summarizeWith(new graft.operators.OneStepDocumentSummarizer(
+          new FakeLlmClient("echo:80"), tokenLimit = 10000))
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "summary").as("summary"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- SycamoreQuery logical-plan layer (SURVEY §3.2): each q_plan_*
     //      deserializes a JSON plan DAG, executes it through QueryExecutor,
     //      and hash-matches the same oracle as a direct-DataFrame twin
@@ -736,6 +771,22 @@ object SparkEntry {
     "q_docset_topk" ->
       """SELECT source AS key, count(*) AS count FROM documents
          GROUP BY source ORDER BY count DESC, key LIMIT 3""",
+    "q_extract_properties" ->
+      """WITH t AS (SELECT doc_id, text,
+                           regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents)
+         SELECT doc_id,
+                CASE WHEN length(trim(text)) > 0
+                          AND regexp_matches(toks[1], '^[a-z]+$')
+                     THEN toks[1] ELSE NULL END AS first_word,
+                CASE WHEN length(trim(text)) = 0 THEN NULL
+                     ELSE CAST(len(toks) AS BIGINT) END AS word_count,
+                contains(text, 'spark') AS mentions_spark
+         FROM t ORDER BY doc_id""",
+    "q_summarize_onestep" ->
+      """SELECT doc_id,
+                substr('Summarize:' || chr(10) || substr(text, 1, 10000), 1, 80) AS summary
+         FROM documents ORDER BY doc_id""",
     "q_plan_topk" ->
       """SELECT source AS key, count(*) AS count FROM documents
          WHERE contains(lower(lang), 'en')

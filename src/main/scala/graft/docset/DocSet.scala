@@ -381,10 +381,47 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     * (reference: transforms/extract_entity.py:50). */
   def extractEntity(extractor: EntityExtractor): DocSet = mapBatch(extractor.extract)
 
+  /** LLM-infer a JSON schema per doc into properties._schema
+    * (reference: transforms/extract_schema.py:105 LLMSchemaExtractor). */
+  def extractSchema(extractor: graft.llm.LlmSchemaExtractor): DocSet =
+    mapBatch(extractor.extract)
+
+  /** Infer ONE schema from a sample of docs (single driver LLM call) and
+    * broadcast it onto every doc — the scalable shape of the reference's
+    * batch-schema actor (extract_schema.py:431 extract_batch_schema). */
+  def extractBatchSchema(client: graft.llm.LlmClient, entityName: String,
+                         sampleSize: Int = 10): DocSet = {
+    val sample = ds.toDF()
+      .select(col("docId"), col("textRepresentation"))
+      .orderBy(col("docId")).limit(sampleSize)
+      .as[(String, String)](Encoders.product[(String, String)])
+      .collect().map(_._2).mkString("\n")
+    val resp = client.generate(
+      s"""Propose a JSON schema for the entity "$entityName" from these samples.
+         |Respond with one JSON object mapping property names to {"type": ...}.
+         |${graft.llm.SchemaExtraction.DocStart}$sample${graft.llm.SchemaExtraction.DocEnd}""".stripMargin)
+    val fields = graft.llm.SchemaExtraction.extractJsonObject(resp)
+    val schemaJson =
+      if (fields.isEmpty) "{}"
+      else org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(fields.toList)))
+    map(_.withProps("_schema" -> schemaJson, "_schema_class" -> entityName))
+  }
+
+  /** Populate typed properties per schema with validator retries
+    * (reference: extract_schema.py:186 LLMPropertyExtractor). */
+  def extractProperties(extractor: graft.llm.LlmPropertyExtractor): DocSet =
+    mapBatch(extractor.extract)
+
   /** Summarize each doc into properties.summary (reference: transforms/summarize.py). */
   def summarize(client: LlmClient,
                 prompt: String = "Summarize: {text_representation}"): DocSet =
     llmMap(client, prompt, "properties.summary")
+
+  /** Summarize with a pluggable strategy (one-step / multi-step tree-fold /
+    * per-element; reference: summarize.py:87,234,414). */
+  def summarizeWith(summarizer: graft.operators.DocumentSummarizer): DocSet =
+    map(summarizer.summarize)
 
   // -------------------------------------------------------------- actions
 
