@@ -126,6 +126,28 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   /** Rewrite all elements as one markdown text blob (reference: transforms/markdown.py:8). */
   def markdown(): DocSet = map(graft.operators.Markdown.toMarkdown)
 
+  /** Annotate elements with their section hierarchy (reference:
+    * transforms/extract_document_structure.py:266; see DocStructure for the
+    * flat-annotation representation rationale). */
+  def extractDocumentStructure(structure: Document => Document =
+      graft.operators.DocStructure.bySection _): DocSet = map(structure)
+
+  /** Caption image elements via a pluggable VLM
+    * (reference: transforms/summarize_images.py:184). */
+  def summarizeImages(captioner: graft.operators.ImageCaptioner,
+                      includeContext: Boolean = true): DocSet =
+    map(graft.operators.MultimodalOps.summarizeImages(_, captioner, includeContext))
+
+  /** Free-form LLM query per doc (reference: transforms/llm_query.py:135). */
+  def llmQuery(client: LlmClient, prompt: String,
+               outputField: String = "llm_response"): DocSet =
+    map(graft.operators.MultimodalOps.llmQuery(_, client, prompt, outputField))
+
+  /** Table cells -> key/value properties (reference:
+    * transforms/extract_table_properties.py:105). */
+  def extractTableProperties(client: Option[LlmClient] = None): DocSet =
+    map(graft.operators.MultimodalOps.extractTableProperties(_, client))
+
   // -------------------------------------------------- relational operators
 
   /** Keep docs whose `field1` appears in docset2's `field2` — left semi join
@@ -441,6 +463,9 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
 
   def writeJson(path: String): Unit = ds.toDF().write.mode("overwrite").json(path)
   def writeParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
+
+  /** One file per document (reference: writer.py:766 write.files). */
+  def writeFiles(dir: String): Unit = graft.sources.DocWrite.files(this, dir)
 
   /** Promote hot dotted properties to real columns so Catalyst can prune,
     * push down, and join on them (SURVEY §7.1 withSchema projection). */

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.model.{Document, Element}
+
+/**
+ * Document-structure extraction (reference:
+ * lib/sycamore/sycamore/transforms/extract_document_structure.py —
+ * StructureBySection :65, StructureByDocument :150, ExtractTextSummaries :243;
+ * HierarchicalDocument data/document.py:421).
+ *
+ * Spark-first representation: the reference replaces the flat element list
+ * with a recursive children tree, which a Catalyst product encoder cannot
+ * express. The hierarchy here is ANNOTATED onto the flat elements —
+ * `_section_id` / `_section_title` properties group elements under their
+ * section header, and the per-section text summary lands on the header
+ * element — so every doc keeps one schema, shuffles stay cheap, and the
+ * tree view (`sections`) is materialized per doc only when an operator
+ * needs it (graph extraction).
+ */
+object DocStructure {
+
+  val SectionId = "_section_id"
+  val SectionTitle = "_section_title"
+
+  /** A materialized section of the annotated tree. */
+  final case class SectionView(sectionId: String, title: String,
+                               header: Element, children: Seq[Element]) {
+    /** reference: ExtractTextSummaries.summarize — the section summary fed
+      * to graph entity extraction. */
+    def summary: String =
+      s"-----SECTION TITLE: ${title.trim}-----\n" + children.collect {
+        case e if e.text.nonEmpty => s"---Element Type: ${e.elementType.trim}---\n${e.text.trim}\n"
+      }.mkString
+  }
+
+  /** Group elements under their Section-header; a placeholder front-matter
+    * section covers leading elements with no header
+    * (reference: StructureBySection.extract). */
+  def bySection(doc: Document): Document = {
+    val ordered = doc.elements.sortBy(_.elementIndex)
+    var sectionIdx = -1
+    var title = "Front Matter"
+    val annotated = scala.collection.mutable.ListBuffer[Element]()
+    ordered.foreach { e =>
+      if (e.elementType == "Section-header" && e.text.nonEmpty) {
+        sectionIdx += 1
+        title = e.text
+        annotated += e.withProps(
+          SectionId -> s"${doc.docId}#s$sectionIdx", SectionTitle -> title)
+      } else {
+        if (sectionIdx < 0) sectionIdx = 0 // placeholder front-matter section
+        annotated += e.withProps(
+          SectionId -> s"${doc.docId}#s$sectionIdx", SectionTitle -> title)
+      }
+    }
+    val withSummaries = attachSummaries(annotated.toSeq)
+    doc.copy(elements = withSummaries)
+  }
+
+  /** One section spanning the whole document (reference: StructureByDocument). */
+  def byDocument(doc: Document): Document = {
+    val sid = s"${doc.docId}#s0"
+    val annotated = doc.elements.sortBy(_.elementIndex)
+      .map(_.withProps(SectionId -> sid, SectionTitle -> "DOCUMENT"))
+    doc.copy(elements = attachSummaries(annotated))
+  }
+
+  /** Per-section text summary onto the section's header element (or first
+    * element when the section has no header). */
+  private def attachSummaries(els: Seq[Element]): Seq[Element] = {
+    val byId = els.groupBy(_.prop(SectionId).getOrElse(""))
+    els.map { e =>
+      val sid = e.prop(SectionId).getOrElse("")
+      val group = byId(sid)
+      val isAnchor = group.headOption.exists(_.elementIndex == e.elementIndex)
+      if (!isAnchor) e
+      else {
+        val view = SectionView(sid, e.prop(SectionTitle).getOrElse(""), e,
+          group.filterNot(_.elementIndex == e.elementIndex))
+        e.withProps("summary" -> view.summary)
+      }
+    }
+  }
+
+  /** Materialize the section tree view of an annotated doc. */
+  def sections(doc: Document): Seq[SectionView] =
+    doc.elements.sortBy(_.elementIndex)
+      .groupBy(_.prop(SectionId).getOrElse(""))
+      .toSeq.sortBy(_._2.head.elementIndex)
+      .collect { case (sid, group) if sid.nonEmpty =>
+        SectionView(sid, group.head.prop(SectionTitle).getOrElse(""),
+          group.head, group.tail)
+      }
+}

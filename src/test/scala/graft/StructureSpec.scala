@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+
+import graft.docset.DocSet
+import graft.llm.{FakeJsonExtractorClient, GraphExtraction, LlmClient}
+import graft.model.{Document, Element, TableCell}
+import graft.operators.{DocStructure, FakeImageCaptioner, HtmlPartitioner, MultimodalOps}
+import graft.sources.{DocRead, DocWrite}
+
+/** Document structure, graph extraction, multimodal ops, and file sink
+  * (mirrors reference tests/unit/transforms/test_extract_document_structure.py
+  * and the graph-extraction suites, with deterministic fakes). */
+class StructureSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  private def sectionedDoc = Document.of("d1", docType = "html").copy(elements = Seq(
+    Element.text(0, "NarrativeText", "preamble text"),
+    Element.text(1, "Section-header", "Intro"),
+    Element.text(2, "NarrativeText", "alpha corp acquired beta inc"),
+    Element.text(3, "Section-header", "Details"),
+    Element.text(4, "NarrativeText", "gamma llc filed suit"),
+    Element.text(5, "List-item", "point one")))
+
+  test("bySection groups elements under headers with a front-matter placeholder") {
+    val out = DocStructure.bySection(sectionedDoc)
+    val sections = DocStructure.sections(out)
+    assert(sections.map(_.title) == Seq("Front Matter", "Intro", "Details"))
+    assert(sections(0).children.isEmpty && sections(0).header.text == "preamble text")
+    assert(sections(1).children.map(_.text) == Seq("alpha corp acquired beta inc"))
+    assert(sections(2).children.map(_.text) == Seq("gamma llc filed suit", "point one"))
+    // section summary lands on the anchor element
+    val intro = out.elements.find(_.text == "Intro").get
+    assert(intro.prop("summary").exists(s =>
+      s.contains("SECTION TITLE: Intro") && s.contains("alpha corp")))
+  }
+
+  test("byDocument produces a single all-encompassing section") {
+    val out = DocStructure.byDocument(sectionedDoc)
+    val sections = DocStructure.sections(out)
+    assert(sections.size == 1 && sections.head.children.size == 5)
+  }
+
+  test("graph entities extract per section and resolve across docs") {
+    // fake: "Company" entities = words ending in corp/inc/llc (+ the
+    // following word boundary token), pure function of the section summary
+    val client = new FakeJsonExtractorClient(Map(
+      "Company" -> (t => JArray(
+        "\\b(\\w+) (corp|inc|llc)\\b".r.findAllMatchIn(t)
+          .map(m => JObject(List("name" -> JString(s"${m.group(1)} ${m.group(2)}"))))
+          .toList))))
+    val docs = DocSet.of(spark, Seq(
+      DocStructure.bySection(sectionedDoc),
+      DocStructure.bySection(sectionedDoc.copy(docId = "d2"))))
+    val ents = GraphExtraction.extractEntities(docs, client, Seq("Company"))
+    val rows = ents.collect()
+    // 3 companies x 2 docs
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[String]("label") == "Company"))
+
+    val resolved = GraphExtraction.resolveEntities(ents).collect()
+    assert(resolved.length == 3) // cross-doc dedup by content
+    assert(resolved.forall(_.getAs[Long]("n_occurrences") == 2L))
+
+    // relationships among co-sectioned entities via a canned responder
+    val relClient = new LlmClient {
+      def generate(p: String): String = {
+        val hashes = "([0-9a-f]{64})".r.findAllIn(p).toSeq.distinct
+        if (hashes.size < 2) """{"relationships": []}"""
+        else s"""{"relationships": [{"type": "ACQUIRED", "start": "${hashes(0)}", "end": "${hashes(1)}"}]}"""
+      }
+    }
+    val rels = GraphExtraction.extractRelationships(docs, relClient, ents, Seq("ACQUIRED"))
+    val relRows = rels.collect()
+    // only the Intro section of each doc has 2+ entities (alpha corp, beta inc)
+    assert(relRows.length == 2)
+    assert(relRows.forall(_.getAs[String]("relType") == "ACQUIRED"))
+  }
+
+  test("summarizeImages captions image elements, skips the rest") {
+    val doc = Document.of("d1").copy(elements = Seq(
+      Element.text(0, "NarrativeText", "see figure"),
+      Element("Image", None, Some(Array[Byte](1, 2, 3, 4)), None, None, 1, Nil, Map.empty)))
+    val out = MultimodalOps.summarizeImages(doc, new FakeImageCaptioner)
+    assert(out.elements(0).prop("summary").isEmpty)
+    assert(out.elements(1).prop("summary").exists(_.startsWith("image<4B:")))
+    // deterministic across runs
+    val again = MultimodalOps.summarizeImages(doc, new FakeImageCaptioner)
+    assert(again.elements(1).prop("summary") == out.elements(1).prop("summary"))
+  }
+
+  test("llmQuery and extractTableProperties") {
+    val d = Document.of("d1", text = "some text").copy(elements = Seq(
+      Element("table", Some("t"), None, None, None, 0, Seq(
+        TableCell("Name", Array(0), Array(0), isHeader = false, None),
+        TableCell("Acme", Array(0), Array(1), isHeader = false, None),
+        TableCell("Year", Array(1), Array(0), isHeader = false, None),
+        TableCell("2024", Array(1), Array(1), isHeader = false, None)), Map.empty)))
+    val q = MultimodalOps.llmQuery(d, new graft.llm.FakeLlmClient("echo:30"), "Q:")
+    assert(q.prop("llm_response").contains("Q:\nt"))
+    val t = MultimodalOps.extractTableProperties(d)
+    assert(t.elements.head.prop("table.Name").contains("Acme"))
+    assert(t.elements.head.prop("table.Year").contains("2024"))
+  }
+
+  test("writeFiles round-trips through read.binary") {
+    val dir = java.nio.file.Files.createTempDirectory("docwrite").toString
+    try {
+      val docs = (0 until 5).map(i => Document.of(s"doc$i.txt", text = s"content $i"))
+      DocSet.of(spark, docs).writeFiles(dir)
+      val back = DocRead.binary(spark, dir, "txt")
+      val texts = back.takeAll()
+        .map(d => new String(d.binaryRepresentation.get, "UTF-8")).sorted
+      assert(texts == (0 until 5).map(i => s"content $i"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("HtmlPartitioner handles unclosed <p>/<li> via implied close") {
+    val html = """<html><title>T</title><body>
+      <h1>Head</h1>
+      <p>first unclosed para
+      <p>second with <b>bold</b> inline
+      <ul><li>item a<li>item b</ul>
+      <script>var x = "<p>not content</p>";</script>
+      <p>tail</body></html>"""
+    val out = new HtmlPartitioner().partition(Document.of("h", text = html))
+    val byType = out.elements.map(e => (e.elementType, e.text))
+    assert(byType.contains(("Title", "T")))
+    assert(byType.contains(("Section-header", "Head")))
+    assert(byType.count(_._1 == "NarrativeText") == 3)
+    assert(byType.contains(("NarrativeText", "second with bold inline")))
+    assert(byType.contains(("List-item", "item a")) && byType.contains(("List-item", "item b")))
+    assert(!byType.exists(_._2.contains("not content")))
+  }
+}
