@@ -491,7 +491,10 @@ object DocSet {
     case "text_representation" => col("textRepresentation")
     case "parent_id"           => col("parentId")
     case p if p.startsWith("properties.") =>
-      element_at(col("properties"), p.stripPrefix("properties."))
+      // getItem -> GetMapValue: folds through CreateMap back to the raw
+      // column (SimplifyExtractValueOps), so predicates on properties of a
+      // column-built DocSet push down to the scan; element_at would not fold
+      col("properties").getItem(p.stripPrefix("properties."))
     case other => col(other)
   }
 }

@@ -93,7 +93,10 @@ final case class Document(
     properties: Map[String, String]) {
 
   def text: String = textRepresentation.getOrElse("")
-  def prop(key: String): Option[String] = properties.get(key)
+  // flatMap(Option(_)): a column-built properties map can carry null values
+  // for absent source columns; treat those as missing, like the reference's
+  // dotted-path null
+  def prop(key: String): Option[String] = properties.get(key).flatMap(Option(_))
   def withText(t: String): Document = copy(textRepresentation = Option(t))
   def withProps(kvs: (String, String)*): Document = copy(properties = properties ++ kvs)
   def withProp(k: String, v: String): Document = copy(properties = properties + (k -> v))
@@ -110,7 +113,7 @@ final case class Document(
     case "type"                => docType
     case "text_representation" => textRepresentation
     case "parent_id"           => parentId
-    case p if p.startsWith("properties.") => properties.get(p.stripPrefix("properties."))
+    case p if p.startsWith("properties.") => prop(p.stripPrefix("properties."))
     case _ => None
   }
 

@@ -61,24 +61,38 @@ object DocRead {
 
   /** Any DataFrame -> DocSet: columns flatten into dotted properties
     * (reference: reader.py:194-214 read.arrow/pandas/document — in-memory
-    * tables as docs; here every Spark source qualifies). */
+    * tables as docs; here every Spark source qualifies).
+    *
+    * Built from PURE COLUMN EXPRESSIONS, no typed map: the Document row is a
+    * relational projection, so Catalyst sees through it — a count() prunes
+    * the whole conversion, `element_at(properties, k)` on the CreateMap
+    * folds back to the raw column (SimplifyExtractValueOps), and predicates
+    * on properties push down to the parquet scan. A Scala-lambda version
+    * would wall off every downstream operator from the optimizer. */
   def fromDataFrame(df: DataFrame, docIdField: Option[String] = None,
                     textField: Option[String] = None): DocSet = {
     val cols = df.schema.fieldNames.toSeq
     val idCol = docIdField.getOrElse(cols.head)
+    val docSchema = DocSet.docEnc.schema
+    def nullOf(field: String) =
+      lit(null).cast(docSchema(field).dataType).as(field)
     val ds = df.select(
-      col(idCol).cast("string").as("__id"),
-      textField.map(t => col(t).cast("string")).getOrElse(lit(null).cast("string")).as("__text"),
-      to_json(struct(cols.map(col): _*)).as("__json"),
-      map_from_arrays(
-        array(cols.map(lit(_)): _*),
-        array(cols.map(c => col(c).cast("string")): _*)).as("__props"))
-      .as[(String, String, String, Map[String, String])](
-        Encoders.product[(String, String, String, Map[String, String])])
-      .map { case (id, text, json, props) =>
-        Document.of(id, text = text,
-          properties = props.filter(_._2 != null) + ("_json" -> json))
-      }(DocSet.docEnc)
+      col(idCol).cast("string").as("docId"),
+      concat(lit("lin-"), lower(hex(xxhash64(col(idCol).cast("string"))))).as("lineageId"),
+      nullOf("docType"),
+      textField.map(t => col(t).cast("string")).getOrElse(lit(null).cast("string"))
+        .as("textRepresentation"),
+      nullOf("binaryRepresentation"),
+      // [] not null: the Seq encoder round-trips empty, not missing
+      array().cast(docSchema("elements").dataType).as("elements"),
+      nullOf("embedding"),
+      nullOf("shingles"),
+      nullOf("parentId"),
+      nullOf("bbox"),
+      // CreateMap (not map_from_arrays): GetMapValue(CreateMap(...)) folds
+      // back to the raw column, so property predicates reach the scan
+      map(cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("properties"))
+      .as[Document](DocSet.docEnc)
     DocSet.wrap(ds)
   }
 

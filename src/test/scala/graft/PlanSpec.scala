@@ -129,6 +129,12 @@ class PlanSpec extends AnyFunSuite {
     val wantRange = tables("orders")
       .where(col("o_totalprice").between(1000.0, 50000.0)).count()
     assert(r.count() == wantRange)
+    // the properties-map predicate must fold back to the raw column and
+    // reach the parquet scan (column-built Document conversion is
+    // transparent to Catalyst)
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("o_totalprice"),
+      s"property filter not pushed to scan:\n$plan")
   }
 
   test("FieldIn keeps input-1 docs matched by input-2 values") {
