@@ -399,6 +399,65 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
         score.exists(_ >= threshold)
       }
 
+  /**
+   * Element-window LLM filter (reference: transforms/llm_filter.py:113-191):
+   * elements are ordered (optionally by a similarity scorer against the
+   * question — most-relevant first), packed into token-budget windows, and
+   * scored window by window with EARLY EXIT on the first passing window —
+   * the LLM-call count per kept doc is O(1) when relevance sorting works.
+   * Records the best score + source element index like the reference.
+   */
+  def llmFilterElements(client: LlmClient, question: String, threshold: Int = 3,
+                        maxTokens: Int = 512, keepNone: Boolean = false,
+                        similarityScorer: Option[(String, String) => Double] = None,
+                        newField: String = "_llm_filter_score"): DocSet = {
+    val scored = map { d =>
+      val els = d.elements.filter(_.text.nonEmpty)
+      val ordered = similarityScorer match {
+        case Some(scorer) => els.sortBy(e => (-scorer(question, e.text), e.elementIndex))
+        case None => els.sortBy(_.elementIndex)
+      }
+      if (ordered.isEmpty) d
+      else {
+        // pack into character-budget windows (reference default tokenizer
+        // is character-based)
+        val windows = scala.collection.mutable.ListBuffer[Seq[graft.model.Element]]()
+        var cur = scala.collection.mutable.ListBuffer[graft.model.Element]()
+        var used = 0
+        ordered.foreach { e =>
+          val cost = math.min(e.text.length, maxTokens)
+          if (used + cost > maxTokens && cur.nonEmpty) {
+            windows += cur.toSeq; cur = scala.collection.mutable.ListBuffer(); used = 0
+          }
+          cur += e; used += cost
+        }
+        if (cur.nonEmpty) windows += cur.toSeq
+        // early-exit scan
+        var best = -1
+        var bestIdx = -1
+        val it = windows.iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val w = it.next()
+          val text = w.map(_.text.take(maxTokens)).mkString("\n")
+          val out = client.generate(
+            s"$question\nText:\n$text\nRate 0-5 and answer with the number only.")
+          val score = "\\d+".r.findAllIn(out).toSeq.lastOption.map(_.toInt).getOrElse(-1)
+          if (score > best) { best = score; bestIdx = w.head.elementIndex }
+          if (score >= threshold) done = true
+        }
+        d.withProps(newField -> best.toString,
+          s"${newField}_source_element_index" -> bestIdx.toString)
+      }
+    }
+    scored.filter { d =>
+      d.prop(newField).flatMap(_.toIntOption) match {
+        case Some(s) => s >= threshold
+        case None    => keepNone
+      }
+    }
+  }
+
   /** Extract one named entity into properties[name]
     * (reference: transforms/extract_entity.py:50). */
   def extractEntity(extractor: EntityExtractor): DocSet = mapBatch(extractor.extract)

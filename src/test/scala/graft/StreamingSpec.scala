@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.docset.DocSet
+import graft.streaming.DocStream
+
+/** Structured Streaming extension (SURVEY §2.11): the same DocSet verbs run
+  * over streaming inputs; windowed aggregation with watermark. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("DocSet verbs run unchanged over a streaming source") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = DocStream.fromStreamingDf(
+      input.toDF().toDF("doc_id", "text"), Some("doc_id"), Some("text"))
+    // the same per-doc pipeline batch uses: filter + map + term frequency
+    val out = docs
+      .filter(_.text.contains("keep"))
+      .withProperty("len", d => d.text.length.toString)
+    val query = out.toDF.writeStream.format("memory").queryName("stream_docs")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "keep me"), (2L, "drop me"), (3L, "also keep"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT docId, properties['len'] FROM stream_docs")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("1", "7"), ("3", "9")))
+    } finally query.stop()
+  }
+
+  test("windowed counts with watermark bound state") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = DocStream.fromStreamingDf(
+      input.toDF().toDF("doc_id", "kind", "ts"), Some("doc_id"))
+    val counted = DocStream.countByWindow(docs,
+      timeProperty = "properties.ts", keyProperty = "properties.kind",
+      windowDuration = "1 hour", watermarkDelay = "10 minutes")
+    val query = counted.writeStream.format("memory").queryName("stream_counts")
+      .outputMode("complete").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      input.addData((1L, "a", ts(10, 5)), (2L, "a", ts(10, 40)), (3L, "b", ts(11, 5)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT key, count FROM stream_counts")
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("a", 2L), ("b", 1L)))
+    } finally query.stop()
+  }
+
+  test("llmFilterElements: early exit, similarity sorting, score recording") {
+    import graft.model.{Document, Element}
+    // JVM-static counter: task closures are serialized copies even in local
+    // mode, so an instance field would count on the copy
+    val calls = StreamingSpec.calls
+    calls.set(0)
+    val client = new graft.llm.LlmClient {
+      def generate(p: String): String = {
+        StreamingSpec.calls.incrementAndGet()
+        if (p.contains("relevant")) "5" else "0"
+      }
+    }
+    val doc = Document.of("d1").copy(elements = Seq(
+      Element.text(0, "Text", "filler " * 60),        // window 1 (alone: > 256 chars)
+      Element.text(1, "Text", "the relevant passage"), // window 2
+      Element.text(2, "Text", "more filler " * 60)))   // window 3 (never reached)
+    // without similarity sorting: windows scanned in order, early exit at #2
+    val kept = DocSet.of(spark, Seq(doc))
+      .llmFilterElements(client, "find it?", threshold = 3, maxTokens = 256)
+      .takeAll()
+    assert(kept.size == 1)
+    assert(kept.head.prop("_llm_filter_score").contains("5"))
+    assert(kept.head.prop("_llm_filter_score_source_element_index").contains("1"))
+    assert(calls.get() == 2, s"expected early exit after window 2, got ${calls.get()} calls")
+
+    // similarity sorter puts the relevant element first -> exactly 1 call
+    calls.set(0)
+    val overlap = (q: String, t: String) =>
+      q.split("\\s+").count(w => t.contains(w.stripSuffix("?"))).toDouble
+    val kept2 = DocSet.of(spark, Seq(doc))
+      .llmFilterElements(client, "relevant?", threshold = 3, maxTokens = 256,
+        similarityScorer = Some(overlap))
+      .takeAll()
+    assert(kept2.size == 1 && calls.get() == 1)
+
+    // below-threshold docs are dropped; keepNone retains element-less docs
+    val empty = Document.of("d2")
+    val out = DocSet.of(spark, Seq(empty))
+      .llmFilterElements(client, "q", keepNone = true).takeAll()
+    assert(out.size == 1)
+    val dropped = DocSet.of(spark, Seq(empty))
+      .llmFilterElements(client, "q", keepNone = false).takeAll()
+    assert(dropped.isEmpty)
+  }
+}
+
+object StreamingSpec {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
