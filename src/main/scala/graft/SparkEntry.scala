@@ -345,7 +345,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_langid" -> ((s, dir) => {
-      // rows-only: heuristic has no SQL oracle.
+      // deterministic stopword-argmax heuristic -> exact SQL oracle.
       tbl(s, dir, "documents")
         .select(col("doc_id"), gf.langId(col("text")).as("lang_detected"))
         .orderBy(col("doc_id"))
@@ -520,7 +520,7 @@ object SparkEntry {
       }
     }),
     "q_plan_summarize" -> ((s, dir) => {
-      // rows-only: the deterministic fake echoes the synthesis prompt prefix.
+      // deterministic fake echoes the synthesis prompt prefix -> SQL oracle.
       val plan = """{"query":"how many orders are there","result_node":2,
         "nodes":{
           "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
@@ -771,6 +771,29 @@ object SparkEntry {
     "q_docset_topk" ->
       """SELECT source AS key, count(*) AS count FROM documents
          GROUP BY source ORDER BY count DESC, key LIMIT 3""",
+    "q_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_sort([
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['der','die','das','und','ist','von','mit','den','dem','ein','eine','nicht','auf'], x))), lang := 'de'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for','with','was','this'], x))), lang := 'en'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['el','la','de','que','y','en','un','una','los','las','por','con','para'], x))), lang := 'es'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['le','la','les','de','des','et','un','une','du','que','pour','dans','est'], x))), lang := 'fr'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['的','了','是','在','我','有','他','这','不','就'], x))), lang := 'zh')])[-1] AS best
+               FROM t)
+         SELECT doc_id,
+                CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_detected
+         FROM s ORDER BY doc_id""",
+    "q_plan_summarize" ->
+      """SELECT substr('Answer the question using the data below.' || chr(10) ||
+                       'Question: how many orders are there' || chr(10) ||
+                       'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
+         FROM orders""",
     "q_extract_properties" ->
       """WITH t AS (SELECT doc_id, text,
                            regexp_split_to_array(trim(text), '\s+') AS toks
