@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import graft.docset.DocSet
 import graft.model.Document
 
@@ -7,9 +9,12 @@ import graft.model.Document
  * Sinks beyond parquet/JSON (reference: lib/sycamore/sycamore/writer.py —
  * write.files :766 one-file-per-document, write.iceberg :821).
  *
- * write.files is a foreachPartition writer: each task writes its own
- * documents directly (no driver fan-in, no shuffle), committing a per-task
- * marker so retried tasks overwrite atomically-enough for a file dump.
+ * write.files is a foreachPartition writer through the HADOOP FILESYSTEM
+ * API: each task writes its own documents directly to the target URI
+ * (local path, HDFS, s3a, ...) with no driver fan-in and no shuffle — a
+ * java.io writer would land files on executor-local disks on a real
+ * cluster. Task retries simply overwrite their files (same names), so the
+ * dump converges.
  *
  * write.iceberg is intentionally ABSENT: the Iceberg runtime jar is not in
  * this build's offline jar set. With the dependency present it is one line —
@@ -24,12 +29,13 @@ object DocWrite {
   def files(docs: DocSet, dir: String,
             filenameFn: Document => String = d => sanitize(d.docId),
             docToBytes: Document => Array[Byte] = _.text.getBytes("UTF-8")): Unit = {
-    val path = new java.io.File(dir)
-    path.mkdirs()
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      docs.spark.sparkContext.hadoopConfiguration)
     docs.ds.foreachPartition { (it: Iterator[Document]) =>
+      val fs = FileSystem.get(new java.net.URI(dir), confSer.value)
+      fs.mkdirs(new Path(dir))
       it.foreach { d =>
-        val f = new java.io.File(dir, filenameFn(d))
-        val out = new java.io.FileOutputStream(f)
+        val out = fs.create(new Path(dir, filenameFn(d)), true)
         try out.write(docToBytes(d)) finally out.close()
       }
     }
