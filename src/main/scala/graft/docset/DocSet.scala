@@ -514,9 +514,16 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
 
   /** Checkpoint to parquet; read back with DocRead.materialized
     * (reference: materialize.py — success markers / retry batching are
-    * subsumed by Spark's committed parquet writes + task retry). */
-  def materialize(path: String): DocSet = {
-    ds.write.mode("overwrite").parquet(path)
+    * subsumed by Spark's committed parquet writes + task retry).
+    * `useStored = true` makes the checkpoint a SOURCE on re-run: if a
+    * committed write already exists at `path`, skip recomputation and read
+    * it back (reference: MaterializeSourceMode.USE_STORED, materialize.py:277). */
+  def materialize(path: String, useStored: Boolean = false): DocSet = {
+    val committed = useStored && {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!committed) ds.write.mode("overwrite").parquet(path)
     wrap(spark.read.parquet(path).as[Document](docEnc))
   }
 

@@ -42,4 +42,20 @@ object DocWrite {
   }
 
   def sanitize(name: String): String = name.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Relational sink over JDBC (reference: writer.py:389 write.duckdb —
+    * docs flattened to columns, appended to a table). Spark's JDBC writer
+    * partitions the insert across executors; any JDBC driver on the
+    * classpath works (tested against embedded Derby). */
+  def jdbc(docs: DocSet, url: String, table: String,
+           properties: java.util.Properties = new java.util.Properties()): Unit = {
+    import org.apache.spark.sql.functions._
+    docs.toDF
+      .select(col("docId").as("doc_id"),
+        col("docType").as("doc_type"),
+        col("textRepresentation").as("text_representation"),
+        col("parentId").as("parent_id"),
+        to_json(col("properties")).as("properties_json"))
+      .write.mode("append").jdbc(url, table, properties)
+  }
 }

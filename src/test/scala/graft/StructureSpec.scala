@@ -121,6 +121,20 @@ class StructureSpec extends AnyFunSuite {
     }
   }
 
+  test("writeJdbc round-trips through an embedded Derby table") {
+    val dbDir = java.nio.file.Files.createTempDirectory("derby").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val docs = (0 until 4).map(i =>
+      Document.of(s"d$i", text = s"text $i", properties = Map("k" -> i.toString)))
+    DocWrite.jdbc(DocSet.of(spark, docs), url, "docs")
+    val back = spark.read.jdbc(url, "docs", new java.util.Properties())
+    assert(back.count() == 4)
+    val row = back.orderBy("doc_id").collect().head
+    assert(row.getAs[String]("doc_id") == "d0")
+    assert(row.getAs[String]("text_representation") == "text 0")
+    assert(row.getAs[String]("properties_json").contains("\"k\":\"0\""))
+  }
+
   test("HtmlPartitioner handles unclosed <p>/<li> via implied close") {
     val html = """<html><title>T</title><body>
       <h1>Head</h1>
