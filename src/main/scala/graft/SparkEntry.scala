@@ -530,6 +530,31 @@ object SparkEntry {
       scalarDf(s, runPlan(s, dir, plan), "answer")
     }),
 
+    "q_clustering" -> ((s, dir) => {
+      // nearest-centroid assignment (NearestCentroidExpr) with a
+      // deterministic codebook -> exact SQL oracle via list_distance argmin.
+      val emb = tbl(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      emb.withColumn("cluster", Ann.nearestCentroid(col("embedding"), centroids))
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
+    }),
+    "q_rerank" -> ((s, dir) => {
+      // rerank with the deterministic token-overlap scorer -> SQL oracle.
+      val query = "spark join fast"
+      val scorer = (q: String, t: String) =>
+        q.split(" ").count(w => t.contains(w)).toDouble
+      graft.sources.DocRead.fromDataFrame(tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .rerank(scorer, query)
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "_rerank_score").cast("double").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
     // ---- similarity search (training-data ops)
     "q_ann_bruteforce" -> ((s, dir) => {
       val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
@@ -845,6 +870,20 @@ object SparkEntry {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 2
          ORDER BY idA, idB""",
+    "q_clustering" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id < 4),
+         a AS (SELECT e.vec_id,
+                      min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.cv),
+                                      cid := c.cid)) AS best
+               FROM embeddings e CROSS JOIN c GROUP BY e.vec_id)
+         SELECT CAST(best.cid AS BIGINT) AS cluster, count(*) AS n
+         FROM a GROUP BY 1 ORDER BY cluster""",
+    "q_rerank" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(['spark','join','fast'], w -> contains(text, w)))
+                     AS DOUBLE) AS score
+         FROM documents ORDER BY score DESC, doc_id""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          top AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS c
