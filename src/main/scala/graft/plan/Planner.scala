@@ -75,6 +75,60 @@ object AlwaysSummarize extends QPlanProcessor {
 }
 
 /**
+ * Analytics rewrite: a leading vector search feeding Count / entity
+ * extraction / answer synthesis is WRONG for analytics (top-k retrieval
+ * silently truncates the population being counted), so replace it with a
+ * full scan + an LlmFilter carrying the query phrase as the predicate
+ * (reference: strategy.py:73 RemoveVectorSearchForAnalytics).
+ */
+object RemoveVectorSearchForAnalytics extends QPlanProcessor {
+  def apply(plan: QPlan): QPlan = plan.nodes.get(0) match {
+    case Some(v: QQueryVectorDatabase)
+        if plan.nodes.size == 1 || (plan.nodes.get(1) match {
+          case Some(_: QCount | _: QLlmExtractEntity | _: QSummarizeData) => true
+          case _ => false
+        }) =>
+      val scan = QQueryDatabase(0, v.description, Nil, v.index, None)
+      plan.replaceNode(0, scan)
+        .insertNode(1, QLlmFilter(1, Some("rewritten from vector search"), Nil,
+          "text_representation", v.queryPhrase))
+    case _ => plan
+  }
+}
+
+/**
+ * Strip non-retrieval tail operators, leaving scan + filters + limit/sort —
+ * the shape retrieval-metric evaluation wants
+ * (reference: strategy.py:208 OnlyRetrieval).
+ */
+object OnlyRetrieval extends QPlanProcessor {
+  private def isRetrieval(n: QNode): Boolean = n match {
+    case _: QDataLoader | _: QQueryDatabase | _: QQueryVectorDatabase |
+         _: QBasicFilter | _: QLlmFilter | _: QLimit | _: QSort => true
+    case _ => false
+  }
+
+  def apply(plan: QPlan): QPlan = {
+    // follow the single-input chain from the source and keep the longest
+    // all-retrieval prefix
+    var last = 0
+    var cur = 0
+    var continue = isRetrieval(plan.node(0))
+    while (continue) {
+      last = cur
+      plan.downstreamNodes(cur) match {
+        case Seq(next) if isRetrieval(plan.node(next)) => cur = next
+        case _ => continue = false
+      }
+    }
+    val keep = scala.collection.mutable.Set[Int]()
+    def collect(id: Int): Unit = { keep += id; plan.node(id).inputs.foreach(collect) }
+    collect(last)
+    QPlan(plan.query, plan.nodes.view.filterKeys(keep).toMap, last)
+  }
+}
+
+/**
  * Natural-language -> QPlan via a pluggable LLM (reference: query/planner.py:97
  * LlmPlanner.plan — prompt = system text + operator usage docs + index schema
  * + few-shot examples; temperature-0 LLM; JSON parsed into the plan DAG and
@@ -137,6 +191,9 @@ object LlmPlanner {
     "QueryDatabase" -> ("Scan a table. Fields: index (table name), query (optional filter: " +
       "match/match_phrase/term/range/bool.must). Filtering at the source is cheapest."),
     "DataLoader" -> "Load documents from a parquet path. Fields: path.",
+    "QueryVectorDatabase" -> ("Vector search: top-K rows most similar to query_phrase. " +
+      "Fields: index, query_phrase, K. Approximate — use ONLY for 'any/some similar' " +
+      "questions, never for exhaustive analytics; follow with LlmFilter."),
     "BasicFilter" -> ("Filter rows. Fields: field; range_filter (bool); query (match value, " +
       "substring for strings); start/end (inclusive range); is_date (bool)."),
     "LlmFilter" -> "LLM yes/no filter when the predicate is semantic. Fields: field, question.",

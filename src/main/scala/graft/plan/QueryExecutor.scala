@@ -37,7 +37,8 @@ final case class QStrV(s: String) extends QValue
 final class QueryExecutor(spark: SparkSession, llm: LlmClient,
                           tables: String => DataFrame,
                           cacheDir: Option[String] = None,
-                          summarizeMaxDocs: Int = 100) {
+                          summarizeMaxDocs: Int = 100,
+                          embedder: graft.embed.Embedder = new graft.embed.HashEmbedder()) {
 
   def execute(plan: QPlan): QValue = {
     plan.validate()
@@ -72,6 +73,18 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
     case QQueryDatabase(_, _, _, index, query) =>
       val df = tables(index)
       QDocs(docsFrom(query.map(q => df.where(Dsl.predicate(q))).getOrElse(df)))
+
+    case QQueryVectorDatabase(_, _, _, index, phrase, k) =>
+      // embed the phrase, top-k by cosine over the table's embedding column
+      // (scan + TakeOrderedAndProject — no shuffle of the corpus)
+      val df = tables(index)
+      val qv = embedder.embed(Seq(phrase)).head.map(_.toDouble).toSeq
+      val top = df
+        .withColumn("__score",
+          graft.functions.gf.cosineSimilarity(col("embedding"), graft.ann.Ann.vecLit(qv)))
+        .orderBy(desc("__score")).limit(k)
+        .drop("__score")
+      QDocs(docsFrom(top))
 
     case QBasicFilter(_, _, _, field, rangeFilter, query, start, end, isDate) =>
       val ds = docs(ins.head)

@@ -72,6 +72,22 @@ final case class QQueryDatabase(nodeId: Int, description: Option[String], inputs
     Seq("index" -> JString(index), "query" -> query.getOrElse(JNothing))
 }
 
+/** Vector search: top-k rows of `index` by cosine between the embedded
+  * query phrase and the table's embedding column (reference:
+  * query_database.py:81 QueryVectorDatabase — delegated to an external
+  * vector store there; self-contained ANN here). Approximate by design, so
+  * plans should follow it with an LlmFilter (same guidance as the
+  * reference); the analytics rewrite replaces it entirely
+  * (RemoveVectorSearchForAnalytics). */
+final case class QQueryVectorDatabase(nodeId: Int, description: Option[String], inputs: Seq[Int],
+                                      index: String, queryPhrase: String,
+                                      k: Int) extends QNode {
+  override def inputTypes: Set[QType] = Set.empty
+  def opFields: Seq[(String, JValue)] = Seq(
+    "index" -> JString(index), "query_phrase" -> JString(queryPhrase), "K" -> JInt(k))
+  override def compareExcluded: Set[String] = Set("query_phrase")
+}
+
 /** Range or match filter (reference: basic_filter.py:6; execution semantics
   * functions/basic_filters.py — substring match for strings, inclusive range,
   * optional date coercion). */
@@ -355,6 +371,8 @@ object QPlanJson {
       throw new IllegalArgumentException(s"node $id missing node_type")) match {
       case "DataLoader" => QDataLoader(id, desc, ins, s("path"))
       case "QueryDatabase" => QQueryDatabase(id, desc, ins, s("index"), v("query"))
+      case "QueryVectorDatabase" => QQueryVectorDatabase(id, desc, ins, s("index"),
+        s("query_phrase"), int(j \ "K").getOrElse(10))
       case "BasicFilter" => QBasicFilter(id, desc, ins, s("field"), b("range_filter"),
         v("query"), v("start"), v("end"), b("is_date"))
       case "LlmFilter" => QLlmFilter(id, desc, ins, s("field"), s("question"))

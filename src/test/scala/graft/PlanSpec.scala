@@ -273,6 +273,49 @@ class PlanSpec extends AnyFunSuite {
     assert(s2.node(s2.resultNode).isInstanceOf[QSummarizeData])
   }
 
+  test("QueryVectorDatabase returns top-k by embedded-phrase cosine") {
+    val p = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
+      "0": {"node_type":"QueryVectorDatabase","node_id":0,"inputs":[],
+            "index":"embeddings","query_phrase":"anything","K":7}}}""")
+    val QDocs(ds) = executor().execute(p): @unchecked
+    assert(ds.count() == 7)
+  }
+
+  test("RemoveVectorSearchForAnalytics rewrites vector-search-then-count") {
+    val p = QPlan.fromJson("""{"query":"how many","result_node":1,"nodes":{
+      "0": {"node_type":"QueryVectorDatabase","node_id":0,"inputs":[],
+            "index":"documents","query_phrase":"about spark","K":10},
+      "1": {"node_type":"Count","node_id":1,"inputs":[0]}}}""")
+    val rewritten = RemoveVectorSearchForAnalytics(p)
+    rewritten.validate()
+    assert(rewritten.node(0).isInstanceOf[QQueryDatabase])
+    assert(rewritten.node(1) match {
+      case f: QLlmFilter => f.question == "about spark"
+      case _ => false
+    })
+    assert(rewritten.node(2).isInstanceOf[QCount])
+    // non-analytics tails are left alone
+    val untouched = RemoveVectorSearchForAnalytics(QPlan.fromJson(
+      """{"query":"","result_node":1,"nodes":{
+        "0": {"node_type":"QueryVectorDatabase","node_id":0,"inputs":[],
+              "index":"documents","query_phrase":"x","K":5},
+        "1": {"node_type":"Limit","node_id":1,"inputs":[0],"num_records":3}}}"""))
+    assert(untouched.node(0).isInstanceOf[QQueryVectorDatabase])
+  }
+
+  test("OnlyRetrieval strips non-retrieval tail operators") {
+    val p = QPlan.fromJson("""{"query":"","result_node":3,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"BasicFilter","node_id":1,"inputs":[0],
+            "field":"properties.lang","range_filter":false,"query":"en"},
+      "2": {"node_type":"TopK","node_id":2,"inputs":[1],
+            "field":"properties.source","K":3,"descending":true,"llm_cluster":false},
+      "3": {"node_type":"SummarizeData","node_id":3,"inputs":[2],"question":"q"}}}""")
+    val stripped = OnlyRetrieval(p)
+    stripped.validate()
+    assert(stripped.resultNode == 1 && stripped.nodes.keySet == Set(0, 1))
+  }
+
   test("LlmPlanner builds a documented prompt and parses the LLM's JSON plan") {
     val canned = new LlmClient {
       def generate(prompt: String): String = {
