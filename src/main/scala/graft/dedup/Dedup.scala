@@ -122,8 +122,11 @@ object Dedup {
       .select(col("_id"), simhashFn(col("_t")).as("_sh"))
     val chunked = hashed.select(col("_id"), col("_sh"),
       explode(array((0 until chunks).map { q =>
+        // width can be 64 (maxHamming=0): (1L << 64) == 1L in JVM shift
+        // semantics, so the mask must special-case the full word
+        val mask = if (widths(q) >= 64) -1L else (1L << widths(q)) - 1L
         struct(lit(q).as("q"), shiftrightunsigned(col("_sh"), offsets(q))
-          .bitwiseAND(lit((1L << widths(q)) - 1L)).as("v"))
+          .bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("_chunk"))
       .repartition(col("_chunk"))
     val a = chunked.select(col("_chunk"), col("_id").as("idA"), col("_sh").as("shA"))

@@ -169,14 +169,25 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
 
   /** Sort by dotted field. With no default value, docs missing the field are
     * dropped — faithfully matching the reference (transforms/sort.py:12
-    * DropIfMissingField). */
+    * DropIfMissingField).
+    *
+    * Ordering is TYPE-AWARE over our string-valued properties: values that
+    * cast to double sort numerically (the reference sorts typed Python
+    * values, where 999.99 < 10000), non-numeric values sort lexically after
+    * them — a lexical-only sort would order "999.99" above "10000". */
   def sort(descending: Boolean, field: String, defaultVal: Option[String] = None): DocSet = {
     val key = fieldCol(field)
     val df = ds.toDF().withColumn("__key",
       defaultVal.map(d => coalesce(key, lit(d))).getOrElse(key))
     val pruned = if (defaultVal.isEmpty) df.where(col("__key").isNotNull) else df
-    wrap(pruned.orderBy(if (descending) desc("__key") else asc("__key"))
-      .drop("__key").as[Document](docEnc))
+    // try_cast: ANSI mode makes a plain cast THROW on non-numeric strings
+    val keyed = pruned.withColumn("__kn", expr("try_cast(__key AS DOUBLE)"))
+    val order =
+      if (descending) Seq(asc("__knull"), desc("__kn"), desc("__key"))
+      else Seq(asc("__knull"), asc("__kn"), asc("__key"))
+    wrap(keyed.withColumn("__knull", col("__kn").isNull)
+      .orderBy(order: _*)
+      .drop("__key", "__kn", "__knull").as[Document](docEnc))
   }
 
   /** Distributed limit (reference iterates on the driver, basics.py:11). */

@@ -88,7 +88,16 @@ final class MultiStepDocumentSummarizer(client: LlmClient, question: String = ""
       if (els.nonEmpty) els else Seq(d.text)
     }
     var level = round(leaves)
-    while (level.size > 1) level = round(level)
+    while (level.size > 1) {
+      val next = round(level)
+      if (next.size >= level.size) {
+        // no convergence (each summary alone exceeds the budget): force one
+        // final call over evenly truncated summaries rather than looping
+        val per = math.max(tokenLimit / next.size, 16)
+        level = Seq(client.generate(
+          s"${q}Summarize:\n${next.map(_.take(per)).mkString("\n")}"))
+      } else level = next
+    }
     d.withProp("summary", level.headOption.getOrElse(""))
   }
 }

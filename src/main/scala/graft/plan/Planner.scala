@@ -24,6 +24,7 @@ object DefaultPlanValidator extends QPlanProcessor {
 final case class LimitLlmOperations(maxRecords: Int = 100) extends QPlanProcessor {
   private def isLlm(n: QNode): Boolean = n match {
     case _: QLlmFilter | _: QLlmExtractEntity | _: QLLMClustering => true
+    case t: QTopK => t.llmCluster // LLM assignment call per row
     case _ => false
   }
 
@@ -85,7 +86,10 @@ object RemoveVectorSearchForAnalytics extends QPlanProcessor {
   def apply(plan: QPlan): QPlan = plan.nodes.get(0) match {
     case Some(v: QQueryVectorDatabase)
         if plan.nodes.size == 1 || (plan.nodes.get(1) match {
-          case Some(_: QCount | _: QLlmExtractEntity | _: QSummarizeData) => true
+          // single-input targets only: insertNode cannot intercept one edge
+          // of a multi-input node (e.g. SummarizeData over two branches)
+          case Some(n @ (_: QCount | _: QLlmExtractEntity | _: QSummarizeData)) =>
+            n.inputs == Seq(0)
           case _ => false
         }) =>
       val scan = QQueryDatabase(0, v.description, Nil, v.index, None)

@@ -44,22 +44,30 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
     plan.validate()
     val memo = scala.collection.mutable.Map[Int, (QValue, Boolean)]()
 
-    // (value, subtreeHasSort)
-    def rec(id: Int): (QValue, Boolean) = memo.getOrElseUpdate(id, {
-      val n = plan.node(id)
-      val ins = n.inputs.map(rec)
-      val sortBelow = n.isInstanceOf[QSort] || ins.exists(_._2)
-      val value = eval(plan, n, ins.map(_._1))
-      val cached = (value, cacheDir) match {
-        case (QDocs(ds), Some(dir)) if !sortBelow =>
-          val path = s"$dir/${plan.cacheKey(id)}"
-          val marker = new java.io.File(s"$path/_SUCCESS")
-          if (!marker.exists()) ds.writeParquet(path)
-          QDocs(DocRead.materialized(spark, path))
-        case _ => value
-      }
-      (cached, sortBelow)
-    })
+    // (value, subtreeHasSort). Explicit check-then-insert, NOT
+    // getOrElseUpdate: the default closure recurses into rec, and mutating
+    // a mutable HashMap while its getOrElseUpdate is in flight is unsafe.
+    def rec(id: Int): (QValue, Boolean) = memo.get(id) match {
+      case Some(v) => v
+      case None =>
+        val n = plan.node(id)
+        val ins = n.inputs.map(rec)
+        val sortBelow = n.isInstanceOf[QSort] || ins.exists(_._2)
+        val value = eval(plan, n, ins.map(_._1))
+        val cached = (value, cacheDir) match {
+          case (QDocs(ds), Some(dir)) if !sortBelow =>
+            val path = s"$dir/${plan.cacheKey(id)}"
+            // Hadoop FS, not java.io: cacheDir may be hdfs://, s3a://, ...
+            val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+            val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(marker)) ds.writeParquet(path)
+            QDocs(DocRead.materialized(spark, path))
+          case _ => value
+        }
+        val out = (cached, sortBelow)
+        memo(id) = out
+        out
+    }
 
     rec(plan.resultNode)._1
   }
@@ -162,12 +170,22 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
   //  strings case-insensitively, equality for numbers; RangeFilter is
   //  inclusive with optional date coercion)
 
+  /** try_cast wrapper: ANSI mode makes plain casts THROW on malformed
+    * strings; a filter must treat non-castable values as non-matching. */
+  private def tryCast(c: Column, to: String): Column = {
+    val e = org.apache.spark.sql.graft.ColumnBridge.expression(c)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e, org.apache.spark.sql.types.DataType.fromDDL(to), None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+  }
+
   private def matchPredicate(key: Column, query: JValue): Column = query match {
     case JString(s) => lower(key.cast("string")).contains(s.toLowerCase)
-    case JInt(v)    => key.cast("double") === v.toDouble
-    case JLong(v)   => key.cast("double") === v.toDouble
-    case JDouble(v) => key.cast("double") === v
-    case JBool(v)   => key.cast("boolean") === v
+    case JInt(v)    => tryCast(key, "double") === v.toDouble
+    case JLong(v)   => tryCast(key, "double") === v.toDouble
+    case JDouble(v) => tryCast(key, "double") === v
+    case JBool(v)   => tryCast(key, "boolean") === v
     case other => throw new IllegalArgumentException(s"unsupported match query: $other")
   }
 
@@ -176,9 +194,9 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
     def side(v: JValue): (Column, Column) = v match {
       case JString(s) if isDate => (to_timestamp(key.cast("string")), to_timestamp(lit(s)))
       case JString(s) => (key.cast("string"), lit(s))
-      case JInt(x)    => (key.cast("double"), lit(x.toDouble))
-      case JLong(x)   => (key.cast("double"), lit(x.toDouble))
-      case JDouble(x) => (key.cast("double"), lit(x))
+      case JInt(x)    => (tryCast(key, "double"), lit(x.toDouble))
+      case JLong(x)   => (tryCast(key, "double"), lit(x.toDouble))
+      case JDouble(x) => (tryCast(key, "double"), lit(x))
       case other => throw new IllegalArgumentException(s"unsupported range bound: $other")
     }
     val lo = start.map { v => val (k, b) = side(v); k >= b }

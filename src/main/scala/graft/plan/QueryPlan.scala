@@ -288,14 +288,20 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
   }
 
   /** Insert a node before `nodeId`, shifting later ids right
-    * (reference: logical_plan.py:269 insert_node). Appending (nodeId ==
-    * max+1) wires the new node onto the current result node. */
+    * (reference: logical_plan.py:269 insert_node, including its
+    * precondition: the displaced node must have exactly ONE input —
+    * silently rewiring a multi-input node would sever its other edges).
+    * Appending (nodeId == max+1) wires the new node onto the current
+    * result node. */
   def insertNode(nodeId: Int, newNode: QNode): QPlan = {
     require(nodeId > 0, "cannot insert before the source node")
     if (!nodes.contains(nodeId)) {
       val wired = QPlanJson.withMeta(newNode, nodeId, Seq(resultNode))
       copy(nodes = nodes.updated(nodeId, wired), resultNode = nodeId)
     } else {
+      require(nodes(nodeId).inputs.size == 1,
+        s"insertNode target $nodeId must have exactly one input, " +
+          s"has ${nodes(nodeId).inputs}")
       val shifted = nodes.map { case (id, n) =>
         val nid = if (id >= nodeId) id + 1 else id
         val nin = n.inputs.map(i => if (i >= nodeId) i + 1 else i)

@@ -85,7 +85,13 @@ object DocRead {
       nullOf("binaryRepresentation"),
       // [] not null: the Seq encoder round-trips empty, not missing
       array().cast(docSchema("elements").dataType).as("elements"),
-      nullOf("embedding"),
+      // an array-typed `embedding` column passes through as the document
+      // embedding (kmeans/clustering/ANN need it)
+      (df.schema.find(f => f.name == "embedding" &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) match {
+        case Some(_) => col("embedding").cast("array<float>")
+        case None => lit(null).cast(docSchema("embedding").dataType)
+      }).as("embedding"),
       nullOf("shingles"),
       nullOf("parentId"),
       nullOf("bbox"),

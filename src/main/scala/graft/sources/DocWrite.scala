@@ -41,7 +41,19 @@ object DocWrite {
     }
   }
 
-  def sanitize(name: String): String = name.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Filesystem-safe name. When sanitization has to rewrite characters, a
+    * short content hash of the ORIGINAL name is appended so two distinct
+    * docIds ("a/b" vs "a b") cannot collapse onto one file and silently
+    * overwrite each other. */
+  def sanitize(name: String): String = {
+    val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (safe == name) safe
+    else {
+      val h = java.lang.Long.toUnsignedString(
+        graft.functions.Xx64.hash(name.getBytes("UTF-8"), 0L), 16)
+      s"$safe-${h.take(8)}"
+    }
+  }
 
   /** Relational sink over JDBC (reference: writer.py:389 write.duckdb —
     * docs flattened to columns, appended to a table). Spark's JDBC writer

@@ -113,6 +113,17 @@ class ExtractSummarizeSpec extends AnyFunSuite {
     assert(again.prop("summary") == out.prop("summary"))
   }
 
+  test("MultiStepDocumentSummarizer terminates when summaries exceed the budget") {
+    // every summary is longer than tokenLimit -> rounds cannot shrink the
+    // level; the summarizer must force a final truncated call, not loop
+    val verbose = new LlmClient {
+      def generate(p: String): String = "x" * 500
+    }
+    val out = new MultiStepDocumentSummarizer(verbose, tokenLimit = 100)
+      .summarize(elemDoc(6))
+    assert(out.prop("summary").exists(_.nonEmpty))
+  }
+
   test("LlmElementTextSummarizer summarizes matching elements only") {
     val client = new FakeLlmClient("echo:20")
     val doc = Document.of("d1").copy(elements = Seq(

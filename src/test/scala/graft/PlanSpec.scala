@@ -273,6 +273,33 @@ class PlanSpec extends AnyFunSuite {
     assert(s2.node(s2.resultNode).isInstanceOf[QSummarizeData])
   }
 
+  test("KMeanClustering executes over a table's embedding column") {
+    val p = QPlan.fromJson("""{"query":"","result_node":3,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"embeddings"},
+      "1": {"node_type":"KMeanClustering","node_id":1,"inputs":[0],
+            "new_field":"cluster","K":4},
+      "2": {"node_type":"GroupBy","node_id":2,"inputs":[1],"field":"properties.cluster"},
+      "3": {"node_type":"AggregateCount","node_id":3,"inputs":[2]}}}""")
+    val QDocs(ds) = executor().execute(p): @unchecked
+    val counts = ds.toDF.select(element_at(col("properties"), "count").cast("long"))
+      .as[Long].collect()
+    assert(counts.length == 4 && counts.sum == tables("embeddings").count())
+  }
+
+  test("Sort orders numeric string properties numerically") {
+    val p = QPlan.fromJson("""{"query":"","result_node":2,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+      "1": {"node_type":"Sort","node_id":1,"inputs":[0],
+            "field":"properties.o_totalprice","descending":true},
+      "2": {"node_type":"Limit","node_id":2,"inputs":[1],"num_records":5}}}""")
+    val QDocs(ds) = executor().execute(p): @unchecked
+    val got = ds.toDF.select(element_at(col("properties"), "o_totalprice").cast("double"))
+      .as[Double].collect().toSeq
+    val want = tables("orders").orderBy(desc("o_totalprice"))
+      .select(col("o_totalprice")).as[Double].take(5).toSeq
+    assert(got == want, s"lexical sort would misorder: $got vs $want")
+  }
+
   test("QueryVectorDatabase returns top-k by embedded-phrase cosine") {
     val p = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
       "0": {"node_type":"QueryVectorDatabase","node_id":0,"inputs":[],

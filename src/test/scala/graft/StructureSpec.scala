@@ -135,6 +135,11 @@ class StructureSpec extends AnyFunSuite {
     assert(row.getAs[String]("properties_json").contains("\"k\":\"0\""))
   }
 
+  test("sanitize keeps distinct rewritten names distinct") {
+    assert(DocWrite.sanitize("plain-name.txt") == "plain-name.txt")
+    assert(DocWrite.sanitize("a/b") != DocWrite.sanitize("a b"))
+  }
+
   test("HtmlPartitioner handles unclosed <p>/<li> via implied close") {
     val html = """<html><title>T</title><body>
       <h1>Head</h1>
