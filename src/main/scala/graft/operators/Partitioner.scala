@@ -84,15 +84,6 @@ final class HtmlPartitioner extends Partitioner {
   }
 }
 
-/**
- * PDF partitioning requires a layout model or PDF parser (reference:
- * detr_partitioner.py — a deformable-DETR vision model). Neither a PDF
- * library nor the model is available in this container, so the decode step
- * is a deliberate stub behind the same trait; the Spark-side plumbing
- * (binary column in, element array out, partition-parallel) is real.
- */
-final class PdfPartitionerStub extends Partitioner {
-  override def partition(doc: Document): Document =
-    throw new UnsupportedOperationException(
-      "PDF partitioning requires a layout model; wire a real Partitioner impl")
-}
+// PDF partitioning: see PdfPartitioner.scala — a dependency-free text-layer
+// extractor for machine-generated PDFs; model-backed layout partitioners
+// (the reference's DETR path) plug into the same trait.

@@ -140,6 +140,39 @@ class StructureSpec extends AnyFunSuite {
     assert(DocWrite.sanitize("a/b") != DocWrite.sanitize("a b"))
   }
 
+  test("PdfPartitioner extracts text from uncompressed and Flate streams") {
+    import graft.operators.PdfPartitioner
+    def pdfWith(content: Array[Byte], deflate: Boolean): Array[Byte] = {
+      val payload = if (!deflate) content else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(content); d.finish()
+        val buf = new Array[Byte](4096)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+      val header = ("%PDF-1.4\n1 0 obj\n<< /Length " + payload.length +
+        (if (deflate) " /Filter /FlateDecode" else "") +
+        " >>\nstream\n").getBytes("ISO-8859-1")
+      val footer = "\nendstream\nendobj\ntrailer\n%%EOF".getBytes("ISO-8859-1")
+      header ++ payload ++ footer
+    }
+    val content = ("BT /F1 12 Tf 72 700 Td (Hello) Tj ( World) Tj T* " +
+      "[(Tab)-250(ular)] TJ ET\n" +
+      "BT 72 600 Td <48657821> Tj ET").getBytes("ISO-8859-1")
+
+    for (deflate <- Seq(false, true)) {
+      val doc = Document.of("doc.pdf").copy(
+        binaryRepresentation = Some(pdfWith(content, deflate)))
+      val out = new PdfPartitioner().partition(doc)
+      assert(out.docType.contains("pdf"))
+      assert(out.elements.size == 2, s"deflate=$deflate: ${out.elements}")
+      assert(out.elements(0).text.contains("Hello World"))
+      assert(out.elements(0).text.contains("Tab ular") ||
+        out.elements(0).text.contains("Tabular"))
+      assert(out.elements(1).text == "Hex!")
+    }
+  }
+
   test("HtmlPartitioner handles unclosed <p>/<li> via implied close") {
     val html = """<html><title>T</title><body>
       <h1>Head</h1>
