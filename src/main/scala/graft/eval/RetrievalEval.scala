@@ -1,0 +1,68 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Retrieval / QA evaluation metrics (reference:
+ * lib/sycamore/sycamore/evaluation/{evaluate.py:56-190, pipeline.py:15,
+ * metrics/} — EvaluationDataPoint docs scored for retrieval recall and
+ * answer correctness).
+ *
+ * Spark-first shape: inputs are plain DataFrames —
+ *   retrieved(query_id, doc_id, rank)   one row per retrieved doc, rank >= 1
+ *   relevant(query_id, doc_id)          the ground-truth set
+ * — and every metric is one join + one aggregation, so evaluation runs at
+ * corpus scale (the reference iterates documents on the driver).
+ */
+object RetrievalEval {
+
+  /** Per-query hit/recall/precision@k + MRR, plus a micro-averaged summary
+    * row (query_id = NULL). */
+  def retrievalMetrics(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val rel = relevant.select(col("query_id"), col("doc_id")).distinct()
+    val relCounts = rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    val topk = retrieved.where(col("rank") <= k)
+    val hits = topk.join(rel, Seq("query_id", "doc_id"), "inner")
+    val perQueryHits = hits.groupBy("query_id").agg(
+      count(lit(1)).as("n_hits"),
+      min(col("rank")).as("first_hit_rank"))
+    relCounts.join(perQueryHits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_relevant"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          least(col("n_relevant"), lit(k.toLong))).as(s"recall_at_$k"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as(s"precision_at_$k"),
+        when(col("first_hit_rank").isNotNull,
+          lit(1.0) / col("first_hit_rank")).otherwise(lit(0.0)).as("reciprocal_rank"))
+  }
+
+  /** Micro-averaged scalar summary of retrievalMetrics. */
+  def summarize(perQuery: DataFrame, k: Int): DataFrame =
+    perQuery.agg(
+      avg(col(s"recall_at_$k")).as(s"mean_recall_at_$k"),
+      avg(col(s"precision_at_$k")).as(s"mean_precision_at_$k"),
+      avg(col("reciprocal_rank")).as("mrr"),
+      avg(when(col("n_hits") > 0, 1.0).otherwise(0.0)).as(s"hit_rate_at_$k"))
+
+  /** Token-overlap F1 between generated and reference answers — the
+    * deterministic core of answer-correctness scoring (the reference's
+    * LLM-judge flavor plugs in as an llmMap over the same rows).
+    * Input: answers(query_id, generated, reference). */
+  def answerF1(answers: DataFrame): DataFrame = {
+    def toks(c: Column): Column = array_distinct(split(trim(lower(c)), "\\s+"))
+    val g = toks(col("generated"))
+    val r = toks(col("reference"))
+    val overlap = size(array_intersect(g, r)).cast("double")
+    val prec = when(size(g) > 0, overlap / size(g)).otherwise(lit(0.0))
+    val rec = when(size(r) > 0, overlap / size(r)).otherwise(lit(0.0))
+    answers.select(
+      col("query_id"),
+      prec.as("precision"),
+      rec.as("recall"),
+      when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+        .otherwise(lit(0.0)).as("f1"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.RetrievalEval
+
+/** Evaluation metrics (mirrors reference evaluation/metrics semantics). */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("retrieval metrics: recall/precision@k, MRR, hit rate") {
+    // q1: relevant {a,b}, retrieved [a(1), x(2), b(3)]; q2: relevant {c},
+    // retrieved [x(1), y(2)]; q3: relevant {d}, never retrieved
+    val retrieved = Seq(
+      ("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3),
+      ("q2", "x", 1), ("q2", "y", 2)).toDF("query_id", "doc_id", "rank")
+    val relevant = Seq(("q1", "a"), ("q1", "b"), ("q2", "c"), ("q3", "d"))
+      .toDF("query_id", "doc_id")
+
+    val per = RetrievalEval.retrievalMetrics(retrieved, relevant, k = 3)
+      .collect().map(r => r.getAs[String]("query_id") ->
+        (r.getAs[Double]("recall_at_3"), r.getAs[Double]("reciprocal_rank"))).toMap
+    assert(per("q1") == (1.0, 1.0))       // both found, first at rank 1
+    assert(per("q2") == (0.0, 0.0))
+    assert(per("q3") == (0.0, 0.0))       // no retrievals at all
+
+    val sum = RetrievalEval.summarize(
+      RetrievalEval.retrievalMetrics(retrieved, relevant, 3), 3).collect().head
+    assert(math.abs(sum.getAs[Double]("mean_recall_at_3") - 1.0 / 3) < 1e-9)
+    assert(math.abs(sum.getAs[Double]("mrr") - 1.0 / 3) < 1e-9)
+    assert(math.abs(sum.getAs[Double]("hit_rate_at_3") - 1.0 / 3) < 1e-9)
+  }
+
+  test("answer token-overlap F1") {
+    val answers = Seq(
+      ("q1", "the cat sat", "the cat sat"),     // perfect
+      ("q2", "a dog ran", "the cat sat"),       // zero overlap
+      ("q3", "the cat", "the cat sat")          // partial: p=1, r=2/3
+    ).toDF("query_id", "generated", "reference")
+    val f1 = RetrievalEval.answerF1(answers).collect()
+      .map(r => r.getAs[String]("query_id") -> r.getAs[Double]("f1")).toMap
+    assert(f1("q1") == 1.0)
+    assert(f1("q2") == 0.0)
+    assert(math.abs(f1("q3") - 0.8) < 1e-9)
+  }
+}
