@@ -120,7 +120,19 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     val hashed = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
       .select(col("_id"), simhashFn(col("_t")).as("_sh"))
-    val chunked = hashed.select(col("_id"), col("_sh"),
+    // Join DISTINCT SKETCHES, not documents: real corpora carry huge
+    // exact-duplicate classes (identical sketches), so grouping first makes
+    // the candidate join quadratic in distinct sketch values and the doc-pair
+    // volume appears only at the final, unavoidable expansion.
+    val groups = hashed.groupBy(col("_sh")).agg(collect_list(col("_id")).as("_ids"))
+    // (a) intra-group pairs: identical sketch -> hamming 0
+    val intra = groups.where(size(col("_ids")) > 1)
+      .select(col("_ids"), explode(col("_ids")).as("idA"))
+      .select(col("idA"), explode(col("_ids")).as("idB"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), lit(0).as("hamming"))
+    // (b) cross-group pairs via chunk bucketing over distinct sketches
+    val chunked = groups.select(col("_sh"), col("_ids"),
       explode(array((0 until chunks).map { q =>
         // width can be 64 (maxHamming=0): (1L << 64) == 1L in JVM shift
         // semantics, so the mask must special-case the full word
@@ -129,13 +141,20 @@ object Dedup {
           .bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("_chunk"))
       .repartition(col("_chunk"))
-    val a = chunked.select(col("_chunk"), col("_id").as("idA"), col("_sh").as("shA"))
-    val b = chunked.select(col("_chunk"), col("_id").as("idB"), col("_sh").as("shB"))
-    a.join(b, Seq("_chunk"))
-      .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), gf.hamming64(col("shA"), col("shB")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    val a = chunked.select(col("_chunk"), col("_sh").as("shA"), col("_ids").as("idsA"))
+    val b = chunked.select(col("_chunk"), col("_sh").as("shB"), col("_ids").as("idsB"))
+    val sketchPairs = a.join(b, Seq("_chunk"))
+      .where(col("shA") < col("shB"))
+      .select(col("shA"), col("shB"), col("idsA"), col("idsB"),
+        gf.hamming64(col("shA"), col("shB")).as("hamming"))
+      .where(col("hamming") > 0 && col("hamming") <= maxHamming)
+      .dropDuplicates("shA", "shB") // chunk multiplicity, pre-expansion
+    val inter = sketchPairs
+      .select(col("hamming"), explode(col("idsA")).as("a"), col("idsB"))
+      .select(col("hamming"), col("a"), explode(col("idsB")).as("b"))
+      .select(least(col("a"), col("b")).as("idA"),
+        greatest(col("a"), col("b")).as("idB"), col("hamming"))
+    intra.unionAll(inter)
   }
 
   /**
