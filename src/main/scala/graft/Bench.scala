@@ -19,6 +19,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer startup otherwise lands on
+    // whichever query happens to run first (~3s of JIT, not operator cost)
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("r_regionkey")).orderBy(col("r_name"))))
+        .groupBy(col("rn")).agg(count(lit(1)))
+        .queryExecution.toRdd.count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()

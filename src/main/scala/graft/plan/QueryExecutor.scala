@@ -258,8 +258,9 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
 }
 
 /** The QueryDatabase filter DSL: a small subset of a search-engine bool
-  * query (match / match_phrase / term / range / bool.must / match_all),
-  * compiled to a Column predicate so Catalyst pushes it into the scan. */
+  * query (match / match_phrase / term / terms / exists / range /
+  * bool.must/must_not/should / match_all), compiled to a Column predicate
+  * so Catalyst pushes it into the scan. */
 object Dsl {
   def predicate(j: JValue): Column = j match {
     case JObject(List(("query", inner))) => predicate(inner)
@@ -269,10 +270,16 @@ object Dsl {
         case ("must", single: JObject) => predicate(single)
         case ("must_not", JArray(xs)) => !xs.map(predicate).reduce(_ || _)
         case ("must_not", single: JObject) => !predicate(single)
+        case ("should", JArray(xs)) => xs.map(predicate).reduce(_ || _)
+        case ("should", single: JObject) => predicate(single)
       } match {
         case Nil => throw new IllegalArgumentException("empty bool query")
         case ps => ps.reduce(_ && _)
       }
+    case JObject(List(("terms", JObject(List((f, JArray(vs))))))) =>
+      col(f).cast("string").isin(vs.map(scalarString): _*)
+    case JObject(List(("exists", JObject(List(("field", JString(f))))))) =>
+      col(f).isNotNull
     case JObject(List(("match", JObject(List((f, v)))))) =>
       lower(col(f).cast("string")).contains(scalarString(v).toLowerCase)
     case JObject(List(("match_phrase", JObject(List((f, v)))))) =>

@@ -86,6 +86,20 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("EqualTo(o_orderstatus,F)"), s"filter not pushed:\n$plan")
   }
 
+  test("Dsl terms / exists / should clauses") {
+    val p = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+            "index":"orders","query":{"bool":{
+              "must":[{"exists":{"field":"o_orderkey"}}],
+              "should":[{"terms":{"o_orderstatus":["F","P"]}},
+                        {"range":{"o_totalprice":{"gte":400000}}}]}}}}}""")
+    val QDocs(ds) = executor().execute(p): @unchecked
+    val want = tables("orders").where(
+      col("o_orderkey").isNotNull &&
+        (col("o_orderstatus").isin("F", "P") || col("o_totalprice") >= 400000.0)).count()
+    assert(ds.count() == want)
+  }
+
   test("Count / distinct Count / Math divide") {
     val countPlan = """{"query":"","result_node":2,"nodes":{
       "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
