@@ -492,6 +492,17 @@ object SparkEntry {
                 "distinct_field":"properties.o_custkey"}}}"""
       scalarDf(s, runPlan(s, dir, plan), "value").select(col("value").cast("long").as("value"))
     }),
+    "q_plan_filter_date" -> ((s, dir) => {
+      // the is_date range path: string property -> timestamp coercion.
+      val plan = """{"query":"1996 orders","result_node":2,
+        "nodes":{
+          "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+          "1": {"node_type":"BasicFilter","node_id":1,"inputs":[0],
+                "field":"properties.o_orderdate","range_filter":true,
+                "start":"1996-01-01","end":"1996-12-31 23:59:59","is_date":true},
+          "2": {"node_type":"Count","node_id":2,"inputs":[1]}}}"""
+      scalarDf(s, runPlan(s, dir, plan), "value").select(col("value").cast("long").as("value"))
+    }),
     "q_plan_math" -> ((s, dir) => {
       val plan = """{"query":"average lineitems per order","result_node":3,
         "nodes":{
@@ -845,6 +856,10 @@ object SparkEntry {
     "q_plan_filter_count" ->
       """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS value FROM orders
          WHERE o_totalprice BETWEEN 50000 AND 150000""",
+    "q_plan_filter_date" ->
+      """SELECT CAST(count(*) AS BIGINT) AS value FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 23:59:59'""",
     "q_plan_math" ->
       """SELECT CAST(count(*) AS DOUBLE) /
                 (SELECT count(*) FROM orders) AS value FROM lineitem""",
