@@ -352,10 +352,10 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, dir) => {
       // rolling modular hash — mirrored exactly by DuckDB list_reduce.
-      val code = aggregate(split(col("text"), ""), lit(0L),
-        (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % 1000000007L)
+      // Single codegen'd expression; the composed aggregate(split(...))
+      // form allocates a per-character array per row.
       tbl(s, dir, "documents")
-        .select(col("doc_id"), code.as("fp"))
+        .select(col("doc_id"), gf.polyFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 

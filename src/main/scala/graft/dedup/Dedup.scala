@@ -63,23 +63,38 @@ object Dedup {
     val sig = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
       .select(col("_id"),
         gf.minhashSignature(gf.wordShingles(col("_t"), shingleSize), numHashes).as("_sig"))
+    // Join DISTINCT SIGNATURES, not documents (same rationale as
+    // simhashPairs): exact-duplicate classes collapse before the quadratic
+    // stage; identical signatures short-circuit as est_jaccard = 1 pairs.
+    val groups = sig.groupBy(col("_sig")).agg(collect_list(col("_id")).as("_ids"))
+    val intra = groups.where(size(col("_ids")) > 1)
+      .select(col("_ids"), explode(col("_ids")).as("idA"))
+      .select(col("idA"), explode(col("_ids")).as("idB"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), lit(1.0).as("est_jaccard"))
+      .where(lit(1.0) >= threshold)
     // repartition on the band key: (a) a shuffle barrier so CollapseProject
     // can't inline the signature into both self-join branches — the scan +
     // sketch runs once and both sides read the same reused exchange;
     // (b) the join arrives pre-partitioned, so no further shuffle.
-    val banded = sig
-      .select(col("_id"), col("_sig"),
+    val banded = groups
+      .select(col("_sig"), col("_ids"),
         explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
       .repartition(col("_band"))
-    val a = banded.select(col("_band"), col("_id").as("idA"), col("_sig").as("sigA"))
-    val b = banded.select(col("_band"), col("_id").as("idB"), col("_sig").as("sigB"))
+    val a = banded.select(col("_band"), col("_sig").as("sigA"), col("_ids").as("idsA"))
+    val b = banded.select(col("_band"), col("_sig").as("sigB"), col("_ids").as("idsB"))
     val est = size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), m => m))
       .cast("double") / numHashes
-    a.join(b, Seq("_band"))
-      .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), est.as("est_jaccard"))
+    val inter = a.join(b, Seq("_band"))
+      .where(col("sigA") < col("sigB")) // arrays compare lexicographically
+      .select(col("sigA"), col("sigB"), col("idsA"), col("idsB"), est.as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .distinct()
+      .dropDuplicates("sigA", "sigB") // band multiplicity, pre-expansion
+      .select(col("est_jaccard"), explode(col("idsA")).as("a"), col("idsB"))
+      .select(col("est_jaccard"), col("a"), explode(col("idsB")).as("b"))
+      .select(least(col("a"), col("b")).as("idA"),
+        greatest(col("a"), col("b")).as("idB"), col("est_jaccard"))
+    intra.unionAll(inter)
   }
 
   /** MinHash-LSH dedup: drop near-duplicates, keeping the smallest id of each

@@ -107,6 +107,12 @@ object gf {
       lit(0L),
       (acc, ch) => acc * lit(1000003L) + ascii(ch).cast("long"))
 
+  /** Modular rolling fingerprint as ONE codegen'd expression — semantically
+    * identical to `aggregate(split(c,""), ...)` with (acc*mult+cp) % mod,
+    * minus the per-character array materialization (see PolyFingerprintExpr). */
+  def polyFingerprint(c: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    fromExpr(PolyFingerprintExpr(toExpr(c), mult, mod))
+
   // ------------------------------------------------------------- vectors
 
   /** Dot product of two numeric array columns (double math, left fold —

@@ -195,6 +195,57 @@ object SimHashPolyExpr {
   }
 }
 
+/**
+ * Rolling polynomial fingerprint of a string: fold (acc * mult + codeUnit)
+ * mod `mod` over UTF-16 code units — semantically identical to the
+ * composed `aggregate(split(c, ""), ...)` form but a single tight loop
+ * instead of a per-character array materialization + lambda fold (the
+ * composed form allocates one single-char string per character).
+ * Iterates CODE POINTS: Java's split("") does not split surrogate pairs,
+ * so the composed form folds over code points, as does the DuckDB oracle's
+ * str_split + ascii().
+ */
+case class PolyFingerprintExpr(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_fingerprint needs string, got $other")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyFingerprintExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PolyFingerprintExpr.compute($c, ${mult}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "poly_fingerprint"
+}
+
+object PolyFingerprintExpr {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, mult: Long, mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 /** LSH band keys from a minhash signature: bands hashes of `rows`
   * consecutive slots. Tiny input (k longs) but same single-eval rationale. */
 case class LshBandKeysExpr(child: Expression, bands: Int, rows: Int)
