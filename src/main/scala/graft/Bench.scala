@@ -30,10 +30,14 @@ object Bench {
         .groupBy(col("rn")).agg(count(lit(1)))
         .queryExecution.toRdd.count()
     } catch { case _: Throwable => }
+    val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
+        // failed queries are recorded in the JSON line too — a fast failure
+        // must not be mistaken for a fast success in bench comparisons
+        failures += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -41,7 +45,32 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val prev = prevJson(results.keySet)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"prev":$prev,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Per-query times from the latest BENCH_r*.json in the working directory,
+    * so each round's JSON carries its own like-for-like comparison basis. */
+  private def prevJson(names: Set[String]): String = try {
+    val dir = new java.io.File(".")
+    val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    benches.lastOption match {
+      case None => "{}"
+      case Some(f) =>
+        val src = scala.io.Source.fromFile(f)
+        val text = try src.mkString finally src.close()
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(text) \ "queries" match {
+          case JObject(fields) =>
+            fields.collect {
+              case (k, JDouble(v)) if names(k) => s"\"" + k + "\":" + v
+              case (k, JInt(v)) if names(k)    => s"\"" + k + "\":" + v
+            }.mkString("{", ",", "}")
+          case _ => "{}"
+        }
+    }
+  } catch { case _: Throwable => "{}" }
 }

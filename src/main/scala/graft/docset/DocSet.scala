@@ -346,18 +346,34 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
 
   /** Drop near-duplicates via LSH banding over shingle sketches — the
     * scalable replacement for the reference's O(n^2) single-actor
-    * SketchUniquify (transforms/sketcher.py:64). Keeps the smallest doc_id
-    * of each candidate group. */
-  def sketchDedup(bands: Int = 4): DocSet = {
+    * SketchUniquify (transforms/sketcher.py:64). A doc is dropped only when
+    * a VERIFIED near-duplicate with a smaller doc_id exists: band-key
+    * collision proposes the candidate pair, sketch distance (1 - matching
+    * slot fraction, reference functions/simhash.py shinglesDist) confirms
+    * it. Dropping on the band key alone would let a single hash collision
+    * between dissimilar docs silently delete a document — at corpus scale
+    * that is data loss, not dedup.
+    *
+    * @param threshold largest sketch distance considered a duplicate
+    *                  (reference SketchUniquify default 0.4).
+    */
+  def sketchDedup(bands: Int = 4, threshold: Double = 0.4): DocSet = {
     val sk = ds.toDF().where(col("shingles").isNotNull)
     val rows = 16 / bands
-    val banded = sk.select(col("docId"),
+    // repartition on the band: one shuffle, self-join arrives co-partitioned
+    val banded = sk.select(col("docId"), col("shingles"),
       org.apache.spark.sql.functions.explode(
         graft.functions.gf.lshBandKeys(col("shingles"), bands, rows)).as("band"))
-    val keep = banded.groupBy(col("band")).agg(min(col("docId")).as("keeper"))
-    val dropIds = banded.join(keep, "band")
-      .where(col("docId") =!= col("keeper"))
-      .select(col("docId")).distinct()
+      .repartition(col("band"))
+    val a = banded.select(col("band"), col("docId").as("idA"), col("shingles").as("sA"))
+    val b = banded.select(col("band"), col("docId").as("idB"), col("shingles").as("sB"))
+    val dist = lit(1.0) -
+      size(org.apache.spark.sql.functions.filter(
+        zip_with(col("sA"), col("sB"), (x, y) => x === y), m => m)).cast("double") /
+      size(col("sA"))
+    val dropIds = a.join(b, Seq("band"))
+      .where(col("idA") < col("idB") && dist <= threshold)
+      .select(col("idB").as("docId")).distinct()
     wrap(ds.toDF().join(dropIds, Seq("docId"), "left_anti").as[Document](docEnc))
   }
 

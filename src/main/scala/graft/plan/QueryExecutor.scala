@@ -192,7 +192,11 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
   private def rangePredicate(key: Column, start: Option[JValue], end: Option[JValue],
                              isDate: Boolean): Column = {
     def side(v: JValue): (Column, Column) = v match {
-      case JString(s) if isDate => (to_timestamp(key.cast("string")), to_timestamp(lit(s)))
+      // try_to_timestamp on the DATA side: ANSI mode makes to_timestamp throw
+      // on one malformed property value; a filter must treat it as
+      // non-matching (null), same contract as tryCast below. The literal
+      // bound stays strict — a malformed PLAN should fail loudly.
+      case JString(s) if isDate => (try_to_timestamp(key.cast("string")), to_timestamp(lit(s)))
       case JString(s) => (key.cast("string"), lit(s))
       case JInt(x)    => (tryCast(key, "double"), lit(x.toDouble))
       case JLong(x)   => (tryCast(key, "double"), lit(x.toDouble))
@@ -265,13 +269,18 @@ object Dsl {
   def predicate(j: JValue): Column = j match {
     case JObject(List(("query", inner))) => predicate(inner)
     case JObject(List(("bool", JObject(clauses)))) =>
-      clauses.collect {
+      // exhaustive over clause keys: an unknown clause (filter,
+      // minimum_should_match, ...) must throw, not be silently dropped —
+      // dropping a clause returns a SUPERSET of the intended rows
+      clauses.map {
         case ("must", JArray(xs)) => xs.map(predicate).reduce(_ && _)
         case ("must", single: JObject) => predicate(single)
         case ("must_not", JArray(xs)) => !xs.map(predicate).reduce(_ || _)
         case ("must_not", single: JObject) => !predicate(single)
         case ("should", JArray(xs)) => xs.map(predicate).reduce(_ || _)
         case ("should", single: JObject) => predicate(single)
+        case (other, _) =>
+          throw new IllegalArgumentException(s"unsupported bool clause: $other")
       } match {
         case Nil => throw new IllegalArgumentException("empty bool query")
         case ps => ps.reduce(_ && _)

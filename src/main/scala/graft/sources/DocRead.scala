@@ -96,10 +96,32 @@ object DocRead {
       nullOf("parentId"),
       nullOf("bbox"),
       // CreateMap (not map_from_arrays): GetMapValue(CreateMap(...)) folds
-      // back to the raw column, so property predicates reach the scan
-      map(cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("properties"))
+      // back to the raw column, so property predicates reach the scan.
+      // Column typing per kind:
+      //  - the promoted embedding array is EXCLUDED — it already rides in the
+      //    typed `embedding` column, and stringifying a 1536-dim float array
+      //    into the map would double row width through every shuffle;
+      //  - binary columns are EXCLUDED (opaque bytes have no string form);
+      //  - other array/struct/map columns go through to_json (still a pure
+      //    column expression) so multi-valued fields keep JSON fidelity
+      //    instead of Spark's bracketed rendering;
+      //  - scalars cast to string as before.
+      propertiesMap(df, cols).as("properties"))
       .as[Document](DocSet.docEnc)
     DocSet.wrap(ds)
+  }
+
+  private def propertiesMap(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val pairs = cols.flatMap { c =>
+      df.schema(c).dataType match {
+        case BinaryType => Nil
+        case _: ArrayType if c == "embedding" => Nil
+        case _: ArrayType | _: StructType | _: MapType => Seq(lit(c), to_json(col(c)))
+        case _ => Seq(lit(c), col(c).cast("string"))
+      }
+    }
+    if (pairs.isEmpty) typedLit(Map.empty[String, String]) else map(pairs: _*)
   }
 
   /** Read back a materialized DocSet (reference: reader.py:34

@@ -120,6 +120,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.docId).sorted == Seq("a1", "b1"))
   }
 
+  test("sketchDedup verifies candidates: band collision alone does not drop") {
+    // x1/x2 share band 0 (slots 0-3 identical) but differ in 12 of 16 slots:
+    // a band-key collision proposes them, the distance verify (0.75 > 0.4)
+    // must keep both. y2 is a true near-dup of x1 (15/16 slots, dist 0.0625).
+    def doc(id: String, slots: Array[Long]) =
+      Document.of(id).copy(shingles = Some(slots))
+    val shared = Array(1L, 2L, 3L, 4L)
+    val x1 = doc("x1", shared ++ (5L to 16L).toArray)
+    val x2 = doc("x2", shared ++ (105L to 116L).toArray)
+    val y2 = doc("y2", shared ++ (5L to 15L).toArray ++ Array(999L))
+    val out = DocSet.of(spark, Seq(x1, x2, y2)).sketchDedup().takeAll()
+    assert(out.map(_.docId).sorted == Seq("x1", "x2"))
+  }
+
   test("HtmlPartitioner extracts typed elements; explode round-trip") {
     val html = """<html><head><title>My Doc</title></head><body>
       <h1>Intro</h1><p>First para.</p><li>item one</li></body></html>"""
