@@ -63,14 +63,33 @@ object Bench {
         val src = scala.io.Source.fromFile(f)
         val text = try src.mkString finally src.close()
         import org.json4s._
-        org.json4s.jackson.JsonMethods.parse(text) \ "queries" match {
-          case JObject(fields) =>
-            fields.collect {
-              case (k, JDouble(v)) if names(k) => s"\"" + k + "\":" + v
-              case (k, JInt(v)) if names(k)    => s"\"" + k + "\":" + v
-            }.mkString("{", ",", "}")
-          case _ => "{}"
+        import org.json4s.jackson.JsonMethods.parse
+        val root = parse(text)
+        // two shapes: our own emitted line (queries at top level), or the
+        // driver's wrapper where the line is embedded in a "tail" log string
+        val queries = root \ "queries" match {
+          case o: JObject => o
+          case _ => root \ "tail" match {
+            case JString(t) =>
+              val i = t.lastIndexOf("{\"metric\"")
+              val line =
+                if (i < 0) ""
+                else t.indexOf('\n', i) match {
+                  case -1 => t.substring(i)
+                  case j  => t.substring(i, j)
+                }
+              if (line.isEmpty) JObject(Nil)
+              else parse(line) \ "queries" match {
+                case o: JObject => o
+                case _ => JObject(Nil)
+              }
+            case _ => JObject(Nil)
+          }
         }
+        queries.obj.collect {
+          case (k, JDouble(v)) if names(k) => s"\"" + k + "\":" + v
+          case (k, JInt(v)) if names(k)    => s"\"" + k + "\":" + v
+        }.mkString("{", ",", "}")
     }
   } catch { case _: Throwable => "{}" }
 }

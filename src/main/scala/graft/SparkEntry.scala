@@ -266,6 +266,29 @@ object SparkEntry {
         .orderBy(col("p_partkey"), col("word"))
     }),
 
+    "q_reconstruct" -> ((s, dir) => {
+      // chunk each doc into 50-codepoint elements, explode to chunk-docs,
+      // then reconstruct() must reassemble the original: element count and
+      // the index-ordered concatenation both oracle-checked against the
+      // untouched source text.
+      val docs = graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+      val chunked = docs.map { d =>
+        val cps = d.text.codePoints.toArray
+        val els = cps.grouped(50).zipWithIndex.map { case (a, i) =>
+          graft.model.Element.text(i, "chunk", new String(a, 0, a.length))
+        }.toSeq
+        d.copy(elements = els)
+      }
+      chunked.explode().reconstruct()
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          size(col("elements")).cast("long").as("n_elements"),
+          array_join(transform(col("elements"),
+            e => e.getField("textRepresentation")), "").as("text_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- window / analytic (§2.11 gap we fill natively)
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -378,8 +401,13 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
     "q_minhash_dedup" -> ((s, dir) => {
-      // rows-only: xxhash64-based signatures have no DuckDB equivalent.
-      Dedup.minhashLsh(tbl(s, dir, "documents"), "doc_id", "text")
+      // SQL-replicable polynomial minhash (MinHashPolyExpr) -> DuckDB
+      // recomputes the identical 16-slot signature, replays the band rule
+      // (bands share iff their 4 slots are equal) and the est-jaccard >= 0.5
+      // verify, and derives the same greedy drop set. Production keeps the
+      // xxhash64 signature; only the gate swaps in the poly variant.
+      Dedup.minhashLsh(tbl(s, dir, "documents"), "doc_id", "text",
+          signature = Some(t => gf.minhashPoly(gf.wordShingles(t, 5), 16)))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -539,6 +567,48 @@ object SparkEntry {
           "2": {"node_type":"SummarizeData","node_id":2,"inputs":[1],
                 "question":"how many orders are there"}}}"""
       scalarDf(s, runPlan(s, dir, plan), "answer")
+    }),
+
+    // ---- NL->plan end-to-end (reference: query/planner.py:97 LlmPlanner +
+    //      tests/unit/query/test_planner.py + execution/test_sycamore_executor.py):
+    //      question -> fake planner LLM (canned JSON wrapped in prose) ->
+    //      LlmPlanner.plan (prompt build, JSON extraction, parse, processors)
+    //      -> QueryExecutor -> DataFrame, hash-matched against the same
+    //      oracle as the direct twins.
+    "q_nlq_topk" -> ((s, dir) => {
+      val canned = """Here is the plan.
+        {"query": "top 3 sources among english documents", "result_node": 1,
+         "nodes": {
+           "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+                 "index":"documents","query":{"match":{"lang":"en"}}},
+           "1": {"node_type":"TopK","node_id":1,"inputs":[0],
+                 "field":"properties.source","K":3,"descending":true,
+                 "llm_cluster":false}}}"""
+      val planner = new graft.plan.LlmPlanner(
+        new graft.llm.CannedLlmClient(canned),
+        schema = Map("documents" -> Seq("doc_id", "text", "lang", "source")),
+        processors = Seq(graft.plan.DefaultPlanValidator,
+          graft.plan.LimitLlmOperations(100)))
+      val plan = planner.plan("top 3 sources among english documents")
+      val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
+        name => tbl(s, dir, name))
+      keyCountDf(exec.execute(plan))
+    }),
+    "q_nlq_summarize" -> ((s, dir) => {
+      // AlwaysSummarize must append the answer-synthesis node carrying the
+      // ORIGINAL question (not the canned plan's query field).
+      val canned = """{"query": "ignored", "result_node": 1,
+         "nodes": {
+           "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"orders"},
+           "1": {"node_type":"Count","node_id":1,"inputs":[0]}}}"""
+      val planner = new graft.plan.LlmPlanner(
+        new graft.llm.CannedLlmClient(canned),
+        schema = Map("orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice")),
+        processors = Seq(graft.plan.DefaultPlanValidator, graft.plan.AlwaysSummarize))
+      val plan = planner.plan("how many orders are there")
+      val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
+        name => tbl(s, dir, name))
+      scalarDf(s, exec.execute(plan), "answer")
     }),
 
     "q_clustering" -> ((s, dir) => {
@@ -701,6 +771,12 @@ object SparkEntry {
     "q_unroll" ->
       """SELECT p_partkey, t.word FROM part, unnest(str_split(p_type, ' ')) AS t(word)
          ORDER BY p_partkey, t.word""",
+    "q_reconstruct" ->
+      """SELECT doc_id,
+                CASE WHEN length(text) = 0 THEN 0
+                     ELSE CAST(ceil(length(text) / 50.0) AS BIGINT) END AS n_elements,
+                text AS text_r
+         FROM documents ORDER BY doc_id""",
     "q_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, price_c FROM (
            SELECT o_custkey, o_orderkey,
@@ -794,6 +870,30 @@ object SparkEntry {
          FROM shared JOIN n na ON idA = na.doc_id JOIN n nb ON idB = nb.doc_id
          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
          ORDER BY idA, idB""",
+    "q_minhash_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id, list_transform(
+                  range(0, greatest(len(toks) - 5, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+5)], ' ')) AS shingles
+                FROM t),
+         hs AS (SELECT doc_id, list_transform(shingles, s ->
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(str_split(s, ''), ch -> ascii(ch)::BIGINT)),
+                    (a, c) -> (a * 31 + c) % 2147483647)) AS hh
+                FROM sh),
+         sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+                   coalesce(list_min(list_transform(hh,
+                     h -> ((2*j + 1) * h + 12345*j) % 2147483647)), 2147483647)) AS sg
+                 FROM hs),
+         pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                   WHERE list_contains(list_transform(range(0, 4),
+                           bd -> a.sg[(bd*4+1):(bd*4+4)] = b.sg[(bd*4+1):(bd*4+4)]), true)
+                     AND len(list_filter(range(0, 16), j -> a.sg[j+1] = b.sg[j+1])) >= 8)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT idB FROM pairs)
+         ORDER BY doc_id""",
     "q_cosine_pairs" ->
       """SELECT a.vec_id AS idA, b.vec_id AS idB,
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -867,6 +967,15 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
          ORDER BY c_custkey""",
+    "q_nlq_topk" ->
+      """SELECT source AS key, count(*) AS count FROM documents
+         WHERE contains(lower(lang), 'en')
+         GROUP BY source ORDER BY count DESC, key LIMIT 3""",
+    "q_nlq_summarize" ->
+      """SELECT substr('Answer the question using the data below.' || chr(10) ||
+                       'Question: how many orders are there' || chr(10) ||
+                       'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
+         FROM orders""",
     "q_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),

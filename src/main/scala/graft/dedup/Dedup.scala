@@ -58,11 +58,13 @@ object Dedup {
    */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       shingleSize: Int = 5, numHashes: Int = 16,
-                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                      bands: Int = 4, threshold: Double = 0.5,
+                      signature: Option[Column => Column] = None): DataFrame = {
     val rows = numHashes / bands
+    val sigFn = signature.getOrElse((t: Column) =>
+      gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
     val sig = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
-      .select(col("_id"),
-        gf.minhashSignature(gf.wordShingles(col("_t"), shingleSize), numHashes).as("_sig"))
+      .select(col("_id"), sigFn(col("_t")).as("_sig"))
     // Join DISTINCT SIGNATURES, not documents (same rationale as
     // simhashPairs): exact-duplicate classes collapse before the quadratic
     // stage; identical signatures short-circuit as est_jaccard = 1 pairs.
@@ -97,14 +99,54 @@ object Dedup {
     intra.unionAll(inter)
   }
 
-  /** MinHash-LSH dedup: drop near-duplicates, keeping the smallest id of each
-    * candidate group (greedy: any doc matched by a smaller-id doc is dropped). */
+  /**
+   * MinHash-LSH dedup: drop near-duplicates, keeping the smallest id of each
+   * candidate group (greedy: any doc matched by a smaller-id doc is dropped).
+   *
+   * Cheaper than `minhashLshPairs -> distinct(idB)`: the drop set never
+   * needs the doc-pair expansion. With per-signature groups, the greedy rule
+   * decomposes exactly into (a) intra-group: every non-min id of a
+   * signature class is dropped by its min (est = 1); (b) cross-group: for a
+   * qualifying signature pair only the LARGER of the two group-min ids can
+   * newly drop — every other member is already dropped by (a). So the band
+   * self-join carries one id per distinct signature instead of the full id
+   * lists, and the dropDuplicates + double-explode tail of the pairs path
+   * (the round-2 bench regression) disappears while producing the
+   * identical kept set.
+   */
   def minhashLsh(df: DataFrame, id: String, text: String,
                  shingleSize: Int = 5, numHashes: Int = 16,
-                 bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val dupIds = minhashLshPairs(df, id, text, shingleSize, numHashes, bands, threshold)
-      .select(col("idB").as(id)).distinct()
-    df.join(dupIds, Seq(id), "left_anti")
+                 bands: Int = 4, threshold: Double = 0.5,
+                 signature: Option[Column => Column] = None): DataFrame = {
+    val rows = numHashes / bands
+    val sigFn = signature.getOrElse((t: Column) =>
+      gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
+    val sig = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
+      .select(col("_id"), sigFn(col("_t")).as("_sig"))
+    val groups = sig.groupBy(col("_sig"))
+      .agg(min(col("_id")).as("_min"), collect_list(col("_id")).as("_ids"))
+    val intraDrops = groups.where(size(col("_ids")) > 1)
+      .select(col("_min"), explode(col("_ids")).as(id))
+      .where(col(id) =!= col("_min"))
+      .select(col(id))
+    // band join over DISTINCT signatures carrying only the group-min id;
+    // repartition = shuffle barrier (signature computed once) + the
+    // self-join arrives co-partitioned on the band
+    val banded = groups
+      .select(col("_sig"), col("_min"),
+        explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
+      .repartition(col("_band"))
+    val a = banded.select(col("_band"), col("_sig").as("sigA"), col("_min").as("minA"))
+    val b = banded.select(col("_band"), col("_sig").as("sigB"), col("_min").as("minB"))
+    val est = size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), m => m))
+      .cast("double") / numHashes
+    val crossDrops = a.join(b, Seq("_band"))
+      .where(col("sigA") < col("sigB"))
+      .where(est >= threshold)
+      .select(greatest(col("minA"), col("minB")).as(id))
+    // no distinct() on the drop set: left_anti tolerates duplicate keys, and
+    // the dedup exchange would cost more than the duplicates it removes
+    df.join(intraDrops.unionAll(crossDrops), Seq(id), "left_anti")
   }
 
   /**

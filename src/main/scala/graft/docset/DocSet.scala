@@ -77,8 +77,10 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   // (reference: §2.4 — explode, unroll, split_elements, merge, markdown)
 
   /** Promote each element to a top-level Document; parent retained (with
-    * elements cleared), children get parent_id + inherit "_"-prefixed props
-    * (reference: transforms/explode.py:10,42-55). */
+    * elements cleared), children get parent_id + inherit "_"-prefixed props,
+    * and record their ordinal as properties["_element_index"] (the
+    * reference's element-order key, data/element.py:27) so reconstruct()
+    * can restore element order (reference: transforms/explode.py:10,42-55). */
   def explode(): DocSet = flatMap { d =>
     val inherited = d.properties.filter { case (k, _) => k.startsWith("_") }
     val children = d.elements.map { e =>
@@ -93,9 +95,49 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
         shingles = None,
         parentId = Some(d.docId),
         bbox = e.bbox,
-        properties = inherited ++ e.properties)
+        properties = inherited ++ e.properties +
+          ("_element_index" -> e.elementIndex.toString))
     }
     d.copy(elements = Nil) +: children
+  }
+
+  /**
+   * Reassemble exploded chunk-docs into their parent documents — the inverse
+   * of explode() (reference: connectors/opensearch read-back
+   * reconstruct_document, reader.py:226-375, the engine-portable piece of
+   * the connector surface). Docs carrying a parent_id become elements of
+   * the doc whose docId equals that parent_id, ordered by their recorded
+   * _element_index; docs without children pass through unchanged; orphan
+   * chunks (parent row absent, e.g. filtered out upstream) get a synthesized
+   * parent holding just those elements.
+   *
+   * Scale shape: one shuffle on the parent key; each group is ONE document's
+   * chunks, so per-group memory is bounded by document size, not corpus
+   * size. "_"-prefixed chunk properties that explode() copied down from the
+   * parent are stripped when they match the parent's value.
+   */
+  def reconstruct(): DocSet = {
+    val keyed = ds.groupByKey(d => d.parentId.getOrElse(d.docId))(Encoders.STRING)
+    wrap(keyed.mapGroups { (key, it) =>
+      val docs = it.toSeq
+      val (parents, children) = docs.partition(_.parentId.isEmpty)
+      val parent = parents.headOption.getOrElse(
+        Document.of(key, docType = "reconstructed"))
+      if (children.isEmpty) parent
+      else {
+        val els = children
+          .map { c =>
+            val idx = c.prop("_element_index").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+            val props = (c.properties - "_element_index").filterNot { case (k, v) =>
+              k.startsWith("_") && parent.properties.get(k).contains(v)
+            }
+            Element(c.docType.getOrElse("chunk"), c.textRepresentation,
+              c.binaryRepresentation, c.bbox, c.embedding, idx, Nil, props)
+          }
+          .sortBy(e => (e.elementIndex, e.text))
+        parent.copy(elements = els)
+      }
+    }(docEnc))
   }
 
   /** Split a multi-valued (comma-separated) property into one doc per value

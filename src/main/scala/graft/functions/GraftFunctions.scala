@@ -69,6 +69,11 @@ object gf {
   def minhashSignature(shingles: Column, k: Int): Column =
     fromExpr(MinHashSignatureExpr(toExpr(shingles), k))
 
+  /** Polynomial-hash MinHash signature — exactly replicable in the DuckDB
+    * oracle (see MinHashPolyExpr); production stays minhashSignature. */
+  def minhashPoly(shingles: Column, k: Int): Column =
+    fromExpr(MinHashPolyExpr(toExpr(shingles), k))
+
   /**
    * LSH band keys for a minhash signature: split the signature into `bands`
    * bands of `rowsPerBand` and hash each band. Docs sharing any band key are

@@ -196,6 +196,76 @@ object SimHashPolyExpr {
 }
 
 /**
+ * k-slot MinHash over a shingle array using POLYNOMIAL hashing instead of
+ * xxhash64 — same purpose as SimHashPolyExpr: cross-engine verifiability.
+ * Per shingle, base hash h = fold (acc*31 + codepoint) mod 2^31-1; slot j's
+ * hash is the universal-family mix ((2j+1)*h + 12345*j) mod 2^31-1 and the
+ * signature is the per-slot min. Every step is exact int64 math expressible
+ * in DuckDB (list_reduce + list_transform + list_min), so the oracle can
+ * recompute the identical signature. Weaker mixing than xxhash64 — the
+ * production path stays MinHashSignatureExpr; this variant exists for the
+ * oracle-verified gate.
+ *
+ * Empty shingle arrays yield the sentinel 2^31-1 per slot (unreachable by
+ * real hashes, which are < 2^31-1) — mirrored by coalesce in the oracle SQL.
+ */
+case class MinHashPolyExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_poly needs array<string>, got $other")
+    }
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashPolyExpr.compute(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashPolyExpr.compute($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_poly"
+}
+
+object MinHashPolyExpr {
+  final val Mod = SimHashPolyExpr.Mod // 2^31 - 1
+
+  def compute(arr: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Mod)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var h = 0L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 31L + cp) % Mod
+          j += Character.charCount(cp)
+        }
+        var slot = 0
+        while (slot < k) {
+          val v = ((2L * slot + 1L) * h + 12345L * slot) % Mod
+          if (v < mins(slot)) mins(slot) = v
+          slot += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/**
  * Rolling polynomial fingerprint of a string: fold (acc * mult + codeUnit)
  * mod `mod` over UTF-16 code units — semantically identical to the
  * composed `aggregate(split(c, ""), ...)` form but a single tight loop

@@ -32,6 +32,13 @@ final class FakeLlmClient(mode: String = "echo:64") extends LlmClient {
   }
 }
 
+/** Fake planner LLM: returns the configured response verbatim regardless of
+  * prompt — the offline stand-in for the temperature-0 planning call
+  * (reference: tests/unit/query/test_planner.py fakes the plan the same way). */
+final class CannedLlmClient(response: String) extends LlmClient {
+  override def generate(prompt: String): String = response
+}
+
 /**
  * Deterministic fake for the llm_cluster_entity flow (reference:
  * docset.py:1590): the group-propose call returns the configured group

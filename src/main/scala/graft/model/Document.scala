@@ -43,7 +43,29 @@ final case class TableCell(
     rows: Array[Int],
     cols: Array[Int],
     isHeader: Boolean,
-    bbox: Option[Bbox])
+    bbox: Option[Bbox]) {
+  // Row/col spans must be contiguous once sorted (reference:
+  // data/table.py:44-54 __post_init__) — a cell spanning rows {0,2} has no
+  // grid meaning, and letting it through silently corrupts the
+  // extract_table_properties / markdown grid assembly downstream.
+  TableCell.requireContiguous(rows, "rows", content)
+  TableCell.requireContiguous(cols, "cols", content)
+}
+
+object TableCell {
+  private[model] def requireContiguous(span: Array[Int], what: String,
+                                       content: String): Unit = {
+    val s = span.sorted
+    var i = 1
+    while (i < s.length) {
+      if (s(i - 1) + 1 != s(i))
+        throw new IllegalArgumentException(
+          s"Found non-contiguous $what ${span.mkString("[", ",", "]")} " +
+            s"in TableCell($content)")
+      i += 1
+    }
+  }
+}
 
 /**
  * A chunk of a document: paragraph, title, table, image, ...

@@ -40,6 +40,15 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
                           summarizeMaxDocs: Int = 100,
                           embedder: graft.embed.Embedder = new graft.embed.HashEmbedder()) {
 
+  // Cache telemetry (reference logs per-node cache events,
+  // sycamore_executor.py): cumulative across execute() calls on this
+  // executor — a hit means a node's subtree result was read back from
+  // cacheDir instead of recomputed.
+  private val hits = new java.util.concurrent.atomic.AtomicLong
+  private val misses = new java.util.concurrent.atomic.AtomicLong
+  def cacheHits: Long = hits.get
+  def cacheMisses: Long = misses.get
+
   def execute(plan: QPlan): QValue = {
     plan.validate()
     val memo = scala.collection.mutable.Map[Int, (QValue, Boolean)]()
@@ -60,7 +69,8 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
             // Hadoop FS, not java.io: cacheDir may be hdfs://, s3a://, ...
             val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
             val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(marker)) ds.writeParquet(path)
+            if (fs.exists(marker)) hits.incrementAndGet()
+            else { misses.incrementAndGet(); ds.writeParquet(path) }
             QDocs(DocRead.materialized(spark, path))
           case _ => value
         }

@@ -41,6 +41,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(survivors.contains(3L) && survivors.contains(4L))
   }
 
+  test("minhashLsh drop set matches the pairs-derived drop set (poly + xx sigs)") {
+    // the optimized dedup path (group-min band join, no pair expansion) must
+    // keep exactly the ids that minhashLshPairs -> distinct(idB) keeps
+    val rnd = new scala.util.Random(3)
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = (0 until 60).map { i =>
+      val toks = words.map(t => if (rnd.nextDouble() < 0.2) t + rnd.nextInt(3) else t)
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (sig <- Seq(None,
+        Some((t: org.apache.spark.sql.Column) =>
+          graft.functions.gf.minhashPoly(graft.functions.gf.wordShingles(t, 3), 16)))) {
+      val viaPairs = {
+        val dropped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+            shingleSize = 3, threshold = 0.5, signature = sig)
+          .select(col("idB").as("doc_id")).distinct()
+        docs.join(dropped, Seq("doc_id"), "left_anti")
+          .select("doc_id").as[Long].collect().toSet
+      }
+      val direct = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5, signature = sig)
+        .select("doc_id").as[Long].collect().toSet
+      assert(direct == viaPairs)
+    }
+  }
+
   test("simhash pairs bucket and verify hamming") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 10)
       .select("idA", "idB").as[(Long, Long)].collect().toSet

@@ -134,6 +134,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.docId).sorted == Seq("x1", "x2"))
   }
 
+  test("reconstruct is the inverse of explode") {
+    val els = Seq(
+      Element.text(0, "Title", "Heading", properties = Map("k" -> "v")),
+      Element.text(1, "NarrativeText", "Body text here"),
+      Element.text(2, "NarrativeText", "More text"))
+    val d = Document.of("r1", text = "full text", docType = "pdf",
+      properties = Map("_lineage" -> "x", "source" -> "s"), elements = els)
+    val lone = Document.of("r2", text = "doc with no elements")
+    val out = DocSet.of(spark, Seq(d, lone)).explode().reconstruct().takeAll()
+      .sortBy(_.docId)
+    assert(out == Seq(d, lone).sortBy(_.docId))
+  }
+
+  test("reconstruct synthesizes a parent for orphan chunks") {
+    val d = Document.of("o1", text = "t", elements = Seq(
+      Element.text(0, "chunk", "a"), Element.text(1, "chunk", "b")))
+    val orphans = DocSet.of(spark, Seq(d)).explode().filter(_.parentId.isDefined)
+    val out = orphans.reconstruct().takeAll()
+    assert(out.size == 1 && out.head.docId == "o1")
+    assert(out.head.docType.contains("reconstructed"))
+    assert(out.head.elements.map(_.text) == Seq("a", "b"))
+  }
+
   test("HtmlPartitioner extracts typed elements; explode round-trip") {
     val html = """<html><head><title>My Doc</title></head><body>
       <h1>Intro</h1><p>First para.</p><li>item one</li></body></html>"""

@@ -252,9 +252,12 @@ class PlanSpec extends AnyFunSuite {
       val rows1 = first.count()
       val cachedDirs = new java.io.File(dir).listFiles().map(_.getName).toSet
       assert(cachedDirs.contains(p.cacheKey(0)) && cachedDirs.contains(p.cacheKey(1)))
+      assert(ex.cacheMisses == 2 && ex.cacheHits == 0)
       // second executor run must read back identical results from cache
-      val QDocs(second) = executor(cacheDir = Some(dir)).execute(p): @unchecked
+      val ex2 = executor(cacheDir = Some(dir))
+      val QDocs(second) = ex2.execute(p): @unchecked
       assert(second.count() == rows1)
+      assert(ex2.cacheHits == 2 && ex2.cacheMisses == 0)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -190,4 +190,18 @@ class StructureSpec extends AnyFunSuite {
     assert(byType.contains(("List-item", "item a")) && byType.contains(("List-item", "item b")))
     assert(!byType.exists(_._2.contains("not content")))
   }
+
+  test("TableCell rejects non-contiguous spans (reference data/table.py:44)") {
+    // contiguous spans construct fine, in any order
+    TableCell("ok", Array(0, 1), Array(2, 3, 4), isHeader = false, None)
+    TableCell("unsorted ok", Array(2, 1, 0), Array(0), isHeader = false, None)
+    TableCell("single", Array(5), Array(7), isHeader = true, None)
+    // a gap in either span is a construction error
+    assertThrows[IllegalArgumentException](
+      TableCell("bad rows", Array(0, 2), Array(0), isHeader = false, None))
+    assertThrows[IllegalArgumentException](
+      TableCell("bad cols", Array(1), Array(3, 5), isHeader = false, None))
+    assertThrows[IllegalArgumentException](
+      TableCell("dup row", Array(1, 1), Array(0), isHeader = false, None))
+  }
 }
