@@ -31,7 +31,10 @@ object Bench {
         .queryExecution.toRdd.count()
     } catch { case _: Throwable => }
     val failures = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name order, not Map hash order: adding a query must not reshuffle the
+    // execution order of the others (JIT/GC state varies by position, which
+    // otherwise shows up as cross-round noise on unchanged queries)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
@@ -44,9 +47,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val prev = prevJson(results.keySet)
+    val prev = prevJson(results.map(_._1).toSet)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"prev":$prev,"sf":"$sfDir"}""")
     spark.stop()
   }

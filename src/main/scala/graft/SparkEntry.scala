@@ -382,6 +382,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pii_scrub" -> ((s, dir) => {
+      // deterministic PII is appended to each doc so the redaction regexes
+      // (gf.PiiPatterns: email, ssn, phone, ipv4 — Java regex and RE2
+      // agree on all four) are genuinely exercised and oracle-checked.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          gf.scrubPii(concat(
+            substring(col("text"), 1, 40),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.org or 10.20.30.40; ssn 123-45-6789; tel +1 555-123-4567.")))
+            .as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: duplicate-line fraction (lines
+      // synthesized from sentence breaks so the signal is non-trivial) and
+      // top-bigram fraction via explode + two-level aggregation — the
+      // relational shape scales where a per-row O(n^2) bigram fold would not.
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), regexp_replace(col("text"), "\\. ", "\n").as("t"))
+      val stats = docs
+        .select(col("doc_id"), explode(gf.wordShingles(col("t"), 2)).as("bg"))
+        // count by bigram HASH: the shuffle carries (long, long) instead of
+        // (long, string) and the hash aggregate compares 8 bytes, not text.
+        // Collisions would need two distinct bigrams of one doc sharing an
+        // xxhash64 — immaterial at any corpus size vs. the shuffle saved.
+        .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_n"), sum(col("n")).as("total"))
+      docs.join(stats, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(gf.dupLineFraction(col("t")), 6).as("dup_line_frac"),
+          round(col("top_n").cast("double") / col("total").cast("double"), 6)
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup family (training-data ops; scalable redesign of
     //      reference's SketchUniquify, transforms/sketcher.py:64)
     "q_dedup_exact" -> ((s, dir) => {
@@ -847,6 +885,36 @@ object SparkEntry {
                 CAST(list_reduce(list_prepend(0::BIGINT, list_transform(str_split(text, ''), x -> ascii(x)::BIGINT)),
                      (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  substr(text, 1, 40) || ' reach user' || doc_id ||
+                    '@mail.example.org or 10.20.30.40; ssn 123-45-6789; tel +1 555-123-4567.',
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                  '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+                  '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PII]', 'g'),
+                  '\b(\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '\. ', chr(10), 'g') AS t
+                    FROM documents),
+         tt AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+') AS toks FROM d),
+         bg AS (SELECT doc_id, unnest(list_transform(
+                  range(0, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+2)], ' '))) AS bg
+                FROM tt),
+         c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+         s AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS tbf
+               FROM c GROUP BY 1),
+         l AS (SELECT doc_id, list_filter(str_split(t, chr(10)),
+                 x -> length(trim(x)) > 0) AS ls FROM d)
+         SELECT l.doc_id AS doc_id,
+                round(CASE WHEN len(ls) = 0 THEN 0.0
+                      ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                      END, 6) AS dup_line_frac,
+                round(s.tbf, 6) AS top_bigram_frac
+         FROM l JOIN s ON l.doc_id = s.doc_id
+         ORDER BY l.doc_id""",
     "q_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",

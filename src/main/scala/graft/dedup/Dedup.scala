@@ -200,12 +200,26 @@ object Dedup {
       .repartition(col("_chunk"))
     val a = chunked.select(col("_chunk"), col("_sh").as("shA"), col("_ids").as("idsA"))
     val b = chunked.select(col("_chunk"), col("_sh").as("shB"), col("_ids").as("idsB"))
+    // Chunk-multiplicity dedup WITHOUT a shuffle: a pair sharing m chunks
+    // appears m times in the join; keep only the row whose chunk is the
+    // FIRST index where the sketches agree. The check is pure bit math on
+    // (shA, shB) — the dropDuplicates exchange it replaces was the most
+    // expensive stage of this pipeline at sf0.1.
+    def chunkVal(c: Column, qq: Int): Column = {
+      val mask = if (widths(qq) >= 64) -1L else (1L << widths(qq)) - 1L
+      shiftrightunsigned(c, offsets(qq)).bitwiseAND(lit(mask))
+    }
+    val qIdx = col("_chunk").getField("q")
+    val firstMatchingChunk = (0 until chunks).map { qq =>
+      when(lit(qq) >= qIdx, lit(true))
+        .otherwise(chunkVal(col("shA"), qq) =!= chunkVal(col("shB"), qq))
+    }.reduce(_ && _)
     val sketchPairs = a.join(b, Seq("_chunk"))
       .where(col("shA") < col("shB"))
+      .where(firstMatchingChunk)
       .select(col("shA"), col("shB"), col("idsA"), col("idsB"),
         gf.hamming64(col("shA"), col("shB")).as("hamming"))
       .where(col("hamming") > 0 && col("hamming") <= maxHamming)
-      .dropDuplicates("shA", "shB") // chunk multiplicity, pre-expansion
     val inter = sketchPairs
       .select(col("hamming"), explode(col("idsA")).as("a"), col("idsB"))
       .select(col("hamming"), col("a"), explode(col("idsB")).as("b"))

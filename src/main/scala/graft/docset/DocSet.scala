@@ -331,6 +331,19 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def reduce(fn: Seq[Document] => Document, keyFn: Document => String): DocSet =
     groupby(keyFn).reduce(fn)
 
+  /** Redact PII (emails / SSNs / phone numbers / IPv4s) from document and
+    * element text — training-corpus cleaning with the same patterns as
+    * gf.scrubPii, so the DocSet verb and the columnar path agree. */
+  def scrubPii(replacement: String = "[PII]"): DocSet = map { d =>
+    def clean(t: String): String = graft.functions.gf.PiiPatterns.foldLeft(t) {
+      case (acc, (_, p)) =>
+        acc.replaceAll(p, java.util.regex.Matcher.quoteReplacement(replacement))
+    }
+    val d2 = d.textRepresentation.map(t => d.withText(clean(t))).getOrElse(d)
+    d2.copy(elements = d2.elements.map(e =>
+      e.textRepresentation.map(t => e.withText(clean(t))).getOrElse(e)))
+  }
+
   /** Per-doc token->count table into properties.term_frequency
     * (reference: transforms/term_frequency.py:8). */
   def termFrequency(): DocSet = map { d =>

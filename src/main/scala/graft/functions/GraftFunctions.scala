@@ -183,6 +183,35 @@ object gf {
     round((lenScore * 0.3 + alpha * 0.3 + stopwords * 0.3 + (lit(1.0) - punctPenalty) * 0.1), 6)
   }
 
+  // ------------------------------------------------------ PII scrubbing
+
+  /**
+   * PII redaction patterns for training-corpus cleaning. Chosen for
+   * IDENTICAL semantics in Java regex and RE2 (no backrefs, no lookaround,
+   * ASCII word boundaries), so the DuckDB oracle replays them exactly.
+   * Applied in fixed order: email, ssn, phone, ipv4 — the later patterns
+   * can never match inside an earlier replacement (no digits in "[PII]").
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\+?\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4"  -> "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b")
+
+  /** Redact emails / SSNs / phone numbers / IPv4s (codegen'd regex chain). */
+  def scrubPii(c: Column, replacement: String = "[PII]"): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, p)) => regexp_replace(acc, p, replacement) }
+
+  // ------------------------------------------- repetition (Gopher rules)
+
+  /** Fraction of non-blank lines that repeat an earlier line — the
+    * duplicate-line signal from the Gopher/MassiveText quality rules. */
+  def dupLineFraction(c: Column): Column = {
+    val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
   // ------------------------------------------------------- language id
 
   private val StopwordsByLang: Map[String, Seq[String]] = Map(

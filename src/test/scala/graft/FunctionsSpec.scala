@@ -71,6 +71,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("scrubPii redacts email/ssn/phone/ipv4, leaves clean text alone") {
+    val dirty = "mail a.b+c@ex.co, ssn 123-45-6789, tel 555-123-4567, ip 192.168.0.1 done"
+    assert(one[String](gf.scrubPii($"t"), dirty) ==
+      "mail [PII], ssn [PII], tel [PII], ip [PII] done")
+    val clean = "nothing sensitive here, just v1.2 and 42 dollars"
+    assert(one[String](gf.scrubPii($"t"), clean) == clean)
+    // DocSet verb cleans doc AND element text with identical patterns
+    val d = graft.model.Document.of("p1", text = dirty, elements = Seq(
+      graft.model.Element.text(0, "chunk", "call 555-123-4567 now")))
+    val out = graft.docset.DocSet.of(spark, Seq(d)).scrubPii().takeAll().head
+    assert(out.text == "mail [PII], ssn [PII], tel [PII], ip [PII] done")
+    assert(out.elements.head.text == "call [PII] now")
+  }
+
+  test("dupLineFraction counts repeated non-blank lines") {
+    assert(one[Double](gf.dupLineFraction($"t"), "a\nb\na\n\n a \na") == 0.4)
+    assert(one[Double](gf.dupLineFraction($"t"), "x\ny\nz") == 0.0)
+    assert(one[Double](gf.dupLineFraction($"t"), "") == 0.0)
+  }
+
   test("lshBandKeys: equal signatures share all bands") {
     val df = Seq("p q r s t u v w", "p q r s t u v w").toDF("t")
       .select(gf.lshBandKeys(gf.minhashSignature(gf.wordShingles($"t", 3), 16), 4, 4).as("b"))
