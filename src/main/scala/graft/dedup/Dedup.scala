@@ -123,15 +123,16 @@ object Dedup {
       gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
     val sig = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
       .select(col("_id"), sigFn(col("_t")).as("_sig"))
-    val groups = sig.groupBy(col("_sig"))
-      .agg(min(col("_id")).as("_min"), collect_list(col("_id")).as("_ids"))
-    val intraDrops = groups.where(size(col("_ids")) > 1)
-      .select(col("_min"), explode(col("_ids")).as(id))
-      .where(col(id) =!= col("_min"))
-      .select(col(id))
-    // band join over DISTINCT signatures carrying only the group-min id;
-    // repartition = shuffle barrier (signature computed once) + the
-    // self-join arrives co-partitioned on the band
+    // KEEP-set formulation: survivors are exactly {group min ids} minus
+    // {greater min of each qualifying cross pair} — every non-min member of
+    // a signature class is dropped by its own min (est = 1), so only group
+    // mins can survive, and a min survives iff no qualifying pair gives it a
+    // smaller counterpart. This needs ONE aggregate flavor (min) — an
+    // earlier drop-set version also collected the full id lists, and that
+    // second aggregate flavor stopped AQE from reusing the scan→sketch→
+    // shuffle stage across branches: signatures were computed three times.
+    val groups = sig.groupBy(col("_sig")).agg(min(col("_id")).as("_min"))
+    // repartition = shuffle barrier + the self-join arrives co-partitioned
     val banded = groups
       .select(col("_sig"), col("_min"),
         explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
@@ -144,9 +145,11 @@ object Dedup {
       .where(col("sigA") < col("sigB"))
       .where(est >= threshold)
       .select(greatest(col("minA"), col("minB")).as(id))
-    // no distinct() on the drop set: left_anti tolerates duplicate keys, and
+    // no distinct() on crossDrops: left_anti tolerates duplicate keys, and
     // the dedup exchange would cost more than the duplicates it removes
-    df.join(intraDrops.unionAll(crossDrops), Seq(id), "left_anti")
+    val keepIds = groups.select(col("_min").as(id))
+      .join(crossDrops, Seq(id), "left_anti")
+    df.join(keepIds, Seq(id), "left_semi")
   }
 
   /**
