@@ -76,7 +76,9 @@ object Bench {
   private def prevJson(names: Set[String]): String = try {
     val dir = new java.io.File(".")
     val benches = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      // numeric round order — lexical would put r10 before r9
+      .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
     benches.lastOption match {
       case None => "{}"
       case Some(f) =>

@@ -683,14 +683,18 @@ object SparkEntry {
         .orderBy(desc("cosine"), col("vec_id"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
-      // rows-only: IVF probe set depends on our centroid derivation.
-      // nlist=256 via NearestCentroidExpr: one plan node, no literal codebook
-      // in the expression tree (round-1 scale-killer fixed).
+      // Oracle-verified IVF: the codebook is PINNED to the first 16 vectors
+      // (production uses Ann.sampleCentroids / kmeans — the gate pins it so
+      // DuckDB can replay assignment, probe ranking, and in-list top-k).
+      // NearestCentroidExpr keeps one plan node at any nlist; its strict-<
+      // argmin tie-breaks to the lowest cid, same as the oracle's struct min.
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val centroids = Ann.sampleCentroids(emb, "vec_id", "embedding", 256)
-      Ann.ivfTopK(emb, "vec_id", "embedding", centroids, q, 10, nprobe = 32)
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Ann.ivfTopK(emb, "vec_id", "embedding", centroids, q, 10, nprobe = 4)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     })
   )
@@ -1080,6 +1084,23 @@ object SparkEntry {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          top AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS c
                  FROM embeddings, q ORDER BY c DESC, vec_id LIMIT 10)
-         SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id"""
+         SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""",
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 16),
+         probe AS (SELECT cid FROM c, q
+                   ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+         a AS (SELECT e.vec_id,
+                      min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.cv),
+                                      cid := c.cid)) AS best
+               FROM embeddings e CROSS JOIN c GROUP BY e.vec_id),
+         top AS (SELECT e.vec_id,
+                        list_cosine_similarity(e.embedding::DOUBLE[], qv) AS cos
+                 FROM embeddings e JOIN a ON e.vec_id = a.vec_id, q
+                 WHERE a.best.cid IN (SELECT cid FROM probe)
+                 ORDER BY cos DESC, e.vec_id LIMIT 10)
+         SELECT vec_id, round(cos, 6) AS cosine FROM top
+         ORDER BY cosine DESC, vec_id"""
   )
 }

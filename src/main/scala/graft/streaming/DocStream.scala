@@ -52,6 +52,29 @@ object DocStream {
       .groupBy(window(col("__ts"), windowDuration).as("window"), col("key"))
       .agg(count(lit(1)).as("count"))
 
+  /**
+   * Streaming exact dedup: drop documents whose content hash was already
+   * seen, with state bounded by the event-time watermark (the streaming
+   * analogue of Dedup.exactRows — without a watermark, dedup state grows
+   * with the corpus forever; with one, a duplicate arriving later than
+   * `watermarkDelay` after the original is passed through, the standard
+   * completeness/state trade).
+   *
+   * Keyed on a 192-bit content hash (xxhash64 + md5), matching the batch
+   * path's birthday-collision reasoning at billions-of-docs scale.
+   */
+  def dedupExactStream(docs: DocSet, timeProperty: String,
+                       watermarkDelay: String): Dataset[Document] = {
+    import DocSet.docEnc
+    val withKeys = docs.toDF
+      .withColumn("__ts", DocSet.fieldCol(timeProperty).cast("timestamp"))
+      .withColumn("__h1", xxhash64(col("textRepresentation")))
+      .withColumn("__h2", md5(col("textRepresentation")))
+      .withWatermark("__ts", watermarkDelay)
+      .dropDuplicates("__h1", "__h2")
+    withKeys.drop("__ts", "__h1", "__h2").as[Document]
+  }
+
   /** Append-mode parquet writer for a streaming DocSet. */
   def writeParquetStream(docs: DocSet, path: String,
                          checkpoint: String): DataStreamWriter[Document] =

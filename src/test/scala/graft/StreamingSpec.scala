@@ -53,6 +53,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = DocStream.fromStreamingDf(
+      input.toDF().toDF("doc_id", "text", "ts"), Some("doc_id"), Some("text"))
+    val deduped = DocStream.dedupExactStream(docs,
+      timeProperty = "properties.ts", watermarkDelay = "10 minutes")
+    val query = deduped.toDF.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      input.addData((1L, "same text", ts(0)), (2L, "same text", ts(1)),
+        (3L, "other text", ts(2)))
+      query.processAllAvailable()
+      // duplicate in a later micro-batch is caught by the dedup state too
+      input.addData((4L, "same text", ts(3)), (5L, "third text", ts(4)))
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT docId FROM stream_dedup")
+        .as[String].collect().toSet
+      assert(kept == Set("1", "3", "5"))
+    } finally query.stop()
+  }
+
   test("llmFilterElements: early exit, similarity sorting, score recording") {
     import graft.model.{Document, Element}
     // JVM-static counter: task closures are serialized copies even in local
