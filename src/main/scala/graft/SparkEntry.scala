@@ -682,6 +682,26 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(desc("cosine"), col("vec_id"))
     }),
+    "q_ann_pq" -> ((s, dir) => {
+      // Product-quantization ADC search, oracle-verified via a pinned
+      // codebook (subspace s's 16 centroids = the first 16 vectors'
+      // subvectors; production trains with Ann.pqTrain / MLlib KMeans).
+      // All distance math is index-ordered squared L2 on both engines, and
+      // the oracle sums subspace distances through an ORDER BY s list so
+      // float addition order matches the Scala fold exactly.
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val first16 = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val m = 8; val subDim = 8
+      val codebooks = Array.tabulate(m)(sp =>
+        first16.map(v => v.slice(sp * subDim, (sp + 1) * subDim)))
+      val coded = emb.withColumn("codes", Ann.pqEncode(col("embedding"), codebooks))
+      Ann.pqAdcTopK(coded, "vec_id", "codes", codebooks, q, 10)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // Oracle-verified IVF: the codebook is PINNED to the first 16 vectors
       // (production uses Ann.sampleCentroids / kmeans — the gate pins it so
@@ -1085,6 +1105,32 @@ object SparkEntry {
          top AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS c
                  FROM embeddings, q ORDER BY c DESC, vec_id LIMIT 10)
          SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""",
+    "q_ann_pq" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         cb AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 16),
+         codes AS (
+           SELECT e.vec_id, sp.s,
+                  min(struct_pack(
+                    d := list_sum(list_transform(range(1, 9), i ->
+                      (e.embedding[sp.s*8 + i]::DOUBLE - c.cv[sp.s*8 + i]) *
+                      (e.embedding[sp.s*8 + i]::DOUBLE - c.cv[sp.s*8 + i]))),
+                    cid := c.cid)) AS best
+           FROM embeddings e CROSS JOIN cb c
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp
+           GROUP BY e.vec_id, sp.s),
+         subdist AS (
+           SELECT codes.vec_id, codes.s,
+                  list_sum(list_transform(range(1, 9), i ->
+                    (q.qv[codes.s*8 + i] - c.cv[codes.s*8 + i]) *
+                    (q.qv[codes.s*8 + i] - c.cv[codes.s*8 + i]))) AS dist
+           FROM codes, cb c, q WHERE c.cid = codes.best.cid),
+         adc AS (SELECT vec_id, list_sum(list(dist ORDER BY s)) AS adc_dist
+                 FROM subdist GROUP BY vec_id),
+         top AS (SELECT vec_id, adc_dist FROM adc
+                 ORDER BY adc_dist ASC, vec_id LIMIT 10)
+         SELECT vec_id, round(adc_dist, 6) AS adc_dist FROM top
+         ORDER BY adc_dist, vec_id""",
     "q_ann_ivf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv

@@ -103,6 +103,113 @@ object Ann {
       id, vec, query, k)
   }
 
+  // ------------------------------------------------- product quantization
+
+  /**
+   * PQ codes for a vector column: the vector is split into `codebooks.length`
+   * subspaces and each subvector is replaced by the id of its nearest
+   * sub-centroid — m bytes per vector instead of d floats (d=1536 float32 →
+   * m=8 bytes is 768×), which is what makes a 100 TB embedding corpus
+   * scannable at all. Composed from NearestCentroidExpr per subspace: m plan
+   * nodes total, each carrying its codebook as one reference object.
+   *
+   * @param codebooks per-subspace centroid matrices; subspace s covers
+   *                  dimensions [s*subDim, (s+1)*subDim).
+   */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCentroid(slice(vec.cast("array<double>"), s * subDim + 1, subDim), cb)
+    }: _*)
+  }
+
+  /** Train per-subspace codebooks on a driver-side sample (deterministic:
+    * first `ksub` distinct subvectors in id-hash order seed the codebook,
+    * then `iters` Lloyd iterations). For production-grade codebooks run
+    * MLlib KMeans per subspace and pass its centers. */
+  def pqTrain(df: DataFrame, id: String, vec: String, m: Int, ksub: Int,
+              sampleN: Int = 4096, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sample = df.select(col(vec).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col(id))).limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val subDim = d / m
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      var cents = subs.distinct.take(ksub)
+      var it = 0
+      while (it < iters) {
+        val assign = subs.groupBy(v => cents.indices.minBy(c => l2sq(v, cents(c))))
+        cents = cents.indices.map { c =>
+          assign.get(c) match {
+            case Some(vs) =>
+              val mean = new Array[Double](subDim)
+              vs.foreach(v => { var i = 0; while (i < subDim) { mean(i) += v(i); i += 1 } })
+              mean.map(_ / vs.length)
+            case None => cents(c)
+          }
+        }.toArray
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /**
+   * Asymmetric-distance top-k over PQ codes: the query is NOT quantized —
+   * per subspace, the squared L2 between the query subvector and every
+   * sub-centroid is precomputed on the driver (m × ksub doubles), and a
+   * row's approximate distance is m table lookups over its codes. The scan
+   * reads only the codes column; TakeOrderedAndProject keeps the k best.
+   * Optionally follow with an exact re-rank of the top R << n rows against
+   * the full vectors (standard PQ practice; not needed for the gate).
+   */
+  def pqAdcTopK(df: DataFrame, id: String, codes: String,
+                codebooks: Array[Array[Array[Double]]],
+                query: Seq[Double], k: Int): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val tables = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qSub = query.slice(s * subDim, (s + 1) * subDim).toArray
+      cb.map(c => l2sq(qSub, c))
+    }
+    val adc = tables.zipWithIndex.map { case (table, s) =>
+      // element_at over a literal lookup array: ksub lits per subspace,
+      // m*ksub total — fine at ksub<=256; codes are 0-based
+      element_at(array(table.map(lit): _*), element_at(col(codes), s + 1) + 1)
+    }.reduce(_ + _)
+    df.select(col(id), adc.as("adc_dist"))
+      .orderBy(asc("adc_dist"), col(id))
+      .limit(k)
+  }
+
+  /**
+   * Full PQ search: ADC shortlist of `shortlist` candidates over the codes
+   * column, then EXACT squared-L2 re-rank of just those rows — the standard
+   * two-stage shape (quantization error blurs within-cluster ranking, so
+   * raw ADC top-k has poor fine-grained recall at practical code rates; the
+   * re-rank reads full vectors for only shortlist << n rows).
+   */
+  def pqSearch(df: DataFrame, id: String, vec: String, codes: String,
+               codebooks: Array[Array[Array[Double]]],
+               query: Seq[Double], k: Int, shortlist: Int = 0): DataFrame = {
+    val r = if (shortlist > 0) shortlist else math.max(10 * k, 100)
+    val short = pqAdcTopK(df, id, codes, codebooks, query, r).select(col(id))
+    val exact = aggregate(
+      zip_with(col(vec).cast("array<double>"), vecLit(query),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    df.join(broadcast(short), Seq(id), "left_semi")
+      .select(col(id), exact.as("dist"))
+      .orderBy(asc("dist"), col(id)).limit(k)
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
     val dot = a.zip(b).map { case (x, y) => x * y }.sum
     dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))

@@ -12,6 +12,17 @@ import graft.functions.gf
  *
  * All take/return DataFrames so they compose with any schema; `id` and `text`
  * are column names in `df`.
+ *
+ * Deployment note on multi-branch plans: operators whose plan consumes a
+ * sketch/signature subtree from more than one branch (minhashLsh's band join
+ * + keep set, simhashPairs' intra + chunk branches) get identical branches
+ * deduplicated by AQE stage reuse, but branches with different column sets
+ * are recomputed — Catalyst prunes each copy differently, so the subtrees
+ * stop being equal. The pipelines here keep that recompute to at most one
+ * extra pass over the sketch aggregate (never the raw corpus per branch —
+ * see ngramJaccardPairs for the single-scan pattern). When one pass matters
+ * at full corpus scale, persist the input (or the signature projection) and
+ * every branch reads the cached blocks instead.
  */
 object Dedup {
 

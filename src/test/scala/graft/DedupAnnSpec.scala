@@ -165,6 +165,53 @@ class DedupAnnSpec extends AnyFunSuite {
       s"recall ${exact.intersect(approx).size}/10 too low")
   }
 
+  test("PQ with zero quantization error reproduces exact L2 top-k") {
+    // corpus vectors are built FROM the codebook (each subvector is a
+    // centroid), so ADC distance equals exact distance and the PQ top-k
+    // must match brute-force squared-L2 exactly
+    val m = 4; val subDim = 4; val ksub = 8
+    val rnd = new scala.util.Random(5)
+    val codebooks = Array.fill(m)(Array.fill(ksub)(Array.fill(subDim)(rnd.nextGaussian())))
+    val vecs = (0 until 200).map { i =>
+      val v = (0 until m).flatMap(s => codebooks(s)(rnd.nextInt(ksub))).toArray
+      (i.toLong, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Array.fill(m * subDim)(rnd.nextGaussian())
+    val coded = vecs.withColumn("codes", Ann.pqEncode(col("embedding"), codebooks))
+    val got = Ann.pqAdcTopK(coded, "vec_id", "codes", codebooks, q.toSeq, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      (r.getLong(0), v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }.sortBy(t => (t._2, t._1)).take(10).map(_._1).toSeq
+    assert(got == exact)
+  }
+
+  test("PQ trained codebooks: recall@10 >= 0.7 on clustered vectors") {
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val codebooks = Ann.pqTrain(vecs, "vec_id", "embedding", m = 4, ksub = 16)
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val coded = vecs.withColumn("codes", Ann.pqEncode(col("embedding"), codebooks))
+    // raw ADC blurs within-cluster ranking (quantization error ~ neighbor
+    // gaps), so the production shape is shortlist + exact re-rank
+    val approx = Ann.pqSearch(coded, "vec_id", "embedding", "codes",
+        codebooks, q, 10, shortlist = 50)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      (r.getLong(0), v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }.sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+    assert(exact.intersect(approx).size >= 7,
+      s"PQ recall ${exact.intersect(approx).size}/10 too low")
+  }
+
   test("IVF persisted index probes via partition pruning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0)
