@@ -209,6 +209,24 @@ object SparkEntry {
       // rows-only: engine-specific RNG has no cross-engine oracle.
       tbl(s, dir, "documents").sample(0.1, 42).select(col("doc_id"))
     }),
+    "q_sample_hash" -> ((s, dir) => {
+      // deterministic hash sampling (DocSet.sampleByHash shape): membership
+      // is a pure function of the key, so the oracle replays it exactly —
+      // the reproducible train/holdout split a corpus pipeline needs.
+      val k = col("doc_id").cast("string")
+      tbl(s, dir, "documents")
+        .where(pmod(gf.polyFingerprint(
+          concat(k, lit(":split1:"), k)), lit(10000L)) < 1000L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      // composite C4/Gopher-style quality score — weighted blend of the
+      // individually-oracled component ratios, same fold order both engines.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gf.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- joins / set ops (§2.5)
     "q_field_in" -> ((s, dir) => {
@@ -909,6 +927,35 @@ object SparkEntry {
                 CAST(list_reduce(list_prepend(0::BIGINT, list_transform(str_split(text, ''), x -> ascii(x)::BIGINT)),
                      (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+         WHERE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(
+                   str_split(doc_id::VARCHAR || ':split1:' || doc_id::VARCHAR, ''),
+                   x -> ascii(x)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 10000 < 1000
+         ORDER BY doc_id""",
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents)
+         SELECT doc_id,
+                round(
+                  least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+                  (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(text) -
+                               length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                             / length(text) END) * 0.3 +
+                  least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(toks, x -> list_contains(
+                               ['the','a','an','of','and','or','to','in','is','are','was',
+                                'for','on','with','as','at','by','it','that','this','be'], x)))
+                               AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3 +
+                  (1.0 - least(CAST(length(text) -
+                           length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1
+                , 6) AS quality
+         FROM t ORDER BY doc_id""",
     "q_pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -209,6 +209,26 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def randomSample(fraction: Double, seed: Long = 42L): DocSet =
     wrap(ds.sample(withReplacement = false, fraction, seed))
 
+  /** Deterministic hash sampling: keep docs whose keyed fingerprint lands in
+    * the first `fraction` of the hash range. Unlike randomSample this is
+    * REPRODUCIBLE across engines, runs, and partitionings — the property a
+    * training-corpus split needs (holdout membership must never depend on
+    * execution) — and different salts give independent samples.
+    *
+    * The hashed string is `key:salt:key` — the doubling guarantees enough
+    * length that the rolling polynomial wraps its modulus even for 1-char
+    * keys (a short key alone never wraps, leaving the low-order bucket
+    * biased by key magnitude). */
+  def sampleByHash(fraction: Double, field: String = "doc_id",
+                   salt: String = ""): DocSet = {
+    val k = fieldCol(field).cast("string")
+    val bucket = pmod(
+      graft.functions.gf.polyFingerprint(
+        concat(k, lit(":"), lit(salt), lit(":"), k)), lit(10000L))
+    wrap(ds.toDF().where(bucket < (fraction * 10000).toLong)
+      .as[Document](docEnc))
+  }
+
   /** Sort by dotted field. With no default value, docs missing the field are
     * dropped — faithfully matching the reference (transforms/sort.py:12
     * DropIfMissingField).

@@ -134,6 +134,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.docId).sorted == Seq("x1", "x2"))
   }
 
+  test("sampleByHash is deterministic and partition-independent") {
+    val docs = (0 until 500).map(i => Document.of(i.toString, text = s"doc $i"))
+    val ds1 = DocSet.of(spark, docs).sampleByHash(0.2)
+    val ds2 = DocSet.wrap(DocSet.of(spark, docs).ds.repartition(7)).sampleByHash(0.2)
+    val ids1 = ds1.takeAll().map(_.docId).toSet
+    val ids2 = ds2.takeAll().map(_.docId).toSet
+    assert(ids1 == ids2)
+    assert(ids1.size > 50 && ids1.size < 200) // ~20% of 500, not all/none
+    // a different salt gives a different (still deterministic) split
+    val salted = DocSet.of(spark, docs).sampleByHash(0.2, salt = "other")
+      .takeAll().map(_.docId).toSet
+    assert(salted != ids1)
+  }
+
   test("reconstruct is the inverse of explode") {
     val els = Seq(
       Element.text(0, "Title", "Heading", properties = Map("k" -> "v")),
