@@ -51,10 +51,24 @@ object Dedup {
    * Exact-dedup the rows themselves: keep the min-id row per distinct text.
    * Implemented as an aggregation (not a window) — a single hash aggregate
    * beats sort-based windowing at scale.
+   *
+   * Both exchanges key on the 192-bit content hash (same rationale as
+   * `exact` above), never on the text itself: the aggregate side carries
+   * only (hash, id) rows, and the semi-join probes on (hash, id), so raw
+   * document text appears in a shuffle only as row payload on the kept
+   * side — never as a grouping or join key. An earlier version grouped and
+   * joined on the raw text column, which made every exchange comparator
+   * walk full documents.
    */
   def exactRows(df: DataFrame, id: String, text: String): DataFrame = {
-    val keyed = df.groupBy(col(text)).agg(min(col(id)).as(id))
-    df.join(keyed, Seq(text, id), "left_semi")
+    val hashed = df
+      .withColumn("_content_hash", xxhash64(col(text)))
+      .withColumn("_content_md5", unhex(md5(col(text))))
+    val keyed = hashed.select(col("_content_hash"), col("_content_md5"), col(id))
+      .groupBy(col("_content_hash"), col("_content_md5"))
+      .agg(min(col(id)).as(id))
+    hashed.join(keyed, Seq("_content_hash", "_content_md5", id), "left_semi")
+      .drop("_content_hash", "_content_md5")
   }
 
   /**

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.hadoop.fs.Path
 
 import graft.docset.DocSet
 import graft.model.Document
@@ -32,7 +33,10 @@ object VectorStoreWrite {
 
   /** Per-partition store client: receives batched records, must upsert
     * idempotently (task retries re-send the same batch — the same contract
-    * the reference's reliability wrapper assumes, writer.py:45). */
+    * the reference's reliability wrapper assumes, writer.py:45). The client
+    * is serialized to executors, so it must not touch driver-only state
+    * (in particular, no SparkSession access) — it talks to the external
+    * store directly. */
   trait VectorStoreClient extends Serializable {
     def upsert(batch: Seq[VectorRecord]): Unit
     def close(): Unit = ()
@@ -55,38 +59,29 @@ object VectorStoreWrite {
 
 /**
  * Self-contained vector store over parquet with UPSERT semantics: each
- * upsert batch appends records stamped with a monotonic version; readers see
- * only the latest version per id. At scale this is the standard log +
- * compaction layout — `compact()` rewrites the log to one row per id so
- * read-side window work stays bounded.
+ * `append` writes a new monotonic `_version` partition; readers see only the
+ * latest version per id (merge-on-read). This is the standard log +
+ * compaction layout — `compact()` rewrites the log to one row per id at
+ * version 0 so read-side window work stays bounded.
+ *
+ * Ingestion is driver-only BY CONSTRUCTION: `append` is itself a distributed
+ * parquet write (partition-parallel through Spark's writer), so there is no
+ * per-executor client object and no path that touches `SparkSession` from an
+ * executor thread. External services plug in through
+ * [[VectorStoreWrite.write]] with their own network client instead.
  */
 final class ParquetVectorStore(path: String) {
-  import VectorStoreWrite._
 
-  /** A client appending to this store (one version stamp per write call). */
-  def client(spark: SparkSession): VectorStoreClient = {
-    val p = path
-    new VectorStoreClient {
-      override def upsert(batch: Seq[VectorRecord]): Unit = {
-        // executor-side: plain parquet append via hadoop-free local write is
-        // not available, so batches are buffered and written through the
-        // driver-side append in tests; production clients talk to a real
-        // store here. Kept minimal: collect-to-driver is NOT used by
-        // write() — this client exists for single-process usage.
-        ParquetVectorStore.appendLocal(p, batch)
-      }
-    }
-  }
-
-  /** Driver-side bulk load: append a whole DocSet as one new version. */
+  /** Driver-side bulk load: append a whole DocSet as one new version.
+    * The version stamp comes from partition-directory names (no data read). */
   def append(docs: DocSet): Unit = {
     val spark = docs.spark
-    val df = docs.toDF
+    docs.toDF
       .where(col("embedding").isNotNull)
       .select(col("docId").as("id"), col("embedding"),
         col("textRepresentation").as("text"), col("properties").as("metadata"))
       .withColumn("_version", lit(nextVersion(spark)))
-    df.write.mode("append").parquet(path)
+      .write.mode("append").partitionBy("_version").parquet(path)
   }
 
   /** Latest record per id (merge-on-read view). */
@@ -102,33 +97,28 @@ final class ParquetVectorStore(path: String) {
   def compact(spark: SparkSession): Unit = {
     val latest = read(spark).withColumn("_version", lit(0L))
     val tmp = path + "__compact"
-    latest.write.mode("overwrite").parquet(tmp)
+    latest.write.mode("overwrite").partitionBy("_version").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
   }
 
-  private def nextVersion(spark: SparkSession): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
+  /** Current version set, from partition-directory names only. */
+  def versions(spark: SparkSession): Seq[Long] = {
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 1L
-    else spark.read.parquet(path).agg(max(col("_version"))).head().getLong(0) + 1L
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_version="))
+      .map(_.stripPrefix("_version=").toLong)
   }
-}
 
-object ParquetVectorStore {
-  import VectorStoreWrite._
-
-  /** Test/local-mode append used by the single-process client. */
-  private[sources] def appendLocal(path: String, batch: Seq[VectorRecord]): Unit =
-    synchronized {
-      val spark = SparkSession.active
-      val rows = batch.map(r => (r.id, r.embedding, r.text, r.metadata))
-      import spark.implicits._
-      val version = System.nanoTime()
-      rows.toDF("id", "embedding", "text", "metadata")
-        .withColumn("_version", lit(version))
-        .write.mode("append").parquet(path)
-    }
+  /** Next monotonic version: a directory listing, NOT a scan of the store
+    * (an earlier version re-read every row to take max(_version) — O(store)
+    * per append). */
+  private def nextVersion(spark: SparkSession): Long = {
+    val vs = versions(spark)
+    if (vs.isEmpty) 1L else vs.max + 1L
+  }
 }

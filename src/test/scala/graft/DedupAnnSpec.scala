@@ -27,6 +27,20 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("exactRows exchanges key on content hashes, never on text") {
+    // scale guard: raw document text must not be a grouping/join key — every
+    // hashpartitioning spec in the physical plan carries the 192-bit content
+    // hash columns instead (text rides only as row payload)
+    val plan = Dedup.exactRows(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(parts.nonEmpty, s"expected at least one shuffle in:\n$plan")
+    assert(parts.forall(p => !p.contains("text#")),
+      s"text used as a shuffle key:\n${parts.mkString("\n")}")
+    assert(parts.exists(_.contains("_content_hash")))
+  }
+
   test("minhash LSH finds exact and near dup, not unrelated") {
     val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.3)
