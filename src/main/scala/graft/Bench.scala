@@ -67,7 +67,17 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val prev = prevJson(results.map(_._1).toSet)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"prev":$prev,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"prev":$prev,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout capture tail-clips long lines (BENCH_r2/r3 both
+    // recorded truncated JSON) — persist the full line as a repo artifact too
+    try {
+      val w = new java.io.PrintWriter("bench_out.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 
