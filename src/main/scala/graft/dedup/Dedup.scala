@@ -337,18 +337,11 @@ object Dedup {
   }
 
   /** Random-hyperplane sign bucket for embeddingCosinePairs when no label
-    * exists: k deterministic pseudo-random hyperplanes via xxhash64-derived
-    * coefficients. */
-  def signBucket(vec: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
-    val bits = (0 until planes).map { p =>
-      // hyperplane coefficients in [-1,1) derived from (seed, p, i)
-      val dot = (0 until dim).map { i =>
-        val h = ((java.lang.Long.rotateLeft(0x9e3779b97f4a7c15L * (seed + p * 1315423911L + i), 17)
-          >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-        element_at(vec, i + 1).cast("double") * lit(h)
-      }.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * exists: k deterministic pseudo-random hyperplanes. One expression node
+    * regardless of planes x dim (SignBucketExpr carries the plane matrix as
+    * a reference object). */
+  def signBucket(vec: Column, planes: Int, dim: Int, seed: Int = 42): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SignBucketExpr(org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+        SignBucketExpr.hyperplanes(planes, dim, seed)))
 }

@@ -15,6 +15,41 @@ trait LlmClient extends Serializable {
 }
 
 /**
+ * Async mode (reference: transforms/base_llm.py:28-74 — LLMMode.ASYNC issues
+ * batched futures instead of sequential calls): wraps any client so
+ * `generateBatch` overlaps up to `concurrency` in-flight requests while
+ * preserving input order. For a latency-bound endpoint this turns an
+ * llm_map/llm_filter partition batch from sum(latency) into
+ * ~ceil(n/concurrency) x latency; the per-request `generate` contract is
+ * unchanged, so correctness is identical to the sequential default.
+ *
+ * The pool is @transient lazy: each executor builds its own after
+ * deserialization (thread pools don't serialize), threads are daemons so an
+ * executor shutdown never hangs on it.
+ */
+final class AsyncLlmClient(underlying: LlmClient, concurrency: Int = 8) extends LlmClient {
+  @transient private lazy val pool =
+    java.util.concurrent.Executors.newFixedThreadPool(concurrency,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-llm-async")
+        t.setDaemon(true)
+        t
+      })
+
+  override def generate(prompt: String): String = underlying.generate(prompt)
+
+  override def generateBatch(prompts: Seq[String]): Seq[String] = {
+    import java.util.concurrent.Callable
+    import scala.jdk.CollectionConverters._
+    // invokeAll returns futures in submission order — order preservation is
+    // by construction, independent of completion order
+    val tasks: Seq[Callable[String]] =
+      prompts.map(p => (() => underlying.generate(p)): Callable[String])
+    pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+  }
+}
+
+/**
  * Deterministic offline fake for tests and zero-egress runs: answers are a
  * pure function of the prompt. Modes:
  *  - "echo:<n>"  — first n chars of the prompt

@@ -12,8 +12,13 @@ import graft.model.{Document, Element}
  * then the standard text-showing operators (Tj / TJ / ' / ") inside BT..ET
  * blocks, with PDF string escapes, hex strings, and merged ToUnicode CMaps
  * for CID/Type0 fonts. One element per BT..ET text block, in stream order.
+ * Each element carries a BEST-EFFORT bbox from the text-positioning
+ * operators (Td TD Tm T* TL Tf), normalized to the page MediaBox — exact in
+ * position, approximate in width (0.5 x fontSize per glyph; no font metrics
+ * without xref parsing) — enough for the column/band mark passes (Marks) to
+ * fire on PDF-partitioned docs.
  * Not handled: ENCRYPTED PDFs (/Encrypt — streams are ciphertext), CID
- * fonts without a ToUnicode map, OCR of scanned pages, bbox geometry.
+ * fonts without a ToUnicode map, OCR of scanned pages.
  * Unextractable blocks are DROPPED (printable-ratio guard) rather than
  * emitted as garbage. For full-fidelity layout, plug a model-backed
  * Partitioner into the same trait — the engine contract (binary in,
@@ -23,15 +28,129 @@ final class PdfPartitioner extends Partitioner {
 
   override def partition(doc: Document): Document = {
     val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
-    val blocks = PdfText.extractTextBlocks(bytes)
-    val els = blocks.filter(PdfText.mostlyPrintable).zipWithIndex.collect {
-      case (text, i) if text.nonEmpty => Element.text(i, "NarrativeText", text)
+    val blocks = PdfText.extractTextBlocksWithBoxes(bytes)
+    val els = blocks.filter(b => PdfText.mostlyPrintable(b._1)).zipWithIndex.collect {
+      case ((text, bbox), i) if text.nonEmpty =>
+        Element.text(i, "NarrativeText", text, bbox = bbox)
     }
     doc.copy(elements = els, docType = doc.docType.orElse(Some("pdf")))
   }
 }
 
 object PdfText {
+  import graft.model.Bbox
+
+  /** Text-state carried across BT..ET blocks within one content stream
+    * (font size and leading are graphics state; position resets at BT). */
+  private final class GeomState(var fontSize: Double = 12.0, var leading: Double = 0.0)
+
+  /** Page size from the first /MediaBox, default US Letter. */
+  def mediaBox(pdf: Array[Byte]): (Double, Double) = {
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val re = "/MediaBox\\s*\\[\\s*([-+.\\d]+)\\s+([-+.\\d]+)\\s+([-+.\\d]+)\\s+([-+.\\d]+)\\s*\\]".r
+    re.findFirstMatchIn(s) match {
+      case Some(m) =>
+        try {
+          val w = m.group(3).toDouble - m.group(1).toDouble
+          val h = m.group(4).toDouble - m.group(2).toDouble
+          if (w > 0 && h > 0) (w, h) else (612.0, 792.0)
+        } catch { case _: NumberFormatException => (612.0, 792.0) }
+      case None => (612.0, 792.0)
+    }
+  }
+
+  /**
+   * Best-effort geometry of one BT..ET block, in PDF user space (y up):
+   * tracks the line position through Td TD Tm T* TL, font size through Tf,
+   * and extends the box by ~0.5 x fontSize per shown glyph. A separate pass
+   * from `shownText` on purpose — text extraction stays byte-identical, and
+   * geometry failures degrade to bbox = None, never to wrong text.
+   */
+  private def blockGeometry(block: String, st: GeomState): Option[Bbox] = {
+    var lineX = 0.0; var lineY = 0.0; var x = 0.0; var y = 0.0
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    var seen = false
+    val nums = scala.collection.mutable.ArrayBuffer[Double]()
+    def nthLast(k: Int): Double = nums(nums.size - k)
+    def record(nChars: Int): Unit = if (nChars > 0) {
+      val w = 0.5 * st.fontSize * nChars
+      minX = math.min(minX, x); minY = math.min(minY, y)
+      maxX = math.max(maxX, x + w); maxY = math.max(maxY, y + st.fontSize)
+      x += w; seen = true
+    }
+    var i = 0
+    while (i < block.length) {
+      block(i) match {
+        case '(' =>
+          var depth = 1; var j = i + 1; var n = 0
+          while (j < block.length && depth > 0) {
+            block(j) match {
+              case '\\' if j + 1 < block.length => j += 2; n += 1
+              case '(' => depth += 1; j += 1; n += 1
+              case ')' => depth -= 1; j += 1; if (depth > 0) n += 1
+              case _ => j += 1; n += 1
+            }
+          }
+          record(n); i = j
+        case '<' if i + 1 < block.length && block(i + 1) != '<' =>
+          val end = block.indexOf('>', i + 1)
+          val stop = if (end < 0) block.length else end
+          record(math.max((stop - i - 1) / 2, 1)); i = stop + 1
+        case c if c.isDigit || c == '-' || c == '+' || c == '.' =>
+          var j = i + 1
+          while (j < block.length && (block(j).isDigit || block(j) == '.')) j += 1
+          try nums += block.substring(i, j).toDouble
+          catch { case _: NumberFormatException => }
+          i = j
+        case 'T' if i + 1 < block.length =>
+          block(i + 1) match {
+            case 'd' =>
+              if (nums.size >= 2) { lineX += nthLast(2); lineY += nthLast(1); x = lineX; y = lineY }
+              nums.clear(); i += 2
+            case 'D' =>
+              if (nums.size >= 2) {
+                st.leading = -nthLast(1)
+                lineX += nthLast(2); lineY += nthLast(1); x = lineX; y = lineY
+              }
+              nums.clear(); i += 2
+            case 'm' =>
+              if (nums.size >= 6) { lineX = nthLast(2); lineY = nthLast(1); x = lineX; y = lineY }
+              nums.clear(); i += 2
+            case '*' => lineY -= st.leading; x = lineX; y = lineY; nums.clear(); i += 2
+            case 'L' => if (nums.nonEmpty) st.leading = nthLast(1); nums.clear(); i += 2
+            case 'f' => if (nums.nonEmpty) st.fontSize = nthLast(1); nums.clear(); i += 2
+            case _ => nums.clear(); i += 2
+          }
+        case '\'' | '"' => lineY -= st.leading; x = lineX; y = lineY; nums.clear(); i += 1
+        case _ => i += 1
+      }
+    }
+    if (seen && minX <= maxX) Some(Bbox(minX, minY, maxX, maxY)) else None
+  }
+
+  /** All BT..ET blocks with text AND a normalized (0-1, top-down y) bbox —
+    * the layout convention of the reference's partitioners (data/bbox.py:6),
+    * so the Marks passes apply unchanged. */
+  def extractTextBlocksWithBoxes(pdf: Array[Byte]): Seq[(String, Option[Bbox])] = {
+    val streams = contentStreams(pdf)
+    val cmap = streams.foldLeft(Map.empty[Int, String]) { (acc, s) =>
+      val str = new String(s, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (str.contains("beginbfchar") || str.contains("beginbfrange"))
+        acc ++ parseCMap(str)
+      else acc
+    }
+    val (pw, ph) = mediaBox(pdf)
+    def clamp(v: Double): Double = math.max(0.0, math.min(1.0, v))
+    def norm(b: Bbox): Bbox =
+      Bbox(clamp(b.x1 / pw), clamp(1.0 - b.y2 / ph), clamp(b.x2 / pw), clamp(1.0 - b.y1 / ph))
+    streams.flatMap { sBytes =>
+      val s = new String(sBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val st = new GeomState()
+      rawBlocks(s).map(b =>
+        (shownText(b, cmap).trim, blockGeometry(b, st).map(norm)))
+    }
+  }
 
   /** All BT..ET text blocks across all content streams, in stream order.
     * ToUnicode CMaps (beginbfchar/beginbfrange) from every stream are merged
@@ -151,6 +270,11 @@ object PdfText {
   def textBlocks(stream: Array[Byte],
                  cmap: Map[Int, String] = Map.empty): Seq[String] = {
     val s = new String(stream, java.nio.charset.StandardCharsets.ISO_8859_1)
+    rawBlocks(s).map(b => shownText(b, cmap).trim)
+  }
+
+  /** Raw interior of each BT..ET block, in stream order. */
+  private def rawBlocks(s: String): Seq[String] = {
     val blocks = scala.collection.mutable.ListBuffer[String]()
     var i = 0
     while (i >= 0 && i < s.length) {
@@ -158,7 +282,7 @@ object PdfText {
       if (i >= 0) {
         val end = s.indexOf("ET", i + 2)
         val stop = if (end < 0) s.length else end
-        blocks += shownText(s.substring(i + 2, stop), cmap).trim
+        blocks += s.substring(i + 2, stop)
         i = stop + 2
       }
     }

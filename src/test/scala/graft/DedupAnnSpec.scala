@@ -81,6 +81,39 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("signBucket: one plan node, matches the literal-tree oracle, sign-stable") {
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(7)
+    val dim = 24; val planes = 6
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("id", "vec")
+    // oracle: the superseded Column-composition formulation, re-built inline
+    val oracle: Column = (0 until planes).map { p =>
+      val dot = (0 until dim).map { i =>
+        val h = ((java.lang.Long.rotateLeft(
+          0x9e3779b97f4a7c15L * (42 + p * 1315423911L + i), 17)
+          >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+        element_at(col("vec"), i + 1).cast("double") * lit(h)
+      }.reduce(_ + _)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = df.select(Dedup.signBucket(col("vec"), planes, dim).as("fast"),
+      oracle.as("slow")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // plan bloat guard: the bucket column is one expression node, no
+    // per-dimension element_at expansion
+    val plan = df.select(Dedup.signBucket(col("vec"), planes, dim).as("b"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("sign_bucket") && !plan.contains("element_at"))
+    // positive scaling preserves every sign -> identical bucket
+    val scaled = df.select(col("id"),
+      Dedup.signBucket(col("vec"), planes, dim).as("b1"),
+      Dedup.signBucket(transform(col("vec"), x => x * lit(1.5f)), planes, dim).as("b2"))
+      .collect()
+    assert(scaled.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("simhash pairs bucket and verify hamming") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 10)
       .select("idA", "idB").as[(Long, Long)].collect().toSet

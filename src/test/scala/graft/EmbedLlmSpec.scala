@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.docset.DocSet
 import graft.embed.HashEmbedder
-import graft.llm.{FakeLlmClient, LlmEntityExtractor, PromptTemplate, RegexEntityExtractor}
+import graft.llm.{AsyncLlmClient, FakeLlmClient, LlmClient, LlmEntityExtractor, PromptTemplate, RegexEntityExtractor}
 import graft.model.Document
 
 class EmbedLlmSpec extends AnyFunSuite {
@@ -23,6 +23,36 @@ class EmbedLlmSpec extends AnyFunSuite {
     val docs = (0 until 10).map(i => Document.of(s"d$i", text = s"text $i"))
     val out = DocSet.of(spark, docs).embed(new HashEmbedder(16), batchSize = 3).takeAll()
     assert(out.forall(_.embedding.exists(_.length == 16)))
+  }
+
+  test("AsyncLlmClient preserves order and matches the sequential results") {
+    val base = new FakeLlmClient("echo:64")
+    val prompts = (0 until 50).map(i => s"prompt number $i with some payload")
+    val async = new AsyncLlmClient(base, concurrency = 7)
+    assert(async.generateBatch(prompts) == base.generateBatch(prompts))
+  }
+
+  test("AsyncLlmClient overlaps latency-bound requests ~concurrency-fold") {
+    val slow: LlmClient = new LlmClient {
+      override def generate(prompt: String): String = { Thread.sleep(60); s"ok:$prompt" }
+    }
+    val prompts = (0 until 16).map(i => s"p$i")
+    val t0 = System.nanoTime()
+    val out = new AsyncLlmClient(slow, concurrency = 8).generateBatch(prompts)
+    val asyncMs = (System.nanoTime() - t0) / 1e6
+    assert(out == prompts.map(p => s"ok:$p"))
+    // sequential is >= 16 * 60 = 960 ms by construction; 8-way overlap needs
+    // only two 60 ms waves — generous bound to stay noise-proof
+    assert(asyncMs < 600, s"async batch took $asyncMs ms, expected ~120")
+  }
+
+  test("llmMap through AsyncLlmClient equals the sync client output") {
+    val docs = (0 until 20).map(i => Document.of(s"d$i", text = s"text body $i"))
+    def run(c: LlmClient) =
+      DocSet.of(spark, docs).llmMap(c, "{doc_id}: {text_representation}", "properties.out")
+        .takeAll().map(d => d.docId -> d.prop("out")).toMap
+    assert(run(new AsyncLlmClient(new FakeLlmClient("echo:64"), 4)) ==
+      run(new FakeLlmClient("echo:64")))
   }
 
   test("PromptTemplate renders dotted fields") {

@@ -173,6 +173,48 @@ class StructureSpec extends AnyFunSuite {
     }
   }
 
+  test("PdfPartitioner bboxes: two-column layout drives markBreakByColumn") {
+    import graft.operators.{Marks, PdfPartitioner}
+    val content = ("BT /F1 12 Tf 1 0 0 1 50 700 Tm (Left one) Tj ET\n" +
+      "BT 1 0 0 1 50 680 Tm (Left two) Tj ET\n" +
+      "BT 1 0 0 1 350 700 Tm (Right one) Tj ET\n" +
+      "BT 1 0 0 1 350 680 Tm (Right two) Tj ET").getBytes("ISO-8859-1")
+    val pdf = ("%PDF-1.4\n1 0 obj << /MediaBox [0 0 600 800] >> endobj\n" +
+      "2 0 obj << /Length " + content.length + " >>\nstream\n").getBytes("ISO-8859-1") ++
+      content ++ "\nendstream\nendobj\ntrailer\n%%EOF".getBytes("ISO-8859-1")
+    val doc = new PdfPartitioner().partition(
+      Document.of("two-col.pdf").copy(binaryRepresentation = Some(pdf)))
+    assert(doc.elements.size == 4)
+    assert(doc.elements.forall(_.bbox.isDefined))
+    val boxes = doc.elements.flatMap(_.bbox)
+    // x normalized by the 600pt MediaBox; y top-down (700pt line near the top)
+    assert(math.abs(boxes(0).x1 - 50.0 / 600) < 1e-9)
+    assert(math.abs(boxes(2).x1 - 350.0 / 600) < 1e-9)
+    assert(math.abs(boxes(0).y1 - (1.0 - 712.0 / 800)) < 1e-9)
+    assert(boxes(1).y1 > boxes(0).y1, "lower line has larger top-down y")
+    val marked = Marks.markBreakByColumn(doc)
+    assert(marked.elements(2).prop("_break").contains("true"),
+      "column jump 50 -> 350 must mark a break")
+    assert(Seq(0, 1, 3).forall(i => marked.elements(i).prop("_break").isEmpty))
+  }
+
+  test("PdfPartitioner bboxes follow Td/TD/T* line motion without Tm") {
+    import graft.operators.PdfPartitioner
+    val content = ("BT /F2 10 Tf 14 TL 72 720 Td (First) Tj T* (Second) Tj ET")
+      .getBytes("ISO-8859-1")
+    val pdf = ("%PDF-1.4\n1 0 obj << /MediaBox [0 0 612 792] >> endobj\n" +
+      "2 0 obj << /Length " + content.length + " >>\nstream\n").getBytes("ISO-8859-1") ++
+      content ++ "\nendstream\nendobj\ntrailer\n%%EOF".getBytes("ISO-8859-1")
+    val doc = new PdfPartitioner().partition(
+      Document.of("lines.pdf").copy(binaryRepresentation = Some(pdf)))
+    assert(doc.elements.size == 1)
+    val b = doc.elements.head.bbox.get
+    // block spans 720 down to 720-14=706, plus 10pt glyph height on top
+    assert(math.abs(b.x1 - 72.0 / 612) < 1e-9)
+    assert(math.abs(b.y2 - (1.0 - 706.0 / 792)) < 1e-9)
+    assert(math.abs(b.y1 - (1.0 - 730.0 / 792)) < 1e-9)
+  }
+
   test("HtmlPartitioner handles unclosed <p>/<li> via implied close") {
     val html = """<html><title>T</title><body>
       <h1>Head</h1>
