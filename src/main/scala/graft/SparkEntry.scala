@@ -467,6 +467,38 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_cc" -> ((s, dir) => {
+      // transitive duplicate classes: path-graph edges (consecutive doc_ids
+      // per lang) are the adversarial case for chained near-dup relations —
+      // greedy min-id dedup cannot close them, connected components must
+      val d = tbl(s, dir, "documents")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val edges = d
+        .select(col("doc_id"), lead(col("doc_id"), 1).over(w).as("next_id"))
+        .where(col("next_id").isNotNull)
+      Dedup.connectedComponents(edges, "doc_id", "next_id").orderBy(col("id"))
+    }),
+    "q_line_dedup" -> ((s, dir) => {
+      // CCNet-style duplicated-segment scrub; the synthetic corpus has no
+      // newlines, so the word " table " stands in as the segment delimiter
+      Dedup.dedupLines(tbl(s, dir, "documents"), "doc_id", "text",
+          minDocFreq = 3, delim = " table ")
+        .orderBy(col("doc_id"))
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.decontaminate(
+          d.where(col("doc_id") % 53 =!= 0), d.where(col("doc_id") % 53 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_bm25" -> ((s, dir) => {
+      graft.operators.Bm25.score(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "shuffle", "window"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
     "q_simhash_pairs" -> ((s, dir) => {
       // SQL-replicable polynomial simhash -> DuckDB recomputes the identical
       // sketch and verifies pairs by exact hamming (recall guarantee:
@@ -1115,6 +1147,67 @@ object SparkEntry {
                        'Question: how many orders are there' || chr(10) ||
                        'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
          FROM orders""",
+    "q_dedup_cc" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id AS u,
+                         lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS v
+                  FROM documents),
+         edges AS (SELECT u, v FROM base WHERE v IS NOT NULL
+                   UNION ALL SELECT v, u FROM base WHERE v IS NOT NULL),
+         reach(u, v) AS (
+           SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS id, CAST(min(v) AS BIGINT) AS component
+         FROM reach GROUP BY u ORDER BY id""",
+    "q_line_dedup" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, ' table ')) AS line,
+                           generate_subscripts(string_split(text, ' table '), 1) AS pos
+                    FROM documents),
+         hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         kept AS (SELECT doc_id, pos, line FROM l
+                  WHERE line NOT IN (SELECT line FROM hot))
+         SELECT d.doc_id,
+                coalesce(string_agg(k.line, ' table ' ORDER BY k.pos), '') AS text
+         FROM documents d LEFT JOIN kept k USING (doc_id)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(0, greatest(len(toks) - 4, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+4)], ' ')))) AS sh
+                FROM t),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0),
+         contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+                          WHERE s.doc_id % 53 <> 0)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 53 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+           CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+           CAST(sum(CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+           CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM base)
+         SELECT doc_id, round(
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * CAST(len(list_filter(toks, x -> x = 'shuffle')) AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(len(list_filter(toks, x -> x = 'shuffle')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))), 4) AS bm25
+         FROM base, stats ORDER BY doc_id""",
     "q_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),

@@ -336,6 +336,123 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /**
+   * Connected components over an undirected edge list, by alternating
+   * large-star / small-star rounds (Kiveris et al., "Connected Components
+   * in MapReduce and Beyond", SoCC'14 — the standard shuffle-bounded CC for
+   * corpora where near-dup relations chain: A~B, B~C but not A~C).
+   * Converges in O(log n) rounds on any graph, each round two aggregate +
+   * join passes and a distinct; `localCheckpoint` truncates the otherwise
+   * exponentially-growing iterative lineage (swap for reliable
+   * `checkpoint` on a cluster with a checkpoint dir).
+   *
+   * Returns (id, component) for every node that appears in `edges`,
+   * component = smallest id reachable. Greedy min-id dedup (minhashLsh) is
+   * NOT transitive — this is: use it when duplicate classes must be closed
+   * under chaining before choosing survivors.
+   */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 30): DataFrame = {
+    val nodes = edges
+      .select(explode(array(col(src).cast("long"), col(dst).cast("long"))).as("id"))
+      .distinct()
+    var e = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var fingerprint = -1L
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star: m(u) = min over Γ(u) ∪ {u}; every neighbor v > u hooks
+      // onto m — long chains halve in height each round
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy(col("u")).agg(min(col("v")).as("_mv"))
+        .select(col("u"), least(col("_mv"), col("u")).as("m"))
+      val large = sym.join(largeMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star: key each edge by its larger endpoint; all smaller
+      // neighbors (and the center) hook onto the minimum
+      val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smallMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smallMin.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      // convergence: order-independent edge-set fingerprint (count + xor of
+      // edge hashes — xor, not sum: ANSI mode makes a long-sum overflow
+      // throw, and edges are distinct so no pair cancels)
+      val fp = small.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      val next = fp.getLong(0) * 31L + fp.getLong(1)
+      converged = next == fingerprint
+      fingerprint = next
+      e = small
+      iter += 1
+    }
+    nodes.join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /**
+   * CCNet-style duplicated-segment removal (Wenzek et al., CCNet; also the
+   * C4 boilerplate rule): drop every line/segment whose content appears in
+   * >= minDocFreq distinct documents, rebuild each document from its
+   * surviving segments in order. Returns (id, text) with the cleaned text.
+   *
+   * Scale shape: segment doc-frequency is aggregated on the 192-bit content
+   * hash of the segment (same rationale as `exact`), so neither the
+   * frequency shuffle nor the anti-join ever keys on segment text; the
+   * rebuild is one groupBy(id) with an order-restoring sort inside the
+   * aggregated array, not a window.
+   */
+  def dedupLines(df: DataFrame, id: String, text: String, minDocFreq: Long,
+                 delim: String = "\n"): DataFrame = {
+    val lines = df.select(col(id).as("_id"),
+        posexplode(split(col(text), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("_pos", "_line")))
+      .withColumn("_h1", xxhash64(col("_line")))
+      .withColumn("_h2", unhex(md5(col("_line"))))
+    val hot = lines.groupBy(col("_h1"), col("_h2"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .where(col("_df") >= minDocFreq)
+      .select(col("_h1"), col("_h2"))
+    val rebuilt = lines.join(hot, Seq("_h1", "_h2"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        s => s.getField("_line")), delim).as("_clean"))
+    df.select(col(id).as("_oid")).join(rebuilt, col("_oid") === col("_id"), "left")
+      .select(col("_oid").as(id), coalesce(col("_clean"), lit("")).as(text))
+  }
+
+  /**
+   * Benchmark decontamination (the n-gram overlap rule used by GPT-3/PaLM
+   * era training-data pipelines): drop every corpus document sharing at
+   * least one n-gram shingle with the benchmark set. The benchmark side is
+   * broadcast — test sets are small by construction; the corpus is touched
+   * by one scan + one semi-join + one anti-join, no corpus self-join.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, id: String,
+                    text: String, n: Int = 8): DataFrame = {
+    val cSh = corpus.select(col(id).as("_id"),
+      explode(array_distinct(gf.wordShingles(col(text), n))).as("_sh"))
+    val bSh = benchmark
+      .select(explode(array_distinct(gf.wordShingles(col(text), n))).as("_sh"))
+      .distinct()
+    val contaminated = cSh.join(broadcast(bSh), Seq("_sh"), "left_semi")
+      .select(col("_id")).distinct()
+    corpus.join(contaminated, corpus(id) === contaminated("_id"), "left_anti")
+  }
+
   /** Random-hyperplane sign bucket for embeddingCosinePairs when no label
     * exists: k deterministic pseudo-random hyperplanes. One expression node
     * regardless of planes x dim (SignBucketExpr carries the plane matrix as

@@ -81,6 +81,66 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents matches union-find on random graphs and long paths") {
+    // path graph: the adversarial depth case — greedy one-hop labeling fails,
+    // large-star/small-star must close it within O(log n) rounds
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val pathComp = Dedup.connectedComponents(path, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pathComp.size == 200 && pathComp.values.forall(_ == 0L))
+    // random graph vs driver-side union-find
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+    val parent = Array.tabulate(100)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n.toInt).toLong).toMap
+    val got = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // canonical labels: union-find roots ARE the component minima here
+    // because unions always hang the larger root under the smaller
+    assert(got == expected)
+  }
+
+  test("dedupLines drops hot segments, keeps order, empties fully-hot docs") {
+    val docs = Seq(
+      (0L, "keep one\nBOILER\nkeep two"),
+      (1L, "BOILER\nunique line"),
+      (2L, "BOILER"),
+      (3L, "solo doc text")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "keep one\nkeep two")
+    assert(out(1L) == "unique line")
+    assert(out(2L) == "")
+    assert(out(3L) == "solo doc text")
+  }
+
+  test("decontaminate drops docs sharing an n-gram with the benchmark") {
+    val corpusDf = Seq(
+      (0L, "the quick brown fox jumps high"),
+      (1L, "completely clean document here today"),
+      (2L, "nothing shared with bench either")).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpusDf, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L)) // doc 0 shares "the quick brown fox"
+  }
+
+  test("bm25 ranks term-bearing docs above term-free docs, tf-monotone") {
+    val docs = Seq(
+      (0L, "spark spark spark engine"),
+      (1L, "spark engine other words"),
+      (2L, "nothing relevant at all")).toDF("doc_id", "text")
+    val s = graft.operators.Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(0L) > s(1L) && s(1L) > 0.0 && s(2L) == 0.0)
+  }
+
   test("signBucket: one plan node, matches the literal-tree oracle, sign-stable") {
     import org.apache.spark.sql.Column
     val rnd = new scala.util.Random(7)
