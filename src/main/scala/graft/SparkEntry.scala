@@ -467,6 +467,15 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // per-language fractions rebalance the skewed corpus (en dominates),
+      // reproducibly and shuffle-free
+      graft.operators.Sampling.stratifiedByHash(
+          tbl(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.2, "de" -> 0.5, "zh" -> 1.0), salt = "strat1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_cc" -> ((s, dir) => {
       // transitive duplicate classes: path-graph edges (consecutive doc_ids
       // per lang) are the adversarial case for chained near-dup relations —
@@ -1147,6 +1156,16 @@ object SparkEntry {
                        'Question: how many orders are there' || chr(10) ||
                        'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
          FROM orders""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(
+                   str_split(doc_id::VARCHAR || ':strat1:' || doc_id::VARCHAR, ''),
+                   x -> ascii(x)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 10000
+               < CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 2000
+                           WHEN 'zh' THEN 10000 END
+         ORDER BY doc_id""",
     "q_dedup_cc" ->
       """WITH RECURSIVE
          base AS (SELECT doc_id AS u,

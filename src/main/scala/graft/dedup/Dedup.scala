@@ -403,6 +403,25 @@ object Dedup {
   }
 
   /**
+   * Transitive MinHash-LSH dedup: candidate pairs -> connected components ->
+   * keep the smallest id per component. Unlike the greedy `minhashLsh`
+   * (whose survivor set is order-dependent under chaining: A~B, B~C, A!~C
+   * greedily keeps {A, C} — C survives because its matcher B was already
+   * dropped), this closes duplicate classes before choosing survivors, the
+   * semantics most curation pipelines mean by "dedup".
+   */
+  def minhashLshCC(df: DataFrame, id: String, text: String,
+                   shingleSize: Int = 5, numHashes: Int = 16,
+                   bands: Int = 4, threshold: Double = 0.5,
+                   signature: Option[Column => Column] = None): DataFrame = {
+    val pairs = minhashLshPairs(df, id, text, shingleSize, numHashes, bands,
+      threshold, signature)
+    val comp = connectedComponents(pairs, "idA", "idB")
+    val drops = comp.where(col("id") =!= col("component")).select(col("id").as(id))
+    df.join(drops, Seq(id), "left_anti")
+  }
+
+  /**
    * CCNet-style duplicated-segment removal (Wenzek et al., CCNet; also the
    * C4 boilerplate rule): drop every line/segment whose content appears in
    * >= minDocFreq distinct documents, rebuild each document from its

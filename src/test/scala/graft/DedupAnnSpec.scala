@@ -106,6 +106,50 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("minhashLshCC keeps exactly one doc per transitive duplicate class") {
+    val rnd = new scala.util.Random(3)
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = (0 until 60).map { i =>
+      val toks = words.map(t => if (rnd.nextDouble() < 0.2) t + rnd.nextInt(3) else t)
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleSize = 3)
+      .select("idA", "idB").as[(Long, Long)].collect()
+    // expected survivors: min id of each union-find component over the pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedDrops = parent.keys.map(k => k -> find(k)).filter(p => p._1 != p._2)
+      .map(_._1).toSet
+    val survivors = Dedup.minhashLshCC(docs, "doc_id", "text", shingleSize = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == (0L until 60L).toSet -- expectedDrops)
+  }
+
+  test("stratifiedByHash: partition-independent, per-stratum fractions, drops unknown strata") {
+    import graft.operators.Sampling
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 4 == 0) "small" else "big")).toDF("id", "stratum")
+    val fr = Map("big" -> 0.1, "small" -> 0.8)
+    val a = Sampling.stratifiedByHash(df, "id", "stratum", fr)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedByHash(df.repartition(13), "id", "stratum", fr)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val byStratum = Sampling.stratifiedByHash(df, "id", "stratum", fr)
+      .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("big") / 1500.0 - 0.1) < 0.05)
+    assert(math.abs(byStratum("small") / 500.0 - 0.8) < 0.05)
+    val none = Sampling.stratifiedByHash(df, "id", "stratum", Map("other" -> 1.0))
+    assert(none.count() == 0, "unlisted strata are dropped")
+  }
+
   test("dedupLines drops hot segments, keeps order, empties fully-hot docs") {
     val docs = Seq(
       (0L, "keep one\nBOILER\nkeep two"),
