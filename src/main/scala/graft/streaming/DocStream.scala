@@ -75,6 +75,69 @@ object DocStream {
     withKeys.drop("__ts", "__h1", "__h2").as[Document]
   }
 
+  /**
+   * Streaming NEAR-dup dedup. Unlike exact dedup (whose per-key state is a
+   * 24-byte hash, safely held in the state store under a watermark),
+   * near-dup state is corpus-sized — every kept document's minhash
+   * signature, forever — so it lives in an external band-keyed parquet log
+   * instead of streaming state, and the query runs as foreachBatch over the
+   * batch LSH machinery (the layout a 100 TB pipeline actually uses: the
+   * signature log is a table, partition-prunable by band, not an in-memory
+   * state store).
+   *
+   * Per micro-batch: (1) greedy within-batch minhashLsh dedup; (2) drop
+   * survivors whose any LSH band matches a previously-kept signature with
+   * est-jaccard >= threshold; (3) append the kept signatures to the log and
+   * hand the kept documents to `sink`. Exactly-once caveat, documented: a
+   * retried batch may re-append signatures — duplicate log rows only cause
+   * repeated (idempotent) drop decisions, never data corruption.
+   */
+  def dedupNearStream(docs: DocSet, sigStore: String, checkpoint: String,
+                      shingleSize: Int = 5, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.5)
+                     (sink: DocSet => Unit): DataStreamWriter[Document] =
+    foreachDocBatch(docs, checkpoint) { (batch, _) =>
+      sink(dedupNearBatch(batch, sigStore, shingleSize, numHashes, bands, threshold))
+    }
+
+  /** One micro-batch of the streaming near-dup flow (also usable as an
+    * incremental batch ingest against the same signature log). */
+  def dedupNearBatch(batch: DocSet, sigStore: String,
+                     shingleSize: Int = 5, numHashes: Int = 16,
+                     bands: Int = 4, threshold: Double = 0.5): DocSet = {
+    import graft.functions.gf
+    import graft.dedup.Dedup
+    val spark = batch.spark
+    val rows = numHashes / bands
+    val df = batch.toDF
+    // (1) within-batch greedy dedup, identical semantics to the batch path
+    val intra = Dedup.minhashLsh(df, "docId", "textRepresentation",
+      shingleSize, numHashes, bands, threshold)
+    val sig = intra.select(col("docId").as("_id"),
+      gf.minhashSignature(
+        gf.wordShingles(col("textRepresentation"), shingleSize), numHashes).as("_sig"))
+    val banded = sig.select(col("_id"), col("_sig"),
+      explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
+    // (2) cross-batch: any band hit against the log with est >= threshold
+    val store: DataFrame =
+      try spark.read.parquet(sigStore).select(col("_band"), col("_sig").as("_storeSig"))
+      catch { case _: Exception =>
+        banded.select(col("_band"), col("_sig").as("_storeSig")).limit(0) }
+    val est = size(filter(zip_with(col("_sig"), col("_storeSig"),
+      (x, y) => x === y), m => m)).cast("double") / numHashes
+    val dropped = banded.join(store, Seq("_band"))
+      .where(est >= threshold)
+      .select(col("_id")).distinct()
+    val keptIds = sig.select(col("_id")).join(dropped, Seq("_id"), "left_anti")
+    // (3) log the kept signatures, then emit the kept documents
+    banded.join(keptIds, Seq("_id"), "left_semi")
+      .select(col("_band"), col("_sig"))
+      .write.mode("append").parquet(sigStore)
+    DocSet.wrap(
+      df.join(keptIds.withColumnRenamed("_id", "docId"), Seq("docId"), "left_semi")
+        .as[Document](DocSet.docEnc))
+  }
+
   /** Append-mode parquet writer for a streaming DocSet. */
   def writeParquetStream(docs: DocSet, path: String,
                          checkpoint: String): DataStreamWriter[Document] =

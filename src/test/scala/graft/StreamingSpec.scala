@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 import graft.docset.DocSet
 import graft.streaming.DocStream
 
+/** JVM-static sink buffer: foreachBatch closures are serialized, so
+  * recorded state must live on a static object. */
+object NearDupSink {
+  val kept = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 /** Structured Streaming extension (SURVEY §2.11): the same DocSet verbs run
   * over streaming inputs; windowed aggregation with watermark. */
 class StreamingSpec extends AnyFunSuite {
@@ -73,6 +79,34 @@ class StreamingSpec extends AnyFunSuite {
       val kept = spark.sql("SELECT docId FROM stream_dedup")
         .as[String].collect().toSet
       assert(kept == Set("1", "3", "5"))
+    } finally query.stop()
+  }
+
+  test("streaming near-dup dedup: signature log carries drops across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("neardup").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = DocStream.fromStreamingDf(
+      input.toDF().toDF("doc_id", "text"), Some("doc_id"), Some("text"))
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val writer = DocStream.dedupNearStream(docs, s"$tmp/sigs", s"$tmp/ckpt",
+        shingleSize = 3, bands = 8, threshold = 0.3) { kept =>
+      kept.toDF.select("docId").collect()
+        .foreach(r => NearDupSink.kept.add(r.getString(0)))
+    }
+    val query = writer.start()
+    try {
+      // batch 1: 1 and 2 are near-dups (greedy keeps 1); 3 unrelated
+      input.addData((1L, base), (2L, base.replace("river", "creek")),
+        (3L, "completely different text about query engines and planners"))
+      query.processAllAvailable()
+      // batch 2: 4 is a near-dup of KEPT doc 1 (cross-batch drop);
+      // 5 is new and survives
+      input.addData((4L, base.replace("lazy", "sleepy")),
+        (5L, "another unrelated document discussing tokenizers and corpora"))
+      query.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(NearDupSink.kept.asScala.toSet == Set("1", "3", "5"))
     } finally query.stop()
   }
 
