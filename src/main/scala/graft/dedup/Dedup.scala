@@ -427,24 +427,32 @@ object Dedup {
    * >= minDocFreq distinct documents, rebuild each document from its
    * surviving segments in order. Returns (id, text) with the cleaned text.
    *
-   * Scale shape: segment doc-frequency is aggregated on the 192-bit content
-   * hash of the segment (same rationale as `exact`), so neither the
-   * frequency shuffle nor the anti-join ever keys on segment text; the
-   * rebuild is one groupBy(id) with an order-restoring sort inside the
-   * aggregated array, not a window.
+   * Scale shape: ONE pass over the exploded segments. Doc frequency rides
+   * as a window aggregate over the co-partitioned 192-bit segment hash (a
+   * first-occurrence flag summed per segment — O(1) window state, unlike a
+   * collect_set of doc ids which would buffer every doc carrying a hot
+   * boilerplate line), so no frequency branch exists to re-explode the
+   * corpus: a separate groupBy+anti-join formulation was pruned into two
+   * different subtrees by Catalyst and scanned + split the corpus twice.
+   * No exchange keys on segment text; the rebuild is one groupBy(id) with
+   * an order-restoring sort inside the aggregated array.
    */
   def dedupLines(df: DataFrame, id: String, text: String, minDocFreq: Long,
                  delim: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lines = df.select(col(id).as("_id"),
         posexplode(split(col(text), java.util.regex.Pattern.quote(delim), -1))
           .as(Seq("_pos", "_line")))
       .withColumn("_h1", xxhash64(col("_line")))
       .withColumn("_h2", unhex(md5(col("_line"))))
-    val hot = lines.groupBy(col("_h1"), col("_h2"))
-      .agg(countDistinct(col("_id")).as("_df"))
-      .where(col("_df") >= minDocFreq)
-      .select(col("_h1"), col("_h2"))
-    val rebuilt = lines.join(hot, Seq("_h1", "_h2"), "left_anti")
+      .repartition(col("_h1"))
+    // hash(_h1) clusters (_h1,_h2[,_id]) too, so neither window re-shuffles
+    val wDoc = Window.partitionBy(col("_h1"), col("_h2"), col("_id")).orderBy(col("_pos"))
+    val wSeg = Window.partitionBy(col("_h1"), col("_h2"))
+    val rebuilt = lines
+      .withColumn("_first", when(row_number().over(wDoc) === 1, 1L).otherwise(0L))
+      .withColumn("_df", sum(col("_first")).over(wSeg))
+      .where(col("_df") < minDocFreq)
       .groupBy(col("_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("_pos"), col("_line")))),
