@@ -467,6 +467,17 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_percentiles" -> ((s, dir) => {
+      // exact (sort-based) per-group percentiles — the distribution stats a
+      // curation run reports per language; percentile_cont interpolation
+      // matches DuckDB's quantile_cont definition (rank = p*(n-1))
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
     "q_sample_stratified" -> ((s, dir) => {
       // per-language fractions rebalance the skewed corpus (en dominates),
       // reproducibly and shuffle-free
@@ -1156,6 +1167,12 @@ object SparkEntry {
                        'Question: how many orders are there' || chr(10) ||
                        'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
          FROM orders""",
+    "q_percentiles" ->
+      """SELECT lang,
+                round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE list_reduce(list_prepend(0::BIGINT,
