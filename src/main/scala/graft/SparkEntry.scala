@@ -416,25 +416,17 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: duplicate-line fraction (lines
       // synthesized from sentence breaks so the signal is non-trivial) and
-      // top-bigram fraction via explode + two-level aggregation — the
-      // relational shape scales where a per-row O(n^2) bigram fold would not.
-      val docs = tbl(s, dir, "documents")
+      // top-bigram fraction. Both statistics are row-local, so they compute
+      // in one scan with ZERO shuffles via the single-pass TopCountExpr —
+      // an earlier relational form (explode -> two-level aggregate -> join
+      // back) exchanged every (doc, bigram) pair for a per-row number.
+      tbl(s, dir, "documents")
         .select(col("doc_id"), regexp_replace(col("text"), "\\. ", "\n").as("t"))
-      val stats = docs
-        .select(col("doc_id"), explode(gf.wordShingles(col("t"), 2)).as("bg"))
-        // count by bigram HASH: the shuffle carries (long, long) instead of
-        // (long, string) and the hash aggregate compares 8 bytes, not text.
-        // Collisions would need two distinct bigrams of one doc sharing an
-        // xxhash64 — immaterial at any corpus size vs. the shuffle saved.
-        .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("n")).as("top_n"), sum(col("n")).as("total"))
-      docs.join(stats, Seq("doc_id"))
+        .select(col("doc_id"), col("t"), gf.wordShingles(col("t"), 2).as("bgs"))
         .select(col("doc_id"),
           round(gf.dupLineFraction(col("t")), 6).as("dup_line_frac"),
-          round(col("top_n").cast("double") / col("total").cast("double"), 6)
-            .as("top_bigram_frac"))
+          round(gf.topCount(col("bgs")).cast("double") /
+            size(col("bgs")).cast("double"), 6).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
 

@@ -371,11 +371,13 @@ object Dedup {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val largeMin = sym.groupBy(col("u")).agg(min(col("v")).as("_mv"))
         .select(col("u"), least(col("_mv"), col("u")).as("m"))
+      // no distinct here: duplicate (v, m) edges are collapsed by the
+      // small-star min aggregate and the round-final distinct anyway — the
+      // extra exchange cost more than the duplicates it removed
       val large = sym.join(largeMin, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
       // small-star: key each edge by its larger endpoint; all smaller
       // neighbors (and the center) hook onto the minimum
       val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))

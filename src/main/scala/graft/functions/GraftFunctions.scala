@@ -33,13 +33,10 @@ object gf {
     size(regexp_extract_all(c, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles: array of space-joined n-token windows. Short texts
-    * (< n tokens) yield one shingle of all tokens. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
-    transform(
-      sequence(lit(0), greatest(size(ts) - n, lit(0))),
-      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
-  }
+    * (< n tokens) yield one shingle of all tokens. Single-pass expression —
+    * see WordShinglesExpr for why the HOF formulation was O(len²). */
+  def wordShingles(c: Column, n: Int): Column =
+    fromExpr(WordShinglesExpr(toExpr(tokens(c)), n))
 
   /** Character n-gram shingles over the lowercased text. */
   def charShingles(c: Column, n: Int): Column = {
@@ -206,6 +203,10 @@ object gf {
 
   /** Fraction of non-blank lines that repeat an earlier line — the
     * duplicate-line signal from the Gopher/MassiveText quality rules. */
+  /** Max multiplicity of any element of a string array — one hash pass,
+    * row-local, codegen'd (TopCountExpr). */
+  def topCount(c: Column): Column = fromExpr(TopCountExpr(toExpr(c)))
+
   def dupLineFraction(c: Column): Column = {
     val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
     when(size(lines) === 0, lit(0.0)).otherwise(

@@ -18,6 +18,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Int](gf.bpeishTokenCount($"t"), "don't stop, now!") == 7)
   }
 
+  test("topCount: max multiplicity in one pass, null-safe, empty-safe") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c", "a")),
+      (2L, Seq("x", "y")),
+      (3L, Seq.empty[String])).toDF("id", "arr")
+    val out = df.select(col("id"), gf.topCount(col("arr")).as("tc"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 0))
+    // matches the relational formulation (explode + count + max) on text data
+    val docs = Seq((1L, "w u w u w z"), (2L, "p q r")).toDF("doc_id", "t")
+    val viaExpr = docs.select(col("doc_id"),
+      gf.topCount(gf.wordShingles(col("t"), 2)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaAgg = docs.select(col("doc_id"), explode(gf.wordShingles(col("t"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").count().groupBy("doc_id")
+      .agg(max("count").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("wordShingles windows and short-text fallback") {
     def shingles(n: Int, text: String): Seq[String] =
       Seq(text).toDF("t").select(gf.wordShingles($"t", n).as("r"))
