@@ -459,6 +459,18 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time: each purchase joins the user's latest prior (or
+      // simultaneous) click. Micros on both sides — DuckDB's native ASOF
+      // JOIN oracle sees the parquet nanos truncated to µs.
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin.asofBackward(purchases, clicks, "user_id", "ts_us")
+        .orderBy(col("event_id"))
+    }),
     "q_percentiles" -> ((s, dir) => {
       // exact (sort-based) per-group percentiles — the distribution stats a
       // curation run reports per language; percentile_cont interpolation
@@ -1159,6 +1171,13 @@ object SparkEntry {
                        'Question: how many orders are there' || chr(10) ||
                        'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
          FROM orders""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                epoch_us(c.ts) AS asof_ts_us, c.event_id AS asof_click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     "q_percentiles" ->
       """SELECT lang,
                 round(quantile_cont(n_chars, 0.5), 4) AS p50,

@@ -148,6 +148,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted != ids1)
   }
 
+  test("asofBackward: latest at-or-before match, inclusive ties, null when none") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 15L, 50.0))
+      .toDF("k", "t", "px")
+    val trades = Seq((1L, 9L), (1L, 10L), (1L, 25L), (2L, 14L), (3L, 5L))
+      .toDF("k", "t")
+    val out = AsofJoin.asofBackward(trades, quotes, "k", "t")
+      .orderBy(col("k"), col("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(out == Seq(
+      (1L, 9L, None),          // before any quote
+      (1L, 10L, Some(100.0)),  // equal time is inclusive
+      (1L, 25L, Some(101.0)),  // latest prior wins
+      (2L, 14L, None),         // quote arrives later
+      (3L, 5L, None)))         // key never quoted
+  }
+
   test("reconstruct is the inverse of explode") {
     val els = Seq(
       Element.text(0, "Title", "Heading", properties = Map("k" -> "v")),
