@@ -352,7 +352,8 @@ object Dedup {
    * under chaining before choosing survivors.
    */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          localFinishEdges: Long = 4L << 20): DataFrame = {
     val nodes = edges
       .select(explode(array(col(src).cast("long"), col(dst).cast("long"))).as("id"))
       .distinct()
@@ -367,7 +368,25 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
-    val nParts = math.max(1, math.min(parallelism, (e.count() / 100000L).toInt))
+    val edgeCount = e.count()
+    // Size-gated local finish: below the threshold the whole residual graph
+    // fits in bounded driver memory (4M edges = 64 MB of longs), and a
+    // single union-find pass replaces O(log n) distributed rounds — worth
+    // ~10 jobs of scheduling latency. This mirrors AQE's own philosophy
+    // (re-plan on observed size): the distributed star-contraction loop is
+    // the 100 TB path for billion-edge near-dup graphs; the endgame of a
+    // SPARSE duplicate graph (the common corpus case) is a small edge set
+    // that no longer pays for distribution. The count is already needed to
+    // size the loop parallelism, so the gate adds no extra job. Set
+    // localFinishEdges = 0 to force the distributed loop (unit tests do).
+    if (edgeCount <= localFinishEdges) {
+      val comp = localUnionFind(
+        e.select(col("u"), col("v")).collect().map(r => (r.getLong(0), r.getLong(1))))
+      val mapping = e.sparkSession.createDataFrame(comp.toSeq).toDF("id", "component")
+      return nodes.join(broadcast(mapping), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
+    val nParts = math.max(1, math.min(parallelism, (edgeCount / 100000L).toInt))
     e = e.repartition(nParts).localCheckpoint()
     var fingerprint = -1L
     var iter = 0
@@ -398,7 +417,12 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
-        .localCheckpoint()
+        // LAZY checkpoint: the fingerprint aggregation below is the action
+        // that materializes it, so each round runs ONE job, not two (an
+        // eager checkpoint + a separate fingerprint head() doubled the
+        // per-round scheduling cost, which dominates when the edge set is
+        // far smaller than the corpus)
+        .localCheckpoint(false)
       // convergence: order-independent edge-set fingerprint (count + xor of
       // edge hashes — xor, not sum: ANSI mode makes a long-sum overflow
       // throw, and edges are distinct so no pair cancels)
@@ -413,6 +437,28 @@ object Dedup {
     }
     nodes.join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Union-find with path compression, min-id roots (component = smallest
+    * reachable id — the same contract as the distributed loop). Driver-side
+    * endgame for edge sets under `localFinishEdges`; memory is O(|nodes in
+    * edges|) longs, bounded by the gate. */
+  private[dedup] def localUnionFind(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    val out = Map.newBuilder[Long, Long]
+    pairs.foreach { case (u, v) => out += (u -> find(u)); out += (v -> find(v)) }
+    out.result()
   }
 
   /**
@@ -491,6 +537,32 @@ object Dedup {
     val contaminated = cSh.join(broadcast(bSh), Seq("_sh"), "left_semi")
       .select(col("_id")).distinct()
     corpus.join(contaminated, corpus(id) === contaminated("_id"), "left_anti")
+  }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+   * via embedding clusters — assign each vector to its nearest centroid,
+   * compare cosines only WITHIN a cluster, and drop every id that has a
+   * smaller-id neighbor at cosine >= threshold. The clustering is what makes
+   * 100 TB feasible: the quadratic candidate stage runs per cluster bucket
+   * (k buckets of ~n/k vectors each), never across the corpus. Reuses
+   * embeddingCosinePairs' bucketed-quadratic shape with the centroid
+   * assignment (NearestCentroidExpr — one plan node regardless of k x dim)
+   * as the bucket; centroids typically come from `DocSet.kmeans` on a
+   * sample.
+   *
+   * Greedy min-id survivor semantics (a dropped doc's own matches are not
+   * revived) — the same contract as minhashLsh; use connectedComponents on
+   * the pairs when transitive-closure classes are needed.
+   */
+  def semDedup(df: DataFrame, id: String, vec: String,
+               centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val bucket = graft.ann.Ann.nearestCentroid(col(vec), centroids)
+    val pairs = embeddingCosinePairs(df, id, vec, bucket, threshold)
+    // no distinct(): left_anti tolerates duplicate keys (same reasoning as
+    // minhashLsh's crossDrops)
+    val drops = pairs.select(col("idB").as(id))
+    df.join(drops, Seq(id), "left_anti")
   }
 
   /** Random-hyperplane sign bucket for embeddingCosinePairs when no label

@@ -118,12 +118,10 @@ object gf {
   // ------------------------------------------------------------- vectors
 
   /** Dot product of two numeric array columns (double math, left fold —
-    * deterministic order). */
+    * deterministic order). One codegen'd expression; see DotProductExpr for
+    * why the aggregate(zip_with(...)) formulation was the hot-path cost. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    fromExpr(DotProductExpr(toExpr(a), toExpr(b)))
 
   /** L2 norm of a numeric array column. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed prefix-sum machinery and the two training-data operators
+ * built on it:
+ *
+ *  - `packSequences`: GPT-style concat-and-chunk packing — documents are
+ *    laid out in a deterministic total order, the token stream is cut into
+ *    fixed context-length chunks, and each document learns which chunk(s)
+ *    its tokens land in.
+ *  - `rankBins`: exact quantile binning (curriculum buckets) — bin =
+ *    floor(rank * nBins / N) over a deterministic total order.
+ *
+ * Both need a GLOBAL running total. A bare `Window.orderBy(...)` computes
+ * it on ONE partition — the classic scale-killer. This is the textbook
+ * two-phase prefix sum instead: range-partition by the order key, compute
+ * per-partition partial aggregates, collect only the PER-PARTITION totals
+ * (bounded by the partition count, a few KB at any corpus size), broadcast
+ * the exclusive prefix offsets back, and finish with a partition-local
+ * window. The corpus itself never funnels through one task.
+ *
+ * The staged frame is persisted so the offsets job and the main job see the
+ * identical range partitioning (and the corpus is scanned once, not twice).
+ */
+object Packing {
+
+  /** Range-partition df by `order`, stamp partition ids, persist, and return
+    * (staged, exclusive per-partition offsets of sum(weight)). */
+  private def stagedPrefix(df: DataFrame, order: String, weight: Column)
+      : (DataFrame, Map[Int, Long]) = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val staged = df
+      .repartitionByRange(parts, col(order))
+      .sortWithinPartitions(col(order))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_w", weight.cast("long"))
+      .persist()
+    val sums = staged.groupBy(col("_pid")).agg(sum(col("_w")).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exclusive prefix: offset(p) = sum of sums(q) for q < p
+    val ordered = sums.keys.toSeq.sorted
+    val excl = ordered.zip(ordered.scanLeft(0L)((acc, p) => acc + sums(p)).dropRight(1)).toMap
+    (staged, excl)
+  }
+
+  /**
+   * Concat-and-chunk sequence packing: documents ordered by `order`
+   * (deterministic total order — use the doc id), token counts from
+   * `tokenCol`, context windows of `contextLen` tokens. Returns one row per
+   * document: its token span [tok_start, tok_end) in the concatenated
+   * stream, the first and last chunk it lands in, and its offset within the
+   * first chunk. A document spanning a chunk boundary is split across
+   * chunks — exactly what a pretraining loader does.
+   */
+  def packSequences(df: DataFrame, order: String, tokenCol: Column,
+                    contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val (staged, offsets) = stagedPrefix(df, order, tokenCol)
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("_pid") === p, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("_pid")).orderBy(col(order))
+    val out = staged
+      .withColumn("_cum", sum(col("_w")).over(w) + offExpr)
+      .withColumn("tok_start", col("_cum") - col("_w"))
+      .withColumn("tok_end", col("_cum"))
+      .withColumn("chunk_start", floor(col("tok_start") / contextLen).cast("long"))
+      // empty docs occupy no chunk: end chunk = chunk of last token
+      .withColumn("chunk_end",
+        when(col("_w") > 0, floor((col("tok_end") - 1) / contextLen).cast("long"))
+          .otherwise(col("chunk_start")))
+      .withColumn("chunk_offset", pmod(col("tok_start"), lit(contextLen.toLong)))
+      .drop("_pid", "_w", "_cum")
+    out
+  }
+
+  /**
+   * Exact quantile bins over a deterministic total order: bin =
+   * floor(rank0 * nBins / N), rank0 = 0-based global rank by (`order`
+   * columns, ties impossible when the last order column is unique). The
+   * curriculum-binning op: bin 0 = lowest `order`, bin nBins-1 = highest.
+   */
+  def rankBins(df: DataFrame, order: Seq[Column], unique: String,
+               nBins: Int, binCol: String = "bin"): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val ord = order :+ col(unique)
+    val staged = df
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val counts = staged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val orderedP = counts.keys.toSeq.sorted
+    val excl = orderedP.zip(orderedP.scanLeft(0L)((acc, p) => acc + counts(p)).dropRight(1)).toMap
+    val n = math.max(1L, counts.values.sum)
+    val offExpr = excl.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("_pid") === p, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
+    staged
+      .withColumn("_rank0", row_number().over(w).cast("long") - 1 + offExpr)
+      .withColumn(binCol, floor(col("_rank0") * nBins / n).cast("long"))
+      .drop("_pid", "_rank0")
+  }
+}

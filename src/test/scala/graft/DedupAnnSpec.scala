@@ -85,9 +85,14 @@ class DedupAnnSpec extends AnyFunSuite {
     // path graph: the adversarial depth case — greedy one-hop labeling fails,
     // large-star/small-star must close it within O(log n) rounds
     val path = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
-    val pathComp = Dedup.connectedComponents(path, "src", "dst")
+    // localFinishEdges = 0 forces the distributed star-contraction loop
+    // (default would take the size-gated driver union-find shortcut)
+    val pathComp = Dedup.connectedComponents(path, "src", "dst", localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pathComp.size == 200 && pathComp.values.forall(_ == 0L))
+    val pathLocal = Dedup.connectedComponents(path, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pathLocal == pathComp)
     // random graph vs driver-side union-find
     val rnd = new scala.util.Random(11)
     val edges = (0 until 120).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
@@ -99,11 +104,16 @@ class DedupAnnSpec extends AnyFunSuite {
     }
     val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(n => n -> find(n.toInt).toLong).toMap
-    val got = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+    val got = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+        localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // canonical labels: union-find roots ARE the component minima here
     // because unions always hang the larger root under the smaller
     assert(got == expected)
+    // and the size-gated local path agrees with the distributed loop
+    val gotLocal = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLocal == expected)
   }
 
   test("minhashLshCC keeps exactly one doc per transitive duplicate class") {
