@@ -540,6 +540,57 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("idA"), col("idB"))
     }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup with a pinned codebook (embeddings 0..7), so the oracle can
+      // replay the nearest-centroid bucketing + within-cluster cosine rule;
+      // production would pass DocSet.kmeans centers instead.
+      val emb = tbl(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Dedup.semDedup(emb, "vec_id", "embedding", centroids, threshold = 0.45)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy(col("vec_id"))
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      graft.operators.TfIdf.topTerms(tbl(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("term"))
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // two-pass Misra-Gries sketch -> exact recount; output is EXACT, so
+      // the oracle is the plain frequency threshold
+      graft.operators.HeavyHitters.topTokens(tbl(s, dir, "documents"), "text", 0.01)
+        .orderBy(col("token"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // banded time-proximity join (micros: the oracle can only see µs —
+      // DuckDB truncates TIMESTAMP(NANOS))
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("p_us"))
+      graft.operators.RangeJoin.band(clicks, purchases, "c_us", "p_us",
+          width = 300000000.0, keys = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_us") - col("c_us")).as("delta_us"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.operators.Packing.packSequences(tbl(s, dir, "documents"), "doc_id",
+          gf.tokenCount(col("text")), contextLen = 512)
+        .select(col("doc_id"), col("tok_start"), col("tok_end"),
+          col("chunk_start"), col("chunk_end"), col("chunk_offset"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_rank_bins" -> ((s, dir) => {
+      // exact decile curriculum bins over (n_chars, doc_id) — the two-phase
+      // prefix-rank, never a single-partition global window
+      graft.operators.Packing.rankBins(tbl(s, dir, "documents"),
+          Seq(col("n_chars")), "doc_id", nBins = 10)
+        .select(col("doc_id"), col("n_chars"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- DocSet facade routed through the gate (groupby_count contract:
     //      documents with properties {key,count}, reference groupby_count.py:86)
@@ -1096,6 +1147,71 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
          ORDER BY idA, idB""",
+    "q_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         a AS (SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+                      min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.cv),
+                                      cid := c.cid)).cid AS cl
+               FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, e.label, e.embedding)
+         SELECT vec_id, CAST(label AS BIGINT) AS label FROM a
+         WHERE vec_id NOT IN (
+           SELECT y.vec_id FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+           WHERE list_cosine_similarity(x.v, y.v) >= 0.45)
+         ORDER BY vec_id""",
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       tf.tf::DOUBLE * (n.n + 1)::DOUBLE / (dfq.df + 1)::DOUBLE AS score
+                FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, term) AS rk FROM sc)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                round(score, 6) AS score
+         FROM r WHERE rk <= 3 ORDER BY doc_id, term""",
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                       FROM documents),
+         t AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM t)
+         SELECT token, CAST(cnt AS BIGINT) AS cnt FROM t, n
+         WHERE cnt::DOUBLE >= total::DOUBLE * 0.01
+         ORDER BY token""",
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+                epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+           AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+         ORDER BY click_id, purchase_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+                      CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS w
+                    FROM documents),
+         c AS (SELECT doc_id, w,
+                      CAST(SUM(w) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM t)
+         SELECT doc_id, cum - w AS tok_start, cum AS tok_end,
+                CAST(floor((cum - w) / 512) AS BIGINT) AS chunk_start,
+                CASE WHEN w > 0 THEN CAST(floor((cum - 1) / 512) AS BIGINT)
+                     ELSE CAST(floor((cum - w) / 512) AS BIGINT) END AS chunk_end,
+                (cum - w) % 512 AS chunk_offset
+         FROM c ORDER BY doc_id""",
+    "q_rank_bins" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+                      row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank0,
+                      count(*) OVER () AS n
+                    FROM documents)
+         SELECT doc_id, n_chars, CAST(floor(rank0 * 10 / n) AS BIGINT) AS bin
+         FROM r ORDER BY doc_id""",
     "q_docset_groupby_count" ->
       """SELECT lang AS key, count(*) AS count FROM documents
          GROUP BY lang ORDER BY key""",

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators.{HeavyHitters, Packing, RangeJoin, TfIdf}
+
+/** Round-5 operators: heavy hitters, packing/binning, range join, TF-IDF,
+  * SemDeDup. */
+class Round5Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ----------------------------------------------------------- heavy hitters
+
+  test("MisraGries sketch never loses a true heavy hitter (zipf stream, any partitioning)") {
+    // zipf-ish: token k appears ~N/k times
+    val rows = (1 to 40).flatMap(k => Seq.fill(2000 / k)(s"tok$k"))
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(rows).toDF("token").repartition(7)
+    val n = rows.size.toLong
+    val cap = 25
+    val cands = shuffled.agg(HeavyHitters.misraGries(col("token"), cap))
+      .collect()(0).getSeq[String](0).toSet
+    val exact = rows.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val mustSurvive = exact.filter(_._2 > n / (cap + 1)).keySet
+    assert(mustSurvive.subsetOf(cands),
+      s"lost heavy hitters: ${mustSurvive -- cands}")
+  }
+
+  test("topTokens is exact: equals the plain frequency threshold") {
+    val docs = Seq(
+      (1L, "a a a b c d e"),
+      (2L, "a b b f g h"),
+      (3L, "a c c c i j k l m n o p q r s t u v w x y z"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = HeavyHitters.topTokens(docs, "text", 0.08)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select(explode(graft.functions.gf.tokens(col("text"))).as("t"))
+      .where(col("t") =!= "").as[String].collect()
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      .filter { case (_, c) => c.toDouble >= toks.size * 0.08 }
+    assert(got == exact)
+    // tiny capacity still exact (more pass-2 false positives, same output)
+    val gotTiny = HeavyHitters.topTokens(docs, "text", 0.08, capacity = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity 2 < 1/0.08 voids the superset guarantee — only check that
+    // whatever survives pass 2 has exact counts
+    assert(gotTiny.forall { case (t, c) => exact.get(t).contains(c) })
+  }
+
+  // ----------------------------------------------------------------- packing
+
+  test("packSequences: partition-independent, spans correct, chunk math right") {
+    val docs = (1L to 97L).map(i => (i, "w " * (i % 13).toInt)).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, "doc_id",
+          graft.functions.gf.tokenCount(col("text")), contextLen = 7)
+        .select("doc_id", "tok_start", "tok_end", "chunk_start", "chunk_end", "chunk_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val a = run(docs)
+    val b = run(docs.repartition(11))
+    assert(a.toSeq == b.toSeq, "packing must not depend on input partitioning")
+    // reference computation: sequential cumsum in doc_id order
+    var cum = 0L
+    val expected = (1L to 97L).map { i =>
+      val w = (i % 13).toInt
+      val start = cum; cum += w
+      val chunkStart = start / 7
+      val chunkEnd = if (w > 0) (cum - 1) / 7 else chunkStart
+      (i, start, cum, chunkStart, chunkEnd, start % 7)
+    }
+    assert(a.toSeq == expected)
+  }
+
+  test("rankBins: exact decile assignment over a deterministic order") {
+    val df = (1L to 100L).map(i => (i, (i * 37) % 101)).toDF("id", "v")
+    val got = Packing.rankBins(df, Seq(col("v")), "id", nBins = 10)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranked = (1L to 100L).map(i => (i, (i * 37) % 101)).sortBy { case (id, v) => (v, id) }
+    val expected = ranked.zipWithIndex.map { case ((id, _), r) => id -> (r * 10 / 100).toLong }.toMap
+    assert(got == expected)
+    // every bin holds exactly 10 of the 100 rows
+    assert(got.values.groupBy(identity).values.forall(_.size == 10))
+  }
+
+  // --------------------------------------------------------------- range join
+
+  test("band join equals the naive quadratic filter, boundary inclusive") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 80).map(i => (i.toLong, i.toLong % 3, rnd.nextInt(1000).toDouble))
+      .toDF("lid", "k", "lt")
+    val right = (1 to 80).map(i => (i.toLong + 100, i.toLong % 3, rnd.nextInt(1000).toDouble))
+      .toDF("rid", "k", "rt")
+    val got = RangeJoin.band(left, right, "lt", "rt", width = 50.0, keys = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.join(right, "k")
+      .where(abs(col("lt") - col("rt")) <= 50.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    // exact-boundary pair survives
+    val l2 = Seq((1L, 0L, 100.0)).toDF("lid", "k", "lt")
+    val r2 = Seq((2L, 0L, 150.0)).toDF("rid", "k", "rt")
+    assert(RangeJoin.band(l2, r2, "lt", "rt", 50.0, Seq("k")).count() == 1)
+  }
+
+  // -------------------------------------------------------------------- tfidf
+
+  test("TfIdf.topTerms: rare terms outrank common ones, k respected") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2 rare2"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(docs, "doc_id", "text", 2)
+      .select("doc_id", "term").as[(Long, String)].collect().groupBy(_._1)
+    assert(out(1L).map(_._2).toSet.contains("rare1"))
+    assert(out(2L).map(_._2).head == "rare2") // tf=2 on a df=1 term wins
+    assert(out.values.forall(_.length <= 2))
+    // "common" (df=3) scores below the doc-unique terms everywhere it competes
+    val doc2Terms = TfIdf.topTerms(docs, "doc_id", "text", 1)
+      .where(col("doc_id") === 2L).select("term").as[String].collect()
+    assert(doc2Terms.sameElements(Array("rare2")))
+  }
+
+  // ----------------------------------------------------------------- semdedup
+
+  test("semDedup drops exactly the greedy min-id within-cluster near-dups") {
+    // two well-separated clusters; within each, vecs 0/1 are near-identical
+    def v(base: Array[Double], eps: Double): Array[Double] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }
+    val c1 = Array(10.0, 0.0, 0.0)
+    val c2 = Array(0.0, 10.0, 0.0)
+    val rows = Seq(
+      (1L, v(c1, 0.0)), (2L, v(c1, 0.1)),   // near-dup pair in cluster 1
+      (3L, Array(5.0, 0.0, 8.0)),            // cluster 1, far from 1/2
+      (4L, v(c2, 0.0)), (5L, v(c2, 0.2)))    // near-dup pair in cluster 2
+      .toDF("id", "vec")
+    val centroids = Array(c1, c2)
+    val kept = Dedup.semDedup(rows, "id", "vec", centroids, threshold = 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+}
