@@ -138,6 +138,77 @@ object DocStream {
         .as[Document](DocSet.docEnc))
   }
 
+  /**
+   * Stateful streaming sessionization via flatMapGroupsWithState — the
+   * custom-state surface (SURVEY §2.11) for semantics that windowed aggs
+   * can't express: session boundaries depend on the gap between
+   * CONSECUTIVE events, not on fixed windows.
+   *
+   * State per key is one open session (24 bytes), closed either by an
+   * in-batch event falling beyond the gap or by the event-time timeout
+   * when the watermark passes sessionEnd + gap — so state is bounded by
+   * the number of concurrently-active keys, not corpus size. Emits each
+   * session exactly once, on close (Append semantics).
+   *
+   * Ordering caveat (standard for stateful streaming): events are sorted
+   * within each micro-batch, but an out-of-order event arriving in a LATER
+   * batch (still inside the watermark) after its session closed starts a
+   * new session rather than reopening the old one — the
+   * completeness/latency trade every streaming sessionizer makes; the
+   * batch `q_sessionize` path is the exact-retrospective variant.
+   */
+  def sessionizeStream(df: DataFrame, keyCol: String, tsCol: String,
+                       gapMs: Long, watermarkDelay: String)
+      : Dataset[DocStream.Session] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val ev = df
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessEvent](E.product[SessEvent])
+    def close(key: String, s: SessState): Session =
+      Session(key, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+    val fn = (key: String, it: Iterator[SessEvent], state: GroupState[SessState]) => {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(key, s))
+      } else {
+        val ts = it.map(_.ts.getTime).toArray
+        java.util.Arrays.sort(ts)
+        var out = List.empty[Session]
+        var cur = state.getOption
+        ts.foreach { t =>
+          cur match {
+            case None => cur = Some(SessState(t, t, 1L))
+            case Some(s) if t - s.endMs > gapMs =>
+              out ::= close(key, s)
+              cur = Some(SessState(t, t, 1L))
+            case Some(s) =>
+              cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // the timeout must sit beyond the current watermark
+          state.setTimeoutTimestamp(
+            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.reverse.iterator
+      }
+    }
+    ev.groupByKey(_.key)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)(
+        E.product[SessState], E.product[Session])
+  }
+
+  /** Input/state/output rows for sessionizeStream. */
+  case class SessEvent(key: String, ts: java.sql.Timestamp)
+  case class SessState(startMs: Long, endMs: Long, n: Long)
+  case class Session(key: String, start: java.sql.Timestamp,
+                     end: java.sql.Timestamp, n_events: Long)
+
   /** Append-mode parquet writer for a streaming DocSet. */
   def writeParquetStream(docs: DocSet, path: String,
                          checkpoint: String): DataStreamWriter[Document] =

@@ -59,6 +59,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stateful sessionization: in-batch gap close + watermark timeout close") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = DocStream.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      gapMs = 10 * 60 * 1000L, watermarkDelay = "5 minutes")
+    val query = sessions.toDF.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      // one batch, one user: 10:00+10:05 cluster, then 11:00 — the first
+      // session must close IN-BATCH on the 55-minute gap
+      input.addData(("u1", ts(10, 0)), ("u1", ts(10, 5)), ("u1", ts(11, 0)))
+      query.processAllAvailable()
+      val afterB1 = spark.sql("SELECT key, n_events FROM stream_sessions")
+        .as[(String, Long)].collect().toSet
+      assert(afterB1 == Set(("u1", 2L)))
+      // a far-future event lifts the watermark (to 14:55, at batch END);
+      // the next trigger then fires u1's event-time timeout
+      input.addData(("u2", ts(15, 0)))
+      query.processAllAvailable()
+      input.addData(("u2", ts(15, 1)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT key, n_events FROM stream_sessions")
+        .as[(String, Long)].collect().toSet
+      assert(rows.contains(("u1", 1L)), s"open session not closed by timeout: $rows")
+      val u1 = spark.sql(
+        "SELECT CAST(start AS STRING), CAST(end AS STRING) FROM stream_sessions " +
+        "WHERE key = 'u1' AND n_events = 2").as[(String, String)].collect().head
+      assert(u1 == ("2026-01-01 10:00:00", "2026-01-01 10:05:00"))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup drops in-watermark duplicates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
