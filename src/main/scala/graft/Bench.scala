@@ -44,6 +44,24 @@ object Bench {
         .select(aggregate(zip_with(col("embedding"), col("embedding"),
           (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v))
         .queryExecution.toRdd.count()
+      // the typed Document encoder + DocSet map path: its serializer /
+      // deserializer JIT otherwise lands on the first q_docset_* / DocSet
+      // query (~5s of one-time cost measured at sf0.1)
+      graft.sources.DocRead.fromDataFrame(
+          spark.read.parquet(s"$sfDir/region.parquet"), Some("r_regionkey"))
+        .map(d => d.withProp("w", d.properties.size.toString))
+        .toDF.queryExecution.toRdd.count()
+      // agg -> join-of-aggregates -> window shape (the tfidf/plan-family
+      // codegen unit): tiny input, compiles the same generated classes
+      val rtoks = spark.read.parquet(s"$sfDir/region.parquet")
+        .select(col("r_regionkey").as("k"), explode(split(lower(col("r_name")), "")).as("t"))
+      val rtf = rtoks.groupBy(col("k"), col("t")).agg(count(lit(1)).as("tf"))
+      val rdf = rtf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      rtf.join(rdf, "t")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(desc("tf"), col("t"))))
+        .where(col("rn") <= 2)
+        .queryExecution.toRdd.count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup: ${e.getMessage}")
     }
