@@ -517,6 +517,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // bloom-prefiltered variant: false positives die in the exact-verify
+      // semi-join, so the oracle is the SAME overlap rule as q_decontaminate
+      val d = tbl(s, dir, "documents")
+      Dedup.decontaminateBloom(
+          d.where(col("doc_id") % 53 =!= 0), d.where(col("doc_id") % 53 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q_bm25" -> ((s, dir) => {
       graft.operators.Bm25.score(tbl(s, dir, "documents"), "doc_id", "text",
           Seq("spark", "shuffle", "window"))
@@ -1335,6 +1345,20 @@ object SparkEntry {
          FROM documents d LEFT JOIN kept k USING (doc_id)
          GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(0, greatest(len(toks) - 4, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+4)], ' ')))) AS sh
+                FROM t),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0),
+         contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+                          WHERE s.doc_id % 53 <> 0)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 53 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
+    "q_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -565,6 +565,41 @@ object Dedup {
     df.join(drops, Seq(id), "left_anti")
   }
 
+  /**
+   * Decontamination for benchmark sets TOO BIG to broadcast as rows: the
+   * benchmark shingle set compresses into a bloom filter (~1.8 bytes/item
+   * at 0.1% fpp — a 100M-shingle benchmark suite is ~180 MB of bits vs many
+   * GB of strings), the corpus prefilters its shingles through the bits,
+   * and only the surviving sliver is exactly verified by a semi-join
+   * against the true benchmark set. Bloom false positives are discarded by
+   * the verify pass, so the output is IDENTICAL to `decontaminate` — the
+   * filter changes the join volume, never the answer.
+   *
+   * The verify join is shuffle-based (not broadcast) by construction: at
+   * the scale where this variant matters, neither side broadcasts, but the
+   * corpus side has already shrunk to near the true contamination rate.
+   */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, id: String,
+                         text: String, n: Int = 8,
+                         fpp: Double = 0.001): DataFrame = {
+    val bSh = benchmark
+      .select(explode(array_distinct(gf.wordShingles(col(text), n))).as("_sh"))
+      .distinct()
+    // distributed build + driver merge of the bits (stat.bloomFilter
+    // tree-aggregates partial filters; only bit arrays hit the driver)
+    val expected = math.max(1L, bSh.count())
+    val bf = bSh.stat.bloomFilter("_sh", expected, fpp)
+    val mightContain = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_sh")), bf))
+    val cSh = corpus.select(col(id).as("_id"),
+      explode(array_distinct(gf.wordShingles(col(text), n))).as("_sh"))
+    val contaminated = cSh.where(mightContain)
+      .join(bSh, Seq("_sh"), "left_semi")
+      .select(col("_id")).distinct()
+    corpus.join(contaminated, corpus(id) === contaminated("_id"), "left_anti")
+  }
+
   /** Random-hyperplane sign bucket for embeddingCosinePairs when no label
     * exists: k deterministic pseudo-random hyperplanes. One expression node
     * regardless of planes x dim (SignBucketExpr carries the plane matrix as

@@ -130,6 +130,38 @@ class Round5Spec extends AnyFunSuite {
     assert(doc2Terms.sameElements(Array("rare2")))
   }
 
+  // -------------------------------------------------------- bloom decontam
+
+  test("decontaminateBloom output is identical to exact decontaminate") {
+    val rnd = new scala.util.Random(29)
+    val words = "red green blue cyan teal plum gray pink gold jade".split(" ")
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 7 =!= 0)
+    val bench = docs.where(col("doc_id") % 7 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // tight fpp AND a sloppy 20% fpp must both match exactly — the verify
+    // pass, not the filter, owns correctness
+    for (fpp <- Seq(0.001, 0.2)) {
+      val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+          n = 3, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+  }
+
+  test("BloomMightContainExpr has no false negatives") {
+    val members = (1 to 500).map(i => s"item$i")
+    val df = members.toDF("s")
+    val bf = df.stat.bloomFilter("s", 500, 0.03)
+    val mc = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("s")), bf))
+    assert(df.where(mc).count() == 500)
+  }
+
   // ----------------------------------------------------------------- semdedup
 
   test("semDedup drops exactly the greedy min-id within-cluster near-dups") {
