@@ -491,6 +491,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_token_mixture" -> ((s, dir) => {
+      // per-language keep fractions DERIVED from observed token mass
+      // (min(1, budget/tokens)), applied via the deterministic hash rule —
+      // fr has no budget (dropped), zh's budget exceeds its mass (kept
+      // whole), en/de/es downsample
+      graft.operators.Sampling.tokenBudgetMixture(
+          tbl(s, dir, "documents"), "doc_id", "lang",
+          gf.tokenCount(col("text")),
+          Map("en" -> 5000L, "de" -> 2000L, "es" -> 1000L, "zh" -> 1000000000L),
+          salt = "mix1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_cc" -> ((s, dir) => {
       // transitive duplicate classes: path-graph edges (consecutive doc_ids
       // per lang) are the adversarial case for chained near-dup relations —
@@ -1320,6 +1333,27 @@ object SparkEntry {
                < CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 2000
                            WHEN 'zh' THEN 10000 END
          ORDER BY doc_id""",
+    "q_token_mixture" ->
+      """WITH tk AS (SELECT lang,
+                       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                         AS BIGINT) AS toks
+                     FROM documents GROUP BY lang),
+         th AS (SELECT lang,
+                       CAST(floor(least(1.0,
+                         (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                                    WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000000000
+                                    END)::DOUBLE / toks) * 10000) AS BIGINT) AS thr
+                FROM tk
+                WHERE lang IN ('en', 'de', 'es', 'zh'))
+         SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang
+         WHERE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(
+                   str_split(d.doc_id::VARCHAR || ':mix1:' || d.doc_id::VARCHAR, ''),
+                   x -> ascii(x)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 10000
+               < th.thr
+         ORDER BY d.doc_id""",
     "q_dedup_cc" ->
       """WITH RECURSIVE
          base AS (SELECT doc_id AS u,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.gf
@@ -28,5 +28,32 @@ object Sampling {
     val fracs = map(fractions.toSeq.sortBy(_._1)
       .flatMap { case (s, f) => Seq(lit(s), lit((f * 10000).toLong)) }: _*)
     df.where(bucket < element_at(fracs, col(stratum)))
+  }
+
+  /**
+   * Token-budget data mixture (the "data mixing" stage of a pretraining
+   * pipeline: hit per-source/per-language token targets, e.g. rebalance a
+   * web-heavy crawl): per-stratum keep fractions are DERIVED from the
+   * observed token mass — fraction(s) = min(1, budget(s) / tokens(s)) — and
+   * applied with the deterministic hash rule above, so the mixture is
+   * reproducible across engines and re-runs. Strata without a budget are
+   * dropped; strata under their budget keep everything.
+   *
+   * One aggregation pass for the per-stratum token totals (the collect is
+   * bounded by the stratum count — languages/sources number in the dozens,
+   * not the corpus scale) + one shuffle-free filter scan.
+   */
+  def tokenBudgetMixture(df: DataFrame, key: String, stratum: String,
+                         tokens: Column, budgets: Map[String, Long],
+                         salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    val totals = df.groupBy(col(stratum).cast("string").as("_s"))
+      .agg(sum(tokens.cast("long")).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = budgets.flatMap { case (s, b) =>
+      totals.get(s).map(t => s -> math.min(1.0, b.toDouble / t))
+    }
+    if (fractions.isEmpty) df.limit(0)
+    else stratifiedByHash(df, key, stratum, fractions, salt)
   }
 }

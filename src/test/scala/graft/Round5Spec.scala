@@ -130,6 +130,33 @@ class Round5Spec extends AnyFunSuite {
     assert(doc2Terms.sameElements(Array("rare2")))
   }
 
+  // ------------------------------------------------------------- mixture
+
+  test("tokenBudgetMixture derives fractions from token mass; unbudgeted strata drop") {
+    import graft.operators.Sampling
+    val docs = (1L to 300L).map { i =>
+      val lang = if (i % 3 == 0) "big" else if (i % 3 == 1) "small" else "nobudget"
+      (i, lang, "w " * 10)
+    }.toDF("id", "lang", "text")
+    val tokens = graft.functions.gf.tokenCount(col("text"))
+    // "big" has 1000 tokens -> budget 250 = fraction .25; "small" fraction 1
+    val out = Sampling.tokenBudgetMixture(docs, "id", "lang", tokens,
+      Map("big" -> 250L, "small" -> 2000L), salt = "t")
+    val kept = out.select("id", "lang").as[(Long, String)].collect()
+    assert(!kept.exists(_._2 == "nobudget"))
+    assert(kept.count(_._2 == "small") == 100, "under-budget stratum keeps everything")
+    // the kept "big" rows are exactly those passing the hash rule at .25
+    val expectBig = Sampling.stratifiedByHash(
+        docs.where(col("lang") === "big"), "id", "lang", Map("big" -> 0.25), "t")
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == expectBig)
+    // determinism under repartitioning
+    val kept2 = Sampling.tokenBudgetMixture(docs.repartition(13), "id", "lang",
+        tokens, Map("big" -> 250L, "small" -> 2000L), salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == kept.map(_._1).toSet)
+  }
+
   // -------------------------------------------------------- bloom decontam
 
   test("decontaminateBloom output is identical to exact decontaminate") {
