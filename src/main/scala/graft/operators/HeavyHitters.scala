@@ -33,6 +33,16 @@ object HeavyHitters {
    * `text` across the corpus. Returns (token, cnt), exact. `capacity`
    * defaults to the smallest size that guarantees no false negatives
    * (ceil(1/thresholdFrac)); raise it to cut pass-2 false positives.
+   *
+   * Exactly TWO corpus scans: pass 1 computes the sketch AND the total
+   * token count in one aggregate, materialized as ONE row on the driver —
+   * a bounded-by-construction collect (<= capacity strings + a long, the
+   * same class of bounded bootstrap as the ANN centroid samples); pass 2
+   * recounts only tokens in the candidate set, probed via InSet (a
+   * codegen'd hash-set literal — no join, no broadcast plumbing, O(1) per
+   * token). An earlier explode + semi-join formulation consumed the sketch
+   * subtree twice and column pruning re-ran the corpus aggregate per
+   * consumer: three scans.
    */
   def topTokens(df: DataFrame, text: String, thresholdFrac: Double,
                 capacity: Int = 0): DataFrame = {
@@ -40,15 +50,15 @@ object HeavyHitters {
     val cap = if (capacity > 0) capacity else math.ceil(1.0 / thresholdFrac).toInt
     val toks = df.select(explode(gf.tokens(col(text))).as("token"))
       .where(col("token") =!= "")
-    val candidates = toks.agg(misraGries(col("token"), cap).as("_cands"))
-      .select(explode(col("_cands")).as("token"))
-    // pass 2: exact recount of candidates only; total joins in as a
-    // broadcast single-row aggregate (plan stays lazy, no driver action)
-    val total = toks.agg(count(lit(1)).as("_total"))
-    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+    val row = toks.agg(misraGries(col("token"), cap).as("_cands"),
+      count(lit(1)).as("_total")).head()
+    val cands = row.getSeq[String](0)
+    val total = row.getLong(1)
+    if (cands.isEmpty) return toks.limit(0)
+      .select(col("token"), lit(0L).as("cnt")).where(lit(false))
+    toks.where(col("token").isin(cands: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .where(col("cnt").cast("double") >= col("_total").cast("double") * thresholdFrac)
+      .where(col("cnt").cast("double") >= lit(total).cast("double") * thresholdFrac)
       .select(col("token"), col("cnt"))
   }
 }

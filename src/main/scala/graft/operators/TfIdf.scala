@@ -12,11 +12,17 @@ import graft.functions.gf
  * transforms/term_frequency.py computes per-doc counts only; corpus-level
  * IDF weighting is part of our training-data surface, SURVEY §2.12).
  *
- * Scale shape: two hash aggregations — (doc, term) term frequencies, then
- * per-term document frequencies — joined back on term, then a per-doc
- * window top-k. Shuffles key on (doc_id, term) / term / doc_id; the corpus
- * text itself never rides a shuffle key. The doc count N joins in as a
- * broadcast single-row aggregate (no driver action, the plan stays lazy).
+ * Scale shape: ONE corpus scan — (doc, term) tf aggregate, then document
+ * frequency as a count over a term-partitioned window on the tf rows
+ * (they are unique per (doc, term), so the window count IS df), then the
+ * per-doc top-k window (which Spark compiles to partial+final
+ * WindowGroupLimit — no full per-doc sort materializes more than k+ rows).
+ * An earlier join-of-aggregates formulation scanned the corpus twice:
+ * column pruning specialized the tf subtree per consumer, so the
+ * scan+explode ran once per branch. Shuffles key on (doc_id, term) / term
+ * / doc_id; corpus text never rides a shuffle key. The doc count N joins
+ * in as a broadcast single-row aggregate over a zero-column scan (row
+ * count from parquet metadata; no driver action, the plan stays lazy).
  *
  * IDF here is the UNLOGGED Sparck Jones form (N+1)/(df+1): division and
  * multiplication are exactly-rounded IEEE ops, so scores are bit-identical
@@ -32,10 +38,10 @@ object TfIdf {
     val toks = df.select(col(id).as("_id"), explode(gf.tokens(col(text))).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col("_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // tf already has one row per (doc, term): df = row count per term
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf has one row per (doc, term): a term-partitioned window count IS df
     val n = df.agg(count(lit(1)).as("_n"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * (col("_n") + 1).cast("double") / (col("df") + 1).cast("double"))
