@@ -491,6 +491,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_source_overlap" -> ((s, dir) => {
+      // split-contamination audit: distinct shared 5-gram shingles per
+      // source pair (20 sources -> <=190 rows out, whatever the corpus size)
+      Dedup.crossGroupOverlap(tbl(s, dir, "documents"), "source", "text", n = 5)
+        .orderBy(col("grpA"), col("grpB"))
+    }),
+    "q_skew_join" -> ((s, dir) => {
+      // salted fact-dim join (events x per-user totals): result must equal
+      // the plain equi-join — salting changes task shape, never the answer
+      val ev = events(s, dir)
+      val dim = ev.groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("user_total_c"))
+      graft.operators.SkewJoin.salted(
+          ev.select(col("event_id"), col("user_id")), dim,
+          Seq("user_id"), saltFactor = 8)
+        .select(col("event_id"), col("user_id"), col("user_total_c"))
+        .orderBy(col("event_id"))
+    }),
     "q_token_mixture" -> ((s, dir) => {
       // per-language keep fractions DERIVED from observed token mass
       // (min(1, budget/tokens)), applied via the deterministic hash rule —
@@ -1333,6 +1351,23 @@ object SparkEntry {
                < CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 2000
                            WHEN 'zh' THEN 10000 END
          ORDER BY doc_id""",
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         sh AS (SELECT DISTINCT source AS g, unnest(list_distinct(list_transform(
+                  range(0, greatest(len(toks) - 5, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+5)], ' ')))) AS sh
+                FROM t)
+         SELECT a.g AS grpA, b.g AS grpB, count(*) AS shared
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+         GROUP BY 1, 2 ORDER BY grpA, grpB""",
+    "q_skew_join" ->
+      """WITH dim AS (SELECT user_id,
+                        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS user_total_c
+                      FROM events GROUP BY user_id)
+         SELECT e.event_id, e.user_id, d.user_total_c
+         FROM events e JOIN dim d ON e.user_id = d.user_id
+         ORDER BY e.event_id""",
     "q_token_mixture" ->
       """WITH tk AS (SELECT lang,
                        CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0

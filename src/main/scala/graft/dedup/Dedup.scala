@@ -600,6 +600,37 @@ object Dedup {
     corpus.join(contaminated, corpus(id) === contaminated("_id"), "left_anti")
   }
 
+  /**
+   * Cross-group shingle-overlap matrix — the split-contamination audit: how
+   * many distinct n-gram shingles do two groups (sources, train/test
+   * splits, snapshots) share? Returns (grpA, grpB, shared) for grpA < grpB,
+   * pairs with zero overlap omitted. The aggregate view that complements
+   * per-document `decontaminate`: run it BEFORE choosing what to
+   * decontaminate against.
+   *
+   * Scale shape: distinct (group, shingle) pairs -> per-shingle group
+   * postings -> capped pair expansion -> count aggregate, keyed on group
+   * ids (dozens-to-hundreds of groups, so the output and the final shuffle
+   * are tiny regardless of corpus size). `maxShingleGroups` drops shingles
+   * present in more than that many groups before the quadratic expansion —
+   * such shingles are near-universal boilerplate and their pair
+   * contribution is capped noise (documented under-count, same contract as
+   * ngramJaccardPairs' hot-shingle cap).
+   */
+  def crossGroupOverlap(df: DataFrame, group: String, text: String,
+                        n: Int = 5, maxShingleGroups: Int = 1000): DataFrame = {
+    val gs = rebalance(df.select(col(group).as("_g"), col(text).as("_t")))
+      .select(col("_g"), explode(array_distinct(gf.wordShingles(col("_t"), n))).as("_sh"))
+      .distinct()
+    val posts = gs.groupBy(col("_sh")).agg(collect_list(col("_g")).as("_gs"))
+      .where(size(col("_gs")).between(2, maxShingleGroups))
+    posts.select(col("_gs"), explode(col("_gs")).as("_a"))
+      .select(col("_a"), explode(col("_gs")).as("_b"))
+      .where(col("_a") < col("_b"))
+      .groupBy(col("_a").as("grpA"), col("_b").as("grpB"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
   /** Random-hyperplane sign bucket for embeddingCosinePairs when no label
     * exists: k deterministic pseudo-random hyperplanes. One expression node
     * regardless of planes x dim (SignBucketExpr carries the plane matrix as

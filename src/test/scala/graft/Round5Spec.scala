@@ -130,6 +130,38 @@ class Round5Spec extends AnyFunSuite {
     assert(doc2Terms.sameElements(Array("rare2")))
   }
 
+  // ------------------------------------------------------------ skew join
+
+  test("salted join equals plain join and spreads the hot key across salts") {
+    import graft.operators.SkewJoin
+    // 90% of left rows carry one hot key
+    val left = (1L to 1000L).map(i => (i, if (i % 10 == 0) i % 7 else 999L))
+      .toDF("row_id", "k")
+    val right = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "v")
+      .unionAll(Seq((999L, "hot")).toDF("k", "v"))
+    val plain = left.join(right, "k").select("row_id", "v")
+      .as[(Long, String)].collect().toSet
+    for (jt <- Seq("inner", "left", "left_semi")) {
+      val salted = SkewJoin.salted(left, right, Seq("k"), saltFactor = 8, joinType = jt)
+      val saltedSet =
+        if (jt == "left_semi") salted.select("row_id").as[Long].collect().toSet
+        else salted.select("row_id", "v").as[(Long, String)].collect().toSet
+      val plainSet =
+        if (jt == "left_semi") plain.map(_._1)
+        else plain
+      assert(saltedSet == plainSet, s"joinType=$jt")
+    }
+    // the hot key's left rows actually scatter over multiple salts
+    val salts = left.where(col("k") === 999L)
+      .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(8L)))
+      .select("_salt").distinct().count()
+    assert(salts > 4, s"hot key used only $salts salt buckets")
+    // outer-right types are rejected (right rows are replicated)
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(left, right, Seq("k"), 8, joinType = "full_outer")
+    }
+  }
+
   // ------------------------------------------------------------- mixture
 
   test("tokenBudgetMixture derives fractions from token mass; unbudgeted strata drop") {
