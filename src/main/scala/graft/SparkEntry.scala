@@ -491,6 +491,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_cap_per_group" -> ((s, dir) => {
+      // reproducible "no source contributes more than 7 docs" cap; the
+      // oracle replays the hash order
+      graft.operators.Sampling.capPerGroup(
+          tbl(s, dir, "documents"), "doc_id", "source", k = 7, salt = "cap1")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "q_source_overlap" -> ((s, dir) => {
       // split-contamination audit: distinct shared 5-gram shingles per
       // source pair (20 sources -> <=190 rows out, whatever the corpus size)
@@ -1351,6 +1359,19 @@ object SparkEntry {
                < CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 2000
                            WHEN 'zh' THEN 10000 END
          ORDER BY doc_id""",
+    "q_cap_per_group" ->
+      """WITH h AS (SELECT doc_id, source,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(
+                          str_split(doc_id::VARCHAR || ':cap1:' || doc_id::VARCHAR, ''),
+                          x -> ascii(x)::BIGINT)),
+                        (a, b) -> (a * 31 + b) % 1000000007) AS hv
+                    FROM documents),
+         r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY hv, doc_id) AS rn
+               FROM h)
+         SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""",
     "q_source_overlap" ->
       """WITH t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),

@@ -31,6 +31,30 @@ object Sampling {
   }
 
   /**
+   * Deterministic per-group cap: keep at most `k` rows per group, chosen
+   * by hash order (a reproducible "random" k, not top-k by any metric) —
+   * the per-source cap stage of corpus curation ("no source contributes
+   * more than k documents"), and the per-class cap of eval-set
+   * construction. Selection is a pure function of (key, salt): stable
+   * across partitionings, engines, and re-runs, like stratifiedByHash.
+   *
+   * Compiles to partial+final WindowGroupLimit: each task keeps only its
+   * local top-k per group before the shuffle, so the exchange carries
+   * O(groups x k) rows per task, not the corpus.
+   */
+  def capPerGroup(df: DataFrame, key: String, group: String, k: Int,
+                  salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val kc = col(key).cast("string")
+    val h = gf.polyFingerprint(concat(kc, lit(":"), lit(salt), lit(":"), kc))
+    val w = Window.partitionBy(col(group)).orderBy(h.asc, col(key).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /**
    * Token-budget data mixture (the "data mixing" stage of a pretraining
    * pipeline: hit per-source/per-language token targets, e.g. rebalance a
    * web-heavy crawl): per-stratum keep fractions are DERIVED from the

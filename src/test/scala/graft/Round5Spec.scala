@@ -35,6 +35,39 @@ class Round5Spec extends AnyFunSuite {
       s"lost heavy hitters: ${mustSurvive -- cands}")
   }
 
+  test("MisraGries merge law: heavy hitters survive arbitrary splits/merge orders (fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokenGen = Gen.frequency(
+      (16, Gen.const("hot")), (8, Gen.const("warm")), (4, Gen.const("mild")),
+      (2, Gen.oneOf("c1", "c2", "c3")), (1, Gen.choose(0, 500).map(i => s"t$i")))
+    val prop = Prop.forAll(Gen.listOfN(600, tokenGen), Gen.chooseNum(1, 8),
+        Gen.chooseNum(2, 12), Gen.chooseNum(0L, Long.MaxValue)) {
+      (stream: List[String], pieces: Int, cap: Int, seed: Long) =>
+      val agg = graft.functions.MisraGriesAgg(
+        BoundReference(0, StringType, nullable = true), cap)
+      val rnd = new scala.util.Random(seed)
+      // arbitrary partitioning + arbitrary merge order
+      val chunks = rnd.shuffle(stream).grouped(
+        math.max(1, stream.size / pieces)).toSeq
+      val partials = rnd.shuffle(chunks.map { chunk =>
+        chunk.foldLeft(agg.createAggregationBuffer()) { (buf, tok) =>
+          agg.update(buf, new GenericInternalRow(
+            Array[Any](UTF8String.fromString(tok))))
+        }
+      })
+      val merged = partials.reduce(agg.merge)
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val mustSurvive = exact.filter(_._2 > stream.size.toLong / (cap + 1)).keySet
+      mustSurvive.subsetOf(merged.keySet)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("topTokens is exact: equals the plain frequency threshold") {
     val docs = Seq(
       (1L, "a a a b c d e"),
@@ -128,6 +161,23 @@ class Round5Spec extends AnyFunSuite {
     val doc2Terms = TfIdf.topTerms(docs, "doc_id", "text", 1)
       .where(col("doc_id") === 2L).select("term").as[String].collect()
     assert(doc2Terms.sameElements(Array("rare2")))
+  }
+
+  test("capPerGroup: exactly k per group, partition-independent, salt-sensitive") {
+    import graft.operators.Sampling
+    val df = (1L to 400L).map(i => (i, s"g${i % 5}")).toDF("id", "g")
+    val a = Sampling.capPerGroup(df, "id", "g", k = 7, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 35)
+    val byGroup = Sampling.capPerGroup(df, "id", "g", 7, "s1")
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byGroup.values.forall(_ == 7))
+    val b = Sampling.capPerGroup(df.repartition(17), "id", "g", 7, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "selection must not depend on partitioning")
+    val c = Sampling.capPerGroup(df, "id", "g", 7, "other")
+      .select("id").as[Long].collect().toSet
+    assert(a != c, "different salts should select different rows")
   }
 
   // ------------------------------------------------------------ skew join
