@@ -271,6 +271,35 @@ class Round5Spec extends AnyFunSuite {
     assert(df.where(mc).count() == 500)
   }
 
+  // ------------------------------------------------------------ plan shapes
+
+  test("plan shapes: scans, group limits, and join strategies are the intended ones") {
+    import graft.operators.{Packing, RangeJoin, Sampling, TfIdf}
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val docs = (1L to 50L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
+
+    // TfIdf: the corpus is scanned once (the zero-column count branch reads
+    // no data); df comes from a window, not a second aggregate branch
+    val tp = plan(TfIdf.topTerms(docs, "doc_id", "text", 2))
+    assert(tp.contains("WindowGroupLimit"), "top-k must compile to a group limit")
+
+    // capPerGroup also rides WindowGroupLimit (k rows per group pre-shuffle)
+    val cp = plan(Sampling.capPerGroup(docs, "doc_id", "text", 3))
+    assert(cp.contains("WindowGroupLimit"))
+
+    // band join must not degrade to a nested-loop join
+    val l = Seq((1L, 10.0)).toDF("lid", "lt")
+    val r = Seq((2L, 12.0)).toDF("rid", "rt")
+    val bp = plan(RangeJoin.band(l, r, "lt", "rt", 5.0))
+    assert(!bp.contains("BroadcastNestedLoopJoin"),
+      s"band join planned as nested loop:\n$bp")
+
+    // heavy-hitters pass 2 is join-free: candidate membership is an InSet
+    val hp = plan(graft.operators.HeavyHitters.topTokens(docs, "text", 0.01))
+    assert(!hp.contains("Join"), s"recount pass must not join:\n$hp")
+  }
+
   // ----------------------------------------------------------------- semdedup
 
   test("semDedup drops exactly the greedy min-id within-cluster near-dups") {
