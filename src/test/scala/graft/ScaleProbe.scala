@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe (test scope): replicate the sf0.1 documents table K times
+  * with per-replica text variation (distinct signatures, not collapsed
+  * duplicates), run the core corpus operators at K=1 and K=SCALE_K, and
+  * report the time ratio vs the ideal K. A super-linear ratio flags an
+  * operator whose plan would not survive the 100 TB scale-up.
+  *
+  *   SCALE_K=5 sbt "Test/runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = sys.env.getOrElse("SCALE_K", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    def replicate(n: Int): DataFrame =
+      if (n == 1) base
+      else base.crossJoin(spark.range(n).select(col("id").as("_rep")))
+        .select(
+          (col("doc_id") + col("_rep") * 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("_rep")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+
+    import graft.dedup.Dedup
+    import graft.operators.{HeavyHitters, Packing, TfIdf}
+    import graft.functions.gf
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "exact_dedup" -> (d => Dedup.exact(d, "doc_id", "text")),
+      "minhash_lsh" -> (d => Dedup.minhashLsh(d, "doc_id", "text")),
+      "simhash_pairs" -> (d => Dedup.simhashPairs(d, "doc_id", "text")),
+      "line_dedup" -> (d => Dedup.dedupLines(d, "doc_id", "text", 3, " table ")),
+      "tfidf" -> (d => TfIdf.topTerms(d, "doc_id", "text", 3)),
+      "heavy_hitters" -> (d => HeavyHitters.topTokens(d, "text", 0.01)),
+      "pack_sequences" -> (d =>
+        Packing.packSequences(d, "doc_id", gf.tokenCount(col("text")), 512)),
+      "rank_bins" -> (d => Packing.rankBins(d, Seq(col("n_chars")), "doc_id", 10)))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm both sizes once (codegen/JIT), then measure
+    val small = replicate(1).localCheckpoint()
+    val big = replicate(k).localCheckpoint()
+    ops.foreach { case (_, f) => f(small).queryExecution.toRdd.count() }
+    println(f"[scale] K=$k  (ratio ~ $k%d.0 is linear)")
+    ops.foreach { case (name, f) =>
+      val t1 = math.min(time(f(small).queryExecution.toRdd.count()),
+        time(f(small).queryExecution.toRdd.count()))
+      val tk = time(f(big).queryExecution.toRdd.count())
+      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+    spark.stop()
+  }
+}
