@@ -130,6 +130,12 @@ object gf {
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Deflate compression ratio (compressed/raw bytes) — the repetition/
+    * junk quality signal; see CompressionRatioExpr. Typical prose ~0.3-0.6;
+    * cut both tails. */
+  def compressionRatio(c: Column): Column =
+    fromExpr(CompressionRatioExpr(toExpr(c)))
+
   // -------------------------------------------------------- text quality
 
   // POSIX punct class — identical semantics in Java regex (\p{Punct}) and

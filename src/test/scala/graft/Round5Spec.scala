@@ -271,6 +271,34 @@ class Round5Spec extends AnyFunSuite {
     assert(df.where(mc).count() == 500)
   }
 
+  // ----------------------------------------------------- compression ratio
+
+  test("compressionRatio: repetitive text compresses below prose, junk near 1") {
+    import graft.functions.gf
+    val prose =
+      "the quick brown fox jumps over the lazy dog while a patient cat watches " +
+      "from the garden wall and considers whether the morning light will hold " +
+      "long enough for one more nap before the neighbors return with their loud " +
+      "car and louder children who chase every bird out of the hedge and then " +
+      "complain that the garden is empty of anything interesting to watch"
+    val rows = Seq(
+      (1L, prose),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, new scala.util.Random(1).alphanumeric.take(400).mkString),
+      (4L, "")).toDF("id", "text")
+    val r = rows.select(col("id"), gf.compressionRatio(col("text")).as("cr"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) < r(1L), "repetition must compress better than prose")
+    assert(r(1L) < r(3L), "prose must compress better than random junk")
+    assert(r(3L) > 0.6, s"incompressible junk should sit high, got ${r(3L)}")
+    assert(r(4L) == 0.0)
+    // deterministic across partitionings / re-evaluation
+    val again = rows.repartition(3)
+      .select(col("id"), gf.compressionRatio(col("text")).as("cr"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again == r)
+  }
+
   // ------------------------------------------------------------ plan shapes
 
   test("plan shapes: scans, group limits, and join strategies are the intended ones") {
