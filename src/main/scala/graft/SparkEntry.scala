@@ -69,13 +69,25 @@ object SparkEntry {
 
   /** Flagship (SURVEY §7.2 slice query shape): filter -> groupby_count ->
     * sort desc -> top-k over events. Driver smoke-checks rows > 0. */
+  /** Flagship: the condensed corpus-curation pipeline — exact + MinHash-LSH
+    * dedup, then per-language survivor stats over the quality signals
+    * (token mass, composite quality, compression ratio). One pass through
+    * the operators a real training-data run would chain. */
   def entry(spark: SparkSession): DataFrame = {
-    val ev = events(spark, "/root/testdata/sf0.001")
-    ev.where(col("value") > 50.0)
-      .groupBy(col("event_type").as("key"))
-      .agg(count(lit(1)).as("count"))
+    val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
+    val deduped = Dedup.minhashLsh(
+      Dedup.exactRows(docs, "doc_id", "text"), "doc_id", "text")
+    deduped
+      .select(col("lang"),
+        gf.tokenCount(col("text")).cast("long").as("toks"),
+        gf.qualityScore(col("text")).as("q"),
+        gf.compressionRatio(col("text")).as("cr"))
+      .groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("count"),
+        sum(col("toks")).as("tokens"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        round(avg(col("cr")), 4).as("avg_compress"))
       .orderBy(desc("count"), col("key"))
-      .limit(5)
   }
 
   // ------------------------------------------------------------- queries
