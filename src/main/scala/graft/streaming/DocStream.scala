@@ -203,6 +203,27 @@ object DocStream {
         E.product[SessState], E.product[Session])
   }
 
+  /**
+   * Stream-stream interval join: rows from two streams matching on equi
+   * keys whose event times differ by at most `widthSec` — the streaming
+   * analogue of the batch RangeJoin.band. The watermark + the two-sided
+   * time bound are what make unbounded join state safe: Spark can discard
+   * a buffered row once the other stream's watermark passes its time plus
+   * the interval, so state is O(rows inside the watermark window), not the
+   * stream history. Both time bounds must be part of the JOIN CONDITION
+   * (not a post-filter) or the state-cleanup analysis cannot see them.
+   */
+  def joinWithinInterval(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         lTime: String, rTime: String, widthSec: Long,
+                         watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(lTime, watermarkDelay)
+    val r = right.withWatermark(rTime, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r.col(rTime) >= l.col(lTime) - expr(s"INTERVAL $widthSec SECONDS") &&
+      r.col(rTime) <= l.col(lTime) + expr(s"INTERVAL $widthSec SECONDS")
+    l.join(r, cond)
+  }
+
   /** Input/state/output rows for sessionizeStream. */
   case class SessEvent(key: String, ts: java.sql.Timestamp)
   case class SessState(startMs: Long, endMs: Long, n: Long)

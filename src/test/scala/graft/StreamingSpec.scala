@@ -92,6 +92,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches within the band across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = DocStream.joinWithinInterval(
+      clicks.toDF().toDF("click_id", "user", "cts"),
+      buys.toDF().toDF("buy_id", "buser", "bts").withColumnRenamed("buser", "user"),
+      keys = Seq("user"), lTime = "cts", rTime = "bts",
+      widthSec = 60, watermarkDelay = "2 minutes")
+    val query = joined
+      .select(col("click_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("stream_ij")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+      // batch 1: click at 10:00:30 for u1
+      clicks.addData((1L, 1L, ts(0, 30)))
+      query.processAllAvailable()
+      // batch 2: purchases — one inside the 60s band, one outside, one other user
+      buys.addData((10L, 1L, ts(1, 0)), (11L, 1L, ts(5, 0)), (12L, 2L, ts(0, 40)))
+      query.processAllAvailable()
+      // batch 3: a later click joining an ALREADY BUFFERED purchase
+      clicks.addData((2L, 2L, ts(0, 50)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, buy_id FROM stream_ij")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L), (2L, 12L)))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup drops in-watermark duplicates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
