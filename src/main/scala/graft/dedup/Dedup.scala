@@ -205,6 +205,9 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     val hashed = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
       .select(col("_id"), simhashFn(col("_t")).as("_sh"))
+      // a null sketch (e.g. an undecodable image for the dHash sketch) must
+      // not group with other nulls as a fake hamming-0 duplicate class
+      .where(col("_sh").isNotNull)
     // Join DISTINCT SKETCHES, not documents: real corpora carry huge
     // exact-duplicate classes (identical sketches), so grouping first makes
     // the candidate join quadratic in distinct sketch values and the doc-pair

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/**
+ * Multimodal raster plumbing over opaque binary columns (SURVEY §2.12;
+ * brief: decode / feature-extract / resize / frame-sample with the
+ * Spark-side plumbing real). The container ships no image libraries, so:
+ *
+ *  - PPM (P6) and BMP (24bpp uncompressed) decode is REAL — both formats
+ *    are parseable in pure JVM code, and the tests build images from
+ *    bytes. JPEG/PNG would plug into the same RasterImage through a
+ *    library-backed decoder in production.
+ *  - resize (nearest-neighbor) and grayscale are real pixel math.
+ *  - dHash (difference hash, the standard perceptual image fingerprint:
+ *    9x8 grayscale, one bit per horizontal gradient) is real, exposed as
+ *    ONE codegen'd expression over the binary column — so image near-dup
+ *    detection REUSES Dedup.simhashPairs' pigeonhole-bucketed hamming
+ *    join unchanged, with the dHash as the pluggable sketch.
+ *  - video frame-sampling is a trait with a deterministic fake (no codec
+ *    in the container); the fake splits a synthetic container format into
+ *    frame byte-slices so the partition-parallel plumbing is tested.
+ */
+object MediaOps {
+
+  /** Packed-RGB raster (0xRRGGBB per pixel, row-major). */
+  final case class RasterImage(width: Int, height: Int, rgb: Array[Int]) {
+    def pixel(x: Int, y: Int): Int = rgb(y * width + x)
+
+    /** Nearest-neighbor resize — the cheap, deterministic batch resize. */
+    def resizeNearest(w: Int, h: Int): RasterImage = {
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(height - 1, y * height / h)
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = rgb(sy * width + math.min(width - 1, x * width / w))
+          x += 1
+        }
+        y += 1
+      }
+      RasterImage(w, h, out)
+    }
+
+    /** Integer luma per pixel (ITU-R BT.601 weights, integer math). */
+    def grayscale(): Array[Int] = rgb.map { p =>
+      (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+    }
+
+    /** Mean RGB feature (packed), the trivial feature-extract example. */
+    def meanRgb(): Int = {
+      var r = 0L; var g = 0L; var b = 0L
+      rgb.foreach { p => r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff }
+      val n = math.max(1, rgb.length)
+      (((r / n).toInt & 0xff) << 16) | (((g / n).toInt & 0xff) << 8) | ((b / n).toInt & 0xff)
+    }
+  }
+
+  // ------------------------------------------------------------- decoders
+
+  /** P6 binary PPM, maxval <= 255. */
+  def decodePpm(bytes: Array[Byte]): Option[RasterImage] = {
+    if (bytes.length < 11 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    val fields = new Array[Int](3)
+    var f = 0
+    while (f < 3 && i < bytes.length) {
+      // skip whitespace and # comments
+      while (i < bytes.length &&
+        (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' ||
+         bytes(i) == '\t' || bytes(i) == '#')) {
+        if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+        else i += 1
+      }
+      var v = 0
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (!any) return None
+      fields(f) = v; f += 1
+    }
+    val Array(w, h, maxval) = fields
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    i += 1 // single whitespace after maxval
+    if (bytes.length - i < w * h * 3) return None
+    val out = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val r = bytes(i) & 0xff; val g = bytes(i + 1) & 0xff; val b = bytes(i + 2) & 0xff
+      out(p) = (r << 16) | (g << 8) | b
+      p += 1; i += 3
+    }
+    Some(RasterImage(w, h, out))
+  }
+
+  /** BMP, BITMAPINFOHEADER, 24bpp uncompressed (bottom-up rows, 4-byte
+    * row padding). */
+  def decodeBmp(bytes: Array[Byte]): Option[RasterImage] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = u32(10)
+    val w = u32(18); val h = u32(22)
+    if (u16(28) != 24 || u32(30) != 0) return None // 24bpp, BI_RGB only
+    if (w <= 0 || h <= 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (bytes.length < dataOffset + rowBytes.toLong * h) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOffset + (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        val o = src + x * 3
+        out(y * w + x) = ((bytes(o + 2) & 0xff) << 16) |
+          ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff) // BGR order
+        x += 1
+      }
+      y += 1
+    }
+    Some(RasterImage(w, h, out))
+  }
+
+  /** Dispatch on magic bytes. */
+  def decode(bytes: Array[Byte]): Option[RasterImage] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else None
+
+  // ------------------------------------------------------------ dHash
+
+  /** 64-bit difference hash: 9x8 grayscale, bit = left pixel brighter than
+    * its right neighbor. Hamming distance between dHashes tracks visual
+    * similarity — the standard perceptual near-dup fingerprint. */
+  def dHash64(img: RasterImage): Long = {
+    val g = img.resizeNearest(9, 8).grayscale()
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) > g(y * 9 + x + 1)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** dHash column over binary images (null for undecodable bytes). Pass as
+    * the `simhashFn` of Dedup.simhashPairs for bucketed image near-dup
+    * pairs — no new join machinery. */
+  def dHash(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      DHashExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Perceptual image near-dup pairs: dHash sketch into the existing
+    * pigeonhole-bucketed hamming join (Dedup.simhashPairs) — undecodable
+    * rows drop at the sketch stage. Returns (idA, idB, hamming). */
+  def imageNearDupPairs(df: org.apache.spark.sql.DataFrame, id: String,
+                        bin: String, maxHamming: Int = 6): org.apache.spark.sql.DataFrame =
+    graft.dedup.Dedup.simhashPairs(df, id, bin, maxHamming, dHash(_), bits = 64)
+
+  // ------------------------------------------------------- frame sampling
+
+  /** Pluggable video frame sampler (a codec-backed one in production). */
+  trait FrameSampler extends Serializable {
+    /** Every n-th frame of the container as raw frame bytes. */
+    def sampleFrames(container: Array[Byte], everyN: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic fake over the test container format
+    * "GFV0" + u32 frameLen + frames: real slicing, no codec. */
+  final class FakeFrameSampler extends FrameSampler {
+    def sampleFrames(container: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
+      if (container.length < 8 || container(0) != 'G' || container(1) != 'F' ||
+        container(2) != 'V' || container(3) != '0') return Nil
+      val frameLen = ((container(4) & 0xff) << 24) | ((container(5) & 0xff) << 16) |
+        ((container(6) & 0xff) << 8) | (container(7) & 0xff)
+      if (frameLen <= 0) return Nil
+      val n = (container.length - 8) / frameLen
+      (0 until n by math.max(1, everyN)).map { i =>
+        java.util.Arrays.copyOfRange(container, 8 + i * frameLen, 8 + (i + 1) * frameLen)
+      }
+    }
+  }
+}
+
+/** Perceptual dHash of a binary image column as one codegen'd expression
+  * (decode + 9x8 resize + gradient bits in a single eval; null when the
+  * bytes are not a supported raster). */
+case class DHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"dhash needs binary, got $other")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    DHashExpr.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.operators.DHashExpr.compute($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dhash"
+}
+
+object DHashExpr {
+  /** Called from generated code. */
+  def compute(bytes: Array[Byte]): java.lang.Long =
+    MediaOps.decode(bytes) match {
+      case Some(img) => java.lang.Long.valueOf(MediaOps.dHash64(img))
+      case None => null
+    }
+}

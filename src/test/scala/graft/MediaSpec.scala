@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MediaOps
+import graft.operators.MediaOps.RasterImage
+
+/** Multimodal raster plumbing: real PPM/BMP decode, resize, dHash, and the
+  * perceptual near-dup join over binary columns. */
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  /** Build a P6 PPM from a pixel function. */
+  private def ppm(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(x, y); val o = (y * w + x) * 3
+      body(o) = ((p >> 16) & 0xff).toByte
+      body(o + 1) = ((p >> 8) & 0xff).toByte
+      body(o + 2) = (p & 0xff).toByte
+    }
+    header ++ body
+  }
+
+  /** Build a minimal 24bpp bottom-up BMP. */
+  private def bmp(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val out = new Array[Byte](54 + dataSize)
+    def put16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def put32(o: Int, v: Int): Unit = { put16(o, v & 0xffff); put16(o + 2, (v >> 16) & 0xffff) }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, 54 + dataSize); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h); put16(26, 1); put16(28, 24); put32(30, 0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(x, y); val o = 54 + (h - 1 - y) * rowBytes + x * 3
+      out(o) = (p & 0xff).toByte            // B
+      out(o + 1) = ((p >> 8) & 0xff).toByte // G
+      out(o + 2) = ((p >> 16) & 0xff).toByte // R
+    }
+    out
+  }
+
+  private def gradient(x: Int, y: Int): Int = ((x * 23) % 256 << 16) | ((y * 31) % 256 << 8) | 128
+
+  test("PPM and BMP decode to identical pixels; resize and grayscale are sane") {
+    val fromPpm = MediaOps.decode(ppm(10, 6)(gradient)).get
+    val fromBmp = MediaOps.decode(bmp(10, 6)(gradient)).get
+    assert(fromPpm.width == 10 && fromPpm.height == 6)
+    assert(fromPpm.rgb.toSeq == fromBmp.rgb.toSeq, "same pixels through both decoders")
+    assert(fromPpm.pixel(3, 2) == gradient(3, 2))
+    val small = fromPpm.resizeNearest(5, 3)
+    assert(small.width == 5 && small.height == 3)
+    assert(small.pixel(0, 0) == fromPpm.pixel(0, 0))
+    val g = RasterImage(1, 2, Array(0xffffff, 0x000000)).grayscale()
+    assert(g(0) == 255 && g(1) == 0)
+    assert(MediaOps.decode("not an image".getBytes).isEmpty)
+    assert(MediaOps.decode(null).isEmpty)
+  }
+
+  test("dHash: visually-near images land within a small hamming distance") {
+    val base = MediaOps.decode(ppm(64, 64)(gradient)).get
+    val noisy = MediaOps.decode(ppm(64, 64)((x, y) =>
+      if (x == 5 && y == 5) 0xffffff else gradient(x, y))).get
+    val other = MediaOps.decode(ppm(64, 64)((x, y) => gradient(63 - x, 63 - y))).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(MediaOps.dHash64(base), MediaOps.dHash64(noisy)) <= 4)
+    assert(ham(MediaOps.dHash64(base), MediaOps.dHash64(other)) > 10)
+  }
+
+  test("imageNearDupPairs finds the perceptual pair, ignores undecodable rows") {
+    val imgs = Seq(
+      (1L, ppm(32, 32)(gradient)),
+      (2L, ppm(32, 32)((x, y) => if (x == 0 && y == 0) 0 else gradient(x, y))),
+      (3L, ppm(32, 32)((x, y) => gradient(31 - x, y))),
+      (4L, "garbage bytes".getBytes),
+      (5L, "more garbage!".getBytes)).toDF("img_id", "img")
+    val pairs = MediaOps.imageNearDupPairs(imgs, "img_id", "img", maxHamming = 6)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("frame sampler slices the container deterministically") {
+    val frames = (0 until 7).map(i => Array.fill(4)(i.toByte))
+    val container = Array[Byte]('G', 'F', 'V', '0', 0, 0, 0, 4) ++ frames.flatten
+    val s = new MediaOps.FakeFrameSampler
+    val every2 = s.sampleFrames(container, 2)
+    assert(every2.map(_.toSeq) == Seq(0, 2, 4, 6).map(i => Seq.fill(4)(i.toByte)))
+    assert(s.sampleFrames("nope".getBytes, 1).isEmpty)
+    // partition-parallel plumbing: explode frames as document elements
+    val docs = Seq((1L, container)).toDF("doc_id", "video")
+    val sampler = s
+    val frameRows = docs.as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        sampler.sampleFrames(bytes, 2).zipWithIndex.map { case (f, i) => (id, i, f) } }
+      .toDF("doc_id", "frame_index", "frame")
+    assert(frameRows.count() == 4)
+  }
+}
