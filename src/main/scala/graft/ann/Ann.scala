@@ -78,7 +78,7 @@ object Ann {
   /** The nprobe centroid ids nearest the query (by cosine). */
   def probeSet(centroids: Array[Array[Double]], query: Seq[Double], nprobe: Int): Seq[Int] =
     centroids.zipWithIndex
-      .map { case (c, cid) => (cid, cosine(c, query)) }
+      .map { case (c, cid) => (cid, cosine(c.toIndexedSeq, query)) }
       .sortBy(-_._2).take(nprobe).map(_._1).toSeq
 
   /**
@@ -118,7 +118,7 @@ object Ann {
    */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val subDim = codebooks.head.head.length
-    array(codebooks.zipWithIndex.map { case (cb, s) =>
+    array(codebooks.zipWithIndex.toIndexedSeq.map { case (cb, s) =>
       nearestCentroid(slice(vec.cast("array<double>"), s * subDim + 1, subDim), cb)
     }: _*)
   }
@@ -176,7 +176,7 @@ object Ann {
     val adc = tables.zipWithIndex.map { case (table, s) =>
       // element_at over a literal lookup array: ksub lits per subspace,
       // m*ksub total — fine at ksub<=256; codes are 0-based
-      element_at(array(table.map(lit): _*), element_at(col(codes), s + 1) + 1)
+      element_at(array(table.toIndexedSeq.map(lit): _*), element_at(col(codes), s + 1) + 1)
     }.reduce(_ + _)
     df.select(col(id), adc.as("adc_dist"))
       .orderBy(asc("adc_dist"), col(id))
