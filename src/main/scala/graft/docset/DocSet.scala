@@ -180,6 +180,40 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
                       includeContext: Boolean = true): DocSet =
     map(graft.operators.MultimodalOps.summarizeImages(_, captioner, includeContext))
 
+  /** Decode raster image elements (PPM/BMP built in; codec'd formats plug
+    * into MediaOps.decode): width/height/mean_rgb into element properties,
+    * the 64-dim color histogram into element.embedding — so image elements
+    * flow into the existing vector ops (cosine pairs, ANN, semDedup). */
+  def decodeImages(): DocSet = map { d =>
+    d.copy(elements = d.elements.map { e =>
+      e.binaryRepresentation.flatMap(graft.operators.MediaOps.decode) match {
+        case Some(img) =>
+          e.copy(embedding = Some(graft.operators.MediaOps.colorHistogram(img)))
+            .withProps(
+              "image.width" -> img.width.toString,
+              "image.height" -> img.height.toString,
+              "image.mean_rgb" -> img.meanRgb().toString)
+        case None => e
+      }
+    })
+  }
+
+  /** Sample frames out of a video document's binary into VideoFrame
+    * elements (partition-parallel; the sampler is pluggable — a
+    * codec-backed one in production, MediaOps.FakeFrameSampler in tests). */
+  def sampleFrames(sampler: graft.operators.MediaOps.FrameSampler,
+                   everyN: Int = 1): DocSet = map { d =>
+    d.binaryRepresentation.map(b => sampler.sampleFrames(b, everyN)) match {
+      case Some(frames) if frames.nonEmpty =>
+        val base = d.elements.size
+        d.copy(elements = d.elements ++ frames.zipWithIndex.map { case (f, i) =>
+          graft.model.Element("VideoFrame", None, Some(f), None, None,
+            base + i, Nil, Map("frame.sample_index" -> i.toString))
+        })
+      case _ => d
+    }
+  }
+
   /** Free-form LLM query per doc (reference: transforms/llm_query.py:135). */
   def llmQuery(client: LlmClient, prompt: String,
                outputField: String = "llm_response"): DocSet =

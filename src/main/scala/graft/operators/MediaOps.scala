@@ -162,6 +162,27 @@ object MediaOps {
     org.apache.spark.sql.graft.ColumnBridge.column(
       DHashExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** 64-dim color-histogram descriptor (4x4x4 RGB bins, L1-normalized) —
+    * the baseline visual embedding. Returned as array<float>, so images
+    * flow into the EXISTING vector stack unchanged: embeddingCosinePairs /
+    * semDedup / ANN over image content with zero new join code. */
+  def colorHistogram(img: RasterImage): Array[Float] = {
+    val h = new Array[Float](64)
+    img.rgb.foreach { p =>
+      val r = ((p >> 16) & 0xff) >> 6; val g = ((p >> 8) & 0xff) >> 6; val b = (p & 0xff) >> 6
+      h((r << 4) | (g << 2) | b) += 1f
+    }
+    val n = math.max(1, img.rgb.length).toFloat
+    var i = 0
+    while (i < 64) { h(i) /= n; i += 1 }
+    h
+  }
+
+  /** colorHistogram as a column over binary images (null if undecodable). */
+  def colorHistogramCol(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ColorHistogramExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Perceptual image near-dup pairs: dHash sketch into the existing
     * pigeonhole-bucketed hamming join (Dedup.simhashPairs) — undecodable
     * rows drop at the sketch stage. Returns (idA, idB, hamming). */
@@ -224,6 +245,44 @@ object DHashExpr {
   def compute(bytes: Array[Byte]): java.lang.Long =
     MediaOps.decode(bytes) match {
       case Some(img) => java.lang.Long.valueOf(MediaOps.dHash64(img))
+      case None => null
+    }
+}
+
+/** 64-dim color-histogram descriptor of a binary image column as one
+  * codegen'd expression (decode + histogram in a single eval; null when
+  * the bytes are not a supported raster). */
+case class ColorHistogramExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"color_histogram needs binary, got $other")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    ColorHistogramExpr.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.operators.ColorHistogramExpr.compute($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "color_histogram"
+}
+
+object ColorHistogramExpr {
+  /** Called from generated code. */
+  def compute(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    MediaOps.decode(bytes) match {
+      case Some(img) =>
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          MediaOps.colorHistogram(img))
       case None => null
     }
 }

@@ -83,6 +83,53 @@ class MediaSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("colorHistogram: similar images near-cosine-1, distinct images apart; DocSet wiring") {
+    import graft.docset.DocSet
+    import graft.model.{Document, Element}
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val base = MediaOps.colorHistogram(MediaOps.decode(ppm(32, 32)(gradient)).get)
+    val noisy = MediaOps.colorHistogram(MediaOps.decode(
+      ppm(32, 32)((x, y) => if (x < 2) 0xff0000 else gradient(x, y))).get)
+    val flat = MediaOps.colorHistogram(MediaOps.decode(
+      ppm(32, 32)((_, _) => 0x00ff00)).get)
+    assert(cos(base, noisy) > 0.9)
+    assert(cos(base, flat) < 0.5)
+    assert(math.abs(base.sum - 1.0f) < 1e-4, "L1-normalized")
+    // DocSet verb: decode fills element embedding + dimensions
+    val doc = Document.of("d1").copy(elements = Seq(
+      Element("Image", None, Some(ppm(8, 4)(gradient)), None, None, 0, Nil, Map.empty),
+      Element.text(1, "Text", "caption")))
+    val ds = DocSet.wrap(spark.createDataset(Seq(doc))(DocSet.docEnc)).decodeImages()
+    val e = ds.takeAll().head.elements.head
+    assert(e.prop("image.width").contains("8") && e.prop("image.height").contains("4"))
+    assert(e.embedding.exists(_.length == 64))
+    // columnar path agrees with the JVM path
+    val viaCol = Seq((1L, ppm(8, 4)(gradient))).toDF("id", "img")
+      .select(MediaOps.colorHistogramCol(col("img"))).collect()(0).getSeq[Float](0)
+    assert(viaCol == MediaOps.colorHistogram(MediaOps.decode(ppm(8, 4)(gradient)).get).toSeq)
+  }
+
+  test("sampleFrames verb appends VideoFrame elements") {
+    import graft.docset.DocSet
+    import graft.model.Document
+    val frames = (0 until 6).map(i => Array.fill(3)(i.toByte))
+    val container = Array[Byte]('G', 'F', 'V', '0', 0, 0, 0, 3) ++ frames.flatten
+    val doc = Document.of("v1").copy(binaryRepresentation = Some(container))
+    val out = DocSet.wrap(spark.createDataset(Seq(doc))(DocSet.docEnc))
+      .sampleFrames(new MediaOps.FakeFrameSampler, everyN = 3)
+      .takeAll().head
+    val fr = out.elements.filter(_.elementType == "VideoFrame")
+    assert(fr.size == 2)
+    assert(fr.map(_.binaryRepresentation.get.toSeq) ==
+      Seq(Seq.fill(3)(0.toByte), Seq.fill(3)(3.toByte)))
+    assert(fr.map(_.elementIndex) == Seq(0, 1))
+  }
+
   test("frame sampler slices the container deterministically") {
     val frames = (0 until 7).map(i => Array.fill(4)(i.toByte))
     val container = Array[Byte]('G', 'F', 'V', '0', 0, 0, 0, 4) ++ frames.flatten
