@@ -356,7 +356,7 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 30,
-                          localFinishEdges: Long = 4L << 20): DataFrame = {
+                          localFinishEdges: Long = 1L << 20): DataFrame = {
     val nodes = edges
       .select(explode(array(col(src).cast("long"), col(dst).cast("long"))).as("id"))
       .distinct()
@@ -372,10 +372,12 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     val edgeCount = e.count()
-    // Size-gated local finish: below the threshold the whole residual graph
-    // fits in bounded driver memory (4M edges = 64 MB of longs), and a
-    // single union-find pass replaces O(log n) distributed rounds — worth
-    // ~10 jobs of scheduling latency. This mirrors AQE's own philosophy
+    // Size-gated local finish: below the threshold the residual graph fits
+    // in bounded driver memory — honestly accounted: 1M edges collect as
+    // ~1M boxed Rows plus the union-find map and the broadcast mapping,
+    // a few hundred MB TRANSIENT at the cap, not just the 16 MB of raw
+    // longs — and a single union-find pass replaces O(log n) distributed
+    // rounds (~10 jobs of scheduling latency). Mirrors AQE's philosophy
     // (re-plan on observed size): the distributed star-contraction loop is
     // the 100 TB path for billion-edge near-dup graphs; the endgame of a
     // SPARSE duplicate graph (the common corpus case) is a small edge set
@@ -585,9 +587,14 @@ object Dedup {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, id: String,
                          text: String, n: Int = 8,
                          fpp: Double = 0.001): DataFrame = {
+    // the benchmark shingle set is consumed three times (count, filter
+    // build, exact verify) — persist it, or the explode + distinct runs as
+    // three separate jobs over the most expensive input; benchmark-sized,
+    // so the cache footprint is the small side by construction
     val bSh = benchmark
       .select(explode(array_distinct(gf.wordShingles(col(text), n))).as("_sh"))
       .distinct()
+      .persist()
     // distributed build + driver merge of the bits (stat.bloomFilter
     // tree-aggregates partial filters; only bit arrays hit the driver)
     val expected = math.max(1L, bSh.count())

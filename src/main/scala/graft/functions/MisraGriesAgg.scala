@@ -86,11 +86,17 @@ case class MisraGriesAgg(child: Expression, capacity: Int,
     new GenericArrayData(
       buf.keys.toArray.sorted.map(UTF8String.fromString(_): Any))
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on keys whose
+  // encoding exceeds 64 KB, and uncurated corpora DO contain single
+  // unbroken >64KB tokens (base64 blobs, minified JS)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -100,7 +106,12 @@ case class MisraGriesAgg(child: Expression, capacity: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

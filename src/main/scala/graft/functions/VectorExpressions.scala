@@ -39,6 +39,8 @@ case class DotProductExpr(left: Expression, right: Expression)
     case ArrayType(FloatType, _)  => 1
     case ArrayType(LongType, _)   => 2
     case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _)  => 4
+    case ArrayType(ByteType, _)   => 5
     case _ => -1
   }
 
@@ -104,6 +106,8 @@ object DotProductExpr {
     case 0 => x.getDouble(i)
     case 1 => x.getFloat(i).toDouble
     case 2 => x.getLong(i).toDouble
-    case _ => x.getInt(i).toDouble
+    case 3 => x.getInt(i).toDouble
+    case 4 => x.getShort(i).toDouble
+    case _ => x.getByte(i).toDouble
   }
 }

@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
  */
 object MediaOps {
 
+  /** Decoder dimension cap (8192 x 8192 = 256 MiB of packed pixels): both
+    * an adversarial-header overflow guard and a memory bound. */
+  val MaxDim: Int = 8192
+
   /** Packed-RGB raster (0xRRGGBB per pixel, row-major). */
   final case class RasterImage(width: Int, height: Int, rgb: Array[Int]) {
     def pixel(x: Int, y: Int): Int = rgb(y * width + x)
@@ -86,9 +90,13 @@ object MediaOps {
       fields(f) = v; f += 1
     }
     val Array(w, h, maxval) = fields
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // dimension cap: guards w*h Int overflow from adversarial headers AND
+    // bounds the decoded raster (a 16k x 16k raster is 1 GiB of pixels —
+    // reject, don't allocate); all size math in Long
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+      maxval <= 0 || maxval > 255) return None
     i += 1 // single whitespace after maxval
-    if (bytes.length - i < w * h * 3) return None
+    if (bytes.length.toLong - i < w.toLong * h * 3) return None
     val out = new Array[Int](w * h)
     var p = 0
     while (p < w * h) {
@@ -109,9 +117,12 @@ object MediaOps {
     val dataOffset = u32(10)
     val w = u32(18); val h = u32(22)
     if (u16(28) != 24 || u32(30) != 0) return None // 24bpp, BI_RGB only
-    if (w <= 0 || h <= 0) return None
+    // negative/absurd header fields from corrupt bytes must yield None,
+    // never negative indexing or an Int-overflowed size check
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
+    if (dataOffset < 54 || dataOffset > bytes.length) return None
     val rowBytes = (w * 3 + 3) / 4 * 4
-    if (bytes.length < dataOffset + rowBytes.toLong * h) return None
+    if (bytes.length.toLong < dataOffset.toLong + rowBytes.toLong * h) return None
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -23,28 +23,30 @@ import org.apache.spark.sql.functions._
  * the exclusive prefix offsets back, and finish with a partition-local
  * window. The corpus itself never funnels through one task.
  *
- * The staged frame is persisted so the offsets job and the main job see the
- * identical range partitioning (and the corpus is scanned once, not twice).
+ * The offsets job runs over a NARROW projection (order + weight columns
+ * only — parquet prunes the rest), not a persisted copy of the full corpus:
+ * an earlier version persisted the staged frame for pid consistency, which
+ * leaked a corpus-sized cache entry per call. Consistency holds without
+ * it because the range partitioning is deterministic for the same key data
+ * (RangePartitioner samples with per-partition fixed seeds), so the narrow
+ * and full plans assign identical partition ids — REQUIRING the order key
+ * to be unique (tie rows could otherwise land nondeterministically within
+ * equal-key runs; pass the doc id, or append one, as rankBins does).
  */
 object Packing {
 
-  /** Range-partition df by `order`, stamp partition ids, persist, and return
-    * (staged, exclusive per-partition offsets of sum(weight)). */
-  private def stagedPrefix(df: DataFrame, order: String, weight: Column)
-      : (DataFrame, Map[Int, Long]) = {
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val staged = df
+  /** Exclusive per-partition offsets of sum(weight) under the range
+    * partitioning of `order` — computed on a narrow (order, weight)
+    * projection. */
+  private def prefixOffsets(df: DataFrame, order: String, weight: Column,
+                            parts: Int): Map[Int, Long] = {
+    val sums = df.select(col(order), weight.cast("long").as("_w"))
       .repartitionByRange(parts, col(order))
-      .sortWithinPartitions(col(order))
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_w", weight.cast("long"))
-      .persist()
-    val sums = staged.groupBy(col("_pid")).agg(sum(col("_w")).as("_s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // exclusive prefix: offset(p) = sum of sums(q) for q < p
+      .groupBy(col("_pid")).agg(sum(col("_w")).as("_s"))
+      .collect().collect { case r if !r.isNullAt(1) => r.getInt(0) -> r.getLong(1) }.toMap
     val ordered = sums.keys.toSeq.sorted
-    val excl = ordered.zip(ordered.scanLeft(0L)((acc, p) => acc + sums(p)).dropRight(1)).toMap
-    (staged, excl)
+    ordered.zip(ordered.scanLeft(0L)((acc, p) => acc + sums(p)).dropRight(1)).toMap
   }
 
   /**
@@ -59,7 +61,13 @@ object Packing {
   def packSequences(df: DataFrame, order: String, tokenCol: Column,
                     contextLen: Int): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
-    val (staged, offsets) = stagedPrefix(df, order, tokenCol)
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val offsets = prefixOffsets(df, order, tokenCol, parts)
+    val staged = df
+      .repartitionByRange(parts, col(order))
+      .sortWithinPartitions(col(order))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_w", tokenCol.cast("long"))
     val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
       when(col("_pid") === p, lit(off)).otherwise(acc)
     }
@@ -89,13 +97,17 @@ object Packing {
     require(nBins > 0, "nBins must be positive")
     val parts = df.sparkSession.sparkContext.defaultParallelism
     val ord = order :+ col(unique)
+    // narrow counts job (order cols only), full rows only in the main job —
+    // same deterministic range partitioning in both, no persisted copy
+    val counts = df.select(ord: _*).toDF(ord.indices.map(i => s"_o$i"): _*)
+      .repartitionByRange(parts, ord.indices.map(i => col(s"_o$i")): _*)
+      .withColumn("_pid", spark_partition_id())
+      .groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val staged = df
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist()
-    val counts = staged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val orderedP = counts.keys.toSeq.sorted
     val excl = orderedP.zip(orderedP.scanLeft(0L)((acc, p) => acc + counts(p)).dropRight(1)).toMap
     val n = math.max(1L, counts.values.sum)

@@ -71,9 +71,15 @@ object Sampling {
                          tokens: Column, budgets: Map[String, Long],
                          salt: String = ""): DataFrame = {
     require(budgets.nonEmpty, "need at least one stratum budget")
+    // a stratum whose every row has null tokens sums to null — skip it
+    // (don't NPE on getLong); zero-token strata stay, with fraction
+    // min(1, b/0 = Inf) = 1 — they consume no budget, same as the oracle's
+    // least(1.0, x/0) semantics
     val totals = df.groupBy(col(stratum).cast("string").as("_s"))
       .agg(sum(tokens.cast("long")).as("_t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().collect {
+        case r if !r.isNullAt(0) && !r.isNullAt(1) => r.getString(0) -> r.getLong(1)
+      }.toMap
     val fractions = budgets.flatMap { case (s, b) =>
       totals.get(s).map(t => s -> math.min(1.0, b.toDouble / t))
     }

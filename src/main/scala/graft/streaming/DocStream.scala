@@ -185,8 +185,15 @@ object DocStream {
             case Some(s) if t - s.endMs > gapMs =>
               out ::= close(key, s)
               cur = Some(SessState(t, t, 1L))
+            case Some(s) if t < s.startMs - gapMs =>
+              // a late straggler more than a gap BEFORE the open session:
+              // its own (already gap-separated) session, emitted at once —
+              // the open session's span must not swallow it
+              out ::= close(key, SessState(t, t, 1L))
             case Some(s) =>
-              cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+              // a late in-gap event can extend the session BACKWARDS too
+              cur = Some(SessState(math.min(s.startMs, t),
+                math.max(s.endMs, t), s.n + 1))
           }
         }
         cur.foreach { s =>
@@ -218,9 +225,12 @@ object DocStream {
                          watermarkDelay: String): DataFrame = {
     val l = left.withWatermark(lTime, watermarkDelay)
     val r = right.withWatermark(rTime, watermarkDelay)
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+    // time bounds are the base condition, so keys = Nil works (pure
+    // interval join), matching the batch RangeJoin.band contract
+    val timeBound =
       r.col(rTime) >= l.col(lTime) - expr(s"INTERVAL $widthSec SECONDS") &&
       r.col(rTime) <= l.col(lTime) + expr(s"INTERVAL $widthSec SECONDS")
+    val cond = keys.foldLeft(timeBound)((c, k) => c && l(k) === r(k))
     l.join(r, cond)
   }
 

@@ -61,6 +61,25 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaOps.decode(null).isEmpty)
   }
 
+  test("adversarial headers decode to None, never crash") {
+    // w*h Int overflow (65536^2 == 0), and the sqrt(Int.Max) variant
+    assert(MediaOps.decode("P6 65536 65536 255\n".getBytes).isEmpty)
+    assert(MediaOps.decode("P6 46341 46341 255\n".getBytes).isEmpty)
+    // dimensions beyond the raster cap
+    assert(MediaOps.decode(s"P6 9000 9000 255\n".getBytes).isEmpty)
+    // BMP with a negative/hostile data offset and absurd dims
+    val evil = bmp(2, 2)(gradient)
+    evil(10) = 0x80.toByte; evil(11) = 0; evil(12) = 0; evil(13) = 0x80.toByte
+    assert(MediaOps.decode(evil).isEmpty)
+    val evilDims = bmp(2, 2)(gradient)
+    evilDims(21) = 0x80.toByte // w sign bit
+    assert(MediaOps.decode(evilDims).isEmpty)
+    // and through the columnar path: null, not a task failure
+    val rows = Seq((1L, "P6 65536 65536 255\n".getBytes)).toDF("id", "img")
+      .select(MediaOps.dHash(col("img"))).collect()
+    assert(rows(0).isNullAt(0))
+  }
+
   test("dHash: visually-near images land within a small hamming distance") {
     val base = MediaOps.decode(ppm(64, 64)(gradient)).get
     val noisy = MediaOps.decode(ppm(64, 64)((x, y) =>

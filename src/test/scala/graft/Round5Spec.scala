@@ -68,6 +68,15 @@ class Round5Spec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("MisraGries buffers serialize tokens larger than 64KB (writeUTF limit)") {
+    val huge = "x" * 70000
+    val docs = Seq((1L, s"$huge $huge $huge common common common common"))
+      .toDF("doc_id", "text").repartition(3) // force partial-buffer serialization
+    val got = HeavyHitters.topTokens(docs, "text", 0.3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(huge -> 3L, "common" -> 4L))
+  }
+
   test("topTokens is exact: equals the plain frequency threshold") {
     val docs = Seq(
       (1L, "a a a b c d e"),

@@ -92,6 +92,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionization: a late in-gap event extends the session start backwards") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = DocStream.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      gapMs = 10 * 60 * 1000L, watermarkDelay = "30 minutes")
+    val query = sessions.toDF.writeStream.format("memory").queryName("stream_late")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      input.addData(("u1", ts(10, 10)))
+      query.processAllAvailable()
+      // late but in-gap (10:07 within 10 min of the open [10:10,10:10])
+      input.addData(("u1", ts(10, 7)))
+      query.processAllAvailable()
+      // close by timeout: far-future watermark lift + one more trigger
+      input.addData(("u2", ts(12, 0)))
+      query.processAllAvailable()
+      input.addData(("u2", ts(12, 1)))
+      query.processAllAvailable()
+      val u1 = spark.sql(
+        "SELECT CAST(start AS STRING), n_events FROM stream_late WHERE key = 'u1'")
+        .as[(String, Long)].collect().toSet
+      assert(u1 == Set(("2026-01-01 10:07:00", 2L)), s"got $u1")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches within the band across micro-batches") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
