@@ -473,8 +473,9 @@ object SparkEntry {
     }),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time: each purchase joins the user's latest prior (or
-      // simultaneous) click. Micros on both sides — DuckDB's native ASOF
-      // JOIN oracle sees the parquet nanos truncated to µs.
+      // simultaneous) click. Micros on both sides; the oracle compares at
+      // µs too (a native ASOF JOIN on the raw ns timestamps would diverge
+      // for same-µs events) and replays the (ts_us, click_id)-max tie rule.
       val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
@@ -1349,12 +1350,16 @@ object SparkEntry {
                        'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
          FROM orders""",
     "q_asof_join" ->
-      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-                epoch_us(c.ts) AS asof_ts_us, c.event_id AS asof_click_id
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts
-         ORDER BY p.event_id""",
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts_us,
+                (SELECT max(struct_pack(u := c_us, i := click_id)).u FROM c
+                 WHERE c.user_id = p.user_id AND c.c_us <= p.ts_us) AS asof_ts_us,
+                (SELECT max(struct_pack(u := c_us, i := click_id)).i FROM c
+                 WHERE c.user_id = p.user_id AND c.c_us <= p.ts_us) AS asof_click_id
+         FROM p ORDER BY p.event_id""",
     "q_percentiles" ->
       """SELECT lang,
                 round(quantile_cont(n_chars, 0.5), 4) AS p50,
@@ -1408,7 +1413,7 @@ object SparkEntry {
                          AS BIGINT) AS toks
                      FROM documents GROUP BY lang),
          th AS (SELECT lang,
-                       CAST(floor(least(1.0,
+                       CAST(round(least(1.0,
                          (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                                     WHEN 'es' THEN 1000 WHEN 'zh' THEN 1000000000
                                     END)::DOUBLE / toks) * 10000) AS BIGINT) AS thr

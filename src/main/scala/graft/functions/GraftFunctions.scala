@@ -205,12 +205,12 @@ object gf {
 
   // ------------------------------------------- repetition (Gopher rules)
 
-  /** Fraction of non-blank lines that repeat an earlier line — the
-    * duplicate-line signal from the Gopher/MassiveText quality rules. */
   /** Max multiplicity of any element of a string array — one hash pass,
     * row-local, codegen'd (TopCountExpr). */
   def topCount(c: Column): Column = fromExpr(TopCountExpr(toExpr(c)))
 
+  /** Fraction of non-blank lines that repeat an earlier line — the
+    * duplicate-line signal from the Gopher/MassiveText quality rules. */
   def dupLineFraction(c: Column): Column = {
     val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
     when(size(lines) === 0, lit(0.0)).otherwise(

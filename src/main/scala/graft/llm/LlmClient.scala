@@ -45,7 +45,15 @@ final class AsyncLlmClient(underlying: LlmClient, concurrency: Int = 8) extends 
     // by construction, independent of completion order
     val tasks: Seq[Callable[String]] =
       prompts.map(p => (() => underlying.generate(p)): Callable[String])
-    pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    // unwrap ExecutionException so callers see the SAME exception type the
+    // sequential default would throw (retry/fallback logic matches on it)
+    pool.invokeAll(tasks.asJava).asScala.map { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }.toSeq
   }
 }
 

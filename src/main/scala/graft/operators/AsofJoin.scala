@@ -35,8 +35,19 @@ object AsofJoin {
       lit(1).as("_side"), lit(null).cast(rType).as("_r"), lp.as("_l"))
     val rDf = right.select(col(key).as("_k"), col(time).as("_t"),
       lit(0).as("_side"), rp.as("_r"), lit(null).cast(lType).as("_l"))
+    // equal-time tie-break: the max right struct when the payload is
+    // orderable; map-typed columns (e.g. a properties map) cannot be sort
+    // keys, so fall back to a deterministic hash of the row's JSON — still
+    // a stable total order, just not the lexicographic-max one
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val tie = if (!hasMap(rType)) col("_r") else xxhash64(to_json(col("_r")))
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"), col("_r"))
+      .orderBy(col("_t"), col("_side"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lDf.unionAll(rDf)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))

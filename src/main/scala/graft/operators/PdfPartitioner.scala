@@ -93,7 +93,21 @@ object PdfText {
             }
           }
           record(n); i = j
-        case '<' if i + 1 < block.length && block(i + 1) != '<' =>
+        case '<' if i + 1 < block.length && block(i + 1) == '<' =>
+          // skip a <<...>> dictionary (marked-content props in tagged PDFs:
+          // "/P <</MCID 0>> BDC") with nesting — parsing its second '<' as
+          // a hex string recorded phantom glyphs at the pre-Tm position and
+          // dragged the block bbox to the page origin
+          var depth = 1; var j = i + 2
+          while (j < block.length && depth > 0) {
+            if (block(j) == '<' && j + 1 < block.length && block(j + 1) == '<') {
+              depth += 1; j += 2
+            } else if (block(j) == '>' && j + 1 < block.length && block(j + 1) == '>') {
+              depth -= 1; j += 2
+            } else j += 1
+          }
+          i = j
+        case '<' =>
           val end = block.indexOf('>', i + 1)
           val stop = if (end < 0) block.length else end
           record(math.max((stop - i - 1) / 2, 1)); i = stop + 1

@@ -18,7 +18,10 @@ object Sampling {
 
   /** Keep each stratum at its own fraction; strata absent from `fractions`
     * are dropped (same contract as sampleBy). Fractions are quantized to
-    * 1/10000 (the hash-bucket resolution). */
+    * 1/10000 (the hash-bucket resolution), round-to-nearest — truncation
+    * made f = 0.35 select 3499 buckets (0.35 * 10000 is 3499.999... in
+    * binary), off-by-one against any system reproducing the documented
+    * cutoff. */
   def stratifiedByHash(df: DataFrame, key: String, stratum: String,
                        fractions: Map[String, Double], salt: String = ""): DataFrame = {
     require(fractions.nonEmpty, "need at least one stratum fraction")
@@ -26,7 +29,7 @@ object Sampling {
     val bucket = pmod(
       gf.polyFingerprint(concat(k, lit(":"), lit(salt), lit(":"), k)), lit(10000L))
     val fracs = map(fractions.toSeq.sortBy(_._1)
-      .flatMap { case (s, f) => Seq(lit(s), lit((f * 10000).toLong)) }: _*)
+      .flatMap { case (s, f) => Seq(lit(s), lit(math.round(f * 10000))) }: _*)
     df.where(bucket < element_at(fracs, col(stratum)))
   }
 

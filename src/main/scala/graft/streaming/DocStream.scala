@@ -116,22 +116,45 @@ object DocStream {
     val sig = intra.select(col("docId").as("_id"),
       gf.minhashSignature(
         gf.wordShingles(col("textRepresentation"), shingleSize), numHashes).as("_sig"))
+    // checkpointed: banded is consumed by the drop join, the log write and
+    // the id universe — one evaluation of the within-batch dedup + sketch
+    // pipeline per micro-batch (it re-ran per consumer before); the
+    // materialized set is micro-batch-sized by construction
     val banded = sig.select(col("_id"), col("_sig"),
       explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
-    // (2) cross-batch: any band hit against the log with est >= threshold
-    val store: DataFrame =
-      try spark.read.parquet(sigStore).select(col("_band"), col("_sig").as("_storeSig"))
-      catch { case _: Exception =>
-        banded.select(col("_band"), col("_sig").as("_storeSig")).limit(0) }
+      .localCheckpoint()
+    // (2) cross-batch: any band hit against the log with est >= threshold.
+    // The log carries the KEEPER'S doc id so a retried batch cannot drop
+    // its own documents against the signatures it logged before failing
+    // (self-matches are excluded by id) — the property that makes duplicate
+    // log rows from retries genuinely idempotent. A doc re-delivered under
+    // the SAME id in a later batch is likewise kept again (at-least-once
+    // emission), never silently swallowed by its own logged signature.
+    // Only a genuinely missing store path means "first batch" — any other
+    // read failure (corrupt footer, FS error) must FAIL the batch, not
+    // silently disable cross-batch dedup.
+    val store: DataFrame = {
+      val path = new org.apache.hadoop.fs.Path(sigStore)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path))
+        spark.read.parquet(sigStore)
+          .select(col("_band"), col("_sig").as("_storeSig"), col("_id").as("_storeId"))
+      else banded.select(col("_band"), col("_sig").as("_storeSig"),
+        col("_id").as("_storeId")).limit(0)
+    }
     val est = size(filter(zip_with(col("_sig"), col("_storeSig"),
       (x, y) => x === y), m => m)).cast("double") / numHashes
     val dropped = banded.join(store, Seq("_band"))
-      .where(est >= threshold)
+      .where(col("_id") =!= col("_storeId") && est >= threshold)
       .select(col("_id")).distinct()
-    val keptIds = sig.select(col("_id")).join(dropped, Seq("_id"), "left_anti")
+    // keptIds is consumed by BOTH the log write and the kept-docs join —
+    // checkpoint the (small, id-only) set so the store join runs once
+    val keptIds = banded.select(col("_id")).distinct()
+      .join(dropped, Seq("_id"), "left_anti")
+      .localCheckpoint()
     // (3) log the kept signatures, then emit the kept documents
     banded.join(keptIds, Seq("_id"), "left_semi")
-      .select(col("_band"), col("_sig"))
+      .select(col("_band"), col("_sig"), col("_id"))
       .write.mode("append").parquet(sigStore)
     DocSet.wrap(
       df.join(keptIds.withColumnRenamed("_id", "docId"), Seq("docId"), "left_semi")

@@ -189,6 +189,39 @@ class Round5Spec extends AnyFunSuite {
     assert(a != c, "different salts should select different rows")
   }
 
+  test("stratifiedByHash rounds the 1/10000 quantization (0.35 -> 3500 buckets)") {
+    import graft.operators.Sampling
+    val df = (1L to 5000L).map(i => (i, "s")).toDF("id", "g")
+    val got = Sampling.stratifiedByHash(df, "id", "g", Map("s" -> 0.35), "q")
+      .select("id").as[Long].collect().toSet
+    // the documented cutoff, reproduced manually: bucket < round(0.35*10000)
+    val k = col("id").cast("string")
+    val bucket = pmod(graft.functions.gf.polyFingerprint(
+      concat(k, lit(":"), lit("q"), lit(":"), k)), lit(10000L))
+    val manual = df.where(bucket < 3500).select("id").as[Long].collect().toSet
+    assert(got == manual, "truncation would cut bucket 3499")
+  }
+
+  test("asofBackward works when the right side carries a map column") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 10.0), (1L, 20.0)).toDF("k", "t")
+    val right = Seq((1L, 5.0, Map("a" -> "1")), (1L, 15.0, Map("b" -> "2")))
+      .toDF("k", "t", "meta")
+    val out = AsofJoin.asofBackward(left, right, "k", "t")
+      .select(col("t"), col("asof_t")).as[(Double, Double)].collect().toMap
+    assert(out == Map(10.0 -> 5.0, 20.0 -> 15.0))
+  }
+
+  test("AsyncLlmClient surfaces the underlying exception type, not ExecutionException") {
+    import graft.llm.{AsyncLlmClient, LlmClient}
+    class Boom extends RuntimeException("boom")
+    val failing = new LlmClient {
+      override def generate(p: String): String = throw new Boom
+    }
+    val async = new AsyncLlmClient(failing, concurrency = 2)
+    intercept[Boom](async.generateBatch(Seq("a", "b")))
+  }
+
   // ------------------------------------------------------------ skew join
 
   test("salted join equals plain join and spreads the hot key across salts") {

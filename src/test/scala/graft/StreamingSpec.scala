@@ -200,6 +200,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("near-dup batch retry is idempotent: a replayed batch keeps its own documents") {
+    import graft.model.Document
+    val tmp = java.nio.file.Files.createTempDirectory("retry").toString
+    val docs = DocSet.wrap(spark.createDataset(Seq(
+      Document.of("a", text = "alpha beta gamma delta epsilon zeta"),
+      Document.of("b", text = "one two three four five six seven")))(DocSet.docEnc))
+    val first = DocStream.dedupNearBatch(docs, s"$tmp/sigs", shingleSize = 3)
+      .toDF.select("docId").as[String].collect().toSet
+    assert(first == Set("a", "b"))
+    // simulate the retry: the log already holds this batch's signatures;
+    // the replay must NOT drop the docs against their own logged entries
+    val retry = DocStream.dedupNearBatch(docs, s"$tmp/sigs", shingleSize = 3)
+      .toDF.select("docId").as[String].collect().toSet
+    assert(retry == Set("a", "b"), "retried batch lost its own documents")
+    // a genuinely different near-dup doc still drops cross-batch
+    val later = DocSet.wrap(spark.createDataset(Seq(
+      Document.of("c", text = "alpha beta gamma delta epsilon zeta !")))(DocSet.docEnc))
+    val keptLater = DocStream.dedupNearBatch(later, s"$tmp/sigs", shingleSize = 3)
+      .toDF.select("docId").as[String].collect().toSet
+    assert(keptLater.isEmpty)
+  }
+
   test("llmFilterElements: early exit, similarity sorting, score recording") {
     import graft.model.{Document, Element}
     // JVM-static counter: task closures are serialized copies even in local

@@ -198,6 +198,22 @@ class StructureSpec extends AnyFunSuite {
     assert(Seq(0, 1, 3).forall(i => marked.elements(i).prop("_break").isEmpty))
   }
 
+  test("PdfPartitioner: a marked-content <<...>> dict does not corrupt the bbox") {
+    import graft.operators.PdfPartitioner
+    // tagged-PDF shape: the dict precedes Tm — parsing its second '<' as a
+    // hex string used to record phantom glyphs at the (0,0) pre-Tm position
+    val content = ("BT /P <</MCID 0>> BDC 1 0 0 1 50 700 Tm (Hi) Tj EMC ET")
+      .getBytes("ISO-8859-1")
+    val pdf = ("%PDF-1.4\n1 0 obj << /MediaBox [0 0 600 800] >> endobj\n" +
+      "2 0 obj << /Length " + content.length + " >>\nstream\n").getBytes("ISO-8859-1") ++
+      content ++ "\nendstream\nendobj\ntrailer\n%%EOF".getBytes("ISO-8859-1")
+    val doc = new PdfPartitioner().partition(
+      Document.of("tagged.pdf").copy(binaryRepresentation = Some(pdf)))
+    val b = doc.elements.head.bbox.get
+    assert(math.abs(b.x1 - 50.0 / 600) < 1e-9,
+      s"bbox dragged to the origin by the dict: $b")
+  }
+
   test("PdfPartitioner bboxes follow Td/TD/T* line motion without Tm") {
     import graft.operators.PdfPartitioner
     val content = ("BT /F2 10 Tf 14 TL 72 720 Td (First) Tj T* (Second) Tj ET")
