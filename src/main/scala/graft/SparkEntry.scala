@@ -67,8 +67,6 @@ object SparkEntry {
 
   // ------------------------------------------------------------ flagship
 
-  /** Flagship (SURVEY §7.2 slice query shape): filter -> groupby_count ->
-    * sort desc -> top-k over events. Driver smoke-checks rows > 0. */
   /** Flagship: the condensed corpus-curation pipeline — exact + MinHash-LSH
     * dedup, then per-language survivor stats over the quality signals
     * (token mass, composite quality, compression ratio). One pass through

@@ -588,13 +588,14 @@ object Dedup {
                          text: String, n: Int = 8,
                          fpp: Double = 0.001): DataFrame = {
     // the benchmark shingle set is consumed three times (count, filter
-    // build, exact verify) — persist it, or the explode + distinct runs as
-    // three separate jobs over the most expensive input; benchmark-sized,
-    // so the cache footprint is the small side by construction
+    // build, exact verify) — materialize it once (localCheckpoint: blocks
+    // are dropped by the ContextCleaner when the frame is GC'd, unlike a
+    // persist that would leak one cache entry per call); benchmark-sized,
+    // the small side by construction
     val bSh = benchmark
       .select(explode(array_distinct(gf.wordShingles(col(text), n))).as("_sh"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     // distributed build + driver merge of the bits (stat.bloomFilter
     // tree-aggregates partial filters; only bit arrays hit the driver)
     val expected = math.max(1L, bSh.count())

@@ -205,7 +205,11 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
                    everyN: Int = 1): DocSet = map { d =>
     d.binaryRepresentation.map(b => sampler.sampleFrames(b, everyN)) match {
       case Some(frames) if frames.nonEmpty =>
-        val base = d.elements.size
+        // next index AFTER the max existing one — element indexes need not
+        // be dense (filtering transforms don't renumber), and a collision
+        // would interleave frames nondeterministically in order-sensitive
+        // downstream ops (merge, splitElements)
+        val base = d.elements.map(_.elementIndex).maxOption.getOrElse(-1) + 1
         d.copy(elements = d.elements ++ frames.zipWithIndex.map { case (f, i) =>
           graft.model.Element("VideoFrame", None, Some(f), None, None,
             base + i, Nil, Map("frame.sample_index" -> i.toString))

@@ -23,27 +23,24 @@ import org.apache.spark.sql.functions._
  * the exclusive prefix offsets back, and finish with a partition-local
  * window. The corpus itself never funnels through one task.
  *
- * The offsets job runs over a NARROW projection (order + weight columns
- * only — parquet prunes the rest), not a persisted copy of the full corpus:
- * an earlier version persisted the staged frame for pid consistency, which
- * leaked a corpus-sized cache entry per call. Consistency holds without
- * it because the range partitioning is deterministic for the same key data
- * (RangePartitioner samples with per-partition fixed seeds), so the narrow
- * and full plans assign identical partition ids — REQUIRING the order key
- * to be unique (tie rows could otherwise land nondeterministically within
- * equal-key runs; pass the doc id, or append one, as rankBins does).
+ * The staged (range-partitioned, pid-stamped) frame is materialized ONCE
+ * via an eager localCheckpoint, and both the offsets job and the main job
+ * read the SAME materialized blocks. This is load-bearing, not a cache
+ * optimization: RangePartitioner's bounds come from reservoir samples of
+ * the child's row order, and when the input's lineage contains a shuffle,
+ * row order differs between two executions — two separate plans could
+ * assign DIFFERENT pids to boundary rows and the broadcast offsets would
+ * silently misalign. (An earlier persist() version leaked the cache entry
+ * per call; checkpoint blocks are dropped by the ContextCleaner when the
+ * frame is garbage collected.) The order key must be unique — pass the
+ * doc id, or append one, as rankBins does.
  */
 object Packing {
 
-  /** Exclusive per-partition offsets of sum(weight) under the range
-    * partitioning of `order` — computed on a narrow (order, weight)
-    * projection. */
-  private def prefixOffsets(df: DataFrame, order: String, weight: Column,
-                            parts: Int): Map[Int, Long] = {
-    val sums = df.select(col(order), weight.cast("long").as("_w"))
-      .repartitionByRange(parts, col(order))
-      .withColumn("_pid", spark_partition_id())
-      .groupBy(col("_pid")).agg(sum(col("_w")).as("_s"))
+  /** Exclusive per-partition offsets of sum(weight) over the pid-stamped
+    * staged frame. */
+  private def prefixOffsets(staged: DataFrame): Map[Int, Long] = {
+    val sums = staged.groupBy(col("_pid")).agg(sum(col("_w")).as("_s"))
       .collect().collect { case r if !r.isNullAt(1) => r.getInt(0) -> r.getLong(1) }.toMap
     val ordered = sums.keys.toSeq.sorted
     ordered.zip(ordered.scanLeft(0L)((acc, p) => acc + sums(p)).dropRight(1)).toMap
@@ -62,12 +59,13 @@ object Packing {
                     contextLen: Int): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val offsets = prefixOffsets(df, order, tokenCol, parts)
     val staged = df
       .repartitionByRange(parts, col(order))
       .sortWithinPartitions(col(order))
       .withColumn("_pid", spark_partition_id())
       .withColumn("_w", tokenCol.cast("long"))
+      .localCheckpoint()
+    val offsets = prefixOffsets(staged)
     val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
       when(col("_pid") === p, lit(off)).otherwise(acc)
     }
@@ -97,17 +95,15 @@ object Packing {
     require(nBins > 0, "nBins must be positive")
     val parts = df.sparkSession.sparkContext.defaultParallelism
     val ord = order :+ col(unique)
-    // narrow counts job (order cols only), full rows only in the main job —
-    // same deterministic range partitioning in both, no persisted copy
-    val counts = df.select(ord: _*).toDF(ord.indices.map(i => s"_o$i"): _*)
-      .repartitionByRange(parts, ord.indices.map(i => col(s"_o$i")): _*)
-      .withColumn("_pid", spark_partition_id())
-      .groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // one materialization, shared by the counts job and the main job (see
+    // the object scaladoc: separate plans could range-partition differently)
     val staged = df
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val orderedP = counts.keys.toSeq.sorted
     val excl = orderedP.zip(orderedP.scanLeft(0L)((acc, p) => acc + counts(p)).dropRight(1)).toMap
     val n = math.max(1L, counts.values.sum)

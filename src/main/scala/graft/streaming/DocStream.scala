@@ -116,13 +116,17 @@ object DocStream {
     val sig = intra.select(col("docId").as("_id"),
       gf.minhashSignature(
         gf.wordShingles(col("textRepresentation"), shingleSize), numHashes).as("_sig"))
-    // checkpointed: banded is consumed by the drop join, the log write and
-    // the id universe — one evaluation of the within-batch dedup + sketch
-    // pipeline per micro-batch (it re-ran per consumer before); the
-    // materialized set is micro-batch-sized by construction
-    val banded = sig.select(col("_id"), col("_sig"),
-      explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
-      .localCheckpoint()
+    // checkpointed at the SIG level (one row per doc, pre-explode): sig
+    // feeds the drop join, the log write and the id universe — one
+    // evaluation of the within-batch dedup + sketch pipeline per
+    // micro-batch, micro-batch-sized by construction. The id universe must
+    // come from sig, NOT from the banded explode: a null-signature doc
+    // (null text — e.g. binary-only media documents) yields zero banded
+    // rows and would silently vanish from the kept set
+    val sigCk = sig.localCheckpoint()
+    val banded = sigCk.where(col("_sig").isNotNull)
+      .select(col("_id"), col("_sig"),
+        explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
     // (2) cross-batch: any band hit against the log with est >= threshold.
     // The log carries the KEEPER'S doc id so a retried batch cannot drop
     // its own documents against the signatures it logged before failing
@@ -136,20 +140,26 @@ object DocStream {
     val store: DataFrame = {
       val path = new org.apache.hadoop.fs.Path(sigStore)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path))
-        spark.read.parquet(sigStore)
-          .select(col("_band"), col("_sig").as("_storeSig"), col("_id").as("_storeId"))
-      else banded.select(col("_band"), col("_sig").as("_storeSig"),
+      if (fs.exists(path)) {
+        val raw = spark.read.parquet(sigStore)
+        // pre-_id logs (earlier schema) read as null keeper ids; the
+        // null-safe self-exclusion below still lets those rows drop OTHER
+        // docs, so old dedup history keeps working after an upgrade
+        val withId = if (raw.columns.contains("_id")) raw
+          else raw.withColumn("_id", lit(null).cast("string"))
+        withId.select(col("_band"), col("_sig").as("_storeSig"),
+          col("_id").as("_storeId"))
+      } else banded.select(col("_band"), col("_sig").as("_storeSig"),
         col("_id").as("_storeId")).limit(0)
     }
     val est = size(filter(zip_with(col("_sig"), col("_storeSig"),
       (x, y) => x === y), m => m)).cast("double") / numHashes
     val dropped = banded.join(store, Seq("_band"))
-      .where(col("_id") =!= col("_storeId") && est >= threshold)
+      .where(!(col("_id") <=> col("_storeId")) && est >= threshold)
       .select(col("_id")).distinct()
     // keptIds is consumed by BOTH the log write and the kept-docs join —
     // checkpoint the (small, id-only) set so the store join runs once
-    val keptIds = banded.select(col("_id")).distinct()
+    val keptIds = sigCk.select(col("_id")).distinct()
       .join(dropped, Seq("_id"), "left_anti")
       .localCheckpoint()
     // (3) log the kept signatures, then emit the kept documents
@@ -198,34 +208,32 @@ object DocStream {
         state.remove()
         Iterator.single(close(key, s))
       } else {
-        val ts = it.map(_.ts.getTime).toArray
-        java.util.Arrays.sort(ts)
-        var out = List.empty[Session]
-        var cur = state.getOption
-        ts.foreach { t =>
-          cur match {
-            case None => cur = Some(SessState(t, t, 1L))
-            case Some(s) if t - s.endMs > gapMs =>
-              out ::= close(key, s)
-              cur = Some(SessState(t, t, 1L))
-            case Some(s) if t < s.startMs - gapMs =>
-              // a late straggler more than a gap BEFORE the open session:
-              // its own (already gap-separated) session, emitted at once —
-              // the open session's span must not swallow it
-              out ::= close(key, SessState(t, t, 1L))
-            case Some(s) =>
-              // a late in-gap event can extend the session BACKWARDS too
-              cur = Some(SessState(math.min(s.startMs, t),
-                math.max(s.endMs, t), s.n + 1))
+        // interval clustering over (sorted events + the open session as an
+        // interval): adjacent clusters within the gap merge — this handles
+        // late stragglers uniformly (consecutive stragglers sessionize
+        // TOGETHER, and a straggler bridging into the open session merges
+        // it), where a per-event fold against only the open session emitted
+        // wrong singleton sessions
+        val intervals = (it.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L)).toSeq ++
+          state.getOption.toSeq).sortBy(s => (s.startMs, s.endMs))
+        if (intervals.isEmpty) Iterator.empty
+        else {
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
+          intervals.foreach { s =>
+            if (merged.nonEmpty && s.startMs - merged.last.endMs <= gapMs) {
+              val l = merged.last
+              merged(merged.size - 1) = SessState(math.min(l.startMs, s.startMs),
+                math.max(l.endMs, s.endMs), l.n + s.n)
+            } else merged += s
           }
-        }
-        cur.foreach { s =>
-          state.update(s)
+          // every cluster but the latest is gap-closed; the latest stays open
+          val open = merged.last
+          state.update(open)
           // the timeout must sit beyond the current watermark
           state.setTimeoutTimestamp(
-            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+          merged.dropRight(1).map(close(key, _)).iterator
         }
-        out.reverse.iterator
       }
     }
     ev.groupByKey(_.key)(E.STRING)

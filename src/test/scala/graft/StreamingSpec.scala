@@ -200,6 +200,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionization: consecutive stragglers sessionize together, not as singletons") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = DocStream.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      gapMs = 10 * 60 * 1000L, watermarkDelay = "60 minutes")
+    val query = sessions.toDF.writeStream.format("memory").queryName("stream_stragglers")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      input.addData(("u1", ts(10, 10)))
+      query.processAllAvailable()
+      // two stragglers 1 minute apart, both > gap before the open session:
+      // ONE two-event session, closed when the open session stays separate
+      input.addData(("u1", ts(9, 50)), ("u1", ts(9, 51)))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT CAST(start AS STRING), CAST(end AS STRING), n_events FROM stream_stragglers")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(("2026-01-01 09:50:00", "2026-01-01 09:51:00", 2L)), s"got $rows")
+    } finally query.stop()
+  }
+
+  test("near-dup batch keeps null-text documents (no signature, no silent drop)") {
+    import graft.model.Document
+    val tmp = java.nio.file.Files.createTempDirectory("nulltext").toString
+    val docs = DocSet.wrap(spark.createDataset(Seq(
+      Document.of("text-doc", text = "alpha beta gamma delta"),
+      Document.of("binary-doc").copy(binaryRepresentation = Some(Array[Byte](1, 2, 3)))
+    ))(DocSet.docEnc))
+    val kept = DocStream.dedupNearBatch(docs, s"$tmp/sigs", shingleSize = 3)
+      .toDF.select("docId").as[String].collect().toSet
+    assert(kept == Set("text-doc", "binary-doc"))
+  }
+
   test("near-dup batch retry is idempotent: a replayed batch keeps its own documents") {
     import graft.model.Document
     val tmp = java.nio.file.Files.createTempDirectory("retry").toString
