@@ -218,6 +218,27 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     }
   }
 
+  /** Decode PCM WAV audio elements (RIFF parse built in; codec'd formats
+    * plug into AudioOps.decodeWav): sample rate / duration / RMS / zero
+    * crossings into element properties, the 64-segment energy envelope
+    * into element.embedding — so audio elements flow into the existing
+    * vector ops, mirroring decodeImages. */
+  def decodeAudio(): DocSet = map { d =>
+    d.copy(elements = d.elements.map { e =>
+      e.binaryRepresentation.flatMap(graft.operators.AudioOps.decodeWav) match {
+        case Some(a) =>
+          e.copy(embedding = Some(a.energyEnvelope(64)))
+            .withProps(
+              "audio.sample_rate" -> a.sampleRate.toString,
+              "audio.n_samples" -> a.samples.length.toString,
+              "audio.duration_s" -> f"${a.durationSeconds}%.6f",
+              "audio.rms" -> f"${a.rms}%.6f",
+              "audio.zcr" -> f"${a.zeroCrossingRate}%.6f")
+        case None => e
+      }
+    })
+  }
+
   /** Free-form LLM query per doc (reference: transforms/llm_query.py:135). */
   def llmQuery(client: LlmClient, prompt: String,
                outputField: String = "llm_response"): DocSet =
