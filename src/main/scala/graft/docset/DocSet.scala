@@ -691,6 +691,11 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def writeJson(path: String): Unit = ds.toDF().write.mode("overwrite").json(path)
   def writeParquet(path: String): Unit = ds.write.mode("overwrite").parquet(path)
 
+  /** ORC sink — same Document schema as parquet, for stacks standardized
+    * on ORC (Hive-lineage warehouses). Splittable, columnar, and Spark
+    * pushes predicates into the ORC scan just like parquet. */
+  def writeOrc(path: String): Unit = ds.write.mode("overwrite").orc(path)
+
   /** One file per document (reference: writer.py:766 write.files). */
   def writeFiles(dir: String): Unit = graft.sources.DocWrite.files(this, dir)
 

@@ -130,6 +130,11 @@ object DocRead {
   def materialized(spark: SparkSession, path: String): DocSet =
     DocSet.wrap(spark.read.parquet(path).as[Document](DocSet.docEnc))
 
+  /** Read back an ORC-materialized DocSet (counterpart of
+    * DocSet.writeOrc; same Document schema as the parquet path). */
+  def orc(spark: SparkSession, path: String): DocSet =
+    DocSet.wrap(spark.read.orc(path).as[Document](DocSet.docEnc))
+
   /** JSONL where each record is a serialized Document
     * (reference: reader.py:184 read.json_document, file_scan.py:398). */
   def jsonDocument(spark: SparkSession, paths: String): DocSet =

@@ -49,6 +49,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(again.map(_.docId).sorted == docs.map(_.docId))
   }
 
+  test("ORC round-trip preserves every Document field, including binary") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/out"
+    val docs = (0 until 5).map { i =>
+      Document.of(s"d$i", text = s"t$i", properties = Map("k" -> i.toString))
+        .copy(
+          binaryRepresentation = Some(Array[Byte](1, 2, i.toByte)),
+          embedding = Some(Array(0.5f, i.toFloat)),
+          elements = Seq(graft.model.Element("Text", Some(s"el$i"), None, None,
+            None, 0, Nil, Map("e" -> "v"))))
+    }
+    DocSet.of(spark, docs).writeOrc(dir)
+    val back = DocRead.orc(spark, dir).takeAll().sortBy(_.docId)
+    assert(back.map(_.docId) == docs.map(_.docId))
+    assert(back(2).binaryRepresentation.get.toSeq == Seq[Byte](1, 2, 2))
+    assert(back(3).embedding.get.toSeq == Seq(0.5f, 3.0f))
+    assert(back(4).elements.head.textRepresentation.contains("el4"))
+    assert(back(1).properties("k") == "1")
+  }
+
   test("jsonDocument reads serialized Documents; writeJson dumps them") {
     val dir = Files.createTempDirectory("graft_json").toString + "/docs"
     val docs = Seq(Document.of("j1", text = "json doc", properties = Map("a" -> "1")))
