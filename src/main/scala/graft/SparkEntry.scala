@@ -651,6 +651,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("bin"))
         .orderBy(col("doc_id"))
     }),
+    "q_zorder" -> ((s, dir) => {
+      // Morton layout key: exact-rank buckets (16 per dim) bit-interleaved
+      // into one codegen'd expression — deterministic, so an external
+      // engine can recompute it; zorderWrite range-partitions on this
+      graft.operators.Layout.zvalue(tbl(s, dir, "documents"),
+          Seq("source", "n_chars"), "doc_id", bits = 4)
+        .select(col("doc_id"), col("zvalue"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- DocSet facade routed through the gate (groupby_count contract:
     //      documents with properties {key,count}, reference groupby_count.py:86)
@@ -1271,6 +1280,20 @@ object SparkEntry {
                       count(*) OVER () AS n
                     FROM documents)
          SELECT doc_id, n_chars, CAST(floor(rank0 * 10 / n) AS BIGINT) AS bin
+         FROM r ORDER BY doc_id""",
+    "q_zorder" ->
+      """WITH r AS (SELECT doc_id,
+                      CAST(floor((row_number() OVER (ORDER BY source, doc_id) - 1) * 16
+                                 / (count(*) OVER ())) AS BIGINT) AS b0,
+                      CAST(floor((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 16
+                                 / (count(*) OVER ())) AS BIGINT) AS b1
+                    FROM documents)
+         SELECT doc_id, CAST(
+             ((b0 >> 0) & 1) * 1   + ((b1 >> 0) & 1) * 2 +
+             ((b0 >> 1) & 1) * 4   + ((b1 >> 1) & 1) * 8 +
+             ((b0 >> 2) & 1) * 16  + ((b1 >> 2) & 1) * 32 +
+             ((b0 >> 3) & 1) * 64  + ((b1 >> 3) & 1) * 128
+           AS BIGINT) AS zvalue
          FROM r ORDER BY doc_id""",
     "q_docset_groupby_count" ->
       """SELECT lang AS key, count(*) AS count FROM documents
