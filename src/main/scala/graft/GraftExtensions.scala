@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.gf
+import graft.operators.{ColorHistogramExpr, DHashExpr}
+
+/**
+ * SQL surface for the graft function library.
+ *
+ * The reference has no SQL layer at all (every scalar lives inside a Python
+ * transform); Spark gives us one for free once the expressions are in the
+ * `FunctionRegistry`. Registering here means a SQL-only user — a BI tool, a
+ * `spark.sql(...)` notebook, Thrift server — can call the same codegen'd
+ * expressions the DocSet API uses, with identical semantics (one
+ * implementation, two surfaces).
+ *
+ * Two entry points:
+ *  - `GraftSqlFunctions.register(spark)` — add the functions to an existing
+ *    session (idempotent; replaces prior registrations of the same name);
+ *  - `class GraftExtensions` — the `spark.sql.extensions` /
+ *    `.withExtensions` path, so a cluster config line enables the library
+ *    for every session without code changes.
+ *
+ * All functions resolve to pure Catalyst expression trees (the same ones
+ * `gf` builds for the Column API), so Catalyst folds/prunes/pushes them like
+ * any built-in and whole-stage codegen applies unchanged.
+ */
+object GraftSqlFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+
+  /** Eagerly convert the Column tree to catalyst expressions.
+    * `ColumnBridge.expression` (lazy `ColumnNodeExpression` wrapper) is fine
+    * when a Dataset operation will run the converter later, but a
+    * FunctionRegistry builder must hand the analyzer a plain catalyst tree —
+    * the wrapper reports NullType during type-checks and kills codegen. */
+  private def x(col: Column): Expression = ColumnBridge.eagerExpression(col)
+
+  /** Scale knobs (shingle n, minhash k, LSH geometry) must be plan-time
+    * constants — they pick an algorithm shape, not a per-row value. */
+  private def intArg(fn: String, e: Expression): Int =
+    if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal integer")
+    else e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"$fn: expected integer literal, got $other")
+    }
+
+  private def strArg(fn: String, e: Expression): String =
+    if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal string")
+    else String.valueOf(e.eval())
+
+  private def arity(fn: String, n: Int)(b: Builder): Builder = es => {
+    if (es.length != n)
+      throw new IllegalArgumentException(s"$fn expects $n argument(s), got ${es.length}")
+    b(es)
+  }
+
+  /** (name, usage, builder) for every registered SQL function. */
+  val functions: Seq[(String, String, Builder)] = Seq(
+    // tokens / shingles
+    ("gf_tokens", "(text) -> array<string>",
+      arity("gf_tokens", 1)(es => x(gf.tokens(c(es(0)))))),
+    ("gf_token_count", "(text) -> int",
+      arity("gf_token_count", 1)(es => x(gf.tokenCount(c(es(0)))))),
+    ("gf_bpeish_token_count", "(text) -> int",
+      arity("gf_bpeish_token_count", 1)(es => x(gf.bpeishTokenCount(c(es(0)))))),
+    ("gf_word_shingles", "(text, n) -> array<string>",
+      arity("gf_word_shingles", 2)(es =>
+        x(gf.wordShingles(c(es(0)), intArg("gf_word_shingles", es(1)))))),
+    ("gf_char_shingles", "(text, n) -> array<string>",
+      arity("gf_char_shingles", 2)(es =>
+        x(gf.charShingles(c(es(0)), intArg("gf_char_shingles", es(1)))))),
+    // sketches
+    ("gf_minhash", "(shingles, k) -> array<bigint>",
+      arity("gf_minhash", 2)(es =>
+        x(gf.minhashSignature(c(es(0)), intArg("gf_minhash", es(1)))))),
+    ("gf_minhash_poly", "(shingles, k) -> array<bigint>",
+      arity("gf_minhash_poly", 2)(es =>
+        x(gf.minhashPoly(c(es(0)), intArg("gf_minhash_poly", es(1)))))),
+    ("gf_lsh_bands", "(signature, bands, rowsPerBand) -> array<bigint>",
+      arity("gf_lsh_bands", 3)(es =>
+        x(gf.lshBandKeys(c(es(0)), intArg("gf_lsh_bands", es(1)), intArg("gf_lsh_bands", es(2)))))),
+    ("gf_simhash64", "(text) -> bigint",
+      arity("gf_simhash64", 1)(es => x(gf.simhash64(c(es(0)))))),
+    ("gf_simhash_poly31", "(text) -> bigint",
+      arity("gf_simhash_poly31", 1)(es => x(gf.simhashPoly31(c(es(0)))))),
+    ("gf_hamming64", "(a, b) -> int",
+      arity("gf_hamming64", 2)(es => x(gf.hamming64(c(es(0)), c(es(1)))))),
+    ("gf_fingerprint64", "(text) -> bigint",
+      arity("gf_fingerprint64", 1)(es => x(gf.fingerprint64(c(es(0)))))),
+    ("gf_poly_fingerprint", "(text[, mult, mod]) -> bigint",
+      es => es.length match {
+        case 1 => x(gf.polyFingerprint(c(es(0))))
+        case 3 => x(gf.polyFingerprint(c(es(0)),
+          intArg("gf_poly_fingerprint", es(1)).toLong, intArg("gf_poly_fingerprint", es(2)).toLong))
+        case n => throw new IllegalArgumentException(s"gf_poly_fingerprint expects 1 or 3 arguments, got $n")
+      }),
+    // vector kernels
+    ("gf_dot", "(a, b) -> double",
+      arity("gf_dot", 2)(es => x(gf.dotProduct(c(es(0)), c(es(1)))))),
+    ("gf_l2_norm", "(a) -> double",
+      arity("gf_l2_norm", 1)(es => x(gf.l2Norm(c(es(0)))))),
+    ("gf_cosine", "(a, b) -> double",
+      arity("gf_cosine", 2)(es => x(gf.cosineSimilarity(c(es(0)), c(es(1)))))),
+    // quality signals
+    ("gf_compression_ratio", "(text) -> double",
+      arity("gf_compression_ratio", 1)(es => x(gf.compressionRatio(c(es(0)))))),
+    ("gf_punct_count", "(text) -> int",
+      arity("gf_punct_count", 1)(es => x(gf.punctCount(c(es(0)))))),
+    ("gf_alpha_ratio", "(text) -> double",
+      arity("gf_alpha_ratio", 1)(es => x(gf.alphaRatio(c(es(0)))))),
+    ("gf_stopword_ratio", "(text) -> double",
+      arity("gf_stopword_ratio", 1)(es => x(gf.stopwordRatio(c(es(0)))))),
+    ("gf_mean_token_length", "(text) -> double",
+      arity("gf_mean_token_length", 1)(es => x(gf.meanTokenLength(c(es(0)))))),
+    ("gf_quality_score", "(text) -> double",
+      arity("gf_quality_score", 1)(es => x(gf.qualityScore(c(es(0)))))),
+    ("gf_scrub_pii", "(text[, replacement]) -> string",
+      es => es.length match {
+        case 1 => x(gf.scrubPii(c(es(0))))
+        case 2 => x(gf.scrubPii(c(es(0)), strArg("gf_scrub_pii", es(1))))
+        case n => throw new IllegalArgumentException(s"gf_scrub_pii expects 1 or 2 arguments, got $n")
+      }),
+    ("gf_top_count", "(array<string>) -> int",
+      arity("gf_top_count", 1)(es => x(gf.topCount(c(es(0)))))),
+    ("gf_dup_line_fraction", "(text) -> double",
+      arity("gf_dup_line_fraction", 1)(es => x(gf.dupLineFraction(c(es(0)))))),
+    ("gf_langid", "(text) -> string",
+      arity("gf_langid", 1)(es => x(gf.langId(c(es(0)))))),
+    // multimodal
+    ("gf_dhash", "(image_bytes) -> bigint",
+      arity("gf_dhash", 1)(es => DHashExpr(es(0)))),
+    ("gf_color_histogram", "(image_bytes) -> array<float>",
+      arity("gf_color_histogram", 1)(es => ColorHistogramExpr(es(0)))))
+
+  private[graft] def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.GraftSqlFunctions", null, name, s"_FUNC_$usage",
+      "", "", "", "misc_funcs", "1.0.0", "", "built-in")
+
+  /** Register every function on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name, usage), builder)
+    }
+}
+
+/**
+ * `spark.sql.extensions=graft.GraftExtensions` (or
+ * `SparkSession.builder.withExtensions(new GraftExtensions)`): the
+ * config-only path that makes the library's SQL functions available to every
+ * session on a cluster.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlFunctions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), GraftSqlFunctions.info(name, usage), builder))
+    }
+}

@@ -910,6 +910,22 @@ object SparkEntry {
         .map(_.getSeq[Double](0).toArray)
       Ann.ivfTopK(emb, "vec_id", "embedding", centroids, q, 10, nprobe = 4)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q_sql_surface" -> ((s, dir) => {
+      // The SparkSessionExtensions path: the SAME codegen'd expressions the
+      // Column API uses, reached purely through SQL text after
+      // GraftSqlFunctions registration (GraftExtensions.scala). Proves the
+      // function library is a first-class SQL surface, not just a Scala DSL.
+      GraftSqlFunctions.register(s)
+      tbl(s, dir, "documents").createOrReplaceTempView("gf_sql_docs")
+      s.sql(
+        """SELECT doc_id,
+          |       CAST(gf_token_count(text) AS BIGINT) AS n_ws,
+          |       gf_poly_fingerprint(text) AS fp,
+          |       gf_langid(text) AS lang_detected,
+          |       round(gf_alpha_ratio(text), 6) AS alpha_ratio
+          |FROM gf_sql_docs
+          |ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -1602,6 +1618,32 @@ object SparkEntry {
                  WHERE a.best.cid IN (SELECT cid FROM probe)
                  ORDER BY cos DESC, e.vec_id LIMIT 10)
          SELECT vec_id, round(cos, 6) AS cosine FROM top
-         ORDER BY cosine DESC, vec_id"""
+         ORDER BY cosine DESC, vec_id""",
+    "q_sql_surface" ->
+      """WITH t AS (SELECT doc_id, text,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_sort([
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['der','die','das','und','ist','von','mit','den','dem','ein','eine','nicht','auf'], x))), lang := 'de'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for','with','was','this'], x))), lang := 'en'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['el','la','de','que','y','en','un','una','los','las','por','con','para'], x))), lang := 'es'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['le','la','les','de','des','et','un','une','du','que','pour','dans','est'], x))), lang := 'fr'),
+                 struct_pack(score := len(list_filter(toks, x -> list_contains(
+                   ['的','了','是','在','我','有','他','这','不','就'], x))), lang := 'zh')])[-1] AS best
+               FROM t)
+         SELECT t.doc_id,
+                CAST(CASE WHEN length(trim(t.text)) = 0 THEN 0 ELSE len(t.toks) END AS BIGINT) AS n_ws,
+                CAST(list_reduce(list_prepend(0::BIGINT, list_transform(str_split(t.text, ''), x -> ascii(x)::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp,
+                CASE WHEN s.best.score > 0 THEN s.best.lang ELSE 'und' END AS lang_detected,
+                round(CASE WHEN length(t.text) = 0 THEN 0.0
+                      ELSE CAST(length(t.text) - length(regexp_replace(t.text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                           / length(t.text) END, 6) AS alpha_ratio
+         FROM t JOIN s ON t.doc_id = s.doc_id
+         ORDER BY t.doc_id"""
   )
 }

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager Column -> catalyst conversion. `expression` returns a lazy
+    * `ColumnNodeExpression` wrapper — fine when a Dataset operation runs the
+    * converter later, but a FunctionRegistry builder (GraftExtensions) must
+    * hand the analyzer a plain catalyst tree: the wrapper reports NullType
+    * during type checks and cannot codegen. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
