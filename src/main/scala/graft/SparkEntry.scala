@@ -926,7 +926,16 @@ object SparkEntry {
           |       round(gf_alpha_ratio(text), 6) AS alpha_ratio
           |FROM gf_sql_docs
           |ORDER BY doc_id""".stripMargin)
-    })
+    }),
+    "q_unigram_logprob" -> ((s, dir) =>
+      // self-trained unigram LM perplexity proxy (integer bits-of-surprise —
+      // see UnigramLm for why a real log cannot cross-engine hash-match)
+      graft.operators.UnigramLm.score(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q_dup_spans" -> ((s, dir) =>
+      // exact-substring dedup signal (Lee et al. 2021) — 192-bit span-hash
+      // keys on every exchange; the oracle groups the raw span text instead
+      // (equivalent up to a 2^-192 collision)
+      Dedup.dupSpans(tbl(s, dir, "documents"), "doc_id", "text", n = 10))
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1644,6 +1653,49 @@ object SparkEntry {
                       ELSE CAST(length(t.text) - length(regexp_replace(t.text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
                            / length(t.text) END, 6) AS alpha_ratio
          FROM t JOIN s ON t.doc_id = s.doc_id
-         ORDER BY t.doc_id"""
+         ORDER BY t.doc_id""",
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                     t -> length(t) > 0)) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, tok),
+         vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+         per AS (SELECT tf.doc_id,
+                        CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+                        round(CAST(sum(tf.tf * (length(bin(tot.n)) - length(bin(vocab.c)))) AS DOUBLE)
+                              / sum(tf.tf), 6) AS mean_bits,
+                        round(CAST(sum(CASE WHEN vocab.c = 1 THEN tf.tf ELSE 0 END) AS DOUBLE)
+                              / sum(tf.tf), 6) AS rare_frac
+                 FROM tf JOIN vocab USING (tok), tot
+                 GROUP BY tf.doc_id)
+         SELECT d.doc_id, per.n_toks, per.mean_bits, per.rare_frac
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 10),
+         inst AS (SELECT doc_id, array_to_string(toks[i:i+9], ' ') AS g
+                  FROM e, unnest(range(1, len(toks) - 10 + 2)) AS u(i)),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+                 FROM inst GROUP BY doc_id),
+         dupg AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS d
+                                 FROM inst GROUP BY g) WHERE d > 1),
+         dups AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans
+                  FROM inst JOIN dupg USING (g) GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(tot.n_spans, 0) AS n_spans,
+                COALESCE(dups.dup_spans, 0) AS dup_spans,
+                CASE WHEN tot.n_spans > 0
+                     THEN round(CAST(COALESCE(dups.dup_spans, 0) AS DOUBLE) / tot.n_spans, 6)
+                END AS dup_frac
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN dups ON d.doc_id = dups.doc_id
+         ORDER BY d.doc_id"""
   )
 }

@@ -642,6 +642,59 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /**
+   * Duplicated-span detection — the exact-substring-dedup signal of Lee et
+   * al. 2021 ("Deduplicating Training Data Makes Language Models Better",
+   * arXiv:2107.06499): an n-token span occurring in more than one document
+   * is memorization fuel even when the documents as wholes are unique. Per
+   * document this reports
+   *   n_spans    — count of n-token sliding windows (0 when < n tokens),
+   *   dup_spans  — windows whose token sequence also occurs in ANOTHER doc,
+   *   dup_frac   — dup_spans / n_spans (null when no spans),
+   * the per-document filter/repair signal (the paper's surgical span
+   * REMOVAL additionally needs overlap-merged position ranges — compose
+   * with a window over span positions if required; the detection economics
+   * are identical).
+   *
+   * Scale shape (vs the paper's monolithic suffix array, which needs the
+   * whole corpus in one address space): sliding windows are the n-gram
+   * analogue — one corpus scan explodes to (doc, span-hash) where the hash
+   * is the 192-bit xxhash64+md5 pattern from `exact`, so every exchange
+   * carries 32-byte keys, never span text. Distinct-doc counting is
+   * two-phase ((doc,key) distinct -> per-key count) — both shuffles are on
+   * the hash key with map-side combine. No quadratic pair expansion exists
+   * anywhere, so no hot-shingle cap is needed: boilerplate spans cost one
+   * counter, not O(occurrences^2) pairs.
+   */
+  def dupSpans(df: DataFrame, id: String, text: String, n: Int = 10): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    val eligible = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
+      .where(size(gf.tokens(col("_t"))) >= n)
+    val inst = eligible
+      .select(col("_id"), explode(gf.wordShingles(col("_t"), n)).as("_g"))
+      .select(col("_id"), xxhash64(col("_g")).as("_h1"), unhex(md5(col("_g"))).as("_h2"))
+    val totals = inst.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_spans"))
+      .withColumnRenamed("_id", "_tid")
+    val dupKeys = inst.select(col("_id"), col("_h1"), col("_h2")).distinct()
+      .groupBy(col("_h1"), col("_h2")).agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") > 1)
+      .select(col("_h1"), col("_h2"))
+    val dups = inst.join(dupKeys, Seq("_h1", "_h2"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("dup_spans"))
+      .withColumnRenamed("_id", "_did")
+    df.select(col(id))
+      .join(totals, col(id) === col("_tid"), "left")
+      .join(dups, col(id) === col("_did"), "left")
+      .select(col(id),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(col("n_spans") > 0,
+          round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6))
+          .as("dup_frac"))
+      .orderBy(col(id))
+  }
+
   /** Random-hyperplane sign bucket for embeddingCosinePairs when no label
     * exists: k deterministic pseudo-random hyperplanes. One expression node
     * regardless of planes x dim (SignBucketExpr carries the plane matrix as

@@ -373,6 +373,33 @@ class DedupAnnSpec extends AnyFunSuite {
       s"PQ recall ${exact.intersect(approx).size}/10 too low")
   }
 
+  test("dupSpans: cross-doc n-token spans counted; within-doc repeats are not dups") {
+    val df = Seq(
+      // 0 and 1 share the 5-token span "alpha beta gamma delta epsilon"
+      (0L, "alpha beta gamma delta epsilon zeta unique0 tail0"),
+      (1L, "prefix1 alpha beta gamma delta epsilon other1 words1"),
+      // 2 repeats its own span twice but shares nothing with other docs
+      (2L, "solo sigma tau upsilon phi chi solo sigma tau upsilon phi chi"),
+      // 3 is too short for n=5 spans
+      (3L, "tiny doc"),
+      (4L, "")).toDF("id", "text")
+    val out = Dedup.dupSpans(df, "id", "text", n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 0: 8 tokens -> 4 spans; exactly one (starting at "alpha") is shared
+    assert(out(0L) == ((4L, 1L)))
+    assert(out(1L) == ((4L, 1L)))
+    // doc 2: 12 tokens -> 8 spans; its self-repeats occur in ONE doc only
+    assert(out(2L) == ((8L, 0L)))
+    assert(out(3L) == ((0L, 0L)) && out(4L) == ((0L, 0L)))
+  }
+
+  test("dupSpans plan: exchanges carry span hashes, never text") {
+    val df = Seq((0L, "a b c d e f"), (1L, "a b c d e g")).toDF("id", "text")
+    val plan = Dedup.dupSpans(df, "id", "text", n = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(_g"), "span text must not be a shuffle key")
+    assert(!plan.contains("hashpartitioning(text"), "document text must not be a shuffle key")
+  }
+
   test("IVF persisted index probes via partition pruning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") === 0)

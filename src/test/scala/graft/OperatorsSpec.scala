@@ -193,6 +193,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.elements.map(_.text) == Seq("a", "b"))
   }
 
+  test("UnigramLm: bits-of-surprise, hapax fraction, empty docs kept") {
+    import org.apache.spark.sql.functions.col
+    // corpus: "the" x4, "cat" x2, "sat" x1, "zyx" x1 -> N=8, bin lengths:
+    // N=8 -> 4; the(4) -> 3; cat(2) -> 2; sat/zyx(1) -> 1
+    val df = spark.createDataFrame(Seq(
+      (1, "the the cat sat"),   // bits: the=1,the=1,cat=2,sat=3 -> mean 7/4
+      (2, "the the cat zyx"),   // bits: 1,1,2,3 -> mean 7/4; zyx is hapax
+      (3, "   "))).toDF("id", "text")
+    val out = UnigramLm.score(df, "id", "text").collect()
+    assert(out.length == 3)
+    val r1 = out.find(_.getInt(0) == 1).get
+    assert(r1.getLong(1) == 4 && r1.getDouble(2) == 1.75)
+    assert(r1.getDouble(3) == 0.25) // "sat" appears once in the corpus
+    val r2 = out.find(_.getInt(0) == 2).get
+    assert(r2.getDouble(2) == 1.75 && r2.getDouble(3) == 0.25)
+    val r3 = out.find(_.getInt(0) == 3).get
+    assert(r3.isNullAt(1) && r3.isNullAt(2)) // whitespace-only doc kept, null score
+  }
+
+  test("UnigramLm plan: no full-text shuffle after tokenization") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(Seq((1, "a b"), (2, "b c"))).toDF("id", "text")
+    val plan = UnigramLm.score(df, "id", "text").queryExecution.executedPlan.toString
+    // the exchanges must carry (id, tok)/(tok) aggregation keys, never `text`
+    assert(!plan.contains("hashpartitioning(text"))
+  }
+
   test("HtmlPartitioner extracts typed elements; explode round-trip") {
     val html = """<html><head><title>My Doc</title></head><body>
       <h1>Intro</h1><p>First para.</p><li>item one</li></body></html>"""
