@@ -935,7 +935,46 @@ object SparkEntry {
       // exact-substring dedup signal (Lee et al. 2021) — 192-bit span-hash
       // keys on every exchange; the oracle groups the raw span text instead
       // (equivalent up to a 2^-192 collision)
-      Dedup.dupSpans(tbl(s, dir, "documents"), "doc_id", "text", n = 10))
+      Dedup.dupSpans(tbl(s, dir, "documents"), "doc_id", "text", n = 10)),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+      // ranking by reciprocal-rank fusion. Scores round to 6dp BEFORE
+      // ranking so rank order is a function of cross-engine-equal values;
+      // ranks come from the two-phase global rank (no one-partition window).
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val lex = graft.operators.Bm25
+        .score(docs, "doc_id", "text", Seq("spark", "shuffle", "window"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("score"))
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val sem = emb.select(col("vec_id").as("doc_id"),
+        round(gf.cosineSimilarity(col("embedding"), Ann.vecLit(q)), 6).as("score"))
+      graft.operators.Fusion.rrf(Seq(lex, sem), "doc_id", "score")
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_calibrated" -> ((s, dir) => {
+      // per-source quantile calibration: one percentile threshold curates
+      // every source fairly. Stratified two-phase rank — a per-source
+      // window would funnel each source through one task.
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), gf.qualityScore(col("text")).as("qscore"))
+      graft.operators.Calibration.percentileBy(d, "source", col("qscore"), "doc_id")
+        .select(col("doc_id"), col("source"), col("qscore"), col("pctl"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_funnel" -> ((s, dir) =>
+      // ordered min-ts funnel with a 7-day conversion window — stepwise
+      // user-keyed joins, all time math in int64 nanos
+      graft.operators.EventAnalytics.funnel(events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        windowNs = 7L * 86400 * 1000000000L)),
+    "q_retention" -> ((s, dir) =>
+      // weekly cohort retention; buckets via integer `div` (int64 nanos
+      // exceed double's mantissa — float division would corrupt buckets)
+      graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
+        bucketNs = 7L * 86400 * 1000000000L))
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1696,6 +1735,102 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN tot ON d.doc_id = tot.doc_id
          LEFT JOIN dups ON d.doc_id = dups.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "q_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+           CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+           CAST(sum(CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+           CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM base),
+         lexs AS (SELECT doc_id, round(
+             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * CAST(len(list_filter(toks, x -> x = 'shuffle')) AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(len(list_filter(toks, x -> x = 'shuffle')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+               * CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))), 6) AS score
+           FROM base, stats),
+         lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lexs),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         sems AS (SELECT vec_id AS doc_id,
+                         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS score
+                  FROM embeddings, q),
+         sem AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sems)
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                round(COALESCE(1.0 / (60 + lex.r), 0) + COALESCE(1.0 / (60 + sem.r), 0), 6) AS rrf
+         FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY doc_id""",
+    "q_quality_calibrated" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         qs AS (SELECT doc_id, source,
+                round(
+                  least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+                  (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(text) -
+                               length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                             / length(text) END) * 0.3 +
+                  least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(toks, x -> list_contains(
+                               ['the','a','an','of','and','or','to','in','is','are','was',
+                                'for','on','with','as','at','by','it','that','this','be'], x)))
+                               AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3 +
+                  (1.0 - least(CAST(length(text) -
+                           length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1
+                , 6) AS qscore
+                FROM t),
+         r AS (SELECT doc_id, source, qscore,
+                      row_number() OVER (PARTITION BY source ORDER BY qscore, doc_id) - 1 AS rank0,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM qs)
+         SELECT doc_id, source, qscore,
+                CASE WHEN n > 1 THEN round(CAST(rank0 AS DOUBLE) / (n - 1), 6)
+                     ELSE 0.0 END AS pctl
+         FROM r ORDER BY doc_id""",
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS e, epoch_ns(ts) AS t FROM events),
+         s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE e = 'view' GROUP BY u),
+         s2 AS (SELECT ev.u, min(ev.t) AS t2, s1.t1 AS t1
+                FROM ev JOIN s1 ON ev.u = s1.u
+                WHERE ev.e = 'click' AND ev.t > s1.t1
+                      AND ev.t - s1.t1 <= 604800000000000
+                GROUP BY ev.u, s1.t1),
+         s3 AS (SELECT ev.u, min(ev.t) AS t3
+                FROM ev JOIN s2 ON ev.u = s2.u
+                WHERE ev.e = 'purchase' AND ev.t > s2.t2
+                      AND ev.t - s2.t1 <= 604800000000000
+                GROUP BY ev.u),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s1),
+         n2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s2),
+         n3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s3)
+         SELECT stage, step, users,
+                CASE WHEN (SELECT c FROM n1) > 0
+                     THEN round(CAST(users AS DOUBLE) / (SELECT c FROM n1), 6)
+                     ELSE 0.0 END AS conversion
+         FROM (SELECT 'view' AS stage, 1::BIGINT AS step, (SELECT c FROM n1) AS users
+               UNION ALL
+               SELECT 'click', 2::BIGINT, (SELECT c FROM n2)
+               UNION ALL
+               SELECT 'purchase', 3::BIGINT, (SELECT c FROM n3))
+         ORDER BY step""",
+    "q_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS u,
+                            epoch_ns(ts) // 604800000000000 AS b
+                     FROM events),
+         c AS (SELECT u, min(b) AS c FROM ev GROUP BY u)
+         SELECT c.c AS cohort, ev.b - c.c AS bucket_offset, CAST(count(*) AS BIGINT) AS users
+         FROM ev JOIN c ON ev.u = c.u
+         GROUP BY 1, 2 ORDER BY cohort, bucket_offset"""
   )
 }

@@ -668,26 +668,31 @@ object Dedup {
    */
   def dupSpans(df: DataFrame, id: String, text: String, n: Int = 10): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    // n_spans = len(toks) - n + 1 is row-local arithmetic: no aggregation
+    // over the exploded instances is ever needed for the denominators
+    val totals = df.select(col(id).as("_tid"),
+        greatest(size(gf.tokens(col(text))) - (n - 1), lit(0)).cast("long").as("n_spans"))
     val eligible = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
       .where(size(gf.tokens(col("_t"))) >= n)
-    val inst = eligible
+    // ONE aggregation over the exploded instances: per-(doc, span-key)
+    // multiplicity. Everything downstream works on this far smaller frame.
+    val perDoc = eligible
       .select(col("_id"), explode(gf.wordShingles(col("_t"), n)).as("_g"))
       .select(col("_id"), xxhash64(col("_g")).as("_h1"), unhex(md5(col("_g"))).as("_h2"))
-    val totals = inst.groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_spans"))
-      .withColumnRenamed("_id", "_tid")
-    val dupKeys = inst.select(col("_id"), col("_h1"), col("_h2")).distinct()
+      .groupBy(col("_id"), col("_h1"), col("_h2")).agg(count(lit(1)).as("_m"))
+    // perDoc has one row per (doc, key), so distinct-doc counting is a plain
+    // count; keys seen in >1 doc mark their instances as duplicated
+    val dupKeys = perDoc
       .groupBy(col("_h1"), col("_h2")).agg(count(lit(1)).as("_docs"))
       .where(col("_docs") > 1)
       .select(col("_h1"), col("_h2"))
-    val dups = inst.join(dupKeys, Seq("_h1", "_h2"), "left_semi")
-      .groupBy(col("_id")).agg(count(lit(1)).as("dup_spans"))
+    val dups = perDoc.join(dupKeys, Seq("_h1", "_h2"), "left_semi")
+      .groupBy(col("_id")).agg(sum(col("_m")).as("dup_spans"))
       .withColumnRenamed("_id", "_did")
-    df.select(col(id))
-      .join(totals, col(id) === col("_tid"), "left")
-      .join(dups, col(id) === col("_did"), "left")
-      .select(col(id),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+    totals
+      .join(dups, col("_tid") === col("_did"), "left")
+      .select(col("_tid").as(id),
+        col("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         when(col("n_spans") > 0,
           round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6))

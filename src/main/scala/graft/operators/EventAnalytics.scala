@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-funnel and cohort-retention analytics over an event log — the
+ * classic product-analytics operators, expressed as pure relational
+ * pipelines (stepwise min-timestamp joins and integer time-bucket
+ * aggregations; no per-user driver loops, no sequence UDFs).
+ *
+ * Timestamps are int64 epoch nanoseconds end to end (the events table is
+ * parquet TIMESTAMP(NANOS) read via nanosAsLong): every comparison and
+ * bucket is integer math, so results are deterministic and cross-engine
+ * replayable. Bucketing uses `div` (integer division) — int64 nanos exceed
+ * double's 2^53 mantissa, so a float division would corrupt bucket ids.
+ *
+ * Scale shape: funnel stage k is one filtered scan of the (pre-projected)
+ * event triple joined against the previous stage's per-user reach table —
+ * user-keyed exchanges only, each strictly smaller than the last. Retention
+ * is two aggregations ((user, bucket) distinct, then cohort x offset
+ * counts) — nothing wider than (user, long) ever shuffles.
+ */
+object EventAnalytics {
+
+  /**
+   * Ordered funnel with a conversion window: a user reaches stage k when an
+   * event of `stages(k)` occurs STRICTLY AFTER their stage-(k-1) reach time
+   * and within `windowNs` of their stage-1 entry (first qualifying
+   * occurrence, the standard min-ts funnel semantics). Returns one row per
+   * stage: (stage, step, users, conversion), conversion = users /
+   * stage-1 users rounded to 6dp.
+   */
+  def funnel(events: DataFrame, user: String, etype: String, tsNs: String,
+             stages: Seq[String], windowNs: Long = Long.MaxValue): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val ev = events.select(col(user).as("_u"), col(etype).as("_e"),
+      col(tsNs).as("_ts"))
+    val first = ev.where(col("_e") === stages.head)
+      .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+      .withColumn("_t0", col("_t"))
+    val reach = stages.tail.scanLeft(first) { (prev, st) =>
+      ev.where(col("_e") === st)
+        .join(prev.select(col("_u"), col("_t").as("_tp"), col("_t0")), Seq("_u"))
+        .where(col("_ts") > col("_tp") && col("_ts") - col("_t0") <= windowNs)
+        .groupBy(col("_u"), col("_t0")).agg(min(col("_ts")).as("_t"))
+        .select(col("_u"), col("_t"), col("_t0"))
+    }
+    val entered = first.agg(count(lit(1)).as("_entered"))
+    val counts = stages.zip(reach).zipWithIndex.map { case ((st, r), i) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(st).as("stage"), lit(i + 1).cast("long").as("step"),
+          col("users"))
+    }.reduce(_ union _)
+    counts.crossJoin(broadcast(entered))
+      .select(col("stage"), col("step"), col("users"),
+        when(col("_entered") > 0,
+          round(col("users").cast("double") / col("_entered"), 6))
+          .otherwise(lit(0.0)).as("conversion"))
+      .orderBy(col("step"))
+  }
+
+  /**
+   * Cohort retention matrix: cohort = the user's first-activity time bucket
+   * (integer `tsNs div bucketNs`), and for every later bucket the user was
+   * active in, one (cohort, offset) cell. Returns (cohort, bucket_offset,
+   * users) with offset 0 = the cohort bucket itself.
+   */
+  def retention(events: DataFrame, user: String, tsNs: String,
+                bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucket must be positive")
+    val ev = events.select(col(user).as("_u"),
+      expr(s"$tsNs div $bucketNs").as("_b"))
+    val active = ev.distinct()
+    val cohort = active.groupBy(col("_u")).agg(min(col("_b")).as("_c"))
+    active.join(cohort, Seq("_u"))
+      .groupBy(col("_c").as("cohort"), (col("_b") - col("_c")).as("bucket_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort"), col("bucket_offset"))
+  }
+}

@@ -93,6 +93,26 @@ object Packing {
   def rankBins(df: DataFrame, order: Seq[Column], unique: String,
                nBins: Int, binCol: String = "bin"): DataFrame = {
     require(nBins > 0, "nBins must be positive")
+    val (ranked, n) = rankedStage(df, order, unique)
+    ranked
+      .withColumn(binCol, floor(col("_rank0") * nBins / n).cast("long"))
+      .drop("_rank0")
+  }
+
+  /** Global 0-based row rank over the deterministic total order
+    * (`order` ++ unique id), via the same two-phase prefix sum — the
+    * building block rankBins bins and Fusion.rrf inverts. */
+  def globalRank(df: DataFrame, order: Seq[Column], unique: String,
+                 rankCol: String = "rank0"): DataFrame = {
+    val (ranked, _) = rankedStage(df, order, unique)
+    ranked.withColumnRenamed("_rank0", rankCol)
+  }
+
+  /** Pid-stamped staged frame with the exact global 0-based rank attached,
+    * plus the total row count (from the already-collected per-partition
+    * counts — no extra job). */
+  private def rankedStage(df: DataFrame, order: Seq[Column],
+                          unique: String): (DataFrame, Long) = {
     val parts = df.sparkSession.sparkContext.defaultParallelism
     val ord = order :+ col(unique)
     // one materialization, shared by the counts job and the main job (see
@@ -111,9 +131,9 @@ object Packing {
       when(col("_pid") === p, lit(off)).otherwise(acc)
     }
     val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
-    staged
+    val ranked = staged
       .withColumn("_rank0", row_number().over(w).cast("long") - 1 + offExpr)
-      .withColumn(binCol, floor(col("_rank0") * nBins / n).cast("long"))
-      .drop("_pid", "_rank0")
+      .drop("_pid")
+    (ranked, n)
   }
 }

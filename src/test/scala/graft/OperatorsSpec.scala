@@ -220,6 +220,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text"))
   }
 
+  test("Packing.globalRank equals a single-partition row_number") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(
+      (1 to 97).map(i => (i.toLong, (i * 37 % 13).toDouble))).toDF("id", "s")
+    val got = Packing.globalRank(df, Seq(col("s").desc), "id", "r")
+      .select(col("id"), col("r")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got == want)
+  }
+
+  test("Fusion.rrf: fused scores, absent-from-one-ranking docs included") {
+    import org.apache.spark.sql.functions.col
+    val a = spark.createDataFrame(Seq((1L, 9.0), (2L, 5.0), (3L, 1.0))).toDF("id", "score")
+    val b = spark.createDataFrame(Seq((2L, 0.9), (4L, 0.8))).toDF("id", "score")
+    val out = Fusion.rrf(Seq(a, b), "id", "score", k = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(math.abs(out(1L) - 1.0 / 61) < 1e-12)            // rank 1 in a only
+    assert(math.abs(out(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12) // rank 2 in a, 1 in b
+    assert(math.abs(out(4L) - 1.0 / 62) < 1e-12)            // rank 2 in b only
+    // the doc present in both rankings must fuse highest here
+    assert(out(2L) > out(1L) && out(1L) > out(4L) && out(4L) > out(3L))
+  }
+
+  test("Calibration.percentileBy matches per-group row_number percent rank") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // groups of very different sizes, with ties in the score
+    val rows = (1 to 211).map(i =>
+      (i.toLong, if (i % 10 == 0) "rare" else "web", (i * 7 % 23).toDouble))
+    val df = spark.createDataFrame(rows).toDF("id", "src", "s")
+    val got = Calibration.percentileBy(df, "src", col("s"), "id")
+      .select(col("id"), col("pctl")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Window.partitionBy(col("src")).orderBy(col("s"), col("id"))
+    val want = df
+      .withColumn("r0", row_number().over(w).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .select(col("id"), when(col("n") > 1,
+        round(col("r0").cast("double") / (col("n") - 1), 6)).otherwise(0.0).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    // singleton group -> 0.0
+    val single = spark.createDataFrame(Seq((1L, "only", 5.0))).toDF("id", "src", "s")
+    assert(Calibration.percentileBy(single, "src", col("s"), "id")
+      .select(col("pctl")).head.getDouble(0) == 0.0)
+  }
+
+  test("EventAnalytics.funnel: ordered stages, strict after, window bound") {
+    // user a: view@10 click@20 buy@30            -> full funnel
+    // user b: click@5 view@10 click@8 buy@50     -> click BEFORE view only: stops at view
+    // user c: view@10 click@20 buy@15            -> buy before click: stops at click
+    // user d: view@10 click@200 (outside window) -> stops at view
+    val W = 100L
+    val ev = Seq(
+      ("a", "view", 10L), ("a", "click", 20L), ("a", "buy", 30L),
+      ("b", "click", 5L), ("b", "view", 10L), ("b", "click", 8L), ("b", "buy", 50L),
+      ("c", "view", 10L), ("c", "click", 20L), ("c", "buy", 15L),
+      ("d", "view", 10L), ("d", "click", 200L))
+    val df = spark.createDataFrame(ev).toDF("u", "e", "t")
+    val out = EventAnalytics.funnel(df, "u", "e", "t", Seq("view", "click", "buy"), W)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("view", 4L, 1.0), ("click", 2L, 0.5), ("buy", 1L, 0.25)))
+  }
+
+  test("EventAnalytics.retention: cohort x offset distinct-user counts") {
+    // bucket = t div 10. a first in bucket 0, active 0,1,2; b first in 1, active 1,2;
+    // c first in 0, active 0 twice (counted once)
+    val ev = Seq(("a", 1L), ("a", 12L), ("a", 25L), ("b", 11L), ("b", 27L),
+      ("c", 3L), ("c", 7L))
+    val df = spark.createDataFrame(ev).toDF("u", "t")
+    val out = EventAnalytics.retention(df, "u", "t", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("HtmlPartitioner extracts typed elements; explode round-trip") {
     val html = """<html><head><title>My Doc</title></head><body>
       <h1>Intro</h1><p>First para.</p><li>item one</li></body></html>"""

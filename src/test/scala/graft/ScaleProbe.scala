@@ -42,7 +42,12 @@ object ScaleProbe {
       "heavy_hitters" -> (d => HeavyHitters.topTokens(d, "text", 0.01)),
       "pack_sequences" -> (d =>
         Packing.packSequences(d, "doc_id", gf.tokenCount(col("text")), 512)),
-      "rank_bins" -> (d => Packing.rankBins(d, Seq(col("n_chars")), "doc_id", 10)))
+      "rank_bins" -> (d => Packing.rankBins(d, Seq(col("n_chars")), "doc_id", 10)),
+      "dup_spans" -> (d => Dedup.dupSpans(d, "doc_id", "text", 10)),
+      "unigram_lm" -> (d => graft.operators.UnigramLm.score(d, "doc_id", "text")),
+      "pctl_by_source" -> (d => graft.operators.Calibration.percentileBy(
+        d.select(col("doc_id"), col("source"), gf.qualityScore(col("text")).as("q")),
+        "source", col("q"), "doc_id")))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
