@@ -68,6 +68,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(back(1).properties("k") == "1")
   }
 
+  test("materializeIncremental transforms only the delta and appends") {
+    val dir = Files.createTempDirectory("graft_inc").toString + "/store"
+    def upper(s: DocSet): DocSet = s.map(d =>
+      d.copy(textRepresentation = d.textRepresentation.map(_.toUpperCase)))
+    val v1 = Seq(Document.of("a", text = "one"), Document.of("b", text = "two"))
+    val first = DocSet.of(spark, v1).materializeIncremental(dir)(upper _)
+    assert(first.takeAll().map(d => d.docId -> d.text).toMap ==
+      Map("a" -> "ONE", "b" -> "TWO"))
+    // second run: doc "a" CHANGED in the source, doc "c" is new. The changed
+    // doc must NOT be reprocessed (append-only contract); only "c" is.
+    val v2 = Seq(Document.of("a", text = "changed"), Document.of("b", text = "two"),
+      Document.of("c", text = "three"))
+    val second = DocSet.of(spark, v2).materializeIncremental(dir)(upper _)
+    assert(second.takeAll().map(d => d.docId -> d.text).toMap ==
+      Map("a" -> "ONE", "b" -> "TWO", "c" -> "THREE"))
+    // third run with no new docs is a no-op
+    val third = DocSet.of(spark, v2).materializeIncremental(dir)(upper _)
+    assert(third.count() == 3)
+  }
+
   test("jsonDocument reads serialized Documents; writeJson dumps them") {
     val dir = Files.createTempDirectory("graft_json").toString + "/docs"
     val docs = Seq(Document.of("j1", text = "json doc", properties = Map("a" -> "1")))
