@@ -40,4 +40,52 @@ object Fusion {
     val total = ranked.indices.map(i => coalesce(col(s"_rrf$i"), lit(0.0))).reduce(_ + _)
     joined.select(col(id), total.as(outCol))
   }
+
+  /**
+   * Maximal-marginal-relevance diversification (Carbonell & Goldstein,
+   * SIGIR 1998): greedily pick k results maximizing
+   * lambda * rel(d) - (1 - lambda) * max cosine(d, already-picked).
+   *
+   * The greedy step is inherently sequential, so the distributed part is
+   * candidate SELECTION: a TakeOrderedAndProject top-`candidates` by
+   * relevance (never a full sort), after which the bounded candidate set
+   * (default 100 vectors) diversifies on the driver — the same
+   * collect-limited contract as summarize_data. Ties in relevance and in
+   * marginal score break by id, so selection is deterministic.
+   *
+   * Returns the k picks with their selection order (`mmr_rank`, 1-based).
+   */
+  def mmr(df: DataFrame, id: String, vec: String, rel: String, k: Int,
+          lambda: Double = 0.7, candidates: Int = 100): DataFrame = {
+    require(k > 0 && candidates >= k, s"need candidates >= k > 0, got k=$k, candidates=$candidates")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = df.sparkSession
+    val cand = df
+      .select(col(id).cast("string").as("_id"),
+        col(vec).cast("array<double>").as("_v"), col(rel).cast("double").as("_rel"))
+      .orderBy(desc("_rel"), col("_id"))
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(String, Array[Double], Double)]()
+    val pool = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (picked.size < k && pool.nonEmpty) {
+      val scored = pool.map { case (pid, v, r) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0 else picked.iterator.map(p => cos(v, p._2)).max
+        (lambda * r - (1.0 - lambda) * maxSim, pid)
+      }
+      val bestIdx = scored.indices.minBy(i => (-scored(i)._1, scored(i)._2))
+      picked += pool.remove(bestIdx)
+    }
+    val rows = picked.zipWithIndex.map { case ((pid, _, r), i) => (pid, r, (i + 1).toLong) }
+    spark.createDataFrame(rows.toSeq).toDF(id, rel, "mmr_rank")
+  }
 }

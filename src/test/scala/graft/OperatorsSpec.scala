@@ -269,6 +269,24 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("pctl")).head.getDouble(0) == 0.0)
   }
 
+  test("Fusion.mmr displaces a redundant high-relevance result") {
+    import org.apache.spark.sql.functions.col
+    // b is a near-clone of a (cosine ~1); c is orthogonal with lower rel.
+    // Pure relevance ranks (a, b, c); MMR at lambda=0.5 must pick (a, c, b).
+    val rows = Seq(
+      ("a", Array(1.0, 0.0, 0.0), 1.00),
+      ("b", Array(0.999, 0.04, 0.0), 0.95),
+      ("c", Array(0.0, 1.0, 0.0), 0.60))
+    val df = spark.createDataFrame(rows).toDF("id", "vec", "rel")
+    val out = Fusion.mmr(df, "id", "vec", "rel", k = 3, lambda = 0.5)
+      .orderBy(col("mmr_rank")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a", "c", "b"))
+    // lambda = 1.0 degenerates to pure relevance order
+    val pure = Fusion.mmr(df, "id", "vec", "rel", k = 3, lambda = 1.0)
+      .orderBy(col("mmr_rank")).collect().map(_.getString(0)).toSeq
+    assert(pure == Seq("a", "b", "c"))
+  }
+
   test("EventAnalytics.funnel: ordered stages, strict after, window bound") {
     // user a: view@10 click@20 buy@30            -> full funnel
     // user b: click@5 view@10 click@8 buy@50     -> click BEFORE view only: stops at view
