@@ -269,6 +269,42 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("pctl")).head.getDouble(0) == 0.0)
   }
 
+  test("Bpe: merges learn frequent pairs; encoding applies them rank-greedily") {
+    // classic toy corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainFromHistogram(hist, numMerges = 4)
+    // most frequent pair is (e,s) with count 9, then (es,t) 9, then (l,o) 7...
+    assert(merges.take(2) == Seq(("e", "s"), ("es", "t")))
+    assert(merges.contains(("l", "o")))
+    val ranks = BpeEncodeExpr.buildRanks(merges.toArray)
+    assert(Bpe.encodeWord("newest", ranks).mkString("|") == "n|e|w|est")
+    assert(Bpe.encodeWord("lowest", ranks).mkString("|").contains("est"))
+    // concatenation always reconstructs the word
+    for (w <- Seq("low", "lower", "newest", "widest", "unseen"))
+      assert(Bpe.encodeWord(w, ranks).mkString == w)
+  }
+
+  test("Bpe end-to-end: distributed histogram train + codegen encode column") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 40).map(i => (i.toLong,
+      if (i % 2 == 0) "the hunting of the snark" else "the barrister dreams the dream"))
+    val df = spark.createDataFrame(docs).toDF("id", "text")
+    val merges = Bpe.train(df, "text", numMerges = 12)
+    assert(merges.nonEmpty && merges.size <= 12)
+    val out = df.select(col("id"), Bpe.encode(col("text"), merges).as("toks"),
+        Bpe.tokenCount(col("text"), merges).as("n")).collect()
+    out.foreach { r =>
+      val toks = r.getSeq[String](1)
+      assert(toks.nonEmpty && r.getInt(2) == toks.size)
+    }
+    // "the" occurs in every doc; 12 merges are plenty to fuse it whole
+    val toks0 = df.select(Bpe.encode(lit("the the"), merges)).head.getSeq[String](0)
+    assert(toks0 == Seq("the", "the"))
+    // fewer learned-subword tokens than characters, more than words
+    val n = df.select(Bpe.tokenCount(col("text"), merges)).collect().map(_.getInt(0))
+    assert(n.forall(_ >= 4))
+  }
+
   test("Fusion.mmr displaces a redundant high-relevance result") {
     import org.apache.spark.sql.functions.col
     // b is a near-clone of a (cosine ~1); c is orthogonal with lower rel.
