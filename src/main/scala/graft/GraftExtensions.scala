@@ -44,13 +44,20 @@ object GraftSqlFunctions {
 
   /** Scale knobs (shingle n, minhash k, LSH geometry) must be plan-time
     * constants — they pick an algorithm shape, not a per-row value. */
-  private def intArg(fn: String, e: Expression): Int =
+  private def longArg(fn: String, e: Expression): Long =
     if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal integer")
     else e.eval() match {
-      case i: Int  => i
-      case l: Long => l.toInt
+      case i: Int  => i.toLong
+      case l: Long => l
       case other   => throw new IllegalArgumentException(s"$fn: expected integer literal, got $other")
     }
+
+  private def intArg(fn: String, e: Expression): Int = {
+    val l = longArg(fn, e)
+    if (l < Int.MinValue || l > Int.MaxValue)
+      throw new IllegalArgumentException(s"$fn: argument $l out of int range")
+    l.toInt
+  }
 
   private def strArg(fn: String, e: Expression): String =
     if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal string")
@@ -99,7 +106,7 @@ object GraftSqlFunctions {
       es => es.length match {
         case 1 => x(gf.polyFingerprint(c(es(0))))
         case 3 => x(gf.polyFingerprint(c(es(0)),
-          intArg("gf_poly_fingerprint", es(1)).toLong, intArg("gf_poly_fingerprint", es(2)).toLong))
+          longArg("gf_poly_fingerprint", es(1)), longArg("gf_poly_fingerprint", es(2))))
         case n => throw new IllegalArgumentException(s"gf_poly_fingerprint expects 1 or 3 arguments, got $n")
       }),
     // vector kernels

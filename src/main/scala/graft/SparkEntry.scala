@@ -974,7 +974,19 @@ object SparkEntry {
       // weekly cohort retention; buckets via integer `div` (int64 nanos
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
-        bucketNs = 7L * 86400 * 1000000000L))
+        bucketNs = 7L * 86400 * 1000000000L)),
+    "q_bpe_encode" -> ((s, dir) => {
+      // rows-only gate (the sequential merge loop has no SQL oracle): train
+      // a 64-merge subword vocab on the corpus histogram, encode every doc
+      // with the single-reference-object expression, emit token counts.
+      // Both learned counts are deterministic given the corpus.
+      val d = tbl(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(d, "text", numMerges = 64)
+      d.select(col("doc_id"),
+          graft.operators.Bpe.tokenCount(col("text"), merges).cast("long").as("n_bpe"),
+          gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ---------------------------------------------------------- oracle SQL

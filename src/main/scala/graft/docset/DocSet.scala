@@ -710,9 +710,13 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
       transform(this).ds.write.mode("overwrite").parquet(path)
     } else {
       val storedIds = spark.read.parquet(path).select(col("docId"))
-      val fresh = ds.join(storedIds, Seq("docId"), "left_anti").as[Document](docEnc)
-      if (!fresh.isEmpty)
-        transform(wrap(fresh)).ds.write.mode("append").parquet(path)
+      // persist: the delta is consumed twice (emptiness probe + append
+      // write); without it the source scan + anti-join would run two jobs
+      val fresh = ds.join(storedIds, Seq("docId"), "left_anti").as[Document](docEnc).persist()
+      try {
+        if (!fresh.isEmpty)
+          transform(wrap(fresh)).ds.write.mode("append").parquet(path)
+      } finally fresh.unpersist()
     }
     wrap(spark.read.parquet(path).as[Document](docEnc))
   }

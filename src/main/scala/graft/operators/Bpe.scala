@@ -110,7 +110,7 @@ object Bpe {
   def encode(text: Column, merges: Merges): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       BpeEncodeExpr(org.apache.spark.sql.graft.ColumnBridge.expression(gf.tokens(text)),
-        merges.toArray))
+        merges.toVector))
 
   /** Learned-subword token count — the real version of gf.bpeishTokenCount. */
   def tokenCount(text: Column, merges: Merges): Column =

@@ -13,10 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * pattern) — the plan holds one node regardless of vocabulary size, and a
  * 50k-merge vocab ships once per task binary instead of as expression text.
  */
-case class BpeEncodeExpr(child: Expression, merges: Array[(String, String)])
+/** `merges` is a Seq, not an Array: case-class structural equality keeps two
+  * nodes built from the same vocabulary semanticEquals, so Catalyst's
+  * common-subexpression elimination can dedup them (an Array field compares
+  * by reference and defeats canonicalization). */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 
-  @transient private lazy val ranks = BpeEncodeExpr.buildRanks(merges)
+  @transient private lazy val ranks = BpeEncodeExpr.buildRanks(merges.toArray)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -20,47 +20,44 @@ import org.apache.spark.sql.functions._
  * Scale shape: a `Window.partitionBy(group)` would sort EACH GROUP in one
  * task — a single web-crawl source at 100 TB is one straggler partition.
  * This is instead the stratified two-phase prefix rank (Packing's pattern,
- * generalized to composite keys): range-partition on (group, order, id) —
- * big groups SPLIT across partitions — collect only per-(partition, group)
- * counts, compute per-group exclusive offsets, broadcast them back as a
- * tiny join table, and finish with a partition-local window. No group ever
- * funnels through one task.
+ * generalized to grouped keys): range-partition on (group, order, id) —
+ * big groups SPLIT across partitions — aggregate per-(partition, group)
+ * counts (a frame bounded by #partitions x #groups, NOT corpus size),
+ * derive each group's exclusive prefix offsets and total with windows over
+ * that tiny frame, broadcast it back, and finish with a partition-local
+ * window. No group ever funnels through one task. The group join uses
+ * null-safe equality, so NULL-group rows calibrate as their own stratum
+ * instead of silently dropping.
  */
 object Calibration {
 
   def percentileBy(df: DataFrame, group: String, order: Column, unique: String,
                    outCol: String = "pctl"): DataFrame = {
-    val spark = df.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
+    val parts = df.sparkSession.sparkContext.defaultParallelism
     val ord = Seq(col(group), order, col(unique))
     val staged = df
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint() // one materialization — see Packing's scaladoc
-    val cnt = staged.groupBy(col("_pid"), col(group)).agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getInt(0), r.get(1)) -> r.getLong(2)).toMap
-    // per-group totals and per-(pid,group) exclusive prefix offsets; both
-    // bounded by (#partitions x #groups) rows — driver-safe by construction
-    val totals = cnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
-    val offsets = cnt.keys.groupBy(_._2).flatMap { case (_, ks) =>
-      val sorted = ks.toSeq.sortBy(_._1)
-      sorted.zip(sorted.scanLeft(0L)((acc, k) => acc + cnt(k)).dropRight(1))
-    }
-    val offRows = offsets.map { case ((pid, g), off) =>
-      (pid, String.valueOf(g), off, totals(g))
-    }.toSeq
-    val offDf = spark.createDataFrame(offRows)
-      .toDF("_pid", "_grp", "_off", "_n")
+    // per-(partition, group) counts: tiny, so windows over it are safe
+    val cnt = staged.groupBy(col("_pid").as("_opid"), col(group).as("_grp"))
+      .agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy(col("_grp")).orderBy(col("_opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("_grp"))
+    val offDf = cnt
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(wTot))
+      .drop("_c")
     val w = Window.partitionBy(col("_pid"), col(group)).orderBy(ord: _*)
     staged
       .join(broadcast(offDf),
-        staged("_pid") === offDf("_pid") && col(group).cast("string") === col("_grp"))
-      .drop(offDf("_pid"))
+        staged("_pid") === offDf("_opid") && staged(group) <=> offDf("_grp"))
       .withColumn("_rank0", row_number().over(w).cast("long") - 1 + col("_off"))
       .withColumn(outCol,
         when(col("_n") > 1, round(col("_rank0").cast("double") / (col("_n") - 1), 6))
           .otherwise(lit(0.0)))
-      .drop("_pid", "_grp", "_off", "_n", "_rank0")
+      .drop("_pid", "_opid", "_grp", "_off", "_n", "_rank0")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -66,11 +66,25 @@ object EventAnalytics {
    * active in, one (cohort, offset) cell. Returns (cohort, bucket_offset,
    * users) with offset 0 = the cohort bucket itself.
    */
+  /** Exact floor division of an int64 column by a positive constant:
+    * (x - pmod(x, d)) is an exact multiple of d, so the truncating integral
+    * divide equals floor for ANY sign (matching DuckDB's `//`), and the
+    * value never routes through a double. Built from catalyst
+    * IntegralDivide directly — string-interpolating the column name into
+    * expr() would break on names that need backticks. */
+  private def floorDiv(c: Column, d: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val adj = c - pmod(c, lit(d))
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(adj), ColumnBridge.expression(lit(d))))
+  }
+
   def retention(events: DataFrame, user: String, tsNs: String,
                 bucketNs: Long): DataFrame = {
     require(bucketNs > 0, "bucket must be positive")
     val ev = events.select(col(user).as("_u"),
-      expr(s"$tsNs div $bucketNs").as("_b"))
+      floorDiv(col(tsNs), bucketNs).as("_b"))
     val active = ev.distinct()
     val cohort = active.groupBy(col("_u")).agg(min(col("_b")).as("_c"))
     active.join(cohort, Seq("_u"))

@@ -60,13 +60,16 @@ object Fusion {
     require(k > 0 && candidates >= k, s"need candidates >= k > 0, got k=$k, candidates=$candidates")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val spark = df.sparkSession
+    val idType = df.schema(id).dataType
+    // original id value kept for the output schema; a string rendering is
+    // carried alongside purely as the deterministic tie-break key
     val cand = df
-      .select(col(id).cast("string").as("_id"),
+      .select(col(id).as("_id"), col(id).cast("string").as("_idstr"),
         col(vec).cast("array<double>").as("_v"), col(rel).cast("double").as("_rel"))
-      .orderBy(desc("_rel"), col("_id"))
+      .orderBy(desc("_rel"), col("_idstr"))
       .limit(candidates)
       .collect()
-      .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .map(r => (r.get(0), r.getString(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length && i < b.length) {
@@ -74,18 +77,26 @@ object Fusion {
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
-    val picked = scala.collection.mutable.ArrayBuffer[(String, Array[Double], Double)]()
+    val picked = scala.collection.mutable.ArrayBuffer[(Any, String, Array[Double], Double)]()
     val pool = scala.collection.mutable.ArrayBuffer(cand: _*)
     while (picked.size < k && pool.nonEmpty) {
-      val scored = pool.map { case (pid, v, r) =>
+      val scored = pool.map { case (_, pidStr, v, r) =>
         val maxSim =
-          if (picked.isEmpty) 0.0 else picked.iterator.map(p => cos(v, p._2)).max
-        (lambda * r - (1.0 - lambda) * maxSim, pid)
+          if (picked.isEmpty) 0.0 else picked.iterator.map(p => cos(v, p._3)).max
+        (lambda * r - (1.0 - lambda) * maxSim, pidStr)
       }
       val bestIdx = scored.indices.minBy(i => (-scored(i)._1, scored(i)._2))
       picked += pool.remove(bestIdx)
     }
-    val rows = picked.zipWithIndex.map { case ((pid, _, r), i) => (pid, r, (i + 1).toLong) }
-    spark.createDataFrame(rows.toSeq).toDF(id, rel, "mmr_rank")
+    // preserve the caller's id type: a cast-to-string id would silently
+    // break type-safe joins back to the source frame
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(id, idType),
+      org.apache.spark.sql.types.StructField(rel, org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mmr_rank", org.apache.spark.sql.types.LongType)))
+    val rows = picked.zipWithIndex.map { case ((pid, _, _, r), i) =>
+      org.apache.spark.sql.Row(pid, r, (i + 1).toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 }

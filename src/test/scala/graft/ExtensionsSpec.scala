@@ -47,6 +47,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("poly_fingerprint accepts a modulus beyond Int range without truncation") {
+    import graft.functions.gf
+    import org.apache.spark.sql.functions._
+    GraftSqlFunctions.register(spark)
+    val mod = 4294967311L // prime > 2^32: silently truncating to int would corrupt it
+    val viaSql = spark.sql(s"SELECT gf_poly_fingerprint('ab cd', 31, $mod) AS fp").head.getLong(0)
+    val viaCol = spark.range(1)
+      .select(gf.polyFingerprint(lit("ab cd"), 31L, mod).as("fp")).head.getLong(0)
+    assert(viaSql == viaCol)
+    // a plan-shape knob outside int range is an error, not a truncation
+    val e = intercept[Exception](
+      spark.sql("SELECT gf_word_shingles('a b', 4294967311)").collect())
+    assert(e.getMessage.contains("out of int range"))
+  }
+
   test("arity and literal-argument violations raise informative errors") {
     GraftSqlFunctions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT gf_token_count('a', 'b')").collect())

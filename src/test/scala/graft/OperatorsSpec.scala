@@ -267,6 +267,14 @@ class OperatorsSpec extends AnyFunSuite {
     val single = spark.createDataFrame(Seq((1L, "only", 5.0))).toDF("id", "src", "s")
     assert(Calibration.percentileBy(single, "src", col("s"), "id")
       .select(col("pctl")).head.getDouble(0) == 0.0)
+    // NULL-group rows form their own stratum instead of being dropped
+    val withNull = spark.createDataFrame(Seq(
+      (1L, Some("a"), 1.0), (2L, Some("a"), 2.0),
+      (3L, None, 1.0), (4L, None, 3.0), (5L, None, 2.0))).toDF("id", "src", "s")
+    val gotN = Calibration.percentileBy(withNull, "src", col("s"), "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gotN.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(gotN(3L) == 0.0 && gotN(5L) == 0.5 && gotN(4L) == 1.0)
   }
 
   test("Bpe: merges learn frequent pairs; encoding applies them rank-greedily") {
@@ -321,6 +329,12 @@ class OperatorsSpec extends AnyFunSuite {
     val pure = Fusion.mmr(df, "id", "vec", "rel", k = 3, lambda = 1.0)
       .orderBy(col("mmr_rank")).collect().map(_.getString(0)).toSeq
     assert(pure == Seq("a", "b", "c"))
+    // the caller's id type is preserved in the output schema
+    val longIds = spark.createDataFrame(rows.zipWithIndex.map { case ((_, v, r), i) =>
+      (i.toLong, v, r) }).toDF("id", "vec", "rel")
+    val outL = Fusion.mmr(longIds, "id", "vec", "rel", k = 2)
+    assert(outL.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(outL.count() == 2)
   }
 
   test("EventAnalytics.funnel: ordered stages, strict after, window bound") {
