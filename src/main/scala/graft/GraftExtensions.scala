@@ -129,6 +129,8 @@ object GraftSqlFunctions {
       arity("gf_mean_token_length", 1)(es => x(gf.meanTokenLength(c(es(0)))))),
     ("gf_quality_score", "(text) -> double",
       arity("gf_quality_score", 1)(es => x(gf.qualityScore(c(es(0)))))),
+    ("gf_nfc_normalize", "(text) -> string",
+      arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
     ("gf_scrub_pii", "(text[, replacement]) -> string",
       es => es.length match {
         case 1 => x(gf.scrubPii(c(es(0))))

@@ -975,6 +975,24 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_nfc" -> ((s, dir) =>
+      // deterministic decomposed-accent suffix appended to each doc so NFC
+      // composition is genuinely exercised (same pattern as q_pii_scrub);
+      // both engines implement UAX #15
+      tbl(s, dir, "documents").select(col("doc_id"),
+          gf.nfcNormalize(concat(substring(col("text"), 1, 30),
+            lit(" cafe\u0301 n\u0303 A\u030A"))).as("norm"))
+        .orderBy(col("doc_id"))),
+    "q_pagerank" -> ((s, dir) => {
+      // supplier -> customer graph derived from order lines; 5 damped
+      // rounds of integer fixed-point PageRank (see PageRank scaladoc for
+      // why float scores cannot cross-engine hash-match)
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("d"))
+      graft.operators.PageRank.pageRank(edges, "s", "d", iterations = 5)
+    }),
     "q_bpe_encode" -> ((s, dir) => {
       // rows-only gate (the sequential merge loop has no SQL oracle): train
       // a 64-merge subword vocab on the corpus histogram, encode every doc
@@ -990,6 +1008,30 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------- oracle SQL
+
+  /** DuckDB replay of the integer fixed-point PageRank: one chained CTE per
+    * round (recursive CTEs cannot re-aggregate per step). All math is
+    * BIGINT `//` division, so it matches the engine bit for bit. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS d
+                    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+         deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
+         s0 AS (SELECT v, CAST(1000000 AS BIGINT) AS sc FROM n)"""
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "s0" else s"i${i - 1}"
+      s""",
+         i$i AS (SELECT n.v, CAST((15000000 + 85 * COALESCE(t.m, 0)) // 100 AS BIGINT) AS sc
+                 FROM n LEFT JOIN (SELECT e.d AS v, CAST(sum($prev.sc // deg.dg) AS BIGINT) AS m
+                                   FROM e JOIN $prev ON e.s = $prev.v
+                                          JOIN deg ON e.s = deg.s
+                                   GROUP BY e.d) t ON n.v = t.v)"""
+    }.mkString
+    head + rounds +
+      s"""
+         SELECT v AS node, sc AS score FROM i$iters ORDER BY score DESC, node"""
+  }
 
   /** DuckDB equivalents. Notes: SUM() in DuckDB widens to HUGEINT — always
     * cast back to BIGINT/DOUBLE; events.ts is TIMESTAMP_NS — epoch_ns() gives
@@ -1843,6 +1885,12 @@ object SparkEntry {
          c AS (SELECT u, min(b) AS c FROM ev GROUP BY u)
          SELECT c.c AS cohort, ev.b - c.c AS bucket_offset, CAST(count(*) AS BIGINT) AS users
          FROM ev JOIN c ON ev.u = c.u
-         GROUP BY 1, 2 ORDER BY cohort, bucket_offset"""
+         GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
+    "q_pagerank" -> pageRankOracleSql(5),
+    "q_nfc" ->
+      """SELECT doc_id,
+                nfc_normalize(substr(text, 1, 30) || ' cafe' || chr(769) ||
+                              ' n' || chr(771) || ' A' || chr(778)) AS norm
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -184,6 +184,10 @@ object gf {
     round((lenScore * 0.3 + alpha * 0.3 + stopwords * 0.3 + (lit(1.0) - punctPenalty) * 0.1), 6)
   }
 
+  /** Unicode NFC normalization (codegen'd; fast no-op path for text that
+    * is already composed — see NfcNormalizeExpr). */
+  def nfcNormalize(c: Column): Column = fromExpr(NfcNormalizeExpr(toExpr(c)))
+
   // ------------------------------------------------------ PII scrubbing
 
   /**

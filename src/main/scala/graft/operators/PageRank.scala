@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/**
+ * PageRank over an edge list — the classic iterative 100 TB graph workload
+ * (host-graph authority for crawl prioritization, near-dup-cluster hubs),
+ * expressed as a fixed number of join+aggregate rounds.
+ *
+ * INTEGER fixed-point scoring, not floating point: each node's score is an
+ * int64 in millionths. A float PageRank cannot cross-engine hash-match —
+ * per-node incoming sums add doubles in shuffle order, which differs
+ * between engines (and between runs). Here every contribution is an exact
+ * integer `div`, integer sums are order-free, and two engines running the
+ * same rounds produce bit-identical scores. The cost is <= outdeg
+ * millionths of truncation per node per round — bounded and deterministic.
+ *
+ * Semantics: standard damped PageRank with uniform base; dangling-node
+ * mass is dropped (the common simplification — total mass shrinks, ranks
+ * stay ordered). Self-loops count as ordinary edges; duplicate edges are
+ * collapsed before iterating.
+ *
+ * Scale shape per round: one (src)-keyed join of scores onto edges and one
+ * (dst)-keyed sum — both exchanges carry (id, int64) pairs. `iterations`
+ * is a constant (default 10): the lineage is 10 joins deep, so scores are
+ * localCheckpoint'd each round to keep the plan flat (the iterative-algo
+ * contract, same reasoning as connectedComponents).
+ */
+object PageRank {
+
+  private def idiv(a: Column, b: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Scores in millionths: initial = 1_000_000 per node. */
+  val Scale = 1000000L
+
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100], got $dampingPct")
+    val e = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
+      .localCheckpoint() // reused every round; re-deriving the edge list
+                         // from lineage each iteration would rescan the source
+    val nodes = e.select(col("_s").as("_n")).union(e.select(col("_d").as("_n"))).distinct()
+    val outdeg = e.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    val base = lit((100L - dampingPct) * Scale) // divided by 100 after damping
+    var scores = nodes.select(col("_n"), lit(Scale).as("_score")).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(scores.withColumnRenamed("_n", "_s"), Seq("_s"))
+        .join(outdeg, Seq("_s"))
+        .select(col("_d"), idiv(col("_score"), col("_deg")).as("_c"))
+        .groupBy(col("_d")).agg(sum(col("_c")).as("_in"))
+      scores = nodes
+        .join(contrib.withColumnRenamed("_d", "_n"), Seq("_n"), "left")
+        .select(col("_n"),
+          idiv(base + lit(dampingPct.toLong) * coalesce(col("_in"), lit(0L)), lit(100L))
+            .as("_score"))
+        .localCheckpoint()
+      i += 1
+    }
+    scores.select(col("_n").as("node"), col("_score").as("score"))
+      .orderBy(desc("score"), col("node"))
+  }
+}

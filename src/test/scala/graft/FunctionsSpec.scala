@@ -118,4 +118,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bands(0) == bands(1))
     assert(bands(0).length == 4)
   }
+
+  test("nfcNormalize composes decomposed accents; NFC text passes through") {
+    val df = Seq((1, "café"), (2, "café"), (3, "plain ascii"), (4, ""))
+      .toDF("id", "t")
+      .select($"id", gf.nfcNormalize($"t").as("n"))
+    val out = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "café") // e + combining acute -> precomposed é
+    assert(out(2) == "café") // already NFC: unchanged
+    assert(out(3) == "plain ascii" && out(4) == "")
+  }
 }

@@ -277,6 +277,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotN(3L) == 0.0 && gotN(5L) == 0.5 && gotN(4L) == 1.0)
   }
 
+  test("PageRank: integer fixed-point scores match hand computation") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.createDataFrame(Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))).toDF("s", "d")
+    val got = PageRank.pageRank(e, "s", "d", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1: in(a)=1e6, in(b)=5e5, in(c)=1.5e6 -> a=1000000 b=575000 c=1425000
+    // round 2: in(a)=1425000, in(b)=500000, in(c)=1075000
+    assert(got == Map("a" -> 1361250L, "b" -> 575000L, "c" -> 1063750L))
+    // determinism: a second run is bit-identical (integer math, no float sums)
+    val again = PageRank.pageRank(e, "s", "d", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("Bpe: merges learn frequent pairs; encoding applies them rank-greedily") {
     // classic toy corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3
     val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
