@@ -975,6 +975,20 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_knn_classify" -> ((s, dir) => {
+      // label propagation: first 100 vectors act as the hand-labeled seed
+      // set, the rest get 5-NN majority labels
+      val emb = tbl(s, dir, "embeddings")
+      Ann.knnClassify(emb.where(col("vec_id") >= 100),
+        emb.where(col("vec_id") < 100), "vec_id", "embedding", "label", k = 5)
+    }),
+    "q_rollup" -> ((s, dir) =>
+      // OLAP rollup totals (status x priority -> status -> grand total),
+      // money in exact int64 cents
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("cents"))
+        .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_orderpriority"))),
     "q_nfc" -> ((s, dir) =>
       // deterministic decomposed-accent suffix appended to each doc so NFC
       // composition is genuinely exercised (same pattern as q_pii_scrub);
@@ -1887,6 +1901,29 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_knn_classify" ->
+      """WITH s AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv, label
+                    FROM embeddings WHERE vec_id < 100),
+         t AS (SELECT vec_id AS tid, embedding::DOUBLE[] AS tv
+               FROM embeddings WHERE vec_id >= 100),
+         sc AS (SELECT tid, sid, label, round(list_cosine_similarity(tv, sv), 6) AS c
+                FROM t, s),
+         top AS (SELECT tid, label FROM (
+                   SELECT tid, label,
+                          row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rn
+                   FROM sc) WHERE rn <= 5),
+         v AS (SELECT tid, label, CAST(count(*) AS BIGINT) AS votes
+               FROM top GROUP BY tid, label)
+         SELECT tid AS vec_id, label, votes FROM (
+           SELECT tid, label, votes,
+                  row_number() OVER (PARTITION BY tid ORDER BY votes DESC, label) AS r
+           FROM v) WHERE r = 1
+         ORDER BY vec_id""",
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""",
     "q_nfc" ->
       """SELECT doc_id,
                 nfc_normalize(substr(text, 1, 30) || ' cafe' || chr(769) ||

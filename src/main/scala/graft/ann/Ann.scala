@@ -214,4 +214,38 @@ object Ann {
     val dot = a.zip(b).map { case (x, y) => x * y }.sum
     dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
   }
+
+  /**
+   * kNN label propagation: classify each target vector by the majority
+   * label of its k nearest labeled seeds (cosine) — the standard way a
+   * small hand-labeled quality set bootstraps corpus-wide curation labels
+   * (fastText-classifier-style filtering without the classifier).
+   *
+   * The seed set broadcasts (hand-labeled sets are small by construction);
+   * each target scores the seeds in a crossJoin whose per-target window is
+   * bounded by the seed count, so no partition ever exceeds |seeds| rows.
+   * For seed sets too big to broadcast, prefilter candidates through the
+   * IVF index (ivfTopKIndexed) and vote over its shortlist instead.
+   * Cosines round to 6dp BEFORE ranking (cross-engine-stable order); all
+   * ties — neighbor rank and vote — break deterministically.
+   */
+  def knnClassify(targets: DataFrame, seeds: DataFrame, id: String, vec: String,
+                  label: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val t = targets.select(col(id).as("_tid"), col(vec).cast("array<double>").as("_tv"))
+    val s = seeds.select(col(id).as("_sid"), col(vec).cast("array<double>").as("_sv"),
+      col(label).as("_lbl"))
+    val scored = t.crossJoin(broadcast(s))
+      .select(col("_tid"), col("_sid"), col("_lbl"),
+        round(gf.cosineSimilarity(col("_tv"), col("_sv")), 6).as("_cos"))
+    val wTop = Window.partitionBy(col("_tid")).orderBy(desc("_cos"), col("_sid"))
+    val votes = scored
+      .withColumn("_rn", row_number().over(wTop)).where(col("_rn") <= k)
+      .groupBy(col("_tid"), col("_lbl")).agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("_tid")).orderBy(desc("votes"), col("_lbl"))
+    votes.withColumn("_r", row_number().over(wVote)).where(col("_r") === 1)
+      .select(col("_tid").as(id), col("_lbl").as(label), col("votes"))
+      .orderBy(col(id))
+  }
 }

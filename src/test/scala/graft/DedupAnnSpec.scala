@@ -373,6 +373,24 @@ class DedupAnnSpec extends AnyFunSuite {
       s"PQ recall ${exact.intersect(approx).size}/10 too low")
   }
 
+  test("knnClassify: majority vote of k nearest seeds, deterministic ties") {
+    // seeds: two "x"-axis vectors labeled 0, one "y"-axis labeled 1
+    val seeds = Seq(
+      (1L, Array(1.0, 0.0), 0), (2L, Array(0.9, 0.1), 0), (3L, Array(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val targets = Seq(
+      (10L, Array(1.0, 0.05)),  // near x-axis -> label 0 wins 2/3
+      (11L, Array(0.05, 1.0)))  // near y-axis -> 1-NN is label 1, but with
+      .toDF("vec_id", "embedding") // k=3 all seeds vote: 0 has 2 votes
+    val out = Ann.knnClassify(targets, seeds, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((0, 2L)))
+    assert(out(11L) == ((0, 2L))) // majority beats nearest at k=3
+    val out1 = Ann.knnClassify(targets, seeds, "vec_id", "embedding", "label", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out1(10L) == 0 && out1(11L) == 1) // k=1 follows the nearest seed
+  }
+
   test("dupSpans: cross-doc n-token spans counted; within-doc repeats are not dups") {
     val df = Seq(
       // 0 and 1 share the 5-token span "alpha beta gamma delta epsilon"
