@@ -975,6 +975,15 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_correlation" -> ((s, dir) =>
+      // Pearson r from exact integer moments (built-in corr accumulates
+      // float moments in partition order — nondeterministic; see Stats)
+      graft.operators.Stats.pearson(tbl(s, dir, "documents"),
+        col("n_chars"), gf.tokenCount(col("text")))),
+    "q_abtest" -> ((s, dir) =>
+      // two-proportion z-test: even/odd user split, conversion = purchase
+      graft.operators.Stats.twoProportionZ(events(s, dir),
+        col("user_id"), col("user_id") % 2, col("event_type") === "purchase")),
     "q_knn_classify" -> ((s, dir) => {
       // label propagation: first 100 vectors act as the hand-labeled seed
       // set, the rest get 5-NN majority labels
@@ -1901,6 +1910,47 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_correlation" ->
+      """WITH t AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                                END AS BIGINT) AS y
+                    FROM documents),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM t)
+         SELECT n,
+                CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                      AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                     THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                                / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                END AS corr
+         FROM m""",
+    "q_abtest" ->
+      """WITH per AS (SELECT user_id AS u, user_id % 2 AS g,
+                             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+                      FROM events GROUP BY 1, 2),
+         agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS x
+                 FROM per GROUP BY g),
+         a AS (SELECT g AS group_a, n AS n_a, x AS x_a FROM agg ORDER BY g LIMIT 1),
+         b AS (SELECT g AS group_b, n AS n_b, x AS x_b FROM agg ORDER BY g DESC LIMIT 1)
+         SELECT group_a, n_a, x_a, group_b, n_b, x_b,
+                round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+                round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+                CASE WHEN sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                               * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+                     THEN round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                 - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                       * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                       * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+                END AS z
+         FROM a, b""",
     "q_knn_classify" ->
       """WITH s AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv, label
                     FROM embeddings WHERE vec_id < 100),

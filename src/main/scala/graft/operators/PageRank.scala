@@ -41,18 +41,22 @@ object PageRank {
                iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100], got $dampingPct")
-    val e = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
+    val e0 = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
+    val outdeg = e0.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    // outdegree folds into the edge list ONCE; each round then needs a
+    // single src-keyed join instead of two. Pre-partitioning by _s lets
+    // every round's join reuse the layout instead of re-exchanging edges.
+    val e = e0.join(outdeg, Seq("_s"))
+      .repartition(col("_s"))
       .localCheckpoint() // reused every round; re-deriving the edge list
                          // from lineage each iteration would rescan the source
     val nodes = e.select(col("_s").as("_n")).union(e.select(col("_d").as("_n"))).distinct()
-    val outdeg = e.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     val base = lit((100L - dampingPct) * Scale) // divided by 100 after damping
     var scores = nodes.select(col("_n"), lit(Scale).as("_score")).localCheckpoint()
     var i = 0
     while (i < iterations) {
       val contrib = e
         .join(scores.withColumnRenamed("_n", "_s"), Seq("_s"))
-        .join(outdeg, Seq("_s"))
         .select(col("_d"), idiv(col("_score"), col("_deg")).as("_c"))
         .groupBy(col("_d")).agg(sum(col("_c")).as("_in"))
       scores = nodes

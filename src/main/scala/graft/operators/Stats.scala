@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus statistics with DETERMINISTIC formulations. Spark's built-in
+ * `corr`/`stddev` accumulate floating-point moments in partition order, so
+ * two runs (or two engines) can disagree in the last ulps. Here every
+ * aggregate is an EXACT integer sum (order-free); the handful of double
+ * operations that follow run in one fixed expression order, and +,-,*,/ and
+ * sqrt are all correctly rounded under IEEE 754 — so given equal integer
+ * moments the result is bit-identical on any engine.
+ *
+ * The integer moments bound the input ranges: Σxy over int32-ish values is
+ * safe in int64 to ~10^9 rows x 10^9 magnitude products; beyond that, split
+ * the corpus and combine moments (they are additive) or scale the units.
+ */
+object Stats {
+
+  /** Pearson correlation of two integer-valued columns. One aggregation
+    * pass (map-side combine), one output row: (n, corr). */
+  def pearson(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("long")).as("sx"),
+      sum(y.cast("long")).as("sy"),
+      sum((x.cast("long") * y.cast("long"))).as("sxy"),
+      sum((x.cast("long") * x.cast("long"))).as("sxx"),
+      sum((y.cast("long") * y.cast("long"))).as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n"),
+      when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("corr"))
+  }
+
+  /** Two-proportion z-test (pooled): one row per experiment with group
+    * sizes, successes, rates, and the z statistic. `group` must be
+    * two-valued; `success` boolean. All counts are exact integers; the z
+    * formula runs in one fixed double-expression order. */
+  def twoProportionZ(df: DataFrame, unit: Column, group: Column,
+                     success: Column): DataFrame = {
+    val per = df
+      .groupBy(unit.as("_u"), group.as("_g"))
+      .agg(max(success.cast("int")).as("_s")) // a unit converts if it ever succeeded
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_s")).cast("long").as("x"))
+    val a = per.orderBy(col("_g")).limit(1)
+      .select(col("_g").as("group_a"), col("n").as("n_a"), col("x").as("x_a"))
+    val b = per.orderBy(desc("_g")).limit(1)
+      .select(col("_g").as("group_b"), col("n").as("n_b"), col("x").as("x_b"))
+    val j = a.crossJoin(b)
+    val p1 = col("x_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("x_b").cast("double") / col("n_b").cast("double")
+    val p = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    j.select(col("group_a"), col("n_a"), col("x_a"),
+      col("group_b"), col("n_b"), col("x_b"),
+      round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
+      when(se > 0, round((p1 - p2) / se, 6)).as("z"))
+  }
+}

@@ -277,6 +277,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotN(3L) == 0.0 && gotN(5L) == 0.5 && gotN(4L) == 1.0)
   }
 
+  test("Stats.pearson: exact moments give +1/-1/undefined correlations") {
+    import org.apache.spark.sql.functions.col
+    val up = spark.createDataFrame((1 to 50).map(i => (i, 3 * i + 7))).toDF("x", "y")
+    assert(Stats.pearson(up, col("x"), col("y")).head.getDouble(1) == 1.0)
+    val down = spark.createDataFrame((1 to 50).map(i => (i, -2 * i))).toDF("x", "y")
+    assert(Stats.pearson(down, col("x"), col("y")).head.getDouble(1) == -1.0)
+    val const = spark.createDataFrame((1 to 50).map(i => (i, 9))).toDF("x", "y")
+    assert(Stats.pearson(const, col("x"), col("y")).head.isNullAt(1)) // zero variance
+  }
+
+  test("Stats.twoProportionZ: counts, rates, and z sign") {
+    import org.apache.spark.sql.functions.col
+    // group 0: users 0,2,4,6 (4 users, 3 convert); group 1: 1,3,5 (3 users, 0 convert)
+    val ev = Seq((0L, "buy"), (0L, "view"), (2L, "buy"), (4L, "buy"), (6L, "view"),
+      (1L, "view"), (3L, "view"), (5L, "view"))
+    val df = spark.createDataFrame(ev).toDF("u", "e")
+    val r = Stats.twoProportionZ(df, col("u"), col("u") % 2, col("e") === "buy").head
+    assert(r.getLong(1) == 4 && r.getLong(2) == 3)  // n_a, x_a
+    assert(r.getLong(4) == 3 && r.getLong(5) == 0)  // n_b, x_b
+    assert(r.getDouble(6) == 0.75 && r.getDouble(7) == 0.0)
+    assert(r.getDouble(8) > 0) // group a converts more -> positive z
+  }
+
   test("PageRank: integer fixed-point scores match hand computation") {
     import org.apache.spark.sql.functions.col
     val e = spark.createDataFrame(Seq(
