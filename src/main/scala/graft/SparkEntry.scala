@@ -975,6 +975,19 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // audit diff between a corpus and a synthetic next version (every
+      // 11th doc dropped, every 7th edited, every 13th re-added under a
+      // new id) — the oracle rebuilds version b with identical rules and
+      // classifies by direct value comparison (hash-equivalent)
+      val a = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = a.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(a.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.SnapshotDiff.diff(a, b, "doc_id", Seq("text"))
+    }),
     "q_correlation" -> ((s, dir) =>
       // Pearson r from exact integer moments (built-in corr accumulates
       // float moments in partition order — nondeterministic; see Stats)
@@ -1910,6 +1923,25 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+         b0 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0),
+         badd AS (SELECT doc_id + 1000000 AS doc_id, text
+                  FROM documents WHERE doc_id % 13 = 0),
+         b AS (SELECT * FROM b0 UNION ALL SELECT * FROM badd)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
+                END AS change
+         FROM a FULL JOIN b ON a.doc_id = b.doc_id
+         WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
+                END) IS NOT NULL
+         ORDER BY doc_id""",
     "q_correlation" ->
       """WITH t AS (SELECT CAST(n_chars AS BIGINT) AS x,
                            CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -277,6 +277,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotN(3L) == 0.0 && gotN(5L) == 0.5 && gotN(4L) == 1.0)
   }
 
+  test("SnapshotDiff: added/removed/changed, unchanged omitted, nulls distinct") {
+    import org.apache.spark.sql.functions.col
+    val a = spark.createDataFrame(Seq(
+      (1L, Some("same")), (2L, Some("old")), (3L, Some("gone")),
+      (4L, None: Option[String]), (5L, Some("")))).toDF("id", "t")
+    val b = spark.createDataFrame(Seq(
+      (1L, Some("same")), (2L, Some("new")), (6L, Some("fresh")),
+      (4L, Some("")), (5L, None: Option[String]))).toDF("id", "t")
+    val out = SnapshotDiff.diff(a, b, "id", Seq("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 6L -> "added",
+      4L -> "changed", 5L -> "changed")) // null vs "" is a change, both ways
+  }
+
   test("Stats.pearson: exact moments give +1/-1/undefined correlations") {
     import org.apache.spark.sql.functions.col
     val up = spark.createDataFrame((1 to 50).map(i => (i, 3 * i + 7))).toDF("x", "y")
