@@ -975,6 +975,10 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_basket_rules" -> ((s, dir) =>
+      // market-basket association rules: suppliers co-occurring in orders
+      graft.operators.Basket.rules(tbl(s, dir, "lineitem"),
+        "l_orderkey", "l_suppkey", minSupport = 5)),
     "q_snapshot_diff" -> ((s, dir) => {
       // audit diff between a corpus and a synthetic next version (every
       // 11th doc dropped, every 7th edited, every 13th re-added under a
@@ -1923,6 +1927,18 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
+         sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM bi GROUP BY i),
+         p AS (SELECT x.i AS a, y.i AS c, CAST(count(*) AS BIGINT) AS support
+               FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 5),
+         dirs AS (SELECT a AS lhs, c AS rhs, support FROM p
+                  UNION ALL SELECT c, a, support FROM p)
+         SELECT lhs, rhs, support,
+                round(CAST(support AS DOUBLE) / sup.s, 6) AS confidence
+         FROM dirs JOIN sup ON dirs.lhs = sup.i
+         ORDER BY lhs, rhs""",
     "q_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents),
          b0 AS (SELECT doc_id,

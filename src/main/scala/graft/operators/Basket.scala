@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Market-basket co-occurrence mining: frequent item pairs and association
+ * rules over (basket, item) rows — the classic retail/OLAP workload, and
+ * in corpus curation the same shape finds tag/entity co-occurrence across
+ * documents.
+ *
+ * Scale shape: the quadratic step is WITHIN a basket (self-join on the
+ * basket key with item < item), so cost is sum of per-basket sizes squared
+ * — bounded by the largest basket, not the corpus; the support aggregation
+ * shuffles (item, item) pairs only. No candidate-generation rounds (this
+ * is the k=2 Apriori level, which in practice is what rules dashboards
+ * use; higher k composes by re-joining pairs against baskets).
+ */
+object Basket {
+
+  /** Item pairs appearing together in >= minSupport baskets:
+    * (item_a, item_b, support), item_a < item_b. Duplicate (basket, item)
+    * rows collapse first. */
+  def frequentPairs(df: DataFrame, basket: String, item: String,
+                    minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val bi = df.select(col(basket).as("_b"), col(item).as("_i")).distinct()
+    bi.as("x").join(bi.as("y"), col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
+  /** Association rules a -> b from the frequent pairs: confidence =
+    * support(a,b) / support(a), both directions, exact-ratio doubles. */
+  def rules(df: DataFrame, basket: String, item: String,
+            minSupport: Long): DataFrame = {
+    val bi = df.select(col(basket).as("_b"), col(item).as("_i")).distinct()
+    val itemSup = bi.groupBy(col("_i")).agg(count(lit(1)).as("_sup"))
+    val pairs = frequentPairs(df, basket, item, minSupport)
+    val both = pairs.select(col("item_a").as("lhs"), col("item_b").as("rhs"), col("support"))
+      .unionAll(pairs.select(col("item_b").as("lhs"), col("item_a").as("rhs"), col("support")))
+    both.join(itemSup.withColumnRenamed("_i", "lhs"), Seq("lhs"))
+      .select(col("lhs"), col("rhs"), col("support"),
+        round(col("support").cast("double") / col("_sup"), 6).as("confidence"))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+}

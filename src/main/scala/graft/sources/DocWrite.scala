@@ -23,6 +23,32 @@ import graft.model.Document
  */
 object DocWrite {
 
+  /**
+   * Small-file compaction for a materialized parquet store: rewrite into
+   * ceil(bytes / targetFileBytes) files. Incremental appends
+   * (materializeIncremental) and streaming foreachBatch sinks accrete
+   * small files until scan planning (footer reads, task scheduling)
+   * dominates query time — the classic lakehouse OPTIMIZE. Returns the new
+   * file count. The delete+rename swap is not atomic (a production store
+   * would version directories like VectorStore does); callers schedule
+   * compaction when no writer is active.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(path + ".compact.tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    n
+  }
+
   /** One file per document under `dir` (reference: writer.py:766
     * write.files). `filenameFn` defaults to the docId (sanitized);
     * `docToBytes` defaults to text bytes. */

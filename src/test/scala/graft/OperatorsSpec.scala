@@ -277,6 +277,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotN(3L) == 0.0 && gotN(5L) == 0.5 && gotN(4L) == 1.0)
   }
 
+  test("Basket: pair supports and rule confidences") {
+    // baskets: {A,B,C}, {A,B}, {A,B}, {B,C} with a duplicate (1,A) row
+    val rows = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"), (4L, "B"), (4L, "C"))
+    val df = spark.createDataFrame(rows).toDF("b", "i")
+    val pairs = Basket.frequentPairs(df, "b", "i", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map(("A", "B") -> 3L, ("B", "C") -> 2L)) // (A,C) support 1 cut
+    val rules = Basket.rules(df, "b", "i", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rules(("A", "B")) == 1.0)      // every A-basket has B
+    assert(rules(("B", "A")) == 0.75)     // 3 of 4 B-baskets have A
+    assert(rules(("C", "B")) == 1.0 && rules(("B", "C")) == 0.5)
+  }
+
   test("SnapshotDiff: added/removed/changed, unchanged omitted, nulls distinct") {
     import org.apache.spark.sql.functions.col
     val a = spark.createDataFrame(Seq(

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.docset.DocSet
 import graft.model.Document
-import graft.sources.DocRead
+import graft.sources.{DocRead, DocWrite}
 import java.nio.file.Files
 
 class SourcesSpec extends AnyFunSuite {
@@ -86,6 +86,18 @@ class SourcesSpec extends AnyFunSuite {
     // third run with no new docs is a no-op
     val third = DocSet.of(spark, v2).materializeIncremental(dir)(upper _)
     assert(third.count() == 3)
+  }
+
+  test("compact rewrites a many-file store into few files, content intact") {
+    val dir = Files.createTempDirectory("graft_cmp").toString + "/store"
+    val docs = (1 to 200).map(i => Document.of(s"d$i", text = s"text $i"))
+    DocSet.of(spark, docs).ds.repartition(16).write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parts >= 8) // genuinely fragmented before
+    val n = DocWrite.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && parts == 1)
+    val back = DocRead.materialized(spark, dir).takeAll()
+    assert(back.map(_.docId).toSet == docs.map(_.docId).toSet)
   }
 
   test("jsonDocument reads serialized Documents; writeJson dumps them") {
