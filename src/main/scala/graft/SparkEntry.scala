@@ -975,6 +975,14 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_triangles" -> ((s, dir) => {
+      // triangle enumeration over the supplier co-occurrence graph (the
+      // q_basket_rules edges): wedge join bounded by forward degree
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 5)
+      graft.operators.Triangles.enumerate(edges, "item_a", "item_b")
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
     "q_basket_rules" -> ((s, dir) =>
       // market-basket association rules: suppliers co-occurring in orders
       graft.operators.Basket.rules(tbl(s, dir, "lineitem"),
@@ -1927,6 +1935,15 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
+         p AS (SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         FROM p e1
+         JOIN p e2 ON e1.b = e2.a
+         JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b
+         ORDER BY a, b, c""",
     "q_basket_rules" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
          sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM bi GROUP BY i),

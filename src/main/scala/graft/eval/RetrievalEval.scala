@@ -47,6 +47,28 @@ object RetrievalEval {
       avg(col("reciprocal_rank")).as("mrr"),
       avg(when(col("n_hits") > 0, 1.0).otherwise(0.0)).as(s"hit_rate_at_$k"))
 
+  /** Per-query nDCG@k (binary relevance): DCG = sum 1/log2(rank+1) over
+    * relevant retrieved docs, normalized by the ideal DCG for
+    * min(n_relevant, k) front-loaded hits. log2 runs only on small
+    * integer-derived values, and each query's sum folds over its own
+    * bounded rank list, so results are deterministic. */
+  def ndcg(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val rel = relevant.select(col("query_id"), col("doc_id")).distinct()
+    val gain = lit(1.0) / log2(col("rank").cast("double") + 1.0)
+    val dcg = retrieved.where(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(sum(gain).as("dcg"))
+    // ideal DCG depends only on min(n_relevant, k): precompute the k
+    // partial sums once and look them up — no per-row log2 re-summation
+    val idcgTable = (1 to k).scanLeft(0.0)((acc, r) => acc + 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val idcg = element_at(lit(idcgTable.toArray),
+      (least(col("n_relevant"), lit(k.toLong)) + 1).cast("int"))
+    rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg"), lit(0.0)) / idcg, 6).as(s"ndcg_at_$k"))
+  }
+
   /** Token-overlap F1 between generated and reference answers — the
     * deterministic core of answer-correctness scoring (the reference's
     * LLM-judge flavor plugs in as an llmMap over the same rows).

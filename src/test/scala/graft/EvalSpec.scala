@@ -44,4 +44,21 @@ class EvalSpec extends AnyFunSuite {
     assert(f1("q2") == 0.0)
     assert(math.abs(f1("q3") - 0.8) < 1e-9)
   }
+
+  test("nDCG@k: perfect ranking 1.0, gap-ranked discounted, no hits 0.0") {
+    import spark.implicits._
+    val retrieved = Seq(
+      ("q1", "a", 1), ("q1", "b", 2),              // perfect: both relevant up front
+      ("q2", "a", 1), ("q2", "x", 2), ("q2", "b", 3), // hit at 1 and 3
+      ("q3", "x", 1), ("q3", "y", 2))              // no hits
+      .toDF("query_id", "doc_id", "rank")
+    val relevant = Seq(("q1", "a"), ("q1", "b"), ("q2", "a"), ("q2", "b"),
+      ("q3", "a")).toDF("query_id", "doc_id")
+    val out = RetrievalEval.ndcg(retrieved, relevant, k = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("q1") == 1.0)
+    // dcg = 1 + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3)
+    assert(math.abs(out("q2") - 1.5 / (1.0 + 1.0 / (math.log(3) / math.log(2)))) < 1e-6)
+    assert(out("q3") == 0.0)
+  }
 }

@@ -277,6 +277,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotN(3L) == 0.0 && gotN(5L) == 0.5 && gotN(4L) == 1.0)
   }
 
+  test("Triangles: each triangle once, self-loops and duplicates ignored") {
+    import org.apache.spark.sql.functions.col
+    // square 1-2-3-4 with diagonal 1-3 -> triangles (1,2,3) and (1,3,4);
+    // edges arrive unordered/duplicated/self-looped
+    val e = Seq((2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 2L))
+    val df = spark.createDataFrame(e).toDF("s", "d")
+    val tri = Triangles.enumerate(df, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((1L, 2L, 3L), (1L, 3L, 4L)))
+    assert(Triangles.count(df, "s", "d").head.getLong(0) == 2L)
+  }
+
   test("Basket: pair supports and rule confidences") {
     // baskets: {A,B,C}, {A,B}, {A,B}, {B,C} with a duplicate (1,A) row
     val rows = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
