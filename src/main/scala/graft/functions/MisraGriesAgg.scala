@@ -53,13 +53,7 @@ case class MisraGriesAgg(child: Expression, capacity: Int,
     val v = child.eval(input)
     if (v == null) return buf
     // UTF8String buffers are reused by unsafe rows — materialize a String key
-    val key = v.asInstanceOf[UTF8String].toString
-    buf.get(key) match {
-      case Some(c) => buf.update(key, c + 1)
-      case None =>
-        if (buf.size < capacity) buf.update(key, 1L)
-        else decrementAll(buf, 1L)
-    }
+    MisraGries.add(buf, v.asInstanceOf[UTF8String].toString, capacity)
     buf
   }
 
@@ -76,11 +70,8 @@ case class MisraGriesAgg(child: Expression, capacity: Int,
     a
   }
 
-  private def decrementAll(buf: mutable.HashMap[String, Long], by: Long): Unit = {
-    val dead = mutable.ArrayBuffer.empty[String]
-    buf.foreach { case (k, c) => if (c - by <= 0) dead += k else buf.update(k, c - by) }
-    dead.foreach(buf.remove)
-  }
+  private def decrementAll(buf: mutable.HashMap[String, Long], by: Long): Unit =
+    MisraGries.decrementAll(buf, by)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any =
     new GenericArrayData(
@@ -122,4 +113,24 @@ case class MisraGriesAgg(child: Expression, capacity: Int,
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
   override def prettyName: String = "misra_gries"
+}
+
+/** The Misra-Gries update discipline, shared by the batch aggregate above
+  * and the streaming heavy-hitters state (DocStream.heavyHittersStream). */
+object MisraGries {
+
+  /** Count if tracked, insert if room, else decrement every counter. */
+  def add(buf: mutable.HashMap[String, Long], key: String, capacity: Int): Unit =
+    buf.get(key) match {
+      case Some(c) => buf.update(key, c + 1)
+      case None =>
+        if (buf.size < capacity) buf.update(key, 1L)
+        else decrementAll(buf, 1L)
+    }
+
+  def decrementAll(buf: mutable.HashMap[String, Long], by: Long): Unit = {
+    val dead = mutable.ArrayBuffer.empty[String]
+    buf.foreach { case (k, c) => if (c - by <= 0) dead += k else buf.update(k, c - by) }
+    dead.foreach(buf.remove)
+  }
 }

@@ -242,6 +242,43 @@ object DocStream {
   }
 
   /**
+   * Continuous heavy hitters: a per-group Misra-Gries sketch maintained in
+   * streaming state, updated with each micro-batch's tokens and emitting
+   * the current top items after every batch (Update mode). The state is
+   * bounded by `capacity` counters per group REGARDLESS of stream length —
+   * the streaming counterpart of HeavyHitters.topTokens (whose exact
+   * recount needs the full corpus; a stream can instead recount candidates
+   * over a retention window downstream). Same undercount guarantee as the
+   * batch sketch: an item with frequency > N/(capacity+1) is always
+   * present.
+   */
+  def heavyHittersStream(df: DataFrame, keyCol: String, textCol: String,
+                         capacity: Int): Dataset[HHSnapshot] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.functions.{gf, MisraGries}
+    require(capacity > 0, "capacity must be positive")
+    val toks = df
+      .select(col(keyCol).cast("string").as("key"),
+        explode(gf.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .as[(String, String)](E.tuple(E.STRING, E.STRING))
+    val fn = (key: String, it: Iterator[(String, String)], state: GroupState[HHState]) => {
+      val buf = scala.collection.mutable.HashMap[String, Long](
+        state.getOption.map(_.pairs).getOrElse(Map.empty).toSeq: _*)
+      it.foreach { case (_, t) => MisraGries.add(buf, t, capacity) }
+      state.update(HHState(buf.toMap))
+      HHSnapshot(key, buf.toSeq.sortBy { case (t, c) => (-c, t) }.map(_._1))
+    }
+    toks.groupByKey(_._1)(E.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)(
+        E.product[HHState], E.product[HHSnapshot])
+  }
+
+  case class HHState(pairs: Map[String, Long])
+  case class HHSnapshot(key: String, top: Seq[String])
+
+  /**
    * Stream-stream interval join: rows from two streams matching on equi
    * keys whose event times differ by at most `widthSec` — the streaming
    * analogue of the batch RangeJoin.band. The watermark + the two-sided

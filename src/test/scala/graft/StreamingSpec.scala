@@ -301,6 +301,29 @@ class StreamingSpec extends AnyFunSuite {
       .llmFilterElements(client, "q", keepNone = false).takeAll()
     assert(dropped.isEmpty)
   }
+
+  test("streaming heavy hitters: sketch state accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val hh = DocStream.heavyHittersStream(
+      input.toDF().toDF("src", "text"), "src", "text", capacity = 2)
+    val query = hh.toDF.writeStream.format("memory").queryName("stream_hh")
+      .outputMode("update").start()
+    try {
+      input.addData(("s1", "alpha alpha beta"), ("s1", "alpha gamma"))
+      query.processAllAvailable()
+      // alpha(3) dominates; capacity 2 keeps it plus one other survivor
+      val b1 = spark.sql("SELECT top FROM stream_hh").as[Seq[String]].collect().last
+      assert(b1.head == "alpha")
+      // the second batch's tokens merge into the SAME sketch state: beta
+      // surges past alpha's accumulated count
+      input.addData(("s1", "beta beta beta beta beta"))
+      query.processAllAvailable()
+      val b2 = spark.sql("SELECT top FROM stream_hh").as[Seq[String]].collect().last
+      assert(b2.head == "beta", s"expected beta to lead after surge, got $b2")
+      assert(b2.contains("alpha")) // alpha's count survived from batch 1
+    } finally query.stop()
+  }
 }
 
 object StreamingSpec {
