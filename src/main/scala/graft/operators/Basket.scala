@@ -24,25 +24,36 @@ object Basket {
   def frequentPairs(df: DataFrame, basket: String, item: String,
                     minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
-    val bi = df.select(col(basket).as("_b"), col(item).as("_i")).distinct()
-    bi.as("x").join(bi.as("y"), col("x._b") === col("y._b") && col("x._i") < col("y._i"))
-      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minSupport)
+    pairsOf(distinctBi(df, basket, item), minSupport)
   }
 
   /** Association rules a -> b from the frequent pairs: confidence =
-    * support(a,b) / support(a), both directions, exact-ratio doubles. */
+    * support(a,b) / support(a), both directions, exact-ratio doubles.
+    * The deduped (basket, item) table materializes ONCE (localCheckpoint)
+    * and feeds both the item supports and the pair self-join — three
+    * derivations of the same distinct would otherwise each rescan the
+    * source (branch column sets differ, so AQE stage reuse cannot dedup
+    * them). */
   def rules(df: DataFrame, basket: String, item: String,
             minSupport: Long): DataFrame = {
-    val bi = df.select(col(basket).as("_b"), col(item).as("_i")).distinct()
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val bi = distinctBi(df, basket, item).localCheckpoint()
     val itemSup = bi.groupBy(col("_i")).agg(count(lit(1)).as("_sup"))
-    val pairs = frequentPairs(df, basket, item, minSupport)
-    val both = pairs.select(col("item_a").as("lhs"), col("item_b").as("rhs"), col("support"))
+    val pairs = pairsOf(bi, minSupport)
+    val dirs = pairs.select(col("item_a").as("lhs"), col("item_b").as("rhs"), col("support"))
       .unionAll(pairs.select(col("item_b").as("lhs"), col("item_a").as("rhs"), col("support")))
-    both.join(itemSup.withColumnRenamed("_i", "lhs"), Seq("lhs"))
+    dirs.join(itemSup.withColumnRenamed("_i", "lhs"), Seq("lhs"))
       .select(col("lhs"), col("rhs"), col("support"),
         round(col("support").cast("double") / col("_sup"), 6).as("confidence"))
       .orderBy(col("lhs"), col("rhs"))
   }
+
+  private def distinctBi(df: DataFrame, basket: String, item: String): DataFrame =
+    df.select(col(basket).as("_b"), col(item).as("_i")).distinct()
+
+  private def pairsOf(bi: DataFrame, minSupport: Long): DataFrame =
+    bi.as("x").join(bi.as("y"), col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
 }

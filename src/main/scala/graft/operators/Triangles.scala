@@ -24,10 +24,14 @@ object Triangles {
 
   /** One row per triangle (a < b < c). */
   def enumerate(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // the canonical edge table feeds three join branches with different
+    // keys — materialize it once (upstream edge derivation can be an
+    // arbitrary pipeline; recomputing it thrice triples the dominant cost)
     val e = edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b")) // drop self-loops
       .distinct()
+      .localCheckpoint()
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("_wa"), col("e1.b").as("_wb"), col("e2.b").as("_wc"))
     wedges.join(e.as("e3"),
