@@ -53,6 +53,7 @@ object RetrievalEval {
     * integer-derived values, and each query's sum folds over its own
     * bounded rank list, so results are deterministic. */
   def ndcg(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"ndcg needs k >= 1, got $k")
     val rel = relevant.select(col("query_id"), col("doc_id")).distinct()
     val gain = lit(1.0) / log2(col("rank").cast("double") + 1.0)
     val dcg = retrieved.where(col("rank") <= k)

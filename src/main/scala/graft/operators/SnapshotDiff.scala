@@ -23,13 +23,15 @@ object SnapshotDiff {
     require(cols.nonEmpty, "diff needs at least one content column")
     def hashed(df: DataFrame, p: String): DataFrame = {
       val payload = to_json(struct(cols.map(col): _*))
-      df.select(col(id).as(s"_${p}id"),
+      // explicit presence flag: testing the id column for null would
+      // misclassify rows whose id VALUE is null as unmatched
+      df.select(col(id).as(s"_${p}id"), lit(true).as(s"_${p}present"),
         xxhash64(payload).as(s"_${p}h1"), unhex(md5(payload)).as(s"_${p}h2"))
     }
-    hashed(a, "a").join(hashed(b, "b"), col("_aid") === col("_bid"), "full")
+    hashed(a, "a").join(hashed(b, "b"), col("_aid") <=> col("_bid"), "full")
       .select(coalesce(col("_aid"), col("_bid")).as(id),
-        when(col("_aid").isNull, lit("added"))
-          .when(col("_bid").isNull, lit("removed"))
+        when(col("_apresent").isNull, lit("added"))
+          .when(col("_bpresent").isNull, lit("removed"))
           .when(col("_ah1") =!= col("_bh1") || col("_ah2") =!= col("_bh2"), lit("changed"))
           .as("change"))
       .where(col("change").isNotNull)

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Pearson correlation of two integer-valued columns. One aggregation
-    * pass (map-side combine), one output row: (n, corr). */
+    * pass (map-side combine), one output row: (n, corr). Rows where either
+    * side is null are excluded BEFORE aggregating — count(*) over all rows
+    * with null-skipping sums would silently mix row subsets and fabricate
+    * correlations. */
   def pearson(df: DataFrame, x: Column, y: Column): DataFrame = {
-    val m = df.agg(
+    val m = df.where(x.isNotNull && y.isNotNull).agg(
       count(lit(1)).as("n"),
       sum(x.cast("long")).as("sx"),
       sum(y.cast("long")).as("sy"),
@@ -42,11 +45,19 @@ object Stats {
     * formula runs in one fixed double-expression order. */
   def twoProportionZ(df: DataFrame, unit: Column, group: Column,
                      success: Column): DataFrame = {
+    // one row per group value; materialized once (the a/b branches would
+    // otherwise each rescan the source) and validated to exactly two
+    // groups — extra groups silently vanishing, or one group compared
+    // against itself, would be a wrong answer with no error
     val per = df
       .groupBy(unit.as("_u"), group.as("_g"))
       .agg(max(success.cast("int")).as("_s")) // a unit converts if it ever succeeded
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("n"), sum(col("_s")).cast("long").as("x"))
+      .localCheckpoint()
+    val nGroups = per.limit(3).count()
+    require(nGroups == 2, s"twoProportionZ needs exactly 2 group values, found $nGroups" +
+      (if (nGroups > 2) "+" else ""))
     val a = per.orderBy(col("_g")).limit(1)
       .select(col("_g").as("group_a"), col("n").as("n_a"), col("x").as("x_a"))
     val b = per.orderBy(desc("_g")).limit(1)

@@ -38,6 +38,14 @@ object DocWrite {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a Hive-partitioned store (key=value subdirectories, e.g. the IVF
+    // index's centroid_id layout) would be silently rewritten FLAT —
+    // destroying partition pruning with no error; compact those per
+    // partition directory instead
+    val partitioned = fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.matches("[^=]+=.*"))
+    require(!partitioned,
+      s"compact: $path is Hive-partitioned; compact each partition directory instead")
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new Path(path + ".compact.tmp")

@@ -328,6 +328,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Stats.pearson(const, col("x"), col("y")).head.isNullAt(1)) // zero variance
   }
 
+  test("Stats.pearson ignores rows with a null side; z-test rejects non-binary groups") {
+    import org.apache.spark.sql.functions.col
+    val withNull = spark.createDataFrame(Seq(
+      (Some(1), Some(1)), (Some(100), None: Option[Int]))).toDF("x", "y")
+    val r = Stats.pearson(withNull, col("x"), col("y")).head
+    assert(r.getLong(0) == 1 && r.isNullAt(1)) // one valid pair, zero variance
+    val three = spark.createDataFrame(Seq((1L, "a"), (2L, "b"), (3L, "c"))).toDF("u", "g")
+    val e = intercept[IllegalArgumentException](
+      Stats.twoProportionZ(three, col("u"), col("g"), col("u") > 1).collect())
+    assert(e.getMessage.contains("exactly 2"))
+  }
+
+  test("SnapshotDiff classifies null-id rows by join-side presence") {
+    import org.apache.spark.sql.functions.col
+    val a = spark.createDataFrame(Seq((Some(1L), "x"), (None: Option[Long], "nully")))
+      .toDF("id", "t")
+    val b = spark.createDataFrame(Seq((Some(1L), "x"))).toDF("id", "t")
+    val out = SnapshotDiff.diff(a, b, "id", Seq("t")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(out == Map(-1L -> "removed")) // not "added"; row 1 unchanged/omitted
+  }
+
   test("Stats.twoProportionZ: counts, rates, and z sign") {
     import org.apache.spark.sql.functions.col
     // group 0: users 0,2,4,6 (4 users, 3 convert); group 1: 1,3,5 (3 users, 0 convert)
