@@ -72,19 +72,31 @@ object SparkEntry {
     * (token mass, composite quality, compression ratio). One pass through
     * the operators a real training-data run would chain. */
   def entry(spark: SparkSession): DataFrame = {
+    // the condensed curation pipeline: exact + near dedup, then per-doc
+    // quality/rarity/repetition signals (row-local + corpus-statistical),
+    // rolled up per language — the end-to-end shape of a training-data run
     val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
     val deduped = Dedup.minhashLsh(
       Dedup.exactRows(docs, "doc_id", "text"), "doc_id", "text")
+    val spans = Dedup.dupSpans(deduped, "doc_id", "text", n = 10)
+      .select(col("doc_id"), col("dup_frac"))
+    val lm = graft.operators.UnigramLm.score(deduped, "doc_id", "text")
+      .select(col("doc_id"), col("mean_bits"))
     deduped
+      .join(spans, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8) // drop near-copied docs
       .select(col("lang"),
         gf.tokenCount(col("text")).cast("long").as("toks"),
         gf.qualityScore(col("text")).as("q"),
-        gf.compressionRatio(col("text")).as("cr"))
+        gf.compressionRatio(col("text")).as("cr"),
+        col("mean_bits"))
       .groupBy(col("lang").as("key"))
       .agg(count(lit(1)).as("count"),
         sum(col("toks")).as("tokens"),
         round(avg(col("q")), 4).as("avg_quality"),
-        round(avg(col("cr")), 4).as("avg_compress"))
+        round(avg(col("cr")), 4).as("avg_compress"),
+        round(avg(col("mean_bits")), 4).as("avg_surprise_bits"))
       .orderBy(desc("count"), col("key"))
   }
 

@@ -63,6 +63,35 @@ object ScaleProbe {
       val tk = time(f(big).queryExecution.toRdd.count())
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
+
+    // graph operators scale over a replicated edge list (K disjoint copies
+    // with offset vertex ids — linear work by construction, so the ratio
+    // isolates the shuffle/join machinery)
+    import graft.operators.{PageRank, Triangles}
+    val edges1 = {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("d")).distinct()
+        .localCheckpoint()
+    }
+    def edgesK(n: Int): DataFrame =
+      if (n == 1) edges1
+      else edges1.crossJoin(spark.range(n).select(col("id").as("_rep")))
+        .select((col("s") + col("_rep") * 1000000000L).as("s"),
+          (col("d") + col("_rep") * 2000000000L).as("d"))
+        .localCheckpoint()
+    val graphOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "pagerank_5r" -> (e => PageRank.pageRank(e, "s", "d", iterations = 5)),
+      "triangles" -> (e => Triangles.enumerate(e, "s", "d")))
+    val gSmall = edgesK(1); val gBig = edgesK(k)
+    graphOps.foreach { case (_, f) => f(gSmall).queryExecution.toRdd.count() }
+    graphOps.foreach { case (name, f) =>
+      val t1 = math.min(time(f(gSmall).queryExecution.toRdd.count()),
+        time(f(gSmall).queryExecution.toRdd.count()))
+      val tk = time(f(gBig).queryExecution.toRdd.count())
+      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
     spark.stop()
   }
 }
