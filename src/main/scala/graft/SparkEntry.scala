@@ -987,6 +987,46 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 shape (shipping priority): 3-way join, grouped revenue in
+      // exact cents (per-row round then integer sum), top-10. Catalyst
+      // broadcasts the filtered customer side under AQE.
+      val c = tbl(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 shape (local supplier volume): 6-way join with two
+      // broadcastable dims; revenue only where the supplier and customer
+      // share a nation
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem")
+      val sup = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region").where(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("n_name"))
+    }),
     "q_triangles" -> ((s, dir) => {
       // triangle enumeration over the supplier co-occurrence graph (the
       // q_basket_rules edges): wedge join bounded by forward degree
@@ -1947,6 +1987,33 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_tpch_q3" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1996-03-15'
+           AND l.l_shipdate > TIMESTAMP '1996-03-15'
+         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+         ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n.n_name,
+                CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name
+         ORDER BY revenue_cents DESC, n.n_name""",
     "q_triangles" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
          p AS (SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
