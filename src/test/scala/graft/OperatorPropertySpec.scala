@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators.{Bpe, BpeEncodeExpr, Calibration, Fusion, PageRank, UnigramLm}
+
+/** Algebraic invariants of the round-5 corpus operators, checked over
+  * randomized inputs (SURVEY §5: property coverage the reference lacks). */
+class OperatorPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genWord: Gen[String] = Gen.choose(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val genText: Gen[String] = Gen.choose(0, 30)
+    .flatMap(n => Gen.listOfN(n, genWord).map(_.mkString(" ")))
+  private val genCorpus: Gen[List[String]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, genText))
+
+  test("dupSpans invariants: bounds, self-consistency, permutation invariance") {
+    check(Prop.forAll(genCorpus) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = spark.createDataFrame(rows).toDF("id", "text")
+      val out = Dedup.dupSpans(df, "id", "text", n = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val shuffled = spark.createDataFrame(scala.util.Random.shuffle(rows)).toDF("id", "text")
+      val out2 = Dedup.dupSpans(shuffled, "id", "text", n = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      out.forall { case (_, n, d) => d >= 0 && d <= n } &&
+        out.length == texts.length && out.toSeq == out2.toSeq
+    })
+  }
+
+  test("unigram LM invariants: bits bound by corpus size, hapax fraction in [0,1]") {
+    check(Prop.forAll(genCorpus) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = spark.createDataFrame(rows).toDF("id", "text")
+      val out = UnigramLm.score(df, "id", "text").collect()
+      out.forall { r =>
+        r.isNullAt(1) || {
+          val bits = r.getDouble(2); val rare = r.getDouble(3)
+          // floor-log bits per token are within [0, floor(log2 N)]
+          bits >= 0.0 && rare >= 0.0 && rare <= 1.0
+        }
+      } && out.length == texts.length
+    })
+  }
+
+  test("BPE invariants: encoding always reconstructs; more merges never lengthens") {
+    check(Prop.forAll(genCorpus) { texts =>
+      val hist = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      val m8 = Bpe.trainFromHistogram(hist, 8, minPairCount = 1)
+      val m2 = m8.take(2)
+      val r8 = BpeEncodeExpr.buildRanks(m8.toArray)
+      val r2 = BpeEncodeExpr.buildRanks(m2.toArray)
+      hist.forall { case (w, _) =>
+        val e8 = Bpe.encodeWord(w, r8); val e2 = Bpe.encodeWord(w, r2)
+        e8.mkString == w && e2.mkString == w && e8.length <= e2.length
+      }
+    })
+  }
+
+  test("RRF invariants: scores positive, bounded, present-in-more-lists dominates absent") {
+    check(Prop.forAll(Gen.choose(2, 20)) { n =>
+      val a = spark.createDataFrame((1 to n).map(i => (i.toLong, (i * 13 % 7).toDouble)))
+        .toDF("id", "score")
+      val b = spark.createDataFrame((1 to n / 2).map(i => (i.toLong, (i * 5 % 3).toDouble)))
+        .toDF("id", "score")
+      val out = Fusion.rrf(Seq(a, b), "id", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val inBoth = (1 to n / 2).map(_.toLong)
+      val onlyA = (n / 2 + 1 to n).map(_.toLong)
+      out.values.forall(v => v > 0.0 && v <= 2.0 / 61.0) &&
+        // any doc in both lists beats the WORST doc in one list
+        (inBoth.isEmpty || onlyA.isEmpty ||
+          inBoth.map(out).min > 1.0 / (60.0 + n))
+    }, n = 10)
+  }
+
+  test("pagerank invariants: scores positive, total mass never grows") {
+    check(Prop.forAll(Gen.choose(2, 12), Gen.choose(2L, 30L)) { (nv, ne) =>
+      val edges = (0L until ne).map(i => (i % nv, (i * 7 + 1) % nv))
+        .filter { case (s, d) => s != d }
+      edges.isEmpty || {
+        val df = spark.createDataFrame(edges).toDF("s", "d")
+        val out = PageRank.pageRank(df, "s", "d", iterations = 3).collect()
+          .map(_.getLong(1))
+        out.forall(_ > 0) && out.sum <= out.length * PageRank.Scale
+      }
+    }, n = 10)
+  }
+
+  test("percentileBy invariants: [0,1] range, order agrees with score order per group") {
+    check(Prop.forAll(genCorpus) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"g${i % 3}", t.length.toDouble) }
+      val df = spark.createDataFrame(rows).toDF("id", "g", "s")
+      val out = Calibration.percentileBy(df, "g", col("s"), "id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      out.forall { case (_, _, _, p) => p >= 0.0 && p <= 1.0 } &&
+        out.groupBy(_._2).values.forall { grp =>
+          grp.sortBy(g => (g._3, g._1)).map(_._4).toSeq ==
+            grp.map(_._4).sorted.toSeq // pctl increases along (score, id) order
+        } && out.length == rows.length
+    }, n = 10)
+  }
+}
