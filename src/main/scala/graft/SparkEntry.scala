@@ -987,6 +987,14 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_blocklist" -> ((s, dir) =>
+      // C4-style wordlist filter: docs that survive a blocklist (token-set
+      // membership, not substring — no scunthorpe false positives)
+      tbl(s, dir, "documents")
+        .where(gf.blocklistHits(col("text"),
+          Seq("join", "spill", "straggler")) === 0)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
     "q_tpch_q3" -> ((s, dir) => {
       // TPC-H Q3 shape (shipping priority): 3-way join, grouped revenue in
       // exact cents (per-row round then integer sum), top-10. Catalyst
@@ -1987,6 +1995,11 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_blocklist" ->
+      """SELECT doc_id FROM documents
+         WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 t -> list_contains(['join', 'spill', 'straggler'], t))) = 0
+         ORDER BY doc_id""",
     "q_tpch_q3" ->
       """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
                 CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)

@@ -188,6 +188,17 @@ object gf {
     * is already composed — see NfcNormalizeExpr). */
   def nfcNormalize(c: Column): Column = fromExpr(NfcNormalizeExpr(toExpr(c)))
 
+  /** Count of tokens present in a blocklist — the C4-style wordlist filter
+    * (Raffel et al. 2020 drop any page containing a "bad word"). Token-set
+    * membership, not substring: "grass" must not hit a blocklist "ass"
+    * (the scunthorpe failure mode of substring filters). Built-ins only,
+    * so the check stays inside codegen at any list size that fits an
+    * isin() — for truly huge lists broadcast-join the token explode. */
+  def blocklistHits(c: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must not be empty")
+    size(filter(tokens(c), t => t.isin(words.map(_.toLowerCase): _*)))
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /**

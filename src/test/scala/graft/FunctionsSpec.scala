@@ -119,6 +119,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bands(0).length == 4)
   }
 
+  test("blocklistHits: token-set membership, no substring false positives") {
+    val df = Seq((1, "the grass is green"), (2, "kick ass move"), (3, "ASS"), (4, ""))
+      .toDF("id", "t")
+      .select($"id", gf.blocklistHits($"t", Seq("ass", "damn")).as("n"))
+    val out = df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out(1) == 0) // "grass" does not hit "ass" — scunthorpe-safe
+    assert(out(2) == 1)
+    assert(out(3) == 1) // case-insensitive (tokens lowercase)
+    assert(out(4) == 0)
+  }
+
   test("nfcNormalize composes decomposed accents; NFC text passes through") {
     val df = Seq((1, "café"), (2, "café"), (3, "plain ascii"), (4, ""))
       .toDF("id", "t")
