@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
  *
  *  - PPM (P6) and BMP (24bpp uncompressed) decode is REAL — both formats
  *    are parseable in pure JVM code, and the tests build images from
- *    bytes. JPEG/PNG would plug into the same RasterImage through a
- *    library-backed decoder in production.
+ *    bytes. PNG / JPEG / GIF decode is ALSO real, through the JDK's own
+ *    headless javax.imageio (java.desktop ships with every JVM — no
+ *    external library), with the frame dimensions checked against the
+ *    raster cap BEFORE pixels are allocated.
  *  - resize (nearest-neighbor) and grayscale are real pixel math.
  *  - dHash (difference hash, the standard perceptual image fingerprint:
  *    9x8 grayscale, one bit per horizontal gradient) is real, exposed as
@@ -139,12 +141,37 @@ object MediaOps {
     Some(RasterImage(w, h, out))
   }
 
-  /** Dispatch on magic bytes. */
+  /** PNG/JPEG/GIF via the JDK's headless ImageIO. The reader reports the
+    * frame dimensions from the header, so the raster cap applies BEFORE
+    * any pixel allocation (same adversarial-header guard as decodePpm). */
+  def decodeImageIo(bytes: Array[Byte]): Option[RasterImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
+        val img = reader.read(0)
+        val out = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, out, 0, w)
+        var i = 0
+        while (i < out.length) { out(i) = out(i) & 0xffffff; i += 1 } // drop alpha
+        Some(RasterImage(w, h, out))
+      } finally reader.dispose()
+    } catch { case _: Exception => None } finally iis.close()
+  }
+
+  /** Dispatch on magic bytes; unknown magics fall through to ImageIO's own
+    * format probing (PNG, JPEG, GIF in a stock JDK). */
   def decode(bytes: Array[Byte]): Option[RasterImage] =
     if (bytes == null || bytes.length < 2) None
     else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else None
+    else decodeImageIo(bytes)
 
   // ------------------------------------------------------------ dHash
 

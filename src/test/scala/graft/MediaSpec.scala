@@ -61,6 +61,33 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaOps.decode(null).isEmpty)
   }
 
+  test("PNG and JPEG decode through headless ImageIO; pixels match the source") {
+    def encode(fmt: String, w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val pattern = (x: Int, y: Int) => ((x * 40) << 16) | ((y * 40) << 8) | 0x20
+    val png = MediaOps.decode(encode("png", 5, 4, pattern))
+    assert(png.isDefined && png.get.width == 5 && png.get.height == 4)
+    assert(png.get.rgb(1 * 5 + 2) == pattern(2, 1)) // PNG is lossless
+    val jpg = MediaOps.decode(encode("jpg", 8, 8, (_, _) => 0x808080))
+    assert(jpg.isDefined && jpg.get.width == 8)
+    // JPEG is lossy: uniform gray should stay within a small delta
+    val p = jpg.get.rgb(0)
+    assert(math.abs(((p >> 16) & 0xff) - 0x80) <= 4)
+    // a PNG flows through the SAME dHash expression as PPM/BMP
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(Seq((1L, encode("png", 16, 16, pattern))))
+      .toDF("id", "img")
+      .select(col("id"), org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.operators.DHashExpr(org.apache.spark.sql.graft.ColumnBridge.expression(col("img")))).as("h"))
+    assert(!df.head.isNullAt(1))
+  }
+
   test("adversarial headers decode to None, never crash") {
     // w*h Int overflow (65536^2 == 0), and the sqrt(Int.Max) variant
     assert(MediaOps.decode("P6 65536 65536 255\n".getBytes).isEmpty)
