@@ -84,6 +84,33 @@ final class ParquetVectorStore(path: String) {
       .write.mode("append").partitionBy("_version").parquet(path)
   }
 
+  /**
+   * Streaming ingestion with EXACTLY-ONCE semantics: each micro-batch
+   * writes `_version = batchId + 1` (0 stays reserved for compaction) via
+   * DYNAMIC partition overwrite — a replayed batch after a failure
+   * rewrites ITS OWN version partition instead of appending a duplicate,
+   * so recovery is idempotent (the standard foreachBatch + deterministic
+   * target pattern). Versions stay monotonic because Structured Streaming
+   * batchIds are.
+   */
+  def appendStream(docs: DocSet, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, batchId: Long) => upsertBatch(df, batchId))
+      .start()
+
+  /** One micro-batch's upsert; public so tests can replay a batchId and
+    * prove idempotence. */
+  def upsertBatch(df: DataFrame, batchId: Long): Unit =
+    df.where(col("embedding").isNotNull)
+      .select(col("docId").as("id"), col("embedding"),
+        col("textRepresentation").as("text"), col("properties").as("metadata"))
+      .withColumn("_version", lit(batchId + 1))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_version").parquet(path)
+
   /** Latest record per id (merge-on-read view). */
   def read(spark: SparkSession): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(desc("_version"))

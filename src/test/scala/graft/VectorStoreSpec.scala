@@ -88,4 +88,30 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(store.versions(spark).sorted == Seq(0L, 1L))
     assert(store.read(spark).count() == 3)
   }
+
+  test("streaming upsert batches are replay-idempotent (exactly-once recovery)") {
+    val dir = Files.createTempDirectory("graft_vs_stream").toString + "/store"
+    val store = new ParquetVectorStore(dir)
+    val b0 = DocSet.of(spark, Seq(doc("a", Some(Array(1f, 0f))),
+      doc("b", Some(Array(0f, 1f))))).toDF
+    store.upsertBatch(b0, batchId = 0)
+    assert(store.versions(spark) == Seq(1L))
+    assert(store.read(spark).count() == 2)
+    // a failure replays the SAME batch (possibly with updated content):
+    // the version partition is overwritten, never duplicated
+    val b0again = DocSet.of(spark, Seq(doc("a", Some(Array(9f, 9f))),
+      doc("b", Some(Array(0f, 1f))))).toDF
+    store.upsertBatch(b0again, batchId = 0)
+    assert(store.versions(spark) == Seq(1L))
+    val rows = store.read(spark).collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getString(0) == "a").get
+      .getSeq[Float](1) == Seq(9f, 9f)) // replay content won, once
+    // the next batch lands as a new version; merge-on-read still one row/id
+    store.upsertBatch(DocSet.of(spark, Seq(doc("a", Some(Array(5f, 5f))))).toDF, batchId = 1)
+    assert(store.versions(spark).sorted == Seq(1L, 2L))
+    assert(store.read(spark).count() == 2)
+    assert(store.read(spark).collect().find(_.getString(0) == "a").get
+      .getSeq[Float](1) == Seq(5f, 5f))
+  }
 }
