@@ -76,8 +76,11 @@ object SparkEntry {
     // quality/rarity/repetition signals (row-local + corpus-statistical),
     // rolled up per language — the end-to-end shape of a training-data run
     val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
+    // deduped fans out into three branches (spans, lm, main join) — without
+    // the checkpoint the LSH dedup subtree would run three times
     val deduped = Dedup.minhashLsh(
       Dedup.exactRows(docs, "doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
     val spans = Dedup.dupSpans(deduped, "doc_id", "text", n = 10)
       .select(col("doc_id"), col("dup_frac"))
     val lm = graft.operators.UnigramLm.score(deduped, "doc_id", "text")

@@ -143,35 +143,49 @@ object MediaOps {
 
   /** PNG/JPEG/GIF via the JDK's headless ImageIO. The reader reports the
     * frame dimensions from the header, so the raster cap applies BEFORE
-    * any pixel allocation (same adversarial-header guard as decodePpm). */
-  def decodeImageIo(bytes: Array[Byte]): Option[RasterImage] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    * any pixel allocation (same adversarial-header guard as decodePpm).
+    * A MemoryCacheImageInputStream wraps the in-memory array directly —
+    * ImageIO's default FILE cache would create and delete an executor-disk
+    * temp file per row, and can throw before any try block on a full
+    * tmpdir; everything lives inside the catch so adversarial bytes yield
+    * None, never a task failure. */
+  def decodeImageIo(bytes: Array[Byte]): Option[RasterImage] =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       try {
-        reader.setInput(iis)
-        val w = reader.getWidth(0); val h = reader.getHeight(0)
-        if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
-        val img = reader.read(0)
-        val out = new Array[Int](w * h)
-        img.getRGB(0, 0, w, h, out, 0, w)
-        var i = 0
-        while (i < out.length) { out(i) = out(i) & 0xffffff; i += 1 } // drop alpha
-        Some(RasterImage(w, h, out))
-      } finally reader.dispose()
-    } catch { case _: Exception => None } finally iis.close()
-  }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
+          val img = reader.read(0)
+          val out = new Array[Int](w * h)
+          img.getRGB(0, 0, w, h, out, 0, w)
+          var i = 0
+          while (i < out.length) { out(i) = out(i) & 0xffffff; i += 1 } // drop alpha
+          Some(RasterImage(w, h, out))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
 
-  /** Dispatch on magic bytes; unknown magics fall through to ImageIO's own
-    * format probing (PNG, JPEG, GIF in a stock JDK). */
+  private def hasImageIoMagic(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||                       // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))           // GIF
+
+  /** Dispatch on magic bytes; PNG/JPEG/GIF route to ImageIO. Unknown
+    * magics return None immediately — running ImageIO's SPI probing on
+    * arbitrary garbage would cost stream setup per row for nothing. */
   def decode(bytes: Array[Byte]): Option[RasterImage] =
     if (bytes == null || bytes.length < 2) None
     else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else decodeImageIo(bytes)
+    else if (hasImageIoMagic(bytes)) decodeImageIo(bytes)
+    else None
 
   // ------------------------------------------------------------ dHash
 

@@ -86,12 +86,17 @@ final class ParquetVectorStore(path: String) {
 
   /**
    * Streaming ingestion with EXACTLY-ONCE semantics: each micro-batch
-   * writes `_version = batchId + 1` (0 stays reserved for compaction) via
-   * DYNAMIC partition overwrite — a replayed batch after a failure
-   * rewrites ITS OWN version partition instead of appending a duplicate,
-   * so recovery is idempotent (the standard foreachBatch + deterministic
-   * target pattern). Versions stay monotonic because Structured Streaming
-   * batchIds are.
+   * writes `_version = StreamVersionBase + batchId` via DYNAMIC partition
+   * overwrite — a replayed batch after a failure rewrites ITS OWN version
+   * partition instead of appending a duplicate, so recovery is idempotent
+   * (the standard foreachBatch + deterministic target pattern).
+   *
+   * Stream versions live in their own namespace ABOVE every bulk version:
+   * without the offset, a bulk append between micro-batches lands exactly
+   * one past the last batch's version, and the NEXT batch's dynamic
+   * overwrite would silently delete it. The offset makes the two write
+   * paths collision-free, with the documented rule that streaming records
+   * supersede bulk loads for the same id (deterministic merge-on-read).
    */
   def appendStream(docs: DocSet, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -106,7 +111,7 @@ final class ParquetVectorStore(path: String) {
     df.where(col("embedding").isNotNull)
       .select(col("docId").as("id"), col("embedding"),
         col("textRepresentation").as("text"), col("properties").as("metadata"))
-      .withColumn("_version", lit(batchId + 1))
+      .withColumn("_version", lit(ParquetVectorStore.StreamVersionBase + batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_version").parquet(path)
@@ -141,11 +146,20 @@ final class ParquetVectorStore(path: String) {
       .map(_.stripPrefix("_version=").toLong)
   }
 
-  /** Next monotonic version: a directory listing, NOT a scan of the store
-    * (an earlier version re-read every row to take max(_version) — O(store)
-    * per append). */
+  /** Next monotonic BULK version: a directory listing, NOT a scan of the
+    * store (an earlier version re-read every row to take max(_version) —
+    * O(store) per append). Stream versions (>= StreamVersionBase) are
+    * excluded — bulk and stream namespaces must stay disjoint or a batch
+    * replay's dynamic overwrite could delete a bulk append. */
   private def nextVersion(spark: SparkSession): Long = {
-    val vs = versions(spark)
+    val vs = versions(spark).filter(_ < ParquetVectorStore.StreamVersionBase)
     if (vs.isEmpty) 1L else vs.max + 1L
   }
+}
+
+object ParquetVectorStore {
+  /** Streaming versions start here (2^40 leaves both namespaces effectively
+    * unbounded); merge-on-read therefore resolves stream-vs-bulk conflicts
+    * in favor of the stream. */
+  val StreamVersionBase: Long = 1L << 40
 }

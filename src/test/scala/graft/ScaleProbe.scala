@@ -78,8 +78,11 @@ object ScaleProbe {
     def edgesK(n: Int): DataFrame =
       if (n == 1) edges1
       else edges1.crossJoin(spark.range(n).select(col("id").as("_rep")))
+        // SAME offset on both endpoints: replicas stay isomorphic to the
+        // 1x graph AND disjoint from each other (distinct per-column
+        // offsets would merge vertices across replicas)
         .select((col("s") + col("_rep") * 1000000000L).as("s"),
-          (col("d") + col("_rep") * 2000000000L).as("d"))
+          (col("d") + col("_rep") * 1000000000L).as("d"))
         .localCheckpoint()
     val graphOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "pagerank_5r" -> (e => PageRank.pageRank(e, "s", "d", iterations = 5)),

@@ -95,23 +95,54 @@ class VectorStoreSpec extends AnyFunSuite {
     val b0 = DocSet.of(spark, Seq(doc("a", Some(Array(1f, 0f))),
       doc("b", Some(Array(0f, 1f))))).toDF
     store.upsertBatch(b0, batchId = 0)
-    assert(store.versions(spark) == Seq(1L))
+    assert(store.versions(spark) == Seq(ParquetVectorStore.StreamVersionBase))
     assert(store.read(spark).count() == 2)
     // a failure replays the SAME batch (possibly with updated content):
     // the version partition is overwritten, never duplicated
     val b0again = DocSet.of(spark, Seq(doc("a", Some(Array(9f, 9f))),
       doc("b", Some(Array(0f, 1f))))).toDF
     store.upsertBatch(b0again, batchId = 0)
-    assert(store.versions(spark) == Seq(1L))
+    assert(store.versions(spark) == Seq(ParquetVectorStore.StreamVersionBase))
     val rows = store.read(spark).collect()
     assert(rows.length == 2)
     assert(rows.find(_.getString(0) == "a").get
       .getSeq[Float](1) == Seq(9f, 9f)) // replay content won, once
     // the next batch lands as a new version; merge-on-read still one row/id
     store.upsertBatch(DocSet.of(spark, Seq(doc("a", Some(Array(5f, 5f))))).toDF, batchId = 1)
-    assert(store.versions(spark).sorted == Seq(1L, 2L))
+    assert(store.versions(spark).sorted ==
+      Seq(ParquetVectorStore.StreamVersionBase, ParquetVectorStore.StreamVersionBase + 1))
     assert(store.read(spark).count() == 2)
     assert(store.read(spark).collect().find(_.getString(0) == "a").get
       .getSeq[Float](1) == Seq(5f, 5f))
+    // a bulk append between micro-batches lands in ITS OWN namespace — the
+    // next batch's dynamic overwrite can never delete it
+    store.append(DocSet.of(spark, Seq(doc("c", Some(Array(7f, 7f))))))
+    store.upsertBatch(DocSet.of(spark, Seq(doc("b", Some(Array(2f, 2f))))).toDF, batchId = 2)
+    assert(store.read(spark).count() == 3)
+    assert(store.read(spark).collect().find(_.getString(0) == "c").get
+      .getSeq[Float](1) == Seq(7f, 7f))
+  }
+
+  test("appendStream wiring: end-to-end streaming upsert through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_vs_e2e").toString
+    val store = new ParquetVectorStore(dir + "/store")
+    val input = MemoryStream[(String, String)]
+    val docs = graft.streaming.DocStream.fromStreamingDf(
+      input.toDF().toDF("docId", "text"), docIdField = Some("docId"),
+        textField = Some("text"))
+      .map(d => d.copy(embedding = Some(Array(d.text.length.toFloat, 2f))))
+    val q = store.appendStream(docs, dir + "/ckpt")
+    try {
+      input.addData(("x", "one"), ("y", "two"))
+      q.processAllAvailable()
+      assert(store.read(spark).count() == 2)
+      input.addData(("x", "updated"))
+      q.processAllAvailable()
+      val rows = store.read(spark)
+      assert(rows.count() == 2) // upsert, not append
+    } finally q.stop()
   }
 }
