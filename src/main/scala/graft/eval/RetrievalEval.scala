@@ -70,6 +70,36 @@ object RetrievalEval {
         round(coalesce(col("dcg"), lit(0.0)) / idcg, 6).as(s"ndcg_at_$k"))
   }
 
+  /** ROUGE-N recall/precision/F1 (n-gram overlap with CLIPPED counts — a
+    * candidate n-gram matches at most as many times as it appears in the
+    * reference, the standard Lin 2004 definition) between generated and
+    * reference texts. Pure column math over the shared shingle expression:
+    * one pass, no UDFs. Input: answers(query_id, generated, reference). */
+  def rougeN(answers: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"rougeN needs n >= 1, got $n")
+    import graft.functions.gf
+    // strict ROUGE-N: texts shorter than n tokens have ZERO n-grams
+    // (wordShingles' short-text fallback would fabricate one)
+    def grams(c: Column): Column =
+      when(length(trim(c)) === 0 || size(gf.tokens(c)) < n,
+        array().cast("array<string>"))
+        .otherwise(gf.wordShingles(c, n))
+    val g = grams(col("generated"))
+    val r = grams(col("reference"))
+    // clipped overlap = sum over distinct grams of min(count_g, count_r);
+    // aggregate over the distinct gram array with row-local count scans
+    val overlap = aggregate(array_distinct(g), lit(0),
+      (acc, t) => acc + least(size(filter(g, x => x === t)), size(filter(r, x => x === t))))
+      .cast("double")
+    val prec = when(size(g) > 0, overlap / size(g)).otherwise(lit(0.0))
+    val rec = when(size(r) > 0, overlap / size(r)).otherwise(lit(0.0))
+    answers.select(col("query_id"),
+      round(prec, 6).as(s"rouge${n}_precision"),
+      round(rec, 6).as(s"rouge${n}_recall"),
+      round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+        .otherwise(lit(0.0)), 6).as(s"rouge${n}_f1"))
+  }
+
   /** Token-overlap F1 between generated and reference answers — the
     * deterministic core of answer-correctness scoring (the reference's
     * LLM-judge flavor plugs in as an llmMap over the same rows).

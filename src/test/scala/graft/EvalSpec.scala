@@ -45,6 +45,20 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(f1("q3") - 0.8) < 1e-9)
   }
 
+  test("ROUGE-2: clipped n-gram overlap; short texts have zero n-grams") {
+    import spark.implicits._
+    val answers = Seq(
+      ("q1", "the cat the cat", "the cat sat"), // clip: "the cat" counts once
+      ("q2", "identical bigram text", "identical bigram text"),
+      ("q3", "word", "word")) // 1 token -> no bigrams -> all zero
+      .toDF("query_id", "generated", "reference")
+    val out = RetrievalEval.rougeN(answers, 2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("q1") == ((0.333333, 0.5, 0.4)))
+    assert(out("q2") == ((1.0, 1.0, 1.0)))
+    assert(out("q3") == ((0.0, 0.0, 0.0)))
+  }
+
   test("nDCG@k: perfect ranking 1.0, gap-ranked discounted, no hits 0.0") {
     import spark.implicits._
     val retrieved = Seq(
