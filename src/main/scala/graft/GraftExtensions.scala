@@ -63,6 +63,14 @@ object GraftSqlFunctions {
     if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal string")
     else String.valueOf(e.eval())
 
+  private def strArrayArg(fn: String, e: Expression): Seq[String] =
+    if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal array")
+    else e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(s"$fn: expected array literal, got $other")
+    }
+
   private def arity(fn: String, n: Int)(b: Builder): Builder = es => {
     if (es.length != n)
       throw new IllegalArgumentException(s"$fn expects $n argument(s), got ${es.length}")
@@ -129,6 +137,9 @@ object GraftSqlFunctions {
       arity("gf_mean_token_length", 1)(es => x(gf.meanTokenLength(c(es(0)))))),
     ("gf_quality_score", "(text) -> double",
       arity("gf_quality_score", 1)(es => x(gf.qualityScore(c(es(0)))))),
+    ("gf_blocklist_hits", "(text, array('w1','w2',...)) -> int",
+      arity("gf_blocklist_hits", 2)(es =>
+        x(gf.blocklistHits(c(es(0)), strArrayArg("gf_blocklist_hits", es(1)))))),
     ("gf_nfc_normalize", "(text) -> string",
       arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
     ("gf_scrub_pii", "(text[, replacement]) -> string",

@@ -36,6 +36,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.map(_.getString(2)).toSeq == Seq("en", "es", "und", "en")) // "a" is an en stopword
   }
 
+  test("blocklist and nfc functions are callable from SQL") {
+    GraftSqlFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT gf_blocklist_hits('kick ass move on grass', array('ass', 'damn')) AS n, " +
+      "gf_nfc_normalize('café') AS s").head
+    assert(r.getInt(0) == 1) // "grass" is not a hit
+    assert(r.getString(1) == "café")
+  }
+
   test("vector kernels are callable from SQL") {
     GraftSqlFunctions.register(spark)
     val r = spark.sql(
