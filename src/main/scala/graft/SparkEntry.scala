@@ -990,6 +990,13 @@ object SparkEntry {
       // exceed double's mantissa — float division would corrupt buckets)
       graft.operators.EventAnalytics.retention(events(s, dir), "user_id", "ts",
         bucketNs = 7L * 86400 * 1000000000L)),
+    "q_weighted_sample" -> ((s, dir) =>
+      // quality-proportional thinning: survival probability = the doc's
+      // own quality score, coin = the salted deterministic hash
+      graft.operators.Sampling.byWeight(tbl(s, dir, "documents"), "doc_id",
+          gf.qualityScore(col("text")), salt = "wq1")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
     "q_blocklist" -> ((s, dir) =>
       // C4-style wordlist filter: docs that survive a blocklist (token-set
       // membership, not substring — no scunthorpe false positives)
@@ -1998,6 +2005,35 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, text,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         qs AS (SELECT doc_id,
+                round(
+                  least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+                  (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(text) -
+                               length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                             / length(text) END) * 0.3 +
+                  least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(toks, x -> list_contains(
+                               ['the','a','an','of','and','or','to','in','is','are','was',
+                                'for','on','with','as','at','by','it','that','this','be'], x)))
+                               AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3 +
+                  (1.0 - least(CAST(length(text) -
+                           length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1
+                , 6) AS q
+                FROM t)
+         SELECT doc_id FROM qs
+         WHERE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(
+                   str_split(doc_id::VARCHAR || ':wq1:' || doc_id::VARCHAR, ''),
+                   x -> ascii(x)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 10000
+               < CAST(round(q * 10000) AS BIGINT)
+         ORDER BY doc_id""",
     "q_blocklist" ->
       """SELECT doc_id FROM documents
          WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -34,6 +34,23 @@ object Sampling {
   }
 
   /**
+   * Weighted deterministic sampling: each row survives with probability
+   * proportional to its weight (clamped to [0, 1]) — quality-proportional
+   * corpus thinning ("keep good documents more often"), reproducible
+   * across engines/partitionings because the coin is the same salted
+   * polynomial hash as stratifiedByHash, compared against the row's own
+   * weight in basis points. Weight must be a deterministic column
+   * expression (a score, not a random). */
+  def byWeight(df: DataFrame, key: String, weight: Column,
+               salt: String = ""): DataFrame = {
+    val k = col(key).cast("string")
+    val bucket = pmod(
+      gf.polyFingerprint(concat(k, lit(":"), lit(salt), lit(":"), k)), lit(10000L))
+    val threshold = round(least(greatest(weight, lit(0.0)), lit(1.0)) * 10000).cast("long")
+    df.where(bucket < threshold)
+  }
+
+  /**
    * Deterministic per-group cap: keep at most `k` rows per group, chosen
    * by hash order (a reproducible "random" k, not top-k by any metric) —
    * the per-source cap stage of corpus curation ("no source contributes

@@ -304,6 +304,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rules(("C", "B")) == 1.0 && rules(("B", "C")) == 0.5)
   }
 
+  test("Sampling.byWeight: weight-proportional, partitioning-independent, clamped") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame((1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) 1.0 else 0.0))).toDF("id", "w")
+    val kept = Sampling.byWeight(df, "id", col("w")).collect().map(_.getLong(0)).toSet
+    assert(kept == (2 to 400 by 2).map(_.toLong).toSet) // w=1 always, w=0 never
+    // out-of-range weights clamp instead of corrupting the threshold
+    val wild = spark.createDataFrame(Seq((1L, 99.0), (2L, -5.0))).toDF("id", "w")
+    assert(Sampling.byWeight(wild, "id", col("w")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // selection is a pure function of (key, salt): repartitioning changes nothing
+    val shuffled = Sampling.byWeight(df.repartition(7), "id", col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(shuffled == kept)
+  }
+
   test("SnapshotDiff: added/removed/changed, unchanged omitted, nulls distinct") {
     import org.apache.spark.sql.functions.col
     val a = spark.createDataFrame(Seq(
