@@ -350,9 +350,16 @@ class Round5Spec extends AnyFunSuite {
     val docs = (1L to 50L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
 
     // TfIdf: the corpus is scanned once (the zero-column count branch reads
-    // no data); df comes from a window, not a second aggregate branch
+    // no data); document frequency comes from a partial+final AGGREGATE and
+    // a join back on term — never a term-partitioned window, which would
+    // funnel every row of a hot term into one unsplittable task (the
+    // aggregate map-side-combines the hot key; the join AQE can skew-split)
     val tp = plan(TfIdf.topTerms(docs, "doc_id", "text", 2))
     assert(tp.contains("WindowGroupLimit"), "top-k must compile to a group limit")
+    assert(!tp.contains("windowspecdefinition(term"),
+      s"df must not be a term-partitioned window (hot-key funnel):\n$tp")
+    assert(tp.contains("HashAggregate(keys=[term"),
+      s"df must be a map-side-combining aggregate on term:\n$tp")
 
     // capPerGroup also rides WindowGroupLimit (k rows per group pre-shuffle)
     val cp = plan(Sampling.capPerGroup(docs, "doc_id", "text", 3))
