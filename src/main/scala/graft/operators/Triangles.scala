@@ -8,12 +8,23 @@ import org.apache.spark.sql.functions._
  * connected components, the third classic large-graph benchmark (cluster
  * cohesion of near-dup groups, community density of co-occurrence graphs).
  *
- * Canonical "forward" formulation: orient every edge low->high, join
- * (a,b)&(b,c) to enumerate open wedges, close them against (a,c). Each
- * triangle a<b<c is produced exactly once, and orienting by vertex order
- * bounds the wedge expansion by each vertex's FORWARD degree (the standard
- * trick that tames high-degree hubs; orienting by degree-then-id tightens
- * it further for adversarial skew). All exchanges carry vertex-id pairs.
+ * "Compact-forward" formulation (Latapy 2008; Suri & Vassilvitskii WWW'11
+ * use the same degree-orientation for MapReduce): orient every edge from
+ * its lower to its higher endpoint under the TOTAL order (degree, id),
+ * enumerate wedges at the source vertex, close them against an oriented
+ * edge. Each triangle x ≺ y ≺ z is produced exactly once.
+ *
+ * Why degree-then-id and not plain id: wedge expansion is
+ * Σ_v C(outdeg(v), 2), and id-orientation leaves a low-id hub with
+ * out-degree = its full degree — a single star hub of degree h yields
+ * C(h, 2) wedges (quadratic in the hub). Under degree orientation a
+ * vertex's out-neighbors are only those HIGHER in degree order, which
+ * bounds Σ C(outdeg, 2) by O(E^1.5) on any graph (out-degree ≤ √(2E) for
+ * every vertex: a vertex with out-degree k has k neighbors of degree ≥ k,
+ * so E ≥ k²/2) — the star's wedges drop to ZERO because every leaf points
+ * at the hub and the hub points nowhere. TrianglesSpec asserts both
+ * counts on an adversarial star. All exchanges carry vertex-id pairs plus
+ * one long degree — never payload.
  */
 object Triangles {
 
@@ -22,20 +33,43 @@ object Triangles {
     enumerate(edges, src, dst).agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
 
-  /** One row per triangle (a < b < c). */
-  def enumerate(edges: DataFrame, src: String, dst: String): DataFrame = {
-    // the canonical edge table feeds three join branches with different
-    // keys — materialize it once (upstream edge derivation can be an
-    // arbitrary pipeline; recomputing it thrice triples the dominant cost)
+  /** Oriented edge list (u, w, dw): u → w with u strictly lower than w in
+    * (degree, id) order; dw = degree of w, carried so the wedge join can
+    * compare out-neighbors in the same order without another degree join.
+    * Checkpointed once — it feeds all three join branches of enumerate,
+    * and the upstream edge derivation can be an arbitrary pipeline. */
+  private[graft] def oriented(edges: DataFrame, src: String, dst: String): DataFrame = {
     val e = edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b")) // drop self-loops
       .distinct()
+    val deg = e.select(col("a").as("_v")).unionAll(e.select(col("b").as("_v")))
+      .groupBy(col("_v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_d"))
+    // a < b by construction, so da <= db orients ties by id for free
+    e.join(deg.select(col("_v").as("a"), col("_d").as("_da")), Seq("a"))
+      .join(deg.select(col("_v").as("b"), col("_d").as("_db")), Seq("b"))
+      .select(
+        when(col("_da") <= col("_db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("_da") <= col("_db"), col("b")).otherwise(col("a")).as("w"),
+        when(col("_da") <= col("_db"), col("_db")).otherwise(col("_da")).as("dw"))
       .localCheckpoint()
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("_wa"), col("e1.b").as("_wb"), col("e2.b").as("_wc"))
-    wedges.join(e.as("e3"),
-        col("_wa") === col("e3.a") && col("_wc") === col("e3.b"))
-      .select(col("_wa").as("a"), col("_wb").as("b"), col("_wc").as("c"))
+  }
+
+  /** One row per triangle (a < b < c, id order). */
+  def enumerate(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val o = oriented(edges, src, dst)
+    // wedges (x→y, x→z) with y ≺ z in (degree, id) order: the closing edge
+    // of a real triangle is then oriented y→z, matched by equality below
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dw") < col("e2.dw") ||
+            (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
+      .select(col("e1.w").as("_y"), col("e2.w").as("_z"), col("e1.u").as("_x"))
+    wedges.join(o.as("e3"),
+        col("_y") === col("e3.u") && col("_z") === col("e3.w"))
+      .select(sort_array(array(col("_x"), col("_y"), col("_z"))).as("_t"))
+      .select(col("_t").getItem(0).as("a"), col("_t").getItem(1).as("b"),
+        col("_t").getItem(2).as("c"))
   }
 }

@@ -289,6 +289,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Triangles.count(df, "s", "d").head.getLong(0) == 2L)
   }
 
+  test("Triangles: degree orientation keeps a star hub's wedge count at zero") {
+    import org.apache.spark.sql.functions.col
+    // adversarial hub: vertex 0 joined to 60 degree-1 leaves. Id-orientation
+    // (0 < every leaf) would give the hub out-degree 60 = C(60,2) = 1770
+    // wedges for zero triangles; degree orientation points every leaf AT the
+    // hub, so Σ C(outdeg, 2) — the wedge-join expansion — must be 0.
+    val star = (1L to 60L).map(i => (0L, i))
+    val sdf = spark.createDataFrame(star).toDF("s", "d")
+    def wedgeCount(edges: org.apache.spark.sql.DataFrame): Long =
+      Triangles.oriented(edges, "s", "d")
+        .groupBy(col("u")).count()
+        .collect().map(r => { val k = r.getLong(1); k * (k - 1) / 2 }).sum
+    assert(wedgeCount(sdf) == 0L)
+    assert(Triangles.count(sdf, "s", "d").head.getLong(0) == 0L)
+    // one leaf-leaf edge closes exactly one triangle and the wedge budget
+    // stays O(1): edge (1,2) makes deg(1)=deg(2)=2, so 1→2 (tie by id),
+    // 1→0 and 2→0 (degree), hub still points nowhere — exactly one wedge
+    val closed = spark.createDataFrame(star :+ (1L, 2L)).toDF("s", "d")
+    assert(wedgeCount(closed) == 1L)
+    val tri = Triangles.enumerate(closed, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((0L, 1L, 2L)))
+  }
+
   test("Basket: pair supports and rule confidences") {
     // baskets: {A,B,C}, {A,B}, {A,B}, {B,C} with a duplicate (1,A) row
     val rows = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
