@@ -1112,10 +1112,10 @@ object SparkEntry {
       graft.operators.PageRank.pageRank(edges, "s", "d", iterations = 5)
     }),
     "q_bpe_encode" -> ((s, dir) => {
-      // rows-only gate (the sequential merge loop has no SQL oracle): train
-      // a 64-merge subword vocab on the corpus histogram, encode every doc
-      // with the single-reference-object expression, emit token counts.
-      // Both learned counts are deterministic given the corpus.
+      // train a 64-merge subword vocab on the corpus histogram, encode every
+      // doc with the single-reference-object expression, emit token counts.
+      // Oracled via oracleSqlDynamic: the deterministic merge table rides
+      // into the SQL as literals and DuckDB replays the encoding.
       val d = tbl(s, dir, "documents")
       val merges = graft.operators.Bpe.train(d, "text", numMerges = 64)
       d.select(col("doc_id"),
@@ -1149,6 +1149,48 @@ object SparkEntry {
     head + rounds +
       s"""
          SELECT v AS node, sc AS score FROM i$iters ORDER BY score DESC, node"""
+  }
+
+  /** DuckDB replay of BPE ENCODING under a trained merge list. The merge
+    * loop itself is a bounded driver-side sequential algorithm (no SQL
+    * oracle exists for it), but it is deterministic given the corpus — so
+    * the trained merges ride into the oracle as literals and the oracle
+    * independently replays the DISTRIBUTED part, per-token encoding:
+    * symbols as a space-delimited string, one left-to-right
+    * `replace(' a b ', ' ab ')` per merge in rank order (Sennrich 2016's
+    * sequential application, which agrees with the engine's rank-greedy
+    * encodeWord: a merge's components are always created by earlier-rank
+    * merges, so rank order IS application order). Encoding runs over the
+    * DISTINCT word vocabulary, then joins counts back per document. */
+  private def bpeOracleSql(merges: graft.operators.Bpe.Merges): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val folded = merges.foldLeft("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, ' ${esc(a)} ${esc(b)} ', ' ${esc(a + b)} ')"
+    }
+    s"""WITH tok AS (SELECT doc_id, text,
+                CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+         FROM documents),
+       words AS (SELECT DISTINCT unnest(toks) AS w FROM tok),
+       enc AS (SELECT w, CAST(len(string_split(trim($folded), ' ')) AS BIGINT) AS n
+               FROM words WHERE w <> ''),
+       flat AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+       cnt AS (SELECT f.doc_id, CAST(sum(e.n) AS BIGINT) AS n_bpe
+               FROM flat f JOIN enc e ON f.w = e.w GROUP BY f.doc_id)
+       SELECT d.doc_id, CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe,
+              CAST(len(regexp_extract_all(d.text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpeish
+       FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+       ORDER BY d.doc_id"""
+  }
+
+  /** Oracles whose SQL embeds values derived from the corpus (literals a
+    * static map cannot carry). Verify merges these into oracle_sql.json;
+    * a failure here must not sink the static oracles, so callers wrap it. */
+  def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val merges = graft.operators.Bpe.train(tbl(spark, sfDir, "documents"),
+      "text", numMerges = 64)
+    Map("q_bpe_encode" -> bpeOracleSql(merges))
   }
 
   /** DuckDB equivalents. Notes: SUM() in DuckDB widens to HUGEINT — always

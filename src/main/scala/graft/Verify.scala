@@ -34,7 +34,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // corpus-derived oracles (e.g. the BPE merge table as SQL literals);
+    // never let a dynamic-oracle failure sink the static gate — the worst
+    // case is the affected query degrading to the driver's rows-only check
+    val dynamic = try SparkEntry.oracleSqlDynamic(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -44,7 +44,12 @@ object VerifySome {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => args.contains(kv._1))
+    val dynamic = try SparkEntry.oracleSqlDynamic(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify-some] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic).filter(kv => args.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
