@@ -61,13 +61,22 @@ object GraftSqlFunctions {
 
   private def strArg(fn: String, e: Expression): String =
     if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal string")
-    else String.valueOf(e.eval())
+    else e.eval() match {
+      case null  => throw new IllegalArgumentException(s"$fn: argument must not be NULL")
+      case other => String.valueOf(other)
+    }
 
   private def strArrayArg(fn: String, e: Expression): Seq[String] =
     if (!e.foldable) throw new IllegalArgumentException(s"$fn: argument must be a literal array")
     else e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        (0 until a.numElements()).map { i =>
+          // a raw NPE from getUTF8String on array(..., NULL) would read as
+          // an engine bug; fail like the other literal-arg helpers instead
+          if (a.isNullAt(i))
+            throw new IllegalArgumentException(s"$fn: array literal must not contain NULL")
+          a.getUTF8String(i).toString
+        }
       case other => throw new IllegalArgumentException(s"$fn: expected array literal, got $other")
     }
 

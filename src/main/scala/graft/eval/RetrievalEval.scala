@@ -51,7 +51,12 @@ object RetrievalEval {
     * relevant retrieved docs, normalized by the ideal DCG for
     * min(n_relevant, k) front-loaded hits. log2 runs only on small
     * integer-derived values, and each query's sum folds over its own
-    * bounded rank list, so results are deterministic. */
+    * bounded rank list, so results are deterministic.
+    *
+    * Output is TOTAL over queries seen in EITHER input, like mrr/hitRate:
+    * a query retrieved but with zero judged-relevant docs scores 0.0
+    * (nDCG is undefined there; 0.0 keeps `avg(ndcg_at_k)` honest — silently
+    * dropping such queries would overestimate the mean). */
   def ndcg(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"ndcg needs k >= 1, got $k")
     val rel = relevant.select(col("query_id"), col("doc_id")).distinct()
@@ -64,10 +69,16 @@ object RetrievalEval {
     val idcgTable = (1 to k).scanLeft(0.0)((acc, r) => acc + 1.0 / (math.log(r + 1.0) / math.log(2.0)))
     val idcg = element_at(lit(idcgTable.toArray),
       (least(col("n_relevant"), lit(k.toLong)) + 1).cast("int"))
-    rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    val qids = retrieved.select(col("query_id")).distinct()
+      .unionByName(rel.select(col("query_id"))).distinct()
+    qids
+      .join(rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant")),
+        Seq("query_id"), "left")
       .join(dcg, Seq("query_id"), "left")
       .select(col("query_id"),
-        round(coalesce(col("dcg"), lit(0.0)) / idcg, 6).as(s"ndcg_at_$k"))
+        when(col("n_relevant").isNull, lit(0.0))
+          .otherwise(round(coalesce(col("dcg"), lit(0.0)) / idcg, 6))
+          .as(s"ndcg_at_$k"))
   }
 
   /** ROUGE-N recall/precision/F1 (n-gram overlap with CLIPPED counts — a

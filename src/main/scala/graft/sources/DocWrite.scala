@@ -29,9 +29,12 @@ object DocWrite {
    * (materializeIncremental) and streaming foreachBatch sinks accrete
    * small files until scan planning (footer reads, task scheduling)
    * dominates query time — the classic lakehouse OPTIMIZE. Returns the new
-   * file count. The delete+rename swap is not atomic (a production store
-   * would version directories like VectorStore does); callers schedule
-   * compaction when no writer is active.
+   * file count. The swap is rename-aside, not atomic (a production store
+   * would version directories like VectorStore does): the original moves
+   * to `path.compact.old`, the rewrite renames into place, and only then
+   * is the old copy deleted — a crash at ANY step leaves a complete copy
+   * of the data on disk (possibly under the .old name, recoverable by
+   * hand). Callers schedule compaction when no writer is active.
    */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -51,9 +54,20 @@ object DocWrite {
     val tmp = new Path(path + ".compact.tmp")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
+    // rename the original ASIDE before renaming the rewrite into place: a
+    // crash between a delete and a rename would leave NO primary copy,
+    // while a crash here leaves either the original (still live or under
+    // .old) or both — never zero copies
+    val old = new Path(path + ".compact.old")
+    fs.delete(old, true) // stale leftover from an earlier crashed compact
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      // roll back so the store stays readable at its primary path
+      fs.rename(old, p)
       throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    }
+    fs.delete(old, true)
     n
   }
 

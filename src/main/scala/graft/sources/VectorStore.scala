@@ -97,6 +97,15 @@ final class ParquetVectorStore(path: String) {
    * overwrite would silently delete it. The offset makes the two write
    * paths collision-free, with the documented rule that streaming records
    * supersede bulk loads for the same id (deterministic merge-on-read).
+   *
+   * CONTRACT — one stream, one checkpoint, per store: batchIds restart at
+   * 0 for every streaming query, so versions are deterministic only
+   * relative to a single checkpoint lineage. Two concurrent queries
+   * writing the same store, or a restart with a FRESH checkpoint
+   * directory, would dynamically overwrite each other's `_version`
+   * partitions and silently lose records. Resuming from the SAME
+   * checkpoint is always safe (that is the exactly-once replay path).
+   * Multiple producers need one store each, merged on read.
    */
   def appendStream(docs: DocSet, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -125,15 +134,25 @@ final class ParquetVectorStore(path: String) {
       .drop("_rn", "_version")
   }
 
-  /** Rewrite the log to one row per id (compaction). */
+  /** Rewrite the log to one row per id (compaction). Rename-aside swap:
+    * the original moves to `path__old` before the rewrite renames into
+    * place, so a crash at any step leaves a complete copy on disk (same
+    * scheme as DocWrite.compact). */
   def compact(spark: SparkSession): Unit = {
     val latest = read(spark).withColumn("_version", lit(0L))
     val tmp = path + "__compact"
     latest.write.mode("overwrite").partitionBy("_version").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+    val old = new Path(path + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(new Path(path), old))
+      throw new java.io.IOException(s"compact: rename $path aside failed")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      fs.rename(old, new Path(path))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Current version set, from partition-directory names only. */

@@ -75,4 +75,16 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(out("q2") - 1.5 / (1.0 + 1.0 / (math.log(3) / math.log(2)))) < 1e-6)
     assert(out("q3") == 0.0)
   }
+
+  test("nDCG@k: a retrieved-but-unjudged query scores 0.0, not dropped") {
+    import spark.implicits._
+    // q2 never appears in the judgments: averaging must see it as 0.0
+    val retrieved = Seq(("q1", "a", 1), ("q2", "x", 1), ("q2", "y", 2))
+      .toDF("query_id", "doc_id", "rank")
+    val relevant = Seq(("q1", "a")).toDF("query_id", "doc_id")
+    val out = RetrievalEval.ndcg(retrieved, relevant, k = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("q1", "q2"), "unjudged query must not vanish")
+    assert(out("q1") == 1.0 && out("q2") == 0.0)
+  }
 }

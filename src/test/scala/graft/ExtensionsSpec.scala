@@ -45,6 +45,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "café")
   }
 
+  test("NULL inside a literal-argument list is an informative error, not an NPE") {
+    GraftSqlFunctions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT gf_blocklist_hits('some text', array('a', NULL)) AS n").head)
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("gf_blocklist_hits")),
+      s"expected IllegalArgumentException naming the function, got: $e")
+    assert(!chain(e).exists(_.isInstanceOf[NullPointerException]))
+  }
+
   test("vector kernels are callable from SQL") {
     GraftSqlFunctions.register(spark)
     val r = spark.sql(
