@@ -62,6 +62,23 @@ object Bench {
           Window.partitionBy(col("k")).orderBy(desc("tf"), col("t"))))
         .where(col("rn") <= 2)
         .queryExecution.toRdd.count()
+      // plan-layer class loading (LlmPlanner JSON parse, QueryExecutor
+      // lowering): ~1.2s of one-time cost that otherwise lands on the
+      // first q_nlq_* query — measured, the steady-state construct cost
+      // is ~0.2s of fixed fake-LLM round trips, never per-row work
+      val canned = """{"query":"q","result_node":1,"nodes":{
+        "0":{"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"region"},
+        "1":{"node_type":"Count","node_id":1,"inputs":[0]}}}"""
+      val planner = new graft.plan.LlmPlanner(
+        new graft.llm.CannedLlmClient(canned),
+        schema = Map("region" -> Seq("r_regionkey", "r_name")),
+        processors = Seq(graft.plan.DefaultPlanValidator))
+      new graft.plan.QueryExecutor(spark, new graft.llm.FakeLlmClient("echo:8"),
+          name => spark.read.parquet(s"$sfDir/$name.parquet"))
+        .execute(planner.plan("how many regions")) match {
+        case graft.plan.QNumV(v) => require(v >= 0)
+        case _ => ()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup: ${e.getMessage}")
     }

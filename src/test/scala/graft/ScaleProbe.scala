@@ -47,20 +47,32 @@ object ScaleProbe {
       "unigram_lm" -> (d => graft.operators.UnigramLm.score(d, "doc_id", "text")),
       "pctl_by_source" -> (d => graft.operators.Calibration.percentileBy(
         d.select(col("doc_id"), col("source"), gf.qualityScore(col("text")).as("q")),
-        "source", col("q"), "doc_id")))
+        "source", col("q"), "doc_id")),
+      // two-phase global rank × 2 + full-outer fusion join: cheap scorings
+      // (quality, n_chars) so the ratio isolates the rank/join machinery
+      "rrf_fusion" -> (d => graft.operators.Fusion.rrf(Seq(
+        d.select(col("doc_id"), gf.qualityScore(col("text")).as("score")),
+        d.select(col("doc_id"), col("n_chars").cast("double").as("score"))),
+        "doc_id", "score")))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // warm both sizes once (codegen/JIT), then measure
+    // SAME protocol at both sizes — min of two runs after a warmup pass.
+    // A single cold Kx run would fold one-time costs (AQE stats, JIT,
+    // within-operator checkpoint materialization) into the ratio and read
+    // as super-linearity that the per-stage plans don't have.
+    def measure(f: DataFrame => DataFrame, d: DataFrame): Double = {
+      f(d).queryExecution.toRdd.count() // warm
+      math.min(time(f(d).queryExecution.toRdd.count()),
+        time(f(d).queryExecution.toRdd.count()))
+    }
     val small = replicate(1).localCheckpoint()
     val big = replicate(k).localCheckpoint()
-    ops.foreach { case (_, f) => f(small).queryExecution.toRdd.count() }
     println(f"[scale] K=$k  (ratio ~ $k%d.0 is linear)")
     ops.foreach { case (name, f) =>
-      val t1 = math.min(time(f(small).queryExecution.toRdd.count()),
-        time(f(small).queryExecution.toRdd.count()))
-      val tk = time(f(big).queryExecution.toRdd.count())
+      val t1 = measure(f, small)
+      val tk = measure(f, big)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
 
@@ -88,11 +100,34 @@ object ScaleProbe {
       "pagerank_5r" -> (e => PageRank.pageRank(e, "s", "d", iterations = 5)),
       "triangles" -> (e => Triangles.enumerate(e, "s", "d")))
     val gSmall = edgesK(1); val gBig = edgesK(k)
-    graphOps.foreach { case (_, f) => f(gSmall).queryExecution.toRdd.count() }
     graphOps.foreach { case (name, f) =>
-      val t1 = math.min(time(f(gSmall).queryExecution.toRdd.count()),
-        time(f(gSmall).queryExecution.toRdd.count()))
-      val tk = time(f(gBig).queryExecution.toRdd.count())
+      val t1 = measure(f, gSmall)
+      val tk = measure(f, gBig)
+      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+
+    // event-analytics operators scale over replicated events with offset
+    // user ids (disjoint user populations — linear work by construction)
+    import graft.operators.EventAnalytics
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts").as("tsl"))
+      .localCheckpoint()
+    def eventsK(n: Int): DataFrame =
+      if (n == 1) events1
+      else events1.crossJoin(spark.range(n).select(col("id").as("_rep")))
+        .select((col("user_id") + col("_rep") * 1000000000L).as("user_id"),
+          col("event_type"), col("tsl"))
+        .localCheckpoint()
+    val eventOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "funnel" -> (e => EventAnalytics.funnel(e, "user_id", "event_type", "tsl",
+        Seq("view", "click", "purchase"), windowNs = 7L * 86400 * 1000000000L)),
+      "retention" -> (e => EventAnalytics.retention(e, "user_id", "tsl",
+        bucketNs = 7L * 86400 * 1000000000L)))
+    val eSmall = eventsK(1); val eBig = eventsK(k)
+    eventOps.foreach { case (name, f) =>
+      val t1 = measure(f, eSmall)
+      val tk = measure(f, eBig)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
     spark.stop()
