@@ -946,6 +946,11 @@ object SparkEntry {
       // self-trained unigram LM perplexity proxy (integer bits-of-surprise —
       // see UnigramLm for why a real log cannot cross-engine hash-match)
       graft.operators.UnigramLm.score(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q_bigram_logprob" -> ((s, dir) =>
+      // order-2 fluency scoring: conditional bits-of-surprise per adjacent
+      // token pair — separates word salad from fluent text, which unigram
+      // statistics cannot (a permutation has identical unigram stats)
+      graft.operators.BigramLm.score(tbl(s, dir, "documents"), "doc_id", "text")),
     "q_dup_spans" -> ((s, dir) =>
       // exact-substring dedup signal (Lee et al. 2021) — 192-bit span-hash
       // keys on every exchange; the oracle groups the raw span text instead
@@ -1926,6 +1931,29 @@ object SparkEntry {
                  FROM tf JOIN vocab USING (tok), tot
                  GROUP BY tf.doc_id)
          SELECT d.doc_id, per.n_toks, per.mean_bits, per.rare_frac
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         pairs AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+                   FROM t, unnest(range(1, len(toks))) AS u(i)
+                   WHERE len(toks) >= 2),
+         bf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS bf
+                FROM pairs GROUP BY doc_id, bg),
+         vocab AS (SELECT bg, CAST(sum(bf) AS BIGINT) AS c2 FROM bf GROUP BY bg),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+                 FROM vocab GROUP BY 1),
+         per AS (SELECT bf.doc_id,
+                        CAST(sum(bf.bf) AS BIGINT) AS n_bigrams,
+                        round(CAST(sum(bf.bf * (length(bin(ctx.c1)) - length(bin(vocab.c2)))) AS DOUBLE)
+                              / sum(bf.bf), 6) AS mean_bits,
+                        round(CAST(sum(CASE WHEN vocab.c2 = 1 THEN bf.bf ELSE 0 END) AS DOUBLE)
+                              / sum(bf.bf), 6) AS novel_frac
+                 FROM bf JOIN vocab USING (bg)
+                         JOIN ctx ON split_part(bf.bg, ' ', 1) = ctx.w1
+                 GROUP BY bf.doc_id)
+         SELECT d.doc_id, per.n_bigrams, per.mean_bits, per.novel_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
     "q_dup_spans" ->

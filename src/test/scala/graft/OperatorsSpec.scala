@@ -220,6 +220,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text"))
   }
 
+  test("BigramLm: conditional bits, novel fraction, word salad > fluent text") {
+    import graft.operators.BigramLm
+    // corpus bigrams: "the cat" x2, "cat sat" x2, "the dog" x1
+    // ctx: c("the .")=3, c("cat .")=2 -> bits("the cat")=bin(3)-bin(2)=0,
+    // bits("cat sat")=0, bits("the dog")=bin(3)-bin(1)=1
+    val df = spark.createDataFrame(Seq(
+      (1, "the cat sat"),          // bigrams: the cat, cat sat -> mean 0
+      (2, "the cat sat"),
+      (3, "the dog"),              // one novel bigram -> mean 1, novel 1.0
+      (4, "single"),               // <2 tokens -> null score, row kept
+      (5, ""))).toDF("id", "text")
+    val out = BigramLm.score(df, "id", "text").collect()
+    assert(out.length == 5)
+    val r1 = out.find(_.getInt(0) == 1).get
+    assert(r1.getLong(1) == 2 && r1.getDouble(2) == 0.0 && r1.getDouble(3) == 0.0)
+    val r3 = out.find(_.getInt(0) == 3).get
+    assert(r3.getLong(1) == 1 && r3.getDouble(2) == 1.0 && r3.getDouble(3) == 1.0)
+    assert(out.find(_.getInt(0) == 4).get.isNullAt(1))
+    assert(out.find(_.getInt(0) == 5).get.isNullAt(1))
+    // the fluency signal unigram stats cannot see: a permuted corpus of the
+    // same tokens scores strictly more surprising on average
+    val fluent = (1 to 20).map(i => (i, "the quick brown fox jumps"))
+    val salad = (21 to 40).map(i => (i, s"brown jumps fox quick the"))
+    val mixed = spark.createDataFrame(fluent ++ salad).toDF("id", "text")
+    val scores = BigramLm.score(mixed, "id", "text").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(scores(1) == scores(2)) // deterministic
+    // both shapes occur 20x so both are "known"; check novel_frac=0 and
+    // equal-count bigrams give equal bits — then make salad genuinely rarer
+    val rare = spark.createDataFrame(fluent ++ Seq((99, "brown jumps fox quick the")))
+      .toDF("id", "text")
+    val s2 = BigramLm.score(rare, "id", "text").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(s2(99)._1 > s2(1)._1, "rare word-order must score more bits")
+    assert(s2(99)._2 == 1.0 && s2(1)._2 == 0.0)
+  }
+
+  test("BigramLm plan: df via aggregate+join, no text on exchanges") {
+    import graft.operators.BigramLm
+    val df = spark.createDataFrame(Seq((1, "a b c"), (2, "b c d"))).toDF("id", "text")
+    val plan = BigramLm.score(df, "id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(text"))
+    assert(!plan.contains("windowspecdefinition"), "no window funnels")
+  }
+
   test("Packing.globalRank equals a single-partition row_number") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(
