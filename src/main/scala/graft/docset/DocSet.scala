@@ -174,6 +174,16 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def extractDocumentStructure(structure: Document => Document =
       graft.operators.DocStructure.bySection _): DocSet = map(structure)
 
+  /** The reference's HierarchicalDocument children tree (data/document.py:421)
+    * as a nested Dataset — document -> sections -> elements, one typed row
+    * per document. Annotates sections first when the doc isn't already
+    * structured; per-partition transform, no shuffle. */
+  def hierarchy(): org.apache.spark.sql.Dataset[graft.operators.TreeDocument] = {
+    implicit val enc: org.apache.spark.sql.Encoder[graft.operators.TreeDocument] =
+      org.apache.spark.sql.Encoders.product[graft.operators.TreeDocument]
+    ds.map(graft.operators.DocStructure.tree _)
+  }
+
   /** Caption image elements via a pluggable VLM
     * (reference: transforms/summarize_images.py:184). */
   def summarizeImages(captioner: graft.operators.ImageCaptioner,

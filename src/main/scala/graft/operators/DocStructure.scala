@@ -2,6 +2,18 @@ package graft.operators
 
 import graft.model.{Document, Element}
 
+/** One element of the materialized hierarchy (tree leaf). */
+final case class TreeElement(elementIndex: Int, elementType: String,
+                             text: String, properties: Map[String, String])
+
+/** One section of the materialized hierarchy: header + child elements. */
+final case class TreeSection(sectionId: String, title: String,
+                             summary: String, elements: Seq[TreeElement])
+
+/** The reference's HierarchicalDocument shape (document -> section
+  * children -> element children) as a STATIC two-level nested schema. */
+final case class TreeDocument(docId: String, sections: Seq[TreeSection])
+
 /**
  * Document-structure extraction (reference:
  * lib/sycamore/sycamore/transforms/extract_document_structure.py —
@@ -80,6 +92,29 @@ object DocStructure {
         e.withProps("summary" -> view.summary)
       }
     }
+  }
+
+  /** The reference's HierarchicalDocument children tree (document.py:421)
+    * as a first-class nested Dataset row — document -> sections ->
+    * elements. The reference's recursive any-depth tree exists there
+    * because its partitioner emits arbitrary nesting; its structure
+    * extractors (StructureBySection/ByDocument) only ever produce this
+    * exact two-level shape, which IS encodable as a static Spark schema.
+    * Downstream (Neo4j-style) consumers get the actual tree instead of
+    * reassembling it from `_section_id` annotations; the flat annotated
+    * form stays the shuffle-friendly engine representation. Per-doc local
+    * transform — no shuffle, no driver materialization. */
+  def tree(doc: Document): TreeDocument = {
+    val annotated =
+      if (doc.elements.exists(_.prop(SectionId).isDefined)) doc
+      else bySection(doc)
+    TreeDocument(doc.docId, sections(annotated).map { s =>
+      TreeSection(s.sectionId, s.title,
+        s.header.prop("summary").getOrElse(""),
+        (s.header +: s.children).map(e =>
+          TreeElement(e.elementIndex, e.elementType, e.text,
+            e.properties - SectionId - SectionTitle - "summary")))
+    })
   }
 
   /** Materialize the section tree view of an annotated doc. */

@@ -42,6 +42,30 @@ class StructureSpec extends AnyFunSuite {
     assert(sections.size == 1 && sections.head.children.size == 5)
   }
 
+  test("hierarchy() materializes the nested document -> sections -> elements tree") {
+    val docs = DocSet.of(spark, Seq(sectionedDoc,
+      sectionedDoc.copy(docId = "d2", elements = Seq(
+        Element.text(0, "NarrativeText", "only front matter")))))
+    val rows = docs.hierarchy().collect().map(t => t.docId -> t).toMap
+    val d1 = rows("d1")
+    assert(d1.sections.map(_.title) == Seq("Front Matter", "Intro", "Details"))
+    // each section's elements INCLUDE its header/anchor, in element order
+    assert(d1.sections(1).elements.map(_.text) ==
+      Seq("Intro", "alpha corp acquired beta inc"))
+    assert(d1.sections(1).summary.contains("SECTION TITLE: Intro"))
+    // internal annotations do not leak into the tree leaves
+    assert(d1.sections.flatMap(_.elements).forall(e =>
+      !e.properties.contains(DocStructure.SectionId) &&
+        !e.properties.contains("summary")))
+    assert(rows("d2").sections.map(_.title) == Seq("Front Matter"))
+    // an already-annotated doc is not re-sectioned (same tree either way)
+    val pre = DocSet.of(spark, Seq(DocStructure.bySection(sectionedDoc)))
+    assert(pre.hierarchy().collect().head == d1)
+    // nested schema is static: sections array of struct with elements array
+    val schema = docs.hierarchy().toDF.schema.treeString
+    assert(schema.contains("sections") && schema.contains("elements"))
+  }
+
   test("graph entities extract per section and resolve across docs") {
     // fake: "Company" entities = words ending in corp/inc/llc (+ the
     // following word boundary token), pure function of the section summary
