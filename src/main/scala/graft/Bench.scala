@@ -83,27 +83,45 @@ object Bench {
       System.err.println(s"[bench] warmup: ${e.getMessage}")
     }
     val failures = scala.collection.mutable.ListBuffer[String]()
+    // median of BENCH_RUNS full passes (default 3): single-shot numbers
+    // carried ±25% run-to-run variance between recorded artifacts (round-5
+    // history quotes 58.3/62.6/71.9/90.0s for the same code), which made
+    // cross-round comparisons read as real changes. The reported value is
+    // the sum of per-query MEDIANS; per-run totals ride along so the
+    // artifact itself shows the spread.
+    val runs = math.max(1, sys.env.getOrElse("BENCH_RUNS", "3").toInt)
     // name order, not Map hash order: adding a query must not reshuffle the
     // execution order of the others (JIT/GC state varies by position, which
     // otherwise shows up as cross-round noise on unchanged queries)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        // failed queries are recorded in the JSON line too — a fast failure
-        // must not be mistaken for a fast success in bench comparisons
-        failures += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          // failed queries are recorded in the JSON line too — a fast
+          // failure must not be mistaken for a fast success
+          if (!failures.contains(name)) failures += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val byName = samples.flatten.groupBy(_._1).view.mapValues(v => median(v.map(_._2)))
+    val results = names.map(n => n -> byName(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val runTotals = samples.map(_.map(_._2).sum)
+      .map(t => f"$t%.1f").mkString("[", ",", "]")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val prev = prevJson(results.map(_._1).toSet)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"prev":$prev,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","run_totals":$runTotals,"prev":$prev,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture tail-clips long lines (BENCH_r2/r3 both
     // recorded truncated JSON) — persist the full line as a repo artifact too

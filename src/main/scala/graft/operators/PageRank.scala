@@ -50,7 +50,14 @@ object PageRank {
       .repartition(col("_s"))
       .localCheckpoint() // reused every round; re-deriving the edge list
                          // from lineage each iteration would rescan the source
-    val nodes = e.select(col("_s").as("_n")).union(e.select(col("_d").as("_n"))).distinct()
+    // checkpointed once: every round's score refresh left-joins `nodes`,
+    // and without the checkpoint each round's job re-runs the union+distinct
+    // (two exchanges) from the edge blocks. The distinct's hash(_n)
+    // partitioning survives the checkpoint, so the per-round join needs no
+    // exchange on the nodes side.
+    val nodes = e.select(col("_s").as("_n")).union(e.select(col("_d").as("_n")))
+      .distinct()
+      .localCheckpoint()
     val base = lit((100L - dampingPct) * Scale) // divided by 100 after damping
     var scores = nodes.select(col("_n"), lit(Scale).as("_score")).localCheckpoint()
     var i = 0
