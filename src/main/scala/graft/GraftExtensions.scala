@@ -151,6 +151,8 @@ object GraftSqlFunctions {
         x(gf.blocklistHits(c(es(0)), strArrayArg("gf_blocklist_hits", es(1)))))),
     ("gf_nfc_normalize", "(text) -> string",
       arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
+    ("gf_dedup_key", "(text) -> string",
+      arity("gf_dedup_key", 1)(es => x(gf.dedupKey(c(es(0)))))),
     ("gf_scrub_pii", "(text[, replacement]) -> string",
       es => es.length match {
         case 1 => x(gf.scrubPii(c(es(0))))

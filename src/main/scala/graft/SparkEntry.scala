@@ -951,6 +951,18 @@ object SparkEntry {
       // token pair — separates word salad from fluent text, which unigram
       // statistics cannot (a permutation has identical unigram stats)
       graft.operators.BigramLm.score(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_key" -> ((s, dir) =>
+      // CCNet dedup-key normalization (one codegen'd pass); unicode
+      // accent-strip behavior is pinned by unit tests — this corpus is
+      // ASCII so the DuckDB replay is byte-exact
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gf.dedupKey(col("text")).as("dkey"))
+        .orderBy(col("doc_id"))),
+    "q_corpus_stats" -> ((s, dir) =>
+      // dataset-card summary: one aggregation pass, integer sums + exact
+      // ratios only (no float accumulation crosses a shuffle)
+      graft.operators.CorpusStats.bySource(tbl(s, dir, "documents"),
+        "text", Seq("source", "lang"))),
     "q_dup_spans" -> ((s, dir) =>
       // exact-substring dedup signal (Lee et al. 2021) — 192-bit span-hash
       // keys on every exchange; the oracle groups the raw span text instead
@@ -1956,6 +1968,23 @@ object SparkEntry {
          SELECT d.doc_id, per.n_bigrams, per.mean_bits, per.novel_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
+    "q_dedup_key" ->
+      """SELECT doc_id,
+                trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS dkey
+         FROM documents ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """WITH t AS (SELECT source, lang, length(text) AS nc,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS nt
+         FROM documents)
+         SELECT source, lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS mean_tokens,
+                round(CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS short_frac
+         FROM t GROUP BY source, lang ORDER BY source, lang""",
     "q_dup_spans" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),

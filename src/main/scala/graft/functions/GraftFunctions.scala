@@ -188,6 +188,11 @@ object gf {
     * is already composed — see NfcNormalizeExpr). */
   def nfcNormalize(c: Column): Column = fromExpr(NfcNormalizeExpr(toExpr(c)))
 
+  /** CCNet-style dedup-key normalization (lowercase, deaccent, digits and
+    * punctuation to spaces, collapse, trim) — ONE codegen'd pass; feed the
+    * result to exactRows/exact for normalization-insensitive dedup. */
+  def dedupKey(c: Column): Column = fromExpr(DedupKeyExpr(toExpr(c)))
+
   /** Count of tokens present in a blocklist — the C4-style wordlist filter
     * (Raffel et al. 2020 drop any page containing a "bad word"). Token-set
     * membership, not substring: "grass" must not hit a blocklist "ass"

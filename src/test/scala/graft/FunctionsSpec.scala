@@ -139,4 +139,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2) == "café") // already NFC: unchanged
     assert(out(3) == "plain ascii" && out(4) == "")
   }
+
+  test("dedupKey: lowercase, deaccent, digits/punct to spaces, collapse, trim") {
+    val decomposedCafe = "Café Déjà-Vu" // e + combining marks
+    val df = Seq(
+      (1, "Copyright © 2023, Ltd.  All   rights reserved!"),
+      (2, "copyright 2024 ltd -- ALL RIGHTS RESERVED"),
+      (3, "Café Déjà-Vu"), // precomposed accents
+      (4, decomposedCafe),                // decomposed: same key as 3
+      (5, "  ...  "),                     // punctuation-only -> empty key
+      (6, ""))
+      .toDF("id", "t")
+      .select($"id", gf.dedupKey($"t").as("k"))
+    val out = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // the two boilerplate variants normalize to ONE exact-dedup key
+    assert(out(1) == "copyright ltd all rights reserved")
+    assert(out(2) == out(1))
+    assert(out(3) == "cafe deja vu")
+    assert(out(4) == out(3)) // NFD-insensitive
+    assert(out(5) == "" && out(6) == "")
+  }
 }
