@@ -257,6 +257,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s2(99)._2 == 1.0 && s2(1)._2 == 0.0)
   }
 
+  test("CorpusStats: one-pass dataset card, exact sums and ratios") {
+    import graft.operators.CorpusStats
+    val df = spark.createDataFrame(Seq(
+      ("web", "en", "one two three"),
+      ("web", "en", "four"),
+      ("web", "de", "fünf sechs"),
+      ("books", "en", ""))).toDF("source", "lang", "text")
+    val out = CorpusStats.bySource(df, "text", Seq("source", "lang"), minTokens = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out(("web", "en")) == ((2L, 4L, 2.0, 0.5))) // "four" is short
+    assert(out(("web", "de")) == ((1L, 2L, 2.0, 0.0)))
+    assert(out(("books", "en")) == ((1L, 0L, 0.0, 1.0))) // empty doc counts, 0 tokens
+    // single aggregation pass: no joins, no windows in the plan
+    val plan = CorpusStats.bySource(df, "text", Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"))
+  }
+
   test("BigramLm plan: df via aggregate+join, no text on exchanges") {
     import graft.operators.BigramLm
     val df = spark.createDataFrame(Seq((1, "a b c"), (2, "b c d"))).toDF("id", "text")
