@@ -153,6 +153,14 @@ object GraftSqlFunctions {
       arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
     ("gf_dedup_key", "(text) -> string",
       arity("gf_dedup_key", 1)(es => x(gf.dedupKey(c(es(0)))))),
+    ("gf_chunk_tokens", "(text, maxTokens[, overlap]) -> array<string>",
+      es => es.length match {
+        case 2 => x(gf.chunkTokens(c(es(0)), intArg("gf_chunk_tokens", es(1))))
+        case 3 => x(gf.chunkTokens(c(es(0)), intArg("gf_chunk_tokens", es(1)),
+          intArg("gf_chunk_tokens", es(2))))
+        case n => throw new IllegalArgumentException(
+          s"gf_chunk_tokens expects 2 or 3 arguments, got $n")
+      }),
     ("gf_scrub_pii", "(text[, replacement]) -> string",
       es => es.length match {
         case 1 => x(gf.scrubPii(c(es(0))))

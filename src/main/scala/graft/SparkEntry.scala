@@ -467,6 +467,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // retention-priority exact dedup: keep the FRESHEST copy (highest
+      // id, a recrawl stand-in) per duplicate group — the corpus has no
+      // natural exact dups at this SF, so the gate constructs them by
+      // unioning a doctored higher-id copy of every 7th document; min-id
+      // dedup (q_dedup_rows) would keep the originals, keep-best must
+      // keep the doctored copies
+      val d = tbl(s, dir, "documents")
+      val recrawl = d.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.exactRowsKeepBest(d.unionByName(recrawl), "doc_id", "text",
+          col("doc_id").cast("double"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
           shingleSize = 5, threshold = 0.5)
@@ -963,6 +978,15 @@ object SparkEntry {
       // ratios only (no float accumulation crosses a shuffle)
       graft.operators.CorpusStats.bySource(tbl(s, dir, "documents"),
         "text", Seq("source", "lang"))),
+    "q_chunk_text" -> ((s, dir) =>
+      // sliding 64-token windows with 16-token overlap: (doc, chunk_idx,
+      // n_tokens) training rows — the flat RAG/context-prep shape
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(gf.chunkTokens(col("text"), 64, 16)).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          gf.tokenCount(col("chunk")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "q_dup_spans" -> ((s, dir) =>
       // exact-substring dedup signal (Lee et al. 2021) — 192-bit span-hash
       // keys on every exchange; the oracle groups the raw span text instead
@@ -1463,6 +1487,14 @@ object SparkEntry {
     "q_dedup_rows" ->
       """SELECT doc_id, lang FROM documents
          WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+    "q_dedup_keep_best" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text, lang FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0)
+         SELECT doc_id, lang FROM all_docs
+         WHERE doc_id IN (SELECT CAST(max(doc_id) AS BIGINT) FROM all_docs GROUP BY text)
          ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -1985,6 +2017,18 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS DOUBLE)
                       / count(*), 6) AS short_frac
          FROM t GROUP BY source, lang ORDER BY source, lang""",
+    "q_chunk_text" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n
+         FROM documents),
+         nz AS (SELECT doc_id, n,
+                       CASE WHEN n <= 64 THEN 1
+                            ELSE 1 + CAST(ceil((n - 64) / 48.0) AS INT) END AS k
+                FROM t WHERE n > 0)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
+         FROM nz, unnest(range(0, k)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
     "q_dup_spans" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),

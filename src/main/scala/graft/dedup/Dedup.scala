@@ -72,6 +72,37 @@ object Dedup {
   }
 
   /**
+   * Exact dedup keeping the BEST row per duplicate group instead of the
+   * min-id one — what curation pipelines actually want (keep the copy with
+   * the highest quality score / longest text / freshest crawl; Gopher and
+   * FineWeb both retain by quality). `better` ranks rows (numeric, higher
+   * = better); ties break by min id so the result is deterministic and
+   * partitioning-independent.
+   *
+   * Same 192-bit-key shape as exactRows: the aggregate side carries only
+   * (hash, rank-key, id), map-side combine collapses duplicate-heavy
+   * partitions before the shuffle (min_by over a struct is an order-free
+   * aggregate — no window, so a pathological million-copy document cannot
+   * funnel one task), and text rides only as payload on the kept side.
+   */
+  def exactRowsKeepBest(df: DataFrame, id: String, text: String,
+                        better: Column): DataFrame = {
+    val hashed = df
+      .withColumn("_content_hash", xxhash64(col(text)))
+      .withColumn("_content_md5", unhex(md5(col(text))))
+      .withColumn("_rank", better)
+    // "highest rank, then lowest id" as ONE orderable struct: min_by over
+    // (-rank, id) — negating the rank (not the id) keeps string ids legal
+    val keyed = hashed
+      .select(col("_content_hash"), col("_content_md5"), col("_rank"), col(id))
+      .groupBy(col("_content_hash"), col("_content_md5"))
+      .agg(min_by(col(id),
+        struct(negate(col("_rank").cast("double")), col(id))).as(id))
+    hashed.join(keyed, Seq("_content_hash", "_content_md5", id), "left_semi")
+      .drop("_content_hash", "_content_md5", "_rank")
+  }
+
+  /**
    * MinHash-LSH candidate pairs: docs sharing >= 1 LSH band of their minhash
    * signature. Returns (idA, idB, estJaccard) with idA < idB.
    *

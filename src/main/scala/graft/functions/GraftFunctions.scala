@@ -193,6 +193,28 @@ object gf {
     * result to exactRows/exact for normalization-insensitive dedup. */
   def dedupKey(c: Column): Column = fromExpr(DedupKeyExpr(toExpr(c)))
 
+  /** Sliding-window token chunking with overlap — the RAG/context-prep
+    * splitter: windows of `maxTokens` tokens advancing by
+    * `maxTokens - overlap`, the last window short. Texts of <= maxTokens
+    * tokens yield one chunk; empty/whitespace texts yield none. Pure
+    * built-ins (sequence/transform/slice/array_join), fully codegen'd,
+    * no UDF. Complements SplitElements (recursive element bisection):
+    * this is the flat columnar form for (doc, chunk) training rows. */
+  def chunkTokens(c: Column, maxTokens: Int, overlap: Int = 0): Column = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val step = maxTokens - overlap
+    val toks = tokens(c)
+    val n = size(toks)
+    // chunks = 1 + ceil((n - maxTokens) / step) for n > maxTokens, else 1
+    val extra = ceil((n - lit(maxTokens)).cast("double") / step).cast("int")
+    val nChunks = when(n <= maxTokens, lit(1)).otherwise(lit(1) + extra)
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * step + 1, lit(maxTokens)), " ")))
+  }
+
   /** Count of tokens present in a blocklist — the C4-style wordlist filter
     * (Raffel et al. 2020 drop any page containing a "bad word"). Token-set
     * membership, not substring: "grass" must not hit a blocklist "ass"

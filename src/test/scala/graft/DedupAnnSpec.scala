@@ -27,6 +27,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("exactRowsKeepBest keeps the top-ranked copy, ties by min id, no window") {
+    val ranked = Seq(
+      (0L, "dup text", 0.2), (1L, "dup text", 0.9), (2L, "dup text", 0.9),
+      (3L, "unique", 0.1))
+      .toDF("doc_id", "text", "q")
+    val kept = Dedup.exactRowsKeepBest(ranked, "doc_id", "text", col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // highest q wins; 1 and 2 tie at 0.9 -> min id 1
+    assert(kept == Seq(1L, 3L))
+    // partitioning-independence
+    val kept2 = Dedup.exactRowsKeepBest(ranked.repartition(7), "doc_id", "text", col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == kept)
+    // string ids work (the rank, not the id, is negated internally)
+    val sids = Seq(("a", "x", 1.0), ("b", "x", 2.0)).toDF("sid", "text", "q")
+    assert(Dedup.exactRowsKeepBest(sids, "sid", "text", col("q"))
+      .select("sid").as[String].collect().toSeq == Seq("b"))
+    // scale guard: an aggregate, never a window (hot dup groups must not
+    // funnel one task), and no text on shuffle keys
+    val plan = Dedup.exactRowsKeepBest(ranked, "doc_id", "text", col("q"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"))
+    assert(!plan.contains("hashpartitioning(text"))
+  }
+
   test("exactRows exchanges key on content hashes, never on text") {
     // scale guard: raw document text must not be a grouping/join key — every
     // hashpartitioning spec in the physical plan carries the 192-bit content

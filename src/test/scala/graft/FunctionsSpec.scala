@@ -140,6 +140,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(3) == "plain ascii" && out(4) == "")
   }
 
+  test("chunkTokens: sliding windows with overlap, short and empty texts") {
+    val txt = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1, txt), (2, "a b c"), (3, "  "), (4, "single"))
+      .toDF("id", "t")
+      .select($"id", gf.chunkTokens($"t", 4, 2).as("ch"))
+    val out = df.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    // 10 tokens, window 4, step 2: starts 0,2,4,6 — stops once the end is
+    // covered (a trailing "w9 w10" window would be fully contained in the
+    // previous one and add no coverage)
+    assert(out(1) == Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8",
+      "w7 w8 w9 w10"))
+    // every consecutive pair shares exactly `overlap` tokens
+    assert(out(1).sliding(2).forall { case Seq(a, b) =>
+      a.split(" ").takeRight(2).sameElements(b.split(" ").take(2))
+    })
+    assert(out(2) == Seq("a b c")) // <= maxTokens: one chunk
+    assert(out(3) == Seq())        // whitespace-only: no chunks
+    assert(out(4) == Seq("single"))
+    // zero-overlap partitioning covers every token exactly once
+    val flat = Seq((1, txt)).toDF("id", "t")
+      .select(explode(gf.chunkTokens($"t", 3)).as("c"))
+      .collect().flatMap(_.getString(0).split(" ")).toSeq
+    assert(flat == (1 to 10).map(i => s"w$i"))
+    intercept[IllegalArgumentException](gf.chunkTokens($"t", 4, 4))
+  }
+
   test("dedupKey: lowercase, deaccent, digits/punct to spaces, collapse, trim") {
     val decomposedCafe = "Café Déjà-Vu" // e + combining marks
     val df = Seq(
