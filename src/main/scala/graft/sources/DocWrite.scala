@@ -24,6 +24,31 @@ import graft.model.Document
 object DocWrite {
 
   /**
+   * The PORTABLE half of write.opensearch (reference writer.py:45 — a live
+   * HTTP client, non-core offline): serialize documents into the
+   * OpenSearch/Elasticsearch `_bulk` wire format as NDJSON part files —
+   * one `{"index":{"_index":…,"_id":…}}` action line followed by the
+   * source line per document. The output ships with a plain
+   * `curl -H 'Content-Type: application/x-ndjson' --data-binary @part…
+   * host/_bulk`, so a user gets OpenSearch ingest without the engine
+   * owning a network client. Built columnar (to_json over structs, one
+   * text write) — no driver fan-in, no per-row UDF.
+   */
+  def opensearchBulk(docs: DocSet, dir: String, index: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = docs.toDF
+    val action = to_json(struct(struct(
+      lit(index).as("_index"), col("docId").as("_id")).as("index")))
+    val source = to_json(struct(
+      col("docId").as("doc_id"),
+      col("textRepresentation").as("text"),
+      col("embedding"),
+      col("properties")))
+    df.select(concat(action, lit("\n"), source).as("value"))
+      .write.mode("overwrite").text(dir)
+  }
+
+  /**
    * Small-file compaction for a materialized parquet store: rewrite into
    * ceil(bytes / targetFileBytes) files. Incremental appends
    * (materializeIncremental) and streaming foreachBatch sinks accrete

@@ -39,6 +39,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(docs.head.prop("lang").contains("en"))
   }
 
+  test("opensearchBulk emits valid _bulk NDJSON action/source pairs") {
+    val dir = Files.createTempDirectory("graft_osb").toString + "/out"
+    val docs = (0 until 4).map(i => Document.of(s"d$i", text = s"text $i",
+      properties = Map("k" -> i.toString))
+      .copy(embedding = Some(Array(0.5f, i.toFloat))))
+    DocWrite.opensearchBulk(DocSet.of(spark, docs), dir, index = "corpus")
+    val lines = spark.read.textFile(dir).collect().filter(_.nonEmpty)
+    assert(lines.length == 8) // action + source per doc
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    // files hold alternating pairs; pair them back up within each part file
+    val pairs = lines.grouped(2).toSeq.map { case Array(a, s) => (parse(a), parse(s)) }
+    pairs.foreach { case (action, source) =>
+      val JString(idx) = action \ "index" \ "_index"
+      val JString(aid) = action \ "index" \ "_id"
+      val JString(sid) = source \ "doc_id"
+      assert(idx == "corpus" && aid == sid, "action _id must match its source line")
+      val JString(text) = source \ "text"
+      assert(text.startsWith("text "))
+      assert((source \ "embedding").isInstanceOf[JArray])
+    }
+    assert(pairs.map { case (a, _) =>
+      val JString(id) = a \ "index" \ "_id"; id
+    }.sorted == docs.map(_.docId))
+  }
+
   test("materialize round-trip preserves documents") {
     val dir = Files.createTempDirectory("graft_mat").toString + "/out"
     val docs = (0 until 5).map(i => Document.of(s"d$i", text = s"t$i",
