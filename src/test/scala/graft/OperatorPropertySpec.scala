@@ -112,4 +112,81 @@ class OperatorPropertySpec extends AnyFunSuite {
         } && out.length == rows.length
     }, n = 10)
   }
+
+  test("chunkTokens invariants: full coverage, window bounds, overlap stitching") {
+    import graft.functions.gf
+    check(Prop.forAll(genText, Gen.choose(2, 8), Gen.choose(0, 1)) {
+      (text, maxT, ovFlag) =>
+        val overlap = math.min(ovFlag * (maxT - 1), maxT - 1)
+        val df = spark.createDataFrame(Seq(Tuple1(text))).toDF("t")
+          .select(gf.chunkTokens(col("t"), maxT, overlap).as("ch"))
+        val chunks = df.collect().head.getSeq[String](0)
+        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) chunks.isEmpty
+        else {
+          val step = maxT - overlap
+          val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+            val ws = c.split(" ").toSeq
+            if (i == 0) ws else ws.drop(overlap) // stitch: drop the shared prefix
+          }
+          chunks.forall(_.split(" ").length <= maxT) &&
+            chunks.nonEmpty &&
+            rebuilt == toks && // every token covered exactly once after stitching
+            chunks.init.forall(_.split(" ").length == maxT) // only the last is short
+        }
+    }, n = 40)
+  }
+
+  test("dedupKey invariants: idempotent, case/punct/accent insensitive, clean charset") {
+    import graft.functions.gf
+    val genNoisy = for {
+      t <- genText
+      caps <- Gen.oneOf(true, false)
+      punct <- Gen.oneOf("", ", ", " -- ", "!!! ", " 42 ")
+    } yield (t, if (caps) t.toUpperCase else t, punct + t + punct)
+    check(Prop.forAll(genNoisy) { case (t, cased, noisy) =>
+      val df = spark.createDataFrame(Seq((t, cased, noisy))).toDF("a", "b", "c")
+        .select(gf.dedupKey(col("a")).as("ka"), gf.dedupKey(col("b")).as("kb"),
+          gf.dedupKey(col("c")).as("kc"), gf.dedupKey(gf.dedupKey(col("a"))).as("kaa"))
+      val r = df.collect().head
+      val (ka, kb, kc, kaa) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      ka == kb && ka == kc && ka == kaa && // insensitivity + idempotence
+        ka.forall(ch => (ch >= 'a' && ch <= 'z') || ch == ' ') &&
+        !ka.contains("  ") && ka == ka.trim
+    }, n = 40)
+  }
+
+  test("exactRowsKeepBest invariants: one survivor per text, it has the max rank") {
+    check(Prop.forAll(genCorpus, Gen.choose(1L, 5L)) { (texts, mod) =>
+      // force duplicate groups by cycling a small text pool
+      val pool = texts.take(math.max(1, texts.size / 2))
+      val rows = (0 until texts.size * 2).map { i =>
+        (i.toLong, pool(i % pool.size), (i % mod).toDouble) }
+      val df = spark.createDataFrame(rows).toDF("id", "text", "q")
+      val kept = Dedup.exactRowsKeepBest(df, "id", "text", col("q")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val byText = rows.groupBy(_._2)
+      kept.length == byText.size && kept.forall { case (id, t, q) =>
+        val grp = byText(t)
+        val best = grp.map(_._3).max
+        q == best && id == grp.filter(_._3 == best).map(_._1).min // tie -> min id
+      }
+    }, n = 15)
+  }
+
+  test("bigram LM invariants: totals, ranges, and null only for sub-2-token docs") {
+    check(Prop.forAll(genCorpus) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = spark.createDataFrame(rows).toDF("id", "text")
+      val out = graft.operators.BigramLm.score(df, "id", "text").collect()
+      out.length == texts.length && out.forall { r =>
+        val nToks = texts(r.getLong(0).toInt).trim.split("\\s+").count(_.nonEmpty)
+        if (nToks < 2) r.isNullAt(1)
+        else {
+          val (n, bits, novel) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+          n == nToks - 1 && bits >= 0.0 && novel >= 0.0 && novel <= 1.0
+        }
+      }
+    }, n = 15)
+  }
 }
