@@ -39,7 +39,12 @@ object Basket {
     require(minSupport >= 1, "minSupport must be >= 1")
     val bi = distinctBi(df, basket, item).localCheckpoint()
     val itemSup = bi.groupBy(col("_i")).agg(count(lit(1)).as("_sup"))
-    val pairs = pairsOf(bi, minSupport)
+    // pairs feeds BOTH union branches below; without its own checkpoint
+    // the within-basket self-join + aggregate (the dominant cost) executes
+    // once per branch — the bi checkpoint alone does not stop that. The
+    // pair table itself is small (frequent pairs only), so materializing
+    // it is cheap.
+    val pairs = pairsOf(bi, minSupport).localCheckpoint()
     val dirs = pairs.select(col("item_a").as("lhs"), col("item_b").as("rhs"), col("support"))
       .unionAll(pairs.select(col("item_b").as("lhs"), col("item_a").as("rhs"), col("support")))
     dirs.join(itemSup.withColumnRenamed("_i", "lhs"), Seq("lhs"))
