@@ -1098,6 +1098,15 @@ object SparkEntry {
       // market-basket association rules: suppliers co-occurring in orders
       graft.operators.Basket.rules(tbl(s, dir, "lineitem"),
         "l_orderkey", "l_suppkey", minSupport = 5)),
+    "q_clustering_coeff" -> ((s, dir) => {
+      // local clustering coefficient on a SPARSE co-occurrence graph
+      // (minSupport=30 thins the supplier graph at the gate SF; exact
+      // integer ratio rounded 6dp so the oracle hash-matches)
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
+      graft.operators.Triangles.clusteringCoefficient(edges, "item_a", "item_b")
+        .orderBy(col("node"))
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // audit diff between a corpus and a synthetic next version (every
       // 11th doc dropped, every 7th edited, every 13th re-added under a
@@ -2218,6 +2227,26 @@ object SparkEntry {
          JOIN p e2 ON e1.b = e2.a
          JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b
          ORDER BY a, b, c""",
+    "q_clustering_coeff" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
+         p AS (SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 30),
+         tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                 FROM p e1 JOIN p e2 ON e1.b = e2.a
+                 JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b),
+         tv AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+                GROUP BY v),
+         deg AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+                  SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v)
+         SELECT deg.node, deg.degree,
+                CAST(COALESCE(tv.n_triangles, 0) AS BIGINT) AS n_triangles,
+                CASE WHEN deg.degree < 2 THEN 0.0
+                     ELSE round(2.0 * COALESCE(tv.n_triangles, 0)
+                                / (deg.degree * (deg.degree - 1)), 6) END AS coeff
+         FROM deg LEFT JOIN tv ON deg.node = tv.node
+         ORDER BY deg.node""",
     "q_basket_rules" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
          sup AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM bi GROUP BY i),

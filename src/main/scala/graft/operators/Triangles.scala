@@ -56,6 +56,37 @@ object Triangles {
       .localCheckpoint()
   }
 
+  /** Per-vertex local clustering coefficient: closed wedges at v over
+    * C(deg(v), 2) — how clique-like each vertex's neighborhood is (the
+    * third classic graph metric after PageRank and components; in corpus
+    * work it separates hub-like boilerplate clusters from organic
+    * near-dup neighborhoods). Output: (node, degree, n_triangles, coeff),
+    * coeff = 0 for degree < 2, round(2·t / (d·(d−1)), 6) otherwise —
+    * a ratio of exact integers, so it cross-engine hash-matches.
+    * Isolated vertices cannot exist in an edge list; every vertex of the
+    * input appears in the output. One triangle pass + one degree
+    * aggregate; the explode carries (vertex, 1) rows only. */
+  def clusteringCoefficient(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds the degree aggregate AND enumerate's pipeline
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("degree"))
+    val triPerVertex = enumerate(e, "a", "b")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+    deg.join(triPerVertex, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
+  }
+
   /** One row per triangle (a < b < c, id order). */
   def enumerate(edges: DataFrame, src: String, dst: String): DataFrame = {
     val o = oriented(edges, src, dst)

@@ -353,6 +353,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Triangles.count(df, "s", "d").head.getLong(0) == 2L)
   }
 
+  test("clusteringCoefficient: known coefficients, degree-1 and no-triangle vertices") {
+    import org.apache.spark.sql.functions.col
+    // triangle 1-2-3 plus pendant 4 off vertex 3, plus edge 5-6:
+    // cc(1)=cc(2)=1 (deg 2, 1 tri), cc(3)=2*1/(3*2)=1/3, cc(4)=0 (deg 1),
+    // cc(5)=cc(6)=0 (deg 1, no triangles)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+    val out = graft.operators.Triangles
+      .clusteringCoefficient(spark.createDataFrame(e).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1.0)) && out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 0.333333)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    assert(out(5L) == ((1L, 0L, 0.0)) && out(6L) == ((1L, 0L, 0.0)))
+    assert(out.size == 6, "every vertex of the edge list appears")
+  }
+
   test("Triangles: degree orientation keeps a star hub's wedge count at zero") {
     import org.apache.spark.sql.functions.col
     // adversarial hub: vertex 0 joined to 60 degree-1 leaves. Id-orientation
