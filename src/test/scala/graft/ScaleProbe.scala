@@ -98,7 +98,8 @@ object ScaleProbe {
         .localCheckpoint()
     val graphOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "pagerank_5r" -> (e => PageRank.pageRank(e, "s", "d", iterations = 5)),
-      "triangles" -> (e => Triangles.enumerate(e, "s", "d")))
+      "triangles" -> (e => Triangles.enumerate(e, "s", "d")),
+      "clustering_coeff" -> (e => Triangles.clusteringCoefficient(e, "s", "d")))
     val gSmall = edgesK(1); val gBig = edgesK(k)
     graphOps.foreach { case (name, f) =>
       val t1 = measure(f, gSmall)
