@@ -1161,6 +1161,16 @@ object SparkEntry {
         .select(col("l_suppkey").as("s"), col("o_custkey").as("d"))
       graft.operators.PageRank.pageRank(edges, "s", "d", iterations = 5)
     }),
+    "q_pagerank_personal" -> ((s, dir) => {
+      // personalized variant: teleport only to suppliers 1-3 — proximity
+      // ranking from a seed set, same bit-exact integer fixed-point
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("d"))
+      graft.operators.PageRank.personalized(edges, "s", "d",
+        seeds = Seq(1L, 2L, 3L), iterations = 5)
+    }),
     "q_bpe_encode" -> ((s, dir) => {
       // train a 64-merge subword vocab on the corpus histogram, encode every
       // doc with the single-reference-object expression, emit token counts.
@@ -1179,18 +1189,28 @@ object SparkEntry {
 
   /** DuckDB replay of the integer fixed-point PageRank: one chained CTE per
     * round (recursive CTEs cannot re-aggregate per step). All math is
-    * BIGINT `//` division, so it matches the engine bit for bit. */
-  private def pageRankOracleSql(iters: Int): String = {
+    * BIGINT `//` division, so it matches the engine bit for bit. With
+    * `seeds`, replays the PERSONALIZED variant: teleport mass and the
+    * initial score land only on the seed set. */
+  private def pageRankOracleSql(iters: Int, seeds: Seq[Long] = Nil): String = {
+    val (s0, baseOf) =
+      if (seeds.isEmpty)
+        ("CAST(1000000 AS BIGINT)", (m: String) => s"(15000000 + 85 * $m)")
+      else {
+        val in = seeds.mkString("(", ", ", ")")
+        (s"CAST(CASE WHEN v IN $in THEN 1000000 ELSE 0 END AS BIGINT)",
+          (m: String) => s"(CASE WHEN n.v IN $in THEN 15000000 ELSE 0 END + 85 * $m)")
+      }
     val head =
-      """WITH e AS (SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS d
+      s"""WITH e AS (SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS d
                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
          n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
          deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
-         s0 AS (SELECT v, CAST(1000000 AS BIGINT) AS sc FROM n)"""
+         s0 AS (SELECT v, $s0 AS sc FROM n)"""
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "s0" else s"i${i - 1}"
       s""",
-         i$i AS (SELECT n.v, CAST((15000000 + 85 * COALESCE(t.m, 0)) // 100 AS BIGINT) AS sc
+         i$i AS (SELECT n.v, CAST(${baseOf("COALESCE(t.m, 0)")} // 100 AS BIGINT) AS sc
                  FROM n LEFT JOIN (SELECT e.d AS v, CAST(sum($prev.sc // deg.dg) AS BIGINT) AS m
                                    FROM e JOIN $prev ON e.s = $prev.v
                                           JOIN deg ON e.s = deg.s
@@ -2157,6 +2177,7 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_pagerank_personal" -> pageRankOracleSql(5, seeds = Seq(1L, 2L, 3L)),
     "q_weighted_sample" ->
       """WITH t AS (SELECT doc_id, text,
                            regexp_split_to_array(trim(lower(text)), '\s+') AS toks

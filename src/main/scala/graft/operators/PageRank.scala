@@ -44,7 +44,27 @@ object PageRank {
   val Scale = 1000000L
 
   def pageRank(edges: DataFrame, src: String, dst: String,
-               iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+               iterations: Int = 10, dampingPct: Int = 85): DataFrame =
+    run(edges, src, dst, iterations, dampingPct, None)
+
+  /**
+   * Personalized PageRank: teleport mass lands ONLY on the seed set (the
+   * graph-retrieval workhorse — "rank everything by proximity to these
+   * query/topic nodes"). Same integer fixed-point contract as pageRank:
+   * seeds start at Scale and receive the whole (100-damping)% teleport
+   * share each round; non-seeds start at 0 and accumulate only walked
+   * mass. Seeds ride as a broadcast literal set (query seed sets are
+   * small by construction — document the contract, don't shuffle them).
+   */
+  def personalized(edges: DataFrame, src: String, dst: String, seeds: Seq[Any],
+                   iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    run(edges, src, dst, iterations, dampingPct, Some(seeds))
+  }
+
+  private def run(edges: DataFrame, src: String, dst: String,
+                  iterations: Int, dampingPct: Int,
+                  seeds: Option[Seq[Any]]): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100], got $dampingPct")
     val e0 = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
@@ -64,8 +84,18 @@ object PageRank {
     val nodes = e.select(col("_s").as("_n")).union(e.select(col("_d").as("_n")))
       .distinct()
       .localCheckpoint()
-    val base = lit((100L - dampingPct) * Scale) // divided by 100 after damping
-    var scores = nodes.select(col("_n"), lit(Scale).as("_score"))
+    // uniform teleport everywhere, or the whole share on the seeds only
+    val isSeed = seeds.map(s => col("_n").isin(s: _*))
+    val base = isSeed match {
+      case None => lit((100L - dampingPct) * Scale) // divided by 100 after damping
+      case Some(seed) =>
+        when(seed, lit((100L - dampingPct) * Scale)).otherwise(lit(0L))
+    }
+    val init = isSeed match {
+      case None       => lit(Scale)
+      case Some(seed) => when(seed, lit(Scale)).otherwise(lit(0L))
+    }
+    var scores = nodes.select(col("_n"), init.as("_score"))
       .localCheckpoint(false)
     var i = 0
     while (i < iterations) {

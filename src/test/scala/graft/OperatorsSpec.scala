@@ -498,6 +498,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("personalized PageRank: mass flows from seeds only, off-component stays 0") {
+    import org.apache.spark.sql.functions.col
+    // chain a->b->c plus a disjoint pair x->y; seed {a}
+    val e = spark.createDataFrame(Seq(
+      ("a", "b"), ("b", "c"), ("x", "y"))).toDF("s", "d")
+    val got = PageRank.personalized(e, "s", "d", seeds = Seq("a"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // seed keeps the full teleport share; downstream decays; the disjoint
+    // component never receives anything
+    assert(got("a") == 150000L) // (15e6 + 85*0) / 100 every round
+    assert(got("b") > got("c") && got("c") > 0L)
+    assert(got("x") == 0L && got("y") == 0L)
+    // uniform pageRank on the same graph gives x/y nonzero — the variants differ
+    val uni = PageRank.pageRank(e, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni("x") > 0L && uni("y") > 0L)
+  }
+
   test("Bpe: merges learn frequent pairs; encoding applies them rank-greedily") {
     // classic toy corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3
     val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
