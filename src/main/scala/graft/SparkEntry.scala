@@ -76,14 +76,19 @@ object SparkEntry {
     // quality/rarity/repetition signals (row-local + corpus-statistical),
     // rolled up per language — the end-to-end shape of a training-data run
     val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
-    // deduped fans out into three branches (spans, lm, main join) — without
-    // the checkpoint the LSH dedup subtree would run three times
+    // normalization-insensitive exact dedup (dedupKey collapses case/punct
+    // variants), then near-dup LSH; deduped fans out into three branches
+    // (spans, lm, main join) — without the checkpoint the LSH dedup
+    // subtree would run three times
     val deduped = Dedup.minhashLsh(
-      Dedup.exactRows(docs, "doc_id", "text"), "doc_id", "text")
+      Dedup.exactRowsKeepBest(
+        docs.withColumn("_dk", gf.dedupKey(col("text"))), "doc_id", "_dk",
+        gf.qualityScore(col("text"))).drop("_dk"),
+      "doc_id", "text")
       .localCheckpoint()
     val spans = Dedup.dupSpans(deduped, "doc_id", "text", n = 10)
       .select(col("doc_id"), col("dup_frac"))
-    val lm = graft.operators.UnigramLm.score(deduped, "doc_id", "text")
+    val lm = graft.operators.BigramLm.score(deduped, "doc_id", "text")
       .select(col("doc_id"), col("mean_bits"))
     deduped
       .join(spans, Seq("doc_id"), "left")
@@ -91,12 +96,14 @@ object SparkEntry {
       .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8) // drop near-copied docs
       .select(col("lang"),
         gf.tokenCount(col("text")).cast("long").as("toks"),
+        size(gf.chunkTokens(col("text"), 512, 64)).cast("long").as("chunks"),
         gf.qualityScore(col("text")).as("q"),
         gf.compressionRatio(col("text")).as("cr"),
         col("mean_bits"))
       .groupBy(col("lang").as("key"))
       .agg(count(lit(1)).as("count"),
         sum(col("toks")).as("tokens"),
+        sum(col("chunks")).as("train_chunks"),
         round(avg(col("q")), 4).as("avg_quality"),
         round(avg(col("cr")), 4).as("avg_compress"),
         round(avg(col("mean_bits")), 4).as("avg_surprise_bits"))
