@@ -153,7 +153,8 @@ object GraftSqlFunctions {
       arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
     ("gf_dedup_key", "(text) -> string",
       arity("gf_dedup_key", 1)(es => x(gf.dedupKey(c(es(0)))))),
-    ("gf_chunk_tokens", "(text, maxTokens[, overlap]) -> array<string>",
+    ("gf_chunk_tokens",
+      "(text, maxTokens[, overlap]) -> array<string>; casing kept, whitespace runs collapse",
       es => es.length match {
         case 2 => x(gf.chunkTokens(c(es(0)), intArg("gf_chunk_tokens", es(1))))
         case 3 => x(gf.chunkTokens(c(es(0)), intArg("gf_chunk_tokens", es(1)),

@@ -92,12 +92,17 @@ object Dedup {
       .withColumn("_content_md5", unhex(md5(col(text))))
       .withColumn("_rank", better)
     // "highest rank, then lowest id" as ONE orderable struct: min_by over
-    // (-rank, id) — negating the rank (not the id) keeps string ids legal
+    // (-rank, id) — negating the rank (not the id) keeps string ids legal.
+    // A NULL rank coalesces to -Infinity (worst): struct ordering sorts
+    // null fields FIRST, so an un-coalesced null-ranked copy would beat
+    // every real-ranked copy; with the coalesce a null-ranked row wins
+    // only when the whole group is null-ranked (then min id is kept).
     val keyed = hashed
       .select(col("_content_hash"), col("_content_md5"), col("_rank"), col(id))
       .groupBy(col("_content_hash"), col("_content_md5"))
       .agg(min_by(col(id),
-        struct(negate(col("_rank").cast("double")), col(id))).as(id))
+        struct(negate(coalesce(col("_rank").cast("double"),
+          lit(Double.NegativeInfinity))), col(id))).as(id))
     hashed.join(keyed, Seq("_content_hash", "_content_md5", id), "left_semi")
       .drop("_content_hash", "_content_md5", "_rank")
   }

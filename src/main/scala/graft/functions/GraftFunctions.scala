@@ -199,13 +199,21 @@ object gf {
     * tokens yield one chunk; empty/whitespace texts yield none. Pure
     * built-ins (sequence/transform/slice/array_join), fully codegen'd,
     * no UDF. Complements SplitElements (recursive element bisection):
-    * this is the flat columnar form for (doc, chunk) training rows. */
+    * this is the flat columnar form for (doc, chunk) training rows.
+    *
+    * Chunks preserve the original casing and punctuation of the text;
+    * tokens are whitespace-split and re-joined with single spaces, so
+    * runs of whitespace (newlines, tabs) collapse — a chunk is NOT a
+    * verbatim substring of the document. Token boundaries are identical
+    * to tokens()/tokenCount(), so counts line up across the library. */
   def chunkTokens(c: Column, maxTokens: Int, overlap: Int = 0): Column = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
     val step = maxTokens - overlap
-    val toks = tokens(c)
+    // same boundaries as tokens() but without lower(): a context splitter
+    // must not destroy the casing the downstream model will read
+    val toks = split(trim(c), "\\s+")
     val n = size(toks)
     // chunks = 1 + ceil((n - maxTokens) / step) for n > maxTokens, else 1
     val extra = ceil((n - lit(maxTokens)).cast("double") / step).cast("int")

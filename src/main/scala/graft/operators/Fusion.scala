@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
  * checkpoint runs that plan exactly once and both evaluations read the
  * narrow two-column blocks — measured 3.2× on the sf0.1 hybrid-retrieval
  * gate (q_rrf_fusion 9.2 s -> 2.8 s one-shot at its bench position).
+ * The checkpoints are LAZY (eager = false): constructing the fused frame
+ * runs no Spark jobs — materialization happens on the caller's first
+ * action, preserving the library's plan-building laziness contract.
  */
 object Fusion {
 
@@ -41,7 +44,7 @@ object Fusion {
     require(k >= 0, s"rrf k must be non-negative, got $k")
     val ranked = rankings.zipWithIndex.map { case (r, i) =>
       Packing.globalRank(
-          r.select(col(id), col(score).as("_s")).localCheckpoint(),
+          r.select(col(id), col(score).as("_s")).localCheckpoint(eager = false),
           Seq(col("_s").desc), id, s"_r$i")
         .select(col(id), (lit(1.0) / (lit(k.toDouble) + col(s"_r$i") + lit(1.0)))
           .as(s"_rrf$i"))

@@ -48,8 +48,12 @@ object TfIdf {
   def topTerms(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
     val toks = df.select(col(id).as("_id"), explode(gf.tokens(col(text))).as("term"))
       .where(col("term") =!= "")
+    // lazy (eager = false): materializes on the FIRST action over the
+    // result, not at construction time — building the query must not run
+    // Spark jobs (library laziness contract); after that first action
+    // every consumer branch reads the cached two-column blocks
     val tf = toks.groupBy(col("_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // tf has one row per (doc, term): counting tf rows per term IS df.
     // Aggregate + join, NOT a window — see the scaladoc's skew rationale.
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

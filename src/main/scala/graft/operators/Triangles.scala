@@ -33,19 +33,28 @@ object Triangles {
     enumerate(edges, src, dst).agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
 
-  /** Oriented edge list (u, w, dw): u → w with u strictly lower than w in
-    * (degree, id) order; dw = degree of w, carried so the wedge join can
-    * compare out-neighbors in the same order without another degree join.
-    * Checkpointed once — it feeds all three join branches of enumerate,
-    * and the upstream edge derivation can be an arbitrary pipeline. */
-  private[graft] def oriented(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges
+  /** Canonical undirected edge list: (a, b) with a < b, self-loops and
+    * duplicates dropped. Shared by every entry point so orientation and
+    * degree computation agree on the same edge set. */
+  private[graft] def canonical(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b")) // drop self-loops
       .distinct()
-    val deg = e.select(col("a").as("_v")).unionAll(e.select(col("b").as("_v")))
+
+  /** Degree of every vertex of a canonical edge list, as (_v, _d). */
+  private[graft] def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("_v")).unionAll(e.select(col("b").as("_v")))
       .groupBy(col("_v"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("_d"))
+
+  /** Orient a canonical edge list under (degree, id) given a precomputed
+    * (_v, _d) degree frame — callers that already have degrees (the
+    * clustering coefficient) pass them in so the plan carries exactly one
+    * degree aggregate (Round5Spec asserts this plan contains none when deg
+    * is checkpointed). NOT checkpointed here; callers checkpoint the
+    * result before the 3-way self-join of enumerate. */
+  private[graft] def orientFrom(e: DataFrame, deg: DataFrame): DataFrame =
     // a < b by construction, so da <= db orients ties by id for free
     e.join(deg.select(col("_v").as("a"), col("_d").as("_da")), Seq("a"))
       .join(deg.select(col("_v").as("b"), col("_d").as("_db")), Seq("b"))
@@ -53,7 +62,15 @@ object Triangles {
         when(col("_da") <= col("_db"), col("a")).otherwise(col("b")).as("u"),
         when(col("_da") <= col("_db"), col("b")).otherwise(col("a")).as("w"),
         when(col("_da") <= col("_db"), col("_db")).otherwise(col("_da")).as("dw"))
-      .localCheckpoint()
+
+  /** Oriented edge list (u, w, dw): u → w with u strictly lower than w in
+    * (degree, id) order; dw = degree of w, carried so the wedge join can
+    * compare out-neighbors in the same order without another degree join.
+    * Checkpointed once — it feeds all three join branches of enumerate,
+    * and the upstream edge derivation can be an arbitrary pipeline. */
+  private[graft] def oriented(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = canonical(edges, src, dst)
+    orientFrom(e, degrees(e)).localCheckpoint()
   }
 
   /** Per-vertex local clustering coefficient: closed wedges at v over
@@ -65,21 +82,25 @@ object Triangles {
     * a ratio of exact integers, so it cross-engine hash-matches.
     * Isolated vertices cannot exist in an edge list; every vertex of the
     * input appears in the output. One triangle pass + one degree
-    * aggregate; the explode carries (vertex, 1) rows only. */
+    * aggregate; the explode carries (vertex, 1) rows only.
+    *
+    * The degree table is computed ONCE: canonical edges are checkpointed,
+    * degrees are aggregated from them and checkpointed (one tiny
+    * (vertex, long) frame), and that same frame feeds both the edge
+    * orientation (via orientFrom — no re-aggregation inside enumerate)
+    * and the final coefficient join. Round5Spec asserts the executed
+    * plans carry no second degree aggregate. */
   def clusteringCoefficient(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges
-      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint() // feeds the degree aggregate AND enumerate's pipeline
-    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
-      .groupBy(col("node"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("degree"))
-    val triPerVertex = enumerate(e, "a", "b")
+    val e = canonical(edges, src, dst)
+      .localCheckpoint() // feeds the degree aggregate AND the orientation joins
+    val deg = degrees(e)
+      .localCheckpoint() // one row per vertex; reused by orientation (×2) + output join
+    val triPerVertex = enumerateOriented(orientFrom(e, deg).localCheckpoint())
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
-    deg.join(triPerVertex, Seq("node"), "left")
+    deg.select(col("_v").as("node"), col("_d").as("degree"))
+      .join(triPerVertex, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") < 2, lit(0.0))
@@ -88,8 +109,11 @@ object Triangles {
   }
 
   /** One row per triangle (a < b < c, id order). */
-  def enumerate(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val o = oriented(edges, src, dst)
+  def enumerate(edges: DataFrame, src: String, dst: String): DataFrame =
+    enumerateOriented(oriented(edges, src, dst))
+
+  /** Triangle enumeration over an already-oriented (u, w, dw) edge list. */
+  private[graft] def enumerateOriented(o: DataFrame): DataFrame = {
     // wedges (x→y, x→z) with y ≺ z in (degree, id) order: the closing edge
     // of a real triangle is then oriented y→z, matched by equality below
     val wedges = o.as("e1").join(o.as("e2"),

@@ -50,6 +50,16 @@ class DedupAnnSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("windowspecdefinition"))
     assert(!plan.contains("hashpartitioning(text"))
+    // NULL ranks lose to every real rank (struct ordering would sort a
+    // null field FIRST without the internal coalesce-to--Infinity), and
+    // an all-null group still keeps its min-id row, never vanishes
+    val withNull = Seq(
+      (0L, "dup text", Some(0.2)), (1L, "dup text", None),
+      (2L, "all null", None), (3L, "all null", None))
+      .toDF("doc_id", "text", "q")
+    val keptN = Dedup.exactRowsKeepBest(withNull, "doc_id", "text", col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptN == Seq(0L, 2L))
   }
 
   test("exactRows exchanges key on content hashes, never on text") {

@@ -164,6 +164,12 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().flatMap(_.getString(0).split(" ")).toSeq
     assert(flat == (1 to 10).map(i => s"w$i"))
     intercept[IllegalArgumentException](gf.chunkTokens($"t", 4, 4))
+    // casing and punctuation are preserved (a context splitter must not
+    // lowercase what the model will read); whitespace runs collapse
+    val cased = Seq((1, "The QUICK\n\tBrown Fox, runs!"))
+      .toDF("id", "t").select(gf.chunkTokens($"t", 3).as("ch"))
+      .head.getSeq[String](0)
+    assert(cased == Seq("The QUICK Brown", "Fox, runs!"))
   }
 
   test("dedupKey: lowercase, deaccent, digits/punct to spaces, collapse, trim") {

@@ -121,7 +121,7 @@ class OperatorPropertySpec extends AnyFunSuite {
         val df = spark.createDataFrame(Seq(Tuple1(text))).toDF("t")
           .select(gf.chunkTokens(col("t"), maxT, overlap).as("ch"))
         val chunks = df.collect().head.getSeq[String](0)
-        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq // casing preserved
         if (toks.isEmpty) chunks.isEmpty
         else {
           val step = maxT - overlap

@@ -377,6 +377,34 @@ class Round5Spec extends AnyFunSuite {
     assert(!hp.contains("Join"), s"recount pass must not join:\n$hp")
   }
 
+  test("clusteringCoefficient computes the degree table exactly once") {
+    import graft.operators.Triangles
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val edges = (1L to 40L).flatMap(i => Seq((i, i % 7 + 100L), (i, i % 5 + 200L)))
+      .toDF("s", "d")
+
+    // Orientation given a precomputed degree frame must not re-aggregate —
+    // the clustering coefficient threads one checkpointed degree table into
+    // both the orientation joins and the final coefficient join.
+    val e = Triangles.canonical(edges, "s", "d").localCheckpoint()
+    val deg = Triangles.degrees(e).localCheckpoint()
+    val op = plan(Triangles.orientFrom(e, deg))
+    assert(!op.contains("HashAggregate"),
+      s"orientation must reuse the precomputed degree frame, not re-aggregate:\n$op")
+
+    // The full operator's final plan: the only aggregate left is the
+    // per-vertex triangle count — no second degree aggregate (keys=[_v)
+    // and no re-canonicalization of the edge list.
+    val cc = Triangles.clusteringCoefficient(edges, "s", "d")
+    val cp = plan(cc)
+    assert(!cp.contains("keys=[_v"),
+      s"final plan must not recompute degrees:\n$cp")
+    assert(cp.contains("HashAggregate(keys=[node"),
+      s"triangle-count aggregate expected in final plan:\n$cp")
+    assert(cc.count() > 0)
+  }
+
   // ----------------------------------------------------------------- semdedup
 
   test("semDedup drops exactly the greedy min-id within-cluster near-dups") {
