@@ -17,8 +17,10 @@ import graft.model.{Document, Element}
  * position, approximate in width (0.5 x fontSize per glyph; no font metrics
  * without xref parsing) — enough for the column/band mark passes (Marks) to
  * fire on PDF-partitioned docs.
- * Not handled: ENCRYPTED PDFs (/Encrypt — streams are ciphertext), CID
- * fonts without a ToUnicode map, OCR of scanned pages.
+ * Encrypted PDFs with an EMPTY user password (the common permissions-only
+ * RC4/AESV2 standard security handler) are decrypted via PdfCrypt; a real
+ * user password, CID fonts without a ToUnicode map, and OCR of scanned
+ * pages remain out of scope.
  * Unextractable blocks are DROPPED (printable-ratio guard) rather than
  * emitted as garbage. For full-fidelity layout, plug a model-backed
  * Partitioner into the same trait — the engine contract (binary in,
@@ -28,12 +30,168 @@ final class PdfPartitioner extends Partitioner {
 
   override def partition(doc: Document): Document = {
     val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
-    val blocks = PdfText.extractTextBlocksWithBoxes(bytes)
+    val blocks = PdfText.extractTextBlocksWithPages(bytes)
     val els = blocks.filter(b => PdfText.mostlyPrintable(b._1)).zipWithIndex.collect {
-      case ((text, bbox), i) if text.nonEmpty =>
-        Element.text(i, "NarrativeText", text, bbox = bbox)
+      case ((text, bbox, pageNo), i) if text.nonEmpty =>
+        Element.text(i, "NarrativeText", text, bbox = bbox,
+          properties = Map("page_number" -> pageNo.toString))
     }
     doc.copy(elements = els, docType = doc.docType.orElse(Some("pdf")))
+  }
+}
+
+/**
+ * Standard-security-handler decryption for the EMPTY-user-password case
+ * (PDF 32000-1 §7.6.3 — the common "permissions-only" encryption on
+ * agency/scanner output; the reference's ntsb fixtures are RC4-128 R3).
+ * Pure JVM: MD5 via java.security, RC4 in ~15 lines, AES-CBC (AESV2)
+ * via javax.crypto. PDFs with a real user password return None and the
+ * document flows through as ciphertext, where the printability guard
+ * drops it — degraded, never wrong.
+ */
+private[operators] object PdfCrypt {
+  import java.security.MessageDigest
+
+  /** §7.6.3.3 padding string. */
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var i = 0; j = 0
+    for (k <- data.indices) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+    }
+    out
+  }
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val md = MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** aes = true for /AESV2 crypt filters (V4), else RC4. */
+  final case class Crypt(fileKey: Array[Byte], aes: Boolean) {
+    /** Per-object key (§7.6.2 Algorithm 1) + decrypt. */
+    def decrypt(obj: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val salt = Array(
+        (obj & 0xff).toByte, ((obj >> 8) & 0xff).toByte, ((obj >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+      val extra = if (aes) Array(0x73, 0x41, 0x6c, 0x54).map(_.toByte) else Array.empty[Byte]
+      val objKey = md5(fileKey, salt, extra).take(math.min(fileKey.length + 5, 16))
+      if (!aes) rc4(objKey, data)
+      else if (data.length <= 16) Array.empty[Byte] // IV-only / truncated
+      else try {
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = cipher.doFinal(data.drop(16), 0, (data.length - 16) / 16 * 16)
+        // strip PKCS#5 pad
+        val padLen = if (plain.nonEmpty) plain.last & 0xff else 0
+        if (padLen >= 1 && padLen <= 16 && padLen <= plain.length)
+          plain.dropRight(padLen) else plain
+      } catch { case _: Exception => Array.empty[Byte] }
+    }
+  }
+
+  private def parseHexOrLiteral(dict: String, key: String): Option[Array[Byte]] = {
+    val hexRe = (java.util.regex.Pattern.quote(key) + "\\s*<([0-9a-fA-F\\s]+)>").r
+    hexRe.findFirstMatchIn(dict).map { m =>
+      val h = m.group(1).replaceAll("\\s", "")
+      (0 until h.length / 2).map(i => Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte).toArray
+    }.orElse {
+      val litRe = (java.util.regex.Pattern.quote(key) + "\\s*\\(").r
+      litRe.findFirstMatchIn(dict).map { m =>
+        val out = scala.collection.mutable.ArrayBuffer[Byte]()
+        var i = m.end; var depth = 1
+        while (i < dict.length && depth > 0) {
+          dict(i) match {
+            case '\\' if i + 1 < dict.length =>
+              dict(i + 1) match {
+                case 'n' => out += '\n'.toByte; i += 2
+                case 'r' => out += '\r'.toByte; i += 2
+                case 't' => out += '\t'.toByte; i += 2
+                case c if c >= '0' && c <= '7' =>
+                  val oct = dict.substring(i + 1, math.min(i + 4, dict.length))
+                    .takeWhile(ch => ch >= '0' && ch <= '7').take(3)
+                  out += Integer.parseInt(oct, 8).toByte; i += 1 + oct.length
+                case c => out += c.toByte; i += 2
+              }
+            case '(' => depth += 1; out += '('.toByte; i += 1
+            case ')' => depth -= 1; if (depth > 0) out += ')'.toByte; i += 1
+            case c => out += c.toByte; i += 1
+          }
+        }
+        out.toArray
+      }
+    }
+  }
+
+  private def intEntry(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Parse /Encrypt + /ID and derive the empty-user-password file key
+    * (§7.6.3.3 Algorithm 2), verifying it against /U (Algorithm 5).
+    * None when the PDF is unencrypted, password-protected with a real
+    * password, or uses an unsupported handler (V5/AESV3 = SHA-256 — could
+    * be added the same way; unseen in the wild corpora this targets). */
+  def forDocument(pdf: Array[Byte], s: String): Option[Crypt] = {
+    val encRef = "/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(s)
+      .orElse(return None)
+    val (objNum, gen) = (encRef.get.group(1), encRef.get.group(2))
+    val objRe = ("(?<![0-9])" + objNum + "\\s+" + gen + "\\s+obj").r
+    val dict = objRe.findFirstMatchIn(s).map { m =>
+      val end = s.indexOf("endobj", m.end)
+      s.substring(m.end, if (end < 0) s.length else end)
+    }.getOrElse(return None)
+    if (!dict.contains("/Standard")) return None
+    val v = intEntry(dict, "/V").getOrElse(0)
+    val r = intEntry(dict, "/R").getOrElse(2)
+    if (v > 4 || r > 4) return None
+    val length = intEntry(dict, "/Length").getOrElse(40)
+    val p = intEntry(dict, "/P").getOrElse(return None)
+    val o = parseHexOrLiteral(dict, "/O").getOrElse(return None)
+    val u = parseHexOrLiteral(dict, "/U").getOrElse(return None)
+    val aes = dict.contains("/AESV2")
+    val id = "/ID\\s*\\[\\s*<([0-9a-fA-F]+)>".r.findFirstMatchIn(s).map { m =>
+      val h = m.group(1)
+      (0 until h.length / 2).map(i => Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte).toArray
+    }.getOrElse(Array.empty[Byte])
+    val pBytes = Array(
+      (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    val metaSuffix =
+      if (r >= 4 && dict.contains("/EncryptMetadata false"))
+        Array(0xff, 0xff, 0xff, 0xff).map(_.toByte)
+      else Array.empty[Byte]
+    val n = if (r == 2) 5 else length / 8
+    var digest = md5(Pad, o.take(32), pBytes, id, metaSuffix)
+    if (r >= 3) for (_ <- 0 until 50) digest = md5(digest.take(n))
+    val key = digest.take(n)
+    // verify the empty user password against /U
+    val ok =
+      if (r == 2) java.util.Arrays.equals(rc4(key, Pad), u.take(32))
+      else {
+        var enc = rc4(key, md5(Pad, id))
+        for (i <- 1 to 19)
+          enc = rc4(key.map(b => (b ^ i).toByte), enc)
+        java.util.Arrays.equals(enc.take(16), u.take(16))
+      }
+    if (ok) Some(Crypt(key, aes)) else None
   }
 }
 
@@ -43,6 +201,14 @@ object PdfText {
   /** Text-state carried across BT..ET blocks within one content stream
     * (font size and leading are graphics state; position resets at BT). */
   private final class GeomState(var fontSize: Double = 12.0, var leading: Double = 0.0)
+
+  /** TJ kerning threshold (thousandths of an em, negative = rightward gap)
+    * below which an inter-string adjustment is a WORD SPACE, not a letter
+    * kern. TeX/InDesign word gaps run -200..-600; letter kerns -10..-80.
+    * Real PDFs (pdftex especially) encode most inter-word spaces this way
+    * rather than as space glyphs — dropping them glues whole lines into
+    * one word, which poisons every downstream tokenizer. */
+  private val WordSpaceKern = -110.0
 
   /** Page size from the first /MediaBox, default US Letter. */
   def mediaBox(pdf: Array[Byte]): (Double, Double) = {
@@ -67,16 +233,28 @@ object PdfText {
    * geometry failures degrade to bbox = None, never to wrong text.
    */
   private def blockGeometry(block: String, st: GeomState): Option[Bbox] = {
+    // Text matrix 2x2 (a b c d) from Tm — pdftex and friends set `/F1 1 Tf`
+    // and carry the REAL size in the matrix scale, so ignoring it collapses
+    // every bbox to ~1pt tall and the mark passes drop the whole document
+    // as "tiny". Td/TD/T* offsets are text-space and go through the matrix.
+    var ma = 1.0; var mb = 0.0; var mc = 0.0; var md = 1.0
     var lineX = 0.0; var lineY = 0.0; var x = 0.0; var y = 0.0
     var minX = Double.MaxValue; var minY = Double.MaxValue
     var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
     var seen = false
     val nums = scala.collection.mutable.ArrayBuffer[Double]()
     def nthLast(k: Int): Double = nums(nums.size - k)
+    def scaleX: Double = math.hypot(ma, mb)
+    def scaleY: Double = math.hypot(mc, md)
+    def translate(tx: Double, ty: Double): Unit = {
+      lineX += ma * tx + mc * ty; lineY += mb * tx + md * ty
+      x = lineX; y = lineY
+    }
     def record(nChars: Int): Unit = if (nChars > 0) {
-      val w = 0.5 * st.fontSize * nChars
+      val w = 0.5 * st.fontSize * scaleX * nChars
+      val h = st.fontSize * scaleY
       minX = math.min(minX, x); minY = math.min(minY, y)
-      maxX = math.max(maxX, x + w); maxY = math.max(maxY, y + st.fontSize)
+      maxX = math.max(maxX, x + w); maxY = math.max(maxY, y + h)
       x += w; seen = true
     }
     var i = 0
@@ -120,33 +298,60 @@ object PdfText {
         case 'T' if i + 1 < block.length =>
           block(i + 1) match {
             case 'd' =>
-              if (nums.size >= 2) { lineX += nthLast(2); lineY += nthLast(1); x = lineX; y = lineY }
+              if (nums.size >= 2) translate(nthLast(2), nthLast(1))
               nums.clear(); i += 2
             case 'D' =>
               if (nums.size >= 2) {
                 st.leading = -nthLast(1)
-                lineX += nthLast(2); lineY += nthLast(1); x = lineX; y = lineY
+                translate(nthLast(2), nthLast(1))
               }
               nums.clear(); i += 2
             case 'm' =>
-              if (nums.size >= 6) { lineX = nthLast(2); lineY = nthLast(1); x = lineX; y = lineY }
+              if (nums.size >= 6) {
+                ma = nthLast(6); mb = nthLast(5); mc = nthLast(4); md = nthLast(3)
+                lineX = nthLast(2); lineY = nthLast(1); x = lineX; y = lineY
+              }
               nums.clear(); i += 2
-            case '*' => lineY -= st.leading; x = lineX; y = lineY; nums.clear(); i += 2
+            case '*' => translate(0.0, -st.leading); nums.clear(); i += 2
             case 'L' => if (nums.nonEmpty) st.leading = nthLast(1); nums.clear(); i += 2
             case 'f' => if (nums.nonEmpty) st.fontSize = nthLast(1); nums.clear(); i += 2
             case _ => nums.clear(); i += 2
           }
-        case '\'' | '"' => lineY -= st.leading; x = lineX; y = lineY; nums.clear(); i += 1
+        case '\'' | '"' => translate(0.0, -st.leading); nums.clear(); i += 1
         case _ => i += 1
       }
     }
     if (seen && minX <= maxX) Some(Bbox(minX, minY, maxX, maxY)) else None
   }
 
+  /** Blocks + boxes + 1-based page numbers. Page attribution without xref
+    * parsing: each content stream that SHOWS text is one page for every
+    * mainstream generator (one /Contents stream per page); font programs,
+    * CMaps and images yield no text blocks and don't advance the count.
+    * Multi-stream pages degrade to split page numbers — ordering within
+    * the document is still monotone, which is what sortByPageBbox and
+    * markBreakPage need. */
+  def extractTextBlocksWithPages(pdf: Array[Byte]): Seq[(String, Option[Bbox], Int)] = {
+    var page = 0
+    streamBlocks(pdf).flatMap { blocks =>
+      val texts = blocks.filter(_._1.nonEmpty)
+      if (texts.isEmpty) Nil
+      else {
+        page += 1
+        texts.map { case (t, b) => (t, b, page) }
+      }
+    }
+  }
+
   /** All BT..ET blocks with text AND a normalized (0-1, top-down y) bbox —
     * the layout convention of the reference's partitioners (data/bbox.py:6),
     * so the Marks passes apply unchanged. */
-  def extractTextBlocksWithBoxes(pdf: Array[Byte]): Seq[(String, Option[Bbox])] = {
+  def extractTextBlocksWithBoxes(pdf: Array[Byte]): Seq[(String, Option[Bbox])] =
+    extractTextBlocksWithPages(pdf).map { case (t, b, _) => (t, b) }
+
+  /** Per-stream text blocks with boxes (empty inner seq for non-text
+    * streams) — the building block for page attribution. */
+  private def streamBlocks(pdf: Array[Byte]): Seq[Seq[(String, Option[Bbox])]] = {
     val streams = contentStreams(pdf)
     val cmap = streams.foldLeft(Map.empty[Int, String]) { (acc, s) =>
       val str = new String(s, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -155,16 +360,87 @@ object PdfText {
       else acc
     }
     val (pw, ph) = mediaBox(pdf)
+    val mac = usesMacRoman(pdf)
     def clamp(v: Double): Double = math.max(0.0, math.min(1.0, v))
     def norm(b: Bbox): Bbox =
       Bbox(clamp(b.x1 / pw), clamp(1.0 - b.y2 / ph), clamp(b.x2 / pw), clamp(1.0 - b.y1 / ph))
-    streams.flatMap { sBytes =>
+    streams.map { sBytes =>
       val s = new String(sBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       val st = new GeomState()
-      rawBlocks(s).map(b =>
-        (shownText(b, cmap).trim, blockGeometry(b, st).map(norm)))
+      blocksWithCtm(s).map { case (b, ctm) =>
+        val geom = blockGeometry(b, st).map { bb =>
+          // transform the text-space bbox corners through the CTM active at
+          // BT (exact for the scale+translate matrices real generators
+          // emit; a rotated CTM degrades to the enclosing axis-aligned box)
+          val corners = Seq((bb.x1, bb.y1), (bb.x2, bb.y1), (bb.x1, bb.y2), (bb.x2, bb.y2))
+            .map { case (x, y) =>
+              (ctm(0) * x + ctm(2) * y + ctm(4), ctm(1) * x + ctm(3) * y + ctm(5))
+            }
+          Bbox(corners.map(_._1).min, corners.map(_._2).min,
+            corners.map(_._1).max, corners.map(_._2).max)
+        }
+        (shownText(b, cmap, mac).trim, geom.map(norm))
+      }
     }
   }
+
+  /** BT..ET block interiors paired with the CTM in force at each BT —
+    * generators like wkhtmltopdf position text almost entirely through
+    * `cm` translations OUTSIDE the text block, so ignoring the graphics
+    * matrix stacks every element at the same page position (and the
+    * header/footer mark pass then drops the whole document). Tracks
+    * q/Q save-restore and cm concatenation; everything else in the gaps
+    * (paths, colors) is skipped. */
+  private def blocksWithCtm(s: String): Seq[(String, Array[Double])] = {
+    val out = scala.collection.mutable.ListBuffer[(String, Array[Double])]()
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val stack = scala.collection.mutable.Stack[Array[Double]]()
+    val gapTok = "(-?[0-9][0-9.]*|-?\\.[0-9]+)|(?<![A-Za-z0-9])(q|Q|cm)(?![A-Za-z0-9])".r
+    var pos = 0
+    while (pos < s.length) {
+      val bt = s.indexOf("BT", pos)
+      val stop = if (bt < 0) s.length else bt
+      val nums = scala.collection.mutable.ArrayBuffer[Double]()
+      gapTok.findAllMatchIn(s.substring(pos, stop)).foreach { m =>
+        if (m.group(1) != null) {
+          try nums += m.group(1).toDouble catch { case _: NumberFormatException => }
+        } else m.group(2) match {
+          case "q" => stack.push(ctm)
+          case "Q" => if (stack.nonEmpty) ctm = stack.pop()
+          case "cm" =>
+            if (nums.size >= 6) {
+              val n = nums.takeRight(6)
+              // CTM' = M_cm x CTM (row-vector convention)
+              ctm = Array(
+                n(0) * ctm(0) + n(1) * ctm(2),
+                n(0) * ctm(1) + n(1) * ctm(3),
+                n(2) * ctm(0) + n(3) * ctm(2),
+                n(2) * ctm(1) + n(3) * ctm(3),
+                n(4) * ctm(0) + n(5) * ctm(2) + ctm(4),
+                n(4) * ctm(1) + n(5) * ctm(3) + ctm(5))
+            }
+            nums.clear()
+          case _ =>
+        }
+      }
+      if (bt < 0) pos = s.length
+      else {
+        val end = s.indexOf("ET", bt + 2)
+        val stop2 = if (end < 0) s.length else end
+        out += ((s.substring(bt + 2, stop2), ctm))
+        pos = stop2 + 2
+      }
+    }
+    out.toSeq
+  }
+
+  /** Document-level simple-font encoding sniff: font dictionaries are
+    * plain (non-stream) objects, so `/MacRomanEncoding` is findable
+    * without xref parsing. Per-font precision would need the full font
+    * dict graph; one flag per document is right for the dominant case
+    * (a single toolchain produced all the fonts). */
+  def usesMacRoman(pdf: Array[Byte]): Boolean =
+    indexOf(pdf, "/MacRomanEncoding", 0) >= 0
 
   /** All BT..ET text blocks across all content streams, in stream order.
     * ToUnicode CMaps (beginbfchar/beginbfrange) from every stream are merged
@@ -179,7 +455,8 @@ object PdfText {
         acc ++ parseCMap(str)
       else acc
     }
-    streams.flatMap(s => textBlocks(s, cmap))
+    val mac = usesMacRoman(pdf)
+    streams.flatMap(s => textBlocks(s, cmap, mac))
   }
 
   /** bfchar/bfrange entries of a ToUnicode CMap -> code -> unicode string. */
@@ -226,6 +503,75 @@ object PdfText {
     out.toMap
   }
 
+  /** Byte-level repairs for simple-font strings decoded as Latin-1:
+    * TeX ligature slots (OT1 0x0B-0x0F, T1/Cork 0x1B-0x1F — ff fi fl ffi
+    * ffl; pdflatex shows "flexibility" as <0x1D>exibility) and the
+    * Windows-1252 punctuation block 0x80-0x9F (smart quotes, dashes,
+    * ellipsis — WinAnsiEncoding is the de-facto simple-font encoding, and
+    * Latin-1 maps that block to control characters). Remaining C0/C1
+    * controls are glyph codes we cannot name — they become spaces in
+    * shownText's final cleanup rather than riding into element text. */
+  private val Win1252High: Map[Char, String] = Map(
+    0x80.toChar -> "€", 0x82.toChar -> "‚", 0x83.toChar -> "ƒ",
+    0x84.toChar -> "„", 0x85.toChar -> "…", 0x86.toChar -> "†",
+    0x87.toChar -> "‡", 0x88.toChar -> "ˆ", 0x89.toChar -> "‰",
+    0x8a.toChar -> "Š", 0x8b.toChar -> "‹", 0x8c.toChar -> "Œ",
+    0x8e.toChar -> "Ž", 0x91.toChar -> "‘", 0x92.toChar -> "’",
+    0x93.toChar -> "“", 0x94.toChar -> "”", 0x95.toChar -> "•",
+    0x96.toChar -> "–", 0x97.toChar -> "—", 0x98.toChar -> "˜",
+    0x99.toChar -> "™", 0x9a.toChar -> "š", 0x9b.toChar -> "›",
+    0x9c.toChar -> "œ", 0x9e.toChar -> "ž", 0x9f.toChar -> "Ÿ")
+
+  private val TexLigatures: Map[Char, String] = Map(
+    0x0b.toChar -> "ff", 0x0c.toChar -> "fi", 0x0d.toChar -> "fl",
+    0x0e.toChar -> "ffi", 0x0f.toChar -> "ffl", // OT1 (computer modern)
+    0x1b.toChar -> "ff", 0x1c.toChar -> "fi", 0x1d.toChar -> "fl",
+    0x1e.toChar -> "ffi", 0x1f.toChar -> "ffl") // T1/Cork
+
+  /** MacRomanEncoding high range — the other simple-font encoding real
+    * PDFs use (dvips/Mac toolchains; the PDF spec's other named base
+    * encoding). Ligatures expand to their ASCII letters directly. */
+  private val MacRomanHigh: Map[Char, String] = Map(
+    0x80.toChar -> "Ä", 0x81.toChar -> "Å", 0x82.toChar -> "Ç",
+    0x83.toChar -> "É", 0x84.toChar -> "Ñ", 0x85.toChar -> "Ö",
+    0x86.toChar -> "Ü", 0x87.toChar -> "á", 0x88.toChar -> "à",
+    0x89.toChar -> "â", 0x8a.toChar -> "ä", 0x8b.toChar -> "ã",
+    0x8c.toChar -> "å", 0x8d.toChar -> "ç", 0x8e.toChar -> "é",
+    0x8f.toChar -> "è", 0x90.toChar -> "ê", 0x91.toChar -> "ë",
+    0x92.toChar -> "í", 0x93.toChar -> "ì", 0x94.toChar -> "î",
+    0x95.toChar -> "ï", 0x96.toChar -> "ñ", 0x97.toChar -> "ó",
+    0x98.toChar -> "ò", 0x99.toChar -> "ô", 0x9a.toChar -> "ö",
+    0x9b.toChar -> "õ", 0x9c.toChar -> "ú", 0x9d.toChar -> "ù",
+    0x9e.toChar -> "û", 0x9f.toChar -> "ü", 0xa0.toChar -> "†",
+    0xa5.toChar -> "•", 0xaa.toChar -> "™", 0xae.toChar -> "Æ",
+    0xaf.toChar -> "Ø", 0xbe.toChar -> "æ", 0xbf.toChar -> "ø",
+    0xc7.toChar -> "«", 0xc8.toChar -> "»", 0xc9.toChar -> "…",
+    0xca.toChar -> " ", 0xcb.toChar -> "À", 0xcc.toChar -> "Ã",
+    0xcd.toChar -> "Õ", 0xce.toChar -> "Œ", 0xcf.toChar -> "œ",
+    0xd0.toChar -> "–", 0xd1.toChar -> "—", 0xd2.toChar -> "“",
+    0xd3.toChar -> "”", 0xd4.toChar -> "‘", 0xd5.toChar -> "’",
+    0xd8.toChar -> "ÿ", 0xd9.toChar -> "Ÿ", 0xde.toChar -> "fi",
+    0xdf.toChar -> "fl", 0xe1.toChar -> "·", 0xe5.toChar -> "Â",
+    0xe6.toChar -> "Ê", 0xe7.toChar -> "Á", 0xe8.toChar -> "Ë",
+    0xe9.toChar -> "È", 0xea.toChar -> "Í", 0xeb.toChar -> "Î",
+    0xec.toChar -> "Ï", 0xed.toChar -> "Ì", 0xee.toChar -> "Ó",
+    0xef.toChar -> "Ô", 0xf1.toChar -> "Ò", 0xf2.toChar -> "Ú",
+    0xf3.toChar -> "Û", 0xf4.toChar -> "Ù", 0xf5.toChar -> "ı")
+
+  def repairEncoding(s: String, macRoman: Boolean = false): String =
+    if (s.forall(c => c >= ' ' && c < 0x80)) s // fast path: plain ASCII
+    else {
+      val base = if (macRoman) MacRomanHigh else Win1252High
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach { c =>
+        TexLigatures.get(c).orElse(base.get(c)) match {
+          case Some(rep) => sb.append(rep)
+          case None => sb.append(c)
+        }
+      }
+      sb.toString
+    }
+
   /** Decode raw string bytes: when a CMap exists and 2-byte CIDs mostly map,
     * use the CMap; otherwise treat bytes as Latin-1 (simple fonts). */
   def decodeString(raw: String, cmap: Map[Int, String]): String = {
@@ -244,8 +590,26 @@ object PdfText {
     }
   }
 
-  /** Locate `stream`/`endstream` payloads; inflate when zlib-compressed. */
+  /** Locate `stream`/`endstream` payloads; decrypt (standard security
+    * handler, empty user password) when the document is encrypted; inflate
+    * when zlib-compressed. Per-object decryption keys need each stream's
+    * owning object number, which is the closest preceding `N G obj`. */
   def contentStreams(pdf: Array[Byte]): Seq[Array[Byte]] = {
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val crypt = PdfCrypt.forDocument(pdf, s)
+    // positions of every "N G obj" header, ascending, for owner lookup
+    val objHeaders: Array[(Int, Int, Int)] =
+      if (crypt.isEmpty) Array.empty
+      else "(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b".r.findAllMatchIn(s)
+        .map(m => (m.start, m.group(1).toInt, m.group(2).toInt)).toArray
+    def owner(pos: Int): (Int, Int) = {
+      var lo = 0; var hi = objHeaders.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (objHeaders(mid)._1 < pos) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best < 0) (0, 0) else (objHeaders(best)._2, objHeaders(best)._3)
+    }
     val out = scala.collection.mutable.ListBuffer[Array[Byte]]()
     var i = 0
     while (i >= 0 && i < pdf.length) {
@@ -256,7 +620,13 @@ object PdfText {
         if (start < pdf.length && pdf(start) == '\n') start += 1
         val end = indexOf(pdf, "endstream", start)
         if (end > start) {
-          val payload = java.util.Arrays.copyOfRange(pdf, start, end)
+          val raw = java.util.Arrays.copyOfRange(pdf, start, end)
+          val payload = crypt match {
+            case Some(c) =>
+              val (objNum, gen) = owner(i)
+              c.decrypt(objNum, gen, raw)
+            case None => raw
+          }
           out += inflate(payload).getOrElse(payload)
           i = end + "endstream".length
         } else i = -1
@@ -282,9 +652,10 @@ object PdfText {
 
   /** Parse one content stream: BT..ET blocks -> concatenated shown text. */
   def textBlocks(stream: Array[Byte],
-                 cmap: Map[Int, String] = Map.empty): Seq[String] = {
+                 cmap: Map[Int, String] = Map.empty,
+                 macRoman: Boolean = false): Seq[String] = {
     val s = new String(stream, java.nio.charset.StandardCharsets.ISO_8859_1)
-    rawBlocks(s).map(b => shownText(b, cmap).trim)
+    rawBlocks(s).map(b => shownText(b, cmap, macRoman).trim)
   }
 
   /** Raw interior of each BT..ET block, in stream order. */
@@ -304,7 +675,8 @@ object PdfText {
   }
 
   /** Text from Tj / TJ / ' / " operators; Td/TD/T* become line breaks. */
-  private def shownText(block: String, cmap: Map[Int, String]): String = {
+  private def shownText(block: String, cmap: Map[Int, String],
+                        macRoman: Boolean = false): String = {
     val sb = new StringBuilder
     var i = 0
     def readString(from: Int): (String, Int) = {
@@ -349,14 +721,44 @@ object PdfText {
     def flush(sep: String = ""): Unit = lastString.foreach { t =>
       sb.append(t).append(sep); lastString = None
     }
+    def decode(t: String): String = repairEncoding(decodeString(t, cmap), macRoman)
+    // One TJ array parsed as a unit: strings joined in order, with a SPACE
+    // wherever an inter-string kerning adjustment is a word gap (see
+    // WordSpaceKern) — most real PDFs encode inter-word spaces this way,
+    // not as space glyphs.
+    def readArray(from: Int): (String, Int) = {
+      val b = new StringBuilder
+      var j = from + 1
+      while (j < block.length && block(j) != ']') {
+        block(j) match {
+          case '(' =>
+            val (t, k) = readString(j); b.append(decode(t)); j = k
+          case '<' =>
+            val (t, k) = readHex(j); b.append(decode(t)); j = k
+          case c if c.isDigit || c == '-' || c == '+' || c == '.' =>
+            var k = j + 1
+            while (k < block.length && (block(k).isDigit || block(k) == '.')) k += 1
+            try {
+              if (block.substring(j, k).toDouble < WordSpaceKern &&
+                  b.nonEmpty && !b.endsWith(" ")) b.append(' ')
+            } catch { case _: NumberFormatException => }
+            j = k
+          case _ => j += 1
+        }
+      }
+      (b.toString, if (j < block.length) j + 1 else j)
+    }
     while (i < block.length) {
       block(i) match {
+        case '[' =>
+          flush(); val (t, j) = readArray(i)
+          lastString = Some(t); i = j
         case '(' =>
           flush(); val (t, j) = readString(i)
-          lastString = Some(decodeString(t, cmap)); i = j
+          lastString = Some(decode(t)); i = j
         case '<' if i + 1 < block.length && block(i + 1) != '<' =>
           flush(); val (t, j) = readHex(i)
-          lastString = Some(decodeString(t, cmap)); i = j
+          lastString = Some(decode(t)); i = j
         case 'T' if i + 1 < block.length =>
           block(i + 1) match {
             case 'j' => flush(" "); i += 2          // Tj: show string
@@ -371,16 +773,68 @@ object PdfText {
       }
     }
     flush()
-    sb.toString.replaceAll("[ \\t]+", " ").replaceAll(" ?\\n ?", "\n").trim
+    sb.toString
+      // Unicode presentation ligatures (from ToUnicode CMaps) expand to
+      // their letters so tokenizers/search see "unified", not "uniﬁed"
+      .replace("ﬀ", "ff").replace("ﬁ", "fi").replace("ﬂ", "fl")
+      .replace("ﬃ", "ffi").replace("ﬄ", "ffl").replace("ﬅ", "st").replace("ﬆ", "st")
+      // leftover control codes are unmapped glyph ids, not text — a space
+      // keeps word boundaries without inventing characters
+      .replaceAll("[\\u0000-\\u0008\\u000b\\u000c\\u000e-\\u001f\\u007f-\\u009f]", " ")
+      .replaceAll("[ \\t]+", " ").replaceAll(" ?\\n ?", "\n").trim
   }
 
-  /** True when >= 60% of characters are printable-or-whitespace — the guard
-    * that keeps ciphertext/unmapped-CID blocks out of the element stream. */
+  /** Guard that keeps ciphertext/JPEG/unmapped-CID blocks out of the
+    * element stream. Two tests, both needed: (1) >= 75% of characters are
+    * letters, digits, whitespace, or common punctuation — random binary
+    * read as Latin-1 lands ~55% because half the 0xA0-0xFF block are
+    * accented letters; (2) of the LETTERS, >= 60% are plain ASCII — real
+    * text in any Latin-script language is mostly a-zA-Z even when
+    * accented, while uniform bytes are mostly high-Latin-1. (A stream of
+    * pure high-bytes would otherwise pass test 1 alone.) */
   def mostlyPrintable(s: String): Boolean = {
     if (s.isEmpty) return false
-    val ok = s.count(c => c == '\n' || c == '\t' || (c >= ' ' && c != 127 &&
-      !Character.isISOControl(c)))
-    ok * 5 >= s.length * 3
+    var good = 0; var letters = 0; var asciiLetters = 0
+    s.foreach { c =>
+      val isCommonPunct = ".,;:'\"()!?-–—/%$&@#*+=<>[]{}’‘“”…•_|".indexOf(c) >= 0
+      if (Character.isLetterOrDigit(c)) {
+        good += 1
+        if (Character.isLetter(c)) {
+          letters += 1
+          if (c < 0x80) asciiLetters += 1
+        }
+      } else if (c == ' ' || c == '\n' || c == '\t' || c == '\r' || isCommonPunct)
+        good += 1
+    }
+    good * 4 >= s.length * 3 &&
+      (letters == 0 || asciiLetters * 5 >= letters * 3) &&
+      (s.length <= 512 || wordShaped(s))
+  }
+
+  /** Long-block second line of defense: real prose/tables are mostly
+    * WORD-shaped tokens (>= 80% ASCII letters/digits/common punctuation),
+    * measured >= 0.90 on real fixture text vs <= 0.08 on decoded image
+    * data that happens to clear the character-class guard (ASCII85/hex
+    * payloads are all letters and digits). Only applied above 512 chars,
+    * where the statistic is reliable — short table cells and headers
+    * (numbers, currency, lone glyphs) stay under the lighter guard. */
+  private def wordShaped(s: String): Boolean = {
+    val toks = s.split("\\s+")
+    var wordlike = 0; var total = 0
+    toks.foreach { t =>
+      if (t.nonEmpty) {
+        total += 1
+        // a WORD is >= 80% ASCII letters (tolerating trailing punctuation);
+        // a NUMBER is digits with numeric punctuation only. Mixed
+        // letter-digit-symbol soup — the shape of ASCII85/hex image data —
+        // is neither, even though every character clears the class guard.
+        val letters = t.count(c => c < 0x80 && Character.isLetter(c))
+        val numericChars = t.count(c => Character.isDigit(c) || ".,:%$+-/()".indexOf(c) >= 0)
+        if (t.length >= 2 &&
+            (letters * 5 >= t.length * 4 || numericChars == t.length)) wordlike += 1
+      }
+    }
+    total == 0 || wordlike * 10 >= total * 3
   }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
