@@ -126,9 +126,13 @@ object gf {
   /** L2 norm of a numeric array column. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** Cosine similarity of two numeric array columns. */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two numeric array columns. Zero-norm vectors
+    * (possible for degenerate real-corpus chunks under a signed hash
+    * embedder) score 0.0 instead of tripping ANSI divide-by-zero. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
 
   /** Deflate compression ratio (compressed/raw bytes) — the repetition/
     * junk quality signal; see CompressionRatioExpr. Typical prose ~0.3-0.6;
