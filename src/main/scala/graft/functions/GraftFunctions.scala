@@ -273,7 +273,7 @@ object gf {
 
   // ------------------------------------------------------- language id
 
-  private val StopwordsByLang: Map[String, Seq[String]] = Map(
+  private[functions] val StopwordsByLang: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "with", "was", "this"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "que", "pour", "dans", "est"),
@@ -284,14 +284,10 @@ object gf {
    * Heuristic language id: argmax of per-language stopword hits over the
    * token set; "und" (undetermined) when nothing matches. An n-gram model
    * would be the production path; the stopword heuristic is deterministic
-   * and dependency-free.
+   * and dependency-free. ONE codegen'd pass (LangIdExpr) — the previous
+   * Column formulation re-tokenized under five lambda functions because
+   * subexpression elimination skips LambdaFunction children (measured as
+   * q_langid's 7x drift across rounds as the gate table grew).
    */
-  def langId(c: Column): Column = {
-    val ts = tokens(c)
-    val scores = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(ts, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scores: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(c: Column): Column = fromExpr(LangIdExpr(toExpr(c)))
 }

@@ -72,6 +72,101 @@ case class DedupKeyExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "dedup_key"
 }
 
+/**
+ * Stopword-argmax language id as ONE codegen'd pass. The Column-built
+ * formulation (`array_max(array(struct(size(filter(tokens, isin ...)))))`)
+ * duplicated the tokenization under five lambda functions — Catalyst's
+ * subexpression elimination skips LambdaFunction children, so every row
+ * tokenized five times and ran 5x13 isin probes per token. This walks the
+ * string once, hashes each lowercased token against a precomputed
+ * word -> language table, and arg-maxes the counts. Semantics are
+ * IDENTICAL to the Column form (and to the DuckDB oracle at
+ * SparkEntry q_langid): token = whitespace-split of trim(lower(text)),
+ * ties break to the lexicographically LAST language (array_max struct
+ * ordering), zero hits -> "und".
+ */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"lang_id needs string, got $other")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    LangIdExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
+object LangIdExpr {
+  /** Languages in ascending order — ties resolve to the LAST hit-carrying
+    * index, matching array_max over (score, lang) structs. */
+  val Langs: Array[String] = gf.StopwordsByLang.keys.toArray.sorted
+
+  /** word -> indices of EVERY language listing it ("la" is Spanish AND
+    * French; "un", "de", "que", "en" overlap too — a single-language map
+    * would count shared stopwords for only one side). */
+  private val wordToLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    Langs.zipWithIndex.foreach { case (lang, i) =>
+      gf.StopwordsByLang(lang).foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  private val results: Array[UTF8String] =
+    Langs.map(UTF8String.fromString) :+ UTF8String.fromString("und")
+
+  /** The Java-regex \s class, exactly — the Column form splits with
+    * split(..., "\\s+") and the DuckDB oracle with RE2 \s; both are this
+    * ASCII set, NOT Character.isWhitespace (which adds U+2028 etc. and
+    * would tokenize differently on exotic whitespace). */
+  private def isTokenSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Called from generated code. One pass: split on whitespace, lowercase
+    * each token into a reusable buffer, count table hits per language. */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val counts = new Array[Int](Langs.length)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = str.length
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else str.charAt(i)
+      if (atEnd || isTokenSep(c)) {
+        if (sb.length > 0) {
+          val hits = wordToLangs.get(sb.toString)
+          if (hits != null) {
+            var h = 0
+            while (h < hits.length) { counts(hits(h)) += 1; h += 1 }
+          }
+          sb.setLength(0)
+        }
+      } else sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    var best = -1; var bestScore = 0
+    var k = 0
+    while (k < counts.length) {
+      // >= : later (lexicographically larger) language wins ties
+      if (counts(k) > 0 && counts(k) >= bestScore) { best = k; bestScore = counts(k) }
+      k += 1
+    }
+    if (best < 0) results(Langs.length) else results(best)
+  }
+}
+
 object DedupKeyExpr {
   /** Called from generated code. */
   def compute(s: UTF8String): UTF8String = {
