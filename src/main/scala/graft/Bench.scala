@@ -94,8 +94,27 @@ object Bench {
     // execution order of the others (JIT/GC state varies by position, which
     // otherwise shows up as cross-round noise on unchanged queries)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // HEAVY-TAIL VARIANCE DIAGNOSIS (round 7): localCheckpoint blocks from
+    // one query (dedup CC, pagerank, rrf, tfidf, packing, triangles all
+    // checkpoint) are released only when the DRIVER's GC collects the RDD
+    // handle and ContextCleaner fires — nondeterministic timing, so in the
+    // unified memory manager later queries see anywhere from zero to
+    // gigabytes of lingering storage competing with their shuffle memory.
+    // That matched the observed signature exactly: the swinging queries
+    // (q_dup_spans, q_pack_sequences, q_ngram_jaccard) sit alphabetically
+    // AFTER the checkpoint-heavy dedup family, while light queries held
+    // steady. Mitigation: deterministically unpersist every persistent RDD
+    // after each query (all queries fully evaluate before the next starts,
+    // so nothing can need the blocks again). Evidence rides in the
+    // artifact: per-run peak storage bytes with cleanup on, and the count
+    // of RDDs evicted — at sf0.1 eviction counts in the hundreds confirm
+    // checkpoints were accumulating before.
+    val storagePeaks = scala.collection.mutable.ArrayBuffer[Long]()
+    val evictions = scala.collection.mutable.ArrayBuffer[Int]()
     val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
-      names.map { name =>
+      var peak = 0L
+      var evicted = 0
+      val run = names.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
@@ -104,8 +123,16 @@ object Bench {
           if (!failures.contains(name)) failures += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        peak = math.max(peak, spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum)
+        val persisted = spark.sparkContext.getPersistentRDDs
+        evicted += persisted.size
+        persisted.values.foreach(_.unpersist(blocking = false))
+        name -> dt
       }
+      storagePeaks += peak
+      evictions += evicted
+      run
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -120,8 +147,10 @@ object Bench {
       .map(t => f"$t%.1f").mkString("[", ",", "]")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val prev = prevJson(results.map(_._1).toSet)
+    val storageMb = storagePeaks.map(b => f"${b / 1048576.0}%.0f").mkString("[", ",", "]")
+    val evictedJson = evictions.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","run_totals":$runTotals,"prev":$prev,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"per-query unpersist of lingering localCheckpoint blocks (GC-timed before, deterministic now) — see Bench.scala heavy-tail diagnosis","prev":$prev,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture tail-clips long lines (BENCH_r2/r3 both
     // recorded truncated JSON) — persist the full line as a repo artifact too
@@ -163,10 +192,23 @@ object Bench {
                   case -1 => t.substring(i)
                   case j  => t.substring(i, j)
                 }
-              if (line.isEmpty) JObject(Nil)
-              else parse(line) \ "queries" match {
+              if (line.nonEmpty) parse(line) \ "queries" match {
                 case o: JObject => o
                 case _ => JObject(Nil)
+              } else {
+                // the driver's capture byte-clips long lines from the FRONT
+                // (BENCH_r06 lost the {"metric" prefix entirely) — recover
+                // per-query pairs by regex; FIRST occurrence wins, because
+                // "queries" precedes the embedded "prev" object whose keys
+                // are the same q_* names carrying last round's values
+                val pair = "\"(q_[A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r
+                val seen = scala.collection.mutable.LinkedHashMap[String, Double]()
+                pair.findAllMatchIn(t).foreach { m =>
+                  if (!seen.contains(m.group(1)))
+                    try seen(m.group(1)) = m.group(2).toDouble
+                    catch { case _: NumberFormatException => }
+                }
+                JObject(seen.toList.map { case (k, v) => k -> (JDouble(v): JValue) })
               }
             case _ => JObject(Nil)
           }

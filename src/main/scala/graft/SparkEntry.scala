@@ -72,19 +72,39 @@ object SparkEntry {
     * (token mass, composite quality, compression ratio). One pass through
     * the operators a real training-data run would chain. */
   def entry(spark: SparkSession): DataFrame = {
-    // the condensed curation pipeline: exact + near dedup, then per-doc
-    // quality/rarity/repetition signals (row-local + corpus-statistical),
-    // rolled up per language — the end-to-end shape of a training-data run
+    // the condensed curation pipeline: exact + near dedup, near-dup GRAPH
+    // signals (clustering coefficient for boilerplate cliques, personalized
+    // PageRank for seed proximity), then per-doc quality/rarity/repetition
+    // signals (row-local + corpus-statistical), rolled up per language —
+    // the end-to-end shape of a training-data run
     val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
     // normalization-insensitive exact dedup (dedupKey collapses case/punct
-    // variants), then near-dup LSH; deduped fans out into three branches
-    // (spans, lm, main join) — without the checkpoint the LSH dedup
-    // subtree would run three times
-    val deduped = Dedup.minhashLsh(
-      Dedup.exactRowsKeepBest(
+    // variants); checkpointed — it feeds the near-dup pair graph, the
+    // seed selection, AND the LSH dedup below
+    val exact = Dedup.exactRowsKeepBest(
         docs.withColumn("_dk", gf.dedupKey(col("text"))), "doc_id", "_dk",
-        gf.qualityScore(col("text"))).drop("_dk"),
-      "doc_id", "text")
+        gf.qualityScore(col("text"))).drop("_dk")
+      .localCheckpoint()
+    // near-dup pair graph: a vertex's clustering coefficient separates
+    // template/boilerplate cliques (everything near-duplicates everything)
+    // from organic chains; personalized PageRank from the highest-quality
+    // docs scores each survivor's proximity to known-good content
+    val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text")
+    val cc = graft.operators.Triangles.clusteringCoefficient(pairs, "idA", "idB")
+      .select(col("node").as("doc_id"), col("coeff"))
+    // seed set: top-5 by (quality, id) — bounded driver collect by
+    // construction (the documented small-seed-set contract of personalized)
+    val seeds = exact
+      .select(col("doc_id"), gf.qualityScore(col("text")).as("_q"))
+      .orderBy(desc("_q"), col("doc_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val ppr = graft.operators.PageRank
+      .personalized(pairs, "idA", "idB", seeds, iterations = 3)
+      .select(col("node").as("doc_id"), col("score").as("ppr"))
+    // near-dup LSH keeps one doc per candidate group; deduped fans out into
+    // three branches (spans, lm, main join) — without the checkpoint the
+    // LSH dedup subtree would run three times
+    val deduped = Dedup.minhashLsh(exact, "doc_id", "text")
       .localCheckpoint()
     val spans = Dedup.dupSpans(deduped, "doc_id", "text", n = 10)
       .select(col("doc_id"), col("dup_frac"))
@@ -93,20 +113,26 @@ object SparkEntry {
     deduped
       .join(spans, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
+      .join(cc, Seq("doc_id"), "left")
+      .join(ppr, Seq("doc_id"), "left")
       .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8) // drop near-copied docs
       .select(col("lang"),
         gf.tokenCount(col("text")).cast("long").as("toks"),
         size(gf.chunkTokens(col("text"), 512, 64)).cast("long").as("chunks"),
         gf.qualityScore(col("text")).as("q"),
         gf.compressionRatio(col("text")).as("cr"),
-        col("mean_bits"))
+        col("mean_bits"),
+        coalesce(col("coeff"), lit(0.0)).as("coeff"),
+        coalesce(col("ppr"), lit(0L)).as("ppr"))
       .groupBy(col("lang").as("key"))
       .agg(count(lit(1)).as("count"),
         sum(col("toks")).as("tokens"),
         sum(col("chunks")).as("train_chunks"),
         round(avg(col("q")), 4).as("avg_quality"),
         round(avg(col("cr")), 4).as("avg_compress"),
-        round(avg(col("mean_bits")), 4).as("avg_surprise_bits"))
+        round(avg(col("mean_bits")), 4).as("avg_surprise_bits"),
+        round(avg(col("coeff")), 4).as("avg_dup_clustering"),
+        sum(col("ppr")).as("seed_proximity_mass"))
       .orderBy(desc("count"), col("key"))
   }
 

@@ -53,7 +53,15 @@ object ScaleProbe {
       "rrf_fusion" -> (d => graft.operators.Fusion.rrf(Seq(
         d.select(col("doc_id"), gf.qualityScore(col("text")).as("score")),
         d.select(col("doc_id"), col("n_chars").cast("double").as("score"))),
-        "doc_id", "score")))
+        "doc_id", "score")),
+      // round-6 additions: one corpus scan + aggregate-join shapes
+      "bigram_lm" -> (d => graft.operators.BigramLm.score(d, "doc_id", "text")),
+      "corpus_stats" -> (d => graft.operators.CorpusStats.bySource(
+        d, "text", Seq("source", "lang"))),
+      "dedup_keep_best" -> (d =>
+        Dedup.exactRowsKeepBest(d, "doc_id", "text", col("n_chars"))),
+      "chunk_tokens" -> (d => d.select(col("doc_id"),
+        posexplode(gf.chunkTokens(col("text"), 64, 16)).as(Seq("idx", "chunk")))))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -98,6 +106,11 @@ object ScaleProbe {
         .localCheckpoint()
     val graphOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "pagerank_5r" -> (e => PageRank.pageRank(e, "s", "d", iterations = 5)),
+      // seeds live in replica 0 of both sizes; each round still joins the
+      // FULL edge table (zero-mass vertices ride as rows), so the ratio
+      // measures the per-round join machinery at Kx edges
+      "pagerank_pers" -> (e => PageRank.personalized(e, "s", "d",
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), iterations = 5)),
       "triangles" -> (e => Triangles.enumerate(e, "s", "d")),
       "clustering_coeff" -> (e => Triangles.clusteringCoefficient(e, "s", "d")))
     val gSmall = edgesK(1); val gBig = edgesK(k)
