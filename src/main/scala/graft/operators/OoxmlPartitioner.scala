@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.model.{Document, Element}
+
+/**
+ * Dependency-free OOXML partitioners: DOCX (WordprocessingML) and PPTX
+ * (PresentationML). The reference has no native parser for either — its
+ * docx/pptx path shells out to LibreOffice to produce a PDF and re-enters
+ * the PDF partitioner (utils/fileformat_tools.py:13
+ * binary_representation_to_pdf), which is a subprocess dependency a Spark
+ * executor shouldn't carry. OOXML is a ZIP of small XML parts, so the JDK's
+ * ZipInputStream plus a tag scanner (same streaming style as
+ * HtmlPartitioner) covers the text/structure layer natively:
+ *
+ *  - DOCX: one element per `w:p` paragraph of word/document.xml — style
+ *    `Title` -> Title; `Heading*` styles or an `w:outlineLvl` (how Word
+ *    actually marks headings in styles-indirect documents) ->
+ *    Section-header; numbered/bulleted (`w:numPr`) -> List-item; `w:tbl`
+ *    tables -> one Table element (tab-separated cells, newline rows),
+ *    with their interior paragraphs not double-emitted.
+ *  - PPTX: slides in numeric order (page_number = slide number); one
+ *    element per `a:p` paragraph per shape; title/ctrTitle placeholders ->
+ *    Title; footer/slide-number/date placeholders are chrome and skipped.
+ *
+ * Well-formedness note: OOXML producers emit machine-generated,
+ * namespace-prefixed XML — the tag scanner relies on that regularity
+ * (no unquoted attributes, no omitted close tags), unlike real-world
+ * HTML where HtmlPartitioner must tolerate tag soup.
+ */
+object Ooxml {
+
+  /** Entries of a ZIP matching a predicate, as (name, bytes). */
+  def zipEntries(bytes: Array[Byte], want: String => Boolean): Seq[(String, Array[Byte])] = {
+    val out = scala.collection.mutable.ListBuffer[(String, Array[Byte])]()
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && want(e.getName)) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = zin.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+          out += ((e.getName, buf.toByteArray))
+        }
+        e = zin.getNextEntry
+      }
+    } catch { case _: Exception => /* truncated/corrupt zip: keep what we have */ }
+    finally zin.close()
+    out.toSeq
+  }
+
+  private val EntityRe = "&(amp|lt|gt|quot|apos|#x?[0-9a-fA-F]+);".r
+
+  def unescapeXml(s: String): String =
+    EntityRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(m.group(1) match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case e if e.startsWith("#x") || e.startsWith("#X") =>
+        try new String(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+        catch { case _: Exception => "" }
+      case e => // decimal
+        try new String(Character.toChars(e.drop(1).toInt))
+        catch { case _: Exception => "" }
+    }))
+
+  /** Text of one WordprocessingML/DrawingML paragraph blob: `w:t`/`a:t`
+    * runs concatenated; explicit breaks and tabs preserved. The run-tag
+    * regex anchors the name boundary — a bare `<w:t[^>]*>` would also
+    * swallow `<w:tbl>`/`<w:tc>`/`<w:tr>` and emit their XML as text. */
+  private val RunRe = "(?s)<(?:w|a):t(?:\\s[^>]*)?>(.*?)</(?:w|a):t>|<w:br\\s*/>|<w:tab\\s*/>".r
+
+  def paragraphText(p: String): String = {
+    val sb = new StringBuilder
+    RunRe.findAllMatchIn(p).foreach { m =>
+      if (m.group(1) != null) sb.append(unescapeXml(m.group(1)))
+      else if (m.matched.startsWith("<w:br")) sb.append('\n')
+      else sb.append('\t')
+    }
+    sb.toString.replace('\u00A0', ' ').trim // nbsp -> space (OOXML runs carry literal nbsp)
+  }
+}
+
+/** DOCX partitioner: word/document.xml -> typed elements. */
+final class DocxPartitioner extends Partitioner {
+  private val TblRe = "(?s)<w:tbl(?:\\s[^>]*)?>.*?</w:tbl>".r
+  private val ParaRe = "(?s)<w:p(?:\\s[^>]*)?>.*?</w:p>".r
+  private val StyleRe = "<w:pStyle w:val=\"([^\"]+)\"".r
+  private val RowRe = "(?s)<w:tr(?:\\s[^>]*)?>.*?</w:tr>".r
+  private val CellRe = "(?s)<w:tc(?:\\s[^>]*)?>.*?</w:tc>".r
+
+  private def paraType(p: String): String = {
+    val style = StyleRe.findFirstMatchIn(p).map(_.group(1).toLowerCase).getOrElse("")
+    if (style == "title") "Title"
+    else if (style.startsWith("heading") || p.contains("<w:outlineLvl")) "Section-header"
+    else if (p.contains("<w:numPr>")) "List-item"
+    else "NarrativeText"
+  }
+
+  override def partition(doc: Document): Document = {
+    val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
+    val xml = Ooxml.zipEntries(bytes, _ == "word/document.xml").headOption
+      .map(e => new String(e._2, java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse("")
+    val els = scala.collection.mutable.ListBuffer[Element]()
+    // tables first (their interior w:p's must not double-emit), then
+    // paragraphs outside any table span — both in document order
+    val tables = TblRe.findAllMatchIn(xml).map(m => (m.start, m.end)).toSeq
+    def inTable(pos: Int): Boolean = tables.exists(t => pos >= t._1 && pos < t._2)
+    sealed case class Piece(start: Int, typ: String, text: String)
+    val tablePieces = tables.map { case (s, e) =>
+      val t = xml.substring(s, e)
+      val rows = RowRe.findAllIn(t).map { row =>
+        CellRe.findAllIn(row).map(Ooxml.paragraphText).mkString("\t")
+      }.mkString("\n")
+      Piece(s, "Table", rows.trim)
+    }
+    val paraPieces = ParaRe.findAllMatchIn(xml)
+      .filterNot(m => inTable(m.start))
+      .map(m => Piece(m.start, paraType(m.group(0)), Ooxml.paragraphText(m.group(0))))
+      .toSeq
+    (tablePieces ++ paraPieces).sortBy(_.start).filter(_.text.nonEmpty).foreach { p =>
+      els += Element.text(els.size, p.typ, p.text)
+    }
+    doc.copy(elements = els.toSeq, docType = doc.docType.orElse(Some("docx")))
+  }
+}
+
+/** PPTX partitioner: ppt/slides/slideN.xml in numeric order -> elements
+  * with page_number = slide number. */
+final class PptxPartitioner extends Partitioner {
+  private val SlideRe = "ppt/slides/slide(\\d+)\\.xml".r
+  private val ShapeRe = "(?s)<p:sp>.*?</p:sp>".r
+  private val PhRe = "<p:ph type=\"([^\"]+)\"".r
+  private val ParaRe = "(?s)<a:p>.*?</a:p>".r
+  private val ChromePh = Set("ftr", "sldNum", "dt") // footer/number/date chrome
+
+  override def partition(doc: Document): Document = {
+    val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
+    val slides = Ooxml.zipEntries(bytes, n => SlideRe.pattern.matcher(n).matches())
+      .map { case (name, b) =>
+        val SlideRe(num) = name: @unchecked
+        (num.toInt, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      .sortBy(_._1)
+    val els = scala.collection.mutable.ListBuffer[Element]()
+    slides.foreach { case (slideNo, xml) =>
+      ShapeRe.findAllIn(xml).foreach { shape =>
+        val ph = PhRe.findFirstMatchIn(shape).map(_.group(1))
+        if (!ph.exists(ChromePh)) {
+          val typ =
+            if (ph.contains("title") || ph.contains("ctrTitle")) "Title"
+            else "NarrativeText"
+          ParaRe.findAllIn(shape).map(Ooxml.paragraphText).filter(_.nonEmpty).foreach { t =>
+            els += Element.text(els.size, typ, t,
+              properties = Map("page_number" -> slideNo.toString))
+          }
+        }
+      }
+    }
+    doc.copy(elements = els.toSeq, docType = doc.docType.orElse(Some("pptx")))
+  }
+}
+
+/** Plain-text partitioner: blank-line-separated paragraphs -> elements
+  * (covers .txt corpora; the reference reads texts via its generic binary
+  * scan + partition_file paths). */
+final class TextPartitioner extends Partitioner {
+  override def partition(doc: Document): Document = {
+    val text = doc.textRepresentation.getOrElse(
+      doc.binaryRepresentation
+        .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)).getOrElse(""))
+    val els = text.split("\\n\\s*\\n").iterator
+      .map(_.trim).filter(_.nonEmpty).zipWithIndex
+      .map { case (t, i) => Element.text(i, "NarrativeText", t) }
+      .toSeq
+    doc.copy(elements = els, docType = doc.docType.orElse(Some("text")))
+  }
+}

@@ -76,17 +76,21 @@ object FixtureGoldenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val pdfDocs = DocRead.binary(spark, s"$DataDir/pdfs", "pdf")
-      .takeAll().sortBy(_.prop("path").getOrElse(""))
-    val htmlDocs = DocRead.binary(spark, s"$DataDir/htmls", "html")
-      .takeAll().sortBy(_.prop("path").getOrElse(""))
+    def corpus(sub: String, ext: String, p: => Partitioner): Seq[(Document, Partitioner)] =
+      DocRead.binary(spark, s"$DataDir/$sub", ext)
+        .takeAll().sortBy(_.prop("path").getOrElse(""))
+        .map(d => (d, p))
 
-    val entries = pdfDocs.map { d =>
+    val all: Seq[(Document, Partitioner)] =
+      corpus("pdfs", "pdf", new PdfPartitioner()) ++
+        corpus("htmls", "html", new HtmlPartitioner()) ++
+        corpus("docx", "docx", new DocxPartitioner()) ++
+        corpus("pptx", "pptx", new PptxPartitioner()) ++
+        corpus("texts", "txt", new TextPartitioner())
+
+    val entries = all.map { case (d, p) =>
       val name = d.prop("path").getOrElse("?").split('/').last
-      snapshot(name, chunk(d, new PdfPartitioner()))
-    } ++ htmlDocs.map { d =>
-      val name = d.prop("path").getOrElse("?").split('/').last
-      snapshot(name, chunk(d, new HtmlPartitioner()))
+      snapshot(name, chunk(d, p))
     }
     val outPath = args.headOption.getOrElse("/tmp/real_fixtures.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
@@ -94,14 +98,12 @@ object FixtureGoldenGen {
     println(s"GOLDEN_WRITTEN $outPath")
 
     // human-review aid: dump a fuller text sample per file
-    (pdfDocs.map(d => (d, new PdfPartitioner(): Partitioner)) ++
-      htmlDocs.map(d => (d, new HtmlPartitioner(): Partitioner))).foreach {
-      case (d, p) =>
-        val name = d.prop("path").getOrElse("?").split('/').last
-        val t = chunk(d, p)
-        System.err.println(s"===== $name: ${t.partitioned.elements.size} els =====")
-        t.partitioned.elements.take(6).foreach(e =>
-          System.err.println(s"  [${e.elementType}] ${e.text.take(110).replace('\n', ' ')}"))
+    all.foreach { case (d, p) =>
+      val name = d.prop("path").getOrElse("?").split('/').last
+      val t = chunk(d, p)
+      System.err.println(s"===== $name: ${t.partitioned.elements.size} els =====")
+      t.partitioned.elements.take(6).foreach(e =>
+        System.err.println(s"  [${e.elementType}] ${e.text.take(110).replace('\n', ' ')}"))
     }
     spark.stop()
   }

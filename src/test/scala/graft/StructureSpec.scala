@@ -286,4 +286,87 @@ class StructureSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       TableCell("dup row", Array(1, 1), Array(0), isHeader = false, None))
   }
+
+  // ------------------------------------------------------------ OOXML
+
+  private def zipOf(entries: (String, String)*): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(buf)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    buf.toByteArray
+  }
+
+  test("DocxPartitioner: styles, lists, tables, escapes, break/tab runs") {
+    import graft.operators.DocxPartitioner
+    val xml = """<?xml version="1.0"?><w:document><w:body>
+      <w:p><w:pPr><w:pStyle w:val="Title"/></w:pPr><w:r><w:t>Doc Title</w:t></w:r></w:p>
+      <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Intro &amp; Scope</w:t></w:r></w:p>
+      <w:p><w:pPr><w:outlineLvl w:val="1"/></w:pPr><w:r><w:t>Styled via outline</w:t></w:r></w:p>
+      <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr><w:r><w:t>first bullet</w:t></w:r></w:p>
+      <w:p><w:r><w:t xml:space="preserve">Body one</w:t></w:r><w:r><w:t> and two</w:t></w:r></w:p>
+      <w:p><w:r><w:t>line a</w:t><w:br/><w:t>line b</w:t><w:tab/><w:t>cell</w:t></w:r></w:p>
+      <w:tbl><w:tr><w:tc><w:p><w:r><w:t>h1</w:t></w:r></w:p></w:tc>
+        <w:tc><w:p><w:r><w:t>h2</w:t></w:r></w:p></w:tc></w:tr>
+        <w:tr><w:tc><w:p><w:r><w:t>v1</w:t></w:r></w:p></w:tc>
+        <w:tc><w:p><w:r><w:t>v&lt;2&gt;</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+      <w:p><w:r><w:t>after table</w:t></w:r></w:p>
+      </w:body></w:document>"""
+    val doc = new DocxPartitioner().partition(graft.model.Document.of("x.docx")
+      .copy(binaryRepresentation = Some(zipOf("word/document.xml" -> xml))))
+    val els = doc.elements
+    assert(doc.docType.contains("docx"))
+    assert(els.map(_.elementType) == Seq("Title", "Section-header", "Section-header",
+      "List-item", "NarrativeText", "NarrativeText", "Table", "NarrativeText"))
+    assert(els(0).text == "Doc Title")
+    assert(els(1).text == "Intro & Scope")
+    assert(els(4).text == "Body one and two")
+    assert(els(5).text == "line a\nline b\tcell")
+    // table cells tab-joined, rows newline-joined; interior w:p's NOT re-emitted
+    assert(els(6).text == "h1\th2\nv1\tv<2>")
+    assert(els(7).text == "after table")
+    // element order follows document order (table between paragraphs)
+    assert(els.map(_.elementIndex) == (0 until 8))
+  }
+
+  test("PptxPartitioner: slide order, title placeholders, chrome skipped") {
+    import graft.operators.PptxPartitioner
+    def slide(title: String, body: String, extra: String = "") =
+      s"""<p:sld><p:cSld><p:spTree>
+         <p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+           <p:txBody><a:p><a:r><a:t>$title</a:t></a:r></a:p></p:txBody></p:sp>
+         <p:sp><p:nvSpPr><p:nvPr/></p:nvSpPr>
+           <p:txBody><a:p><a:r><a:t>$body</a:t></a:r></a:p></p:txBody></p:sp>
+         $extra
+         </p:spTree></p:cSld></p:sld>"""
+    val chrome = """<p:sp><p:nvSpPr><p:nvPr><p:ph type="sldNum"/></p:nvPr></p:nvSpPr>
+      <p:txBody><a:p><a:r><a:t>2</a:t></a:r></a:p></p:txBody></p:sp>"""
+    // entry order deliberately 10-before-2 in the zip; slide NUMBER must win
+    val doc = new PptxPartitioner().partition(graft.model.Document.of("x.pptx")
+      .copy(binaryRepresentation = Some(zipOf(
+        "ppt/slides/slide10.xml" -> slide("Last Slide", "closing remarks"),
+        "ppt/slides/slide1.xml" -> slide("First Slide", "opening text"),
+        "ppt/slides/slide2.xml" -> slide("Mid", "middle", chrome)))))
+    val els = doc.elements
+    assert(els.map(e => (e.elementType, e.text)) == Seq(
+      ("Title", "First Slide"), ("NarrativeText", "opening text"),
+      ("Title", "Mid"), ("NarrativeText", "middle"),
+      ("Title", "Last Slide"), ("NarrativeText", "closing remarks")))
+    assert(els.map(_.prop("page_number").get) == Seq("1", "1", "2", "2", "10", "10"))
+    assert(!els.exists(_.text == "2"), "slide-number chrome must be skipped")
+  }
+
+  test("TextPartitioner: blank-line paragraphs; no blank lines -> one element") {
+    import graft.operators.TextPartitioner
+    val d = new TextPartitioner().partition(graft.model.Document.of("a.txt")
+      .copy(binaryRepresentation = Some("p one\nstill one\n\n  \np two".getBytes("UTF-8"))))
+    assert(d.elements.map(_.text) == Seq("p one\nstill one", "p two"))
+    val single = new TextPartitioner().partition(graft.model.Document.of("b.txt")
+      .copy(textRepresentation = Some("only\nlines\nhere")))
+    assert(single.elements.map(_.text) == Seq("only\nlines\nhere"))
+  }
 }
