@@ -59,6 +59,42 @@ object DocRead {
     fromDataFrame(df, docIdField, textField)
   }
 
+  /** Whole-FILE JSON -> Documents, the reference JsonScan's actual contract
+    * (file_scan.py:291 + its test_file_scan.py cases): each file is ONE
+    * JSON object. `properties` restricts which top-level keys become
+    * document properties (default all); `bodyField` lifts one key to
+    * text_representation; `rowsField` instead explodes an array-of-objects
+    * field into one Document per element (the nested_json doc_extractor
+    * pattern — HuggingFace datasets-server responses and friends). The
+    * file path rides as docId and the `path` property, like read.binary.
+    * Nested values stringify as JSON in the string-properties map (the
+    * engine's uniform property representation — fromDataFrame's contract). */
+  def jsonFile(spark: SparkSession, paths: String,
+               properties: Option[Seq[String]] = None,
+               bodyField: Option[String] = None,
+               rowsField: Option[String] = None): DocSet = {
+    val raw = spark.read.option("multiLine", "true").json(paths)
+      .withColumn("path", input_file_name())
+    rowsField match {
+      case Some(rf) =>
+        // one Document per array element; docId = path#index so ids stay
+        // unique across rows of the same file
+        val exploded = raw
+          .select(col("path"), posexplode(col(rf)).as(Seq("_idx", "_row")))
+          .select(concat(col("path"), lit("#"), col("_idx")).as("_rowid"),
+            col("path"), col("_row.*"))
+        fromDataFrame(exploded, docIdField = Some("_rowid"), textField = bodyField)
+      case None =>
+        val keep = properties match {
+          case Some(keys) =>
+            raw.select((("path" +: keys).distinct ++ bodyField.toSeq).distinct
+              .map(col): _*)
+          case None => raw
+        }
+        fromDataFrame(keep, docIdField = Some("path"), textField = bodyField)
+    }
+  }
+
   /** Any DataFrame -> DocSet: columns flatten into dotted properties
     * (reference: reader.py:194-214 read.arrow/pandas/document — in-memory
     * tables as docs; here every Spark source qualifies).
