@@ -1011,6 +1011,12 @@ object SparkEntry {
       // ratios only (no float accumulation crosses a shuffle)
       graft.operators.CorpusStats.bySource(tbl(s, dir, "documents"),
         "text", Seq("source", "lang"))),
+    "q_lexical_diversity" -> ((s, dir) =>
+      // per-doc type-token ratio / hapax fraction / mean word length —
+      // the Gopher-family lexical quality signals; two keyed aggregates,
+      // never a window
+      graft.operators.CorpusStats.lexicalDiversity(
+        tbl(s, dir, "documents"), "doc_id", "text")),
     "q_chunk_text" -> ((s, dir) =>
       // sliding 64-token windows with 16-token overlap: (doc, chunk_idx,
       // n_tokens) training rows — the flat RAG/context-prep shape
@@ -2079,6 +2085,23 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS DOUBLE)
                       / count(*), 6) AS short_frac
          FROM t GROUP BY source, lang ORDER BY source, lang""",
+    "q_lexical_diversity" ->
+      """WITH tok AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+              FROM documents),
+         tc AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> ''
+                GROUP BY doc_id, t),
+         agg AS (SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                CAST(sum(c * length(t)) AS BIGINT) AS chars
+              FROM tc GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_types,
+                round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+                round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+                round(CAST(chars AS DOUBLE) / n_tokens, 6) AS mean_word_len
+         FROM agg ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n

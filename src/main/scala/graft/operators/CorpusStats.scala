@@ -40,4 +40,39 @@ object CorpusStats {
           / count(lit(1)), 6).as("short_frac"))
       .orderBy(groups.map(col): _*)
   }
+
+  /**
+   * Per-document lexical diversity — the MassiveText/Gopher-family quality
+   * signals a unigram length check can't see: type-token ratio (template
+   * spam repeats a tiny vocabulary), hapax fraction (fluent prose keeps
+   * coining one-off words; keyword stuffing doesn't), and mean word length
+   * (Gopher keeps documents with mean word length in [3, 10]).
+   *
+   * Scale shape: explode to (doc, token) -> ONE (doc, token) count
+   * aggregate (map-side combine collapses repeated tokens per partition)
+   * -> ONE per-doc aggregate. Both keyed aggregates, never a window — a
+   * pathological million-token doc spreads across partitions in phase 1
+   * and only its (token, count) rows meet in phase 2. Outputs are integer
+   * counts and round(6) ratios of exactly-equal integers, so the DuckDB
+   * oracle hash-matches.
+   */
+  def lexicalDiversity(df: DataFrame, id: String, text: String): DataFrame = {
+    val perToken = df
+      .select(col(id), explode(gf.tokens(col(text))).as("_t"))
+      .where(col("_t") =!= "")
+      .groupBy(col(id), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+    perToken
+      .groupBy(col(id))
+      .agg(
+        sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("_c") * length(col("_t"))).as("_chars"))
+      .select(col(id), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
+        round(col("_chars").cast("double") / col("n_tokens"), 6).as("mean_word_len"))
+      .orderBy(col(id))
+  }
 }

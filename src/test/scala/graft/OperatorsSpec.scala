@@ -353,6 +353,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Triangles.count(df, "s", "d").head.getLong(0) == 2L)
   }
 
+  test("lexicalDiversity: ttr, hapax fraction, mean word length, case folding") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the the the cat"),   // 4 tokens, 2 types, 1 hapax, 12 chars
+      (2L, "a b c d"),           // all hapax
+      (3L, "Hello hello world")) // case-folds to 3 tokens / 2 types
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats.lexicalDiversity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 0.5, 0.5, 3.0)))
+    assert(out(2L) == ((4L, 4L, 1.0, 1.0, 1.0)))
+    assert(out(3L) == ((3L, 2L, 0.666667, 0.5, 5.0)))
+    // partitioning-independence (keyed aggregates, no window)
+    val again = graft.operators.CorpusStats
+      .lexicalDiversity(df.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out.view.mapValues(_._3).toMap)
+  }
+
   test("clusteringCoefficient: known coefficients, degree-1 and no-triangle vertices") {
     import org.apache.spark.sql.functions.col
     // triangle 1-2-3 plus pendant 4 off vertex 3, plus edge 5-6:

@@ -61,7 +61,9 @@ object ScaleProbe {
       "dedup_keep_best" -> (d =>
         Dedup.exactRowsKeepBest(d, "doc_id", "text", col("n_chars"))),
       "chunk_tokens" -> (d => d.select(col("doc_id"),
-        posexplode(gf.chunkTokens(col("text"), 64, 16)).as(Seq("idx", "chunk")))))
+        posexplode(gf.chunkTokens(col("text"), 64, 16)).as(Seq("idx", "chunk")))),
+      "lexical_diversity" -> (d =>
+        graft.operators.CorpusStats.lexicalDiversity(d, "doc_id", "text")))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
