@@ -19,11 +19,22 @@ trait Partitioner extends Serializable {
  * so this is a small tag scanner covering the same element vocabulary:
  * title, h1-h6 -> Section-header, p -> NarrativeText, li -> List-item,
  * table -> table text).
+ *
+ * `skipHeadersAndFooters` (reference default true) drops content inside
+ * <header>/<footer> chrome. `extractTables` (reference partition.py:113
+ * extract_tables + data/table.py Table.from_html) additionally emits one
+ * structured `table` element per non-nested <table>, with TableCell
+ * row/col spans resolved through a grid-occupancy walk (rowspan cells
+ * block the slots of later rows, exactly like HTML layout) — appended
+ * after the text elements, matching the reference's element order.
  */
-final class HtmlPartitioner extends Partitioner {
+final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
+                            extractTables: Boolean = false) extends Partitioner {
   private val blockTags = Set("title", "h1", "h2", "h3", "h4", "h5", "h6",
     "p", "li", "td", "th", "caption")
-  private val skipTags = Set("script", "style")
+  private val skipTags =
+    if (skipHeadersAndFooters) Set("script", "style", "header", "footer")
+    else Set("script", "style")
   private val tagRe = "(?s)<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<!--.*?-->".r
   private val wsRe = "\\s+".r
 
@@ -80,7 +91,96 @@ final class HtmlPartitioner extends Partitioner {
     }
     if (open.isDefined && skipping.isEmpty) buf.append(html.substring(pos))
     emit()
+    if (extractTables) {
+      tableSpans(html).foreach { t =>
+        val cells = parseTable(t)
+        if (cells.nonEmpty)
+          els += graft.model.Element("table", None, None, None, None,
+            els.size, cells, Map.empty)
+      }
+    }
     doc.copy(elements = els.toSeq, docType = doc.docType.orElse(Some("html")))
+  }
+
+  // ------------------------------------------------- structured tables
+
+  private val tableOpenRe = "(?i)<table[^>]*>".r
+  private val rowRe = "(?is)<tr[^>]*>(.*?)</tr>".r
+  private val cellRe = "(?is)<(td|th)([^>]*)>(.*?)</(?:td|th)>".r
+  private val spanRe = "(?i)(rowspan|colspan)\\s*=\\s*\"?(\\d+)".r
+
+  /** Interiors of non-nested <table> elements, document order. */
+  private def tableSpans(html: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    tableOpenRe.findAllMatchIn(html).foreach { m =>
+      val close = html.indexOf("</table", m.end)
+      if (close > 0) {
+        val body = html.substring(m.end, close)
+        // reference semantics: a table CONTAINING another table is skipped
+        // (its inner tables are found by their own open tags)
+        if (!body.toLowerCase.contains("<table")) out += body
+      }
+    }
+    out.toSeq
+  }
+
+  private def parseTable(body: String): Seq[graft.model.TableCell] = {
+    val cells = scala.collection.mutable.ListBuffer[graft.model.TableCell]()
+    val occupied = scala.collection.mutable.Set[(Int, Int)]()
+    var r = 0
+    rowRe.findAllMatchIn(body).foreach { row =>
+      var c = 0
+      cellRe.findAllMatchIn(row.group(1)).foreach { cell =>
+        while (occupied((r, c))) c += 1
+        val spans = spanRe.findAllMatchIn(cell.group(2))
+          .map(m => m.group(1).toLowerCase -> m.group(2).toInt).toMap
+        val rs = math.max(1, spans.getOrElse("rowspan", 1))
+        val cs = math.max(1, spans.getOrElse("colspan", 1))
+        val rows = (r until r + rs).toArray
+        val cols = (c until c + cs).toArray
+        for (rr <- rows; cc <- cols) occupied += ((rr, cc))
+        val text = clean(cell.group(3).replaceAll("<[^>]*>", " "))
+        cells += graft.model.TableCell(text, rows, cols,
+          isHeader = cell.group(1).equalsIgnoreCase("th"), None)
+        c += cs
+      }
+      r += 1
+    }
+    cells.toSeq
+  }
+}
+
+/**
+ * Transcript partitioner (reference: partition.py
+ * HtmlPartitioner.transform_transcript_elements): text of the form
+ * `[<time>] <speaker> <utterance...>` per line becomes one element per
+ * utterance with start_time / end_time / speaker properties — end_time is
+ * the NEXT utterance's start ("N/A" for the last). Malformed lines are
+ * skipped rather than failing the document (the reference asserts).
+ */
+final class TranscriptPartitioner extends Partitioner {
+  override def partition(doc: Document): Document = {
+    val text = doc.textRepresentation.getOrElse(
+      doc.binaryRepresentation
+        .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)).getOrElse(""))
+    final case class Seg(start: String, speaker: String, text: String)
+    val segs = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      if (!line.startsWith("[")) None
+      else {
+        val timeIx = line.indexOf(' ')
+        val spkIx = if (timeIx > 0) line.indexOf(' ', timeIx + 1) else -1
+        if (timeIx <= 0 || spkIx <= 0) None
+        else Some(Seg(line.substring(0, timeIx),
+          line.substring(timeIx + 1, spkIx),
+          line.substring(spkIx + 1).trim))
+      }
+    }.toSeq
+    val els = segs.zipWithIndex.map { case (s, i) =>
+      val end = if (i + 1 < segs.size) segs(i + 1).start else "N/A"
+      Element.text(i, "transcript", s.text, properties = Map(
+        "start_time" -> s.start, "end_time" -> end, "speaker" -> s.speaker))
+    }
+    doc.copy(elements = els, docType = doc.docType.orElse(Some("transcript")))
   }
 }
 

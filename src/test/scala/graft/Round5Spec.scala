@@ -375,6 +375,14 @@ class Round5Spec extends AnyFunSuite {
     // heavy-hitters pass 2 is join-free: candidate membership is an InSet
     val hp = plan(graft.operators.HeavyHitters.topTokens(docs, "text", 0.01))
     assert(!hp.contains("Join"), s"recount pass must not join:\n$hp")
+
+    // lexical diversity is two keyed aggregates, never a window — a hot
+    // document must spread across partitions in the (doc, token) phase
+    val lp = plan(graft.operators.CorpusStats.lexicalDiversity(docs, "doc_id", "text"))
+    assert(!lp.contains("windowspecdefinition"),
+      s"lexical diversity must not window:\n$lp")
+    assert(lp.contains("HashAggregate(keys=[doc_id"),
+      s"per-doc aggregate expected:\n$lp")
   }
 
   test("clusteringCoefficient computes the degree table exactly once") {

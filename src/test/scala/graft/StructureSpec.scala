@@ -360,6 +360,61 @@ class StructureSpec extends AnyFunSuite {
     assert(!els.exists(_.text == "2"), "slide-number chrome must be skipped")
   }
 
+  test("HtmlPartitioner extractTables: grid spans, headers, nested skipped, chrome dropped") {
+    import graft.operators.HtmlPartitioner
+    val html = """<html><header><p>site chrome</p></header><body>
+      <p>before</p>
+      <table>
+        <tr><th>h1</th><th colspan="2">h23</th></tr>
+        <tr><td rowspan="2">a</td><td>b</td><td>c</td></tr>
+        <tr><td>d</td><td>e</td></tr>
+      </table>
+      <table><tr><td>outer<table><tr><td>inner</td></tr></table></td></tr></table>
+      <footer><p>footer junk</p></footer></body></html>"""
+    val doc = new HtmlPartitioner(extractTables = true).partition(
+      graft.model.Document.of("t.html").copy(
+        binaryRepresentation = Some(html.getBytes("UTF-8"))))
+    // chrome dropped, table CELL text not re-emitted as blocks... cells ARE
+    // block tags, so they appear as TableText elements too (legacy text
+    // path) — the structured table rides alongside
+    assert(!doc.elements.exists(_.text.contains("site chrome")))
+    assert(!doc.elements.exists(_.text.contains("footer junk")))
+    val tables = doc.elements.filter(_.elementType == "table")
+    assert(tables.size == 2, s"outer-with-nested skipped, inner kept: $tables")
+    val cells = tables.head.tableCells
+    assert(cells.size == 7) // h1, h23, a, b, c, d, e
+    val h23 = cells.find(_.content == "h23").get
+    assert(h23.isHeader && h23.cols.toSeq == Seq(1, 2) && h23.rows.toSeq == Seq(0))
+    val a = cells.find(_.content == "a").get
+    assert(a.rows.toSeq == Seq(1, 2) && a.cols.toSeq == Seq(0))
+    // rowspan blocks the slot below: row 2's first free column is 1
+    val d = cells.find(_.content == "d").get
+    assert(d.rows.toSeq == Seq(2) && d.cols.toSeq == Seq(1))
+    assert(tables.last.tableCells.map(_.content) == Seq("inner"))
+    // markdown renders the grid with the span flattened
+    val md = graft.operators.Markdown.toMarkdown(
+      doc.copy(elements = Seq(tables.head))).text
+    assert(md.startsWith("| h1 | h23 | h23 |"), md)
+    assert(md.contains("| a | d | e |"), md)
+  }
+
+  test("TranscriptPartitioner: utterances with start/end/speaker chaining") {
+    import graft.operators.TranscriptPartitioner
+    val t = """[00:00:01] Alice Hello there, how are you?
+      |[00:00:05] Bob Doing well, thanks.
+      |not a transcript line
+      |[00:00:09] Alice Great.""".stripMargin
+    val doc = new TranscriptPartitioner().partition(
+      graft.model.Document.of("call.txt").copy(textRepresentation = Some(t)))
+    val els = doc.elements
+    assert(els.size == 3)
+    assert(els(0).text == "Hello there, how are you?")
+    assert(els(0).prop("speaker").contains("Alice"))
+    assert(els(0).prop("start_time").contains("[00:00:01]"))
+    assert(els(0).prop("end_time").contains("[00:00:05]"))
+    assert(els(2).prop("end_time").contains("N/A"))
+  }
+
   test("TextPartitioner: blank-line paragraphs; no blank lines -> one element") {
     import graft.operators.TextPartitioner
     val d = new TextPartitioner().partition(graft.model.Document.of("a.txt")
