@@ -27,6 +27,40 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
 
   def map(f: Document => Document): DocSet = wrap(ds.map(f))
   def flatMap(f: Document => Seq[Document]): DocSet = wrap(ds.flatMap(f))
+
+  /** Parse binaries into elements (reference: docset.py partition(
+    * partitioner=...)). Partitioners are Serializable and per-row pure, so
+    * this is a plain partition-parallel map. */
+  def partition(p: graft.operators.Partitioner): DocSet = map(p.partition)
+
+  /** Partition with per-document format dispatch on docType / path
+    * extension (pdf, html, docx, pptx, transcript, text; unknown formats
+    * pass through unchanged) — the mixed-corpus convenience the reference
+    * gets from choosing a partitioner per read call. The partitioner set
+    * is constructed once per executor task, not per document. */
+  def partitionAuto(): DocSet = mapBatch { it =>
+    val pdf = new graft.operators.PdfPartitioner()
+    val html = new graft.operators.HtmlPartitioner()
+    val docx = new graft.operators.DocxPartitioner()
+    val pptx = new graft.operators.PptxPartitioner()
+    val text = new graft.operators.TextPartitioner()
+    def formatOf(d: Document): String =
+      d.docType.getOrElse {
+        val id = d.docId.toLowerCase
+        val dot = id.lastIndexOf('.')
+        if (dot < 0) "" else id.substring(dot + 1)
+      }
+    it.map { d =>
+      formatOf(d) match {
+        case "pdf" => pdf.partition(d)
+        case "html" | "htm" => html.partition(d)
+        case "docx" => docx.partition(d)
+        case "pptx" => pptx.partition(d)
+        case "txt" | "text" => text.partition(d)
+        case _ => d
+      }
+    }
+  }
   /** Batch-friendly map (reference MapBatch) = mapPartitions. */
   def mapBatch(f: Iterator[Document] => Iterator[Document]): DocSet = wrap(ds.mapPartitions(f))
   def filter(p: Document => Boolean): DocSet = wrap(ds.filter(p))
