@@ -198,12 +198,18 @@ object Bench {
               } else {
                 // the driver's capture byte-clips long lines from the FRONT
                 // (BENCH_r06 lost the {"metric" prefix entirely) — recover
-                // per-query pairs by regex; FIRST occurrence wins, because
-                // "queries" precedes the embedded "prev" object whose keys
-                // are the same q_* names carrying last round's values
+                // per-query pairs by regex. Only matches BEFORE the embedded
+                // "prev" object count: its keys are the same q_* names
+                // carrying the round-BEFORE-last's values, and a query whose
+                // current entry was clipped away must stay absent from the
+                // basis rather than silently inherit a two-rounds-stale one.
+                val cutoff = t.indexOf("\"prev\":") match {
+                  case -1 => t.length
+                  case i => i
+                }
                 val pair = "\"(q_[A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r
                 val seen = scala.collection.mutable.LinkedHashMap[String, Double]()
-                pair.findAllMatchIn(t).foreach { m =>
+                pair.findAllMatchIn(t.substring(0, cutoff)).foreach { m =>
                   if (!seen.contains(m.group(1)))
                     try seen(m.group(1)) = m.group(2).toDouble
                     catch { case _: NumberFormatException => }

@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
  * checkpoint runs that plan exactly once and both evaluations read the
  * narrow two-column blocks — measured 3.2× on the sf0.1 hybrid-retrieval
  * gate (q_rrf_fusion 9.2 s -> 2.8 s one-shot at its bench position).
- * The checkpoints are LAZY (eager = false): constructing the fused frame
- * runs no Spark jobs — materialization happens on the caller's first
- * action, preserving the library's plan-building laziness contract.
+ * The per-ranking (id, score) checkpoints are LAZY (eager = false) so the
+ * projection itself adds no construction-time jobs. NOTE: constructing the
+ * fused frame is still NOT free — globalRank's two-phase rank collects
+ * per-partition counts at construction (Packing.scala rankedStage), which
+ * materializes each checkpointed ranking once. Callers building rrf frames
+ * speculatively should construct lazily themselves.
  */
 object Fusion {
 

@@ -71,7 +71,10 @@ object Ooxml {
     * runs concatenated; explicit breaks and tabs preserved. The run-tag
     * regex anchors the name boundary — a bare `<w:t[^>]*>` would also
     * swallow `<w:tbl>`/`<w:tc>`/`<w:tr>` and emit their XML as text. */
-  private val RunRe = "(?s)<(?:w|a):t(?:\\s[^>]*)?>(.*?)</(?:w|a):t>|<w:br\\s*/>|<w:tab\\s*/>".r
+  // breaks/tabs tolerate attributes: Word emits <w:br w:type="page"/> and
+  // friends, and dropping them glues the neighboring runs into one word
+  private val RunRe =
+    "(?s)<(?:w|a):t(?:\\s[^>]*)?>(.*?)</(?:w|a):t>|<w:br(?:\\s[^>]*)?/>|<w:tab(?:\\s[^>]*)?/>".r
 
   def paragraphText(p: String): String = {
     val sb = new StringBuilder

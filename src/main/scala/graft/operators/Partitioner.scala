@@ -62,7 +62,11 @@ final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
     val els = scala.collection.mutable.ListBuffer[Element]()
     var open: Option[String] = None        // currently-open block tag
     var buf = new StringBuilder
-    var skipping: Option[String] = None    // inside <script>/<style>
+    // skip regions as a STACK, not a single slot: real headers/footers
+    // contain <script>/<style>, and a single `skipping` variable would be
+    // overwritten by the inner tag and cleared at its close — leaking the
+    // rest of the chrome into the element stream
+    var skipStack = List.empty[String]
     var pos = 0
 
     def emit(): Unit = {
@@ -76,20 +80,22 @@ final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
 
     tagRe.findAllMatchIn(html).foreach { m =>
       val textRun = html.substring(pos, m.start)
-      if (skipping.isEmpty && open.isDefined) buf.append(textRun).append(' ')
+      if (skipStack.isEmpty && open.isDefined) buf.append(textRun).append(' ')
       pos = m.end
       (Option(m.group(1)), Option(m.group(2)).map(_.toLowerCase)) match {
         case (_, None) => // comment
-        case (Some(""), Some(t)) if skipTags(t)  => skipping = Some(t)
-        case (Some("/"), Some(t)) if skipping.contains(t) => skipping = None
-        case _ if skipping.isDefined =>
+        case (Some(""), Some(t)) if skipTags(t)  => skipStack = t :: skipStack
+        case (Some("/"), Some(t)) if skipStack.contains(t) =>
+          // pop through to the matching open (tolerates unclosed inner tags)
+          skipStack = skipStack.dropWhile(_ != t).drop(1)
+        case _ if skipStack.nonEmpty =>
         case (Some(""), Some(t)) if blockTags(t) => emit(); open = Some(t)
         case (Some("/"), Some(t)) if open.contains(t) => emit()
         case _ => // inline tag inside a block: treat as a word break
           if (open.isDefined) buf.append(' ')
       }
     }
-    if (open.isDefined && skipping.isEmpty) buf.append(html.substring(pos))
+    if (open.isDefined && skipStack.isEmpty) buf.append(html.substring(pos))
     emit()
     if (extractTables) {
       tableSpans(html).foreach { t =>
@@ -105,9 +111,24 @@ final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
   // ------------------------------------------------- structured tables
 
   private val tableOpenRe = "(?i)<table[^>]*>".r
-  private val rowRe = "(?is)<tr[^>]*>(.*?)</tr>".r
-  private val cellRe = "(?is)<(td|th)([^>]*)>(.*?)</(?:td|th)>".r
+  // open tags only — td/tr close tags are OPTIONAL per the HTML spec
+  // (imply-close on the next cell/row), so paired open..close regexes
+  // silently drop cells of real-world tables; cells/rows end at the next
+  // open tag instead (same tolerance as the text path's tokenizer)
+  private val rowOpenRe = "(?i)<tr[^>]*>".r
+  private val cellOpenRe = "(?i)<(td|th)([^>]*)>".r
   private val spanRe = "(?i)(rowspan|colspan)\\s*=\\s*\"?(\\d+)".r
+
+  /** Segments starting at each match of `openRe`, each ending at the next
+    * match (or end of input), with any close tags stripped from the tail. */
+  private def segments(body: String, openRe: scala.util.matching.Regex)
+      : Seq[(scala.util.matching.Regex.Match, String)] = {
+    val opens = openRe.findAllMatchIn(body).toSeq
+    opens.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < opens.size) opens(i + 1).start else body.length
+      (m, body.substring(m.end, end))
+    }
+  }
 
   /** Interiors of non-nested <table> elements, document order. */
   private def tableSpans(html: String): Seq[String] = {
@@ -128,20 +149,20 @@ final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
     val cells = scala.collection.mutable.ListBuffer[graft.model.TableCell]()
     val occupied = scala.collection.mutable.Set[(Int, Int)]()
     var r = 0
-    rowRe.findAllMatchIn(body).foreach { row =>
+    segments(body, rowOpenRe).foreach { case (_, rowBody) =>
       var c = 0
-      cellRe.findAllMatchIn(row.group(1)).foreach { cell =>
+      segments(rowBody, cellOpenRe).foreach { case (cellOpen, cellBody) =>
         while (occupied((r, c))) c += 1
-        val spans = spanRe.findAllMatchIn(cell.group(2))
+        val spans = spanRe.findAllMatchIn(cellOpen.group(2))
           .map(m => m.group(1).toLowerCase -> m.group(2).toInt).toMap
         val rs = math.max(1, spans.getOrElse("rowspan", 1))
         val cs = math.max(1, spans.getOrElse("colspan", 1))
         val rows = (r until r + rs).toArray
         val cols = (c until c + cs).toArray
         for (rr <- rows; cc <- cols) occupied += ((rr, cc))
-        val text = clean(cell.group(3).replaceAll("<[^>]*>", " "))
+        val text = clean(cellBody.replaceAll("<[^>]*>", " "))
         cells += graft.model.TableCell(text, rows, cols,
-          isHeader = cell.group(1).equalsIgnoreCase("th"), None)
+          isHeader = cellOpen.group(1).equalsIgnoreCase("th"), None)
         c += cs
       }
       r += 1

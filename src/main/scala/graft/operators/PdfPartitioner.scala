@@ -49,7 +49,7 @@ final class PdfPartitioner extends Partitioner {
  * document flows through as ciphertext, where the printability guard
  * drops it — degraded, never wrong.
  */
-private[operators] object PdfCrypt {
+private[graft] object PdfCrypt {
   import java.security.MessageDigest
 
   /** §7.6.3.3 padding string. */
@@ -595,13 +595,21 @@ object PdfText {
     * when zlib-compressed. Per-object decryption keys need each stream's
     * owning object number, which is the closest preceding `N G obj`. */
   def contentStreams(pdf: Array[Byte]): Seq[Array[Byte]] = {
-    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val crypt = PdfCrypt.forDocument(pdf, s)
+    // byte-level pre-check: the overwhelmingly common unencrypted document
+    // must not pay a full ISO-8859-1 String copy + regex scans just to
+    // conclude "no /Encrypt"
+    val crypt =
+      if (indexOf(pdf, "/Encrypt", 0) < 0) None
+      else PdfCrypt.forDocument(pdf,
+        new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1))
     // positions of every "N G obj" header, ascending, for owner lookup
     val objHeaders: Array[(Int, Int, Int)] =
       if (crypt.isEmpty) Array.empty
-      else "(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b".r.findAllMatchIn(s)
-        .map(m => (m.start, m.group(1).toInt, m.group(2).toInt)).toArray
+      else {
+        val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+        "(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b".r.findAllMatchIn(s)
+          .map(m => (m.start, m.group(1).toInt, m.group(2).toInt)).toArray
+      }
     def owner(pos: Int): (Int, Int) = {
       var lo = 0; var hi = objHeaders.length - 1; var best = -1
       while (lo <= hi) {
@@ -785,29 +793,32 @@ object PdfText {
   }
 
   /** Guard that keeps ciphertext/JPEG/unmapped-CID blocks out of the
-    * element stream. Two tests, both needed: (1) >= 75% of characters are
-    * letters, digits, whitespace, or common punctuation — random binary
-    * read as Latin-1 lands ~55% because half the 0xA0-0xFF block are
-    * accented letters; (2) of the LETTERS, >= 60% are plain ASCII — real
-    * text in any Latin-script language is mostly a-zA-Z even when
-    * accented, while uniform bytes are mostly high-Latin-1. (A stream of
-    * pure high-bytes would otherwise pass test 1 alone.) */
+    * element stream. Three tests: (1) >= 75% of characters are letters,
+    * digits, whitespace, or common punctuation — random binary read as
+    * Latin-1 lands ~55% because half the 0xA0-0xFF block are accented
+    * letters; (2) HIGH-LATIN-1 letters (U+0080-U+00FF) must not dominate
+    * the letters — that band is what garbage bytes decode to, while real
+    * accented Latin text is mostly a-zA-Z (French runs ~4% accented) and
+    * real non-Latin text (CJK/Cyrillic/Greek via ToUnicode CMaps) sits
+    * ABOVE U+00FF entirely, so it passes untouched — an ASCII-ratio test
+    * here would silently drop every correctly-decoded non-Latin corpus;
+    * (3) long blocks must be word-shaped (see wordShaped). */
   def mostlyPrintable(s: String): Boolean = {
     if (s.isEmpty) return false
-    var good = 0; var letters = 0; var asciiLetters = 0
+    var good = 0; var letters = 0; var highLatin1 = 0
     s.foreach { c =>
       val isCommonPunct = ".,;:'\"()!?-–—/%$&@#*+=<>[]{}’‘“”…•_|".indexOf(c) >= 0
       if (Character.isLetterOrDigit(c)) {
         good += 1
         if (Character.isLetter(c)) {
           letters += 1
-          if (c < 0x80) asciiLetters += 1
+          if (c >= 0x80 && c <= 0xff) highLatin1 += 1
         }
       } else if (c == ' ' || c == '\n' || c == '\t' || c == '\r' || isCommonPunct)
         good += 1
     }
     good * 4 >= s.length * 3 &&
-      (letters == 0 || asciiLetters * 5 >= letters * 3) &&
+      (letters == 0 || highLatin1 * 5 < letters * 2) &&
       (s.length <= 512 || wordShaped(s))
   }
 
@@ -819,6 +830,17 @@ object PdfText {
     * where the statistic is reliable — short table cells and headers
     * (numbers, currency, lone glyphs) stay under the lighter guard. */
   private def wordShaped(s: String): Boolean = {
+    // CJK text has no inter-word spaces, so the whole block is one "token"
+    // and the Latin word-shape statistic is meaningless — a correctly
+    // CMap-decoded CJK block (chars above U+2E80) passes on that evidence
+    var cjk = 0; var allLetters = 0
+    s.foreach { c =>
+      if (Character.isLetter(c)) {
+        allLetters += 1
+        if (c >= 0x2e80) cjk += 1
+      }
+    }
+    if (allLetters > 0 && cjk * 5 >= allLetters) return true // >= 20% CJK
     val toks = s.split("\\s+")
     var wordlike = 0; var total = 0
     toks.foreach { t =>

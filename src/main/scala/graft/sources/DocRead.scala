@@ -83,7 +83,15 @@ object DocRead {
           .select(col("path"), posexplode(col(rf)).as(Seq("_idx", "_row")))
           .select(concat(col("path"), lit("#"), col("_idx")).as("_rowid"),
             col("path"), col("_row.*"))
-        fromDataFrame(exploded, docIdField = Some("_rowid"), textField = bodyField)
+        // the property subset applies to ROW fields in this mode — a
+        // requested restriction must not be silently dropped
+        val kept = properties match {
+          case Some(keys) =>
+            exploded.select((Seq("_rowid", "path") ++ keys ++ bodyField.toSeq)
+              .distinct.filter(exploded.columns.contains).map(col): _*)
+          case None => exploded
+        }
+        fromDataFrame(kept, docIdField = Some("_rowid"), textField = bodyField)
       case None =>
         val keep = properties match {
           case Some(keys) =>

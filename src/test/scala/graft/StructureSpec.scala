@@ -398,6 +398,60 @@ class StructureSpec extends AnyFunSuite {
     assert(md.contains("| a | d | e |"), md)
   }
 
+  test("HtmlPartitioner: chrome with nested script stays skipped; implied-close table cells parse") {
+    import graft.operators.HtmlPartitioner
+    // a <script> INSIDE <header> must not clear the header skip (the
+    // single-slot-skipping regression): real site headers are full of them
+    val html = """<html><body>
+      <header><script>nav()</script><p>Site menu | Login</p></header>
+      <p>real body</p>
+      <table><tr><td>a<td rowspan="2">b<tr><td>c</table>
+      <footer><style>.x{}</style><p>copyright chrome</p></footer>
+      </body></html>"""
+    val doc = new HtmlPartitioner(extractTables = true).partition(
+      graft.model.Document.of("t.html").copy(
+        binaryRepresentation = Some(html.getBytes("UTF-8"))))
+    assert(!doc.elements.exists(_.text.contains("Site menu")),
+      s"header chrome leaked: ${doc.elements.map(_.text)}")
+    assert(!doc.elements.exists(_.text.contains("copyright chrome")))
+    assert(doc.elements.exists(_.text == "real body"))
+    // td/tr imply-close per the HTML spec — paired open..close regexes
+    // would find zero cells here
+    val cells = doc.elements.filter(_.elementType == "table").head.tableCells
+    assert(cells.map(_.content).toSet == Set("a", "b", "c"), cells.toString)
+    val b = cells.find(_.content == "b").get
+    assert(b.rows.toSeq == Seq(0, 1) && b.cols.toSeq == Seq(1))
+    val c = cells.find(_.content == "c").get
+    assert(c.rows.toSeq == Seq(1) && c.cols.toSeq == Seq(0))
+  }
+
+  test("mostlyPrintable: non-Latin scripts pass; high-Latin-1 garbage fails") {
+    import graft.operators.PdfText
+    // correctly CMap-decoded CJK / Cyrillic / Greek text has ZERO ASCII
+    // letters — an ASCII-ratio guard would drop whole non-Latin corpora
+    assert(PdfText.mostlyPrintable("这是一个中文句子，用来测试文本提取。"))
+    assert(PdfText.mostlyPrintable("Это предложение на русском языке для проверки."))
+    assert(PdfText.mostlyPrintable("Αυτή είναι μια ελληνική πρόταση."))
+    // a LONG CJK block (no spaces — one giant 'token') still passes
+    assert(PdfText.mostlyPrintable("中文文本没有空格分词" * 60))
+    // Latin-1-decoded garbage is dominated by high-Latin-1 letters
+    val garbage = (0xa0 to 0xff).map(_.toChar).mkString * 4
+    assert(!PdfText.mostlyPrintable(garbage))
+    // accented European text is mostly ASCII letters -> passes
+    assert(PdfText.mostlyPrintable("Le café était très fréquenté cet été à Orléans."))
+  }
+
+  test("DocxPartitioner: attributed breaks and tabs keep separators") {
+    import graft.operators.DocxPartitioner
+    val xml = """<w:document><w:body><w:p><w:r><w:t>end of page</w:t></w:r>
+      <w:r><w:br w:type="page"/></w:r><w:r><w:t>Next section</w:t></w:r>
+      <w:r><w:tab w:val="left"/><w:t>tabbed</w:t></w:r></w:p></w:body></w:document>"""
+    val doc = new DocxPartitioner().partition(graft.model.Document.of("b.docx")
+      .copy(binaryRepresentation = Some(zipOf("word/document.xml" -> xml))))
+    assert(doc.elements.head.text == "end of page\nNext section\ttabbed",
+      doc.elements.head.text)
+  }
+
   test("TranscriptPartitioner: utterances with start/end/speaker chaining") {
     import graft.operators.TranscriptPartitioner
     val t = """[00:00:01] Alice Hello there, how are you?
@@ -413,6 +467,39 @@ class StructureSpec extends AnyFunSuite {
     assert(els(0).prop("start_time").contains("[00:00:01]"))
     assert(els(0).prop("end_time").contains("[00:00:05]"))
     assert(els(2).prop("end_time").contains("N/A"))
+  }
+
+  test("PdfCrypt: RC4 vectors, AESV2 round-trip with per-object keys") {
+    import graft.operators.PdfCrypt
+    // RFC 6229-style known RC4 vector: key "Key", plaintext "Plaintext"
+    val rc4 = PdfCrypt.rc4("Key".getBytes("ISO-8859-1"), "Plaintext".getBytes("ISO-8859-1"))
+    assert(rc4.map(b => f"$b%02x").mkString == "bbf316e8d940af0ad3")
+    // rc4 is its own inverse
+    assert(new String(PdfCrypt.rc4("Key".getBytes, rc4)) == "Plaintext")
+
+    // AESV2: encrypt a payload with the SAME per-object key derivation the
+    // decryptor uses (MD5(fileKey + obj/gen LE + sAlT), 16-byte IV prefix,
+    // PKCS#5 pad), then prove Crypt.decrypt round-trips it
+    val fileKey = (1 to 16).map(_.toByte).toArray
+    val (objNum, gen) = (42, 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(fileKey)
+    md.update(Array(42, 0, 0, 0, 0).map(_.toByte)) // obj 42 LE24, gen 0 LE16
+    md.update(Array(0x73, 0x41, 0x6c, 0x54).map(_.toByte))
+    val objKey = md.digest().take(16)
+    val plain = "BT /F1 12 Tf (secret text) Tj ET".getBytes("ISO-8859-1")
+    val padLen = 16 - plain.length % 16
+    val padded = plain ++ Array.fill(padLen)(padLen.toByte)
+    val iv = (100 until 116).map(_.toByte).toArray
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val enc = iv ++ cipher.doFinal(padded)
+    val out = PdfCrypt.Crypt(fileKey, aes = true).decrypt(objNum, gen, enc)
+    assert(new String(out, "ISO-8859-1") == "BT /F1 12 Tf (secret text) Tj ET")
+    // truncated/garbage ciphertext degrades to empty, never throws
+    assert(PdfCrypt.Crypt(fileKey, aes = true).decrypt(1, 0, Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("TextPartitioner: blank-line paragraphs; no blank lines -> one element") {
