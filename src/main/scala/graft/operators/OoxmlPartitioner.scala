@@ -133,24 +133,63 @@ final class DocxPartitioner extends Partitioner {
 }
 
 /** PPTX partitioner: ppt/slides/slideN.xml in numeric order -> elements
-  * with page_number = slide number. */
-final class PptxPartitioner extends Partitioner {
+  * with page_number = slide number. DrawingML tables (`a:tbl`) become
+  * structured `table` elements: each row enumerates a `a:tc` for EVERY
+  * grid column, with merge continuations marked hMerge/vMerge (skipped)
+  * and the lead cell carrying gridSpan/rowSpan — so grid positions are
+  * just the running cell index, no occupancy walk needed. Speaker notes
+  * (`ppt/notesSlides/`) append as `Notes` elements, with digit-only
+  * paragraphs (the slide-number placeholder every deck carries) dropped. */
+final class PptxPartitioner(includeNotes: Boolean = true) extends Partitioner {
   private val SlideRe = "ppt/slides/slide(\\d+)\\.xml".r
+  private val NotesRe = "ppt/notesSlides/notesSlide(\\d+)\\.xml".r
   private val ShapeRe = "(?s)<p:sp>.*?</p:sp>".r
   private val PhRe = "<p:ph type=\"([^\"]+)\"".r
   private val ParaRe = "(?s)<a:p>.*?</a:p>".r
+  private val TblRe = "(?s)<a:tbl>.*?</a:tbl>".r
+  private val TrRe = "(?s)<a:tr[^>]*>(.*?)</a:tr>".r
+  private val TcOpenRe = "<a:tc((?:\\s[^>]*)?)(/?)>".r
+  private val SpanAttrRe = "(gridSpan|rowSpan)=\"(\\d+)\"".r
   private val ChromePh = Set("ftr", "sldNum", "dt") // footer/number/date chrome
 
-  override def partition(doc: Document): Document = {
-    val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
-    val slides = Ooxml.zipEntries(bytes, n => SlideRe.pattern.matcher(n).matches())
+  private def numberedEntries(bytes: Array[Byte], re: scala.util.matching.Regex) =
+    Ooxml.zipEntries(bytes, n => re.pattern.matcher(n).matches())
       .map { case (name, b) =>
-        val SlideRe(num) = name: @unchecked
+        val re(num) = name: @unchecked
         (num.toInt, new String(b, java.nio.charset.StandardCharsets.UTF_8))
       }
       .sortBy(_._1)
+
+  private def parseTbl(tbl: String): Seq[graft.model.TableCell] = {
+    val cells = scala.collection.mutable.ListBuffer[graft.model.TableCell]()
+    var r = 0
+    TrRe.findAllMatchIn(tbl).foreach { row =>
+      val opens = TcOpenRe.findAllMatchIn(row.group(1)).toSeq
+      opens.zipWithIndex.foreach { case (m, i) =>
+        val attrs = m.group(1)
+        val merged = attrs.contains("hMerge") || attrs.contains("vMerge")
+        if (!merged && m.group(2) != "/") {
+          val spans = SpanAttrRe.findAllMatchIn(attrs)
+            .map(a => a.group(1) -> a.group(2).toInt).toMap
+          val end = if (i + 1 < opens.size) opens(i + 1).start else row.group(1).length
+          val body = row.group(1).substring(m.end, end)
+          val text = ParaRe.findAllIn(body).map(Ooxml.paragraphText)
+            .filter(_.nonEmpty).mkString("\n")
+          cells += graft.model.TableCell(text,
+            (r until r + spans.getOrElse("rowSpan", 1)).toArray,
+            (i until i + spans.getOrElse("gridSpan", 1)).toArray,
+            isHeader = r == 0, None)
+        }
+      }
+      r += 1
+    }
+    cells.toSeq
+  }
+
+  override def partition(doc: Document): Document = {
+    val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
     val els = scala.collection.mutable.ListBuffer[Element]()
-    slides.foreach { case (slideNo, xml) =>
+    numberedEntries(bytes, SlideRe).foreach { case (slideNo, xml) =>
       ShapeRe.findAllIn(xml).foreach { shape =>
         val ph = PhRe.findFirstMatchIn(shape).map(_.group(1))
         if (!ph.exists(ChromePh)) {
@@ -163,6 +202,20 @@ final class PptxPartitioner extends Partitioner {
           }
         }
       }
+      TblRe.findAllIn(xml).foreach { tbl =>
+        val cells = parseTbl(tbl)
+        if (cells.nonEmpty)
+          els += Element("table", None, None, None, None, els.size, cells,
+            Map("page_number" -> slideNo.toString))
+      }
+    }
+    if (includeNotes) numberedEntries(bytes, NotesRe).foreach { case (slideNo, xml) =>
+      ParaRe.findAllIn(xml).map(Ooxml.paragraphText)
+        .filter(t => t.nonEmpty && !t.forall(_.isDigit))
+        .foreach { t =>
+          els += Element.text(els.size, "Notes", t,
+            properties = Map("page_number" -> slideNo.toString))
+        }
     }
     doc.copy(elements = els.toSeq, docType = doc.docType.orElse(Some("pptx")))
   }

@@ -398,6 +398,42 @@ class StructureSpec extends AnyFunSuite {
     assert(md.contains("| a | d | e |"), md)
   }
 
+  test("PptxPartitioner: DrawingML tables with merges; notes without digit chrome") {
+    import graft.operators.PptxPartitioner
+    val slide = """<p:sld><p:cSld><p:spTree>
+      <p:graphicFrame><a:tbl>
+        <a:tr><a:tc><a:txBody><a:p><a:r><a:t>h1</a:t></a:r></a:p></a:txBody></a:tc>
+          <a:tc gridSpan="2"><a:txBody><a:p><a:r><a:t>h23</a:t></a:r></a:p></a:txBody></a:tc>
+          <a:tc hMerge="1"/></a:tr>
+        <a:tr><a:tc rowSpan="2"><a:txBody><a:p><a:r><a:t>a</a:t></a:r></a:p></a:txBody></a:tc>
+          <a:tc><a:txBody><a:p><a:r><a:t>b</a:t></a:r></a:p></a:txBody></a:tc>
+          <a:tc><a:txBody><a:p><a:r><a:t>c</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        <a:tr><a:tc vMerge="1"/><a:tc><a:txBody><a:p><a:r><a:t>d</a:t></a:r></a:p></a:txBody></a:tc>
+          <a:tc><a:txBody><a:p><a:r><a:t>e</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+      </a:tbl></p:graphicFrame>
+      </p:spTree></p:cSld></p:sld>"""
+    val notes = """<p:notes><p:cSld><p:spTree><p:sp><p:txBody>
+      <a:p><a:r><a:t>Speaker reminder: demo the search flow.</a:t></a:r></a:p>
+      <a:p><a:r><a:t>7</a:t></a:r></a:p>
+      </p:txBody></p:sp></p:spTree></p:cSld></p:notes>"""
+    val doc = new PptxPartitioner().partition(graft.model.Document.of("t.pptx")
+      .copy(binaryRepresentation = Some(zipOf(
+        "ppt/slides/slide7.xml" -> slide,
+        "ppt/notesSlides/notesSlide7.xml" -> notes))))
+    val table = doc.elements.find(_.elementType == "table").get
+    val cells = table.tableCells
+    assert(cells.map(_.content).toSet == Set("h1", "h23", "a", "b", "c", "d", "e"))
+    val h23 = cells.find(_.content == "h23").get
+    assert(h23.isHeader && h23.cols.toSeq == Seq(1, 2))
+    val a = cells.find(_.content == "a").get
+    assert(a.rows.toSeq == Seq(1, 2) && a.cols.toSeq == Seq(0))
+    // merge-continuation cells are positions, not content
+    assert(cells.count(_.content.isEmpty) == 0)
+    val noteEls = doc.elements.filter(_.elementType == "Notes")
+    assert(noteEls.map(_.text) == Seq("Speaker reminder: demo the search flow."))
+    assert(noteEls.head.prop("page_number").contains("7"))
+  }
+
   test("HtmlPartitioner: chrome with nested script stays skipped; implied-close table cells parse") {
     import graft.operators.HtmlPartitioner
     // a <script> INSIDE <header> must not clear the header skip (the
