@@ -103,6 +103,49 @@ final class DocxPartitioner extends Partitioner {
     else "NarrativeText"
   }
 
+  private val GridSpanRe = "<w:gridSpan w:val=\"(\\d+)\"".r
+  private val VMergeRe = "<w:vMerge(\\s[^/>]*)?/>".r
+
+  /** WordprocessingML table -> TableCell grid: gridSpan is the colspan,
+    * vertical merges are a `restart` cell followed by bare `<w:vMerge/>`
+    * continuation cells in the rows below (same start column) — the
+    * continuations occupy grid slots but carry no content. Header rows
+    * are the ones marked <w:tblHeader/> (Word's repeat-on-every-page
+    * header property). Nested tables are out of scope (the non-greedy
+    * span match would truncate them; rare in text corpora). */
+  private def parseTable(t: String): Seq[graft.model.TableCell] = {
+    final case class Raw(r: Int, c0: Int, span: Int,
+                         vRestart: Boolean, vCont: Boolean,
+                         header: Boolean, text: String)
+    val raws = scala.collection.mutable.ListBuffer[Raw]()
+    var r = 0
+    RowRe.findAllMatchIn(t).foreach { row =>
+      val header = row.group(0).contains("<w:tblHeader")
+      var c = 0
+      CellRe.findAllIn(row.group(0)).foreach { cell =>
+        val span = GridSpanRe.findFirstMatchIn(cell).map(_.group(1).toInt).getOrElse(1)
+        val vm = VMergeRe.findFirstMatchIn(cell)
+        val vRestart = vm.exists(m => Option(m.group(1)).exists(_.contains("restart")))
+        val vCont = vm.isDefined && !vRestart
+        raws += Raw(r, c, span, vRestart, vCont, header, Ooxml.paragraphText(cell))
+        c += span
+      }
+      r += 1
+    }
+    val all = raws.toSeq
+    all.filterNot(_.vCont).map { raw =>
+      val rs =
+        if (!raw.vRestart) 1
+        else 1 + Iterator.from(raw.r + 1)
+          .takeWhile(rr => all.exists(x => x.r == rr && x.c0 == raw.c0 && x.vCont))
+          .size
+      graft.model.TableCell(raw.text,
+        (raw.r until raw.r + rs).toArray,
+        (raw.c0 until raw.c0 + raw.span).toArray,
+        raw.header, None)
+    }
+  }
+
   override def partition(doc: Document): Document = {
     val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
     val xml = Ooxml.zipEntries(bytes, _ == "word/document.xml").headOption
@@ -113,21 +156,24 @@ final class DocxPartitioner extends Partitioner {
     // paragraphs outside any table span — both in document order
     val tables = TblRe.findAllMatchIn(xml).map(m => (m.start, m.end)).toSeq
     def inTable(pos: Int): Boolean = tables.exists(t => pos >= t._1 && pos < t._2)
-    sealed case class Piece(start: Int, typ: String, text: String)
-    val tablePieces = tables.map { case (s, e) =>
-      val t = xml.substring(s, e)
-      val rows = RowRe.findAllIn(t).map { row =>
-        CellRe.findAllIn(row).map(Ooxml.paragraphText).mkString("\t")
-      }.mkString("\n")
-      Piece(s, "Table", rows.trim)
+    sealed case class Piece(start: Int, typ: String, text: String,
+                            cells: Seq[graft.model.TableCell] = Nil)
+    val tablePieces = tables.flatMap { case (s, e) =>
+      val cells = parseTable(xml.substring(s, e))
+      if (cells.exists(_.content.nonEmpty))
+        Some(Piece(s, "table", "", cells)) else None
     }
     val paraPieces = ParaRe.findAllMatchIn(xml)
       .filterNot(m => inTable(m.start))
       .map(m => Piece(m.start, paraType(m.group(0)), Ooxml.paragraphText(m.group(0))))
       .toSeq
-    (tablePieces ++ paraPieces).sortBy(_.start).filter(_.text.nonEmpty).foreach { p =>
-      els += Element.text(els.size, p.typ, p.text)
-    }
+    (tablePieces ++ paraPieces).sortBy(_.start)
+      .filter(p => p.text.nonEmpty || p.cells.nonEmpty)
+      .foreach { p =>
+        if (p.cells.nonEmpty)
+          els += Element("table", None, None, None, None, els.size, p.cells, Map.empty)
+        else els += Element.text(els.size, p.typ, p.text)
+      }
     doc.copy(elements = els.toSeq, docType = doc.docType.orElse(Some("docx")))
   }
 }

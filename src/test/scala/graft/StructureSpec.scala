@@ -321,16 +321,47 @@ class StructureSpec extends AnyFunSuite {
     val els = doc.elements
     assert(doc.docType.contains("docx"))
     assert(els.map(_.elementType) == Seq("Title", "Section-header", "Section-header",
-      "List-item", "NarrativeText", "NarrativeText", "Table", "NarrativeText"))
+      "List-item", "NarrativeText", "NarrativeText", "table", "NarrativeText"))
     assert(els(0).text == "Doc Title")
     assert(els(1).text == "Intro & Scope")
     assert(els(4).text == "Body one and two")
     assert(els(5).text == "line a\nline b\tcell")
-    // table cells tab-joined, rows newline-joined; interior w:p's NOT re-emitted
-    assert(els(6).text == "h1\th2\nv1\tv<2>")
+    // structured cells; interior w:p's NOT re-emitted as paragraphs
+    val cells = els(6).tableCells
+    assert(cells.map(_.content) == Seq("h1", "h2", "v1", "v<2>"))
+    assert(cells.map(c => (c.rows.head, c.cols.head)) ==
+      Seq((0, 0), (0, 1), (1, 0), (1, 1)))
     assert(els(7).text == "after table")
     // element order follows document order (table between paragraphs)
     assert(els.map(_.elementIndex) == (0 until 8))
+  }
+
+  test("DocxPartitioner tables: gridSpan and vMerge become cell spans") {
+    import graft.operators.DocxPartitioner
+    val xml = """<w:document><w:body><w:tbl>
+      <w:tr><w:trPr><w:tblHeader/></w:trPr>
+        <w:tc><w:p><w:r><w:t>h1</w:t></w:r></w:p></w:tc>
+        <w:tc><w:tcPr><w:gridSpan w:val="2"/></w:tcPr><w:p><w:r><w:t>h23</w:t></w:r></w:p></w:tc></w:tr>
+      <w:tr><w:tc><w:tcPr><w:vMerge w:val="restart"/></w:tcPr><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>
+        <w:tc><w:p><w:r><w:t>b</w:t></w:r></w:p></w:tc>
+        <w:tc><w:p><w:r><w:t>c</w:t></w:r></w:p></w:tc></w:tr>
+      <w:tr><w:tc><w:tcPr><w:vMerge/></w:tcPr><w:p/></w:tc>
+        <w:tc><w:p><w:r><w:t>d</w:t></w:r></w:p></w:tc>
+        <w:tc><w:p><w:r><w:t>e</w:t></w:r></w:p></w:tc></w:tr>
+      </w:tbl></w:body></w:document>"""
+    val doc = new DocxPartitioner().partition(graft.model.Document.of("m.docx")
+      .copy(binaryRepresentation = Some(zipOf("word/document.xml" -> xml))))
+    val cells = doc.elements.head.tableCells
+    assert(cells.map(_.content).toSet == Set("h1", "h23", "a", "b", "c", "d", "e"))
+    val h23 = cells.find(_.content == "h23").get
+    assert(h23.isHeader && h23.cols.toSeq == Seq(1, 2) && h23.rows.toSeq == Seq(0))
+    assert(!cells.find(_.content == "b").get.isHeader)
+    val a = cells.find(_.content == "a").get
+    assert(a.rows.toSeq == Seq(1, 2) && a.cols.toSeq == Seq(0),
+      s"vMerge restart spans down: $a")
+    // the markdown grid flattens the spans
+    val md = graft.operators.Markdown.toMarkdown(doc).text
+    assert(md.startsWith("| h1 | h23 | h23 |"), md)
   }
 
   test("PptxPartitioner: slide order, title placeholders, chrome skipped") {
