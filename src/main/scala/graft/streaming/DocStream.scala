@@ -39,6 +39,37 @@ object DocStream {
                       textField: Option[String] = None): DocSet =
     graft.sources.DocRead.fromDataFrame(df, docIdField, textField)
 
+  /** Streaming twin of DocRead.binary: files arriving under `path` become
+    * binary Documents (docId = file path, bytes in binary_representation,
+    * docType = binaryFormat) — the ingest front of a continuous document
+    * pipeline (drop PDFs in a bucket, chunks appear downstream). The
+    * binaryFile source streams like any file source; schema is its fixed
+    * four-column shape, pre-declared as streaming sources require. */
+  def binaryFileStream(spark: SparkSession, path: String,
+                       binaryFormat: String): DocSet = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val df = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", s"*.$binaryFormat")
+      .schema(schema).load(path)
+    val ds = df.select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"),
+        org.apache.spark.sql.functions.col("length"),
+        org.apache.spark.sql.functions.col("modificationTime").cast("string").as("mtime"))
+      .as[(String, Array[Byte], Long, String)](
+        org.apache.spark.sql.Encoders.product[(String, Array[Byte], Long, String)])
+      .map { t: (String, Array[Byte], Long, String) =>
+        val (p, content, len, mtime) = t
+        graft.model.Document.of(p, docType = binaryFormat,
+            properties = Map("path" -> p, "filetype" -> binaryFormat,
+              "file_size" -> len.toString, "file_mtime" -> mtime))
+          .copy(binaryRepresentation = Some(content))
+      }(DocSet.docEnc)
+    DocSet.wrap(ds)
+  }
+
   /** Tumbling event-time window counts per key with a watermark bounding
     * state (the streaming analogue of groupbyCount; late data beyond the
     * watermark is dropped, on-time results are exact). */
