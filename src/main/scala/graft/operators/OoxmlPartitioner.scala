@@ -16,11 +16,14 @@ import graft.model.{Document, Element}
  *    `Title` -> Title; `Heading*` styles or an `w:outlineLvl` (how Word
  *    actually marks headings in styles-indirect documents) ->
  *    Section-header; numbered/bulleted (`w:numPr`) -> List-item; `w:tbl`
- *    tables -> one Table element (tab-separated cells, newline rows),
- *    with their interior paragraphs not double-emitted.
+ *    tables -> one structured `table` element (TableCell grid with
+ *    gridSpan/vMerge spans and tblHeader rows), interior paragraphs not
+ *    double-emitted.
  *  - PPTX: slides in numeric order (page_number = slide number); one
  *    element per `a:p` paragraph per shape; title/ctrTitle placeholders ->
- *    Title; footer/slide-number/date placeholders are chrome and skipped.
+ *    Title; footer/slide-number/date placeholders are chrome and skipped;
+ *    DrawingML `a:tbl` tables as structured `table` elements interleaved
+ *    at their document position; speaker notes as `Notes` elements.
  *
  * Well-formedness note: OOXML producers emit machine-generated,
  * namespace-prefixed XML — the tag scanner relies on that regularity
@@ -105,6 +108,7 @@ final class DocxPartitioner extends Partitioner {
 
   private val GridSpanRe = "<w:gridSpan w:val=\"(\\d+)\"".r
   private val VMergeRe = "<w:vMerge(\\s[^/>]*)?/>".r
+  private val HeaderPropRe = "<w:tblHeader(?:\\s+w:val=\"([^\"]*)\")?\\s*/?>".r
 
   /** WordprocessingML table -> TableCell grid: gridSpan is the colspan,
     * vertical merges are a `restart` cell followed by bare `<w:vMerge/>`
@@ -120,7 +124,9 @@ final class DocxPartitioner extends Partitioner {
     val raws = scala.collection.mutable.ListBuffer[Raw]()
     var r = 0
     RowRe.findAllMatchIn(t).foreach { row =>
-      val header = row.group(0).contains("<w:tblHeader")
+      // value-aware: <w:tblHeader w:val="0"/"false"/> is an explicit OFF
+      val header = HeaderPropRe.findFirstMatchIn(row.group(0))
+        .exists(m => Option(m.group(1)).forall(v => v != "0" && v != "false"))
       var c = 0
       CellRe.findAllIn(row.group(0)).foreach { cell =>
         val span = GridSpanRe.findFirstMatchIn(cell).map(_.group(1).toInt).getOrElse(1)
@@ -206,15 +212,27 @@ final class PptxPartitioner(includeNotes: Boolean = true) extends Partitioner {
       }
       .sortBy(_._1)
 
+  private val MergeAttrRe = "(hMerge|vMerge)=\"([^\"]*)\"".r
+  private val FirstRowRe = "<a:tblPr[^>]*\\sfirstRow=\"(1|true)\"".r
+
   private def parseTbl(tbl: String): Seq[graft.model.TableCell] = {
     val cells = scala.collection.mutable.ListBuffer[graft.model.TableCell]()
+    // row 0 is a header only when tblPr SAYS so (firstRow="1"); DrawingML
+    // has no implicit header row
+    val headerRow0 = FirstRowRe.findFirstIn(tbl).isDefined
     var r = 0
     TrRe.findAllMatchIn(tbl).foreach { row =>
       val opens = TcOpenRe.findAllMatchIn(row.group(1)).toSeq
       opens.zipWithIndex.foreach { case (m, i) =>
         val attrs = m.group(1)
-        val merged = attrs.contains("hMerge") || attrs.contains("vMerge")
-        if (!merged && m.group(2) != "/") {
+        // value-aware: hMerge="0"/"false" is the (legal, explicit) default,
+        // NOT a merge continuation — a substring test would drop the cell
+        val merged = MergeAttrRe.findAllMatchIn(attrs)
+          .exists(a => a.group(2) == "1" || a.group(2) == "true")
+        // greedy [^>]* swallows a trailing '/', so self-closing is a
+        // property of the matched text, not a capture group
+        val selfClosed = m.matched.endsWith("/>")
+        if (!merged && !selfClosed) {
           val spans = SpanAttrRe.findAllMatchIn(attrs)
             .map(a => a.group(1) -> a.group(2).toInt).toMap
           val end = if (i + 1 < opens.size) opens(i + 1).start else row.group(1).length
@@ -224,7 +242,7 @@ final class PptxPartitioner(includeNotes: Boolean = true) extends Partitioner {
           cells += graft.model.TableCell(text,
             (r until r + spans.getOrElse("rowSpan", 1)).toArray,
             (i until i + spans.getOrElse("gridSpan", 1)).toArray,
-            isHeader = r == 0, None)
+            isHeader = headerRow0 && r == 0, None)
         }
       }
       r += 1
@@ -232,33 +250,52 @@ final class PptxPartitioner(includeNotes: Boolean = true) extends Partitioner {
     cells.toSeq
   }
 
+  /** Text shapes of a slide-like XML part, chrome placeholders skipped —
+    * shared between slides and notes pages (both carry ftr/sldNum/dt
+    * placeholder shapes that must not become elements). */
+  private def shapeParagraphs(xml: String): Iterator[(Int, String, String)] =
+    ShapeRe.findAllMatchIn(xml).flatMap { sm =>
+      val shape = sm.matched
+      val ph = PhRe.findFirstMatchIn(shape).map(_.group(1))
+      if (ph.exists(ChromePh)) Iterator.empty
+      else {
+        val typ =
+          if (ph.contains("title") || ph.contains("ctrTitle")) "Title"
+          else "NarrativeText"
+        ParaRe.findAllIn(shape).map(Ooxml.paragraphText)
+          .filter(_.nonEmpty).map(t => (sm.start, typ, t))
+      }
+    }
+
   override def partition(doc: Document): Document = {
     val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
     val els = scala.collection.mutable.ListBuffer[Element]()
     numberedEntries(bytes, SlideRe).foreach { case (slideNo, xml) =>
-      ShapeRe.findAllIn(xml).foreach { shape =>
-        val ph = PhRe.findFirstMatchIn(shape).map(_.group(1))
-        if (!ph.exists(ChromePh)) {
-          val typ =
-            if (ph.contains("title") || ph.contains("ctrTitle")) "Title"
-            else "NarrativeText"
-          ParaRe.findAllIn(shape).map(Ooxml.paragraphText).filter(_.nonEmpty).foreach { t =>
-            els += Element.text(els.size, typ, t,
-              properties = Map("page_number" -> slideNo.toString))
-          }
-        }
-      }
-      TblRe.findAllIn(xml).foreach { tbl =>
-        val cells = parseTbl(tbl)
-        if (cells.nonEmpty)
+      // interleave text shapes and tables by DOCUMENT POSITION — a caption
+      // under a table must stay after it, or TableMerger's adjacency-based
+      // continuation merge and HeaderAugmenter's governing-header logic
+      // attach the wrong neighbors
+      sealed trait Piece { def start: Int }
+      final case class Para(start: Int, typ: String, text: String) extends Piece
+      final case class Tbl(start: Int, cells: Seq[graft.model.TableCell]) extends Piece
+      val paras = shapeParagraphs(xml).map(p => Para(p._1, p._2, p._3)).toSeq
+      val tbls = TblRe.findAllMatchIn(xml).flatMap { tm =>
+        val cells = parseTbl(tm.matched)
+        if (cells.nonEmpty) Some(Tbl(tm.start, cells)) else None
+      }.toSeq
+      ((paras: Seq[Piece]) ++ tbls).sortBy(_.start).foreach {
+        case Para(_, typ, t) =>
+          els += Element.text(els.size, typ, t,
+            properties = Map("page_number" -> slideNo.toString))
+        case Tbl(_, cells) =>
           els += Element("table", None, None, None, None, els.size, cells,
             Map("page_number" -> slideNo.toString))
       }
     }
     if (includeNotes) numberedEntries(bytes, NotesRe).foreach { case (slideNo, xml) =>
-      ParaRe.findAllIn(xml).map(Ooxml.paragraphText)
-        .filter(t => t.nonEmpty && !t.forall(_.isDigit))
-        .foreach { t =>
+      shapeParagraphs(xml)
+        .filter { case (_, _, t) => !t.forall(_.isDigit) } // slide-no body text
+        .foreach { case (_, _, t) =>
           els += Element.text(els.size, "Notes", t,
             properties = Map("page_number" -> slideNo.toString))
         }

@@ -23,11 +23,20 @@ object DocRead {
     val df = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$binaryFormat")
       .load(paths)
+    binaryRowsToDocs(df, binaryFormat)
+  }
+
+  /** binaryFile-source rows -> binary Documents. ONE definition shared by
+    * the batch scan above and streaming DocStream.binaryFileStream — the
+    * streaming-twin parity test asserts identical per-document results,
+    * which only holds if both paths run the same projection. */
+  private[graft] def binaryRowsToDocs(df: DataFrame, binaryFormat: String): DocSet = {
     val ds = df.select(col("path"), col("content"), col("length"),
         col("modificationTime").cast("string").as("mtime"))
       .as[(String, Array[Byte], Long, String)](
         Encoders.product[(String, Array[Byte], Long, String)])
-      .map { case (path, content, len, mtime) =>
+      .map { t: (String, Array[Byte], Long, String) =>
+        val (path, content, len, mtime) = t
         Document.of(path, docType = binaryFormat,
             properties = Map("path" -> path, "filetype" -> binaryFormat,
               "file_size" -> len.toString, "file_mtime" -> mtime))

@@ -54,20 +54,8 @@ object DocStream {
     val df = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", s"*.$binaryFormat")
       .schema(schema).load(path)
-    val ds = df.select(org.apache.spark.sql.functions.col("path"),
-        org.apache.spark.sql.functions.col("content"),
-        org.apache.spark.sql.functions.col("length"),
-        org.apache.spark.sql.functions.col("modificationTime").cast("string").as("mtime"))
-      .as[(String, Array[Byte], Long, String)](
-        org.apache.spark.sql.Encoders.product[(String, Array[Byte], Long, String)])
-      .map { t: (String, Array[Byte], Long, String) =>
-        val (p, content, len, mtime) = t
-        graft.model.Document.of(p, docType = binaryFormat,
-            properties = Map("path" -> p, "filetype" -> binaryFormat,
-              "file_size" -> len.toString, "file_mtime" -> mtime))
-          .copy(binaryRepresentation = Some(content))
-      }(DocSet.docEnc)
-    DocSet.wrap(ds)
+    // the SAME projection as batch DocRead.binary — parity by construction
+    graft.sources.DocRead.binaryRowsToDocs(df, binaryFormat)
   }
 
   /** Tumbling event-time window counts per key with a watermark bounding
