@@ -433,6 +433,7 @@ class StructureSpec extends AnyFunSuite {
     import graft.operators.PptxPartitioner
     val slide = """<p:sld><p:cSld><p:spTree>
       <p:graphicFrame><a:tbl>
+        <a:tblPr firstRow="1"><a:tableStyleId>{guid}</a:tableStyleId></a:tblPr>
         <a:tr><a:tc><a:txBody><a:p><a:r><a:t>h1</a:t></a:r></a:p></a:txBody></a:tc>
           <a:tc gridSpan="2"><a:txBody><a:p><a:r><a:t>h23</a:t></a:r></a:p></a:txBody></a:tc>
           <a:tc hMerge="1"/></a:tr>
@@ -463,6 +464,31 @@ class StructureSpec extends AnyFunSuite {
     val noteEls = doc.elements.filter(_.elementType == "Notes")
     assert(noteEls.map(_.text) == Seq("Speaker reminder: demo the search flow."))
     assert(noteEls.head.prop("page_number").contains("7"))
+  }
+
+  test("PptxPartitioner: row 0 is NOT a header without tblPr firstRow") {
+    import graft.operators.PptxPartitioner
+    // DrawingML has no implicit header row: absent (or zero) firstRow on
+    // tblPr must leave every cell isHeader=false
+    val slide = """<p:sld><p:cSld><p:spTree>
+      <p:graphicFrame><a:tbl>
+        <a:tblPr firstRow="0" bandRow="1"/>
+        <a:tr><a:tc><a:txBody><a:p><a:r><a:t>x</a:t></a:r></a:p></a:txBody></a:tc>
+          <a:tc><a:txBody><a:p><a:r><a:t>y</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        <a:tr><a:tc><a:txBody><a:p><a:r><a:t>z</a:t></a:r></a:p></a:txBody></a:tc>
+          <a:tc><a:txBody><a:p><a:r><a:t>w</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+      </a:tbl></p:graphicFrame>
+      <p:graphicFrame><a:tbl>
+        <a:tr><a:tc><a:txBody><a:p><a:r><a:t>p</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+      </a:tbl></p:graphicFrame>
+      </p:spTree></p:cSld></p:sld>"""
+    val doc = new PptxPartitioner().partition(graft.model.Document.of("t.pptx")
+      .copy(binaryRepresentation = Some(zipOf("ppt/slides/slide1.xml" -> slide))))
+    val tables = doc.elements.filter(_.elementType == "table")
+    assert(tables.size == 2)
+    // firstRow="0": explicit opt-out; no tblPr at all: same result
+    assert(tables.forall(_.tableCells.forall(!_.isHeader)))
+    assert(tables.head.tableCells.map(_.content) == Seq("x", "y", "z", "w"))
   }
 
   test("HtmlPartitioner: chrome with nested script stays skipped; implied-close table cells parse") {
