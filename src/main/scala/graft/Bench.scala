@@ -93,7 +93,14 @@ object Bench {
     // name order, not Map hash order: adding a query must not reshuffle the
     // execution order of the others (JIT/GC state varies by position, which
     // otherwise shows up as cross-round noise on unchanged queries)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // BENCH_ONLY=q_a,q_b — iteration aid: time just the named queries.
+    // Never set by the driver, so the recorded artifacts stay full-surface.
+    val names = sys.env.get("BENCH_ONLY") match {
+      case Some(only) =>
+        val keep = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq.filter(keep).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // HEAVY-TAIL VARIANCE DIAGNOSIS (round 7): localCheckpoint blocks from
     // one query (dedup CC, pagerank, rrf, tfidf, packing, triangles all
     // checkpoint) are released only when the DRIVER's GC collects the RDD

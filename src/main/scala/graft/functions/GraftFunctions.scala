@@ -22,9 +22,16 @@ object gf {
     * counterpart is trivial; this is the standard word tokenizer). */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Whitespace token count. */
+  /** Per-text count substrate shared by tokenCount / punctCount /
+    * alphaRatio / stopwordRatio / meanTokenLength / qualityScore — one
+    * codegen'd pass; repeated uses over the same column collapse via
+    * subexpression elimination (see TextStatsExpr). */
+  private def textStats(c: Column): Column = fromExpr(TextStatsExpr(toExpr(c)))
+
+  /** Whitespace token count (single-pass; same value as
+    * size(split(trim(lower(c)), "\\s+")) with the empty-text guard). */
   def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+    textStats(c).getField("n_tokens").cast("int")
 
   /** BPE-ish token count: words and punctuation runs counted separately,
     * approximating a subword tokenizer's granularity without a vocab.
@@ -142,36 +149,45 @@ object gf {
 
   // -------------------------------------------------------- text quality
 
-  // POSIX punct class — identical semantics in Java regex (\p{Punct}) and
-  // RE2 ([[:punct:]]), which keeps DuckDB oracles bit-identical.
-  private val punctRe = "\\p{Punct}"
+  // POSIX punct class (\p{Punct} = [[:punct:]] in RE2): counted inside
+  // TextStatsExpr with the exact same ASCII ranges, which keeps DuckDB
+  // oracles bit-identical.
 
-  /** Count of punctuation characters. */
+  /** Count of punctuation characters (single-pass, regex-free). */
   def punctCount(c: Column): Column =
-    length(c) - length(regexp_replace(c, punctRe, ""))
+    textStats(c).getField("n_punct").cast("int")
 
-  /** Fraction of characters that are alphabetic. */
-  def alphaRatio(c: Column): Column =
-    when(length(c) === 0, lit(0.0)).otherwise(
-      (length(c) - length(regexp_replace(c, "[a-zA-Z]", ""))).cast("double") / length(c))
+  /** Fraction of characters that are alphabetic ([a-zA-Z]). */
+  def alphaRatio(c: Column): Column = {
+    val st = textStats(c)
+    when(st.getField("n_chars") === 0, lit(0.0)).otherwise(
+      st.getField("n_alpha").cast("double") / st.getField("n_chars"))
+  }
 
   /** English stopwords used by the heuristics below. */
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "that", "this", "be")
 
-  /** Fraction of tokens that are stopwords (quality signal). */
-  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val ts = tokens(c)
-    when(length(trim(c)) === 0, lit(0.0)).otherwise(
-      size(filter(ts, t => t.isin(stopwords: _*))).cast("double") / size(ts))
-  }
+  /** Fraction of tokens that are stopwords (quality signal). The default
+    * English list runs single-pass via TextStatsExpr; a custom list keeps
+    * the composable (lambda) form. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    if (stopwords == EnglishStopwords) {
+      val st = textStats(c)
+      when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(
+        st.getField("stop_hits").cast("double") / st.getField("n_tokens"))
+    } else {
+      val ts = tokens(c)
+      when(length(trim(c)) === 0, lit(0.0)).otherwise(
+        size(filter(ts, t => t.isin(stopwords: _*))).cast("double") / size(ts))
+    }
 
-  /** Mean whitespace-token length in characters. */
+  /** Mean whitespace-token length in characters (single-pass). */
   def meanTokenLength(c: Column): Column = {
-    val ts = tokens(c)
-    when(length(trim(c)) === 0, lit(0.0)).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+    val st = textStats(c)
+    when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(
+      st.getField("char_sum").cast("double") / st.getField("n_tokens"))
   }
 
   /**

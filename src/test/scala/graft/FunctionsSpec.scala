@@ -74,6 +74,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(sims(1) - 1.0) < 1e-12)
   }
 
+  test("TextStatsExpr metrics match the composed Column formulations bit-for-bit") {
+    // the single-pass expression replaced these formulations (the
+    // LambdaFunction re-tokenization fix); any divergence on edge cases
+    // would silently break the DuckDB oracle hash-match
+    val specTokens = split(trim(lower($"t")), "\\s+")
+    val specTokenCount = when(length(trim($"t")) === 0, lit(0)).otherwise(size(specTokens))
+    val specPunct = length($"t") - length(regexp_replace($"t", "\\p{Punct}", ""))
+    val specAlpha = when(length($"t") === 0, lit(0.0)).otherwise(
+      (length($"t") - length(regexp_replace($"t", "[a-zA-Z]", ""))).cast("double") / length($"t"))
+    val specStop = when(length(trim($"t")) === 0, lit(0.0)).otherwise(
+      size(filter(specTokens, t => t.isin(gf.EnglishStopwords: _*))).cast("double") / size(specTokens))
+    val specMean = when(length(trim($"t")) === 0, lit(0.0)).otherwise(
+      aggregate(specTokens, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(specTokens))
+    val cases = Seq(
+      "The quick brown fox is a fox.", "", "   ", "\n\n", "\tfoo bar \n",
+      "\n\nleading newline", "trailing newline\n", "a  b   c", "!!!???...",
+      "café naïve über", "日本語 テスト",
+      "the of and a an to in is", "mixed: the café, and 42 — déjà vu!",
+      "x", " x ", "ab", "it was the best of times, it was the worst of times")
+    val df = (cases :+ null).toDF("t")
+    val got = df.select(
+      gf.tokenCount($"t").as("tc"), gf.punctCount($"t").as("pc"),
+      gf.alphaRatio($"t").as("ar"), gf.stopwordRatio($"t").as("sr"),
+      gf.meanTokenLength($"t").as("ml"),
+      specTokenCount.as("s_tc"), specPunct.as("s_pc"), specAlpha.as("s_ar"),
+      specStop.as("s_sr"), specMean.as("s_ml")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      def eq(a: Any, b: Any) = (a == null && b == null) || a == b
+      assert(eq(r.get(0), r.get(5)), s"tokenCount case $i: ${r.get(0)} vs ${r.get(5)}")
+      assert(eq(r.get(1), r.get(6)), s"punctCount case $i: ${r.get(1)} vs ${r.get(6)}")
+      assert(eq(r.get(2), r.get(7)), s"alphaRatio case $i: ${r.get(2)} vs ${r.get(7)}")
+      assert(eq(r.get(3), r.get(8)), s"stopwordRatio case $i: ${r.get(3)} vs ${r.get(8)}")
+      assert(eq(r.get(4), r.get(9)), s"meanTokenLength case $i: ${r.get(4)} vs ${r.get(9)}")
+    }
+    // custom stopword lists keep the composable path and its semantics
+    assert(one[Double](gf.stopwordRatio($"t", Seq("fox")), "the fox jumps") == 1.0 / 3)
+  }
+
+  test("TextStatsExpr: a q_quality-shaped projection evaluates the stats ONCE per row") {
+    // the whole point of the expression: five metric columns over the same
+    // text must collapse to one compute() under subexpression elimination
+    // (the LambdaFunction forms they replaced could not — Catalyst CSE
+    // skips lambda children, so q_quality re-tokenized each row 4-5x)
+    // a range scan, not a literal local relation: literals constant-fold
+    // away and a LocalTableScan skips whole-stage-codegen entirely
+    val df = spark.range(8)
+      .select(col("id").as("doc_id"), concat(lit("a b the "), col("id")).as("text"))
+      .select(col("doc_id"),
+        gf.punctCount(col("text")).cast("long").as("n_punct"),
+        round(gf.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(gf.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(gf.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    val calls = "graft\\.functions\\.TextStatsExpr\\.compute".r.findAllIn(code).size
+    assert(calls == 1, s"expected 1 TextStatsExpr.compute call site in codegen, got $calls")
+  }
+
   test("quality metrics ranges and langId stopword detection") {
     val q = one[Double](gf.qualityScore($"t"),
       "The quick brown fox is a reasonably normal English sentence with the usual words.")
