@@ -98,8 +98,17 @@ object SparkEntry {
       .select(col("doc_id"), gf.qualityScore(col("text")).as("_q"))
       .orderBy(desc("_q"), col("doc_id")).limit(5)
       .collect().map(_.getLong(0)).toSeq
+    // near-dup pairs are UNDIRECTED (canonical idA < idB, one row per
+    // pair) but personalized PageRank walks DIRECTED edges — fed raw,
+    // teleport mass would only flow low id -> high id, and since
+    // minhashLsh keeps the LOWEST id per group the survivors are exactly
+    // the docs biased toward zero. Symmetrize first so proximity is
+    // similarity-driven, not id-ordering-driven (clusteringCoefficient
+    // does the equivalent internally via both-direction degrees).
+    val undirected = pairs.select(col("idA"), col("idB"))
+      .unionAll(pairs.select(col("idB").as("idA"), col("idA").as("idB")))
     val ppr = graft.operators.PageRank
-      .personalized(pairs, "idA", "idB", seeds, iterations = 3)
+      .personalized(undirected, "idA", "idB", seeds, iterations = 3)
       .select(col("node").as("doc_id"), col("score").as("ppr"))
     // near-dup LSH keeps one doc per candidate group; deduped fans out into
     // three branches (spans, lm, main join) — without the checkpoint the
