@@ -83,21 +83,37 @@ case class DedupKeyExpr(child: Expression) extends UnaryExpression {
  * IDENTICAL to the Column form (and to the DuckDB oracle at
  * SparkEntry q_langid): token = whitespace-split of trim(lower(text)),
  * ties break to the lexicographically LAST language (array_max struct
- * ordering), zero hits -> "und".
+ * ordering), zero hits -> "und" — INCLUDING null input -> "und", which
+ * the when(...).otherwise(lit("und")) Column form produced (a null
+ * predicate falls through to the otherwise branch), so this expression
+ * is never-null rather than null-propagating.
  */
 case class LangIdExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+  override def nullable: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"lang_id needs string, got $other")
   }
 
-  protected override def nullSafeEval(input: Any): Any =
-    LangIdExpr.compute(input.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) LangIdExpr.Und else LangIdExpr.compute(v.asInstanceOf[UTF8String])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdExpr.compute($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull}
+          ? graft.functions.LangIdExpr.Und()
+          : graft.functions.LangIdExpr.compute(${childGen.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -125,6 +141,9 @@ object LangIdExpr {
 
   private val results: Array[UTF8String] =
     Langs.map(UTF8String.fromString) :+ UTF8String.fromString("und")
+
+  /** Null input -> "und" (callable from generated code). */
+  def Und(): UTF8String = results(Langs.length)
 
   /** The Java-regex \s class, exactly — the Column form splits with
     * split(..., "\\s+") and the DuckDB oracle with RE2 \s; both are this

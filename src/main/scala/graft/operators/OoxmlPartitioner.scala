@@ -32,19 +32,37 @@ import graft.model.{Document, Element}
  */
 object Ooxml {
 
-  /** Entries of a ZIP matching a predicate, as (name, bytes). */
+  /** Per-entry inflation cap: OOXML text/structure parts are KBs-to-low-MBs;
+    * 64 MB is far above any legitimate document.xml yet bounds a zip bomb
+    * (tiny compressed entry expanding to GBs) to executor-survivable size. */
+  private[operators] val MaxEntryBytes: Long = 64L << 20
+  /** Total-inflation cap across all matched entries of one file. */
+  private[operators] val MaxTotalBytes: Long = 256L << 20
+
+  /** Entries of a ZIP matching a predicate, as (name, bytes). Oversized
+    * entries are SKIPPED (not truncated — half an XML part is tag soup)
+    * and extraction stops at the total cap, degrading like the
+    * truncated-zip catch path rather than OOMing the executor. */
   def zipEntries(bytes: Array[Byte], want: String => Boolean): Seq[(String, Array[Byte])] = {
     val out = scala.collection.mutable.ListBuffer[(String, Array[Byte])]()
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    var total = 0L
     try {
       var e = zin.getNextEntry
-      while (e != null) {
+      while (e != null && total < MaxTotalBytes) {
         if (!e.isDirectory && want(e.getName)) {
           val buf = new java.io.ByteArrayOutputStream()
           val chunk = new Array[Byte](8192)
+          var over = false
           var n = zin.read(chunk)
-          while (n > 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
-          out += ((e.getName, buf.toByteArray))
+          while (n > 0 && !over) {
+            if (buf.size() + n > MaxEntryBytes || total + buf.size() + n > MaxTotalBytes) over = true
+            else { buf.write(chunk, 0, n); n = zin.read(chunk) }
+          }
+          if (!over) {
+            total += buf.size()
+            out += ((e.getName, buf.toByteArray))
+          }
         }
         e = zin.getNextEntry
       }

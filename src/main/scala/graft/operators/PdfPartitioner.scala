@@ -31,10 +31,19 @@ final class PdfPartitioner extends Partitioner {
   override def partition(doc: Document): Document = {
     val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
     val blocks = PdfText.extractTextBlocksWithPages(bytes)
+    // cross-check the one-text-stream-per-page heuristic against the
+    // /Type /Page object count: when they disagree (array-of-/Contents
+    // pages, Form-XObject text), absolute page numbers are split/inflated
+    // — ordering stays monotone, but corpus audits need to know the
+    // absolute values are approximate
+    val textPages = blocks.foldLeft(0)((m, b) => math.max(m, b._3))
+    val pageObjs = PdfText.pageObjectCount(bytes)
+    val approx = pageObjs > 0 && pageObjs != textPages
     val els = blocks.filter(b => PdfText.mostlyPrintable(b._1)).zipWithIndex.collect {
       case ((text, bbox, pageNo), i) if text.nonEmpty =>
         Element.text(i, "NarrativeText", text, bbox = bbox,
-          properties = Map("page_number" -> pageNo.toString))
+          properties = Map("page_number" -> pageNo.toString) ++
+            (if (approx) Map("page_number_approximate" -> "true") else Map.empty))
     }
     doc.copy(elements = els, docType = doc.docType.orElse(Some("pdf")))
   }
@@ -330,7 +339,9 @@ object PdfText {
     * CMaps and images yield no text blocks and don't advance the count.
     * Multi-stream pages degrade to split page numbers — ordering within
     * the document is still monotone, which is what sortByPageBbox and
-    * markBreakPage need. */
+    * markBreakPage need; PdfPartitioner cross-checks against
+    * pageObjectCount and flags elements `page_number_approximate` when
+    * the heuristic's total disagrees with the real /Type /Page count. */
   def extractTextBlocksWithPages(pdf: Array[Byte]): Seq[(String, Option[Bbox], Int)] = {
     var page = 0
     streamBlocks(pdf).flatMap { blocks =>
@@ -342,6 +353,15 @@ object PdfText {
       }
     }
   }
+
+  private val PageObjRe = "/Type\\s*/Page(?![a-zA-Z])".r
+
+  /** Count of /Type /Page objects (NOT /Pages tree nodes) — the ground
+    * truth the text-stream page heuristic is validated against. Scans the
+    * raw bytes as latin-1; object streams (compressed xref, PDF 1.5+)
+    * hide page dicts and yield 0, in which case the check is skipped. */
+  def pageObjectCount(pdf: Array[Byte]): Int =
+    PageObjRe.findAllIn(new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)).size
 
   /** All BT..ET blocks with text AND a normalized (0-1, top-down y) bbox —
     * the layout convention of the reference's partitioners (data/bbox.py:6),

@@ -104,8 +104,12 @@ object DocRead {
       case None =>
         val keep = properties match {
           case Some(keys) =>
+            // same missing-key contract as rows mode: a requested key that
+            // no file carries is dropped, not an AnalysisException that
+            // fails the whole read (corpora are ragged; spark.read.json
+            // only surfaces keys that appear somewhere)
             raw.select((("path" +: keys).distinct ++ bodyField.toSeq).distinct
-              .map(col): _*)
+              .filter(raw.columns.contains).map(col): _*)
           case None => raw
         }
         fromDataFrame(keep, docIdField = Some("path"), textField = bodyField)

@@ -139,6 +139,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[String](gf.langId($"t"), "el gato es un animal y la casa es grande") == "es")
     assert(one[String](gf.langId($"t"), "der hund und die katze sind nicht da") == "de")
     assert(one[String](gf.langId($"t"), "qqq zzz xxx") == "und")
+    // null text -> "und", matching the when(...).otherwise(lit("und"))
+    // Column form this expression replaced (null predicate falls through
+    // to otherwise) — NOT null-propagating
+    val r = Seq(null.asInstanceOf[String]).toDF("t")
+      .select(gf.langId($"t").as("l")).head()
+    assert(!r.isNullAt(0) && r.getString(0) == "und")
   }
 
   test("fingerprint64 stable and distinct") {

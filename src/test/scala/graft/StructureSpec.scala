@@ -301,6 +301,26 @@ class StructureSpec extends AnyFunSuite {
     buf.toByteArray
   }
 
+  test("Ooxml.zipEntries: zip-bomb entries are skipped, small entries survive") {
+    import graft.operators.Ooxml
+    // a ~70 MB-inflating entry (zeros compress to ~70 KB) must be skipped
+    // by the 64 MB per-entry cap; the ordinary sibling entry still parses
+    val buf = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(buf)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/bomb.xml"))
+    val zeros = new Array[Byte](1 << 20)
+    (0 until 70).foreach(_ => z.write(zeros))
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write("<w:document>ok</w:document>".getBytes("UTF-8"))
+    z.closeEntry()
+    z.close()
+    val got = Ooxml.zipEntries(buf.toByteArray, _.startsWith("word/"))
+    assert(got.map(_._1) == Seq("word/document.xml"),
+      s"bomb entry must be skipped, got ${got.map(_._1)}")
+    assert(new String(got.head._2, "UTF-8").contains("ok"))
+  }
+
   test("DocxPartitioner: styles, lists, tables, escapes, break/tab runs") {
     import graft.operators.DocxPartitioner
     val xml = """<?xml version="1.0"?><w:document><w:body>
