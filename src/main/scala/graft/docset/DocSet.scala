@@ -34,10 +34,14 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def partition(p: graft.operators.Partitioner): DocSet = map(p.partition)
 
   /** Partition with per-document format dispatch on docType / path
-    * extension (pdf, html, docx, pptx, transcript, text; unknown formats
-    * pass through unchanged) — the mixed-corpus convenience the reference
-    * gets from choosing a partitioner per read call. The partitioner set
-    * is constructed once per executor task, not per document. */
+    * extension (pdf, html, docx, pptx, transcript, text) — the
+    * mixed-corpus convenience the reference gets from choosing a
+    * partitioner per read call. The partitioner set is constructed once
+    * per executor task, not per document. A doc matching NO partitioner
+    * flows through with zero elements but gets an
+    * `unsupported_format` property (the reference raises on unsupported
+    * types, reader.py format dispatch; at corpus scale a marker an audit
+    * can count beats failing the whole job for one stray file). */
   def partitionAuto(): DocSet = mapBatch { it =>
     val pdf = new graft.operators.PdfPartitioner()
     val html = new graft.operators.HtmlPartitioner()
@@ -57,7 +61,7 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
         case "docx" => docx.partition(d)
         case "pptx" => pptx.partition(d)
         case "txt" | "text" => text.partition(d)
-        case _ => d
+        case fmt => d.withProp("unsupported_format", if (fmt.isEmpty) "unknown" else fmt)
       }
     }
   }
