@@ -50,6 +50,19 @@ object FixtureGoldenGen {
       case c => c.toString
     } + "\""
 
+  /** Element-level table shape: for every `table` element, the cell count,
+    * header-flag count, and each cell's row/col extent in reading order —
+    * so span-logic drift (gridSpan/vMerge/rowSpan handling) on the REAL
+    * fixtures is caught, not just on synthetic XML. Non-table files
+    * snapshot as "". */
+  def gridSig(doc: Document): String =
+    doc.elements.filter(_.elementType == "table").map { tb =>
+      val cells = tb.tableCells.sortBy(c => (c.rows.head, c.cols.head))
+      s"cells=${cells.size};hdr=${cells.count(_.isHeader)};" +
+        cells.map(c => s"r${c.rows.head}-${c.rows.last}c${c.cols.head}-${c.cols.last}" +
+          (if (c.isHeader) "H" else "")).mkString(",")
+    }.mkString("|")
+
   def snapshot(name: String, t: ChunkTrace): String = {
     val hist = t.partitioned.elements.groupBy(_.elementType).view
       .mapValues(_.size).toSeq.sortBy(_._1)
@@ -64,7 +77,8 @@ object FixtureGoldenGen {
        |    "split_elements": ${t.split.elements.size},
        |    "first_text_prefix": ${jstr(firstText)},
        |    "markdown_prefix": ${jstr(t.markdown.text.take(80))},
-       |    "markdown_chars": ${t.markdown.text.length}
+       |    "markdown_chars": ${t.markdown.text.length},
+       |    "table_grid_signature": ${jstr(gridSig(t.partitioned))}
        |  }""".stripMargin
   }
 

@@ -146,6 +146,41 @@ object ScaleProbe {
       val tk = measure(f, eBig)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
+
+    // document-ingest front door: the reference's real PDF corpus
+    // replicated Kx with DISTINCT paths (docId#rep), through
+    // partitionAuto -> bbox-mark preset -> marked merge — the per-row
+    // heavy op of a real 100 TB document corpus. Pure per-document map
+    // work with no shuffle, so the ratio isolates task scheduling +
+    // the partitioners themselves.
+    val refData = "/root/reference/lib/sycamore/sycamore/tests/resources/data"
+    if (new java.io.File(s"$refData/pdfs").isDirectory) {
+      import graft.docset.DocSet
+      import graft.sources.DocRead
+      def corpusK(n: Int): DocSet = {
+        val base = DocRead.binary(spark, s"$refData/pdfs", "pdf").toDF
+        val rep =
+          if (n == 1) base
+          else base.crossJoin(spark.range(n).select(col("id").as("_rep")))
+            .withColumn("docId", concat(col("docId"), lit("#"), col("_rep")))
+            .drop("_rep")
+        // many-files layout, not the 10-input-splits accident of a tiny
+        // corpus: at real scale the reader hands each executor thread a
+        // stream of whole files
+        DocSet.wrap(rep.repartition(32).as[graft.model.Document](DocSet.docEnc))
+      }
+      val ingest: DocSet => DataFrame = d => d
+        .partitionAuto()
+        .map(graft.operators.Marks.bboxPreset(512))
+        .merge(new graft.operators.MarkedMerger())
+        .toDF
+      val iSmall = corpusK(1); val iBig = corpusK(k)
+      // localCheckpoint would pin the binaries; corpus is 5 MB x K, reread
+      // per run from page cache — measure() still warms + takes min-of-two
+      val t1 = measure(d => ingest(iSmall), spark.emptyDataFrame)
+      val tk = measure(d => ingest(iBig), spark.emptyDataFrame)
+      println(f"[scale] doc_ingest       1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    } else println("[scale] doc_ingest skipped: reference corpus not present")
     spark.stop()
   }
 }
