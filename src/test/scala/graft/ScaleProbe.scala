@@ -80,7 +80,13 @@ object ScaleProbe {
     val small = replicate(1).localCheckpoint()
     val big = replicate(k).localCheckpoint()
     println(f"[scale] K=$k  (ratio ~ $k%d.0 is linear)")
-    ops.foreach { case (name, f) =>
+    // SCALE_SECTIONS=ingest (comma list of: core,graph,events,ingest)
+    // restricts the run — iteration aid for probing one family at a
+    // second K without re-timing the whole suite
+    val sections = sys.env.get("SCALE_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("core", "graph", "events", "ingest"))
+    if (sections("core")) ops.foreach { case (name, f) =>
       val t1 = measure(f, small)
       val tk = measure(f, big)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
@@ -116,7 +122,7 @@ object ScaleProbe {
       "triangles" -> (e => Triangles.enumerate(e, "s", "d")),
       "clustering_coeff" -> (e => Triangles.clusteringCoefficient(e, "s", "d")))
     val gSmall = edgesK(1); val gBig = edgesK(k)
-    graphOps.foreach { case (name, f) =>
+    if (sections("graph")) graphOps.foreach { case (name, f) =>
       val t1 = measure(f, gSmall)
       val tk = measure(f, gBig)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
@@ -141,7 +147,7 @@ object ScaleProbe {
       "retention" -> (e => EventAnalytics.retention(e, "user_id", "tsl",
         bucketNs = 7L * 86400 * 1000000000L)))
     val eSmall = eventsK(1); val eBig = eventsK(k)
-    eventOps.foreach { case (name, f) =>
+    if (sections("events")) eventOps.foreach { case (name, f) =>
       val t1 = measure(f, eSmall)
       val tk = measure(f, eBig)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
@@ -154,7 +160,7 @@ object ScaleProbe {
     // work with no shuffle, so the ratio isolates task scheduling +
     // the partitioners themselves.
     val refData = "/root/reference/lib/sycamore/sycamore/tests/resources/data"
-    if (new java.io.File(s"$refData/pdfs").isDirectory) {
+    if (sections("ingest") && new java.io.File(s"$refData/pdfs").isDirectory) {
       import graft.docset.DocSet
       import graft.sources.DocRead
       def corpusK(n: Int): DocSet = {
