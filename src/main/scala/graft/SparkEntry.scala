@@ -72,12 +72,42 @@ object SparkEntry {
     * (token mass, composite quality, compression ratio). One pass through
     * the operators a real training-data run would chain. */
   def entry(spark: SparkSession): DataFrame = {
-    // the condensed curation pipeline: exact + near dedup, near-dup GRAPH
-    // signals (clustering coefficient for boilerplate cliques, personalized
-    // PageRank for seed proximity), then per-doc quality/rarity/repetition
-    // signals (row-local + corpus-statistical), rolled up per language —
-    // the end-to-end shape of a training-data run
-    val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
+    // the condensed curation pipeline: document INGEST (the real mixed
+    // pdf/html/docx/pptx corpus through the partitioning front door),
+    // exact + near dedup, near-dup GRAPH signals (clustering coefficient
+    // for boilerplate cliques, personalized PageRank for seed proximity),
+    // then per-doc quality/rarity/repetition/lexical signals (row-local +
+    // corpus-statistical), rolled up per language — the end-to-end shape
+    // of a training-data run
+    val parquetDocs = tbl(spark, "/root/testdata/sf0.001", "documents")
+    // ingest front door: partitionAuto dispatches per-document by format,
+    // markdown flattens the chunked elements back to text, langId tags the
+    // new rows; folded into the curation run as its own source. Skipped
+    // cleanly when the corpus directory is absent.
+    val refData = "/root/reference/lib/sycamore/sycamore/tests/resources/data"
+    val docs = if (!new java.io.File(s"$refData/pdfs").isDirectory) parquetDocs else {
+      import graft.sources.DocRead
+      val ingested = DocRead.binary(spark, s"$refData/pdfs", "pdf")
+        .union(
+          DocRead.binary(spark, s"$refData/htmls", "html"),
+          DocRead.binary(spark, s"$refData/docx", "docx"),
+          DocRead.binary(spark, s"$refData/pptx", "pptx"))
+        .partitionAuto()
+        .markdown()
+        .toDF
+        .select(
+          // modular path hash (ANSI-safe, unlike the wrapping fingerprint64)
+          // offset past the parquet table's id range so sources never collide
+          (gf.polyFingerprint(col("docId")) + lit(1L << 40)).as("doc_id"),
+          col("textRepresentation").as("text"))
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          gf.langId(col("text")).as("lang"),
+          lit("ingest").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      parquetDocs.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionAll(ingested)
+    }
     // normalization-insensitive exact dedup (dedupKey collapses case/punct
     // variants); checkpointed — it feeds the near-dup pair graph, the
     // seed selection, AND the LSH dedup below
@@ -119,18 +149,26 @@ object SparkEntry {
       .select(col("doc_id"), col("dup_frac"))
     val lm = graft.operators.BigramLm.score(deduped, "doc_id", "text")
       .select(col("doc_id"), col("mean_bits"))
+    // Gopher-family lexical signals: TTR joins the rollup; mean word
+    // length gates survivors to [3,10] (the published keep-range —
+    // template spam and symbol soup fall outside it)
+    val lex = graft.operators.CorpusStats.lexicalDiversity(deduped, "doc_id", "text")
+      .select(col("doc_id"), col("ttr"), col("mean_word_len"))
     deduped
       .join(spans, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
       .join(cc, Seq("doc_id"), "left")
       .join(ppr, Seq("doc_id"), "left")
+      .join(lex, Seq("doc_id"), "left")
       .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8) // drop near-copied docs
+      .where(coalesce(col("mean_word_len"), lit(4.0)).between(3.0, 10.0))
       .select(col("lang"),
         gf.tokenCount(col("text")).cast("long").as("toks"),
         size(gf.chunkTokens(col("text"), 512, 64)).cast("long").as("chunks"),
         gf.qualityScore(col("text")).as("q"),
         gf.compressionRatio(col("text")).as("cr"),
         col("mean_bits"),
+        col("ttr"),
         coalesce(col("coeff"), lit(0.0)).as("coeff"),
         coalesce(col("ppr"), lit(0L)).as("ppr"))
       .groupBy(col("lang").as("key"))
@@ -140,6 +178,7 @@ object SparkEntry {
         round(avg(col("q")), 4).as("avg_quality"),
         round(avg(col("cr")), 4).as("avg_compress"),
         round(avg(col("mean_bits")), 4).as("avg_surprise_bits"),
+        round(avg(col("ttr")), 4).as("avg_lexical_ttr"),
         round(avg(col("coeff")), 4).as("avg_dup_clustering"),
         sum(col("ppr")).as("seed_proximity_mass"))
       .orderBy(desc("count"), col("key"))
