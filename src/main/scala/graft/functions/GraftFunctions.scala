@@ -35,9 +35,10 @@ object gf {
 
   /** BPE-ish token count: words and punctuation runs counted separately,
     * approximating a subword tokenizer's granularity without a vocab.
-    * Pure regex -> codegen'd. */
+    * Single-pass count — no per-row match-array materialization
+    * (see BpeishCountExpr). */
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    fromExpr(BpeishCountExpr(toExpr(c)))
 
   /** Word n-gram shingles: array of space-joined n-token windows. Short texts
     * (< n tokens) yield one shingle of all tokens. Single-pass expression —

@@ -62,6 +62,63 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_stats"
 }
 
+/**
+ * BPE-ish token count as one regex-free pass: the number of matches of
+ * `[a-zA-Z0-9]+|[^a-zA-Z0-9\s]` = (maximal ASCII-alnum runs) + (other
+ * non-whitespace chars, one token each). Replaces
+ * size(regexp_extract_all(...)), which materialized the match array per
+ * row just to take its length. Null-propagating like the regex form.
+ */
+case class BpeishCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"bpeish_count needs string, got $other")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeishCountExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeishCountExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bpeish_count"
+}
+
+object BpeishCountExpr {
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Called from generated code. */
+  def compute(s: UTF8String): Int = {
+    val str = s.toString
+    var count = 0
+    var inRun = false
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val cw = Character.charCount(cp)
+      if (cp < 128 && isAlnum(cp.toChar)) {
+        if (!inRun) { count += 1; inRun = true }
+      } else {
+        inRun = false
+        // \s in Java regex is ASCII-only: non-ASCII whitespace (NBSP etc.)
+        // is NOT a separator and counts as a one-char token, exactly like
+        // the regex alternation it replaces
+        if (!(cp < 128 && isWs(cp.toChar))) count += 1
+      }
+      i += cw
+    }
+    count
+  }
+}
+
 object TextStatsExpr {
 
   val Schema: StructType = StructType(Seq(

@@ -112,6 +112,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Double](gf.stopwordRatio($"t", Seq("fox")), "the fox jumps") == 1.0 / 3)
   }
 
+  test("BpeishCountExpr matches the regex formulation it replaced") {
+    val specBpeish = size(regexp_extract_all($"t", lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    val cases = Seq(
+      "hello world", "", "   ", "don't stop-me now!!!", "a1b2 c3",
+      "café—naïve… 日本語!", "x y", "...", "42", "\n\t tabs\nand newlines ")
+    val got = (cases :+ null).toDF("t")
+      .select(gf.bpeishTokenCount($"t").as("g"), specBpeish.as("s")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert((r.isNullAt(0) && r.isNullAt(1)) || r.get(0) == r.get(1),
+        s"case $i: ${r.get(0)} vs ${r.get(1)}")
+    }
+  }
+
   test("TextStatsExpr: a q_quality-shaped projection evaluates the stats ONCE per row") {
     // the whole point of the expression: five metric columns over the same
     // text must collapse to one compute() under subexpression elimination
