@@ -197,6 +197,32 @@ class StructureSpec extends AnyFunSuite {
     }
   }
 
+  test("PdfPartitioner: page_number_approximate flags a stream/page-count mismatch") {
+    import graft.operators.PdfPartitioner
+    def pdf(nPageObjs: Int): Array[Byte] = {
+      val content = "BT 72 700 Td (Only one text stream) Tj ET"
+      val pages = (1 to nPageObjs)
+        .map(i => s"$i 0 obj << /Type /Page /Parent 9 0 R >> endobj\n").mkString
+      ("%PDF-1.4\n" + pages +
+        "8 0 obj << /Length " + content.length + " >>\nstream\n" + content +
+        "\nendstream\nendobj\ntrailer\n%%EOF").getBytes("ISO-8859-1")
+    }
+    // 1 text-bearing stream, 1 /Type /Page: heuristic agrees -> no flag
+    val ok = new PdfPartitioner().partition(
+      Document.of("one.pdf").copy(binaryRepresentation = Some(pdf(1))))
+    assert(ok.elements.nonEmpty)
+    assert(ok.elements.forall(!_.properties.contains("page_number_approximate")))
+    // 2 /Type /Page objects but 1 text stream (second page is image-only or
+    // array-of-/Contents): absolute numbers can't be trusted -> flagged
+    val approx = new PdfPartitioner().partition(
+      Document.of("two.pdf").copy(binaryRepresentation = Some(pdf(2))))
+    assert(approx.elements.nonEmpty)
+    assert(approx.elements.forall(_.prop("page_number_approximate").contains("true")))
+    // /Type /Pages tree nodes must NOT count as pages
+    assert(graft.operators.PdfText.pageObjectCount(
+      "<< /Type /Pages /Kids [] >>".getBytes("ISO-8859-1")) == 0)
+  }
+
   test("PdfPartitioner bboxes: two-column layout drives markBreakByColumn") {
     import graft.operators.{Marks, PdfPartitioner}
     val content = ("BT /F1 12 Tf 1 0 0 1 50 700 Tm (Left one) Tj ET\n" +
