@@ -48,6 +48,7 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     val docx = new graft.operators.DocxPartitioner()
     val pptx = new graft.operators.PptxPartitioner()
     val text = new graft.operators.TextPartitioner()
+    val transcript = new graft.operators.TranscriptPartitioner()
     def formatOf(d: Document): String =
       d.docType.getOrElse {
         val id = d.docId.toLowerCase
@@ -61,6 +62,7 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
         case "docx" => docx.partition(d)
         case "pptx" => pptx.partition(d)
         case "txt" | "text" => text.partition(d)
+        case "transcript" | "vtt" => transcript.partition(d)
         case fmt => d.withProp("unsupported_format", if (fmt.isEmpty) "unknown" else fmt)
       }
     }

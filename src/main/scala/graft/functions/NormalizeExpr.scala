@@ -145,12 +145,9 @@ object LangIdExpr {
   /** Null input -> "und" (callable from generated code). */
   def Und(): UTF8String = results(Langs.length)
 
-  /** The Java-regex \s class, exactly — the Column form splits with
-    * split(..., "\\s+") and the DuckDB oracle with RE2 \s; both are this
-    * ASCII set, NOT Character.isWhitespace (which adds U+2028 etc. and
-    * would tokenize differently on exotic whitespace). */
-  private def isTokenSep(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  /** Java-regex \s — the ONE shared definition (Chars.isJavaWs), which
+    * the Column form's split(..., "\\s+") and the RE2 oracle both match. */
+  private def isTokenSep(c: Char): Boolean = Chars.isJavaWs(c)
 
   /** Called from generated code. One pass: split on whitespace, lowercase
     * each token into a reusable buffer, count table hits per language. */

@@ -63,6 +63,29 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * Shared ASCII character classes for the single-pass text expressions.
+ * These anchor DuckDB-oracle bit-compatibility, so there must be exactly
+ * ONE definition of each: LangIdExpr, TextStatsExpr and BpeishCountExpr
+ * all tokenize/classify with these.
+ */
+private[functions] object Chars {
+  /** The Java-regex \s class, exactly: [ \t\n\x0B\f\r] — what Spark's
+    * split("\\s+") and the RE2 oracle treat as separators, NOT
+    * Character.isWhitespace (which adds U+2028 etc.). */
+  def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** ASCII [a-zA-Z0-9]. */
+  def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** POSIX punct (Java \p{Punct}): ASCII 33-47, 58-64, 91-96, 123-126. */
+  def isPosixPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+    (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+}
+
+/**
  * BPE-ish token count as one regex-free pass: the number of matches of
  * `[a-zA-Z0-9]+|[^a-zA-Z0-9\s]` = (maximal ASCII-alnum runs) + (other
  * non-whitespace chars, one token each). Replaces
@@ -89,10 +112,7 @@ case class BpeishCountExpr(child: Expression) extends UnaryExpression {
 }
 
 object BpeishCountExpr {
-  private def isAlnum(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  import Chars.{isAsciiAlnum => isAlnum, isJavaWs => isWs}
 
   /** Called from generated code. */
   def compute(s: UTF8String): Int = {
@@ -139,15 +159,7 @@ object TextStatsExpr {
   // StringBuilder growth and no toString allocation
   private val maxStopLen: Int = gf.EnglishStopwords.map(_.length).max
 
-  /** Java-regex \s, exactly — the set both Spark split("\\s+") and the
-    * RE2 oracle treat as token separators (NOT Character.isWhitespace). */
-  private def isTokenSep(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
-  /** POSIX punct (Java \p{Punct}): ASCII 33-47, 58-64, 91-96, 123-126. */
-  private def isPosixPunct(c: Char): Boolean =
-    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
-    (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+  import Chars.{isJavaWs => isTokenSep, isPosixPunct}
 
   /** Called from generated code. */
   def compute(s: UTF8String): InternalRow = {

@@ -59,10 +59,11 @@ object Ooxml {
             if (buf.size() + n > MaxEntryBytes || total + buf.size() + n > MaxTotalBytes) over = true
             else { buf.write(chunk, 0, n); n = zin.read(chunk) }
           }
-          if (!over) {
-            total += buf.size()
-            out += ((e.getName, buf.toByteArray))
-          }
+          // ATTEMPTED bytes count toward the total either way: a zip with
+          // many over-cap entries must exhaust the file budget rather than
+          // pay up-to-64MB of inflation per entry indefinitely (CPU bomb)
+          total += buf.size()
+          if (!over) out += ((e.getName, buf.toByteArray))
         }
         e = zin.getNextEntry
       }

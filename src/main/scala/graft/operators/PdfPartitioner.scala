@@ -354,14 +354,63 @@ object PdfText {
     }
   }
 
-  private val PageObjRe = "/Type\\s*/Page(?![a-zA-Z])".r
-
-  /** Count of /Type /Page objects (NOT /Pages tree nodes) — the ground
-    * truth the text-stream page heuristic is validated against. Scans the
-    * raw bytes as latin-1; object streams (compressed xref, PDF 1.5+)
-    * hide page dicts and yield 0, in which case the check is skipped. */
-  def pageObjectCount(pdf: Array[Byte]): Int =
-    PageObjRe.findAllIn(new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)).size
+  /** Count of DISTINCT /Type /Page objects (NOT /Pages tree nodes) — the
+    * ground truth the text-stream page heuristic is validated against.
+    * One pass over the raw bytes (no full-file String decode): tracks the
+    * enclosing `N G obj` header and collects object NUMBERS whose body
+    * mentions /Type /Page, so incrementally-updated PDFs (Acrobat
+    * edit/sign appends regenerated copies of every page object) count
+    * each page once, not once per generation. Bodies of stream data are
+    * skipped so content that happens to contain the literal text can't
+    * inflate the count. Object streams (compressed xref, PDF 1.5+) hide
+    * page dicts entirely and yield 0, in which case the check is skipped. */
+  def pageObjectCount(pdf: Array[Byte]): Int = {
+    val seen = new java.util.HashSet[Int]()
+    var curObj = -1
+    var i = 0
+    val n = pdf.length
+    def isDigit(b: Byte) = b >= '0' && b <= '9'
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\r' || b == '\n' || b == '\f' || b == 0
+    def matches(at: Int, s: String): Boolean = {
+      if (at < 0 || at + s.length > n) return false
+      var k = 0
+      while (k < s.length) {
+        if (pdf(at + k) != s.charAt(k).toByte) return false
+        k += 1
+      }
+      true
+    }
+    while (i < n) {
+      val b = pdf(i)
+      if (b == 'o' && matches(i, "obj") &&
+          (i + 3 >= n || !Character.isLetterOrDigit(pdf(i + 3).toChar))) {
+        // parse "N G obj" backwards: ws, gen digits, ws, number digits
+        var j = i - 1
+        while (j >= 0 && isWs(pdf(j))) j -= 1
+        while (j >= 0 && isDigit(pdf(j))) j -= 1 // generation
+        while (j >= 0 && isWs(pdf(j))) j -= 1
+        var numEnd = j
+        while (j >= 0 && isDigit(pdf(j))) j -= 1
+        curObj =
+          if (numEnd > j && numEnd - j <= 9)
+            new String(pdf, j + 1, numEnd - j, java.nio.charset.StandardCharsets.ISO_8859_1).toInt
+          else -1
+        i += 3
+      } else if (b == 's' && matches(i, "stream") && !matches(i - 3, "endstream")) {
+        // skip the stream body: its bytes are data, not PDF syntax
+        val end = indexOf(pdf, "endstream", i + 6)
+        i = if (end < 0) n else end + 9
+      } else if (b == '/' && matches(i, "/Type")) {
+        var j = i + 5
+        while (j < n && isWs(pdf(j))) j += 1
+        if (matches(j, "/Page") &&
+            (j + 5 >= n || !Character.isLetter(pdf(j + 5).toChar)) &&
+            curObj >= 0) seen.add(curObj)
+        i = j
+      } else i += 1
+    }
+    seen.size
+  }
 
   /** All BT..ET blocks with text AND a normalized (0-1, top-down y) bbox —
     * the layout convention of the reference's partitioners (data/bbox.py:6),

@@ -78,6 +78,15 @@ object DocRead {
     * file path rides as docId and the `path` property, like read.binary.
     * Nested values stringify as JSON in the string-properties map (the
     * engine's uniform property representation — fromDataFrame's contract). */
+  /** Existence test matching Spark's analyzer resolution: case-insensitive
+    * unless spark.sql.caseSensitive is on — a plain `columns.contains`
+    * would silently drop a requested key that select() itself resolves. */
+  private def hasColumn(df: DataFrame, name: String): Boolean = {
+    val cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    if (cs) df.columns.contains(name)
+    else df.columns.exists(_.equalsIgnoreCase(name))
+  }
+
   def jsonFile(spark: SparkSession, paths: String,
                properties: Option[Seq[String]] = None,
                bodyField: Option[String] = None,
@@ -97,7 +106,7 @@ object DocRead {
         val kept = properties match {
           case Some(keys) =>
             exploded.select((Seq("_rowid", "path") ++ keys ++ bodyField.toSeq)
-              .distinct.filter(exploded.columns.contains).map(col): _*)
+              .distinct.filter(hasColumn(exploded, _)).map(col): _*)
           case None => exploded
         }
         fromDataFrame(kept, docIdField = Some("_rowid"), textField = bodyField)
@@ -109,7 +118,7 @@ object DocRead {
             // fails the whole read (corpora are ragged; spark.read.json
             // only surfaces keys that appear somewhere)
             raw.select((("path" +: keys).distinct ++ bodyField.toSeq).distinct
-              .filter(raw.columns.contains).map(col): _*)
+              .filter(hasColumn(raw, _)).map(col): _*)
           case None => raw
         }
         fromDataFrame(keep, docIdField = Some("path"), textField = bodyField)

@@ -160,7 +160,8 @@ object ScaleProbe {
     // work with no shuffle, so the ratio isolates task scheduling +
     // the partitioners themselves.
     val refData = "/root/reference/lib/sycamore/sycamore/tests/resources/data"
-    if (sections("ingest") && new java.io.File(s"$refData/pdfs").isDirectory) {
+    if (!sections("ingest")) ()
+    else if (new java.io.File(s"$refData/pdfs").isDirectory) {
       import graft.docset.DocSet
       import graft.sources.DocRead
       def corpusK(n: Int): DocSet = {

@@ -220,7 +220,21 @@ class StructureSpec extends AnyFunSuite {
     assert(approx.elements.forall(_.prop("page_number_approximate").contains("true")))
     // /Type /Pages tree nodes must NOT count as pages
     assert(graft.operators.PdfText.pageObjectCount(
-      "<< /Type /Pages /Kids [] >>".getBytes("ISO-8859-1")) == 0)
+      "9 0 obj << /Type /Pages /Kids [] >> endobj".getBytes("ISO-8859-1")) == 0)
+    // incremental updates (Acrobat edit/sign) append REGENERATED copies of
+    // the same page objects — distinct-object-number counting must not
+    // double-count them (they'd otherwise false-positive the approx flag)
+    val incr = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Page >> endobj\n" +
+      "8 0 obj << /Length 41 >>\nstream\nBT 72 700 Td (Only one text stream) Tj ET\nendstream\nendobj\n" +
+      "trailer\n" +
+      "1 0 obj << /Type /Page /Annots [] >> endobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(graft.operators.PdfText.pageObjectCount(incr) == 1)
+    // page-dict text INSIDE a content stream is data, not structure
+    val sneaky = ("1 0 obj << /Type /Page >> endobj\n" +
+      "2 0 obj << /Length 30 >>\nstream\n7 0 obj << /Type /Page >> endobj\nendstream\nendobj")
+      .getBytes("ISO-8859-1")
+    assert(graft.operators.PdfText.pageObjectCount(sneaky) == 1)
   }
 
   test("PdfPartitioner bboxes: two-column layout drives markBreakByColumn") {
