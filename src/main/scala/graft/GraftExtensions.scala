@@ -151,6 +151,8 @@ object GraftSqlFunctions {
         x(gf.blocklistHits(c(es(0)), strArrayArg("gf_blocklist_hits", es(1)))))),
     ("gf_nfc_normalize", "(text) -> string",
       arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
+    ("gf_fix_mojibake", "(text) -> string",
+      arity("gf_fix_mojibake", 1)(es => x(gf.fixMojibake(c(es(0)))))),
     ("gf_dedup_key", "(text) -> string",
       arity("gf_dedup_key", 1)(es => x(gf.dedupKey(c(es(0)))))),
     ("gf_chunk_tokens",

@@ -1238,6 +1238,15 @@ object SparkEntry {
           gf.nfcNormalize(concat(substring(col("text"), 1, 30),
             lit(" cafe\u0301 n\u0303 A\u030A"))).as("norm"))
         .orderBy(col("doc_id"))),
+    "q_fix_mojibake" -> ((s, dir) =>
+      // deterministic mojibake suffix covering EVERY mapping in the repair
+      // table (q_nfc pattern) \u2014 the oracle's replace() chain is generated
+      // from the same table in the same order, equivalent by construction
+      tbl(s, dir, "documents").select(col("doc_id"),
+          gf.fixMojibake(concat(substring(col("text"), 1, 40),
+            lit(" " + graft.functions.MojibakeRepair.Mappings.map(_._1).mkString(" "))))
+            .as("fixed"))
+        .orderBy(col("doc_id"))),
     "q_pagerank" -> ((s, dir) => {
       // supplier -> customer graph derived from order lines; 5 damped
       // rounds of integer fixed-point PageRank (see PageRank scaladoc for
@@ -2471,6 +2480,14 @@ object SparkEntry {
       """SELECT doc_id,
                 nfc_normalize(substr(text, 1, 30) || ' cafe' || chr(769) ||
                               ' n' || chr(771) || ' A' || chr(778)) AS norm
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_fix_mojibake" -> {
+      // replace() chain generated from the SAME ordered mapping table the
+      // Spark expression applies — see MojibakeRepair.sqlOracle
+      val moji = graft.functions.MojibakeRepair.Mappings.map(_._1).mkString(" ")
+      val fixed = graft.functions.MojibakeRepair.sqlOracle(
+        s"substr(text, 1, 40) || ' $moji'")
+      s"SELECT doc_id, $fixed AS fixed FROM documents ORDER BY doc_id"
+    }
   )
 }

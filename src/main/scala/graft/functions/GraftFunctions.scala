@@ -209,6 +209,13 @@ object gf {
     * is already composed — see NfcNormalizeExpr). */
   def nfcNormalize(c: Column): Column = fromExpr(NfcNormalizeExpr(toExpr(c)))
 
+  /** ftfy-style mojibake repair: UTF-8 sequences that were re-decoded as
+    * Windows-1252 (cafÃ© -> café, â€™ -> ’) fixed via the shared ordered
+    * mapping table; clean text takes an allocation-free fast path. The
+    * standard pre-quality-scoring cleanup of web-crawl corpora (see
+    * FixMojibakeExpr; the DuckDB oracle derives from the SAME table). */
+  def fixMojibake(c: Column): Column = fromExpr(FixMojibakeExpr(toExpr(c)))
+
   /** CCNet-style dedup-key normalization (lowercase, deaccent, digits and
     * punctuation to spaces, collapse, trim) — ONE codegen'd pass; feed the
     * result to exactRows/exact for normalization-insensitive dedup. */

@@ -112,6 +112,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Double](gf.stopwordRatio($"t", Seq("fox")), "the fox jumps") == 1.0 / 3)
   }
 
+  test("fixMojibake repairs double-encoded text; clean text passes untouched") {
+    import graft.functions.MojibakeRepair
+    // the table is derived by round-tripping UTF-8 bytes through the
+    // windows-1252 decoder: verify the construction on known cases
+    def moji(t: String) = new String(t.getBytes("UTF-8"), "windows-1252")
+    assert(moji("é") == "Ã©") // é -> Ã©
+    assert(MojibakeRepair.Mappings.toMap.get(moji("é")).contains("é"))
+    // repair through a real Spark plan
+    val fixed = one[String](gf.fixMojibake($"t"),
+      s"caf${moji("é")} ${moji("—")} it${moji("’")}s " +
+        s"${moji("“")}quoted${moji("»")} ${moji("ñ")}")
+    assert(fixed == "café — it’s “quoted» ñ", fixed)
+    // clean text (including legit accented text) passes through unchanged
+    assert(one[String](gf.fixMojibake($"t"), "already café — fine’s") ==
+      "already café — fine’s")
+    assert(one[String](gf.fixMojibake($"t"), "plain ascii") == "plain ascii")
+    // outputs never contain a mapping input: sequential repl cannot cascade
+    MojibakeRepair.Mappings.foreach { case (k, _) =>
+      MojibakeRepair.Mappings.foreach { case (_, v) =>
+        assert(!v.contains(k), s"output $v contains input $k")
+      }
+    }
+    // longest-first ordering: no input is shadowed by an earlier shorter one
+    val ins = MojibakeRepair.Mappings.map(_._1)
+    ins.zipWithIndex.foreach { case (a, i) =>
+      ins.drop(i + 1).foreach(b =>
+        assert(!b.contains(a), s"later input $b contains earlier $a"))
+    }
+  }
+
   test("BpeishCountExpr matches the regex formulation it replaced") {
     val specBpeish = size(regexp_extract_all($"t", lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
     val cases = Seq(
