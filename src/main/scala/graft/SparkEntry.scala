@@ -1247,6 +1247,24 @@ object SparkEntry {
             lit(" " + graft.functions.MojibakeRepair.Mappings.map(_._1).mkString(" "))))
             .as("fixed"))
         .orderBy(col("doc_id"))),
+    "q_gopher_quality" -> ((s, dir) => {
+      // the published Gopher filter per doc: exact integer counts + the
+      // keep decision as pure int comparisons (N metric columns over one
+      // text collapse to ONE GopherStatsExpr evaluation under CSE)
+      val st = gf.gopherStats(col("text"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+          st.getField("n_words").as("n_words"),
+          st.getField("n_alpha_words").as("n_alpha_words"),
+          st.getField("word_char_sum").as("word_char_sum"),
+          st.getField("n_hash").as("n_hash"),
+          st.getField("n_ellipsis").as("n_ellipsis"),
+          st.getField("n_lines").as("n_lines"),
+          st.getField("n_bullet_lines").as("n_bullet_lines"),
+          st.getField("n_ellipsis_lines").as("n_ellipsis_lines"),
+          st.getField("n_stop_distinct").as("n_stop_distinct"),
+          gf.gopherKeep(col("text")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "q_pagerank" -> ((s, dir) => {
       // supplier -> customer graph derived from order lines; 5 damped
       // rounds of integer fixed-point PageRank (see PageRank scaladoc for
@@ -2488,6 +2506,39 @@ object SparkEntry {
       val fixed = graft.functions.MojibakeRepair.sqlOracle(
         s"substr(text, 1, 40) || ' $moji'")
       s"SELECT doc_id, $fixed AS fixed FROM documents ORDER BY doc_id"
-    }
+    },
+    "q_gopher_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+                  string_split(text, chr(10)) AS lines,
+                  text
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(words) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+                  CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS word_char_sum,
+                  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+                  CAST((length(text) - length(replace(text, '...', ''))) / 3
+                       + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_ellipsis,
+                  CAST(len(lines) AS BIGINT) AS n_lines,
+                  CAST(len(list_filter(lines, l -> regexp_matches(l, '^ *[•*-]'))) AS BIGINT) AS n_bullet_lines,
+                  CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…) *$'))) AS BIGINT) AS n_ellipsis_lines,
+                  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(list_transform(words, w -> lower(w)), s))) AS BIGINT) AS n_stop_distinct
+           FROM t)
+         SELECT doc_id, n_words, n_alpha_words, word_char_sum, n_hash,
+                n_ellipsis, n_lines, n_bullet_lines, n_ellipsis_lines,
+                n_stop_distinct,
+                (n_words BETWEEN 50 AND 100000
+                 AND word_char_sum >= n_words * 3 AND word_char_sum <= n_words * 10
+                 AND n_hash * 10 <= n_words
+                 AND n_ellipsis * 10 <= n_words
+                 AND n_bullet_lines * 10 <= n_lines * 9
+                 AND n_ellipsis_lines * 10 <= n_lines * 3
+                 AND n_alpha_words * 5 >= n_words * 4
+                 AND n_stop_distinct >= 2) AS keep
+         FROM c ORDER BY doc_id"""
   )
 }

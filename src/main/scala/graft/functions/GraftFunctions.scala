@@ -209,6 +209,33 @@ object gf {
     * is already composed — see NfcNormalizeExpr). */
   def nfcNormalize(c: Column): Column = fromExpr(NfcNormalizeExpr(toExpr(c)))
 
+  /** The Gopher (Rae et al. 2021, Appendix A1.1) per-document quality
+    * counts as ONE codegen'd pass — word/line/symbol/stopword statistics
+    * as exact integers (see GopherStatsExpr for the shared cross-engine
+    * semantics). */
+  def gopherStats(c: Column): Column = fromExpr(GopherStatsExpr(toExpr(c)))
+
+  /** The Gopher keep-decision from the published thresholds, as PURE
+    * INTEGER comparisons on gopherStats fields (no float ratios, so the
+    * DuckDB oracle matches bit-for-bit): 50 <= words <= 100k; mean word
+    * length in [3,10]; '#' and '...' symbol-to-word ratios <= 0.1;
+    * <= 90% bullet-started lines; <= 30% ellipsis-ended lines; >= 80%
+    * of words contain a letter; >= 2 distinct members of the 8-word
+    * stop list. */
+  def gopherKeep(c: Column): Column = {
+    val st = gopherStats(c)
+    def f(n: String) = st.getField(n)
+    (f("n_words") >= 50L) && (f("n_words") <= 100000L) &&
+      (f("word_char_sum") >= f("n_words") * 3L) &&
+      (f("word_char_sum") <= f("n_words") * 10L) &&
+      (f("n_hash") * 10L <= f("n_words")) &&
+      (f("n_ellipsis") * 10L <= f("n_words")) &&
+      (f("n_bullet_lines") * 10L <= f("n_lines") * 9L) &&
+      (f("n_ellipsis_lines") * 10L <= f("n_lines") * 3L) &&
+      (f("n_alpha_words") * 5L >= f("n_words") * 4L) &&
+      (f("n_stop_distinct") >= 2L)
+  }
+
   /** ftfy-style mojibake repair: UTF-8 sequences that were re-decoded as
     * Windows-1252 (cafÃ© -> café, â€™ -> ’) fixed via the shared ordered
     * mapping table; clean text takes an allocation-free fast path. The

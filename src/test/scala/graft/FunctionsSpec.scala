@@ -112,6 +112,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Double](gf.stopwordRatio($"t", Seq("fox")), "the fox jumps") == 1.0 / 3)
   }
 
+  test("gopherStats: word/line/symbol/stopword counts on adversarial text") {
+    def stats(t: String): Map[String, Long] = {
+      val r = Seq(t).toDF("t").select(gf.gopherStats($"t").as("s")).head()
+        .getStruct(0)
+      graft.functions.GopherStatsExpr.Schema.fieldNames.zipWithIndex
+        .map { case (f, i) => f -> r.getLong(i) }.toMap
+    }
+    val s1 = stats("The cat sat.\n- bullet one\n* bullet two\ntrailing dots...  \nwait… \n## #tags\nto be with")
+    assert(s1("n_lines") == 7)
+    assert(s1("n_bullet_lines") == 2)
+    assert(s1("n_ellipsis_lines") == 2, s1) // "dots...  " and "wait… "
+    assert(s1("n_hash") == 3)
+    assert(s1("n_ellipsis") == 2) // "..." once + … once
+    assert(s1("n_stop_distinct") == 4, s1) // the, to, be, with
+    // words: The cat sat. - bullet one * bullet two trailing dots... wait…
+    //        ## #tags to be with  = 17 whitespace tokens
+    assert(s1("n_words") == 17, s1)
+    // alpha words: all except "-", "*", "##" = 14
+    assert(s1("n_alpha_words") == 14, s1)
+    // dot runs: "....." = 1 non-overlapping "..."; "......" = 2
+    assert(stats(".....")("n_ellipsis") == 1)
+    assert(stats("......")("n_ellipsis") == 2)
+    // empty text: one empty line, nothing else
+    val s0 = stats("")
+    assert(s0("n_words") == 0 && s0("n_lines") == 1 && s0("n_ellipsis_lines") == 0)
+    // keep decision: a healthy paragraph passes, keyword spam fails
+    val good = (1 to 30).map(_ => "the quick brown fox is ready to be seen with others").mkString(" ")
+    assert(Seq(good).toDF("t").select(gf.gopherKeep($"t")).head().getBoolean(0))
+    val spam = (1 to 60).map(_ => "### buy #now...").mkString(" ")
+    assert(!Seq(spam).toDF("t").select(gf.gopherKeep($"t")).head().getBoolean(0))
+  }
+
   test("fixMojibake repairs double-encoded text; clean text passes untouched") {
     import graft.functions.MojibakeRepair
     // the table is derived by round-tripping UTF-8 bytes through the
