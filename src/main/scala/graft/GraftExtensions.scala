@@ -155,6 +155,10 @@ object GraftSqlFunctions {
       arity("gf_fix_mojibake", 1)(es => x(gf.fixMojibake(c(es(0)))))),
     ("gf_gopher_keep", "(text) -> boolean",
       arity("gf_gopher_keep", 1)(es => x(gf.gopherKeep(c(es(0)))))),
+    ("gf_c4_clean", "(text) -> string",
+      arity("gf_c4_clean", 1)(es => x(gf.c4CleanLines(c(es(0)))))),
+    ("gf_c4_keep", "(text) -> boolean",
+      arity("gf_c4_keep", 1)(es => x(gf.c4Keep(c(es(0)))))),
     ("gf_dedup_key", "(text) -> string",
       arity("gf_dedup_key", 1)(es => x(gf.dedupKey(c(es(0)))))),
     ("gf_chunk_tokens",

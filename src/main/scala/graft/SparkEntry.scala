@@ -1247,6 +1247,12 @@ object SparkEntry {
             lit(" " + graft.functions.MojibakeRepair.Mappings.map(_._1).mkString(" "))))
             .as("fixed"))
         .orderBy(col("doc_id"))),
+    "q_c4_clean" -> ((s, dir) =>
+      // the C4 line filter + page keep-decision (Raffel et al. 2020 §2.2)
+      tbl(s, dir, "documents").select(col("doc_id"),
+          gf.c4CleanLines(col("text")).as("clean_text"),
+          gf.c4Keep(col("text")).as("keep"))
+        .orderBy(col("doc_id"))),
     "q_gopher_quality" -> ((s, dir) => {
       // the published Gopher filter per doc: exact integer counts + the
       // keep decision as pure int comparisons (N metric columns over one
@@ -2507,6 +2513,22 @@ object SparkEntry {
         s"substr(text, 1, 40) || ' $moji'")
       s"SELECT doc_id, $fixed AS fixed FROM documents ORDER BY doc_id"
     },
+    "q_c4_clean" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  -- coalesce: DuckDB array_to_string is NULL on empty lists,
+                  -- Spark array_join is ''
+                  coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '[.!?"] *\z')
+                         AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 5
+                         AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS clean_text
+           FROM documents)
+         SELECT doc_id, clean_text,
+                (length(clean_text) > 0
+                 AND length(clean_text) - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3
+                 AND NOT contains(text, '{')
+                 AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+         FROM t ORDER BY doc_id""",
     "q_gopher_quality" ->
       """WITH t AS (
            SELECT doc_id,

@@ -112,6 +112,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Double](gf.stopwordRatio($"t", Seq("fox")), "the fox jumps") == 1.0 / 3)
   }
 
+  test("c4CleanLines keeps terminal-punct 5-word lines; c4Keep gates pages") {
+    val text = Seq(
+      "This is a good sentence with enough words.", // kept
+      "Too short.",                                  // < 5 words
+      "No terminal punctuation here at all",         // bad ending
+      "Click here to enable JavaScript today!",      // javascript
+      "Another quite reasonable sentence ends here!", // kept
+      "A third full sentence finishes the page?"     // kept
+    ).mkString("\n")
+    val cleaned = one[String](gf.c4CleanLines($"t"), text)
+    assert(cleaned == Seq(
+      "This is a good sentence with enough words.",
+      "Another quite reasonable sentence ends here!",
+      "A third full sentence finishes the page?").mkString("\n"), cleaned)
+    assert(one[Boolean](gf.c4Keep($"t"), text))
+    // a curly brace anywhere kills the page (code smell), as does lorem
+    assert(!one[Boolean](gf.c4Keep($"t"), text + "\nvar x = { a: 1 };"))
+    assert(!one[Boolean](gf.c4Keep($"t"), text + "\nLorem Ipsum dolor sit."))
+    // fewer than 3 sentences after cleaning -> dropped
+    assert(!one[Boolean](gf.c4Keep($"t"), "One good sentence stands alone here."))
+    // \r-terminated lines are NOT terminal-punct (\z anchor, not $)
+    assert(one[String](gf.c4CleanLines($"t"), "Ends with punct but also cr.\r") == "")
+  }
+
   test("gopherStats: word/line/symbol/stopword counts on adversarial text") {
     def stats(t: String): Map[String, Long] = {
       val r = Seq(t).toDF("t").select(gf.gopherStats($"t").as("s")).head()
