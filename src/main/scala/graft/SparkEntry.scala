@@ -101,6 +101,9 @@ object SparkEntry {
           (gf.polyFingerprint(col("docId")) + lit(1L << 40)).as("doc_id"),
           col("textRepresentation").as("text"))
         .where(col("text").isNotNull && length(col("text")) > 0)
+        // ftfy-style repair before any scoring: web/PDF extractions carry
+        // double-encoded sequences that would skew langId and quality
+        .select(col("doc_id"), gf.fixMojibake(col("text")).as("text"))
         .select(col("doc_id"), col("text"),
           gf.langId(col("text")).as("lang"),
           lit("ingest").as("source"),
@@ -169,6 +172,11 @@ object SparkEntry {
         gf.compressionRatio(col("text")).as("cr"),
         col("mean_bits"),
         col("ttr"),
+        // the published filter verdicts ride as per-language RATES (the
+        // synthetic docs are short; a hard >=50-word Gopher gate would
+        // halve the corpus, which is a corpus property, not a signal)
+        gf.gopherKeep(col("text")).cast("long").as("gopher_ok"),
+        gf.c4Keep(col("text")).cast("long").as("c4_ok"),
         coalesce(col("coeff"), lit(0.0)).as("coeff"),
         coalesce(col("ppr"), lit(0L)).as("ppr"))
       .groupBy(col("lang").as("key"))
@@ -179,6 +187,8 @@ object SparkEntry {
         round(avg(col("cr")), 4).as("avg_compress"),
         round(avg(col("mean_bits")), 4).as("avg_surprise_bits"),
         round(avg(col("ttr")), 4).as("avg_lexical_ttr"),
+        round(avg(col("gopher_ok")), 4).as("gopher_keep_rate"),
+        round(avg(col("c4_ok")), 4).as("c4_keep_rate"),
         round(avg(col("coeff")), 4).as("avg_dup_clustering"),
         sum(col("ppr")).as("seed_proximity_mass"))
       .orderBy(desc("count"), col("key"))
