@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/**
+ * Property coverage for the single-pass text expressions: on RANDOM
+ * strings (whitespace-heavy, unicode, punctuation, supplementary planes),
+ * the codegen'd rewrites must equal the composed Column formulations they
+ * replaced — the differential FunctionsSpec cases are hand-picked; this
+ * is the adversarial sweep. All samples evaluate through ONE DataFrame
+ * (per-sample Spark jobs would take minutes).
+ */
+class TextExprPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val genText: Gen[String] = {
+    val atom = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", "\n\n"),
+      2 -> Gen.oneOf(".", "!", "?", "#", "...", "…", "•", "-", "*", "{", "\""),
+      2 -> Gen.oneOf("é", "ß", "日", "ü", " ", " "),
+      1 -> Gen.oneOf("\uD83D\uDE00", "\uD804\uDC00"), // astral plane
+      2 -> Gen.oneOf("the", "be", "to", "of", "and", "that", "have", "with", "The", "THE"))
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+  }
+
+  test("TextStatsExpr / BpeishCountExpr equal their composed forms on random text") {
+    val samples = Gen.listOfN(400, genText).sample.get
+    val df = samples.toDF("t")
+    val specTokens = split(trim(lower($"t")), "\\s+")
+    val rows = df.select(
+      gf.tokenCount($"t").as("tc"),
+      when(length(trim($"t")) === 0, lit(0)).otherwise(size(specTokens)).as("s_tc"),
+      gf.punctCount($"t").as("pc"),
+      (length($"t") - length(regexp_replace($"t", "\\p{Punct}", ""))).as("s_pc"),
+      gf.stopwordRatio($"t").as("sr"),
+      when(length(trim($"t")) === 0, lit(0.0)).otherwise(
+        size(filter(specTokens, t => t.isin(gf.EnglishStopwords: _*))).cast("double") /
+          size(specTokens)).as("s_sr"),
+      gf.meanTokenLength($"t").as("ml"),
+      when(length(trim($"t")) === 0, lit(0.0)).otherwise(
+        aggregate(specTokens, lit(0L), (a, t) => a + length(t)).cast("double") /
+          size(specTokens)).as("s_ml"),
+      gf.bpeishTokenCount($"t").as("bc"),
+      size(regexp_extract_all($"t", lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("s_bc"),
+      $"t").collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("t")
+      def show = s"on ${t.take(60).replace("\n", "\\n")}"
+      assert(r.getAs[Int]("tc") == r.getAs[Int]("s_tc"), s"tokenCount $show")
+      assert(r.getAs[Int]("pc") == r.getAs[Int]("s_pc"), s"punctCount $show")
+      assert(r.getAs[Double]("sr") == r.getAs[Double]("s_sr"), s"stopwordRatio $show")
+      assert(r.getAs[Double]("ml") == r.getAs[Double]("s_ml"), s"meanTokenLength $show")
+      assert(r.getAs[Int]("bc") == r.getAs[Int]("s_bc"), s"bpeish $show")
+    }
+  }
+
+  test("GopherStatsExpr invariants and composed-form agreement on random text") {
+    val samples = Gen.listOfN(400, genText).sample.get
+    val df = samples.toDF("t")
+    val st = gf.gopherStats($"t")
+    // composed reference forms for the fields that have clean Column twins
+    val words = filter(split($"t", "\\s+"), w => w =!= "")
+    val lines = split($"t", "\n")
+    val rows = df.select(
+      st.getField("n_words").as("nw"), size(words).cast("long").as("s_nw"),
+      st.getField("n_alpha_words").as("na"),
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long").as("s_na"),
+      st.getField("word_char_sum").as("cs"),
+      aggregate(words, lit(0L), (a, w) => a + length(w)).as("s_cs"),
+      st.getField("n_hash").as("nh"),
+      (length($"t") - length(regexp_replace($"t", "#", ""))).cast("long").as("s_nh"),
+      st.getField("n_lines").as("nl"), size(lines).cast("long").as("s_nl"),
+      st.getField("n_bullet_lines").as("nb"),
+      size(filter(lines, l => l.rlike("^ *[•*-]"))).cast("long").as("s_nb"),
+      st.getField("n_ellipsis_lines").as("ne"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…) *\\z"))).cast("long").as("s_ne"),
+      st.getField("n_stop_distinct").as("ns"),
+      $"t").collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("t")
+      def show = s"on ${t.take(60).replace("\n", "\\n")}"
+      assert(r.getAs[Long]("nw") == r.getAs[Long]("s_nw"), s"n_words $show")
+      assert(r.getAs[Long]("na") == r.getAs[Long]("s_na"), s"n_alpha_words $show")
+      assert(r.getAs[Long]("cs") == r.getAs[Long]("s_cs"), s"word_char_sum $show")
+      assert(r.getAs[Long]("nh") == r.getAs[Long]("s_nh"), s"n_hash $show")
+      assert(r.getAs[Long]("nl") == r.getAs[Long]("s_nl"), s"n_lines $show")
+      assert(r.getAs[Long]("nb") == r.getAs[Long]("s_nb"), s"n_bullet_lines $show")
+      assert(r.getAs[Long]("ne") == r.getAs[Long]("s_ne"), s"n_ellipsis_lines $show")
+      assert(r.getAs[Long]("ns") <= 8L && r.getAs[Long]("ns") >= 0L, s"stop bound $show")
+      assert(r.getAs[Long]("na") <= r.getAs[Long]("nw"), s"alpha<=words $show")
+      assert(r.getAs[Long]("nb") + 0L <= r.getAs[Long]("nl"), s"bullet<=lines $show")
+    }
+  }
+
+  test("fixMojibake is idempotent and repairs every mapping on random carriers") {
+    import graft.functions.MojibakeRepair
+    val moji = MojibakeRepair.Mappings
+    val gen = for {
+      pre <- genText
+      (k, _) <- Gen.oneOf(moji)
+      post <- genText
+    } yield (pre + k + post, k)
+    val samples = Gen.listOfN(200, gen).sample.get
+    val df = samples.map(_._1).toDF("t")
+    val out = df.select(gf.fixMojibake($"t").as("f1"),
+      gf.fixMojibake(gf.fixMojibake($"t")).as("f2")).collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "idempotent")
+    }
+  }
+}
