@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fasttext-style document-quality classifier — the model-based filter of
+ * GPT-3/LLaMA-class pipelines (reference corpus filtering literature;
+ * Brown et al. 2020 §A trained LR on hashed features against a WebText
+ * positive class): hashed lowercased unigram bag -> logistic regression,
+ * trained on a labeled seed set (e.g. curated wiki-like positives vs
+ * crawl negatives, or the rule-based gopherKeep/c4Keep verdicts as weak
+ * labels for distillation into a smoother score).
+ *
+ * Spark-first shape: HashingTF is a narrow map (no vocabulary build, no
+ * shuffle, fixed 2^18-dim sparse vectors), LR training is MLlib's
+ * distributed L-BFGS over the labeled set, and scoring is a broadcast
+ * model applied row-wise — at 100 TB the expensive part (scoring) is a
+ * pure map stage; training data is the small curated seed set by
+ * construction. Deterministic: hashing is seedless-stable, LR uses a
+ * fixed initial state and convergence tolerance.
+ *
+ * The tokens column must be the engine's standard tokenizer
+ * ([[graft.functions.gf.tokens]]) so scores line up with every other
+ * token-based signal.
+ */
+object QualityClassifier {
+
+  final case class Model(lr: LogisticRegressionModel, numFeatures: Int)
+
+  private def featurize(df: DataFrame, text: String, numFeatures: Int): DataFrame = {
+    val toks = df.withColumn("__toks",
+      filter(split(trim(lower(col(text))), "\\s+"), t => t =!= ""))
+    new HashingTF()
+      .setInputCol("__toks").setOutputCol("__feat").setNumFeatures(numFeatures)
+      .transform(toks)
+      .drop("__toks")
+  }
+
+  /** Train on a labeled seed set: `label` is 1.0 for high-quality docs,
+    * 0.0 for rejects. */
+  def train(labeled: DataFrame, text: String, label: String,
+            numFeatures: Int = 1 << 18, maxIter: Int = 50,
+            regParam: Double = 1e-4): Model = {
+    val feats = featurize(labeled, text, numFeatures)
+      .withColumn("__lbl", col(label).cast("double"))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("__feat").setLabelCol("__lbl")
+      .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
+    Model(lr.fit(feats), numFeatures)
+  }
+
+  /** Score documents: adds `quality_prob` in [0,1] (P(high quality)).
+    * The model rides to executors as a broadcast; scoring is map-only. */
+  def score(model: Model, df: DataFrame, text: String,
+            out: String = "quality_prob"): DataFrame = {
+    val feats = featurize(df, text, model.numFeatures)
+    val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.lr.setFeaturesCol("__feat").setProbabilityCol("__prob")
+      .transform(feats)
+      .withColumn(out, probOf(col("__prob")))
+      .drop("__feat", "__prob", "rawPrediction", "prediction")
+  }
+
+  /** Distillation convenience: weak-label with a rule column (e.g.
+    * gf.gopherKeep && gf.c4Keep), train, and score the SAME corpus —
+    * turning hard rule verdicts into a smooth ranking signal. */
+  def distill(df: DataFrame, text: String, rule: Column,
+              numFeatures: Int = 1 << 18): DataFrame = {
+    val labeled = df.withColumn("__rule", rule.cast("double"))
+    val m = train(labeled, text, "__rule", numFeatures)
+    score(m, df, text)
+  }
+}

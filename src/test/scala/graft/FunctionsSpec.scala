@@ -112,6 +112,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[Double](gf.stopwordRatio($"t", Seq("fox")), "the fox jumps") == 1.0 / 3)
   }
 
+  test("QualityClassifier separates prose from spam and distills rule labels") {
+    import graft.operators.QualityClassifier
+    val rng = new scala.util.Random(7)
+    def prose(i: Int) = s"The quick brown fox number $i is happy to be seen " +
+      s"with the other animals and that makes it have a good day in the field."
+    def spam(i: Int) = (1 to 12).map(_ => s"#buy${rng.nextInt(100)} WIN$i!!!").mkString(" ")
+    val train = ((1 to 40).map(i => (prose(i), 1.0)) ++
+      (1 to 40).map(i => (spam(i), 0.0)))
+    val trainDf = train.toDF("text", "label")
+    val m = QualityClassifier.train(trainDf, "text", "label")
+    val held = Seq(prose(99), prose(123), spam(99), spam(123)).toDF("text")
+    val scores = QualityClassifier.score(m, held, "text")
+      .select("quality_prob").collect().map(_.getDouble(0))
+    assert(scores(0) > 0.8 && scores(1) > 0.8, s"prose low: ${scores.toSeq}")
+    assert(scores(2) < 0.2 && scores(3) < 0.2, s"spam high: ${scores.toSeq}")
+    // distillation: rule verdicts become a smooth score with the same order
+    val corpus = ((1 to 20).map(prose) ++ (1 to 20).map(spam)).toDF("text")
+    val distilled = QualityClassifier.distill(corpus, "text", gf.c4Keep(col("text")))
+    val byRule = distilled.select(gf.c4Keep(col("text")).as("r"), col("quality_prob"))
+      .collect().groupBy(_.getBoolean(0)).view.mapValues(_.map(_.getDouble(1)).sum / 20).toMap
+    assert(byRule(true) > byRule(false), s"distilled means: $byRule")
+  }
+
   test("c4CleanLines keeps terminal-punct 5-word lines; c4Keep gates pages") {
     val text = Seq(
       "This is a good sentence with enough words.", // kept
