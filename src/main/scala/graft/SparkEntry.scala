@@ -1370,7 +1370,7 @@ object SparkEntry {
     }
     s"""WITH tok AS (SELECT doc_id, text,
                 CASE WHEN length(trim(text)) = 0 THEN []
-                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+                     ELSE regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') END AS toks
          FROM documents),
        words AS (SELECT DISTINCT unnest(toks) AS w FROM tok),
        enc AS (SELECT w, CAST(len(string_split(trim($folded), ' ')) AS BIGINT) AS n
@@ -1379,7 +1379,7 @@ object SparkEntry {
        cnt AS (SELECT f.doc_id, CAST(sum(e.n) AS BIGINT) AS n_bpe
                FROM flat f JOIN enc e ON f.w = e.w GROUP BY f.doc_id)
        SELECT d.doc_id, CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe,
-              CAST(len(regexp_extract_all(d.text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpeish
+              CAST(len(regexp_extract_all(d.text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_bpeish
        FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        ORDER BY d.doc_id"""
   }
@@ -1461,7 +1461,7 @@ object SparkEntry {
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_term_frequency" ->
       """SELECT doc_id, t.token, count(*) AS tf
-         FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(token)
+         FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS t(token)
          WHERE doc_id < 10
          GROUP BY doc_id, t.token ORDER BY doc_id, t.token""",
     "q_sort_topk" ->
@@ -1554,12 +1554,12 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id,
                 CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_ws,
-                len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish
+                     ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS n_ws,
+                len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]')) AS n_bpeish
          FROM documents ORDER BY doc_id""",
     "q_quality" ->
       """WITH t AS (SELECT doc_id, text,
-                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents)
          SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
@@ -1591,7 +1591,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, text,
-                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents)
          SELECT doc_id,
                 round(
@@ -1623,7 +1623,7 @@ object SparkEntry {
     "q_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_replace(text, '\. ', chr(10), 'g') AS t
                     FROM documents),
-         tt AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+') AS toks FROM d),
+         tt AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '[ \t\n\x0b\f\r]+') AS toks FROM d),
          bg AS (SELECT doc_id, unnest(list_transform(
                   range(0, greatest(len(toks) - 2, 0) + 1),
                   i -> array_to_string(toks[(i+1):(i+2)], ' '))) AS bg
@@ -1656,7 +1656,7 @@ object SparkEntry {
          WHERE doc_id IN (SELECT CAST(max(doc_id) AS BIGINT) FROM all_docs GROUP BY text)
          ORDER BY doc_id""",
     "q_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                   range(0, greatest(len(toks) - 5, 0) + 1),
@@ -1672,7 +1672,7 @@ object SparkEntry {
          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
          ORDER BY idA, idB""",
     "q_minhash_dedup" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          sh AS (SELECT doc_id, list_transform(
                   range(0, greatest(len(toks) - 5, 0) + 1),
@@ -1716,7 +1716,7 @@ object SparkEntry {
          ORDER BY vec_id""",
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id,
-                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
                        FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf
                 FROM toks WHERE term <> '' GROUP BY 1, 2),
@@ -1731,7 +1731,7 @@ object SparkEntry {
                 round(score, 6) AS score
          FROM r WHERE rk <= 3 ORDER BY doc_id, term""",
     "q_heavy_hitters" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS token
                        FROM documents),
          t AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1),
          n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM t)
@@ -1748,7 +1748,7 @@ object SparkEntry {
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
                       CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS w
+                           ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS w
                     FROM documents),
          c AS (SELECT doc_id, w,
                       CAST(SUM(w) OVER (ORDER BY doc_id
@@ -1788,7 +1788,7 @@ object SparkEntry {
       """SELECT source AS key, count(*) AS count FROM documents
          GROUP BY source ORDER BY count DESC, key LIMIT 3""",
     "q_langid" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          s AS (SELECT doc_id, list_sort([
                  struct_pack(score := len(list_filter(toks, x -> list_contains(
@@ -1812,7 +1812,7 @@ object SparkEntry {
          FROM orders""",
     "q_extract_properties" ->
       """WITH t AS (SELECT doc_id, text,
-                           regexp_split_to_array(trim(text), '\s+') AS toks
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents)
          SELECT doc_id,
                 CASE WHEN length(trim(text)) > 0
@@ -1897,7 +1897,7 @@ object SparkEntry {
                FROM h)
          SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""",
     "q_source_overlap" ->
-      """WITH t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          sh AS (SELECT DISTINCT source AS g, unnest(list_distinct(list_transform(
                   range(0, greatest(len(toks) - 5, 0) + 1),
@@ -1916,7 +1916,7 @@ object SparkEntry {
     "q_token_mixture" ->
       """WITH tk AS (SELECT lang,
                        CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                            ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END)
                          AS BIGINT) AS toks
                      FROM documents GROUP BY lang),
          th AS (SELECT lang,
@@ -1959,7 +1959,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN kept k USING (doc_id)
          GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                   range(0, greatest(len(toks) - 4, 0) + 1),
@@ -1973,7 +1973,7 @@ object SparkEntry {
            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          ORDER BY doc_id""",
     "q_decontaminate_bloom" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                   range(0, greatest(len(toks) - 4, 0) + 1),
@@ -1987,7 +1987,7 @@ object SparkEntry {
            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          ORDER BY doc_id""",
     "q_bm25" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
@@ -2010,7 +2010,7 @@ object SparkEntry {
                   + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))), 4) AS bm25
          FROM base, stats ORDER BY doc_id""",
     "q_simhash_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          h AS (SELECT doc_id, list_transform(toks, tok ->
                  list_reduce(list_prepend(0::BIGINT,
@@ -2091,7 +2091,7 @@ object SparkEntry {
          ORDER BY cosine DESC, vec_id""",
     "q_sql_surface" ->
       """WITH t AS (SELECT doc_id, text,
-                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          s AS (SELECT doc_id, list_sort([
                  struct_pack(score := len(list_filter(toks, x -> list_contains(
@@ -2118,7 +2118,7 @@ object SparkEntry {
     "q_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id,
-                  unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                                      t -> length(t) > 0)) AS tok
            FROM documents),
          tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -2137,7 +2137,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
     "q_bigram_logprob" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          pairs AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
                    FROM t, unnest(range(1, len(toks))) AS u(i)
@@ -2166,7 +2166,7 @@ object SparkEntry {
     "q_corpus_stats" ->
       """WITH t AS (SELECT source, lang, length(text) AS nc,
                 CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS nt
+                     ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS nt
          FROM documents)
          SELECT source, lang,
                 CAST(count(*) AS BIGINT) AS n_docs,
@@ -2178,7 +2178,7 @@ object SparkEntry {
          FROM t GROUP BY source, lang ORDER BY source, lang""",
     "q_lexical_diversity" ->
       """WITH tok AS (SELECT doc_id,
-                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS t
               FROM documents),
          tc AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> ''
                 GROUP BY doc_id, t),
@@ -2195,7 +2195,7 @@ object SparkEntry {
          FROM agg ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n
+                ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS n
          FROM documents),
          nz AS (SELECT doc_id, n,
                        CASE WHEN n <= 64 THEN 1
@@ -2206,7 +2206,7 @@ object SparkEntry {
          FROM nz, unnest(range(0, k)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
     "q_dup_spans" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 10),
          inst AS (SELECT doc_id, array_to_string(toks[i:i+9], ' ') AS g
@@ -2228,7 +2228,7 @@ object SparkEntry {
          LEFT JOIN dups ON d.doc_id = dups.doc_id
          ORDER BY d.doc_id""",
     "q_rrf_fusion" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
@@ -2262,7 +2262,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_quality_calibrated" ->
       """WITH t AS (SELECT doc_id, source, text,
-                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          qs AS (SELECT doc_id, source,
                 round(
@@ -2327,7 +2327,7 @@ object SparkEntry {
     "q_pagerank_personal" -> pageRankOracleSql(5, seeds = Seq(1L, 2L, 3L)),
     "q_weighted_sample" ->
       """WITH t AS (SELECT doc_id, text,
-                           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          qs AS (SELECT doc_id,
                 round(
@@ -2356,7 +2356,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_blocklist" ->
       """SELECT doc_id FROM documents
-         WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                  t -> list_contains(['join', 'spill', 'straggler'], t))) = 0
          ORDER BY doc_id""",
     "q_tpch_q3" ->
@@ -2449,7 +2449,7 @@ object SparkEntry {
     "q_correlation" ->
       """WITH t AS (SELECT CAST(n_chars AS BIGINT) AS x,
                            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                                ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'))
                                 END AS BIGINT) AS y
                     FROM documents),
          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -2530,7 +2530,7 @@ object SparkEntry {
                   -- Spark array_join is ''
                   coalesce(array_to_string(list_filter(string_split(text, chr(10)),
                     l -> regexp_matches(l, '[.!?"] *\z')
-                         AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 5
+                         AND len(list_filter(regexp_split_to_array(l, '[ \t\n\x0b\f\r]+'), w -> w <> '')) >= 5
                          AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS clean_text
            FROM documents)
          SELECT doc_id, clean_text,
@@ -2542,7 +2542,7 @@ object SparkEntry {
     "q_gopher_quality" ->
       """WITH t AS (
            SELECT doc_id,
-                  list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+                  list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words,
                   string_split(text, chr(10)) AS lines,
                   text
            FROM documents),

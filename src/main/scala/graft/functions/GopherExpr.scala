@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * bit-for-bit with no float hazards.
  *
  * Cross-engine semantics (mirrored by the q_gopher_quality oracle):
- * words = nonempty pieces of regexp-split on Java/RE2 \s+; word length
+ * words = nonempty pieces of regexp-split on the JAVA \s class
+ * [ \t\n\x0B\f\r] — the oracle pins that exact class because RE2's \s
+ * excludes \x0B; word length
  * in code points; lines = split on \n alone (a \r survives at the line
  * end and defeats the ellipsis test in BOTH engines); bullet = first
  * non-space char in {•, *, -}; line-ellipsis = space-right-trimmed line

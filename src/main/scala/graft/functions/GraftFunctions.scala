@@ -236,29 +236,28 @@ object gf {
       (f("n_stop_distinct") >= 2L)
   }
 
+  /** C4 stats substrate (single-pass; see C4StatsExpr — the keep decision
+    * reads the cleaned text three ways, and a lambda-bearing Column
+    * subtree would re-clean the document each time). */
+  private def c4Stats(c: Column): Column = fromExpr(C4StatsExpr(toExpr(c)))
+
   /** C4 line cleaning (Raffel et al. 2020 §2.2): keep only lines that end
     * in a terminal punctuation mark (. ! ? or closing quote, with
     * trailing spaces allowed), carry >= 5 whitespace words, and do not
-    * mention javascript; survivors re-join with newlines. Anchored with
-    * \z (end of input) rather than $ — Java's $ also matches before a
+    * mention javascript; survivors re-join with newlines. The terminal
+    * check is \z-style (absolute end) — Java's $ also matches before a
     * trailing \r, RE2's does not, and the oracle must agree on
-    * \r-terminated lines. One output column, so the higher-order
-    * functions here evaluate once (no shared-subexpression trap). */
-  def c4CleanLines(c: Column): Column = {
-    val kept = filter(split(c, "\n"), l =>
-      l.rlike("[.!?\"] *\\z") &&
-        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
-        instr(lower(l), "javascript") === 0)
-    array_join(kept, "\n")
-  }
+    * \r-terminated lines. */
+  def c4CleanLines(c: Column): Column = c4Stats(c).getField("clean_text")
 
   /** The C4 page keep-decision: the cleaned text retains >= 3 sentences
     * (terminal punctuation marks), and the RAW page contains neither a
-    * curly brace (code) nor "lorem ipsum" (boilerplate). */
+    * curly brace (code) nor "lorem ipsum" (boilerplate). Shares ONE
+    * C4StatsExpr evaluation with c4CleanLines under CSE. */
   def c4Keep(c: Column): Column = {
-    val cleaned = c4CleanLines(c)
-    val sentences = length(cleaned) - length(regexp_replace(cleaned, "[.!?]", ""))
-    (length(cleaned) > 0) && (sentences >= 3) &&
+    val st = c4Stats(c)
+    (length(st.getField("clean_text")) > 0) &&
+      (st.getField("n_sentences") >= 3) &&
       (instr(c, "{") === 0) && (instr(lower(c), "lorem ipsum") === 0)
   }
 

@@ -17,13 +17,21 @@ import org.apache.spark.unsafe.types.UTF8String
  * sequential global replacements — not general charset inference. The
  * same table, in the same order, generates the DuckDB oracle's nested
  * replace() chain ([[MojibakeRepair.sqlOracle]]), so both engines are
- * equivalent by construction. Outputs are single repaired chars that
- * never appear inside any mapping input, so the composition cannot
- * cascade.
+ * equivalent by construction.
  *
- * Fast path: every mapping input starts with Ã, Â or â;
- * one scan finds none of those in clean text and returns the input
- * UTF8String unchanged (no allocation).
+ * ONE-PASS semantics, like a single ftfy application: on text where
+ * mojibake fragments ABUT (e.g. a stray lead byte directly before a
+ * double-encoded quote), one sequential sweep can surface a new mojibake
+ * sequence that only a second application would repair — the repair is
+ * therefore NOT idempotent on adversarial nestings, exactly as ftfy
+ * itself loops to a fixpoint. The gate oracle applies the identical
+ * single sweep, so cross-engine equality holds on every input; callers
+ * wanting fixpoint repair apply the column twice.
+ *
+ * Fast path: every mapping input starts with Ã, Â or â (UTF-8 lead
+ * bytes 0xC3/0xC2/0xE2); one scan over the RAW UTF-8 bytes finds none
+ * of those in clean text and returns the input UTF8String unchanged
+ * without materializing a java String.
  */
 case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
 
@@ -74,17 +82,22 @@ object MojibakeRepair {
 
   /** Called from generated code. */
   def compute(s: UTF8String): UTF8String = {
-    val str = s.toString
-    // fast path: all mapping inputs start with one of these three chars
+    // fast path on the raw UTF-8 bytes: every mapping input's first char
+    // is \u00C3 (UTF-8 C3 83), \u00C2 (C3 82) or \u00E2 (C3 A2) \u2014 text without one of
+    // those two-byte sequences (plain ASCII, CJK, even ordinary accented
+    // Latin like \u00E9 = C3 A9) cannot contain mojibake and returns as-is
     var i = 0
     var marker = false
-    val n = str.length
-    while (i < n && !marker) {
-      val c = str.charAt(i)
-      marker = c == '\u00C3' || c == '\u00C2' || c == '\u00E2'
+    val nb = s.numBytes()
+    while (i + 1 < nb && !marker) {
+      if ((s.getByte(i) & 0xFF) == 0xC3) {
+        val b2 = s.getByte(i + 1) & 0xFF
+        marker = b2 == 0x83 || b2 == 0x82 || b2 == 0xA2
+      }
       i += 1
     }
     if (!marker) return s
+    val str = s.toString
     var out = str
     val it = Mappings.iterator
     while (it.hasNext) {

@@ -69,9 +69,11 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
  * all tokenize/classify with these.
  */
 private[functions] object Chars {
-  /** The Java-regex \s class, exactly: [ \t\n\x0B\f\r] — what Spark's
-    * split("\\s+") and the RE2 oracle treat as separators, NOT
-    * Character.isWhitespace (which adds U+2028 etc.). */
+  /** The JAVA-regex \s class, exactly: [ \t\n\x0B\f\r] — what Spark's
+    * split("\\s+") treats as separators. NOT Character.isWhitespace
+    * (adds U+2028 etc.), and NOT RE2's \s either: RE2 \s EXCLUDES
+    * \x0B, so every DuckDB oracle spells this class out explicitly
+    * ('[ \t\n\x0b\f\r]') instead of using \s. */
   def isJavaWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 

@@ -31,8 +31,10 @@ object QualityClassifier {
   final case class Model(lr: LogisticRegressionModel, numFeatures: Int)
 
   private def featurize(df: DataFrame, text: String, numFeatures: Int): DataFrame = {
+    // THE engine tokenizer, not a re-derivation — scores must line up
+    // with every other token-based signal even if tokens() ever changes
     val toks = df.withColumn("__toks",
-      filter(split(trim(lower(col(text))), "\\s+"), t => t =!= ""))
+      filter(graft.functions.gf.tokens(col(text)), t => t =!= ""))
     new HashingTF()
       .setInputCol("__toks").setOutputCol("__feat").setNumFeatures(numFeatures)
       .transform(toks)
@@ -53,13 +55,17 @@ object QualityClassifier {
   }
 
   /** Score documents: adds `quality_prob` in [0,1] (P(high quality)).
-    * The model rides to executors as a broadcast; scoring is map-only. */
+    * The model rides to executors as a broadcast; scoring is map-only.
+    * Operates on a COPY of the fitted model — mutating the shared
+    * instance's params would leak '__prob' into other callers and race
+    * under concurrent scoring. */
   def score(model: Model, df: DataFrame, text: String,
             out: String = "quality_prob"): DataFrame = {
     val feats = featurize(df, text, model.numFeatures)
     val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
-    model.lr.setFeaturesCol("__feat").setProbabilityCol("__prob")
-      .transform(feats)
+    val lr = model.lr.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setFeaturesCol("__feat").setProbabilityCol("__prob")
+    lr.transform(feats)
       .withColumn(out, probOf(col("__prob")))
       .drop("__feat", "__prob", "rawPrediction", "prediction")
   }

@@ -115,9 +115,13 @@ class FunctionsSpec extends AnyFunSuite {
   test("QualityClassifier separates prose from spam and distills rule labels") {
     import graft.operators.QualityClassifier
     val rng = new scala.util.Random(7)
-    def prose(i: Int) = s"The quick brown fox number $i is happy to be seen " +
-      s"with the other animals and that makes it have a good day in the field."
-    def spam(i: Int) = (1 to 12).map(_ => s"#buy${rng.nextInt(100)} WIN$i!!!").mkString(" ")
+    // prose passes c4Keep (>= 3 terminal-punct sentences on qualifying
+    // lines); spam fails it (lines under 5 words, no terminal punct) —
+    // the distill assertion below depends on this polarity
+    def prose(i: Int) = s"The quick brown fox number $i is happy today. " +
+      s"It likes to be seen with the other animals. " +
+      s"That makes it have a good day in the field."
+    def spam(i: Int) = (1 to 12).map(_ => s"#buy${rng.nextInt(100)} WIN$i").mkString("\n")
     val train = ((1 to 40).map(i => (prose(i), 1.0)) ++
       (1 to 40).map(i => (spam(i), 0.0)))
     val trainDf = train.toDF("text", "label")
@@ -129,6 +133,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(scores(2) < 0.2 && scores(3) < 0.2, s"spam high: ${scores.toSeq}")
     // distillation: rule verdicts become a smooth score with the same order
     val corpus = ((1 to 20).map(prose) ++ (1 to 20).map(spam)).toDF("text")
+    // polarity guard: the rule must actually label prose true / spam false,
+    // otherwise this distills an anti-quality signal and the mean
+    // comparison below silently checks the wrong thing
+    assert(one[Boolean](gf.c4Keep($"t"), prose(1)))
+    assert(!one[Boolean](gf.c4Keep($"t"), spam(1)))
     val distilled = QualityClassifier.distill(corpus, "text", gf.c4Keep(col("text")))
     val byRule = distilled.select(gf.c4Keep(col("text")).as("r"), col("quality_prob"))
       .collect().groupBy(_.getBoolean(0)).view.mapValues(_.map(_.getDouble(1)).sum / 20).toMap
@@ -207,18 +216,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one[String](gf.fixMojibake($"t"), "already café — fine’s") ==
       "already café — fine’s")
     assert(one[String](gf.fixMojibake($"t"), "plain ascii") == "plain ascii")
-    // outputs never contain a mapping input: sequential repl cannot cascade
-    MojibakeRepair.Mappings.foreach { case (k, _) =>
-      MojibakeRepair.Mappings.foreach { case (_, v) =>
-        assert(!v.contains(k), s"output $v contains input $k")
-      }
-    }
     // longest-first ordering: no input is shadowed by an earlier shorter one
     val ins = MojibakeRepair.Mappings.map(_._1)
     ins.zipWithIndex.foreach { case (a, i) =>
       ins.drop(i + 1).foreach(b =>
         assert(!b.contains(a), s"later input $b contains earlier $a"))
     }
+    // one-pass semantics, documented: adversarially ABUTTING fragments can
+    // surface a new mojibake sequence that only a second application fixes
+    // (the ftfy fixpoint caveat) — but Spark and the oracle run the SAME
+    // single sweep, so this stays cross-engine-equal, and the second pass
+    // converges
+    def sweep(t: String) = MojibakeRepair.Mappings.foldLeft(t) {
+      case (acc, (k, v)) => acc.replace(k, v)
+    }
+    val nasty = "\u00C3\u00A2" + "\u20AC\u2122" // Ã¢ + €™: abutting fragments
+    assert(one[String](gf.fixMojibake($"t"), nasty) == sweep(nasty))
+    assert(sweep(sweep(nasty)) == sweep(sweep(sweep(nasty))), "second pass converges")
   }
 
   test("BpeishCountExpr matches the regex formulation it replaced") {

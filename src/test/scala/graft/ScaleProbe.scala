@@ -63,7 +63,12 @@ object ScaleProbe {
       "chunk_tokens" -> (d => d.select(col("doc_id"),
         posexplode(gf.chunkTokens(col("text"), 64, 16)).as(Seq("idx", "chunk")))),
       "lexical_diversity" -> (d =>
-        graft.operators.CorpusStats.lexicalDiversity(d, "doc_id", "text")))
+        graft.operators.CorpusStats.lexicalDiversity(d, "doc_id", "text")),
+      // round-8 additions: pure map-stage filters (trivially linear by
+      // construction — probed to prove it, not because a shuffle could hide)
+      "gopher_c4_moji" -> (d => d.select(col("doc_id"),
+        gf.gopherKeep(gf.fixMojibake(col("text"))).as("g"),
+        gf.c4Keep(col("text")).as("c"))))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

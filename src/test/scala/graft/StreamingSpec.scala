@@ -39,6 +39,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("quality-filter expressions run unchanged in the continuous pipeline") {
+    // the published filters are plain codegen'd expressions, so the
+    // streaming ingest path gets them for free — prove it end-to-end
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.functions.gf
+    val input = MemoryStream[(Long, String)]
+    val good = (1 to 30).map(_ => "the quick fox is glad to be here with friends.").mkString(" ")
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        gf.fixMojibake(col("text")).as("text"))
+      .select(col("doc_id"), col("text"),
+        gf.gopherKeep(col("text")).as("gopher_ok"),
+        gf.c4Keep(col("text")).as("c4_ok"))
+    val query = scored.writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, good), (2L, "### #spam..."),
+        (3L, "caf" + new String("é".getBytes("UTF-8"), "windows-1252") + " " + good))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, gopher_ok, c4_ok, contains(text, 'café') FROM stream_quality")
+        .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+      assert(rows(0) == ((1L, true, true, false)))
+      assert(rows(1)._2 == false && rows(1)._3 == false)
+      assert(rows(2)._2 && rows(2)._4, s"mojibake repaired mid-stream: ${rows(2)}")
+    } finally query.stop()
+  }
+
   test("windowed counts with watermark bound state") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]

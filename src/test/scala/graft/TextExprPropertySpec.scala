@@ -97,20 +97,28 @@ class TextExprPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("fixMojibake is idempotent and repairs every mapping on random carriers") {
+  test("fixMojibake equals the sequential-replace model on random carriers") {
+    // model-based property: the expression (byte fast path + sweep) must
+    // equal a plain fold of String.replace over the shared table — the
+    // semantics the DuckDB oracle chain encodes. Carriers embed mapping
+    // inputs AND raw fragment atoms (€, ™, lone Ã/Â/â) so abutting-
+    // fragment compositions are exercised, not just whole sequences.
     import graft.functions.MojibakeRepair
     val moji = MojibakeRepair.Mappings
+    def model(t: String) = moji.foldLeft(t) { case (acc, (k, v)) => acc.replace(k, v) }
+    val fragment = Gen.oneOf("\u20AC", "\u2122", "\u00C3", "\u00C2", "\u00E2", "\u0153")
     val gen = for {
       pre <- genText
-      (k, _) <- Gen.oneOf(moji)
+      k <- Gen.oneOf(moji).map(_._1)
+      mid <- fragment
+      k2 <- Gen.oneOf(moji).map(_._1)
       post <- genText
-    } yield (pre + k + post, k)
-    val samples = Gen.listOfN(200, gen).sample.get
-    val df = samples.map(_._1).toDF("t")
-    val out = df.select(gf.fixMojibake($"t").as("f1"),
-      gf.fixMojibake(gf.fixMojibake($"t")).as("f2")).collect()
+    } yield pre + k + mid + k2 + post
+    val samples = Gen.listOfN(300, gen).sample.get
+    val out = samples.toDF("t").select($"t", gf.fixMojibake($"t").as("f")).collect()
     out.foreach { r =>
-      assert(r.getString(0) == r.getString(1), "idempotent")
+      assert(r.getString(1) == model(r.getString(0)),
+        s"model mismatch on ${r.getString(0).take(40)}")
     }
   }
 }
