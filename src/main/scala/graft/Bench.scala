@@ -17,6 +17,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ROUND-9 MEASUREMENT FIX: the 115-query surface generates ~400+
+      // distinct codegen'd classes per pass, but the generated-class cache
+      // (static conf, default 100 entries) evicts LRU — so by the time a
+      // pass wraps around, EVERY query recompiles its generated code on
+      // EVERY run, and the janino-fresh classes never get C2-JIT-warm.
+      // That is exactly the r8 signature: run_totals [145.8, 95.3, 74.7]
+      // still falling at run 3, with the regression charged to whichever
+      // queries run first. One pass's worth of classes must fit.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer startup otherwise lands on
@@ -98,8 +107,28 @@ object Bench {
     val names = sys.env.get("BENCH_ONLY") match {
       case Some(only) =>
         val keep = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd name must not yield a silently-partial run that still
+        // reports success (ADVICE r8)
+        val unknown = keep -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
         SparkEntry.queries.keys.toSeq.filter(keep).sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
+    }
+    // one FULL untimed warmup pass (r9): the kernel warmup above covers the
+    // shared runtime, but each query's own generated classes still compile
+    // on first execution. With the codegen cache sized to hold a whole
+    // pass, a single untimed sweep makes every timed run hit warm classes —
+    // the r8 artifact showed the ramp persisting into run 2 (medians of 3
+    // then charge half the ramp to the recorded number). BENCH_WARMUP=0
+    // restores the old protocol for A/B-ing the measurement itself.
+    val warmupPasses = sys.env.getOrElse("BENCH_WARMUP", "1").toInt
+    (1 to warmupPasses).foreach { _ =>
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
     }
     // HEAVY-TAIL VARIANCE DIAGNOSIS (round 7): localCheckpoint blocks from
     // one query (dedup CC, pagerank, rrf, tfidf, packing, triangles all
@@ -157,7 +186,7 @@ object Bench {
     val storageMb = storagePeaks.map(b => f"${b / 1048576.0}%.0f").mkString("[", ",", "]")
     val evictedJson = evictions.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"per-query unpersist of lingering localCheckpoint blocks (GC-timed before, deterministic now) — see Bench.scala heavy-tail diagnosis","prev":$prev,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"r9: codegen cache sized to hold a full pass (default 100 entries thrashed across 115 queries => every run recompiled) + one full untimed warmup pass; r7 heavy-tail unpersist retained","prev":$prev,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture tail-clips long lines (BENCH_r2/r3 both
     // recorded truncated JSON) — persist the full line as a repo artifact too
