@@ -88,7 +88,9 @@ object Bench {
         case graft.plan.QNumV(v) => require(v >= 0)
         case _ => ()
       }
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OOM/VM error here must propagate — a degraded JVM
+      // would silently skew every timed run (ADVICE r9)
       System.err.println(s"[bench] warmup: ${e.getMessage}")
     }
     val failures = scala.collection.mutable.ListBuffer[String]()
@@ -98,7 +100,7 @@ object Bench {
     // cross-round comparisons read as real changes. The reported value is
     // the sum of per-query MEDIANS; per-run totals ride along so the
     // artifact itself shows the spread.
-    val runs = math.max(1, sys.env.getOrElse("BENCH_RUNS", "3").toInt)
+    val runs = math.max(1, envInt("BENCH_RUNS", 3))
     // name order, not Map hash order: adding a query must not reshuffle the
     // execution order of the others (JIT/GC state varies by position, which
     // otherwise shows up as cross-round noise on unchanged queries)
@@ -122,11 +124,13 @@ object Bench {
     // the r8 artifact showed the ramp persisting into run 2 (medians of 3
     // then charge half the ramp to the recorded number). BENCH_WARMUP=0
     // restores the old protocol for A/B-ing the measurement itself.
-    val warmupPasses = sys.env.getOrElse("BENCH_WARMUP", "1").toInt
+    val warmupPasses = envInt("BENCH_WARMUP", 1)
     (1 to warmupPasses).foreach { _ =>
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name: ${e.getMessage}")
+        }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
@@ -182,11 +186,11 @@ object Bench {
     val runTotals = samples.map(_.map(_._2).sum)
       .map(t => f"$t%.1f").mkString("[", ",", "]")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val prev = prevJson(results.map(_._1).toSet)
+    val (prev, prevWarmup) = prevJson(results.map(_._1).toSet)
     val storageMb = storagePeaks.map(b => f"${b / 1048576.0}%.0f").mkString("[", ",", "]")
     val evictedJson = evictions.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"r9: codegen cache sized to hold a full pass (default 100 entries thrashed across 115 queries => every run recompiled) + one full untimed warmup pass; r7 heavy-tail unpersist retained","prev":$prev,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"r9: codegen cache sized to hold a full pass (default 100 entries thrashed across 115 queries => every run recompiled) + one full untimed warmup pass; r7 heavy-tail unpersist retained","prev":$prev,"prev_warmup_passes":$prevWarmup,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture tail-clips long lines (BENCH_r2/r3 both
     // recorded truncated JSON) — persist the full line as a repo artifact too
@@ -199,16 +203,27 @@ object Bench {
     spark.stop()
   }
 
+  /** Env int with a contextual error (a bare .toInt crash names neither the
+    * variable nor the value — ADVICE r9). */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name).map { v =>
+      require(v.trim.matches("-?\\d+"), s"$name must be an integer, got '$v'")
+      v.trim.toInt
+    }.getOrElse(default)
+
   /** Per-query times from the latest BENCH_r*.json in the working directory,
-    * so each round's JSON carries its own like-for-like comparison basis. */
-  private def prevJson(names: Set[String]): String = try {
+    * so each round's JSON carries its own like-for-like comparison basis.
+    * Returns (queriesJson, warmupPassesOfThatRound) — the protocol tag lets
+    * readers tell a measurement-protocol change from a query-level speedup
+    * (ADVICE r9): rounds ≤8 ran with 0 warmup passes, r9+ with 1. */
+  private def prevJson(names: Set[String]): (String, String) = try {
     val dir = new java.io.File(".")
     val benches = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       // numeric round order — lexical would put r10 before r9
       .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
     benches.lastOption match {
-      case None => "{}"
+      case None => ("{}", "null")
       case Some(f) =>
         val src = scala.io.Source.fromFile(f)
         val text = try src.mkString finally src.close()
@@ -255,10 +270,37 @@ object Bench {
             case _ => JObject(Nil)
           }
         }
-        queries.obj.collect {
+        val qJson = queries.obj.collect {
           case (k, JDouble(v)) if names(k) => s"\"" + k + "\":" + v
           case (k, JInt(v)) if names(k)    => s"\"" + k + "\":" + v
         }.mkString("{", ",", "}")
+        // protocol of the prev artifact: top-level field, else regex over the
+        // driver's tail wrapper (lax prefix — the front-clip can bite into
+        // the key itself: BENCH_r09's tail starts at `mup_passes":1`), else
+        // the committed bench_out.json (the same run's full line, not yet
+        // overwritten at this point); absent everywhere => pre-r9 => 0
+        val warmup = root \ "warmup_passes" match {
+          case JInt(n)    => n.toString
+          case JDouble(n) => n.toInt.toString
+          case _ =>
+            val fromTail = root \ "tail" match {
+              case JString(t) => "up_passes\"\\s*:\\s*(\\d+)".r
+                .findFirstMatchIn(t).map(_.group(1))
+              case _ => None
+            }
+            fromTail.orElse {
+              try {
+                val src = scala.io.Source.fromFile("bench_out.json")
+                val txt = try src.mkString finally src.close()
+                parse(txt) \ "warmup_passes" match {
+                  case JInt(n)    => Some(n.toString)
+                  case JDouble(n) => Some(n.toInt.toString)
+                  case _          => None
+                }
+              } catch { case _: Throwable => None }
+            }.getOrElse("0")
+        }
+        (qJson, warmup)
     }
-  } catch { case _: Throwable => "{}" }
+  } catch { case _: Throwable => ("{}", "null") }
 }

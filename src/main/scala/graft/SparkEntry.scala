@@ -18,9 +18,11 @@ import graft.plan.{QDocs, QNumV, QPlan, QStrV, QueryExecutor, QValue}
  * Determinism rules used throughout (so Spark and DuckDB hash-match):
  *  - money math in exact int64 cents (`round(x*100)::bigint`), never float
  *    sums: partial-aggregation order then cannot change results;
- *  - event timestamps kept as int64 nanoseconds (parquet stores
- *    TIMESTAMP(NANOS) which Spark reads via nanosAsLong; DuckDB compares via
- *    epoch_ns) — pure integer math on both sides;
+ *  - event timestamps kept as int64 nanoseconds regardless of the parquet
+ *    physical type (TIMESTAMP(NANOS) reads as int64 via nanosAsLong;
+ *    TIMESTAMP(MICROS) is normalized to ns via unix_micros*1000 — see
+ *    `events()`; DuckDB compares via epoch_ns, which agrees in both cases)
+ *    — pure integer math on both sides;
  *  - every query ends in a total ORDER BY;
  *  - double outputs only as (a) ratios of exactly-equal integers computed
  *    the same way on both sides, or (b) round(x, 4-6) of such values.
@@ -32,10 +34,23 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS): read it as int64 nanos. */
+  /** events.ts normalized to int64 nanos whatever the parquet physical type:
+    * TIMESTAMP(NANOS) reads directly as long via nanosAsLong; a plain
+    * TIMESTAMP (micros, as in the regenerated testdata) is converted with
+    * unix_micros*1000 so every downstream integer-ns computation — and the
+    * epoch_ns-based DuckDB oracles — is unchanged. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
+    val df = tbl(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        // TIMESTAMP_NTZ (micros): the NTZ→TIMESTAMP cast reads the wall
+        // clock in the session zone, so pin UTC (matches DuckDB's epoch_us
+        // on a naive timestamp) before taking unix_micros.
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   /** Exact cents from a 2-decimal double column. */

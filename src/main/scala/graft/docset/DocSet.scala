@@ -41,9 +41,11 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     * flows through with zero elements but gets an
     * `unsupported_format` property (the reference raises on unsupported
     * types, reader.py format dispatch; at corpus scale a marker an audit
-    * can count beats failing the whole job for one stray file). */
-  def partitionAuto(): DocSet = mapBatch { it =>
-    val pdf = new graft.operators.PdfPartitioner()
+    * can count beats failing the whole job for one stray file).
+    * `ocr`: optional pluggable OcrProvider for scanned/image-only PDFs —
+    * constructed once per executor task with the partitioner set. */
+  def partitionAuto(ocr: Option[graft.operators.OcrProvider] = None): DocSet = mapBatch { it =>
+    val pdf = new graft.operators.PdfPartitioner(ocr)
     val html = new graft.operators.HtmlPartitioner()
     val docx = new graft.operators.DocxPartitioner()
     val pptx = new graft.operators.PptxPartitioner()

@@ -19,14 +19,18 @@ import graft.model.{Document, Element}
  * fire on PDF-partitioned docs.
  * Encrypted PDFs with an EMPTY user password (the common permissions-only
  * RC4/AESV2 standard security handler) are decrypted via PdfCrypt; a real
- * user password, CID fonts without a ToUnicode map, and OCR of scanned
- * pages remain out of scope.
+ * user password and CID fonts without a ToUnicode map remain out of scope.
  * Unextractable blocks are DROPPED (printable-ratio guard) rather than
- * emitted as garbage. For full-fidelity layout, plug a model-backed
- * Partitioner into the same trait — the engine contract (binary in,
- * elements out, partition-parallel) is identical.
+ * emitted as garbage.
+ * Scanned / image-only PDFs (no extractable text layer) fall back to the
+ * pluggable `OcrProvider` when one is supplied: each image XObject's bytes
+ * go through `ocr.recognize`, and the recognized regions come back as
+ * elements with bbox + `ocr=true` provenance and approximate page numbers.
+ * The OCR model itself is plugin I/O (detr_partitioner.py's DETR+OCR stack
+ * server-side) — offline builds use FakeOcrProvider; the engine-side
+ * contract (binary in, elements out, partition-parallel) is identical.
  */
-final class PdfPartitioner extends Partitioner {
+final class PdfPartitioner(ocr: Option[OcrProvider] = None) extends Partitioner {
 
   override def partition(doc: Document): Document = {
     val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
@@ -45,7 +49,23 @@ final class PdfPartitioner extends Partitioner {
           properties = Map("page_number" -> pageNo.toString) ++
             (if (approx) Map("page_number_approximate" -> "true") else Map.empty))
     }
-    doc.copy(elements = els, docType = doc.docType.orElse(Some("pdf")))
+    // scanned-PDF fallback: no text layer at all + a provider present →
+    // OCR each image XObject. Page numbers are the 1-based image order
+    // (no xref parse → structure unknown), so they carry the same
+    // `page_number_approximate` flag the text path uses.
+    val withOcr =
+      if (els.nonEmpty || ocr.isEmpty) els
+      else PdfText.imageStreams(bytes).zipWithIndex.flatMap { case (img, i) =>
+        ocr.get.recognize(img, i + 1).map { r =>
+          Element.text(0, "NarrativeText", r.text, bbox = r.bbox,
+            properties = Map(
+              "page_number" -> (i + 1).toString,
+              "page_number_approximate" -> "true",
+              "ocr" -> "true",
+              "ocr_confidence" -> r.confidence.toString))
+        }
+      }.zipWithIndex.map { case (e, i) => e.copy(elementIndex = i) }
+    doc.copy(elements = withOcr, docType = doc.docType.orElse(Some("pdf")))
   }
 }
 
@@ -710,6 +730,62 @@ object PdfText {
       }
     }
     out.toSeq
+  }
+
+  /** Raw encoded bytes of every image XObject (`/Subtype /Image`) stream, in
+    * document order — the input surface for a pluggable OcrProvider on
+    * scanned/image-only PDFs. Bytes are handed over UNDECODED (DCTDecode =
+    * plain JPEG, the overwhelmingly common scanner output; real OCR stacks
+    * decode their own input formats); FlateDecode-wrapped rasters are
+    * inflated since that wrapper is transport, not an image codec. Encrypted
+    * scanned PDFs stay out of scope (returns empty — the printability guard
+    * already drops their ciphertext text path). */
+  def imageStreams(pdf: Array[Byte]): Seq[Array[Byte]] = {
+    if (indexOf(pdf, "/Encrypt", 0) >= 0) return Seq.empty
+    val out = scala.collection.mutable.ListBuffer[Array[Byte]]()
+    var i = 0
+    while (i >= 0 && i < pdf.length) {
+      i = indexOf(pdf, "stream", i)
+      if (i >= 0) {
+        // the owning object's dict sits between the closest preceding "obj"
+        // header and this "stream" keyword
+        val dictFrom = {
+          val p = lastIndexOf(pdf, " obj", i)
+          if (p < 0) math.max(0, i - 2048) else p
+        }
+        val dict = new String(pdf, dictFrom, i - dictFrom,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        var start = i + "stream".length
+        if (start < pdf.length && pdf(start) == '\r') start += 1
+        if (start < pdf.length && pdf(start) == '\n') start += 1
+        val end = indexOf(pdf, "endstream", start)
+        if (end > start) {
+          if ("/Subtype\\s*/Image\\b".r.findFirstIn(dict).isDefined) {
+            // the spec's EOL before `endstream` is not stream data
+            var e2 = end
+            if (e2 > start && pdf(e2 - 1) == '\n') e2 -= 1
+            if (e2 > start && pdf(e2 - 1) == '\r') e2 -= 1
+            val raw = java.util.Arrays.copyOfRange(pdf, start, e2)
+            out += (if (dict.contains("/FlateDecode")) inflate(raw).getOrElse(raw)
+                    else raw)
+          }
+          i = end + "endstream".length
+        } else i = -1
+      }
+    }
+    out.toSeq
+  }
+
+  private def lastIndexOf(hay: Array[Byte], needle: String, before: Int): Int = {
+    val n = needle.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = math.min(before, hay.length - n.length)
+    while (i >= 0) {
+      var j = 0
+      while (j < n.length && hay(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i -= 1
+    }
+    -1
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =

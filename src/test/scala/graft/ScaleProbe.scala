@@ -137,9 +137,15 @@ object ScaleProbe {
     // user ids (disjoint user populations — linear work by construction)
     import graft.operators.EventAnalytics
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .select(col("user_id"), col("event_type"), col("ts").as("tsl"))
-      .localCheckpoint()
+    val events1 = {
+      val raw = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val tsNs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      }
+      raw.select(col("user_id"), col("event_type"), tsNs.as("tsl"))
+        .localCheckpoint()
+    }
     def eventsK(n: Int): DataFrame =
       if (n == 1) events1
       else events1.crossJoin(spark.range(n).select(col("id").as("_rep")))
