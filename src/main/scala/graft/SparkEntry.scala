@@ -1132,6 +1132,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("qscore"), col("pctl"))
         .orderBy(col("doc_id"))
     }),
+    "q_quality_classifier" -> ((s, dir) => {
+      // fasttext-style LR scoring, the model-based filter's 100 TB half:
+      // broadcast quantized weights, integer margin per doc (micros), pure
+      // map stage. Training state is memoized so this query and its dynamic
+      // oracle replay the SAME weights (see qcModel).
+      val (coef, icept) = qcModel(s, dir)
+      graft.operators.QualityClassifier
+        .marginMicros(tbl(s, dir, "documents"), "text", coef, icept)
+        .select(col("doc_id"), col("margin_micros"),
+          (col("margin_micros") >= 0).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "q_funnel" -> ((s, dir) =>
       // ordered min-ts funnel with a 7-day conversion window — stepwise
       // user-keyed joins, all time math in int64 nanos
@@ -1405,7 +1417,52 @@ object SparkEntry {
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] = {
     val merges = graft.operators.Bpe.train(tbl(spark, sfDir, "documents"),
       "text", numMerges = 64)
-    Map("q_bpe_encode" -> bpeOracleSql(merges))
+    val (coef, icept) = qcModel(spark, sfDir)
+    val tw = graft.operators.QualityClassifier.tokenWeights(
+      tbl(spark, sfDir, "documents"), "text", coef)
+    Map("q_bpe_encode" -> bpeOracleSql(merges),
+      "q_quality_classifier" -> qcOracleSql(tw, icept))
+  }
+
+  // quality-classifier trained state, memoized per sfDir: the gate query and
+  // its dynamic oracle must be generated from the SAME weights within one
+  // Verify/Bench JVM — LR training is iterative and bit-identity across two
+  // independent fits is not guaranteed (training itself stays
+  // declared-inherent; the gate verifies SCORING).
+  private val qcState =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Long)]
+  private def qcModel(s: SparkSession, dir: String): (Array[Long], Long) =
+    qcState.getOrElseUpdate(dir, {
+      val docs = tbl(s, dir, "documents")
+      // weak label: a deterministic length rule — class-balanced on the
+      // synthetic corpus at any SF (291/500 positives at sf0.01). Any mixed
+      // labeling serves: the verified artifact is the hashed-feature margin.
+      val labeled = docs.withColumn("__lbl", (col("n_chars") >= 256).cast("double"))
+      val m = graft.operators.QualityClassifier.train(labeled, "text", "__lbl",
+        numFeatures = 1 << 12, maxIter = 25, regParam = 1e-3)
+      graft.operators.QualityClassifier.quantize(m)
+    })
+
+  /** DuckDB replay of QualityClassifier.marginMicros: per-token quantized
+    * weights as literals (weight of token t = w_µ[h(t)], hashing resolved at
+    * generation time — hash collisions transfer into the table by
+    * construction), integer sum + intercept, keep = margin ≥ 0. */
+  private def qcOracleSql(tw: Seq[(String, Long)], iceptMicros: Long): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val values =
+      if (tw.isEmpty) "('', 0)"
+      else tw.map { case (t, w) => s"('${esc(t)}', $w)" }.mkString(", ")
+    s"""WITH tw(t, w) AS (VALUES $values),
+       tok AS (SELECT doc_id, u.t AS t
+               FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS u(t)
+               WHERE u.t <> ''),
+       s AS (SELECT doc_id, CAST($iceptMicros + COALESCE(SUM(w), 0) AS BIGINT) AS z
+             FROM tok LEFT JOIN tw ON tok.t = tw.t GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(COALESCE(s.z, $iceptMicros) AS BIGINT) AS margin_micros,
+              CAST(CASE WHEN COALESCE(s.z, $iceptMicros) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+       ORDER BY d.doc_id"""
   }
 
   /** DuckDB equivalents. Notes: SUM() in DuckDB widens to HUGEINT — always

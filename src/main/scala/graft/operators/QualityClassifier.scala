@@ -70,6 +70,55 @@ object QualityClassifier {
       .drop("__feat", "__prob", "rawPrediction", "prediction")
   }
 
+  /** Trained state quantized to int64 MICROS — the cross-engine-verifiable
+    * form of the scoring path: margin z = intercept_µ + Σ_t count(t)·w_µ[h(t)]
+    * is then pure integer arithmetic, so Spark and a SQL oracle replaying the
+    * same per-token weights agree bit-exactly (the q_bpe_encode pattern:
+    * trained state rides into the oracle as literals; float dot-product
+    * rounding can never flip a comparison). */
+  def quantize(model: Model): (Array[Long], Long) = {
+    val lr = model.lr
+    (lr.coefficients.toArray.map(w => math.round(w * 1e6)),
+      math.round(lr.intercept * 1e6))
+  }
+
+  /** Broadcast-weights integer scoring: adds `out` = the quantized LR margin
+    * in micros. This is the 100 TB scoring shape — weights ride once per
+    * executor as a broadcast, the stage is a pure row map, and no vocabulary
+    * or driver state is involved (hashing replaces lookup). `keep` ≙
+    * margin ≥ 0 ≙ P(quality) ≥ 0.5. */
+  def marginMicros(df: DataFrame, text: String, coefMicros: Array[Long],
+                   interceptMicros: Long, out: String = "margin_micros"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(coefMicros)
+    val nf = coefMicros.length
+    val htf = new HashingTF().setNumFeatures(nf)
+    val margin = udf { toks: Seq[String] =>
+      var z = interceptMicros
+      if (toks != null) toks.foreach { t =>
+        if (t != null && t.nonEmpty) z += bc.value(htf.indexOf(t))
+      }
+      z
+    }
+    df.withColumn(out, margin(graft.functions.gf.tokens(col(text))))
+  }
+
+  /** (token, weight_µ) for every distinct corpus token with a nonzero hashed
+    * weight — the literal table a SQL oracle joins against to replay
+    * marginMicros. ORACLE-GENERATION ONLY: collects the distinct vocabulary
+    * to the driver, which is bounded at gate scale but must never run at
+    * corpus scale (the scoring path above needs no vocabulary at all). */
+  def tokenWeights(corpus: DataFrame, text: String,
+                   coefMicros: Array[Long], maxVocab: Int = 200000): Seq[(String, Long)] = {
+    val htf = new HashingTF().setNumFeatures(coefMicros.length)
+    val toks = corpus
+      .select(explode(filter(graft.functions.gf.tokens(col(text)), t => t =!= "")).as("t"))
+      .distinct().limit(maxVocab + 1).collect().map(_.getString(0))
+    require(toks.length <= maxVocab,
+      s"tokenWeights is oracle-generation-only; vocabulary exceeds $maxVocab")
+    toks.toSeq.map(t => t -> coefMicros(htf.indexOf(t)))
+      .filter(_._2 != 0L).sortBy(_._1)
+  }
+
   /** Distillation convenience: weak-label with a rule column (e.g.
     * gf.gopherKeep && gf.c4Keep), train, and score the SAME corpus —
     * turning hard rule verdicts into a smooth ranking signal. */

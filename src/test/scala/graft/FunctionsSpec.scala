@@ -142,6 +142,26 @@ class FunctionsSpec extends AnyFunSuite {
     val byRule = distilled.select(gf.c4Keep(col("text")).as("r"), col("quality_prob"))
       .collect().groupBy(_.getBoolean(0)).view.mapValues(_.map(_.getDouble(1)).sum / 20).toMap
     assert(byRule(true) > byRule(false), s"distilled means: $byRule")
+
+    // quantized integer margin (the oracled scoring path): sign agrees with
+    // the float path's 0.5 threshold on every held-out doc, and scoring is
+    // stable across invocations (broadcast weights, no training state)
+    val (coef, icept) = QualityClassifier.quantize(m)
+    val margins = QualityClassifier.marginMicros(held, "text", coef, icept)
+      .select("margin_micros").collect().map(_.getLong(0))
+    margins.zip(scores).foreach { case (z, p) =>
+      assert((z >= 0) == (p >= 0.5), s"margin $z disagrees with prob $p")
+    }
+    val again = QualityClassifier.marginMicros(held, "text", coef, icept)
+      .select("margin_micros").collect().map(_.getLong(0))
+    assert(margins.sameElements(again))
+    // token-weight table replays the margin exactly: z = icept + Σ w(t)
+    val tw = QualityClassifier.tokenWeights(held, "text", coef).toMap
+    val byHand = held.select("text").collect().map(_.getString(0)).map { t =>
+      icept + t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(tok => tw.getOrElse(tok, 0L)).sum
+    }
+    assert(margins.sameElements(byHand))
   }
 
   test("c4CleanLines keeps terminal-punct 5-word lines; c4Keep gates pages") {
