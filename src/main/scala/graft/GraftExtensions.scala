@@ -153,6 +153,8 @@ object GraftSqlFunctions {
       arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
     ("gf_fix_mojibake", "(text) -> string",
       arity("gf_fix_mojibake", 1)(es => x(gf.fixMojibake(c(es(0)))))),
+    ("gf_fix_mojibake_fixpoint", "(text) -> string",
+      arity("gf_fix_mojibake_fixpoint", 1)(es => x(gf.fixMojibakeFixpoint(c(es(0)))))),
     ("gf_gopher_keep", "(text) -> boolean",
       arity("gf_gopher_keep", 1)(es => x(gf.gopherKeep(c(es(0)))))),
     ("gf_c4_clean", "(text) -> string",

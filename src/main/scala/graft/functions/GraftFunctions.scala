@@ -268,6 +268,13 @@ object gf {
     * FixMojibakeExpr; the DuckDB oracle derives from the SAME table). */
   def fixMojibake(c: Column): Column = fromExpr(FixMojibakeExpr(toExpr(c)))
 
+  /** Bounded-fixpoint repair (≤ MojibakeRepair.MaxPasses sweeps): what ftfy's
+    * own loop does — handles double-encoded text and abutting fragments the
+    * single sweep leaves behind, so crawl-curation callers need not know to
+    * apply the repair twice. */
+  def fixMojibakeFixpoint(c: Column): Column =
+    fromExpr(FixMojibakeFixpointExpr(toExpr(c)))
+
   /** CCNet-style dedup-key normalization (lowercase, deaccent, digits and
     * punctuation to spaces, collapse, trim) — ONE codegen'd pass; feed the
     * result to exactRows/exact for normalization-insensitive dedup. */

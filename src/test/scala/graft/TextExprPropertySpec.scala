@@ -121,4 +121,54 @@ class TextExprPropertySpec extends AnyFunSuite {
         s"model mismatch on ${r.getString(0).take(40)}")
     }
   }
+
+  test("fixMojibakeFixpoint: idempotent on adversarial nestings, recovers multi-encoding") {
+    import graft.functions.MojibakeRepair
+    val moji = MojibakeRepair.Mappings
+    def sweep(t: String) = moji.foldLeft(t) { case (acc, (k, v)) => acc.replace(k, v) }
+    // one more Windows-1252 mis-decode of the text's UTF-8 bytes; None when
+    // the bytes hit a cp1252 hole (0x81/8D/8F/90/9D -> U+FFFD, not invertible)
+    def encode(t: String): Option[String] = {
+      val m = new String(t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      if (m.contains('�')) None else Some(m)
+    }
+    // adversarial pool: single/double/triple encodings of mapped targets plus
+    // abutting-fragment carriers — exactly the inputs one sweep can leave dirty
+    val targets = moji.map(_._2)
+    val nested = targets.flatMap { t =>
+      val e1 = encode(t)
+      val e2 = e1.flatMap(encode)
+      val e3 = e2.flatMap(encode)
+      Seq(e1, e2, e3).flatten
+    }
+    val fragment = Gen.oneOf("€", "™", "Ã", "Â", "â")
+    val gen = for {
+      pre <- genText
+      a <- Gen.oneOf(nested)
+      mid <- fragment
+      b <- Gen.oneOf(nested)
+      post <- genText
+    } yield pre + a + mid + b + post
+    val samples = Gen.listOfN(300, gen).sample.get ++ nested
+    val out = samples.toDF("t")
+      .select($"t", gf.fixMojibakeFixpoint($"t").as("fp")).collect()
+    out.foreach { r =>
+      val fp = r.getString(1)
+      assert(sweep(fp) == fp,
+        s"not a fixpoint: '${r.getString(0).take(40)}' -> '${fp.take(40)}'")
+    }
+    // recovery: a clean target put through k<=3 encodings comes back exactly
+    targets.foreach { t =>
+      var enc: Option[String] = Some(t)
+      (1 to 3).foreach { k =>
+        enc = enc.flatMap(encode)
+        enc.foreach { m =>
+          val got = Seq(m).toDF("t")
+            .select(gf.fixMojibakeFixpoint($"t")).head().getString(0)
+          assert(got == t, s"depth-$k encoding of '$t' ('$m') repaired to '$got'")
+        }
+      }
+    }
+  }
 }
