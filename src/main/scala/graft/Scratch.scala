@@ -10,8 +10,11 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = SparkEntry.entry(spark).count()
+    val df = SparkEntry.entry(spark).cache()
+    val rows = df.count()
     println(s"entry rows=$rows")
+    df.show(50, truncate = false)
+    df.unpersist()
     spark.stop()
   }
 }

@@ -117,8 +117,9 @@ object SparkEntry {
           col("textRepresentation").as("text"))
         .where(col("text").isNotNull && length(col("text")) > 0)
         // ftfy-style repair before any scoring: web/PDF extractions carry
-        // double-encoded sequences that would skew langId and quality
-        .select(col("doc_id"), gf.fixMojibake(col("text")).as("text"))
+        // double-encoded sequences that would skew langId and quality —
+        // the FIXPOINT form, since real extractions nest encodings
+        .select(col("doc_id"), gf.fixMojibakeFixpoint(col("text")).as("text"))
         .select(col("doc_id"), col("text"),
           gf.langId(col("text")).as("lang"),
           lit("ingest").as("source"),
@@ -180,7 +181,19 @@ object SparkEntry {
       .join(lex, Seq("doc_id"), "left")
       .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8) // drop near-copied docs
       .where(coalesce(col("mean_word_len"), lit(4.0)).between(3.0, 10.0))
-      .select(col("lang"),
+      // HARD Gopher+C4 gate on the INGEST rows only: the real mixed-format
+      // corpus is long-form and can take the published hard gates. The
+      // synthetic parquet docs are short (median ~56 words vs Gopher's
+      // ≥50-word floor), so their verdicts ride as per-group RATES below —
+      // hard-gating them would halve the corpus for being short, a corpus
+      // property, not a quality signal. The asymmetry is deliberate and
+      // visible in the rollup: src_class='ingest' rows are survivors of the
+      // gate (keep rates 1.0 by construction), 'corpus' rows carry rates.
+      .where(col("source") =!= "ingest" ||
+             (gf.gopherKeep(col("text")) && gf.c4Keep(col("text"))))
+      .select(when(col("source") === "ingest", lit("ingest"))
+          .otherwise(lit("corpus")).as("src_class"),
+        col("lang"),
         gf.tokenCount(col("text")).cast("long").as("toks"),
         size(gf.chunkTokens(col("text"), 512, 64)).cast("long").as("chunks"),
         gf.qualityScore(col("text")).as("q"),
@@ -194,7 +207,7 @@ object SparkEntry {
         gf.c4Keep(col("text")).cast("long").as("c4_ok"),
         coalesce(col("coeff"), lit(0.0)).as("coeff"),
         coalesce(col("ppr"), lit(0L)).as("ppr"))
-      .groupBy(col("lang").as("key"))
+      .groupBy(col("src_class"), col("lang").as("key"))
       .agg(count(lit(1)).as("count"),
         sum(col("toks")).as("tokens"),
         sum(col("chunks")).as("train_chunks"),
@@ -206,7 +219,7 @@ object SparkEntry {
         round(avg(col("c4_ok")), 4).as("c4_keep_rate"),
         round(avg(col("coeff")), 4).as("avg_dup_clustering"),
         sum(col("ppr")).as("seed_proximity_mass"))
-      .orderBy(desc("count"), col("key"))
+      .orderBy(desc("count"), col("src_class"), col("key"))
   }
 
   // ------------------------------------------------------------- queries
