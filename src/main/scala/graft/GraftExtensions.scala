@@ -157,6 +157,8 @@ object GraftSqlFunctions {
       arity("gf_fix_mojibake_fixpoint", 1)(es => x(gf.fixMojibakeFixpoint(c(es(0)))))),
     ("gf_gopher_keep", "(text) -> boolean",
       arity("gf_gopher_keep", 1)(es => x(gf.gopherKeep(c(es(0)))))),
+    ("gf_repetition_keep", "(text) -> boolean (Gopher A1.2)",
+      arity("gf_repetition_keep", 1)(es => x(gf.repetitionKeepText(c(es(0)))))),
     ("gf_c4_clean", "(text) -> string",
       arity("gf_c4_clean", 1)(es => x(gf.c4CleanLines(c(es(0)))))),
     ("gf_c4_keep", "(text) -> boolean",

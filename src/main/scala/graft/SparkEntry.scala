@@ -573,6 +573,25 @@ object SparkEntry {
             size(col("bgs")).cast("double"), 6).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
+    "q_gopher_repetition" -> ((s, dir) => {
+      // the FULL Gopher A1.2 repetition-removal signal set (12 rules), one
+      // codegen'd row-local pass, exact-integer outputs. Line/paragraph
+      // structure is synthesized deterministically (the synthetic docs are
+      // single-line): ' table ' -> blank line, ' the ' -> newline — the same
+      // left-to-right literal replaces the oracle applies.
+      import graft.functions.RepetitionStatsExpr.{DupNs, TopNs}
+      val fields = Seq("n_lines", "dup_lines", "line_chars", "dup_line_chars",
+        "n_paras", "dup_paras", "para_chars", "dup_para_chars", "word_chars") ++
+        TopNs.map(n => s"top${n}_chars") ++ DupNs.map(n => s"dup${n}_chars")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), " table ", "\n\n"),
+            " the ", "\n").as("t"))
+        .select(col("doc_id"), gf.repetitionStats(col("t")).as("r"))
+        .select(col("doc_id") +: (fields.map(f => col(s"r.$f").as(f)) :+
+          gf.repetitionKeep(col("r")).cast("long").as("keep")): _*)
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- dedup family (training-data ops; scalable redesign of
     //      reference's SketchUniquify, transforms/sketcher.py:64)
@@ -1456,6 +1475,106 @@ object SparkEntry {
       graft.operators.QualityClassifier.quantize(m)
     })
 
+  /** DuckDB replay of RepetitionStatsExpr + repetitionKeep (Gopher A1.2),
+    * generated from the SAME n-gram ranges and thresholds. Lines/paragraphs
+    * via split + trim of the pinned char set; words via the engine-tokenizer
+    * replay with row_number re-ranking; n-grams via chained lead() windows;
+    * duplicate-n-gram coverage via a BETWEEN join on word positions. */
+  private def repetitionOracleSql: String = {
+    import graft.functions.RepetitionStatsExpr._
+    val trimSet = "' ' || chr(9) || chr(11) || chr(12) || chr(13)"
+    def segStats(name: String, seg: String) =
+      s"""${name}seg AS (SELECT doc_id, trim(u.l, $trimSet) AS l
+             FROM base, unnest($seg) AS u(l)),
+         ${name}grp AS (SELECT doc_id, l, count(*) AS c, any_value(length(l)) AS ln
+             FROM ${name}seg WHERE l <> '' GROUP BY doc_id, l),
+         ${name}stat AS (SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS ${name}_n,
+             CAST(SUM(c - 1) AS BIGINT) AS ${name}_dup,
+             CAST(SUM(c * ln) AS BIGINT) AS ${name}_chars,
+             CAST(SUM((c - 1) * ln) AS BIGINT) AS ${name}_dup_chars
+           FROM ${name}grp GROUP BY doc_id)"""
+    def gramCte(n: Int) = {
+      val leads = (1 until n).map(k =>
+        s"lead(w, $k) OVER win AS w$k, lead(wl, $k) OVER win AS wl$k").mkString(", ")
+      val ng = (0 until n).map(k => if (k == 0) "w0" else s"w$k").mkString(" || ' ' || ")
+      val nc = (0 until n).map(k => s"wl$k").mkString(" + ")
+      s"""g$n AS (SELECT doc_id, i, $ng AS ng, $nc AS nc
+           FROM (SELECT doc_id, i, w AS w0, wl AS wl0, $leads
+                 FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i))
+           WHERE w${n - 1} IS NOT NULL)"""
+    }
+    def topCte(n: Int) =
+      s"""t$n AS (SELECT doc_id,
+               CAST(CASE WHEN c >= 2 THEN c * nc ELSE 0 END AS BIGINT)
+                 AS top${n}_chars FROM (
+             SELECT doc_id, ng, count(*) AS c, any_value(nc) AS nc,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY count(*) DESC, ng ASC) AS rn
+             FROM g$n GROUP BY doc_id, ng)
+           WHERE rn = 1)"""
+    def dupCte(n: Int) =
+      s"""d$n AS (SELECT cov.doc_id, CAST(SUM(cov.wl) AS BIGINT) AS dup${n}_chars FROM (
+             SELECT DISTINCT g.doc_id, ww.i, ww.wl
+             FROM g$n g
+             JOIN (SELECT doc_id, ng FROM g$n GROUP BY doc_id, ng
+                   HAVING count(*) >= 2) dd
+               ON g.doc_id = dd.doc_id AND g.ng = dd.ng
+             JOIN w ww ON ww.doc_id = g.doc_id
+                      AND ww.i BETWEEN g.i AND g.i + ${n - 1}
+           ) cov GROUP BY cov.doc_id)"""
+    val allNs = (TopNs ++ DupNs).distinct.sorted
+    def z(c: String) = s"COALESCE($c, 0)"
+    val metricCols =
+      Seq("lin_n" -> "n_lines", "lin_dup" -> "dup_lines",
+        "lin_chars" -> "line_chars", "lin_dup_chars" -> "dup_line_chars",
+        "par_n" -> "n_paras", "par_dup" -> "dup_paras",
+        "par_chars" -> "para_chars", "par_dup_chars" -> "dup_para_chars",
+        "word_chars" -> "word_chars") ++
+      TopNs.map(n => s"top${n}_chars" -> s"top${n}_chars") ++
+      DupNs.map(n => s"dup${n}_chars" -> s"dup${n}_chars")
+    def rule(num: String, den: String, pct: Int) =
+      s"(${z(den)} = 0 OR ${z(num)} * 100 <= ${z(den)} * $pct)"
+    val keepRules = Seq(
+      rule("lin_dup", "lin_n", LineFracPct),
+      rule("par_dup", "par_n", LineFracPct),
+      rule("lin_dup_chars", "lin_chars", LineCharFracPct),
+      rule("par_dup_chars", "par_chars", LineCharFracPct)) ++
+      TopNs.map(n => rule(s"top${n}_chars", "word_chars", TopThresholdPct(n))) ++
+      DupNs.map(n => rule(s"dup${n}_chars", "word_chars", DupThresholdPct(n)))
+    val joins =
+      Seq("linstat", "parstat", "wstat").map(t => s"LEFT JOIN $t USING (doc_id)") ++
+      TopNs.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+      DupNs.map(n => s"LEFT JOIN d$n USING (doc_id)")
+    s"""WITH base AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(text, ' table ',
+                    chr(10) || chr(10), 'g'), ' the ', chr(10), 'g') AS t
+           FROM documents),
+         ${segStats("lin", "string_split(t, chr(10))")},
+         ${segStats("par", "regexp_split_to_array(t, chr(10) || '{2,}')")},
+         tt AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)),
+               '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM base),
+         wr AS (SELECT doc_id, u.i AS o, toks[u.i + 1] AS w
+             FROM tt, unnest(range(0, len(toks))) AS u(i)),
+         w AS (SELECT doc_id, w, length(w) AS wl,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY o) AS i
+             FROM wr WHERE w <> ''),
+         wstat AS (SELECT doc_id, CAST(SUM(wl) AS BIGINT) AS word_chars
+             FROM w GROUP BY doc_id),
+         ${allNs.map(gramCte).mkString(",\n         ")},
+         ${TopNs.map(topCte).mkString(",\n         ")},
+         ${DupNs.map(dupCte).mkString(",\n         ")}
+       SELECT d.doc_id,
+              ${metricCols.map { case (src, out) => s"CAST(${z(src)} AS BIGINT) AS $out" }
+                .mkString(",\n              ")},
+              CAST(CASE WHEN ${keepRules.mkString("\n                AND ")}
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM documents d
+       ${joins.mkString("\n       ")}
+       ORDER BY d.doc_id"""
+  }
+
   /** DuckDB replay of QualityClassifier.marginMicros: per-token quantized
     * weights as literals (weight of token t = w_µ[h(t)], hashing resolved at
     * generation time — hash collisions transfer into the table by
@@ -1725,6 +1844,7 @@ object SparkEntry {
                 round(s.tbf, 6) AS top_bigram_frac
          FROM l JOIN s ON l.doc_id = s.doc_id
          ORDER BY l.doc_id""",
+    "q_gopher_repetition" -> repetitionOracleSql,
     "q_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",

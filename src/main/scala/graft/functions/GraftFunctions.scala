@@ -354,6 +354,33 @@ object gf {
       (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
   }
 
+  /** The full Gopher A1.2 repetition-signal struct (exact integer
+    * numerators/denominators; see RepetitionStatsExpr) — ONE codegen'd
+    * row-local pass. */
+  def repetitionStats(c: Column): Column = fromExpr(RepetitionStatsExpr(toExpr(c)))
+
+  /** The published A1.2 keep decision over a [[repetitionStats]] struct:
+    * every fraction at or under its threshold, evaluated as integer
+    * cross-multiplication (num*100 <= den*pct; empty denominator passes) —
+    * no float ratio can flip a verdict at a boundary. */
+  def repetitionKeep(stats: Column): Column = {
+    import RepetitionStatsExpr._
+    def ok(num: Column, den: Column, pct: Int): Column =
+      den === 0 || num * 100 <= den * pct
+    val lineRules = Seq(
+      ok(stats("dup_lines"), stats("n_lines"), LineFracPct),
+      ok(stats("dup_paras"), stats("n_paras"), LineFracPct),
+      ok(stats("dup_line_chars"), stats("line_chars"), LineCharFracPct),
+      ok(stats("dup_para_chars"), stats("para_chars"), LineCharFracPct))
+    val ngramRules =
+      TopNs.map(n => ok(stats(s"top${n}_chars"), stats("word_chars"), TopThresholdPct(n))) ++
+      DupNs.map(n => ok(stats(s"dup${n}_chars"), stats("word_chars"), DupThresholdPct(n)))
+    (lineRules ++ ngramRules).reduce(_ && _)
+  }
+
+  /** Convenience: A1.2 keep straight from text. */
+  def repetitionKeepText(c: Column): Column = repetitionKeep(repetitionStats(c))
+
   // ------------------------------------------------------- language id
 
   private[functions] val StopwordsByLang: Map[String, Seq[String]] = Map(

@@ -164,6 +164,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(margins.sameElements(byHand))
   }
 
+  test("repetitionStats: Gopher A1.2 exact counts on crafted text") {
+    import org.apache.spark.sql.Row
+    def stats(text: String): Row =
+      Seq(text).toDF("t").select(gf.repetitionStats($"t").as("r"))
+        .select("r.*").head()
+    // lines: [a b, a b, c, P Q, P Q]; paras (split on blank line):
+    // ["a b\na b\nc", "P Q", "P Q"]
+    val r = stats("a b\na b\nc\n\nP Q\n\nP Q")
+    assert(r.getAs[Long]("n_lines") == 5 && r.getAs[Long]("dup_lines") == 2)
+    assert(r.getAs[Long]("line_chars") == 13 && r.getAs[Long]("dup_line_chars") == 6)
+    assert(r.getAs[Long]("n_paras") == 3 && r.getAs[Long]("dup_paras") == 1)
+    assert(r.getAs[Long]("para_chars") == 15 && r.getAs[Long]("dup_para_chars") == 3)
+    // words: a b a b c p q p q -> top bigram count 2, tie 'a b' vs 'p q'
+    // breaks to 'a b'; chars = 2 occurrences * 2 word-chars
+    assert(r.getAs[Long]("word_chars") == 9)
+    assert(r.getAs[Long]("top2_chars") == 4)
+    assert(r.getAs[Long]("dup5_chars") == 0, "all 5-grams distinct")
+    // dup_lines 2/5 > 0.30 -> the A1.2 gate rejects
+    assert(!one[Boolean](gf.repetitionKeepText($"t"), "a b\na b\nc\n\nP Q\n\nP Q"))
+
+    // repeated 5-gram covers every word -> dup5 rule rejects
+    val rep = "x y z w v x y z w v"
+    val r2 = stats(rep)
+    assert(r2.getAs[Long]("dup5_chars") == 10 && r2.getAs[Long]("word_chars") == 10)
+    assert(!one[Boolean](gf.repetitionKeepText($"t"), rep))
+
+    // empty + clean text pass every rule (zero denominators pass)
+    assert(one[Boolean](gf.repetitionKeepText($"t"), ""))
+    assert(one[Boolean](gf.repetitionKeepText($"t"),
+      "every word here is different so no rule can possibly fire today"))
+  }
+
   test("c4CleanLines keeps terminal-punct 5-word lines; c4Keep gates pages") {
     val text = Seq(
       "This is a good sentence with enough words.", // kept
