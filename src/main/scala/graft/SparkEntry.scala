@@ -1164,6 +1164,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("qscore"), col("pctl"))
         .orderBy(col("doc_id"))
     }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weighting (Xie et al. 2023): λ table fit with
+      // target = the 'en' slice, source = the whole corpus; per-doc weight
+      // is exact micro-nats via the broadcast quantized table (map-only);
+      // selection = deterministic top-100 by (weight, doc_id).
+      val table = dsirTable(s, dir)
+      val scored = graft.operators.Dsir.scoreMicros(tbl(s, dir, "documents"), "text", table)
+      val top = graft.operators.Dsir.selectTopK(scored, "doc_id", DsirK)
+        .select(col("doc_id"), lit(1L).as("sel"))
+      scored.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dsir_micros"),
+          coalesce(col("sel"), lit(0L)).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // fasttext-style LR scoring, the model-based filter's 100 TB half:
       // broadcast quantized weights, integer margin per doc (micros), pure
@@ -1452,8 +1466,50 @@ object SparkEntry {
     val (coef, icept) = qcModel(spark, sfDir)
     val tw = graft.operators.QualityClassifier.tokenWeights(
       tbl(spark, sfDir, "documents"), "text", coef)
+    val dsir = dsirTable(spark, sfDir)
+    val nw = graft.operators.Dsir.ngramWeights(
+      tbl(spark, sfDir, "documents"), "text", dsir)
     Map("q_bpe_encode" -> bpeOracleSql(merges),
-      "q_quality_classifier" -> qcOracleSql(tw, icept))
+      "q_quality_classifier" -> qcOracleSql(tw, icept),
+      "q_dsir" -> dsirOracleSql(nw, DsirK))
+  }
+
+  // DSIR importance table, memoized per sfDir for the same
+  // shared-state-with-oracle reason as qcModel below.
+  private val DsirK = 100
+  private val dsirState =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+  private def dsirTable(s: SparkSession, dir: String): Array[Long] =
+    dsirState.getOrElseUpdate(dir, {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Dsir.importanceTable(
+        docs.where(col("lang") === "en"), docs, "text", numBuckets = 1 << 10)
+    })
+
+  /** DuckDB replay of Dsir.scoreMicros + selectTopK: per-n-gram quantized
+    * λ as literals (hashing resolved at generation time), integer sums,
+    * deterministic (weight desc, doc_id) top-k flag. */
+  private def dsirOracleSql(nw: Seq[(String, Long)], k: Int): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val values =
+      if (nw.isEmpty) "('', 0)"
+      else nw.map { case (ng, w) => s"('${esc(ng)}', $w)" }.mkString(", ")
+    s"""WITH nw(ng, w) AS (VALUES $values),
+       tt AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),
+                '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks FROM documents),
+       uni AS (SELECT doc_id, unnest(toks) AS ng FROM tt),
+       bi AS (SELECT doc_id, toks[u.i + 1] || ' ' || toks[u.i + 2] AS ng
+              FROM tt, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+       allng AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       s AS (SELECT doc_id, CAST(COALESCE(SUM(w), 0) AS BIGINT) AS z
+             FROM allng LEFT JOIN nw USING (ng) GROUP BY doc_id),
+       f AS (SELECT d.doc_id, COALESCE(s.z, 0) AS z
+             FROM documents d LEFT JOIN s USING (doc_id)),
+       r AS (SELECT doc_id, z,
+                    row_number() OVER (ORDER BY z DESC, doc_id) AS rn FROM f)
+       SELECT doc_id, CAST(z AS BIGINT) AS dsir_micros,
+              CAST(CASE WHEN rn <= $k THEN 1 ELSE 0 END AS BIGINT) AS selected
+       FROM r ORDER BY doc_id"""
   }
 
   // quality-classifier trained state, memoized per sfDir: the gate query and

@@ -635,4 +635,32 @@ class OperatorsSpec extends AnyFunSuite {
     val exploded = DocSet.of(spark, Seq(out)).explode()
     assert(exploded.count() == 5)
   }
+
+  test("Dsir: importance weights steer selection toward the target distribution") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // target: 'quality prose' vocabulary; source: that plus spammy repeats —
+    // docs matching the target vocabulary must outscore the spam
+    val target = (1 to 30).map(i => s"careful prose about science topic $i").toDF("text")
+    val source = target.unionAll(
+      (1 to 30).map(i => s"buy now click here offer $i").toDF("text"))
+    val table = Dsir.importanceTable(target, source, "text", numBuckets = 1 << 10)
+    assert(table.length == 1 << 10)
+    val mixed = Seq(
+      (1L, "careful prose about science topic 99"),
+      (2L, "buy now click here offer 99")).toDF("id", "text")
+    val scored = Dsir.scoreMicros(mixed, "text", table)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dsir_micros")).toMap
+    assert(scored(1L) > scored(2L),
+      s"target-like doc must outscore spam: $scored")
+    // scoring matches the hand model over the literalized ngram weights
+    val nw = Dsir.ngramWeights(mixed, "text", table).toMap
+    val hand = Dsir.ngrams("careful prose about science topic 99".split(" ").toSeq)
+      .map(ng => nw.getOrElse(ng, 0L)).sum
+    assert(hand == scored(1L))
+    // deterministic top-k: target-like doc selected first
+    val top = Dsir.selectTopK(Dsir.scoreMicros(mixed, "text", table), "id", 1)
+      .select("id").head().getLong(0)
+    assert(top == 1L)
+  }
 }
