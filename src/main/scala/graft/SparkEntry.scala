@@ -1164,6 +1164,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("qscore"), col("pctl"))
         .orderBy(col("doc_id"))
     }),
+    "q_ann_sq8" -> ((s, dir) => {
+      // SQ8 scalar-quantized candidate search: per-dim min/max train (one
+      // dim-sized aggregate), uint8 codes, integer inner-product top-k —
+      // the 4×-memory-cut scale path in front of exact re-rank.
+      val emb = tbl(s, dir, "embeddings")
+      val (mn, mx) = Ann.sq8Train(emb, "embedding")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Ann.sq8TopK(emb.withColumn("codes", Ann.sq8Encode(col("embedding"), mn, mx)),
+        "vec_id", "codes", Ann.sq8EncodeVec(q, mn, mx), 10)
+    }),
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weighting (Xie et al. 2023): λ table fit with
       // target = the 'en' slice, source = the whole corpus; per-doc weight
@@ -1469,9 +1480,37 @@ object SparkEntry {
     val dsir = dsirTable(spark, sfDir)
     val nw = graft.operators.Dsir.ngramWeights(
       tbl(spark, sfDir, "documents"), "text", dsir)
+    val emb = tbl(spark, sfDir, "embeddings")
+    val (mn, mx) = graft.ann.Ann.sq8Train(emb, "embedding")
+    val sqq = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     Map("q_bpe_encode" -> bpeOracleSql(merges),
       "q_quality_classifier" -> qcOracleSql(tw, icept),
-      "q_dsir" -> dsirOracleSql(nw, DsirK))
+      "q_dsir" -> dsirOracleSql(nw, DsirK),
+      "q_ann_sq8" -> sq8OracleSql(mn, mx, graft.ann.Ann.sq8EncodeVec(sqq, mn, mx)))
+  }
+
+  /** DuckDB replay of Ann.sq8Encode + sq8TopK: per-dim min/scale and the
+    * encoded query as literals; the quantizer (floor(v+0.5), clamp) and the
+    * int64 inner product are exact on both engines — IEEE −,/,· are
+    * exactly rounded, and Scala's Double.toString shortest form parses back
+    * to the identical double. */
+  private def sq8OracleSql(mn: Array[Double], mx: Array[Double],
+                           qc: Array[Long]): String = {
+    val sc = mn.zip(mx).map { case (a, b) => b - a }
+    def dArr(a: Array[Double]) = a.mkString("[", ", ", "]::DOUBLE[]")
+    val dim = mn.length
+    s"""WITH p AS (SELECT ${dArr(mn)} AS mn, ${dArr(sc)} AS sc,
+                          ${qc.mkString("[", ", ", "]::BIGINT[]")} AS qc)
+       SELECT vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
+                CAST(least(greatest(
+                  CASE WHEN p.sc[i] = 0 THEN 0.0
+                       ELSE floor((embedding[i]::DOUBLE - p.mn[i]) / p.sc[i]
+                                  * 255.0 + 0.5) END,
+                  0.0), 255.0) AS BIGINT) * p.qc[i])) AS BIGINT) AS sq8_dot
+       FROM embeddings, p
+       ORDER BY sq8_dot DESC, vec_id
+       LIMIT 10"""
   }
 
   // DSIR importance table, memoized per sfDir for the same

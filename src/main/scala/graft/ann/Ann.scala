@@ -229,6 +229,84 @@ object Ann {
    * Cosines round to 6dp BEFORE ranking (cross-engine-stable order); all
    * ties — neighbor rank and vote — break deterministically.
    */
+  // -------------------------------------------------- SQ8 scalar quantization
+
+  /** Per-dimension (min, max) over the corpus — ONE aggregation whose output
+    * is dim-sized regardless of corpus size (posexplode → groupBy(pos) with
+    * map-side partial min/max), so the driver collect is legitimate at any
+    * scale. min/max are exact (no float-summation order hazard). */
+  def sq8Train(df: DataFrame, vec: String): (Array[Double], Array[Double]) = {
+    val agg = df.select(posexplode(col(vec).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val dim = agg.map(_.getAs[Int]("pos")).max + 1
+    val mn = new Array[Double](dim); val mx = new Array[Double](dim)
+    agg.foreach { r =>
+      mn(r.getAs[Int]("pos")) = r.getAs[Double]("mn")
+      mx(r.getAs[Int]("pos")) = r.getAs[Double]("mx")
+    }
+    (mn, mx)
+  }
+
+  /** The shared quantizer: q_i = clamp(floor((x_i − mn_i)/(mx_i − mn_i)·255
+    * + 0.5), 0, 255); constant dimensions quantize to 0. floor(v + 0.5) is
+    * used instead of round() deliberately — half-up in BOTH engines, where
+    * round() is half-up in Spark but banker's-adjacent in others. */
+  def sq8Encode(vec: Column, mn: Array[Double], mx: Array[Double]): Column = {
+    val mnL = typedLit(mn.toSeq)
+    val scL = typedLit(mn.zip(mx).map { case (a, b) => b - a }.toSeq)
+    transform(vec.cast("array<double>"), (x, i) => {
+      val m = element_at(mnL, i + 1)
+      val sc = element_at(scL, i + 1)
+      val qv = when(sc === lit(0.0), lit(0.0))
+        .otherwise(floor((x - m) / sc * lit(255.0) + lit(0.5)))
+      least(greatest(qv, lit(0.0)), lit(255.0)).cast("long")
+    })
+  }
+
+  /** Driver-side twin of [[sq8Encode]] for encoding the query vector —
+    * IEEE double −,/,· are exactly rounded, so this matches the column
+    * form bit-for-bit. */
+  def sq8EncodeVec(q: Seq[Double], mn: Array[Double], mx: Array[Double]): Array[Long] =
+    Array.tabulate(q.length) { i =>
+      val sc = mx(i) - mn(i)
+      val v = if (sc == 0.0) 0.0 else math.floor((q(i) - mn(i)) / sc * 255.0 + 0.5)
+      math.min(255.0, math.max(0.0, v)).toLong
+    }
+
+  /**
+   * SQ8 candidate search: top-k by the INTEGER inner product of uint8 codes
+   * — 4× less memory traffic than float32 and pure int64 math (exact, so
+   * the cross-engine gate hash-matches). Plan: scan → codegen'd zip_with
+   * fold → TakeOrderedAndProject, no shuffle, no full sort. The quantized
+   * inner product is a candidate RANKING, not a cosine; callers wanting
+   * exact order re-rank the shortlist via [[sq8SearchRerank]].
+   */
+  def sq8TopK(df: DataFrame, id: String, codes: String,
+              queryCodes: Array[Long], k: Int): DataFrame = {
+    val qc = typedLit(queryCodes.toSeq)
+    df.select(col(id),
+        aggregate(zip_with(col(codes), qc, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("sq8_dot"))
+      .orderBy(desc("sq8_dot"), col(id))
+      .limit(k)
+  }
+
+  /** SQ8 shortlist (expand·k by quantized dot) re-ranked by exact cosine —
+    * the standard two-stage recall/precision trade. The shortlist join is
+    * a broadcast of expand·k ids; the exact pass touches only those rows. */
+  def sq8SearchRerank(df: DataFrame, id: String, vec: String,
+                      mn: Array[Double], mx: Array[Double],
+                      query: Seq[Double], k: Int, expand: Int = 4): DataFrame = {
+    val coded = df.withColumn("__sq8", sq8Encode(col(vec), mn, mx))
+    val shortlist = sq8TopK(coded, id, "__sq8", sq8EncodeVec(query, mn, mx), k * expand)
+      .select(col(id))
+    df.join(broadcast(shortlist), Seq(id))
+      .select(col(id), gf.cosineSimilarity(col(vec), vecLit(query)).as("cosine"))
+      .orderBy(desc("cosine"), col(id))
+      .limit(k)
+  }
+
   def knnClassify(targets: DataFrame, seeds: DataFrame, id: String, vec: String,
                   label: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

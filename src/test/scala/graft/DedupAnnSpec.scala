@@ -473,4 +473,32 @@ class DedupAnnSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("SQ8: codes bounded, query twin matches column encoder, rerank = exact top-1") {
+    import graft.ann.Ann
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic separable corpus: cluster A near (1,0,...), B near (0,1,...)
+    val dim = 16
+    def v(base: Int, j: Int): Seq[Double] =
+      Seq.tabulate(dim)(d => (if (d == base) 10.0 else 0.0) + ((j * 7 + d * 3) % 5) * 0.1)
+    val rows = (0 until 20).map(j => (j.toLong, v(j % 2, j)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (mn, mx) = Ann.sq8Train(df, "embedding")
+    val coded = df.withColumn("codes", Ann.sq8Encode(col("embedding"), mn, mx))
+    val codes = coded.select("codes").collect().map(_.getSeq[Long](0))
+    assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
+    // the driver-side twin produces the same codes as the column encoder
+    val colCodes = coded.orderBy("vec_id").select("codes").collect().map(_.getSeq[Long](0))
+    rows.sortBy(_._1).zip(colCodes).foreach { case ((_, vec), cc) =>
+      assert(Ann.sq8EncodeVec(vec, mn, mx).toSeq == cc.toSeq)
+    }
+    // rerank recovers the exact-cosine winner
+    val query = v(0, 3)
+    val exact = Ann.bruteForceTopK(df, "vec_id", "embedding", query, 1)
+      .select("vec_id").head().getLong(0)
+    val sq8 = Ann.sq8SearchRerank(df, "vec_id", "embedding", mn, mx, query, 1)
+      .select("vec_id").head().getLong(0)
+    assert(sq8 == exact)
+  }
 }
