@@ -68,7 +68,20 @@ object ScaleProbe {
       // construction — probed to prove it, not because a shuffle could hide)
       "gopher_c4_moji" -> (d => d.select(col("doc_id"),
         gf.gopherKeep(gf.fixMojibake(col("text"))).as("g"),
-        gf.c4Keep(col("text")).as("c"))))
+        gf.c4Keep(col("text")).as("c"))),
+      // round-10 additions
+      "repetition_a12" -> (d => d.select(col("doc_id"),
+        gf.repetitionKeepText(regexp_replace(col("text"), " the ", "\n")).as("k"))),
+      "dsir_score" -> {
+        // fixed 1024-entry λ table (zeros fine — the probe measures the
+        // hashing + broadcast-sum map stage, not table quality)
+        val table = Array.fill(1 << 10)(7L)
+        d => graft.operators.Dsir.scoreMicros(d, "text", table)
+      },
+      "quality_clf_score" -> {
+        val coef = Array.tabulate(1 << 12)(i => ((i % 17) - 8).toLong)
+        d => graft.operators.QualityClassifier.marginMicros(d, "text", coef, 42L)
+      })
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -90,7 +103,7 @@ object ScaleProbe {
     // second K without re-timing the whole suite
     val sections = sys.env.get("SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("core", "graph", "events", "ingest"))
+      .getOrElse(Set("core", "graph", "events", "ingest", "ann"))
     if (sections("core")) ops.foreach { case (name, f) =>
       val t1 = measure(f, small)
       val tk = measure(f, big)
@@ -199,6 +212,33 @@ object ScaleProbe {
       val tk = measure(d => ingest(iBig), spark.emptyDataFrame)
       println(f"[scale] doc_ingest       1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     } else println("[scale] doc_ingest skipped: reference corpus not present")
+
+    // SQ8 ANN: encode + integer-dot top-k over replicated embeddings (ids
+    // offset per replica; vectors perturbed by replica so codes differ)
+    if (sections("ann")) {
+      import graft.ann.Ann
+      val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint()
+      def embK(n: Int): DataFrame =
+        if (n == 1) emb1
+        else emb1.crossJoin(spark.range(n).select(col("id").as("_rep")))
+          .select((col("vec_id") + col("_rep") * 1000000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => x + col("_rep").cast("double") * lit(0.001)).as("embedding"))
+          .localCheckpoint()
+      val (mn, mx) = Ann.sq8Train(embK(1), "embedding")
+      val q = emb1.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Double](0)
+      val qc = Ann.sq8EncodeVec(q, mn, mx)
+      val sq8: DataFrame => DataFrame = d =>
+        Ann.sq8TopK(d.withColumn("codes", Ann.sq8Encode(col("embedding"), mn, mx)),
+          "vec_id", "codes", qc, 10)
+      val aSmall = embK(1); val aBig = embK(k)
+      val t1 = measure(sq8, aSmall)
+      val tk = measure(sq8, aBig)
+      println(f"[scale] sq8_topk         1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
     spark.stop()
   }
 }

@@ -171,4 +171,73 @@ class TextExprPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("RepetitionStatsExpr equals an independent model on random structured text") {
+    // independent Scala model (collections-based groupBy, no shared code
+    // with the expression's hash-map single pass)
+    def model(text: String): Seq[Long] = {
+      def trimSeg(s: String) = s.dropWhile(c => " \t\u000B\f\r".contains(c))
+        .reverse.dropWhile(c => " \t\u000B\f\r".contains(c)).reverse
+      def cp(s: String) = s.codePointCount(0, s.length).toLong
+      def seg(parts: Array[String]): Seq[Long] = {
+        val vals = parts.map(trimSeg).filter(_.nonEmpty)
+        val byVal = vals.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        Seq(vals.length.toLong,
+          byVal.valuesIterator.map(c => c - 1).sum,
+          vals.map(cp).sum,
+          byVal.iterator.map { case (v, c) => (c - 1) * cp(v) }.sum)
+      }
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val wl = words.map(cp)
+      def gramsOf(n: Int) = words.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val tops = Seq(2, 3, 4).map { n =>
+        val gs = gramsOf(n)
+        if (gs.isEmpty) 0L else {
+          val cnt = gs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+          val mx = cnt.values.max
+          if (mx < 2) 0L
+          else {
+            val k = cnt.filter(_._2 == mx).keys.min
+            mx * (cp(k) - (n - 1))
+          }
+        }
+      }
+      val dups = Seq(5, 6, 7, 8, 9, 10).map { n =>
+        val gs = gramsOf(n)
+        if (gs.isEmpty) 0L else {
+          val cnt = gs.groupBy(identity).view.mapValues(_.length).toMap
+          val covered = gs.zipWithIndex.collect {
+            case (g, i) if cnt(g) >= 2 => i until (i + n)
+          }.flatten.toSet
+          covered.toSeq.map(wl).sum
+        }
+      }
+      seg(text.split("\n", -1)) ++ seg(text.split("\n{2,}", -1)) ++
+        (wl.sum +: tops) ++ dups
+    }
+    // generator: repetition-heavy structured text — repeated lines, blank
+    // lines, repeated phrases, plus the generic adversarial atoms
+    val phrase = Gen.oneOf("buy now", "the cat sat", "a b", "x y z w v",
+      "Click HERE today", "é ü 日")
+    val sep = Gen.frequency(4 -> Gen.const("\n"), 2 -> Gen.const("\n\n"),
+      1 -> Gen.const("\n\n\n"), 3 -> Gen.const(" "), 1 -> Gen.const("\t"))
+    val gen = for {
+      n <- Gen.chooseNum(0, 25)
+      parts <- Gen.listOfN(n, Gen.frequency(5 -> phrase, 2 -> genText))
+      seps <- Gen.listOfN(n, sep)
+    } yield parts.zip(seps).map { case (p, s) => p + s }.mkString
+    val samples = Gen.listOfN(200, gen).sample.get
+    val fields = Seq("n_lines", "dup_lines", "line_chars", "dup_line_chars",
+      "n_paras", "dup_paras", "para_chars", "dup_para_chars", "word_chars",
+      "top2_chars", "top3_chars", "top4_chars") ++
+      (5 to 10).map(n => s"dup${n}_chars")
+    val rows = samples.toDF("t")
+      .select($"t", gf.repetitionStats($"t").as("r")).select($"t", $"r.*").collect()
+    rows.foreach { r =>
+      val got = fields.map(f => r.getAs[Long](f))
+      val want = model(r.getString(0))
+      assert(got == want,
+        s"mismatch on ${r.getString(0).take(60).replace("\n", "\\n")}: got=$got want=$want")
+    }
+  }
 }
