@@ -1104,6 +1104,12 @@ object SparkEntry {
       // token pair — separates word salad from fluent text, which unigram
       // statistics cannot (a permutation has identical unigram stats)
       graft.operators.BigramLm.score(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q_ccnet_buckets" -> ((s, dir) =>
+      // CCNet §4.3 head/middle/tail: per-language perplexity tertiles via
+      // the integer-bits LM proxy + stratified two-phase rank
+      graft.operators.CcnetBuckets.buckets(
+        tbl(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))),
     "q_dedup_key" -> ((s, dir) =>
       // CCNet dedup-key normalization (one codegen'd pass); unicode
       // accent-strip behavior is pinned by unit tests — this corpus is
@@ -2436,6 +2442,36 @@ object SparkEntry {
          SELECT d.doc_id, per.n_toks, per.mean_bits, per.rare_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                                     t -> length(t) > 0)) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, tok),
+         vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+         per AS (SELECT tf.doc_id,
+                        CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+                        round(CAST(sum(tf.tf * (length(bin(tot.n)) - length(bin(vocab.c)))) AS DOUBLE)
+                              / sum(tf.tf), 6) AS mean_bits
+                 FROM tf JOIN vocab USING (tok), tot
+                 GROUP BY tf.doc_id),
+         scored AS (SELECT d.doc_id, d.lang, per.n_toks, per.mean_bits,
+                           COALESCE(per.mean_bits, 1e9) AS k
+                    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+         r AS (SELECT doc_id, lang, n_toks, mean_bits,
+                      row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) - 1 AS rank0,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM scored)
+         SELECT doc_id, lang, n_toks, mean_bits,
+                CASE WHEN n > 1 THEN round(CAST(rank0 AS DOUBLE) / (n - 1), 6)
+                     ELSE 0.0 END AS pctl,
+                CAST(least(floor(CASE WHEN n > 1
+                        THEN round(CAST(rank0 AS DOUBLE) / (n - 1), 6)
+                        ELSE 0.0 END * 3), 2) AS BIGINT) AS bucket
+         FROM r ORDER BY doc_id""",
     "q_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
