@@ -383,6 +383,27 @@ class Round5Spec extends AnyFunSuite {
       s"lexical diversity must not window:\n$lp")
     assert(lp.contains("HashAggregate(keys=[doc_id"),
       s"per-doc aggregate expected:\n$lp")
+
+    // round-10 map-only scorers must stay shuffle-free: repetition stats,
+    // DSIR scoring, classifier margin are pure row maps
+    val rp = plan(docs.select(col("doc_id"),
+      graft.functions.gf.repetitionKeepText(col("text"))))
+    assert(!rp.contains("Exchange"), s"A1.2 keep must not shuffle:\n$rp")
+    val dp = plan(graft.operators.Dsir.scoreMicros(docs, "text", Array.fill(64)(1L)))
+    assert(!dp.contains("Exchange"), s"DSIR scoring must not shuffle:\n$dp")
+    val qp = plan(graft.operators.QualityClassifier.marginMicros(
+      docs, "text", Array.fill(64)(1L), 0L))
+    assert(!qp.contains("Exchange"), s"classifier margin must not shuffle:\n$qp")
+
+    // SQ8 top-k: a TakeOrdered scan, no shuffle, no full sort
+    val vecs = (1L to 30L).map(i => (i, Seq.tabulate(8)(d => (i + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val (mn, mx) = graft.ann.Ann.sq8Train(vecs, "embedding")
+    val sp = plan(graft.ann.Ann.sq8TopK(
+      vecs.withColumn("codes", graft.ann.Ann.sq8Encode(col("embedding"), mn, mx)),
+      "vec_id", "codes", Array.fill(8)(1L), 5))
+    assert(sp.contains("TakeOrderedAndProject"), s"sq8 top-k must TakeOrdered:\n$sp")
+    assert(!sp.contains("Exchange"), s"sq8 top-k must not shuffle:\n$sp")
   }
 
   test("clusteringCoefficient computes the degree table exactly once") {

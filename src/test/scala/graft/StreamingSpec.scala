@@ -68,6 +68,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("round-10 filters run unchanged mid-stream: A1.2 repetition keep + DSIR + classifier scoring") {
+    // all three are stateless row maps (codegen'd expression / broadcast
+    // UDF), so the streaming path must accept them verbatim
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.functions.gf
+    val input = MemoryStream[(Long, String)]
+    val dsirTable = Array.tabulate(1 << 10)(i => (i % 5).toLong - 2)
+    val coef = Array.tabulate(1 << 12)(i => ((i % 9) - 4).toLong)
+    val base = input.toDF().toDF("doc_id", "text")
+    val scored = graft.operators.QualityClassifier.marginMicros(
+        graft.operators.Dsir.scoreMicros(base, "text", dsirTable),
+        "text", coef, 0L)
+      .select(col("doc_id"), gf.repetitionKeepText(col("text")).as("rep_ok"),
+        col("dsir_micros"), col("margin_micros"))
+    val query = scored.writeStream.format("memory").queryName("stream_r10")
+      .outputMode("append").start()
+    try {
+      val spam = ("buy now " * 40).trim
+      input.addData((1L, "every word here is different so nothing repeats at all today"),
+        (2L, spam))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, rep_ok, dsir_micros, margin_micros FROM stream_r10")
+        .as[(Long, Boolean, Long, Long)].collect().sortBy(_._1)
+      assert(rows(0)._2, "clean text passes A1.2 mid-stream")
+      assert(!rows(1)._2, "repeated bigram spam fails A1.2 mid-stream")
+      // batch-vs-stream equality for the scoring paths
+      val batch = graft.operators.QualityClassifier.marginMicros(
+          graft.operators.Dsir.scoreMicros(
+            Seq((1L, "every word here is different so nothing repeats at all today"),
+              (2L, spam)).toDF("doc_id", "text"), "text", dsirTable),
+          "text", coef, 0L)
+        .select("doc_id", "dsir_micros", "margin_micros")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.map(r => (r._1, r._3, r._4)).toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
   test("windowed counts with watermark bound state") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
