@@ -159,6 +159,10 @@ object GraftSqlFunctions {
       arity("gf_gopher_keep", 1)(es => x(gf.gopherKeep(c(es(0)))))),
     ("gf_repetition_keep", "(text) -> boolean (Gopher A1.2)",
       arity("gf_repetition_keep", 1)(es => x(gf.repetitionKeepText(c(es(0)))))),
+    ("gf_url_host", "(url) -> string",
+      arity("gf_url_host", 1)(es => x(gf.urlHost(c(es(0)))))),
+    ("gf_registered_domain", "(host) -> string (eTLD+1)",
+      arity("gf_registered_domain", 1)(es => x(gf.registeredDomain(c(es(0)))))),
     ("gf_c4_clean", "(text) -> string",
       arity("gf_c4_clean", 1)(es => x(gf.c4CleanLines(c(es(0)))))),
     ("gf_c4_keep", "(text) -> boolean",

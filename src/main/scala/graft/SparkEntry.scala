@@ -1104,6 +1104,26 @@ object SparkEntry {
       // token pair — separates word salad from fluent text, which unigram
       // statistics cannot (a permutation has identical unigram stats)
       graft.operators.BigramLm.score(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q_url_domains" -> ((s, dir) => {
+      // URL host + eTLD+1 extraction — the keying unit of crawl domain
+      // filters/caps. URLs synthesized deterministically from doc_id (the
+      // synthetic corpus has no URL column); both engines build identical
+      // strings, so the gate verifies the PARSERS.
+      val id = col("doc_id")
+      val url = when(id % 4 === 0,
+          concat(lit("https://www.shop"), id % 50, lit(".co.uk/item/"), id))
+        .when(id % 4 === 1,
+          concat(lit("http://user:pw@News"), id % 30, lit(".Example.com:8080/p?q=1")))
+        .when(id % 4 === 2,
+          concat(lit("https://static.cdn"), id % 20, lit(".io/x#frag")))
+        .otherwise(concat(lit("not a url "), id))
+      tbl(s, dir, "documents")
+        .select(id, url.as("url"))
+        .select(id, col("url"), gf.urlHost(col("url")).as("host"))
+        .select(id, col("url"), col("host"),
+          gf.registeredDomain(col("host")).as("domain"))
+        .orderBy(id)
+    }),
     "q_ccnet_buckets" -> ((s, dir) =>
       // CCNet §4.3 head/middle/tail: per-language perplexity tertiles via
       // the integer-bits LM proxy + stratified two-phase rank
@@ -2442,6 +2462,35 @@ object SparkEntry {
          SELECT d.doc_id, per.n_toks, per.mean_bits, per.rare_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
+    "q_url_domains" -> {
+      val sfx = graft.functions.gf.MultiPartSuffixes
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH u AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0
+                         THEN 'https://www.shop' || (doc_id % 50) || '.co.uk/item/' || doc_id
+                       WHEN doc_id % 4 = 1
+                         THEN 'http://user:pw@News' || (doc_id % 30) || '.Example.com:8080/p?q=1'
+                       WHEN doc_id % 4 = 2
+                         THEN 'https://static.cdn' || (doc_id % 20) || '.io/x#frag'
+                       ELSE 'not a url ' || doc_id END AS url
+           FROM documents),
+         h AS (SELECT doc_id, url,
+                      lower(list_extract(string_split(list_extract(string_split(
+                        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                        '@'), -1), ':'), 1)) AS host
+               FROM u),
+         d AS (SELECT doc_id, url, host, string_split(host, '.') AS ls,
+                      len(string_split(host, '.')) AS n
+               FROM h)
+         SELECT doc_id, url, host,
+                CASE WHEN host = '' THEN ''
+                     WHEN n >= 3 AND list_contains($sfx, ls[n-1] || '.' || ls[n])
+                       THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+                     WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
+                     ELSE host END AS domain
+         FROM d ORDER BY doc_id"""
+    },
     "q_ccnet_buckets" ->
       """WITH toks AS (
            SELECT doc_id,

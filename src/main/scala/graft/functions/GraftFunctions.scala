@@ -340,6 +340,41 @@ object gf {
   def scrubPii(c: Column, replacement: String = "[PII]"): Column =
     PiiPatterns.foldLeft(c) { case (acc, (_, p)) => regexp_replace(acc, p, replacement) }
 
+  // ------------------------------------------------------- URL analysis
+
+  /** Two-label public suffixes the registered-domain heuristic recognizes —
+    * the high-traffic subset of the public-suffix list (the full list is a
+    * data file; callers with one plug it in via the overload). */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "co.in", "co.nz", "com.br", "com.cn",
+    "com.mx", "co.za", "com.sg", "com.tr", "com.ar")
+
+  /** Host of a URL: authority minus userinfo and port, lowercased; ''
+    * when no scheme://authority is present. Pure built-ins (regexp_extract
+    * + split), so it replays 1:1 in a SQL oracle. */
+  def urlHost(c: Column): Column = {
+    val auth = regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    val noUser = element_at(split(auth, "@"), -1)
+    lower(element_at(split(noUser, ":"), 1))
+  }
+
+  /** eTLD+1 ("registered domain") of a host: last two labels, or last three
+    * when the last two are a multi-part public suffix — the unit every
+    * crawl-curation domain blocklist/frequency cap keys on (C4's and
+    * RefinedWeb's URL filters operate here). Branches evaluate lazily, so
+    * short hosts never index out of range. */
+  def registeredDomain(host: Column, suffixes: Seq[String] = MultiPartSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    when(host.isNull || host === "", lit(""))
+      .when(n >= 3 && last2.isin(suffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
   // ------------------------------------------- repetition (Gopher rules)
 
   /** Max multiplicity of any element of a string array — one hash pass,

@@ -164,6 +164,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(margins.sameElements(byHand))
   }
 
+  test("urlHost / registeredDomain edge cases") {
+    def host(u: String) = one[String](gf.urlHost($"t"), u)
+    assert(host("https://www.Example.COM/path?q=1") == "www.example.com")
+    assert(host("http://user:pw@a.b.co.uk:8080/x") == "a.b.co.uk")
+    assert(host("ftp://files.example.org#frag") == "files.example.org")
+    assert(host("no scheme here") == "")
+    assert(host("") == "")
+    def dom(h: String) = one[String](gf.registeredDomain($"t"), h)
+    assert(dom("www.shop3.co.uk") == "shop3.co.uk")
+    assert(dom("a.b.c.example.com") == "example.com")
+    assert(dom("example.com") == "example.com")
+    assert(dom("localhost") == "localhost")
+    assert(dom("") == "")
+    assert(dom("co.uk") == "co.uk", "a bare suffix has no registrable part below it")
+  }
+
   test("repetitionStats: Gopher A1.2 exact counts on crafted text") {
     import org.apache.spark.sql.Row
     def stats(text: String): Row =
