@@ -21,7 +21,9 @@ trait Partitioner extends Serializable {
  * table -> table text).
  *
  * `skipHeadersAndFooters` (reference default true) drops content inside
- * <header>/<footer> chrome. `extractTables` (reference partition.py:113
+ * <header>/<footer> chrome. `trackLinks` records each block's anchor-text
+ * share as a `link_density` property — the block feature the Boilerplate
+ * classifier keys on. `extractTables` (reference partition.py:113
  * extract_tables + data/table.py Table.from_html) additionally emits one
  * structured `table` element per non-nested <table>, with TableCell
  * row/col spans resolved through a grid-occupancy walk (rowspan cells
@@ -29,7 +31,8 @@ trait Partitioner extends Serializable {
  * after the text elements, matching the reference's element order.
  */
 final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
-                            extractTables: Boolean = false) extends Partitioner {
+                            extractTables: Boolean = false,
+                            trackLinks: Boolean = false) extends Partitioner {
   private val blockTags = Set("title", "h1", "h2", "h3", "h4", "h5", "h6",
     "p", "li", "td", "th", "caption")
   private val skipTags =
@@ -68,19 +71,38 @@ final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
     // rest of the chrome into the element stream
     var skipStack = List.empty[String]
     var pos = 0
+    // link-density bookkeeping (opt-in): raw chars of the block's text
+    // runs, and the share arriving while inside an <a> — the jusText /
+    // Boilerpipe block feature (see Boilerplate)
+    var anchorDepth = 0
+    var blockRaw = 0L
+    var blockLink = 0L
 
     def emit(): Unit = {
       open.foreach { tag =>
         val text = clean(buf.toString)
-        if (text.nonEmpty) els += Element.text(els.size, elementType(tag), text)
+        if (text.nonEmpty) {
+          val props =
+            if (!trackLinks) Map.empty[String, String]
+            else Map("link_density" ->
+              (if (blockRaw == 0) "0.0"
+               else f"${blockLink.toDouble / blockRaw}%.4f"))
+          els += Element.text(els.size, elementType(tag), text, properties = props)
+        }
       }
       open = None
       buf = new StringBuilder
+      blockRaw = 0L; blockLink = 0L
     }
 
     tagRe.findAllMatchIn(html).foreach { m =>
       val textRun = html.substring(pos, m.start)
-      if (skipStack.isEmpty && open.isDefined) buf.append(textRun).append(' ')
+      if (skipStack.isEmpty && open.isDefined) {
+        buf.append(textRun).append(' ')
+        val visible = textRun.count(!_.isWhitespace)
+        blockRaw += visible
+        if (anchorDepth > 0) blockLink += visible
+      }
       pos = m.end
       (Option(m.group(1)), Option(m.group(2)).map(_.toLowerCase)) match {
         case (_, None) => // comment
@@ -91,11 +113,23 @@ final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
         case _ if skipStack.nonEmpty =>
         case (Some(""), Some(t)) if blockTags(t) => emit(); open = Some(t)
         case (Some("/"), Some(t)) if open.contains(t) => emit()
+        case (Some(""), Some("a")) =>
+          anchorDepth += 1
+          if (open.isDefined) buf.append(' ')
+        case (Some("/"), Some("a")) =>
+          anchorDepth = math.max(0, anchorDepth - 1)
+          if (open.isDefined) buf.append(' ')
         case _ => // inline tag inside a block: treat as a word break
           if (open.isDefined) buf.append(' ')
       }
     }
-    if (open.isDefined && skipStack.isEmpty) buf.append(html.substring(pos))
+    if (open.isDefined && skipStack.isEmpty) {
+      val tail = html.substring(pos)
+      buf.append(tail)
+      val visible = tail.count(!_.isWhitespace)
+      blockRaw += visible
+      if (anchorDepth > 0) blockLink += visible
+    }
     emit()
     if (extractTables) {
       tableSpans(html).foreach { t =>

@@ -636,6 +636,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exploded.count() == 5)
   }
 
+  test("Boilerplate: link-dense nav dies, prose survives, NEAR blocks smooth") {
+    val prose = "the cat sat on the mat and it was a good day for all of the animals to be here"
+    val html =
+      """<html><body>
+        |<p><a href="/">Home</a> <a href="/a">News</a> <a href="/b">Sports</a></p>
+        |<h2>Story</h2>
+        |<p>""".stripMargin + prose + """</p>
+        |<p>Short middle note here</p>
+        |<p>""".stripMargin + prose + """</p>
+        |<p><a href="/t">Terms</a> <a href="/p">Privacy</a></p>
+        |</body></html>""".stripMargin
+    val doc = new HtmlPartitioner(trackLinks = true).partition(
+      Document.of("page.html", text = html))
+    assert(doc.elements.head.prop("link_density").exists(_.toDouble > 0.9),
+      s"nav block must be link-dense: ${doc.elements.head.properties}")
+    val classified = Boilerplate.classify(doc)
+    val byText = classified.elements.map(e =>
+      e.text.take(12) -> e.prop("boilerplate").get).toMap
+    assert(byText("Home News Sp") == "true", "nav is boilerplate")
+    assert(byText("the cat sat ") == "false", "prose is content")
+    assert(byText("Short middle") == "false",
+      "NEAR block between content smooths to content")
+    assert(byText("Terms Privac") == "true", "footer links are boilerplate")
+    assert(byText("Story") == "false", "heading between nav and prose follows context")
+    val dropped = Boilerplate.drop(doc)
+    assert(dropped.elements.forall(_.prop("boilerplate").contains("false")))
+    assert(dropped.elements.map(_.elementIndex) == dropped.elements.indices)
+    assert(dropped.elements.count(_.text.startsWith("the cat")) == 2)
+  }
+
   test("Dsir: importance weights steer selection toward the target distribution") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
