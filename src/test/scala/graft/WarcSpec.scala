@@ -68,6 +68,56 @@ class WarcSpec extends AnyFunSuite {
     assert(rs.nonEmpty && rs.size < 4)
   }
 
+  test("end-to-end crawl curation: WARC -> partition -> boilerplate -> filters") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    import graft.operators.{Boilerplate, HtmlPartitioner}
+    // a crawl page with nav chrome + real prose, plus a spam page
+    val paragraphs = Seq(
+      "The quick brown fox jumps over the lazy dog near the river bank. " +
+        "It was a calm morning and all of the animals were out in the field together.",
+      "Later that evening the whole group walked back to the farm for a meal. " +
+        "A cool wind moved through the tall grass while the light slowly faded away.",
+      "By the next spring most of them had traveled far beyond the old stone bridge. " +
+        "Each one carried a small story home about the long winter and the frozen lake.")
+    val page =
+      "<html><body><p><a href='/'>Home</a> <a href='/n'>News</a> <a href='/s'>Shop</a></p>" +
+        paragraphs.map(p => s"<p>$p</p>").mkString +
+        "<p><a href='/t'>Terms</a> <a href='/c'>Cookies</a></p></body></html>"
+    val spam = "<html><body><p>" + ("buy now click here " * 30) + "</p></body></html>"
+    val dir = java.nio.file.Files.createTempDirectory("warc_e2e").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "c.warc").toPath,
+        record("response", "http://good.example.co.uk/story", httpResponse(page)) ++
+          record("response", "http://spam.example.com/x", httpResponse(spam)))
+      val curated = Warc.read(spark, dir.getAbsolutePath)
+        .partition(new HtmlPartitioner(trackLinks = true))
+        .map(Boilerplate.drop(_))
+        .toDF
+        .select(
+          element_at(col("properties"), "url").as("url"),
+          concat_ws("\n", transform(col("elements"),
+            e => e.getField("textRepresentation"))).as("text"))
+        .select(col("url"), gf.fixMojibakeFixpoint(col("text")).as("text"))
+        .select(col("url"),
+          gf.urlHost(col("url")).as("host"),
+          gf.gopherKeep(col("text")).as("gopher_ok"),
+          gf.repetitionKeepText(col("text")).as("rep_ok"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val good = curated("http://good.example.co.uk/story")
+      assert(good.getAs[String]("host") == "good.example.co.uk")
+      assert(good.getAs[Boolean]("gopher_ok"), "boilerplate-stripped prose passes Gopher")
+      assert(good.getAs[Boolean]("rep_ok"), "prose passes A1.2")
+      val bad = curated("http://spam.example.com/x")
+      assert(!bad.getAs[Boolean]("rep_ok"), "repeated-phrase spam fails A1.2")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("read() yields response/conversion Documents that partition downstream") {
     val dir = java.nio.file.Files.createTempDirectory("warc").toFile
     try {
