@@ -1104,6 +1104,12 @@ object SparkEntry {
       // token pair — separates word salad from fluent text, which unigram
       // statistics cannot (a permutation has identical unigram stats)
       graft.operators.BigramLm.score(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q_trigram_backoff" -> ((s, dir) =>
+      // order-3 stupid-backoff LM (Brants et al. 2007): counts trained on
+      // the even-doc_id half, every doc scored with trigram→bigram→unigram
+      // →OOV backoff in integer bits (+2 bits per backed-off level)
+      graft.operators.TrigramLm.scoreBackoff(tbl(s, dir, "documents"),
+        "doc_id", "text", col("doc_id") % 2 === 0)),
     "q_url_domains" -> ((s, dir) => {
       // URL host + eTLD+1 extraction — the keying unit of crawl domain
       // filters/caps. URLs synthesized deterministically from doc_id (the
@@ -2542,6 +2548,53 @@ object SparkEntry {
                          JOIN ctx ON split_part(bf.bg, ' ', 1) = ctx.w1
                  GROUP BY bf.doc_id)
          SELECT d.doc_id, per.n_bigrams, per.mean_bits, per.novel_frac
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    "q_trigram_backoff" ->
+      // train counts on the even-doc_id half; 1-based toks[i], trigram
+      // positions i ∈ [1, len-2]; blen = length(bin(x)) = floor(log2)+1,
+      // +2 bits per backed-off level, OOV = blen(N)+4 (see TrigramLm)
+      """WITH tr AS (SELECT regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
+                     FROM documents WHERE doc_id % 2 = 0),
+         tri AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
+                        CAST(count(*) AS BIGINT) AS c3
+                 FROM tr, unnest(range(1, len(toks) - 1)) AS u(i)
+                 WHERE len(toks) >= 3 GROUP BY tg),
+         bi AS (SELECT toks[i] || ' ' || toks[i+1] AS bg, CAST(count(*) AS BIGINT) AS cb
+                FROM tr, unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2 GROUP BY bg),
+         uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(toks) AS tok FROM tr) t
+                 WHERE length(tok) > 0 GROUP BY tok),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+         allt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
+                  FROM documents),
+         inst AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
+                         CAST(count(*) AS BIGINT) AS tf
+                  FROM allt, unnest(range(1, len(toks) - 1)) AS u(i)
+                  WHERE len(toks) >= 3 GROUP BY doc_id, tg),
+         parts AS (SELECT tg, split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+                          split_part(tg, ' ', 3) AS w3
+                   FROM (SELECT DISTINCT tg FROM inst)),
+         sv AS (SELECT p.tg,
+                  CASE WHEN t3.c3 IS NOT NULL THEN length(bin(b12.cb)) - length(bin(t3.c3))
+                       WHEN b23.cb IS NOT NULL THEN length(bin(u2.cu)) - length(bin(b23.cb)) + 2
+                       WHEN u3.cu IS NOT NULL THEN length(bin(tot.n)) - length(bin(u3.cu)) + 4
+                       ELSE length(bin(tot.n)) + 4 END AS bits,
+                  CASE WHEN t3.c3 IS NOT NULL THEN 0 WHEN b23.cb IS NOT NULL THEN 1
+                       WHEN u3.cu IS NOT NULL THEN 2 ELSE 3 END AS lvl
+                FROM parts p
+                LEFT JOIN tri t3 ON p.tg = t3.tg
+                LEFT JOIN bi b12 ON p.w1 || ' ' || p.w2 = b12.bg
+                LEFT JOIN bi b23 ON p.w2 || ' ' || p.w3 = b23.bg
+                LEFT JOIN uni u2 ON p.w2 = u2.tok
+                LEFT JOIN uni u3 ON p.w3 = u3.tok, tot),
+         per AS (SELECT i.doc_id, CAST(sum(i.tf) AS BIGINT) AS n_trigrams,
+                        round(CAST(sum(i.tf * sv.bits) AS DOUBLE) / sum(i.tf), 6) AS mean_bits,
+                        round(CAST(sum(CASE WHEN sv.lvl > 0 THEN i.tf ELSE 0 END) AS DOUBLE)
+                              / sum(i.tf), 6) AS backoff_frac
+                 FROM inst i JOIN sv USING (tg) GROUP BY i.doc_id)
+         SELECT d.doc_id, per.n_trigrams, per.mean_bits, per.backoff_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
     "q_dedup_key" ->

@@ -693,4 +693,39 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id").head().getLong(0)
     assert(top == 1L)
   }
+
+  test("TrigramLm: stupid backoff levels and integer bits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // train half = even ids: "a b c d" twice → trigram counts
+    //   {a b c: 2, b c d: 2}; bigrams {a b: 2, b c: 2, c d: 2};
+    //   unigrams {a: 2, b: 2, c: 2, d: 2}, N = 8
+    val df = Seq(
+      (0L, "a b c d"), (2L, "a b c d"),
+      (1L, "a b c"),      // in-train trigram → level 0
+      (3L, "b c d x"),    // "b c d" level 0; "c d x" → x OOV → level 3
+      (5L, "d a b"),      // trigram unseen, bigram "a b" seen → level 1
+      (7L, "x y"),        // sub-3-token → null score
+      (9L, "c a d")       // trigram+bigram "a d" unseen, unigram d seen → level 2
+    ).toDF("doc_id", "text")
+    val out = TrigramLm.scoreBackoff(df, "doc_id", "text", col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1), r.getDouble(2), r.getDouble(3))))).toMap
+    assert(out.size == 7)
+    assert(out(7L).isEmpty, "2-token doc scores null")
+    // doc 1: one trigram "a b c", c3=2, ctx "a b"=2 → bits = blen(2)-blen(2)=0
+    assert(out(1L).contains((1L, 0.0, 0.0)))
+    // doc 0 (in-train): trigrams a-b-c, b-c-d both level 0, bits 0 each
+    assert(out(0L).contains((2L, 0.0, 0.0)))
+    // doc 5: "d a b" backs off to bigram "a b" (cb=2) over ctx a (cu=2):
+    // bits = blen(2)-blen(2)+2 = 2, level 1
+    assert(out(5L).contains((1L, 2.0, 1.0)))
+    // doc 9: "c a d" → no trigram, no bigram "a d"; unigram d (cu=2, N=8):
+    // bits = blen(8)-blen(2)+4 = 4-2+4 = 6, level 2
+    assert(out(9L).contains((1L, 6.0, 1.0)))
+    // doc 3: "b c d" bits 0 + "c d x" OOV bits blen(8)+4 = 8 → mean 4.0,
+    // backoff_frac 0.5
+    assert(out(3L).contains((2L, 4.0, 0.5)))
+  }
 }
