@@ -1320,6 +1320,14 @@ object SparkEntry {
       graft.operators.Triangles.clusteringCoefficient(edges, "item_a", "item_b")
         .orderBy(col("node"))
     }),
+    "q_kcore" -> ((s, dir) => {
+      // bounded-round 6-core peel over the same sparse co-occurrence graph
+      // (8 rounds covers the peel depth at gate SF, so this IS the 6-core;
+      // the oracle replays the identical rounds as a finite CTE chain)
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
+      graft.operators.Triangles.kCore(edges, "item_a", "item_b", k = 6, rounds = 8)
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // audit diff between a corpus and a synthetic next version (every
       // 11th doc dropped, every 7th edited, every 13th re-added under a
@@ -1356,6 +1364,15 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("cents"))
         .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_orderpriority"))),
+    "q_cube" -> ((s, dir) =>
+      // full CUBE (every grouping-set combination incl. per-dimension
+      // marginals rollup cannot produce), exact int64 qty/cents
+      tbl(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("qty"),
+          sum(cents(col("l_extendedprice"))).as("cents"))
+        .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))),
     "q_nfc" -> ((s, dir) =>
       // deterministic decomposed-accent suffix appended to each doc so NFC
       // composition is genuinely exercised (same pattern as q_pii_scrub);
@@ -1465,6 +1482,35 @@ object SparkEntry {
     head + rounds +
       s"""
          SELECT v AS node, sc AS score FROM i$iters ORDER BY score DESC, node"""
+  }
+
+  /** DuckDB replay of the bounded-round k-core peel: one CTE triple per
+    * round (degree count → keep set → edge restriction), the pageRank
+    * chained-CTE pattern. Edge list = the minSupport-30 supplier
+    * co-occurrence graph (shared with q_clustering_coeff). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // every p_i is referenced 3× by round i+1 — inlined CTEs would expand
+    // the plan 3^rounds-fold (observed as a "too many open files" parquet
+    // re-scan storm), so each round is forced MATERIALIZED
+    val head =
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
+         p0 AS MATERIALIZED (
+                SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+                GROUP BY 1, 2 HAVING count(*) >= 30)"""
+    val peel = (1 to rounds).map { i =>
+      s""",
+         d$i AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM (
+                   SELECT a AS v FROM p${i - 1} UNION ALL SELECT b FROM p${i - 1}) GROUP BY v),
+         v$i AS MATERIALIZED (SELECT v FROM d$i WHERE c >= $k),
+         p$i AS MATERIALIZED (
+                 SELECT a, b FROM p${i - 1}
+                 WHERE a IN (SELECT v FROM v$i) AND b IN (SELECT v FROM v$i))"""
+    }.mkString
+    head + peel +
+      s"""
+         SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+           SELECT a AS v FROM p$rounds UNION ALL SELECT b FROM p$rounds) GROUP BY v
+         ORDER BY node"""
   }
 
   /** DuckDB replay of BPE ENCODING under a trained merge list. The merge
@@ -2762,6 +2808,7 @@ object SparkEntry {
          FROM ev JOIN c ON ev.u = c.u
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
+    "q_kcore" -> kCoreOracleSql(6, 8),
     "q_pagerank_personal" -> pageRankOracleSql(5, seeds = Seq(1L, 2L, 3L)),
     "q_weighted_sample" ->
       """WITH t AS (SELECT doc_id, text,
@@ -2948,6 +2995,12 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
     "q_nfc" ->
       """SELECT doc_id,
                 nfc_normalize(substr(text, 1, 30) || ' cafe' || chr(769) ||

@@ -108,6 +108,36 @@ object Triangles {
             (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
   }
 
+  /** Bounded-round k-core peel (Seidman 1983 cores; the distributed peel
+    * is Montresor et al. 2013's message-passing formulation as dataframe
+    * rounds): repeat `rounds` times — degree-count, keep vertices with
+    * degree ≥ k, restrict edges to kept endpoints. Monotone, so once the
+    * peel converges further rounds are no-ops; with `rounds` ≥ the true
+    * peel depth the output IS the exact k-core (degeneracy ordering needs
+    * unbounded rounds; a fixed bound keeps the cross-engine oracle a
+    * finite CTE chain, the PageRank pattern). Output: (node, degree) of
+    * the surviving subgraph, id-ordered.
+    *
+    * 100 TB shape: per round one map-side-combined degree aggregate over
+    * the current edge list plus two semi-joins against the (small,
+    * AQE-broadcast) keep set; edges are localCheckpoint'd each round so
+    * the plan stays flat instead of growing 3 joins deep per round. The
+    * edge list only ever shrinks. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int, rounds: Int): DataFrame = {
+    var e = canonical(edges, src, dst).localCheckpoint(false)
+    var i = 0
+    while (i < rounds) {
+      val keep = degrees(e).where(col("_d") >= k)
+      e = e.join(keep.select(col("_v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("_v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    degrees(e).select(col("_v").as("node"), col("_d").as("degree"))
+      .orderBy(col("node"))
+  }
+
   /** One row per triangle (a < b < c, id order). */
   def enumerate(edges: DataFrame, src: String, dst: String): DataFrame =
     enumerateOriented(oriented(edges, src, dst))

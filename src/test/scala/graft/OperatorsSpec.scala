@@ -694,6 +694,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("Triangles.kCore: bounded peel reaches the exact core") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus a pendant chain 4-5-6: the 3-core is the
+    // clique alone — 5 dies round 1 (deg 2), nothing else changes; the
+    // peel also needs the CASCADE: 6 (deg 1) dies round 1, THEN 5 drops
+    // to deg 1 and dies round 2
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L))
+      .toDF("s", "d")
+    val core = Triangles.kCore(edges, "s", "d", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2 keeps the clique too (chain still peels: 6 then 5)
+    val core2 = Triangles.kCore(edges, "s", "d", k = 2, rounds = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L))
+    // zero rounds = degrees of the input graph, nothing peeled
+    assert(Triangles.kCore(edges, "s", "d", k = 3, rounds = 0).count() == 6)
+  }
+
   test("TrigramLm: stupid backoff levels and integer bits") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
