@@ -494,6 +494,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
         .orderBy(col("hour_ns"), col("event_type"))
     }),
+    "q_resample_locf" -> ((s, dir) =>
+      // hourly resample per event type with last-observation-carried-
+      // forward over the global grid (gaps exist: ~40 empty hours per
+      // type at gate SF); LOCF windows run over grid rows, never events
+      graft.operators.EventAnalytics.locfGrid(events(s, dir),
+        "event_type", "ts", cents(col("value")), stepNs = 3600L * 1000000000L)),
 
     // ---- semi-structured (§1.3 dynamic properties; events.props is JSON)
     "q_json_extract" -> ((s, dir) => {
@@ -1110,6 +1116,18 @@ object SparkEntry {
       // →OOV backoff in integer bits (+2 bits per backed-off level)
       graft.operators.TrigramLm.scoreBackoff(tbl(s, dir, "documents"),
         "doc_id", "text", col("doc_id") % 2 === 0)),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // record-linkage fuzzy join: 8-token title prefixes of the even-id
+      // half matched against the odd-id half at Jaccard >= 1/2 (exact
+      // rational) via the rare-first prefix-filtered inverted index
+      val titled = tbl(s, dir, "documents").select(col("doc_id"),
+        array_distinct(slice(filter(gf.tokens(col("text")),
+          x => length(x) > 0), 1, 8)).as("title_set"))
+      graft.operators.FuzzyJoin.jaccardJoin(
+        titled.where(col("doc_id") % 2 === 0),
+        titled.where(col("doc_id") % 2 === 1),
+        "doc_id", "title_set", num = 1, den = 2)
+    }),
     "q_url_domains" -> ((s, dir) => {
       // URL host + eTLD+1 extraction — the keying unit of crawl domain
       // filters/caps. URLs synthesized deterministically from doc_id (the
@@ -1922,6 +1940,32 @@ object SparkEntry {
                 count(*) AS n,
                 CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
          FROM events GROUP BY 1, 2 ORDER BY hour_ns, event_type""",
+    "q_resample_locf" ->
+      // LOCF without IGNORE NULLS: grp = running count of non-null sums
+      // (constant within a carried stretch), then one max per (key, grp)
+      """WITH e AS (SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS b,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+         agg AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS n_events,
+                        CAST(sum(c) AS BIGINT) AS sum_c
+                 FROM e GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT event_type FROM e),
+         gs AS (SELECT unnest(generate_series((SELECT min(b) FROM e),
+                                              (SELECT max(b) FROM e),
+                                              3600000000000)) AS g),
+         grid AS (SELECT k.event_type, gs.g AS bucket_ns FROM keys k, gs),
+         j AS (SELECT g.event_type, g.bucket_ns, agg.n_events, agg.sum_c
+               FROM grid g LEFT JOIN agg
+                 ON g.event_type = agg.event_type AND g.bucket_ns = agg.b),
+         w AS (SELECT event_type, bucket_ns, n_events, sum_c,
+                      count(sum_c) OVER (PARTITION BY event_type ORDER BY bucket_ns) AS grp
+               FROM j)
+         SELECT event_type, bucket_ns,
+                CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+                CAST(max(sum_c) OVER (PARTITION BY event_type, grp) AS BIGINT) AS sum_c_locf,
+                (n_events IS NULL AND
+                 max(sum_c) OVER (PARTITION BY event_type, grp) IS NOT NULL) AS carried
+         FROM w ORDER BY event_type, bucket_ns""",
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
@@ -2596,6 +2640,25 @@ object SparkEntry {
          SELECT d.doc_id, per.n_bigrams, per.mean_bits, per.novel_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          ORDER BY d.doc_id""",
+    "q_fuzzy_join" ->
+      // quadratic replay of the prefix-filtered join: the filter is an
+      // exactness-preserving optimization, so brute force must agree
+      """WITH t AS (SELECT doc_id,
+                list_distinct(list_slice(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                  x -> length(x) > 0), 1, 8)) AS ts
+              FROM documents),
+         a AS (SELECT * FROM t WHERE doc_id % 2 = 0 AND len(ts) > 0),
+         b AS (SELECT * FROM t WHERE doc_id % 2 = 1 AND len(ts) > 0),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+                      CAST(len(a.ts) + len(b.ts)
+                           - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
+               FROM a, b)
+         SELECT id_a, id_b, inter, uni,
+                round(CAST(inter AS DOUBLE) / uni, 6) AS jac
+         FROM p WHERE inter * 2 >= uni
+         ORDER BY id_a, id_b""",
     "q_trigram_backoff" ->
       // train counts on the even-doc_id half; 1-based toks[i], trigram
       // positions i ∈ [1, len-2]; blen = length(bin(x)) = floor(log2)+1,

@@ -92,4 +92,45 @@ object EventAnalytics {
       .agg(count(lit(1)).as("users"))
       .orderBy(col("cohort"), col("bucket_offset"))
   }
+
+  /**
+   * Time-series resample to a fixed grid with last-observation-carried-
+   * forward: aggregate events per (key, step bucket), then fill EVERY
+   * bucket of the global [min, max] grid for every key — absent buckets
+   * get `n_events` 0 and carry the previous bucket's `sum_c` forward
+   * (`carried` marks them; leading gaps before a key's first observation
+   * stay null). The gap-fill every dashboard/feature-pipeline needs
+   * before joining series with different arrival rates.
+   *
+   * Scale shape: the per-bucket aggregate shrinks raw events FIRST (map-
+   * side combined; only (key, bucket, n, sum) moves); the grid is
+   * |keys| × |buckets| rows built from an exploded `sequence` against the
+   * broadcast single-row bounds; the LOCF window runs over GRID rows, not
+   * events — its partition is one key's bucket count (bounded by the time
+   * span over the step, not by data volume), so a month of hourly buckets
+   * is 720 rows per key no matter how many trillion events fed it.
+   */
+  def locfGrid(events: DataFrame, keyCol: String, tsNs: String,
+               valueCents: Column, stepNs: Long): DataFrame = {
+    require(stepNs > 0, "step must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val b = col(tsNs) - pmod(col(tsNs), lit(stepNs))
+    val agg = events.groupBy(col(keyCol), b.as("bucket_ns"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCents).as("sum_c"))
+    val bounds = events.select(b.as("_b"))
+      .agg(min(col("_b")).as("_minb"), max(col("_b")).as("_maxb"))
+    val grid = events.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("_minb"), col("_maxb"), lit(stepNs))).as("bucket_ns"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ns"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val locf = last(col("sum_c"), ignoreNulls = true).over(w)
+    grid.join(agg, Seq(keyCol, "bucket_ns"), "left")
+      .select(col(keyCol), col("bucket_ns"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        locf.as("sum_c_locf"),
+        (col("n_events").isNull && locf.isNotNull).as("carried"))
+      .orderBy(col(keyCol), col("bucket_ns"))
+  }
 }

@@ -714,6 +714,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Triangles.kCore(edges, "s", "d", k = 3, rounds = 0).count() == 6)
   }
 
+  test("EventAnalytics.locfGrid: gap fill, carry-forward, leading nulls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // step 10: key x observed at 0 and 30 (gaps 10, 20), key y first seen
+    // at 20 (leading buckets null, never carried)
+    val ev = Seq(("x", 0L, 5L), ("x", 2L, 7L), ("x", 30L, 1L), ("y", 25L, 9L))
+      .toDF("k", "ts", "c")
+    val out = EventAnalytics.locfGrid(ev, "k", "ts", col("c"), stepNs = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 8, "2 keys x 4 buckets [0,30]")
+    val x = out.filter(_._1 == "x").map(t => (t._2, t._3, t._4, t._5)).toSeq
+    assert(x == Seq((0L, 2L, 12L, false), (10L, 0L, 12L, true),
+      (20L, 0L, 12L, true), (30L, 1L, 1L, false)))
+    val y = out.filter(_._1 == "y").map(t => (t._2, t._3, t._4, t._5)).toSeq
+    assert(y == Seq((0L, 0L, -1L, false), (10L, 0L, -1L, false),
+      (20L, 1L, 9L, false), (30L, 0L, 9L, true)))
+  }
+
+  test("FuzzyJoin: prefix filter is exactness-preserving vs brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed vocabulary: token "the" is in almost every record (must never
+    // generate the full cross product), rare tokens drive the prefixes;
+    // duplicates inside a record exercise the dedup
+    def rec(i: Int): Seq[String] = {
+      val base = Seq("the", s"w${i % 7}", s"w${(i * 3) % 7}", s"r$i")
+      if (i % 5 == 0) base :+ "the" else base
+    }
+    val left = (0 until 30).map(i => (i.toLong, rec(i))).toDF("id", "ts")
+    val right = (0 until 30).map(i => (100L + i, rec(i + 2))).toDF("id", "ts")
+    for ((num, den) <- Seq((1, 2), (2, 3), (1, 3))) {
+      val fast = FuzzyJoin.jaccardJoin(left, right, "id", "ts", num, den)
+        .select("id_a", "id_b", "inter", "uni")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val l2 = left.select(col("id").as("ia"), array_distinct(col("ts")).as("ta"))
+      val r2 = right.select(col("id").as("ib"), array_distinct(col("ts")).as("tb"))
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      val brute = l2.crossJoin(r2)
+        .select(col("ia"), col("ib"), inter.cast("long").as("i"),
+          (size(col("ta")) + size(col("tb")) - inter).cast("long").as("u"))
+        .where(col("i") * den >= col("u") * num)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(fast == brute, s"tau=$num/$den: prefix-filtered != brute force")
+      assert(brute.nonEmpty, s"tau=$num/$den: degenerate test — no pairs")
+    }
+  }
+
   test("TrigramLm: stupid backoff levels and integer bits") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
