@@ -500,6 +500,12 @@ object SparkEntry {
       // type at gate SF); LOCF windows run over grid rows, never events
       graft.operators.EventAnalytics.locfGrid(events(s, dir),
         "event_type", "ts", cents(col("value")), stepNs = 3600L * 1000000000L)),
+    "q_scd2" -> ((s, dir) =>
+      // SCD2 history build: each user's event stream as a state machine of
+      // their latest event_type — consecutive same-type events compress,
+      // intervals are [valid_from, valid_to) in int64 nanos
+      graft.operators.Scd2.build(events(s, dir), "user_id", "ts",
+        attrs = Seq("event_type"))),
 
     // ---- semi-structured (§1.3 dynamic properties; events.props is JSON)
     "q_json_extract" -> ((s, dir) => {
@@ -725,6 +731,22 @@ object SparkEntry {
         .select(col("doc_id"), lead(col("doc_id"), 1).over(w).as("next_id"))
         .where(col("next_id").isNotNull)
       Dedup.connectedComponents(edges, "doc_id", "next_id").orderBy(col("id"))
+    }),
+    "q_group_split" -> ((s, dir) => {
+      // leakage-safe split: near-dup groups (here: chains of 5 consecutive
+      // doc_ids — 100 components at gate SF) land WHOLE in one of
+      // train/val/test via a salted hash of the component root; singletons
+      // are their own group
+      val d = tbl(s, dir, "documents")
+      val edges = d.select(col("doc_id").as("u"))
+        .where(col("u") % 5 =!= 4)
+        .join(d.select(col("doc_id").as("v")), col("v") === col("u") + 1)
+      val comp = Dedup.connectedComponents(edges, "u", "v")
+      val grouped = d.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
+      graft.operators.Sampling.groupSplit(grouped, "doc_id", "grp", salt = "gsplit")
+        .orderBy(col("doc_id"))
     }),
     "q_line_dedup" -> ((s, dir) => {
       // CCNet-style duplicated-segment scrub; the synthetic corpus has no
@@ -1966,6 +1988,22 @@ object SparkEntry {
                 (n_events IS NULL AND
                  max(sum_c) OVER (PARTITION BY event_type, grp) IS NOT NULL) AS carried
          FROM w ORDER BY event_type, bucket_ns""",
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
+         m AS (SELECT user_id, t, event_type,
+                  CASE WHEN row_number() OVER
+                         (PARTITION BY user_id ORDER BY t, event_type) = 1 THEN true
+                       ELSE event_type IS DISTINCT FROM lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY t, event_type) END AS chg
+               FROM e),
+         c AS (SELECT * FROM m WHERE chg)
+         SELECT user_id, event_type, t AS valid_from,
+                lead(t) OVER (PARTITION BY user_id ORDER BY t, event_type) AS valid_to,
+                (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_type) IS NULL)
+                  AS is_current,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, event_type)
+                  AS BIGINT) AS version
+         FROM c ORDER BY user_id, valid_from""",
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY k""",
@@ -2369,6 +2407,32 @@ object SparkEntry {
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS id, CAST(min(v) AS BIGINT) AS component
          FROM reach GROUP BY u ORDER BY id""",
+    "q_group_split" ->
+      """WITH RECURSIVE
+         ids AS (SELECT doc_id FROM documents),
+         e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+                FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 5 <> 4),
+         edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         reach(u, v) AS (
+           SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS id, CAST(min(v) AS BIGINT) AS component
+                  FROM reach GROUP BY u),
+         g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         h AS (SELECT doc_id, group_id,
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(
+                     str_split(group_id::VARCHAR || ':gsplit:' || group_id::VARCHAR, ''),
+                     x -> ascii(x)::BIGINT)),
+                   (a, b) -> (a * 31 + b) % 1000000007) % 10000 AS bkt
+               FROM g)
+         SELECT doc_id, group_id,
+                CASE WHEN bkt < 8000 THEN 'train'
+                     WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
     "q_line_dedup" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, ' table ')) AS line,
                            generate_subscripts(string_split(text, ' table '), 1) AS pos

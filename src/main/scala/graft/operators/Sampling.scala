@@ -106,4 +106,27 @@ object Sampling {
     if (fractions.isEmpty) df.limit(0)
     else stratifiedByHash(df, key, stratum, fractions, salt)
   }
+
+  /** Leakage-safe train/val/test split: the split is a pure function of
+    * the GROUP id (a near-dup component root, a registered domain, a
+    * source shard), never of the row — so related rows land in the same
+    * split by construction and a holdout can't be contaminated by a
+    * near-duplicate of a training row (the failure mode group-unaware
+    * random splits have on deduplicate-later corpora). Same salted
+    * rolling-hash bucket rule as [[stratifiedByHash]]: deterministic
+    * across engines/partitionings, basis-point thresholds
+    * (`train < trainBp ≤ val < valBp ≤ test`). Row-local once the group
+    * column exists — zero shuffle on top of whatever produced the groups. */
+  def groupSplit(df: DataFrame, idCol: String, groupCol: String, salt: String = "",
+                 trainBp: Int = 8000, valBp: Int = 9000): DataFrame = {
+    require(0 <= trainBp && trainBp <= valBp && valBp <= 10000,
+      s"need 0 <= trainBp=$trainBp <= valBp=$valBp <= 10000")
+    val k = col(groupCol).cast("string")
+    val bucket = pmod(
+      gf.polyFingerprint(concat(k, lit(":"), lit(salt), lit(":"), k)), lit(10000L))
+    df.select(col(idCol), col(groupCol).as("group_id"),
+      when(bucket < trainBp, lit("train"))
+        .when(bucket < valBp, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
 }

@@ -714,6 +714,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Triangles.kCore(edges, "s", "d", k = 3, rounds = 0).count() == 6)
   }
 
+  test("Sampling.groupSplit: co-membership, determinism, rough proportions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0L until 3000L).map(i => (i, i / 3)) // 1000 groups of 3
+    val df = rows.toDF("id", "grp")
+    val out = Sampling.groupSplit(df, "id", "grp", salt = "s1")
+    // every group maps to exactly one split (the leakage-safety invariant)
+    assert(out.groupBy("group_id").agg(countDistinct("split").as("k"))
+      .where(col("k") > 1).count() == 0)
+    // rough 80/10/10 over 1000 groups
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train") > 2200 && bySplit("train") < 2600, s"$bySplit")
+    assert(bySplit("val") > 150 && bySplit("test") > 150, s"$bySplit")
+    // pure function of the group id: partitioning must not matter
+    val again = Sampling.groupSplit(df.repartition(7), "id", "grp", salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val first = out.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(first == again)
+    // a different salt reshuffles group assignments
+    val other = Sampling.groupSplit(df, "id", "grp", salt = "s2")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(first != other)
+  }
+
+  test("Scd2: no-op updates compress, intervals chain, multi-attr changes fork") {
+    import spark.implicits._
+    val log = Seq(
+      // key a: state s1 at 10, no-op repeat at 20, change at 30, repeat 40
+      ("a", 10L, "s1", 1L), ("a", 20L, "s1", 1L), ("a", 30L, "s2", 1L),
+      ("a", 40L, "s2", 1L),
+      // key b: same primary attr but the SECOND attr changes -> new version
+      ("b", 5L, "s1", 1L), ("b", 15L, "s1", 2L))
+      .toDF("k", "ts", "state", "tier")
+    val out = Scd2.build(log, "k", "ts", Seq("state", "tier"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5), r.getLong(6)))
+    // columns: k, state, tier, valid_from, valid_to, is_current, version
+    assert(out.toSeq == Seq(
+      ("a", "s1", 1L, 10L, 30L, false, 1L),
+      ("a", "s2", 1L, 30L, -1L, true, 2L),
+      ("b", "s1", 1L, 5L, 15L, false, 1L),
+      ("b", "s1", 2L, 15L, -1L, true, 2L)))
+  }
+
   test("EventAnalytics.locfGrid: gap fill, carry-forward, leading nulls") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
