@@ -569,6 +569,34 @@ object SparkEntry {
             .as("clean"))
         .orderBy(col("doc_id"))
     }),
+    "q_pii_luhn" -> ((s, dir) => {
+      // Luhn validity over deterministic per-doc candidates (the synthetic
+      // corpus carries no card numbers): a 16-digit "4" + zero-padded
+      // doc_id + (doc_id mod 10) check digit — ~10% pass the checksum, so
+      // both branches are exercised. scrubCreditCards then proves only the
+      // VALID numbers get redacted out of a formatted sentence.
+      val cc = concat(lit("4"), lpad(col("doc_id").cast("string"), 14, "0"),
+        (col("doc_id") % 10).cast("string"))
+      val sentence = concat(lit("order "), col("doc_id").cast("string"),
+        lit(" card "), cc, lit(" thanks"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), cc.as("cc"),
+          gf.luhnValid(cc).as("valid"),
+          gf.scrubCreditCards(sentence).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_readability" -> ((s, dir) => {
+      // Flesch-Kincaid counts + exact milli-grade (see gf.readabilityStats
+      // for the integer formulation; no float ratios cross the engines).
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gf.readabilityStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.fk_milli").as("fk_milli"))
+        .orderBy(col("doc_id"))
+    }),
     "q_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: duplicate-line fraction (lines
       // synthesized from sentence breaks so the signal is non-trivial) and
@@ -2079,6 +2107,52 @@ object SparkEntry {
                   '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PII]', 'g'),
                   '\b(\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g') AS clean
          FROM documents ORDER BY doc_id""",
+    "q_pii_luhn" ->
+      // index-free Luhn (see gf.luhnValid): reversed digits chunked into
+      // pairs ('..|.') — pair[1] = odd position from the right (as-is),
+      // pair[2] = even (doubled, -9 above 4). Same decomposition both
+      // engines, so the checksum is exact.
+      """WITH t AS (
+           SELECT doc_id,
+                  '4' || lpad(doc_id::VARCHAR, 14, '0') || (doc_id % 10)::VARCHAR AS cc
+           FROM documents),
+         v AS (
+           SELECT doc_id, cc,
+                  'order ' || doc_id::VARCHAR || ' card ' || cc || ' thanks' AS sentence,
+                  length(cc) BETWEEN 13 AND 19 AND
+                  list_sum(list_transform(regexp_extract_all(reverse(cc), '..|.'),
+                    p -> (ascii(substring(p, 1, 1)) - 48)
+                         + CASE WHEN length(p) = 2 THEN
+                             CASE WHEN ascii(substring(p, 2, 1)) - 48 > 4
+                                  THEN (ascii(substring(p, 2, 1)) - 48) * 2 - 9
+                                  ELSE (ascii(substring(p, 2, 1)) - 48) * 2 END
+                           ELSE 0 END)) % 10 = 0 AS valid
+           FROM t)
+         SELECT doc_id, cc, valid,
+                CASE WHEN valid THEN replace(sentence, cc, '[CC]') ELSE sentence END
+                  AS scrubbed
+         FROM v ORDER BY doc_id""",
+    "q_readability" ->
+      """WITH t AS (
+           SELECT doc_id, text, length(trim(text)) = 0 AS empty,
+                  regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CASE WHEN empty THEN 0 ELSE len(toks) END::BIGINT AS w,
+                  CASE WHEN empty THEN 0
+                       ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  END::BIGINT AS s,
+                  CASE WHEN empty THEN 0
+                       ELSE len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                            + len(list_filter(toks, x -> NOT regexp_matches(x, '[aeiouy]')))
+                  END::BIGINT AS y
+           FROM t)
+         SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+                CASE WHEN w * s = 0 THEN 0
+                     ELSE greatest(390 * w * w + 11800 * y * s - 15590 * w * s, 0)
+                          // (w * s) END::BIGINT AS fk_milli
+         FROM c ORDER BY doc_id""",
     "q_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_replace(text, '\. ', chr(10), 'g') AS t
                     FROM documents),

@@ -435,4 +435,79 @@ object gf {
    * q_langid's 7x drift across rounds as the gate table grew).
    */
   def langId(c: Column): Column = fromExpr(LangIdExpr(toExpr(c)))
+
+  // ------------------------------------------------------- readability
+
+  /**
+   * Flesch-Kincaid readability counts + grade (Kincaid et al. 1975) —
+   * the classic curriculum/difficulty signal for training-data
+   * stratification (e.g. "textbook-grade" subsets). Counts are the
+   * standard heuristics: words = whitespace tokens, sentences =
+   * `[.!?]+` runs (floored at 1 for non-empty text), syllables = vowel
+   * groups `[aeiouy]+` with a minimum of one per word (vowel-less
+   * tokens — acronyms, numbers — count one). Grade rides as EXACT
+   * integer milli-units: FK = 0.39·W/S + 11.8·Y/W − 15.59, so
+   * fk_milli = (390·W² + 11800·Y·S − 15590·W·S) / (W·S), clamped at 0
+   * then integer-divided — identical truncation in Java and DuckDB
+   * because both operands are non-negative. Pure built-ins; the three
+   * regex scans are the whole cost (row-local, codegen'd).
+   * Struct: (n_words, n_sentences, n_syllables, fk_milli).
+   */
+  def readabilityStats(c: Column): Column = {
+    val toks = tokens(c)
+    val empty = length(trim(c)) === 0
+    val w = when(empty, lit(0L)).otherwise(size(toks).cast("long"))
+    val s = when(empty, lit(0L))
+      .otherwise(greatest(size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"), lit(1L)))
+    val vowelGroups = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0))).cast("long")
+    val vowelless = when(empty, lit(0L))
+      .otherwise(size(filter(toks, t => !t.rlike("[aeiouy]"))).cast("long"))
+    val y = when(empty, lit(0L)).otherwise(vowelGroups + vowelless)
+    val num = greatest(lit(390L) * w * w + lit(11800L) * y * s - lit(15590L) * w * s, lit(0L))
+    val den = w * s
+    val fkMilli = when(den === 0, lit(0L)).otherwise((num - num % den) / den).cast("long")
+    struct(w.as("n_words"), s.as("n_sentences"), y.as("n_syllables"),
+      fkMilli.as("fk_milli"))
+  }
+
+  // ---------------------------------------------------- Luhn / credit cards
+
+  /**
+   * Luhn checksum validity (ISO/IEC 7812) of the digits in `c` — the
+   * missing credit-card leg of the PII family (scrubPii's regexes catch
+   * shapes; Luhn separates real card numbers from arbitrary digit runs,
+   * cutting false redactions ~10x). Index-free formulation so the SQL
+   * oracle replays it without lambda-index support: chunk the REVERSED
+   * digit string into pairs (`..|.`); a pair's first char sits at an odd
+   * 1-based position from the right (summed as-is), its second at an even
+   * position (doubled, minus 9 above 4). Valid = length 13-19 and
+   * sum % 10 == 0. Higher-order functions over a bounded 10-element
+   * array — row-local, no UDF.
+   */
+  def luhnValid(c: Column): Column = {
+    val ds = regexp_replace(c, "[^0-9]", "")
+    val pairs = regexp_extract_all(reverse(ds), lit("..|."), lit(0))
+    val digit = (p: Column, i: Int) => (ascii(substring(p, i, 1)) - 48).cast("long")
+    val sum = aggregate(pairs, lit(0L), (acc, p) => {
+      val d1 = digit(p, 1)
+      val d2 = digit(p, 2)
+      val doubled = when(d2 > 4, d2 * 2 - 9).otherwise(d2 * 2)
+      acc + d1 + when(length(p) === 2, doubled).otherwise(lit(0L))
+    })
+    length(ds).between(13, 19) && sum % 10 === 0
+  }
+
+  /** Candidate card-number pattern: 13-19 digits, single space/dash
+    * separators allowed (the common formatting). ASCII-only, no
+    * lookaround — Java and RE2 agree. */
+  val CardCandidatePattern = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Redact Luhn-VALID card numbers only; invalid digit runs (order ids,
+    * timestamps) survive. Fold over the row's own candidates — bounded by
+    * per-row candidate count, never corpus size. */
+  def scrubCreditCards(c: Column, replacement: String = "[CC]"): Column = {
+    val cands = regexp_extract_all(c, lit(CardCandidatePattern), lit(0))
+    val valid = filter(cands, p => luhnValid(p))
+    aggregate(valid, c, (acc, p) => replace(acc, p, lit(replacement)))
+  }
 }

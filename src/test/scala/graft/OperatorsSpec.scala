@@ -842,4 +842,59 @@ class OperatorsSpec extends AnyFunSuite {
     // backoff_frac 0.5
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
+
+  test("luhnValid accepts real checksums, rejects off-by-one and short runs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    val df = spark.createDataFrame(Seq(
+      (1, "4111111111111111"),       // classic Visa test number: valid
+      (2, "4111111111111112"),       // last digit off: invalid
+      (3, "4539 5787 6362 1486"),    // separators stripped before checksum
+      (4, "1234567890128"),          // 13 digits, valid check digit
+      (5, "1234567890124"),          // 13 digits, fails
+      (6, "123456789012"),           // too short regardless of checksum
+      (7, "")                        // no digits at all
+    )).toDF("id", "s")
+    val out = df.select(col("id"), gf.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1 -> true, 2 -> false, 3 -> true, 4 -> true,
+      5 -> false, 6 -> false, 7 -> false))
+  }
+
+  test("scrubCreditCards redacts only Luhn-valid candidates") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    val df = spark.createDataFrame(Seq(
+      (1, "pay 4111-1111-1111-1111 now, ref 1234567890124 end"),
+      (2, "order 20260814 total 12.50")  // short digit runs untouched
+    )).toDF("id", "s")
+    val out = df.select(col("id"), gf.scrubCreditCards(col("s")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "pay [CC] now, ref 1234567890124 end")
+    assert(out(2) == "order 20260814 total 12.50")
+  }
+
+  test("readabilityStats: exact integer counts and milli-grade") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    val df = spark.createDataFrame(Seq(
+      (1, "The cat sat. It ran!"),
+      // 4 long words, 1 sentence, 18 vowel groups -> fk = 39.070
+      (2, "Considerations regarding extraordinary implementation."),
+      (3, "XYZ 42"),   // one vowel group ('y') + one vowel-less token
+      (4, "")
+    )).toDF("id", "s")
+    val out = df.select(col("id"), gf.readabilityStats(col("s")).as("r"))
+      .select(col("id"), col("r.n_words"), col("r.n_sentences"),
+        col("r.n_syllables"), col("r.fk_milli"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (1): W=5 S=2 Y=5 -> negative grade clamps to 0
+    assert(out(1) == ((5L, 2L, 5L, 0L)))
+    // (2): (390*16 + 11800*18*1 - 15590*4*1) / 4 = 39070
+    assert(out(2) == ((4L, 1L, 18L, 39070L)))
+    // (3): W=2, no [.!?] -> S floored at 1; Y = 0 vowel groups + 2 vowel-less
+    assert(out(3) == ((2L, 1L, 2L, 0L)))
+    assert(out(4) == ((0L, 0L, 0L, 0L)))
+  }
 }
