@@ -1425,6 +1425,27 @@ object SparkEntry {
       Ann.knnClassify(emb.where(col("vec_id") >= 100),
         emb.where(col("vec_id") < 100), "vec_id", "embedding", "label", k = 5)
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive-training prep: for 8 anchor vectors, the 5 most
+      // similar OTHER-label vectors in the corpus (the negatives a
+      // contrastive loss actually learns from)
+      val emb = tbl(s, dir, "embeddings")
+      Ann.hardNegatives(emb.where(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "label", k = 5)
+    }),
+    "q_label_prop" -> ((s, dir) => {
+      // seeded min-label spread over the supplier co-occurrence graph:
+      // every 25th node seeds its own id as label; 3 synchronous rounds
+      // color everything within 3 hops with the smallest reachable seed
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
+      val nodes = edges.select(col("item_a").as("v"))
+        .unionAll(edges.select(col("item_b").as("v"))).distinct()
+      val seeds = nodes.where(col("v") % 25 === 0)
+        .select(col("v").as("node"), col("v").as("label"))
+      graft.operators.LabelProp.propagate(edges, seeds,
+        "item_a", "item_b", "node", "label", rounds = 3)
+    }),
     "q_rollup" -> ((s, dir) =>
       // OLAP rollup totals (status x priority -> status -> grand total),
       // money in exact int64 cents
@@ -1556,6 +1577,36 @@ object SparkEntry {
     * round (degree count → keep set → edge restriction), the pageRank
     * chained-CTE pattern. Edge list = the minSupport-30 supplier
     * co-occurrence graph (shared with q_clustering_coeff). */
+  /** q_label_prop oracle: the identical synchronous rounds as a finite
+    * MATERIALIZED CTE chain (the kCoreOracleSql pattern — each l_i is
+    * referenced twice by round i+1). */
+  private def labelPropOracleSql(rounds: Int, minSupport: Int, seedMod: Int): String = {
+    val head =
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
+         p AS MATERIALIZED (
+                SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+                GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+         e AS MATERIALIZED (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+         l0 AS MATERIALIZED (
+                SELECT v AS n, v AS l
+                FROM (SELECT a AS v FROM p UNION SELECT b FROM p)
+                WHERE v % $seedMod = 0)"""
+    val spread = (1 to rounds).map { i =>
+      s""",
+         l$i AS MATERIALIZED (
+                SELECT n, min(l) AS l FROM (
+                  SELECT n, l FROM l${i - 1}
+                  UNION ALL
+                  SELECT e.d AS n, l${i - 1}.l AS l
+                  FROM e JOIN l${i - 1} ON e.s = l${i - 1}.n)
+                GROUP BY n)"""
+    }.mkString
+    head + spread +
+      s"""
+         SELECT CAST(n AS BIGINT) AS node, CAST(l AS BIGINT) AS label
+         FROM l$rounds ORDER BY node"""
+  }
+
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     // every p_i is referenced 3× by round i+1 — inlined CTEs would expand
     // the plan 3^rounds-fold (observed as a "too many open files" parquet
@@ -3191,6 +3242,20 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY tid ORDER BY votes DESC, label) AS r
            FROM v) WHERE r = 1
          ORDER BY vec_id""",
+    "q_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av, label AS albl
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS clbl
+               FROM embeddings),
+         sc AS (SELECT aid, cid, round(list_cosine_similarity(av, cv), 6) AS cos
+                FROM c, a WHERE clbl <> albl),
+         r AS (SELECT aid, cid, cos,
+                      row_number() OVER (PARTITION BY aid ORDER BY cos DESC, cid) AS rn
+               FROM sc)
+         SELECT aid AS anchor_id, cid AS neg_id, cos AS cosine,
+                CAST(rn AS BIGINT) AS rank
+         FROM r WHERE rn <= 5 ORDER BY anchor_id, rank""",
+    "q_label_prop" -> labelPropOracleSql(rounds = 3, minSupport = 30, seedMod = 25),
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

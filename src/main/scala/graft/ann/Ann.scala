@@ -326,4 +326,35 @@ object Ann {
       .select(col("_tid").as(id), col("_lbl").as(label), col("votes"))
       .orderBy(col(id))
   }
+
+  /**
+   * Hard-negative mining for contrastive / embedding training (DPR,
+   * SBERT, CLIP-style losses): for each ANCHOR, the k candidates most
+   * similar to it that carry a DIFFERENT label — the negatives that
+   * actually move a contrastive loss (random negatives are trivially
+   * separable and teach nothing). Anchors are the bounded labeled set
+   * (broadcast by contract — the knnClassify seed-side shape); the
+   * candidate corpus streams through once, scored per anchor, and the
+   * per-anchor top-k resolves with one row_number window over partitions
+   * keyed by anchor. An anchor never pairs with itself (same label). At
+   * open scale shortlist candidates per anchor with ivfTopK first — the
+   * mining join is unchanged, only the candidate feed shrinks.
+   */
+  def hardNegatives(anchors: DataFrame, candidates: DataFrame, id: String,
+                    vec: String, label: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors.select(col(id).as("anchor_id"),
+      col(vec).cast("array<double>").as("_av"), col(label).as("_albl"))
+    val c = candidates.select(col(id).as("neg_id"),
+      col(vec).cast("array<double>").as("_cv"), col(label).as("_clbl"))
+    val scored = c.crossJoin(broadcast(a))
+      .where(col("_clbl") =!= col("_albl"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(gf.cosineSimilarity(col("_av"), col("_cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(desc("cosine"), col("neg_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("anchor_id"), col("rank"))
+  }
 }

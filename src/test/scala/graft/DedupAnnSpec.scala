@@ -501,4 +501,18 @@ class DedupAnnSpec extends AnyFunSuite {
       .select("vec_id").head().getLong(0)
     assert(sq8 == exact)
   }
+
+  test("hardNegatives: most-similar other-label candidates, self excluded") {
+    val emb = Seq(
+      (0L, Array(1.0, 0.0), 0),    // anchor, label 0
+      (1L, Array(0.99, 0.14), 0),  // same label: never a negative
+      (2L, Array(0.9, 0.44), 1),   // closest other-label -> rank 1
+      (3L, Array(0.0, 1.0), 1),    // orthogonal other-label -> rank 2
+      (4L, Array(-1.0, 0.0), 1))   // opposite other-label -> rank 3
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(emb.where(col("vec_id") === 0), emb,
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 1L), (0L, 3L, 2L)))
+  }
 }

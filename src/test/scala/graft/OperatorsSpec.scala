@@ -843,6 +843,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("LabelProp: min seed label within r hops; unreached nodes unlabeled") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // path 1-2-3-4-5-6, isolated 7; seeds: 1 -> 10, 5 -> 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("s", "d")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    val out = LabelProp.propagate(edges, seeds, "s", "d", "node", "label", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 3: 2 hops from both seeds -> min(10, 20) = 10; node 4: 1 hop
+    // from seed 5 but also 2 hops through 3? no - 4 is 3 hops from seed 1,
+    // so only label 20 reaches it in 2 rounds
+    assert(out == Map(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L))
+    // r=0: seeds only
+    val out0 = LabelProp.propagate(edges, seeds, "s", "d", "node", "label", rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out0 == Map(1L -> 10L, 5L -> 20L))
+  }
+
   test("luhnValid accepts real checksums, rejects off-by-one and short runs") {
     import org.apache.spark.sql.functions._
     import graft.functions.gf
