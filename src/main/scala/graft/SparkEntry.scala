@@ -1178,6 +1178,22 @@ object SparkEntry {
         titled.where(col("doc_id") % 2 === 1),
         "doc_id", "title_set", num = 1, den = 2)
     }),
+    "q_sorted_blocking" -> ((s, dir) =>
+      // sorted-neighborhood ER candidates: 20-char lowercased text prefix
+      // as the blocking key, window 2 — O(n*w) pairs however skewed the
+      // keys; the global rank is the two-phase prefix sum, not a window
+      graft.operators.Blocking.sortedNeighborhood(
+        tbl(s, dir, "documents"), "doc_id",
+        lower(substring(col("text"), 1, 20)), window = 2)),
+    "q_event_anomaly" -> ((s, dir) =>
+      // 3-sigma hourly volume spikes per event type, decided in pure
+      // integers (cross-multiplied z-test; see anomalousBuckets)
+      graft.operators.EventAnalytics.anomalousBuckets(
+        events(s, dir), "event_type", "ts", stepNs = 3600L * 1000000000L)),
+    "q_markov_transitions" -> ((s, dir) =>
+      // per-user next-event transition matrix with exact counts
+      graft.operators.EventAnalytics.markovTransitions(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")),
     "q_url_domains" -> ((s, dir) => {
       // URL host + eTLD+1 extraction — the keying unit of crawl domain
       // filters/caps. URLs synthesized deterministically from doc_id (the
@@ -2848,6 +2864,42 @@ object SparkEntry {
                 round(CAST(inter AS DOUBLE) / uni, 6) AS jac
          FROM p WHERE inter * 2 >= uni
          ORDER BY id_a, id_b""",
+    "q_sorted_blocking" ->
+      // window pairs via rank difference; Spark's two-phase global rank
+      // orders by (key, doc_id) exactly like this row_number
+      """WITH r AS (SELECT doc_id, lower(substr(text, 1, 20)) AS k,
+                  row_number() OVER (ORDER BY lower(substr(text, 1, 20)), doc_id) - 1 AS rank0
+           FROM documents)
+         SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.k AS key_a, y.k AS key_b,
+                CAST(y.rank0 - x.rank0 AS BIGINT) AS dist
+         FROM r x JOIN r y ON y.rank0 - x.rank0 BETWEEN 1 AND 2
+         ORDER BY id_a, id_b""",
+    "q_event_anomaly" ->
+      // cross-multiplied two-sided z-test: (n*x - S)^2 > 9*(n*SS - S^2);
+      // HUGEINT on this side, decimal(38,0) on Spark's - both exact
+      """WITH c AS (SELECT event_type,
+                           epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+                FROM c GROUP BY 1)
+         SELECT c.event_type, c.bucket_ns, c.x AS n_events,
+                (st.n::HUGEINT * c.x - st.s) * (st.n::HUGEINT * c.x - st.s)
+                  > 9 * (st.n::HUGEINT * st.ss - st.s::HUGEINT * st.s) AS anomalous
+         FROM c JOIN st USING (event_type) ORDER BY event_type, bucket_ns""",
+    "q_markov_transitions" ->
+      """WITH p AS (SELECT event_type AS f,
+                           lead(event_type) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) AS t
+                    FROM events),
+         tr AS (SELECT f AS from_type, t AS to_type, CAST(count(*) AS BIGINT) AS n
+                FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total_from
+                 FROM tr GROUP BY 1)
+         SELECT tr.from_type, tr.to_type, tr.n, tot.total_from,
+                round(tr.n::DOUBLE / tot.total_from, 6) AS p
+         FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
     "q_trigram_backoff" ->
       // train counts on the even-doc_id half; 1-based toks[i], trigram
       // positions i ∈ [1, len-2]; blen = length(bin(x)) = floor(log2)+1,

@@ -133,4 +133,70 @@ object EventAnalytics {
         (col("n_events").isNull && locf.isNotNull).as("carried"))
       .orderBy(col(keyCol), col("bucket_ns"))
   }
+
+  /**
+   * Per-key bucket-count anomaly flags — the volume-spike/drop monitor
+   * over an event stream (ingest QA: a source whose hourly doc count
+   * jumps 3σ is usually a crawler loop or an outage, not data). A bucket
+   * is anomalous iff |x − μ| > `sigmas`·σ over its key's buckets, decided
+   * PURELY in integers: (n·x − S)² > sigmas²·(n·SS − S²) — the two-sided
+   * z-test cross-multiplied through by n², so no float mean/variance ever
+   * crosses an engine boundary (the Stats.scala lesson). The squared
+   * terms ride in decimal(38,0): exact to |n·x − S| < 10¹⁹, far beyond
+   * any real bucket census (DuckDB widens to HUGEINT on its side).
+   *
+   * Scale: raw events collapse to (key, bucket, count) map-side first;
+   * the moment pass is one key-level aggregate; the flag join broadcasts
+   * key-level stats. Nothing is event-bounded after the first aggregate.
+   */
+  def anomalousBuckets(events: DataFrame, keyCol: String, tsNs: String,
+                       stepNs: Long, sigmas: Int = 3): DataFrame = {
+    require(stepNs > 0, "step must be positive")
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val b = col(tsNs) - pmod(col(tsNs), lit(stepNs))
+    val counts = events.groupBy(col(keyCol), b.as("bucket_ns"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = counts.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(col("n_events")).as("_s"),
+      sum(col("n_events") * col("n_events")).as("_ss"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dev = dec(col("_n")) * dec(col("n_events")) - dec(col("_s"))
+    val varN2 = dec(col("_n")) * dec(col("_ss")) - dec(col("_s")) * dec(col("_s"))
+    counts.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col("bucket_ns"), col("n_events"),
+        (dev * dev > lit(sigmas.toLong * sigmas) * varN2).as("anomalous"))
+      .orderBy(col(keyCol), col("bucket_ns"))
+  }
+
+  /**
+   * First-order Markov transition mining over per-user event sequences —
+   * "what follows what" (journey analysis, and the sequence prior behind
+   * next-event prediction features). Per user, order by (ts, id) — the id
+   * tie-break makes simultaneous events replayable — pair each event with
+   * its successor via lead(), then count (from, to) globally and attach
+   * the per-from total; `p` = n / total_from at 6dp (a ratio of exact
+   * ints — the q_quality float contract).
+   *
+   * Scale: the lead() window partitions BY USER (bounded by per-user
+   * event count); transition counting is a map-side-combined aggregate
+   * over (from, to) — alphabet-sized, as is the from-total join.
+   */
+  def markovTransitions(events: DataFrame, user: String, etype: String,
+                        tsNs: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(col(tsNs), col(idCol))
+    val pairs = events
+      .withColumn("_next", lead(col(etype), 1).over(w))
+      .where(col("_next").isNotNull)
+    val trans = pairs
+      .groupBy(col(etype).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("total_from"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("total_from"),
+        round(col("n").cast("double") / col("total_from"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

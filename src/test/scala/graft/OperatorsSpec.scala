@@ -843,6 +843,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("sortedNeighborhood: window pairs over the global key order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "apple"), (2L, "apricot"), (3L, "banana"), (4L, "cherry"))
+      .toDF("id", "k")
+    val out = Blocking.sortedNeighborhood(df, "id", col("k"), window = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // sorted order apple < apricot < banana < cherry: 3 adjacent pairs + 2 skip-one
+    assert(out == Set((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
+  test("anomalousBuckets: integer z-test flags the spike bucket only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ten 1-event buckets + one 50-event bucket (step 10). With n=11:
+    // spike (n*x-S)^2 = 490^2 = 240100 > 9*(n*SS-S^2) = 216090 -> flagged;
+    // a lone outlier among n<=10 equal buckets can NEVER exceed 3 sigma
+    // (max z = sqrt(n-1)), so the 11th bucket is what makes this testable.
+    val quiet = (0 until 10).map(b => ("a", b * 10L))
+    val spike = (0 until 50).map(i => ("a", 100L + i % 10))
+    val ev = (quiet ++ spike).toDF("k", "ts")
+    val out = EventAnalytics.anomalousBuckets(ev, "k", "ts", stepNs = 10L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(100L) == ((50L, true)))
+    assert((0 until 10).forall(b => out(b * 10L) == ((1L, false))))
+  }
+
+  test("markovTransitions: per-user lead pairs, exact counts and ratios") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "A", 10L), (2L, 1L, "B", 20L), (3L, 1L, "A", 30L), (4L, 1L, "B", 40L),
+      (5L, 2L, "A", 10L), (6L, 2L, "B", 20L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.markovTransitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((3L, 3L, 1.0)),   // no cross-user A(u1,40)->A(u2,10) pair
+      ("B", "A") -> ((1L, 1L, 1.0))))
+  }
+
   test("LabelProp: min seed label within r hops; unreached nodes unlabeled") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
