@@ -749,6 +749,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_temperature_mixture" -> ((s, dir) =>
+      // mT5-style α=1/2 temperature flattening over languages: draw
+      // probability ∝ sqrt(count) — head languages downsample hardest,
+      // tail languages keep the largest fraction (see temperatureMixture)
+      graft.operators.Sampling.temperatureMixture(
+          tbl(s, dir, "documents"), "doc_id", "lang",
+          budgetDocs = 150L, alphaQuarters = 2, salt = "temp1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "q_dedup_cc" -> ((s, dir) => {
       // transitive duplicate classes: path-graph edges (consecutive doc_ids
       // per lang) are the adversarial case for chained near-dup relations —
@@ -2531,6 +2540,28 @@ object SparkEntry {
          WHERE list_reduce(list_prepend(0::BIGINT,
                  list_transform(
                    str_split(d.doc_id::VARCHAR || ':mix1:' || d.doc_id::VARCHAR, ''),
+                   x -> ascii(x)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 10000
+               < th.thr
+         ORDER BY d.doc_id""",
+    "q_temperature_mixture" ->
+      // sumw replays the Scala foldLeft exactly: left fold from 0.0 in
+      // stratum order (list_reduce, not list_sum — float + isn't
+      // associative); sqrt is IEEE-exact so weights match bit for bit
+      """WITH ck AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+                     FROM documents GROUP BY lang),
+         sw AS (SELECT list_reduce(
+                    list_prepend(0.0::DOUBLE, list(sqrt(c::DOUBLE) ORDER BY lang)),
+                    (a, b) -> a + b) AS sumw
+                FROM ck),
+         th AS (SELECT lang,
+                       CAST(round(least(1.0,
+                         150::DOUBLE * sqrt(c::DOUBLE) / sumw / c) * 10000) AS BIGINT) AS thr
+                FROM ck, sw)
+         SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+         WHERE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(
+                   str_split(d.doc_id::VARCHAR || ':temp1:' || d.doc_id::VARCHAR, ''),
                    x -> ascii(x)::BIGINT)),
                  (a, b) -> (a * 31 + b) % 1000000007) % 10000
                < th.thr

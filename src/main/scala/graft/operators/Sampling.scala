@@ -87,6 +87,57 @@ object Sampling {
    * bounded by the stratum count — languages/sources number in the dozens,
    * not the corpus scale) + one shuffle-free filter scan.
    */
+  /**
+   * Temperature-scaled source mixture (the multilingual-sampling policy of
+   * mT5/XLM-R: draw probability ∝ count^α, α < 1 flattening the source
+   * distribution so head sources stop drowning the tail). Expected draw
+   * count for stratum s is `budgetDocs · w_s / Σw`, w_s = c_s^α; the
+   * per-row keep rule is the same deterministic salted-hash coin as every
+   * sampler here (reproducible, partitioning-independent).
+   *
+   * α is taken in QUARTERS (α = alphaQuarters/4, 1..4) so the weight is a
+   * sqrt chain — c^¼ = sqrt(sqrt c), c^½ = sqrt c, c^¾ = their product.
+   * IEEE sqrt is correctly rounded, so the driver-side fractions replay
+   * bit-identically in a SQL oracle; a free-α variant would ride on
+   * libm pow, whose last-ulp behavior is engine-specific (the same
+   * reason Stats.scala refuses float variance). Published α=0.5 fits;
+   * α=0.3-style presets round to the nearest quarter.
+   *
+   * Scale: one stratum-level count aggregate to the driver (stratum
+   * cardinality-bounded); the keep rule is pure per-row codegen.
+   */
+  def temperatureMixture(df: DataFrame, key: String, stratum: String,
+                         budgetDocs: Long, alphaQuarters: Int,
+                         salt: String = ""): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters must be in 1..4, got $alphaQuarters")
+    require(budgetDocs >= 0, "budget must be non-negative")
+    val counts = df.groupBy(col(stratum).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().collect {
+        case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(1)
+      }.toMap
+    if (counts.isEmpty) return df.limit(0)
+    def w(c: Long): Double = {
+      val r2 = math.sqrt(c.toDouble)
+      val r4 = math.sqrt(r2)
+      alphaQuarters match {
+        case 1 => r4
+        case 2 => r2
+        case 3 => r2 * r4
+        case 4 => c.toDouble
+      }
+    }
+    // deterministic left fold in stratum order — the oracle replays the
+    // identical addition sequence (float + is not associative)
+    val keys = counts.keys.toSeq.sorted
+    val sumw = keys.foldLeft(0.0)((acc, s) => acc + w(counts(s)))
+    val fractions = keys.map { s =>
+      s -> math.min(1.0, budgetDocs.toDouble * w(counts(s)) / sumw / counts(s))
+    }.toMap
+    stratifiedByHash(df, key, stratum, fractions, salt)
+  }
+
   def tokenBudgetMixture(df: DataFrame, key: String, stratum: String,
                          tokens: Column, budgets: Map[String, Long],
                          salt: String = ""): DataFrame = {

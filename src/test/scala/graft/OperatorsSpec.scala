@@ -843,6 +843,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("temperatureMixture: alpha flattens the source distribution deterministically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // big: 100 rows, small: 4. alpha=1/2: w=(10,2), budget 24 ->
+    // f_big = 24*10/12/100 = 0.2, f_small = 24*2/12/4 = 1.0 (kept whole)
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val out = Sampling.temperatureMixture(df, "id", "src",
+        budgetDocs = 24L, alphaQuarters = 2, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (big, small) = out.partition(_._2 == "big")
+    assert(small.length == 4, "f=1.0 stratum keeps every row")
+    assert(big.length > 0 && big.length < 60, s"big stratum downsamples, got ${big.length}")
+    // deterministic and partitioning-independent
+    val again = Sampling.temperatureMixture(df.repartition(7), "id", "src",
+        budgetDocs = 24L, alphaQuarters = 2, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("sortedNeighborhood: window pairs over the global key order") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
