@@ -1256,6 +1256,20 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           gf.tokenCount(col("chunk")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    "q_fim" -> ((s, dir) =>
+      // fill-in-the-middle render (PSM order) at deterministic salted
+      // cut points — infilling-objective corpus prep
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gf.fimTransform(col("doc_id"), col("text")).as("fim"))
+        .orderBy(col("doc_id"))),
+    "q_span_corrupt" -> ((s, dir) =>
+      // T5 block-aligned span corruption: ~1-in-4 blocks of 10 tokens
+      // mask their last 3 behind a sentinel (see gf.spanCorrupt)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gf.spanCorrupt(col("doc_id"), col("text")).as("sc"))
+        .select(col("doc_id"), col("sc.input").as("input"),
+          col("sc.target").as("target"), col("sc.n_masked").as("n_masked"))
+        .orderBy(col("doc_id"))),
     "q_dup_spans" -> ((s, dir) =>
       // exact-substring dedup signal (Lee et al. 2021) — 192-bit span-hash
       // keys on every exchange; the oracle groups the raw span text instead
@@ -3024,6 +3038,64 @@ object SparkEntry {
                 CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
          FROM nz, unnest(range(0, k)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
+    "q_fim" ->
+      // the two cut points replay the polyFingerprint fold (the
+      // q_sample_hash pattern) mod the first-third width
+      """WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+                           greatest((CAST(length(text) AS BIGINT)
+                                     - length(text) % 3) // 3, 1) AS third
+                    FROM documents),
+         c AS (SELECT doc_id, text, n,
+                      1 + list_reduce(list_prepend(0::BIGINT,
+                            list_transform(str_split(doc_id::VARCHAR || ':fim:a', ''),
+                              x -> ascii(x)::BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007) % third AS p1,
+                      list_reduce(list_prepend(0::BIGINT,
+                            list_transform(str_split(doc_id::VARCHAR || ':fim:b', ''),
+                              x -> ascii(x)::BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007) % third AS h2
+               FROM t)
+         SELECT doc_id,
+                CASE WHEN n < 10 THEN text
+                     ELSE '<PRE>' || substr(text, 1, p1)
+                          || '<SUF>' || substr(text, p1 + h2 + 2, n)
+                          || '<MID>' || substr(text, p1 + 1, 1 + h2) END AS fim
+         FROM c ORDER BY doc_id""",
+    "q_span_corrupt" ->
+      """WITH t AS (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
+                           END AS n
+                    FROM documents),
+         m AS (SELECT doc_id, toks, n,
+                      list_transform(range(0, CAST(ceil(n / 10.0) AS INT)), b ->
+                        struct_pack(b := b, mk :=
+                          list_reduce(list_prepend(0::BIGINT,
+                            list_transform(str_split(doc_id::VARCHAR || ':sc:' || b::VARCHAR, ''),
+                              x -> ascii(x)::BIGINT)),
+                            (a, c) -> (a * 31 + c) % 1000000007) % 4 = 0
+                          AND b * 10 + 10 <= n)) AS bs
+               FROM t WHERE n > 0)
+         SELECT doc_id,
+                coalesce(array_to_string(flatten(list_transform(bs, s ->
+                  CASE WHEN struct_extract(s, 'mk')
+                       THEN list_concat(toks[(struct_extract(s, 'b')*10+1):(struct_extract(s, 'b')*10+7)],
+                                        ['<x_' || struct_extract(s, 'b')::VARCHAR || '>'])
+                       ELSE toks[(struct_extract(s, 'b')*10+1):(struct_extract(s, 'b')*10+10)]
+                  END)), ' '), '') AS input,
+                coalesce(array_to_string(flatten(list_transform(bs, s ->
+                  CASE WHEN struct_extract(s, 'mk')
+                       THEN list_concat(['<x_' || struct_extract(s, 'b')::VARCHAR || '>'],
+                                        toks[(struct_extract(s, 'b')*10+8):(struct_extract(s, 'b')*10+10)])
+                       ELSE []::VARCHAR[]
+                  END)), ' '), '') AS target,
+                CAST(len(list_filter(bs, s -> struct_extract(s, 'mk'))) AS BIGINT) AS n_masked
+         FROM m
+         UNION ALL
+         SELECT doc_id, '' AS input, '' AS target, 0::BIGINT AS n_masked
+         FROM t WHERE n = 0
+         ORDER BY doc_id""",
     "q_dup_spans" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),

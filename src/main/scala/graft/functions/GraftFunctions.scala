@@ -470,6 +470,68 @@ object gf {
       fkMilli.as("fk_milli"))
   }
 
+  // ------------------------------------- denoising-objective preparation
+
+  /**
+   * Fill-in-the-middle transform (Bavarian et al. 2022) — the code/text
+   * infilling objective prep: split the document at two DETERMINISTIC
+   * cut points (salted-hash of the row id, so the corpus re-renders
+   * identically on every run) and emit PSM order
+   * `<PRE>prefix<SUF>suffix<MID>middle`. Cut points land in the first
+   * and middle thirds, so all three pieces are non-empty; texts under 10
+   * chars pass through untouched. Pure substr/concat — row-local,
+   * codegen'd, and replayable 1:1 in a SQL oracle.
+   */
+  def fimTransform(id: Column, text: Column): Column = {
+    val n = length(text).cast("long")
+    val third = greatest(((n - pmod(n, lit(3L))) / lit(3L)).cast("long"), lit(1L))
+    val p1 = lit(1L) + pmod(polyFingerprint(concat(id.cast("string"), lit(":fim:a"))), third)
+    val p2 = p1 + lit(1L) + pmod(polyFingerprint(concat(id.cast("string"), lit(":fim:b"))), third)
+    when(n < 10, text).otherwise(concat(
+      lit("<PRE>"), substr(text, lit(1L), p1),
+      lit("<SUF>"), substr(text, p2 + 1, n),
+      lit("<MID>"), substr(text, p1 + 1, p2 - p1)))
+  }
+
+  /**
+   * T5-style span corruption (Raffel et al. 2020 §3.1.4) over whitespace
+   * tokens, BLOCK-ALIGNED so the masking needs no sequential state: the
+   * token stream is cut into blocks of 10; a salted-hash coin per block
+   * masks its last 3 tokens (~7.5% corruption rate at 1-in-4 blocks,
+   * mean span 3 — the paper's defaults). Input keeps the block's first 7
+   * tokens plus a sentinel; target is the sentinel plus the 3 masked
+   * tokens. Sentinels carry the BLOCK index (deterministic, though not
+   * consecutive like the paper's <extra_id_k> — renumbering would need a
+   * running count, i.e. sequential state). Partial tail blocks never
+   * mask. Struct: (input, target, n_masked). Row-local HOFs over
+   * bounded block lists; no UDF, no shuffle.
+   */
+  def spanCorrupt(id: Column, text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = when(length(trim(text)) === 0, lit(0)).otherwise(size(toks))
+    val nBlocks = ceil(n.cast("double") / 10).cast("int")
+    val blocks = sequence(lit(0), greatest(nBlocks - 1, lit(0)))
+    def masked(b: Column): Column =
+      pmod(polyFingerprint(concat(id.cast("string"), lit(":sc:"), b.cast("string"))),
+        lit(4L)) === 0 && (b * 10 + 10) <= n
+    def sentinel(b: Column): Column = concat(lit("<x_"), b.cast("string"), lit(">"))
+    val inputArr = flatten(transform(blocks, b =>
+      when(masked(b),
+        concat(slice(toks, b * 10 + 1, lit(7)), array(sentinel(b))))
+        .otherwise(slice(toks, b * 10 + 1, lit(10)))))
+    val targetArr = flatten(transform(blocks, b =>
+      when(masked(b),
+        concat(array(sentinel(b)), slice(toks, b * 10 + 8, lit(3))))
+        .otherwise(array().cast("array<string>"))))
+    val nMasked = size(filter(blocks, b => masked(b))).cast("long")
+    when(n === 0,
+      struct(lit("").as("input"), lit("").as("target"), lit(0L).as("n_masked")))
+      .otherwise(struct(
+        array_join(inputArr, " ").as("input"),
+        array_join(targetArr, " ").as("target"),
+        nMasked.as("n_masked")))
+  }
+
   // ---------------------------------------------------- Luhn / credit cards
 
   /**

@@ -843,6 +843,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("fimTransform: pieces reassemble to the original, short texts pass through") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    import spark.implicits._
+    val df = Seq((7L, "abcdefghijklmnopqrstuvwxyz0123456789"), (8L, "tiny"))
+      .toDF("id", "s")
+    val out = df.select(col("id"), gf.fimTransform(col("id"), col("s")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(8L) == "tiny")
+    val m = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    out(7L) match {
+      case m(pre, suf, mid) =>
+        assert(pre.nonEmpty && mid.nonEmpty && suf.nonEmpty)
+        assert(pre + mid + suf == "abcdefghijklmnopqrstuvwxyz0123456789")
+      case other => fail(s"not PSM format: $other")
+    }
+    // deterministic across runs
+    val again = df.select(gf.fimTransform(col("id"), col("s"))).collect().map(_.getString(0))
+    assert(again.contains(out(7L)))
+  }
+
+  test("spanCorrupt: sentinels line up, token multiset is preserved") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    import spark.implicits._
+    val toks = (1 to 25).map(i => s"w$i")
+    val df = Seq((3L, toks.mkString(" ")), (4L, "")).toDF("id", "s")
+    val rows = df.select(col("id"), gf.spanCorrupt(col("id"), col("s")).as("c"))
+      .select(col("id"), col("c.input"), col("c.target"), col("c.n_masked"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(rows(4L) == (("", "", 0L)))
+    val (input, target, nMasked) = rows(3L)
+    assert(nMasked <= 2, "partial tail block must never mask")
+    val sent = "<x_\\d+>".r
+    val inToks = input.split(" ").filterNot(t => sent.matches(t))
+    val tgtToks = target.split(" ").filter(_.nonEmpty).filterNot(t => sent.matches(t))
+    assert(inToks.length == 25 - 3 * nMasked)
+    assert((inToks ++ tgtToks).sorted.toSeq == toks.sorted)
+    // each masked block contributes one sentinel to BOTH sides, same ids
+    val inSent = sent.findAllIn(input).toSeq
+    val tgtSent = sent.findAllIn(target).toSeq
+    assert(inSent.length == nMasked && inSent == tgtSent)
+  }
+
   test("temperatureMixture: alpha flattens the source distribution deterministically") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
