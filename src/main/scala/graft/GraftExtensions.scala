@@ -190,6 +190,21 @@ object GraftSqlFunctions {
       arity("gf_dup_line_fraction", 1)(es => x(gf.dupLineFraction(c(es(0)))))),
     ("gf_langid", "(text) -> string",
       arity("gf_langid", 1)(es => x(gf.langId(c(es(0)))))),
+    ("gf_luhn_valid", "(text) -> boolean",
+      arity("gf_luhn_valid", 1)(es => x(gf.luhnValid(c(es(0)))))),
+    ("gf_scrub_credit_cards", "(text[, replacement]) -> string",
+      es => es.length match {
+        case 1 => x(gf.scrubCreditCards(c(es(0))))
+        case 2 => x(gf.scrubCreditCards(c(es(0)), strArg("gf_scrub_credit_cards", es(1))))
+        case n => throw new IllegalArgumentException(
+          s"gf_scrub_credit_cards expects 1 or 2 arguments, got $n")
+      }),
+    ("gf_readability", "(text) -> struct(n_words, n_sentences, n_syllables, fk_milli)",
+      arity("gf_readability", 1)(es => x(gf.readabilityStats(c(es(0)))))),
+    ("gf_fim", "(id, text) -> string (PSM fill-in-the-middle render)",
+      arity("gf_fim", 2)(es => x(gf.fimTransform(c(es(0)), c(es(1)))))),
+    ("gf_span_corrupt", "(id, text) -> struct(input, target, n_masked)",
+      arity("gf_span_corrupt", 2)(es => x(gf.spanCorrupt(c(es(0)), c(es(1)))))),
     // multimodal
     ("gf_dhash", "(image_bytes) -> bigint",
       arity("gf_dhash", 1)(es => DHashExpr(es(0)))),

@@ -298,6 +298,51 @@ object DocStream {
   case class HHSnapshot(key: String, top: Seq[String])
 
   /**
+   * Online volume-anomaly flags — the streaming twin of
+   * EventAnalytics.anomalousBuckets. Input is a stream of ALREADY-CLOSED
+   * bucket counts (key, bucket_ns, x) — e.g. a watermarked windowed count
+   * upstream; each arriving bucket is z-tested against the running
+   * moments of its key's PRIOR buckets only (a bucket never judges
+   * itself — that's what lets this run online without a second pass),
+   * then folded into the moments. Same integer cross-multiplied test as
+   * the batch operator, in BigInt so unbounded stream totals cannot
+   * overflow; buckets before `minPrior` history never flag (the z-test
+   * is meaningless at tiny n — see the batch scaladoc: a lone outlier
+   * among n ≤ 9 equal buckets cannot even reach 3σ). State per key is
+   * THREE longs regardless of stream length.
+   */
+  def anomalyStream(df: DataFrame, keyCol: String, bucketCol: String,
+                    countCol: String, sigmas: Int = 3, minPrior: Int = 10)
+      : Dataset[AnomFlag] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(sigmas >= 1 && minPrior >= 2, "need sigmas >= 1 and minPrior >= 2")
+    val in = df.select(col(keyCol).cast("string").as("key"),
+        col(bucketCol).cast("long").as("bucketNs"),
+        col(countCol).cast("long").as("x"))
+      .as[(String, Long, Long)](E.tuple(E.STRING, E.scalaLong, E.scalaLong))
+    val fn = (key: String, it: Iterator[(String, Long, Long)],
+              state: GroupState[AnomState]) => {
+      var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+      val out = it.toSeq.sortBy(_._2).map { case (_, b, x) =>
+        val dev = BigInt(st.n) * x - st.s
+        val varN2 = BigInt(st.n) * st.ss - BigInt(st.s) * st.s
+        val flag = st.n >= minPrior && dev * dev > BigInt(sigmas.toLong * sigmas) * varN2
+        st = AnomState(st.n + 1, st.s + x, st.ss + x * x)
+        AnomFlag(key, b, x, flag)
+      }
+      state.update(st)
+      out.iterator
+    }
+    in.groupByKey(_._1)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
+        E.product[AnomState], E.product[AnomFlag])
+  }
+
+  case class AnomState(n: Long, s: Long, ss: Long)
+  case class AnomFlag(key: String, bucketNs: Long, x: Long, anomalous: Boolean)
+
+  /**
    * Stream-stream interval join: rows from two streams matching on equi
    * keys whose event times differ by at most `widthSec` — the streaming
    * analogue of the batch RangeJoin.band. The watermark + the two-sided

@@ -36,6 +36,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.map(_.getString(2)).toSeq == Seq("en", "es", "und", "en")) // "a" is an en stopword
   }
 
+  test("luhn / readability / fim / span-corrupt callable from SQL, agree with Column API") {
+    import graft.functions.gf
+    import org.apache.spark.sql.functions._
+    GraftSqlFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, "pay 4111-1111-1111-1111 now. The cat sat on the mat today ok."),
+      (2L, "no cards here, just a plain sentence with several common words."))).toDF("id", "text")
+    df.createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      """SELECT id, gf_luhn_valid(text) AS lv, gf_scrub_credit_cards(text) AS sc,
+        |       gf_readability(text).fk_milli AS fk, gf_fim(id, text) AS fim,
+        |       gf_span_corrupt(id, text).n_masked AS nm
+        |FROM ext_docs2 ORDER BY id""".stripMargin).collect()
+    val viaCol = df.select(col("id"), gf.luhnValid(col("text")).as("lv"),
+        gf.scrubCreditCards(col("text")).as("sc"),
+        gf.readabilityStats(col("text")).getField("fk_milli").as("fk"),
+        gf.fimTransform(col("id"), col("text")).as("fim"),
+        gf.spanCorrupt(col("id"), col("text")).getField("n_masked").as("nm"))
+      .orderBy(col("id")).collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql(0).getString(2).contains("[CC]"))
+  }
+
   test("blocklist and nfc functions are callable from SQL") {
     GraftSqlFunctions.register(spark)
     val r = spark.sql(

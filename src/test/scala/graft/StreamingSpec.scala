@@ -392,6 +392,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(b2.contains("alpha")) // alpha's count survived from batch 1
     } finally query.stop()
   }
+
+  test("anomalyStream: spike flags against prior-bucket moments across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val out = DocStream.anomalyStream(
+      input.toDF().toDF("k", "b", "x"), "k", "b", "x", sigmas = 3, minPrior = 10)
+    val query = out.toDF.writeStream.format("memory").queryName("stream_anom")
+      .outputMode("update").start()
+    try {
+      // batch 1: eleven quiet buckets — none can flag (n < minPrior for
+      // the first ten; the 11th deviates by zero)
+      input.addData((0 to 10).map(b => ("k1", b.toLong, 1L)): _*)
+      query.processAllAvailable()
+      val b1 = spark.sql("SELECT bucketNs, anomalous FROM stream_anom")
+        .as[(Long, Boolean)].collect().toMap
+      assert(b1.size == 11 && b1.values.forall(!_))
+      // batch 2: a 50x spike judged against the 11 quiet PRIOR buckets
+      // (zero variance -> any deviation flags), then a quiet bucket whose
+      // moments now include the spike -> stays normal
+      input.addData(("k1", 11L, 50L), ("k1", 12L, 1L))
+      query.processAllAvailable()
+      val b2 = spark.sql("SELECT bucketNs, anomalous FROM stream_anom")
+        .as[(Long, Boolean)].collect().toMap
+      assert(b2(11L) === true)
+      assert(b2(12L) === false)
+    } finally query.stop()
+  }
 }
 
 object StreamingSpec {
