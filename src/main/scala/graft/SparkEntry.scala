@@ -1176,12 +1176,20 @@ object SparkEntry {
       graft.operators.TrigramLm.scoreBackoff(tbl(s, dir, "documents"),
         "doc_id", "text", col("doc_id") % 2 === 0)),
     "q_fuzzy_join" -> ((s, dir) => {
-      // record-linkage fuzzy join: 8-token title prefixes of the even-id
-      // half matched against the odd-id half at Jaccard >= 1/2 (exact
-      // rational) via the rare-first prefix-filtered inverted index
-      val titled = tbl(s, dir, "documents").select(col("doc_id"),
-        array_distinct(slice(filter(gf.tokens(col("text")),
-          x => length(x) > 0), 1, 8)).as("title_set"))
+      // record-linkage fuzzy join at Jaccard >= 1/2 (exact rational) over
+      // word-BIGRAM shingles of the 12-token title prefix — the q-gram
+      // set formulation. The symbol choice is load-bearing at scale: the
+      // synthetic corpus has a 31-word vocabulary, so raw-token sets make
+      // nearly EVERY cross pair a candidate (measured 40s at sf0.1);
+      // shingling lifts the universe to ~900 symbols and restores the
+      // selectivity the rare-first prefix filter feeds on (0.5s, same
+      // exact-verify semantics)
+      val titled = tbl(s, dir, "documents")
+        .where(size(filter(gf.tokens(col("text")), x => length(x) > 0)) >= 2)
+        .select(col("doc_id"),
+          gf.wordShingles(
+            array_join(slice(filter(gf.tokens(col("text")),
+              x => length(x) > 0), 1, 12), " "), 2).as("title_set"))
       graft.operators.FuzzyJoin.jaccardJoin(
         titled.where(col("doc_id") % 2 === 0),
         titled.where(col("doc_id") % 2 === 1),
@@ -1476,8 +1484,11 @@ object SparkEntry {
       // seeded min-label spread over the supplier co-occurrence graph:
       // every 25th node seeds its own id as label; 3 synchronous rounds
       // color everything within 3 hops with the smallest reachable seed
+      // checkpoint: the basket quadratic feeds seeds AND propagation —
+      // without it the co-occurrence join recomputes once per consumer
       val edges = graft.operators.Basket.frequentPairs(
         tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
+        .localCheckpoint(false)
       val nodes = edges.select(col("item_a").as("v"))
         .unionAll(edges.select(col("item_b").as("v"))).distinct()
       val seeds = nodes.where(col("v") % 25 === 0)
@@ -2893,11 +2904,15 @@ object SparkEntry {
     "q_fuzzy_join" ->
       // quadratic replay of the prefix-filtered join: the filter is an
       // exactness-preserving optimization, so brute force must agree
-      """WITH t AS (SELECT doc_id,
-                list_distinct(list_slice(list_filter(
+      """WITH tk AS (SELECT doc_id,
+                list_slice(list_filter(
                   regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-                  x -> length(x) > 0), 1, 8)) AS ts
+                  x -> length(x) > 0), 1, 12) AS toks
               FROM documents),
+         t AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS ts
+               FROM tk WHERE len(toks) >= 2),
          a AS (SELECT * FROM t WHERE doc_id % 2 = 0 AND len(ts) > 0),
          b AS (SELECT * FROM t WHERE doc_id % 2 = 1 AND len(ts) > 0),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

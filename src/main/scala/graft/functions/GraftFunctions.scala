@@ -453,22 +453,7 @@ object gf {
    * regex scans are the whole cost (row-local, codegen'd).
    * Struct: (n_words, n_sentences, n_syllables, fk_milli).
    */
-  def readabilityStats(c: Column): Column = {
-    val toks = tokens(c)
-    val empty = length(trim(c)) === 0
-    val w = when(empty, lit(0L)).otherwise(size(toks).cast("long"))
-    val s = when(empty, lit(0L))
-      .otherwise(greatest(size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"), lit(1L)))
-    val vowelGroups = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0))).cast("long")
-    val vowelless = when(empty, lit(0L))
-      .otherwise(size(filter(toks, t => !t.rlike("[aeiouy]"))).cast("long"))
-    val y = when(empty, lit(0L)).otherwise(vowelGroups + vowelless)
-    val num = greatest(lit(390L) * w * w + lit(11800L) * y * s - lit(15590L) * w * s, lit(0L))
-    val den = w * s
-    val fkMilli = when(den === 0, lit(0L)).otherwise((num - num % den) / den).cast("long")
-    struct(w.as("n_words"), s.as("n_sentences"), y.as("n_syllables"),
-      fkMilli.as("fk_milli"))
-  }
+  def readabilityStats(c: Column): Column = fromExpr(ReadabilityExpr(toExpr(c)))
 
   // ------------------------------------- denoising-objective preparation
 
@@ -506,31 +491,8 @@ object gf {
    * mask. Struct: (input, target, n_masked). Row-local HOFs over
    * bounded block lists; no UDF, no shuffle.
    */
-  def spanCorrupt(id: Column, text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val n = when(length(trim(text)) === 0, lit(0)).otherwise(size(toks))
-    val nBlocks = ceil(n.cast("double") / 10).cast("int")
-    val blocks = sequence(lit(0), greatest(nBlocks - 1, lit(0)))
-    def masked(b: Column): Column =
-      pmod(polyFingerprint(concat(id.cast("string"), lit(":sc:"), b.cast("string"))),
-        lit(4L)) === 0 && (b * 10 + 10) <= n
-    def sentinel(b: Column): Column = concat(lit("<x_"), b.cast("string"), lit(">"))
-    val inputArr = flatten(transform(blocks, b =>
-      when(masked(b),
-        concat(slice(toks, b * 10 + 1, lit(7)), array(sentinel(b))))
-        .otherwise(slice(toks, b * 10 + 1, lit(10)))))
-    val targetArr = flatten(transform(blocks, b =>
-      when(masked(b),
-        concat(array(sentinel(b)), slice(toks, b * 10 + 8, lit(3))))
-        .otherwise(array().cast("array<string>"))))
-    val nMasked = size(filter(blocks, b => masked(b))).cast("long")
-    when(n === 0,
-      struct(lit("").as("input"), lit("").as("target"), lit(0L).as("n_masked")))
-      .otherwise(struct(
-        array_join(inputArr, " ").as("input"),
-        array_join(targetArr, " ").as("target"),
-        nMasked.as("n_masked")))
-  }
+  def spanCorrupt(id: Column, text: Column): Column =
+    fromExpr(SpanCorruptExpr(toExpr(id.cast("string")), toExpr(text)))
 
   // ---------------------------------------------------- Luhn / credit cards
 

@@ -222,3 +222,222 @@ object TextStatsExpr {
     new GenericInternalRow(Array[Any](nChars, nAlpha, nPunct, nTokens, stopHits, charSum))
   }
 }
+
+/**
+ * Flesch-Kincaid readability counts in ONE regex-free codegen'd pass —
+ * the expression form of [[gf.readabilityStats]]. The composed Column
+ * form ran three regexp_extract_all scans plus an rlike under a
+ * higher-order filter; HigherOrderFunction bodies evaluate interpreted
+ * and defeat subexpression elimination (the TextStatsExpr lesson),
+ * measured as q_readability costing 6x a comparable single-pass scan.
+ *
+ * Field semantics are BIT-IDENTICAL to the replaced Column form (and
+ * the q_readability DuckDB oracle):
+ *  - n_words     = size(split(trim(lower(text)), "\\s+")), 0 for
+ *                  space-trim-empty text (split keeps empty end tokens —
+ *                  see TextStatsExpr.n_tokens)
+ *  - n_sentences = max(1, count of [.!?]+ runs over the RAW text),
+ *                  0 when empty
+ *  - n_syllables = count of [aeiouy]+ runs over lower(text) plus one per
+ *                  token containing NO vowel (empty end tokens included,
+ *                  exactly like filter(toks, !rlike) counted them)
+ *  - fk_milli    = max(0, 390W² + 11800YS − 15590WS) / (W·S), truncated
+ */
+case class ReadabilityExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ReadabilityExpr.Schema
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"readability needs string, got $other")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    ReadabilityExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ReadabilityExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "readability"
+}
+
+object ReadabilityExpr {
+  import Chars.{isJavaWs => isTokenSep}
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("n_syllables", LongType, nullable = false),
+    StructField("fk_milli", LongType, nullable = false)))
+
+  /** Called from generated code. */
+  def compute(s: UTF8String): InternalRow = {
+    // sentence runs over the RAW text ([.!?] is case-blind anyway)
+    val raw = s.toString
+    var sRuns = 0L
+    var inSRun = false
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      val isS = c == '.' || c == '!' || c == '?'
+      if (isS) { if (!inSRun) { sRuns += 1; inSRun = true } }
+      else inSRun = false
+      i += 1
+    }
+    // token + vowel walk over trim(lower(text)) — same space-only trim
+    // and lowercase as the Column form. Vowel classes are ASCII chars,
+    // so charAt stepping is safe (surrogates are never ASCII).
+    val str = s.toLowerCase.trim().toString
+    if (str.isEmpty)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L))
+    var nTokens = 1L; var vowelless = 0L; var vowelGroups = 0L
+    var sawVowel = false; var inSep = false; var inVRun = false
+    var j = 0
+    while (j < str.length) {
+      val c = str.charAt(j)
+      if (isTokenSep(c)) {
+        if (!inSep) {
+          if (!sawVowel) vowelless += 1
+          sawVowel = false
+          nTokens += 1
+          inSep = true
+        }
+        inVRun = false
+      } else {
+        inSep = false
+        val isV = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+        if (isV) {
+          sawVowel = true
+          if (!inVRun) { vowelGroups += 1; inVRun = true }
+        } else inVRun = false
+      }
+      j += 1
+    }
+    // close the final token: a trailing separator run leaves a trailing
+    // EMPTY token (split keeps it), which counts as vowel-less
+    if (!inSep) { if (!sawVowel) vowelless += 1 }
+    else vowelless += 1
+    val w = nTokens
+    val sCnt = math.max(1L, sRuns)
+    val y = vowelGroups + vowelless
+    val num = math.max(0L, 390L * w * w + 11800L * y * sCnt - 15590L * w * sCnt)
+    val fk = num / (w * sCnt)
+    new GenericInternalRow(Array[Any](w, sCnt, y, fk))
+  }
+}
+
+/**
+ * T5 block-aligned span corruption in ONE codegen'd pass — the
+ * expression form of [[gf.spanCorrupt]] (whose HOF composition walked
+ * the token array under four interpreted LambdaFunctions per row).
+ * Semantics are BIT-IDENTICAL to the Column form and the
+ * q_span_corrupt oracle: tokens are split(trim(text), "\\s+") segments
+ * INCLUDING empty end tokens; block b of 10 masks its last 3 tokens
+ * behind sentinel `<x_b>` iff polyFingerprint(id:":sc:":b) % 4 == 0
+ * and the block is full; input/target are the flattened block pieces
+ * joined with single spaces.
+ */
+case class SpanCorruptExpr(idStr: Expression, text: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = idStr
+  override def right: Expression = text
+  override def dataType: DataType = SpanCorruptExpr.Schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    (idStr.dataType, text.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"span_corrupt needs (string, string), got $other")
+    }
+
+  protected override def nullSafeEval(id: Any, t: Any): Any =
+    SpanCorruptExpr.compute(id.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SpanCorruptExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(idStr = newLeft, text = newRight)
+  override def prettyName: String = "span_corrupt"
+}
+
+object SpanCorruptExpr {
+  import Chars.{isJavaWs => isSep}
+
+  val Schema: StructType = StructType(Seq(
+    StructField("input", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("n_masked", LongType, nullable = false)))
+
+  private def fp(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Called from generated code. */
+  def compute(id: UTF8String, text: UTF8String): InternalRow = {
+    val str = text.trim().toString
+    if (str.isEmpty)
+      return new GenericInternalRow(Array[Any](
+        UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8, 0L))
+    // split(trim, "\s+") with limit -1: segments between maximal \s runs,
+    // keeping empty tokens at both ends
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder()
+    var inSep = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (isSep(c)) {
+        if (!inSep) { toks += sb.toString; sb.setLength(0); inSep = true }
+      } else { inSep = false; sb.append(c) }
+      i += 1
+    }
+    toks += sb.toString
+    val n = toks.length
+    val idS = id.toString
+    val input = new java.lang.StringBuilder()
+    val target = new java.lang.StringBuilder()
+    var nMasked = 0L
+    // element COUNTS, not buffer lengths: array_join puts a separator
+    // between every pair of elements even when one is the empty token
+    var inCount = 0; var tgtCount = 0
+    def appendTok(out: java.lang.StringBuilder, t: String): Unit = {
+      val c = if (out eq input) inCount else tgtCount
+      if (c > 0) out.append(' ')
+      out.append(t)
+      if (out eq input) inCount += 1 else tgtCount += 1
+    }
+    val nBlocks = (n + 9) / 10
+    var b = 0
+    while (b < nBlocks) {
+      val start = b * 10
+      val full = start + 10 <= n
+      val masked = full && fp(idS + ":sc:" + b) % 4L == 0L
+      if (masked) {
+        nMasked += 1
+        val sentinel = "<x_" + b + ">"
+        var k = start
+        while (k < start + 7) { appendTok(input, toks(k)); k += 1 }
+        appendTok(input, sentinel)
+        appendTok(target, sentinel)
+        k = start + 7
+        while (k < start + 10) { appendTok(target, toks(k)); k += 1 }
+      } else {
+        var k = start
+        val end = math.min(start + 10, n)
+        while (k < end) { appendTok(input, toks(k)); k += 1 }
+      }
+      b += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(input.toString),
+      UTF8String.fromString(target.toString), nMasked))
+  }
+}

@@ -55,7 +55,7 @@ object FuzzyJoin {
 
     // prefix tokens of one side: rank the record's tokens rare-first,
     // keep the first n - ceil(tau*n) + 1
-    def prefixTokens(side: DataFrame, id: String, ts: String): DataFrame = {
+    def prefixTokens(side: DataFrame, id: String, ts: String, sz: String): DataFrame = {
       val ranked = side.select(col(id), explode(col(ts)).as("t"))
         .join(freq, "t")
         .groupBy(col(id))
@@ -63,11 +63,18 @@ object FuzzyJoin {
       val n = size(col("_st"))
       val keep = n - floor((n * num + (den - 1)) / den).cast("int") + 1
       ranked
-        .select(col(id), explode(slice(transform(col("_st"), s => s("t")), lit(1), keep)).as("t"))
+        .select(col(id), n.as(sz),
+          explode(slice(transform(col("_st"), s => s("t")), lit(1), keep)).as("t"))
     }
 
-    val cands = prefixTokens(l, "_ida", "_ta")
-      .join(prefixTokens(r, "_idb", "_tb"), "t")
+    // length filter (Arasu et al. VLDB'06): J >= tau forces
+    // tau <= |A|/|B| <= 1/tau — prunes candidate pairs BEFORE the
+    // distinct/verify exchanges, which is what bounds the blowup when a
+    // hot token lands in many prefixes
+    val cands = prefixTokens(l, "_ida", "_ta", "_na")
+      .join(prefixTokens(r, "_idb", "_tb", "_nb"), "t")
+      .where(col("_na") * num <= col("_nb") * den &&
+        col("_nb") * num <= col("_na") * den)
       .select(col("_ida"), col("_idb"))
       .distinct()
 
