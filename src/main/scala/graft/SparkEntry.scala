@@ -1465,6 +1465,24 @@ object SparkEntry {
       // two-proportion z-test: even/odd user split, conversion = purchase
       graft.operators.Stats.twoProportionZ(events(s, dir),
         col("user_id"), col("user_id") % 2, col("event_type") === "purchase")),
+    "q_ks_drift" -> ((s, dir) =>
+      // two-sample KS distance between doc-id halves over length — the
+      // drift monitor as an exact integer rational (see Stats.ksDistance)
+      graft.operators.Stats.ksDistance(tbl(s, dir, "documents"),
+        col("n_chars"), col("doc_id"))),
+    "q_winsorize" -> ((s, dir) => {
+      // exact-permille price clipping ([1%, 99%] bounds from the true
+      // sorted order via two-phase rank), rolled up per return flag
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("_k", col("l_orderkey") * 10 + col("l_linenumber"))
+      graft.operators.Calibration
+        .winsorize(li, cents(col("l_extendedprice")), "_k", 10, 990, "c_clip")
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("clipped"), 1)).as("n_clipped"),
+          sum(col("c_clip")).as("sum_clip_c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q_knn_classify" -> ((s, dir) => {
       // label propagation: first 100 vectors act as the hand-labeled seed
       // set, the rest get 5-NN majority labels
@@ -3394,6 +3412,35 @@ object SparkEntry {
                                        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
                 END AS z
          FROM a, b""",
+    "q_ks_drift" ->
+      """WITH c AS (SELECT n_chars AS v, doc_id % 2 AS s, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY 1, 2),
+         g AS (SELECT v, CAST(sum(CASE WHEN s = 0 THEN n ELSE 0 END) AS BIGINT) AS a,
+                      CAST(sum(CASE WHEN s = 1 THEN n ELSE 0 END) AS BIGINT) AS b
+               FROM c GROUP BY v),
+         w AS (SELECT v, CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                      CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb FROM g),
+         t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM g)
+         SELECT na AS n_a, nb AS n_b,
+                CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+                CAST(na * nb AS BIGINT) AS ks_den,
+                round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / (na * nb), 6) AS ks
+         FROM w, t GROUP BY na, nb""",
+    "q_winsorize" ->
+      // bound VALUES at exact ranks are tie-order invariant, so the bare
+      // ORDER BY c row_number suffices
+      """WITH v AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem),
+         o AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS rk FROM v),
+         k AS (SELECT (10 * (count(*) - 1)) // 1000 AS klo,
+                      (990 * (count(*) - 1)) // 1000 AS khi FROM v),
+         b AS (SELECT (SELECT c FROM o, k WHERE rk = klo) AS lo,
+                      (SELECT c FROM o, k WHERE rk = khi) AS hi)
+         SELECT l_returnflag,
+                CAST(count(CASE WHEN c < lo OR c > hi THEN 1 END) AS BIGINT) AS n_clipped,
+                CAST(sum(least(greatest(c, lo), hi)) AS BIGINT) AS sum_clip_c,
+                count(*) AS n
+         FROM v, b GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_knn_classify" ->
       """WITH s AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS sv, label
                     FROM embeddings WHERE vec_id < 100),

@@ -60,4 +60,40 @@ object Calibration {
           .otherwise(lit(0.0)))
       .drop("_pid", "_opid", "_grp", "_off", "_n", "_rank0")
   }
+
+  /**
+   * Winsorization at EXACT permille bounds — the outlier-clipping step
+   * of feature/score preparation (a handful of absurd values otherwise
+   * own every mean and minmax-normalization). The bounds are the values
+   * at 0-based ranks `floor(loPermille·(n−1)/1000)` and
+   * `floor(hiPermille·(n−1)/1000)` of the EXACT sorted order — selected
+   * with Packing.globalRank (two-phase prefix sum, never a
+   * single-partition sort) and two rank-equality lookups; approximate
+   * percentiles (t-digest et al.) could not cross-engine match. The
+   * clip itself is a pure per-row codegen map against the two
+   * broadcast bounds.
+   *
+   * Returns (df + clipCol + clipped flag). `value` must be integer-typed
+   * (the cents convention — float quantiles don't replay).
+   */
+  def winsorize(df: DataFrame, value: Column, unique: String,
+                loPermille: Int, hiPermille: Int,
+                clipCol: String = "clipped_value"): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo <= hi <= 1000, got $loPermille/$hiPermille")
+    val keyed = df.withColumn("_wv", value.cast("long"))
+    val ranked = Packing.globalRank(
+      keyed.select(col(unique), col("_wv")), Seq(col("_wv")), unique, "_rank0")
+      .localCheckpoint(false)
+    val n = ranked.count()
+    require(n > 0, "winsorize needs a non-empty input")
+    val kLo = loPermille.toLong * (n - 1) / 1000L
+    val kHi = hiPermille.toLong * (n - 1) / 1000L
+    val lo = ranked.where(col("_rank0") === kLo).select(col("_wv")).head().getLong(0)
+    val hi = ranked.where(col("_rank0") === kHi).select(col("_wv")).head().getLong(0)
+    keyed
+      .withColumn(clipCol, least(greatest(col("_wv"), lit(lo)), lit(hi)))
+      .withColumn("clipped", col("_wv") < lo || col("_wv") > hi)
+      .drop("_wv")
+  }
 }

@@ -73,4 +73,40 @@ object Stats {
       round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
       when(se > 0, round((p1 - p2) / se, 6)).as("z"))
   }
+
+  /**
+   * Two-sample Kolmogorov-Smirnov distance over an INTEGER-valued column
+   * — the distribution-drift monitor between two corpus slices (old vs
+   * new crawl snapshot, train vs eval pool). KS = max |CDF_a − CDF_b|,
+   * held EXACT as the rational ks_num/ks_den: with per-value cumulative
+   * counts ca/cb and totals na/nb, ks_num = max |ca·nb − cb·na| and
+   * ks_den = na·nb — pure integers, no float CDF ever crosses an engine
+   * (PSI/KL, the common alternatives, need logs and can't do this).
+   *
+   * Scale: rows collapse to (value, side) counts map-side FIRST; the
+   * cumulative window then runs over the DISTINCT VALUE SUPPORT (one
+   * ordered task — bounded by value cardinality, not row count; bucket
+   * the column first if its support is unbounded). One output row.
+   */
+  def ksDistance(df: DataFrame, value: Column, side: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.where(value.isNotNull)
+      .groupBy(value.cast("long").as("_v"), (side.cast("long") % 2).as("_s"))
+      .agg(count(lit(1)).as("_n"))
+    val g = c.groupBy(col("_v")).agg(
+      sum(when(col("_s") === 0, col("_n")).otherwise(0L)).as("_a"),
+      sum(when(col("_s") === 1, col("_n")).otherwise(0L)).as("_b"))
+    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("_v"), sum(col("_a")).over(w).as("_ca"),
+      sum(col("_b")).over(w).as("_cb"))
+    val tot = g.agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("_ca") * col("_nb") - col("_cb") * col("_na")).as("_d"),
+        col("_na"), col("_nb"))
+      .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
+      .agg(max(col("_d")).as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        (col("n_a") * col("n_b")).as("ks_den"),
+        round(col("ks_num").cast("double") / (col("n_a") * col("n_b")), 6).as("ks"))
+  }
 }

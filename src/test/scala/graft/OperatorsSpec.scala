@@ -843,6 +843,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("ksDistance: exact rational KS over a known support") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // side 0: [1,1,2], side 1: [2,3] -> max |ca*nb - cb*na| at v=1:
+    // |2*2 - 0*3| = 4; den = 3*2 = 6
+    val df = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L)).toDF("v", "s")
+    val r = Stats.ksDistance(df, col("v"), col("s")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 4L, 6L)))
+    assert(r.getDouble(4) == 0.666667)
+  }
+
+  test("winsorize: exact permille bounds clip only the tails") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 0..99 plus outlier 1000: n=101, rank-1 bound = 1, rank-99 bound = 99
+    val df = ((0 to 99).map(_.toLong) :+ 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Calibration.winsorize(df, col("v"), "id", 10, 990, "cv")
+      .select("v", "cv", "clipped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.count(_._3) == 2)
+    assert(out.find(_._1 == 0L).get._2 == 1L)     // low tail raised
+    assert(out.find(_._1 == 1000L).get._2 == 99L) // high tail lowered
+    assert(out.filter(t => t._1 >= 1 && t._1 <= 99).forall(t => t._2 == t._1 && !t._3))
+  }
+
   test("fimTransform: pieces reassemble to the original, short texts pass through") {
     import org.apache.spark.sql.functions._
     import graft.functions.gf
