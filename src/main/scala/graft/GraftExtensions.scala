@@ -190,6 +190,8 @@ object GraftSqlFunctions {
       arity("gf_dup_line_fraction", 1)(es => x(gf.dupLineFraction(c(es(0)))))),
     ("gf_langid", "(text) -> string",
       arity("gf_langid", 1)(es => x(gf.langId(c(es(0)))))),
+    ("gf_canonicalize_url", "(url) -> string (dedup key: case/port/www/tracking/order/fragment collapse)",
+      arity("gf_canonicalize_url", 1)(es => x(gf.canonicalizeUrl(c(es(0)))))),
     ("gf_luhn_valid", "(text) -> boolean",
       arity("gf_luhn_valid", 1)(es => x(gf.luhnValid(c(es(0)))))),
     ("gf_scrub_credit_cards", "(text[, replacement]) -> string",

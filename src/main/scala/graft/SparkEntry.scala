@@ -1231,6 +1231,26 @@ object SparkEntry {
           gf.registeredDomain(col("host")).as("domain"))
         .orderBy(id)
     }),
+    "q_url_canonical" -> ((s, dir) => {
+      // canonicalization = the URL-dedup KEY: case, default ports, www,
+      // tracking params, param order, fragments and trailing slashes all
+      // collapse (see gf.canonicalizeUrl). Deterministic synthetic URLs
+      // exercise every rule; the gate verifies the NORMALIZER.
+      val id = col("doc_id")
+      val url = when(id % 4 === 0,
+          concat(lit("HTTPS://WWW.Shop"), id % 50,
+            lit(".COM:443/items/"), id, lit("/?utm_source=mail&b=2&a=1#top")))
+        .when(id % 4 === 1,
+          concat(lit("http://News"), id % 30,
+            lit(".example.com:8080/p/?z=9&fbclid=x&y=2")))
+        .when(id % 4 === 2,
+          concat(lit("https://cdn"), id % 20, lit(".io:80/")))
+        .otherwise(concat(lit("plain text "), id))
+      tbl(s, dir, "documents")
+        .select(id, url.as("url"))
+        .select(id, col("url"), gf.canonicalizeUrl(col("url")).as("canon"))
+        .orderBy(id)
+    }),
     "q_ccnet_buckets" -> ((s, dir) =>
       // CCNet §4.3 head/middle/tail: per-language perplexity tertiles via
       // the integer-bits LM proxy + stratified two-phase rank
@@ -2864,6 +2884,51 @@ object SparkEntry {
                        THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
                      WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
                      ELSE host END AS domain
+         FROM d ORDER BY doc_id"""
+    },
+    "q_url_canonical" -> {
+      val track = graft.functions.gf.TrackingParams
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH u AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0
+                         THEN 'HTTPS://WWW.Shop' || (doc_id % 50) || '.COM:443/items/'
+                              || doc_id || '/?utm_source=mail&b=2&a=1#top'
+                       WHEN doc_id % 4 = 1
+                         THEN 'http://News' || (doc_id % 30) || '.example.com:8080/p/?z=9&fbclid=x&y=2'
+                       WHEN doc_id % 4 = 2
+                         THEN 'https://cdn' || (doc_id % 20) || '.io:80/'
+                       ELSE 'plain text ' || doc_id END AS url
+           FROM documents),
+         c AS (SELECT doc_id, url,
+                      lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                      list_extract(string_split(
+                        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                        '@'), -1) AS hostport,
+                      regexp_replace(
+                        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                        '/$$', '') AS path,
+                      regexp_extract(url, '\\?([^#]*)', 1) AS query
+               FROM u),
+         d AS (SELECT doc_id, url, scheme, path,
+                      regexp_replace(lower(list_extract(string_split(hostport, ':'), 1)),
+                                     '^www\\.', '') AS host,
+                      regexp_extract(hostport, ':(\\d+)$$', 1) AS port,
+                      array_to_string(list_sort(list_filter(string_split(query, '&'),
+                        p -> p <> ''
+                          AND NOT starts_with(list_extract(string_split(p, '='), 1), 'utm_')
+                          AND NOT list_contains($track, list_extract(string_split(p, '='), 1)))),
+                        '&') AS qs
+               FROM c)
+         SELECT doc_id, url,
+                CASE WHEN scheme = '' THEN url
+                     ELSE scheme || '://' || host
+                          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443') THEN ''
+                                  ELSE ':' || port END
+                          || path
+                          || CASE WHEN coalesce(qs, '') = '' THEN '' ELSE '?' || qs END
+                END AS canon
          FROM d ORDER BY doc_id"""
     },
     "q_ccnet_buckets" ->

@@ -359,6 +359,48 @@ object gf {
     lower(element_at(split(noUser, ":"), 1))
   }
 
+  /** Tracking-parameter names dropped by [[canonicalizeUrl]]: the
+    * analytics params that fork otherwise-identical URLs (the #1 cause of
+    * spurious crawl "duplicates" that URL-keyed dedup then misses). */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+  /**
+   * URL canonicalization — the KEY every URL-level dedup / frequency-cap /
+   * blocklist join should group on (raw URLs fork on case, default ports,
+   * tracking params, fragments and trailing slashes). Canonical form:
+   * `scheme://host[:port]path[?sorted-params]` with scheme+host
+   * lowercased, a leading `www.` stripped, default ports (http:80,
+   * https:443) dropped, the fragment dropped, ONE trailing path slash
+   * stripped (root becomes empty), params whose name starts `utm_` or is
+   * in [[TrackingParams]] dropped, and the survivors byte-sorted (query
+   * order is almost never semantic; sorting is what makes `?a=1&b=2`
+   * and `?b=2&a=1` collide). Non-URLs (no scheme://) pass through
+   * unchanged. Pure built-ins — regexp_extract / filter / array_sort —
+   * so it replays 1:1 in the SQL oracle and stays row-local at any scale.
+   */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(regexp_extract(c, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth = regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    val noUser = element_at(split(auth, "@"), -1)
+    val host0 = lower(element_at(split(noUser, ":"), 1))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val port = regexp_extract(noUser, ":(\\d+)$", 1)
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || defaultPort, lit("")).otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = regexp_replace(path0, "/$", "")
+    val query = regexp_extract(c, "\\?([^#]*)", 1)
+    val keep = filter(split(query, "&"), p => {
+      val name = element_at(split(p, "="), 1)
+      p =!= "" && !name.startsWith("utm_") && !name.isin(TrackingParams: _*)
+    })
+    val sortedQ = array_join(array_sort(keep), "&")
+    val queryPart = when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))
+    when(scheme === "", c)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
   /** eTLD+1 ("registered domain") of a host: last two labels, or last three
     * when the last two are a multi-part public suffix — the unit every
     * crawl-curation domain blocklist/frequency cap keys on (C4's and

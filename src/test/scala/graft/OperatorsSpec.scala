@@ -843,6 +843,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("canonicalizeUrl: case/port/www/tracking/order/fragment all collapse") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    import spark.implicits._
+    val df = Seq(
+      (1, "HTTPS://WWW.EXAMPLE.COM:443/a/?utm_source=x&b=2&a=1#f"),
+      (2, "http://example.com:8080/"),
+      (3, "https://example.com:80/x"),     // non-default port survives
+      (4, "not a url"),
+      (5, "http://user:pw@Host.com/p?fbclid=1&ref=z"),
+      (6, "https://example.com/?b=2&a=1"),
+      (7, "https://example.com/?a=1&b=2")  // same canon as (6)
+    ).toDF("id", "u")
+    val out = df.select(col("id"), gf.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "https://example.com/a?a=1&b=2")
+    assert(out(2) == "http://example.com:8080")
+    assert(out(3) == "https://example.com:80/x")
+    assert(out(4) == "not a url")
+    assert(out(5) == "http://host.com/p")
+    assert(out(6) == "https://example.com?a=1&b=2")
+    assert(out(6) == out(7))
+  }
+
   test("ksDistance: exact rational KS over a known support") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
