@@ -849,6 +849,10 @@ object SparkEntry {
       graft.operators.TfIdf.topTerms(tbl(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("term"))
     }),
+    "q_ctfidf" -> ((s, dir) =>
+      // c-TF-IDF topic descriptors: top-10 characteristic terms per
+      // language slice (see TfIdf.classTopTerms)
+      graft.operators.TfIdf.classTopTerms(tbl(s, dir, "documents"), "lang", "text", 10)),
     "q_heavy_hitters" -> ((s, dir) => {
       // two-pass Misra-Gries sketch -> exact recount; output is EXACT, so
       // the oracle is the plain frequency threshold
@@ -2403,6 +2407,24 @@ object SparkEntry {
          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                 round(score, 6) AS score
          FROM r WHERE rk <= 3 ORDER BY doc_id, term""",
+    "q_ctfidf" ->
+      """WITH toks AS (SELECT lang,
+                         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
+                       FROM documents),
+         tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2),
+         ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tt,
+                        CAST(count(DISTINCT lang) AS BIGINT) AS nc FROM tf),
+         sc AS (SELECT tf.lang, tf.term, tf.tf, ft.ft,
+                       tf.tf::DOUBLE * (tt::DOUBLE / nc::DOUBLE + 1.0)
+                         / (ft.ft + 1)::DOUBLE AS score
+                FROM tf JOIN ft USING (term) CROSS JOIN tot),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                            ORDER BY score DESC, term) AS rk FROM sc)
+         SELECT lang, term, tf, ft, round(score, 6) AS score,
+                CAST(rk AS BIGINT) AS rank
+         FROM r WHERE rk <= 10 ORDER BY lang, rank""",
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS token
                        FROM documents),

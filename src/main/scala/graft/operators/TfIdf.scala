@@ -69,4 +69,40 @@ object TfIdf {
       .select(col("_id").as(id), col("term"), col("tf"), col("df"),
         round(col("score"), 6).as("score"))
   }
+
+  /**
+   * Class-based TF-IDF (c-TF-IDF, Grootendorst 2022 — BERTopic's topic
+   * descriptor): treat each CLASS (topic / source / language) as one
+   * concatenated pseudo-document and rank the terms that characterize it
+   * — the label-card generator for corpus slices. Score is
+   * `tf_{t,c} · (A + 1)/(f_t + 1)` with A = mean tokens per class and
+   * f_t = corpus frequency of t — the paper's `log(1 + A/f_t)` with the
+   * log dropped: log is monotone, so per-class ranks are unchanged, and
+   * the remaining ops (one division chain over exact integer counts) are
+   * IEEE-exact cross-engine where libm `ln` is not (the topTerms
+   * rationale).
+   *
+   * Scale: class-level tf is ONE map-side-combined aggregate (the
+   * class×vocab table is tiny however big the corpus); f_t and the
+   * totals fold from tf, never rescanning text; per-class top-k is a
+   * WindowGroupLimit over class partitions.
+   */
+  def classTopTerms(df: DataFrame, cls: String, text: String, k: Int): DataFrame = {
+    val toks = df.select(col(cls).as("_cls"), explode(gf.tokens(col(text))).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col("_cls"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("ft"))
+    val tot = tf.agg(sum(col("tf")).as("_tt"), countDistinct(col("_cls")).as("_nc"))
+    val scored = tf.join(ft, Seq("term")).crossJoin(broadcast(tot))
+      .withColumn("score", col("tf").cast("double") *
+        (col("_tt").cast("double") / col("_nc").cast("double") + 1.0) /
+        (col("ft") + 1).cast("double"))
+    val w = Window.partitionBy(col("_cls")).orderBy(desc("score"), asc("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("_cls").as(cls), col("term"), col("tf"), col("ft"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy(col(cls), col("rank"))
+  }
 }

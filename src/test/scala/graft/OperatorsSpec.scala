@@ -843,6 +843,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("classTopTerms: discriminative terms rank first per class") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("A", "apple apple banana"), ("B", "cherry banana")).toDF("cls", "text")
+    val out = TfIdf.classTopTerms(df, "cls", "text", 1)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(4))))
+      .toMap
+    // A=2.5 mean tokens/class: apple = 2*(2.5+1)/(2+1) = 2.333333;
+    // cherry = 1*(3.5)/(1+1) = 1.75; banana (shared) loses in both
+    assert(out("A") == (("apple", 2.333333)))
+    assert(out("B") == (("cherry", 1.75)))
+  }
+
   test("canonicalizeUrl: case/port/www/tracking/order/fragment all collapse") {
     import org.apache.spark.sql.functions._
     import graft.functions.gf
