@@ -205,6 +205,13 @@ object SparkEntry {
         // halve the corpus, which is a corpus property, not a signal)
         gf.gopherKeep(col("text")).cast("long").as("gopher_ok"),
         gf.c4Keep(col("text")).cast("long").as("c4_ok"),
+        // round-10 signals: curriculum difficulty (FK milli-grade), the
+        // denoising-objective mask volume this corpus would yield, and a
+        // PII-hygiene rate (Luhn-valid card numbers, not just digit runs)
+        gf.readabilityStats(col("text")).getField("fk_milli").as("fk"),
+        gf.spanCorrupt(col("doc_id"), col("text")).getField("n_masked").as("masked"),
+        gf.luhnValid(regexp_extract(col("text"),
+          gf.CardCandidatePattern, 0)).cast("long").as("has_cc"),
         coalesce(col("coeff"), lit(0.0)).as("coeff"),
         coalesce(col("ppr"), lit(0L)).as("ppr"))
       .groupBy(col("src_class"), col("lang").as("key"))
@@ -218,6 +225,9 @@ object SparkEntry {
         round(avg(col("gopher_ok")), 4).as("gopher_keep_rate"),
         round(avg(col("c4_ok")), 4).as("c4_keep_rate"),
         round(avg(col("coeff")), 4).as("avg_dup_clustering"),
+        round(avg(col("fk").cast("double")), 1).as("avg_fk_milli"),
+        sum(col("masked")).as("span_masked_blocks"),
+        round(avg(col("has_cc").cast("double")), 4).as("cc_rate"),
         sum(col("ppr")).as("seed_proximity_mass"))
       .orderBy(desc("count"), col("src_class"), col("key"))
   }
