@@ -1245,6 +1245,18 @@ object SparkEntry {
           gf.registeredDomain(col("host")).as("domain"))
         .orderBy(id)
     }),
+    "q_robots" -> ((s, dir) => {
+      // robots.txt politeness filter for the crawl stack: the fixture's
+      // graftbot group exercises longest-match, Allow-over-Disallow,
+      // and the unmatched-:-allowed default (see operators/Robots)
+      val rules = graft.operators.Robots.parse(RobotsFixture, "graftbot")
+      val id = col("doc_id")
+      val path = robotsPathCol(id)
+      tbl(s, dir, "documents")
+        .select(id, path.as("path"),
+          graft.operators.Robots.allowedCol(path, rules).as("allowed"))
+        .orderBy(id)
+    }),
     "q_url_canonical" -> ((s, dir) => {
       // canonicalization = the URL-dedup KEY: case, default ports, www,
       // tracking params, param order, fragments and trailing slashes all
@@ -1679,6 +1691,27 @@ object SparkEntry {
     * round (degree count → keep set → edge restriction), the pageRank
     * chained-CTE pattern. Edge list = the minSupport-30 supplier
     * co-occurrence graph (shared with q_clustering_coeff). */
+  /** q_robots fixture: specific group beats `*`, longest prefix wins,
+    * Allow beats Disallow on ties, `/private` (no slash) falls through. */
+  private val RobotsFixture: String =
+    """# crawl policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/press/
+      |Disallow: /tmp
+      |Crawl-delay: 2
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  private def robotsPathCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id % 5 === 0, concat(lit("/private/press/item"), id))
+      .when(id % 5 === 1, concat(lit("/private/doc"), id))
+      .when(id % 5 === 2, concat(lit("/tmp/cache"), id))
+      .when(id % 5 === 3, concat(lit("/public/page"), id))
+      .otherwise(concat(lit("/private"), id))
+
   /** q_label_prop oracle: the identical synchronous rounds as a finite
     * MATERIALIZED CTE chain (the kCoreOracleSql pattern — each l_i is
     * referenced twice by round i+1). */
@@ -2917,6 +2950,22 @@ object SparkEntry {
                      WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
                      ELSE host END AS domain
          FROM d ORDER BY doc_id"""
+    },
+    "q_robots" -> {
+      // the CASE chain is rendered from the SAME parsed+sorted rule table
+      // the engine evaluates (the MojibakeRepair oracle pattern)
+      val rules = graft.operators.Robots.parse(RobotsFixture, "graftbot")
+      s"""WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN '/private/press/item' || doc_id
+                       WHEN doc_id % 5 = 1 THEN '/private/doc' || doc_id
+                       WHEN doc_id % 5 = 2 THEN '/tmp/cache' || doc_id
+                       WHEN doc_id % 5 = 3 THEN '/public/page' || doc_id
+                       ELSE '/private' || doc_id END AS path
+           FROM documents)
+         SELECT doc_id, path,
+                ${graft.operators.Robots.sqlOracle("path", rules)} AS allowed
+         FROM p ORDER BY doc_id"""
     },
     "q_url_canonical" -> {
       val track = graft.functions.gf.TrackingParams

@@ -843,6 +843,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("Robots: group selection, longest-match, allow-tie, wildcard-group fallback") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /a/
+        |Allow: /a/ok/
+        |Disallow:
+        |Disallow: /b*  # wildcard rule: skipped (optional REP feature)
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val rules = Robots.parse(txt, "GraftBot")  // agent match is case-blind
+    assert(rules == Seq(("/a/ok/", true), ("/a/", false)))
+    // unknown agent falls back to the * group
+    assert(Robots.parse(txt, "otherbot") == Seq(("/", false)))
+    val df = Seq("/a/ok/x", "/a/secret", "/b9", "/c").toDF("p")
+    val out = df.select(col("p"), Robots.allowedCol(col("p"), rules).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("/a/ok/x" -> true, "/a/secret" -> false,
+      "/b9" -> true, "/c" -> true))
+  }
+
   test("classTopTerms: discriminative terms rank first per class") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
