@@ -55,7 +55,14 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
       d.docType.getOrElse {
         val id = d.docId.toLowerCase
         val dot = id.lastIndexOf('.')
-        if (dot < 0) "" else id.substring(dot + 1)
+        val ext = if (dot < 0) "" else id.substring(dot + 1)
+        // EXTENSION-LESS payloads (WARC bodies, CDN download URLs) fall
+        // back to magic-byte sniffing before the unsupported_format
+        // marker fires; an explicit unknown extension keeps the marker —
+        // the caller named the format, second-guessing it hides mistakes
+        if (ext.nonEmpty) ext
+        else d.binaryRepresentation.map(graft.operators.Sniff.sniff)
+          .filter(_.nonEmpty).getOrElse("")
       }
     it.map { d =>
       formatOf(d) match {

@@ -843,6 +843,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("Sniff: magic bytes identify extension-less payloads") {
+    assert(Sniff.sniff("%PDF-1.4\n".getBytes("ISO-8859-1")) == "pdf")
+    assert(Sniff.sniff("WEBVTT\n\n00:01 --> 00:02".getBytes) == "vtt")
+    assert(Sniff.sniff("  <!DOCTYPE HTML><html><p>x</p>".getBytes) == "html")
+    assert(Sniff.sniff("<HTML><body>y".getBytes) == "html")
+    assert(Sniff.sniff("plain prose, no markup at all.".getBytes) == "text")
+    assert(Sniff.sniff(Array[Byte](0, 1, 2, 3, 0, 1, 2, 3)) == "")
+    // minimal ZIPs: magic + entry name decides the OOXML flavor
+    def zipWith(entry: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry(entry))
+      z.write("x".getBytes); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    assert(Sniff.sniff(zipWith("word/document.xml")) == "docx")
+    assert(Sniff.sniff(zipWith("ppt/presentation.xml")) == "pptx")
+    assert(Sniff.sniff(zipWith("data/other.bin")) == "")
+  }
+
+  test("partitionAuto sniffs extension-less documents before giving up") {
+    val doc = graft.model.Document.of("crawl-payload-123")  // no extension
+      .copy(binaryRepresentation = Some("<html><p>hello sniffed world</p></html>".getBytes))
+    val out = DocSet.of(spark, Seq(doc)).partitionAuto().takeAll()
+    assert(out.head.elements.nonEmpty, "html content must partition via sniffing")
+    assert(!out.head.properties.contains("unsupported_format"))
+    val junk = graft.model.Document.of("blob-9")
+      .copy(binaryRepresentation = Some(Array[Byte](0, 1, 2, 3)))
+    val out2 = DocSet.of(spark, Seq(junk)).partitionAuto().takeAll()
+    assert(out2.head.prop("unsupported_format").contains("unknown"))
+  }
+
   test("Robots: group selection, longest-match, allow-tie, wildcard-group fallback") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
