@@ -497,6 +497,15 @@ object gf {
    */
   def readabilityStats(c: Column): Column = fromExpr(ReadabilityExpr(toExpr(c)))
 
+  // -------------------------------------------------- quantile sketch
+
+  /** One-pass mergeable ε-approximate quantiles of an int64 column (see
+    * QuantileSummaryAgg) — returns array<long> aligned with `permilles`.
+    * Sketch path: use when quantiles feed monitoring/heuristics; use
+    * Packing.rankBins / Calibration.winsorize when they must be exact. */
+  def approxQuantiles(c: Column, permilles: Seq[Int], k: Int = 256): Column =
+    fromExpr(QuantileSummaryAgg(toExpr(c), k, permilles).toAggregateExpression())
+
   // ------------------------------------- denoising-objective preparation
 
   /**

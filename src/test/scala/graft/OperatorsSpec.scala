@@ -843,6 +843,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).contains((2L, 4.0, 0.5)))
   }
 
+  test("approxQuantiles: rank error under 1% across partitioned merges") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    import spark.implicits._
+    // a skewed distribution (squares) over many partitions forces real
+    // partial-aggregate merges; k=256 must hold every permille within 1%
+    val n = 20000
+    val vals = (0 until n).map(i => (i.toLong * i.toLong) % 1000003L)
+    val sorted = vals.sorted
+    val df = vals.toDF("v").repartition(17)
+    val ps = Seq(10, 250, 500, 750, 990)
+    val got = df.agg(gf.approxQuantiles(col("v"), ps).as("q"))
+      .head().getSeq[Long](0)
+    ps.zip(got).foreach { case (p, est) =>
+      val trueRank = sorted.search(est) match {
+        case scala.collection.Searching.Found(i) => i
+        case scala.collection.Searching.InsertionPoint(i) => i
+      }
+      val target = p.toLong * (n - 1) / 1000
+      assert(math.abs(trueRank - target) <= n / 100,
+        s"p$p: est $est at rank ~$trueRank, target rank $target")
+    }
+  }
+
   test("Sniff: magic bytes identify extension-less payloads") {
     assert(Sniff.sniff("%PDF-1.4\n".getBytes("ISO-8859-1")) == "pdf")
     assert(Sniff.sniff("WEBVTT\n\n00:01 --> 00:02".getBytes) == "vtt")
