@@ -83,6 +83,37 @@ object ScaleProbe {
         d => graft.operators.QualityClassifier.marginMicros(d, "text", coef, 42L)
       })
 
+    // round-10b additions (section "r10b"): the session's new operators.
+    // fuzzy_join salts every shingle with the replica id — replicas are
+    // text-identical by construction, so unsalted sets would make the
+    // OUTPUT grow K-fold-per-record (real duplicates, not machinery); the
+    // salt keeps matches within-replica so the ratio isolates the
+    // prefix-filter/verify machinery at Kx records
+    val opsR10b: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "fuzzy_join_sh" -> { d =>
+        val rep = (col("doc_id") / 1000000000L).cast("long").cast("string")
+        val sh = transform(
+          gf.wordShingles(array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 12), " "), 2),
+          s => concat(rep, lit(":"), s))
+        val t = d.select(col("doc_id"), sh.as("ts"))
+        graft.operators.FuzzyJoin.jaccardJoin(
+          t.where(col("doc_id") % 2 === 0), t.where(col("doc_id") % 2 === 1),
+          "doc_id", "ts", 1, 2)
+      },
+      "sorted_blocking" -> (d => graft.operators.Blocking.sortedNeighborhood(
+        d, "doc_id", lower(substring(col("text"), 1, 20)), window = 2)),
+      "readability_prep" -> (d => d.select(col("doc_id"),
+        gf.readabilityStats(col("text")).getField("fk_milli").as("fk"),
+        gf.spanCorrupt(col("doc_id"), col("text")).getField("n_masked").as("nm"),
+        gf.luhnValid(col("text")).as("lv"),
+        gf.fimTransform(col("doc_id"), col("text")).as("fim"))),
+      "ctfidf" -> (d => graft.operators.TfIdf.classTopTerms(d, "lang", "text", 10)),
+      "ks_drift" -> (d => graft.operators.Stats.ksDistance(d, col("n_chars"), col("doc_id"))),
+      "winsorize" -> (d => graft.operators.Calibration.winsorize(
+        d, col("n_chars"), "doc_id", 10, 990)),
+      "temperature_mix" -> (d => graft.operators.Sampling.temperatureMixture(
+        d, "doc_id", "lang", budgetDocs = 1000L, alphaQuarters = 2, salt = "sp")))
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -103,8 +134,13 @@ object ScaleProbe {
     // second K without re-timing the whole suite
     val sections = sys.env.get("SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("core", "graph", "events", "ingest", "ann"))
+      .getOrElse(Set("core", "graph", "events", "ingest", "ann", "r10b"))
     if (sections("core")) ops.foreach { case (name, f) =>
+      val t1 = measure(f, small)
+      val tk = measure(f, big)
+      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+    if (sections("r10b")) opsR10b.foreach { case (name, f) =>
       val t1 = measure(f, small)
       val tk = measure(f, big)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
