@@ -1544,6 +1544,36 @@ object SparkEntry {
       Ann.hardNegatives(emb.where(col("vec_id") < 8), emb,
         "vec_id", "embedding", "label", k = 5)
     }),
+    "q_retrieval_metrics" -> ((s, dir) => {
+      // retrieval eval over a self-labeled ground truth: 8 query vectors,
+      // brute-force cosine ranking as the "retriever", same-label docs as
+      // the judged-relevant set; hit/recall/precision@5 + MRR are ratios
+      // of exact integers (RetrievalEval.retrievalMetrics)
+      import org.apache.spark.sql.expressions.Window
+      val emb = tbl(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"), col("label").as("qlbl"))
+      val cands = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("cv"), col("label").as("clbl"))
+      val scored = cands.crossJoin(broadcast(anchors))
+        .select(col("query_id"), col("doc_id"), col("qlbl"), col("clbl"),
+          round(gf.cosineSimilarity(col("qv"), col("cv")), 6).as("cos"))
+        .localCheckpoint(false) // feeds retrieved AND relevant
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("doc_id"))
+      val retrieved = scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val relevant = scored.where(col("qlbl") === col("clbl"))
+        .select(col("query_id"), col("doc_id"))
+      graft.eval.RetrievalEval.retrievalMetrics(retrieved, relevant, 5)
+        .select(col("query_id"), col("n_hits"), col("n_relevant"),
+          round(col("recall_at_5"), 6).as("recall_at_5"),
+          round(col("precision_at_5"), 6).as("precision_at_5"),
+          round(col("reciprocal_rank"), 6).as("reciprocal_rank"))
+        .orderBy(col("query_id"))
+    }),
     "q_label_prop" -> ((s, dir) => {
       // seeded min-label spread over the supplier co-occurrence graph:
       // every 25th node seeds its own id as label; 3 synchronous rounds
@@ -3619,6 +3649,30 @@ object SparkEntry {
                 CAST(rn AS BIGINT) AS rank
          FROM r WHERE rn <= 5 ORDER BY anchor_id, rank""",
     "q_label_prop" -> labelPropOracleSql(rounds = 3, minSupport = 30, seedMod = 25),
+    "q_retrieval_metrics" ->
+      """WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlbl
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS cv, label AS clbl
+               FROM embeddings),
+         sc AS (SELECT qid, did, qlbl, clbl,
+                       round(list_cosine_similarity(qv, cv), 6) AS cos
+                FROM c, a),
+         r AS (SELECT qid, did, qlbl, clbl,
+                      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+               FROM sc),
+         rel AS (SELECT qid, did FROM sc WHERE qlbl = clbl),
+         relc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY qid),
+         hits AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS n_hits,
+                         CAST(min(r.rank) AS BIGINT) AS fhr
+                  FROM r JOIN rel ON r.qid = rel.qid AND r.did = rel.did
+                  WHERE r.rank <= 5 GROUP BY r.qid)
+         SELECT relc.qid AS query_id,
+                CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, n_relevant,
+                round(COALESCE(n_hits, 0)::DOUBLE / least(n_relevant, 5), 6) AS recall_at_5,
+                round(COALESCE(n_hits, 0)::DOUBLE / 5, 6) AS precision_at_5,
+                round(CASE WHEN fhr IS NOT NULL THEN 1.0 / fhr ELSE 0.0 END, 6)
+                  AS reciprocal_rank
+         FROM relc LEFT JOIN hits ON relc.qid = hits.qid ORDER BY query_id""",
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
