@@ -1549,24 +1549,7 @@ object SparkEntry {
       // brute-force cosine ranking as the "retriever", same-label docs as
       // the judged-relevant set; hit/recall/precision@5 + MRR are ratios
       // of exact integers (RetrievalEval.retrievalMetrics)
-      import org.apache.spark.sql.expressions.Window
-      val emb = tbl(s, dir, "embeddings")
-      val anchors = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").cast("array<double>").as("qv"), col("label").as("qlbl"))
-      val cands = emb.select(col("vec_id").as("doc_id"),
-        col("embedding").cast("array<double>").as("cv"), col("label").as("clbl"))
-      val scored = cands.crossJoin(broadcast(anchors))
-        .select(col("query_id"), col("doc_id"), col("qlbl"), col("clbl"),
-          round(gf.cosineSimilarity(col("qv"), col("cv")), 6).as("cos"))
-        .localCheckpoint(false) // feeds retrieved AND relevant
-      val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("doc_id"))
-      val retrieved = scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 10)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val relevant = scored.where(col("qlbl") === col("clbl"))
-        .select(col("query_id"), col("doc_id"))
+      val (retrieved, relevant) = retrievalInputs(s, dir)
       graft.eval.RetrievalEval.retrievalMetrics(retrieved, relevant, 5)
         .select(col("query_id"), col("n_hits"), col("n_relevant"),
           round(col("recall_at_5"), 6).as("recall_at_5"),
@@ -1574,6 +1557,24 @@ object SparkEntry {
           round(col("reciprocal_rank"), 6).as("reciprocal_rank"))
         .orderBy(col("query_id"))
     }),
+    "q_ndcg" -> ((s, dir) => {
+      // nDCG@5 with driver-literalized micro-unit weights: all distributed
+      // math is int64 sums, only the final ratio divides (ndcgMicro)
+      val (retrieved, relevant) = retrievalInputs(s, dir)
+      graft.eval.RetrievalEval.ndcgMicro(retrieved, relevant, 5)
+        .orderBy(col("query_id"))
+    }),
+    "q_rouge_f1" -> ((s, dir) => {
+      // ROUGE-2 over deterministic generated/reference pairs (overlapping
+      // token windows of each doc) — clipped counts are exact integers
+      graft.eval.RetrievalEval.rougeN(rougeAnswers(s, dir), 2)
+        .orderBy(col("query_id"))
+    }),
+    "q_answer_f1" -> ((s, dir) =>
+      graft.eval.RetrievalEval.answerF1(rougeAnswers(s, dir))
+        .select(col("query_id"), round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+        .orderBy(col("query_id"))),
     "q_label_prop" -> ((s, dir) => {
       // seeded min-label spread over the supplier co-occurrence graph:
       // every 25th node seeds its own id as label; 3 synchronous rounds
@@ -1721,6 +1722,40 @@ object SparkEntry {
     * round (degree count → keep set → edge restriction), the pageRank
     * chained-CTE pattern. Edge list = the minSupport-30 supplier
     * co-occurrence graph (shared with q_clustering_coeff). */
+  /** Shared inputs of the retrieval-eval gates: brute-force cosine ranking
+    * of 8 anchor queries over the embeddings table (the "retriever") and
+    * the same-label ground truth. */
+  private def retrievalInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = tbl(s, dir, "embeddings")
+    val anchors = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"), col("label").as("qlbl"))
+    val cands = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("cv"), col("label").as("clbl"))
+    val scored = cands.crossJoin(broadcast(anchors))
+      .select(col("query_id"), col("doc_id"), col("qlbl"), col("clbl"),
+        round(gf.cosineSimilarity(col("qv"), col("cv")), 6).as("cos"))
+      .localCheckpoint(false) // feeds retrieved AND relevant
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("doc_id"))
+    val retrieved = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val relevant = scored.where(col("qlbl") === col("clbl"))
+      .select(col("query_id"), col("doc_id"))
+    (retrieved, relevant)
+  }
+
+  /** Deterministic generated/reference answer pairs for the ROUGE/F1
+    * gates: overlapping token windows of each document. */
+  private def rougeAnswers(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(gf.tokens(col("text")), x => length(x) > 0)
+    tbl(s, dir, "documents").select(col("doc_id").as("query_id"),
+      array_join(slice(toks, 1, 10), " ").as("generated"),
+      array_join(slice(toks, 3, 12), " ").as("reference"))
+  }
+
   /** q_robots fixture: specific group beats `*`, longest prefix wins,
     * Allow beats Disallow on ties, `/private` (no slash) falls through. */
   private val RobotsFixture: String =
@@ -3673,6 +3708,82 @@ object SparkEntry {
                 round(CASE WHEN fhr IS NOT NULL THEN 1.0 / fhr ELSE 0.0 END, 6)
                   AS reciprocal_rank
          FROM relc LEFT JOIN hits ON relc.qid = hits.qid ORDER BY query_id""",
+    "q_ndcg" -> {
+      // weight and ideal-prefix tables literalized from the SAME
+      // driver-side dcgWeightsMicro table the Spark plan carries
+      val w = graft.eval.RetrievalEval.dcgWeightsMicro(5)
+      val wl = w.mkString("[", ", ", "]")
+      val pl = w.scanLeft(0L)(_ + _).mkString("[", ", ", "]")
+      s"""WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlbl
+                     FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS cv, label AS clbl
+               FROM embeddings),
+         sc AS (SELECT qid, did, qlbl, clbl,
+                       round(list_cosine_similarity(qv, cv), 6) AS cos
+                FROM c, a),
+         r AS (SELECT qid, did, qlbl, clbl,
+                      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+               FROM sc),
+         rel AS (SELECT qid, did FROM sc WHERE qlbl = clbl),
+         relc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY qid),
+         dcg AS (SELECT r.qid, CAST(sum(($wl)[CAST(r.rank AS INT)]) AS BIGINT) AS dcg_micro
+                 FROM r JOIN rel ON r.qid = rel.qid AND r.did = rel.did
+                 WHERE r.rank <= 5 GROUP BY r.qid)
+         SELECT relc.qid AS query_id,
+                CAST(COALESCE(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+                round(COALESCE(dcg_micro, 0)::DOUBLE
+                      / ($pl)[CAST(least(n_relevant, 5) + 1 AS INT)], 6) AS ndcg_at_5
+         FROM relc LEFT JOIN dcg ON relc.qid = dcg.qid ORDER BY query_id"""
+    },
+    "q_rouge_f1" ->
+      """WITH tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                                   x -> length(x) > 0) AS toks
+                     FROM documents),
+         win AS (SELECT doc_id AS query_id, toks[1:10] AS gt, toks[3:14] AS rt FROM tk),
+         gr AS (SELECT query_id,
+                       CASE WHEN len(gt) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(gt)), i -> gt[i] || ' ' || gt[i+1])
+                       END AS gg,
+                       CASE WHEN len(rt) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(rt)), i -> rt[i] || ' ' || rt[i+1])
+                       END AS rg
+                FROM win),
+         ov AS (SELECT query_id, gg, rg,
+                       CAST(coalesce(list_sum(list_transform(list_distinct(gg),
+                         t -> least(len(list_filter(gg, y -> y = t)),
+                                    len(list_filter(rg, y -> y = t))))), 0) AS DOUBLE) AS o
+                FROM gr),
+         pr AS (SELECT query_id,
+                       CASE WHEN len(gg) > 0 THEN o / len(gg) ELSE 0.0 END AS p,
+                       CASE WHEN len(rg) > 0 THEN o / len(rg) ELSE 0.0 END AS r
+                FROM ov)
+         SELECT query_id, round(p, 6) AS rouge2_precision, round(r, 6) AS rouge2_recall,
+                round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6)
+                  AS rouge2_f1
+         FROM pr ORDER BY query_id""",
+    "q_answer_f1" ->
+      """WITH tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                                   x -> length(x) > 0) AS toks
+                     FROM documents),
+         win AS (SELECT doc_id AS query_id,
+                        coalesce(array_to_string(toks[1:10], ' '), '') AS g,
+                        coalesce(array_to_string(toks[3:14], ' '), '') AS r
+                 FROM tk),
+         st AS (SELECT query_id,
+                       list_distinct(regexp_split_to_array(trim(lower(g)), '[ \t\n\x0b\f\r]+')) AS gs,
+                       list_distinct(regexp_split_to_array(trim(lower(r)), '[ \t\n\x0b\f\r]+')) AS rs
+                FROM win),
+         ov AS (SELECT query_id, gs, rs,
+                       CAST(len(list_intersect(gs, rs)) AS DOUBLE) AS o FROM st),
+         pr AS (SELECT query_id,
+                       CASE WHEN len(gs) > 0 THEN o / len(gs) ELSE 0.0 END AS p,
+                       CASE WHEN len(rs) > 0 THEN o / len(rs) ELSE 0.0 END AS r
+                FROM ov)
+         SELECT query_id, round(p, 6) AS precision, round(r, 6) AS recall,
+                round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         FROM pr ORDER BY query_id""",
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

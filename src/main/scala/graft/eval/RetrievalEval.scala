@@ -81,6 +81,42 @@ object RetrievalEval {
           .as(s"ndcg_at_$k"))
   }
 
+  /** The micro-unit DCG weight table: round(1e6 / log2(rank+1)) for
+    * rank = 1..k. Computed ONCE on the driver and literalized into both
+    * the Spark plan and any SQL oracle — so the only log anywhere runs in
+    * one place, and all distributed math is exact int64 (libm log2 is
+    * engine-specific; summing doubles cross-engine cannot hash-match). */
+  def dcgWeightsMicro(k: Int): Array[Long] =
+    Array.tabulate(k)(r => Math.round(1e6 / (Math.log(r + 2.0) / Math.log(2.0))))
+
+  /** nDCG@k with integer micro-unit weights — same semantics as [[ndcg]]
+    * up to the 1e-6 weight quantization, but cross-engine EXACT: DCG and
+    * ideal-DCG are int64 sums over the broadcast weight table, and only
+    * the final ratio is floating (one deterministic division). */
+  def ndcgMicro(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"ndcgMicro needs k >= 1, got $k")
+    val w = dcgWeightsMicro(k)
+    val rel = relevant.select(col("query_id"), col("doc_id")).distinct()
+    val gain = element_at(lit(w), col("rank").cast("int"))
+    val dcg = retrieved.where(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(sum(gain).as("dcg_micro"))
+    val idcgTable = w.scanLeft(0L)(_ + _)
+    val idcg = element_at(lit(idcgTable),
+      (least(col("n_relevant"), lit(k.toLong)) + 1).cast("int"))
+    val qids = retrieved.select(col("query_id")).distinct()
+      .unionByName(rel.select(col("query_id"))).distinct()
+    qids
+      .join(rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant")),
+        Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        when(col("n_relevant").isNull, lit(0.0))
+          .otherwise(round(coalesce(col("dcg_micro"), lit(0L)).cast("double") / idcg, 6))
+          .as(s"ndcg_at_$k"))
+  }
+
   /** ROUGE-N recall/precision/F1 (n-gram overlap with CLIPPED counts — a
     * candidate n-gram matches at most as many times as it appears in the
     * reference, the standard Lin 2004 definition) between generated and
