@@ -131,8 +131,15 @@ object RetrievalEval {
       when(length(trim(c)) === 0 || size(gf.tokens(c)) < n,
         array().cast("array<string>"))
         .otherwise(gf.wordShingles(c, n))
-    val g = grams(col("generated"))
-    val r = grams(col("reference"))
+    // materialize the gram arrays behind a PROJECTION boundary before the
+    // lambda math: a HOF lambda body re-evaluates captured subexpressions
+    // on EVERY invocation, so referencing the raw shingle chain inside
+    // aggregate/filter re-tokenized the full text once per distinct gram
+    // (measured 9.7s on the gate; attribute references are free)
+    val pre = answers.select(col("query_id"),
+      grams(col("generated")).as("_g"), grams(col("reference")).as("_r"))
+    val g = col("_g")
+    val r = col("_r")
     // clipped overlap = sum over distinct grams of min(count_g, count_r);
     // aggregate over the distinct gram array with row-local count scans
     val overlap = aggregate(array_distinct(g), lit(0),
@@ -140,7 +147,7 @@ object RetrievalEval {
       .cast("double")
     val prec = when(size(g) > 0, overlap / size(g)).otherwise(lit(0.0))
     val rec = when(size(r) > 0, overlap / size(r)).otherwise(lit(0.0))
-    answers.select(col("query_id"),
+    pre.select(col("query_id"),
       round(prec, 6).as(s"rouge${n}_precision"),
       round(rec, 6).as(s"rouge${n}_recall"),
       round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
@@ -152,13 +159,16 @@ object RetrievalEval {
     * LLM-judge flavor plugs in as an llmMap over the same rows).
     * Input: answers(query_id, generated, reference). */
   def answerF1(answers: DataFrame): DataFrame = {
-    def toks(c: Column): Column = array_distinct(split(trim(lower(c)), "\\s+"))
-    val g = toks(col("generated"))
-    val r = toks(col("reference"))
+    def toksOf(c: Column): Column = array_distinct(split(trim(lower(c)), "\\s+"))
+    // projection boundary: same rationale as rougeN above
+    val pre = answers.select(col("query_id"),
+      toksOf(col("generated")).as("_g"), toksOf(col("reference")).as("_r"))
+    val g = col("_g")
+    val r = col("_r")
     val overlap = size(array_intersect(g, r)).cast("double")
     val prec = when(size(g) > 0, overlap / size(g)).otherwise(lit(0.0))
     val rec = when(size(r) > 0, overlap / size(r)).otherwise(lit(0.0))
-    answers.select(
+    pre.select(
       col("query_id"),
       prec.as("precision"),
       rec.as("recall"),
