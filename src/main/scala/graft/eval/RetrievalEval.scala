@@ -140,11 +140,10 @@ object RetrievalEval {
       grams(col("generated")).as("_g"), grams(col("reference")).as("_r"))
     val g = col("_g")
     val r = col("_r")
-    // clipped overlap = sum over distinct grams of min(count_g, count_r);
-    // aggregate over the distinct gram array with row-local count scans
-    val overlap = aggregate(array_distinct(g), lit(0),
-      (acc, t) => acc + least(size(filter(g, x => x === t)), size(filter(r, x => x === t))))
-      .cast("double")
+    // clipped overlap = sum over distinct grams of min(count_g, count_r) —
+    // one codegen'd hash pass (the HOF aggregate/filter formulation was
+    // O(|distinct|·|g|) interpreted per row; see ClippedOverlapExpr)
+    val overlap = gf.clippedOverlap(g, r).cast("double")
     val prec = when(size(g) > 0, overlap / size(g)).otherwise(lit(0.0))
     val rec = when(size(r) > 0, overlap / size(r)).otherwise(lit(0.0))
     pre.select(col("query_id"),

@@ -46,6 +46,11 @@ object gf {
   def wordShingles(c: Column, n: Int): Column =
     fromExpr(WordShinglesExpr(toExpr(tokens(c)), n))
 
+  /** Clipped multiset overlap Σ_x min(count_a(x), count_b(x)) — the
+    * ROUGE-N numerator. One codegen'd hash pass; see ClippedOverlapExpr. */
+  def clippedOverlap(a: Column, b: Column): Column =
+    fromExpr(ClippedOverlapExpr(toExpr(a), toExpr(b)))
+
   /** Character n-gram shingles over the lowercased text. */
   def charShingles(c: Column, n: Int): Column = {
     val s = lower(c)

@@ -240,4 +240,25 @@ class TextExprPropertySpec extends AnyFunSuite {
         s"mismatch on ${r.getString(0).take(60).replace("\n", "\\n")}: got=$got want=$want")
     }
   }
+
+  test("ClippedOverlapExpr equals the HOF aggregate form and a Scala model") {
+    val word = Gen.frequency(5 -> Gen.oneOf("a", "b", "c", "ab", "the", ""),
+      2 -> Gen.alphaNumStr.map(_.take(4)), 1 -> Gen.oneOf("é", "日", "…"))
+    val arr = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, word))
+    val pairs = Gen.listOfN(300, Gen.zip(arr, arr)).sample.get
+    val df = pairs.toDF("a", "b")
+    val hof = aggregate(array_distinct($"a"), lit(0),
+      (acc, t) => acc + least(size(filter($"a", x => x === t)),
+        size(filter($"b", x => x === t))))
+    val rows = df.select($"a", $"b",
+      gf.clippedOverlap($"a", $"b").as("got"), hof.as("hofv")).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[String](0); val b = r.getSeq[String](1)
+      val ca = a.groupBy(identity).view.mapValues(_.size)
+      val cb = b.groupBy(identity).view.mapValues(_.size).toMap
+      val want = ca.map { case (k, n) => math.min(n, cb.getOrElse(k, 0)) }.sum
+      assert(r.getInt(2) == want && r.getInt(3) == want,
+        s"mismatch a=$a b=$b got=${r.getInt(2)} hof=${r.getInt(3)} want=$want")
+    }
+  }
 }
