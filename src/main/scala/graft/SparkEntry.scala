@@ -633,14 +633,20 @@ object SparkEntry {
       val fields = Seq("n_lines", "dup_lines", "line_chars", "dup_line_chars",
         "n_paras", "dup_paras", "para_chars", "dup_para_chars", "word_chars") ++
         TopNs.map(n => s"top${n}_chars") ++ DupNs.map(n => s"dup${n}_chars")
+      // sort BEFORE the expensive map: a final orderBy's range-sampling
+      // pass would execute the whole repetitionStats projection a second
+      // time; sorting the narrow (doc_id, text) input first means the
+      // sampler scans only doc_id and the map runs once, order preserved
+      // (Project never reorders rows)
       tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"),
           regexp_replace(regexp_replace(col("text"), " table ", "\n\n"),
             " the ", "\n").as("t"))
         .select(col("doc_id"), gf.repetitionStats(col("t")).as("r"))
         .select(col("doc_id") +: (fields.map(f => col(s"r.$f").as(f)) :+
           gf.repetitionKeep(col("r")).cast("long").as("keep")): _*)
-        .orderBy(col("doc_id"))
     }),
 
     // ---- dedup family (training-data ops; scalable redesign of

@@ -42,8 +42,14 @@ object BigramLm {
     val bigrams = df
       .select(col(idCol), explode(gf.wordShingles(col(textCol), 2)).as("bg"))
       .where(col("bg").contains(" ") && !col("bg").startsWith(" "))
+    // bf feeds both the vocabulary rollup and the scoring join; vocab
+    // feeds both the context rollup and the join — persist both so the
+    // shingle explode and aggregates run once (the final sort's sampling
+    // pass re-executes consumers a second time otherwise)
     val bf = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("bf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = bf.groupBy(col("bg")).agg(sum(col("bf")).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = vocab
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
@@ -60,9 +66,11 @@ object BigramLm {
           / sum(col("bf")), 6).as("novel_frac"))
 
     // left join keeps sub-2-token documents (null score) so the output is
-    // total over the input corpus
+    // total over the input corpus; persist before the sort so its sampling
+    // pass reads the cache instead of re-scoring
     df.select(col(idCol))
       .join(per, Seq(idCol), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy(col(idCol))
   }
 }

@@ -60,12 +60,17 @@ object TrigramLm {
         && col("g") =!= "" && !col("g").startsWith(" "))
       .groupBy(col("g")).agg(count(lit(1)).as(out))
 
-    val tri = shingleCounts(train, 3, "c3")
-    val bi = shingleCounts(train, 2, "cb")
+    // count tables are joined twice (bi) / reused across the backoff
+    // resolution — persist the vocab-sized tables and the doc-trigram
+    // instances so each counting job runs once (the final sort's sampling
+    // pass re-executes consumers a second time otherwise)
+    val tri = shingleCounts(train, 3, "c3").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = shingleCounts(train, 2, "cb").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = train
       .select(explode(gf.tokens(col(textCol))).as("t"))
       .where(length(col("t")) > 0)
       .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = uni.agg(sum(col("cu")).as("n_total"))
 
     // scoring instances, aggregated before any join
@@ -74,6 +79,7 @@ object TrigramLm {
       .where(size(split(col("tg"), " ", -1)) === 3 && !col("tg").contains("  ")
         && col("tg") =!= "" && !col("tg").startsWith(" "))
       .groupBy(col(idCol), col("tg")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // backoff resolution at vocabulary granularity: one row per distinct
     // scored trigram, five left joins against the (small) count tables
@@ -109,9 +115,11 @@ object TrigramLm {
         round(sum(when(col("lvl") > 0, col("tf")).otherwise(lit(0))).cast("double")
           / sum(col("tf")), 6).as("backoff_frac"))
 
-    // keep sub-3-token documents (null score) so output covers the corpus
+    // keep sub-3-token documents (null score) so output covers the corpus;
+    // persist before the sort so its sampling pass reads the cache
     df.select(col(idCol))
       .join(per, Seq(idCol), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy(col(idCol))
   }
 }

@@ -42,8 +42,14 @@ object UnigramLm {
     val toks = df
       .select(col(idCol), explode(gf.tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) > 0)
+    // the doc-term table feeds BOTH the vocabulary rollup and the scoring
+    // join, and the final id-sort's range-sampling pass executes its
+    // consumer chain a second time — persist the two shared tables so the
+    // tokenize/explode/aggregate work runs once (MEMORY_AND_DISK spills)
     val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = vocab.agg(sum(col("c")).as("n_total"))
 
     val bits = (length(bin(col("n_total"))) - length(bin(col("c")))).cast("long")
@@ -58,9 +64,11 @@ object UnigramLm {
           / sum(col("tf")), 6).as("rare_frac"))
 
     // left join keeps empty/whitespace-only documents (null score) so the
-    // output is total over the input corpus
+    // output is total over the input corpus; persist the per-doc result so
+    // the sort's sampling pass reads the cache instead of re-scoring
     df.select(col(idCol))
       .join(per, Seq(idCol), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy(col(idCol))
   }
 }
