@@ -82,15 +82,21 @@ object Calibration {
     require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
       s"need 0 <= lo <= hi <= 1000, got $loPermille/$hiPermille")
     val keyed = df.withColumn("_wv", value.cast("long"))
-    val ranked = Packing.globalRank(
+    // rankedStage already collects per-partition counts, so n is free (no
+    // separate count job), and both order statistics come back in ONE
+    // action over the staged checkpoint — the previous shape spent four
+    // driver jobs (checkpoint-count + two head()s + the final pass) on
+    // what is two bounds
+    val (ranked, n) = Packing.globalRankCounted(
       keyed.select(col(unique), col("_wv")), Seq(col("_wv")), unique, "_rank0")
-      .localCheckpoint(false)
-    val n = ranked.count()
     require(n > 0, "winsorize needs a non-empty input")
     val kLo = loPermille.toLong * (n - 1) / 1000L
     val kHi = hiPermille.toLong * (n - 1) / 1000L
-    val lo = ranked.where(col("_rank0") === kLo).select(col("_wv")).head().getLong(0)
-    val hi = ranked.where(col("_rank0") === kHi).select(col("_wv")).head().getLong(0)
+    val bounds = ranked.where(col("_rank0").isin(kLo, kHi))
+      .select(col("_rank0"), col("_wv")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = bounds(kLo)
+    val hi = bounds(kHi)
     keyed
       .withColumn(clipCol, least(greatest(col("_wv"), lit(lo)), lit(hi)))
       .withColumn("clipped", col("_wv") < lo || col("_wv") > hi)

@@ -108,6 +108,15 @@ object Packing {
     ranked.withColumnRenamed("_rank0", rankCol)
   }
 
+  /** globalRank plus the total row count — rankedStage already collected
+    * per-partition counts, so callers that need n (quantile bounds, sample
+    * sizing) get it for free instead of re-counting with another job. */
+  def globalRankCounted(df: DataFrame, order: Seq[Column], unique: String,
+                        rankCol: String = "rank0"): (DataFrame, Long) = {
+    val (ranked, n) = rankedStage(df, order, unique)
+    (ranked.withColumnRenamed("_rank0", rankCol), n)
+  }
+
   /** Pid-stamped staged frame with the exact global 0-based rank attached,
     * plus the total row count (from the already-collected per-partition
     * counts — no extra job). */
