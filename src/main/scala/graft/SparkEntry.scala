@@ -1215,6 +1215,16 @@ object SparkEntry {
         titled.where(col("doc_id") % 2 === 1),
         "doc_id", "title_set", num = 1, den = 2)
     }),
+    "q_edit_join" -> ((s, dir) => {
+      // record-linkage by CHARACTER edit distance (PassJoin segment
+      // pruning + exact levenshtein verify) over the 24-char lowercased
+      // title prefix — the char-level twin of q_fuzzy_join's set Jaccard
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), substring(lower(col("text")), 1, 24).as("p"))
+      graft.operators.EditJoin.join(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "doc_id", "p", k = 2)
+    }),
     "q_sorted_blocking" -> ((s, dir) =>
       // sorted-neighborhood ER candidates: 20-char lowercased text prefix
       // as the blocking key, window 2 — O(n*w) pairs however skewed the
@@ -3158,6 +3168,17 @@ object SparkEntry {
          SELECT id_a, id_b, inter, uni,
                 round(CAST(inter AS DOUBLE) / uni, 6) AS jac
          FROM p WHERE inter * 2 >= uni
+         ORDER BY id_a, id_b""",
+    "q_edit_join" ->
+      // quadratic replay: segment pruning is exactness-preserving, so the
+      // brute-force cross join must agree pair for pair
+      """WITH s AS (SELECT doc_id, substr(lower(text), 1, 24) AS p
+                    FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+         FROM s a JOIN s b
+           ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+          AND levenshtein(a.p, b.p) <= 2
          ORDER BY id_a, id_b""",
     "q_sorted_blocking" ->
       // window pairs via rank difference; Spark's two-phase global rank

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+/**
+ * Edit-distance similarity join (Levenshtein ≤ k) with PassJoin-style
+ * segment pruning (Li, Deng, Feng VLDB'11): if dist(a, b) ≤ k, then when
+ * `a` is split into k+1 contiguous segments, at least one segment occurs
+ * VERBATIM in `b` at a start position shifted by at most k (pigeonhole:
+ * k edits cannot touch all k+1 segments, and an untouched segment moves
+ * by at most the net insertions/deletions before it). Candidates come
+ * from an equi-join on (source-length, segment-index, segment-text) plus
+ * the position window — never a cross product — and exact verification
+ * runs `levenshtein` on candidate pairs only.
+ *
+ * The reference's fuzzy-match family is set-based (Jaccard over shingles,
+ * FuzzyJoin.scala); this is the character-level twin for short strings —
+ * names, titles, codes — where transposition-free edit distance is the
+ * natural metric (cf. sycamore's entity standardizers,
+ * lib/sycamore/sycamore/transforms/standardizer.py:1).
+ *
+ * 100 TB shape: left explodes to k+1 segment rows per record, right to
+ * O(k²) window substrings per record — both linear in input with small
+ * constants; the candidate equi-join shuffles on (length, seg-index,
+ * segment) whose selectivity comes from real text diversity; verification
+ * is output-bounded. Strings shorter than k+1 chars cannot be segmented
+ * and take a length-banded direct join (bounded by the short-string
+ * count, which for real corpora is a sliver).
+ *
+ * Both engines count edits over Unicode code points; the char-level
+ * semantics match DuckDB's `levenshtein` (ASCII inputs are bit-identical;
+ * astral-plane text differs only if an engine counted UTF-16 units, which
+ * neither does).
+ */
+object EditJoin {
+
+  /** Pairs (id_a, id_b, dist) from `left` × `right` with
+    * levenshtein(strCol_a, strCol_b) <= k, id-ordered. */
+  def join(left: DataFrame, right: DataFrame,
+           idCol: String, strCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"need k >= 0, got $k")
+    val l = left.select(col(idCol).as("_ida"), col(strCol).as("_sa"),
+      length(col(strCol)).as("_la")).where(col("_sa").isNotNull)
+      .persist(MEMORY_AND_DISK)
+    val r = right.select(col(idCol).as("_idb"), col(strCol).as("_sb"),
+      length(col(strCol)).as("_lb")).where(col("_sb").isNotNull)
+      .persist(MEMORY_AND_DISK)
+
+    // segment i of a length-L string: even split, remainder spread over
+    // the FIRST (L % (k+1)) segments — any fixed convention works as long
+    // as both sides derive the same bounds from the same L
+    def segStart(lc: Column, i: Int): Column =
+      lit(i) * floor(lc / (k + 1)).cast("int") + least(lit(i), pmod(lc, lit(k + 1)))
+    def segLen(lc: Column, i: Int): Column =
+      floor(lc / (k + 1)).cast("int") +
+        when(lit(i) < pmod(lc, lit(k + 1)), lit(1)).otherwise(lit(0))
+
+    val seggable = col("_la") >= k + 1
+    val segs = l.where(seggable).select(col("_ida"), col("_la"),
+      explode(array((0 to k).map { i =>
+        struct(lit(i).as("_i"), segStart(col("_la"), i).as("_pa"),
+          col("_sa").substr(segStart(col("_la"), i) + 1, segLen(col("_la"), i)).as("_seg"))
+      }: _*)).as("_s"))
+      .select(col("_ida"), col("_la").as("_l"), col("_s._i").as("_i"),
+        col("_s._pa").as("_pa"), col("_s._seg").as("_seg"))
+
+    // right side: for every candidate source length l in [len-k, len+k],
+    // every segment index, every start shift in [-k, k], the substring of
+    // that segment's length at that position (out-of-range slots yield
+    // null structs and are dropped)
+    val windows = for {
+      o <- -k to k
+      i <- 0 to k
+      s <- -k to k
+    } yield {
+      val lc = col("_lb") + o
+      val start = segStart(lc, i) + s
+      val len = segLen(lc, i)
+      when(lc >= k + 1 && start >= 0 && len >= 1 && start + len <= col("_lb"),
+        struct(lc.cast("int").as("_l"), lit(i).as("_i"), start.as("_pb"),
+          col("_sb").substr(start + 1, len).as("_seg")))
+    }
+    val subs = r.select(col("_idb"), explode_outer(array(windows: _*)).as("_w"))
+      .where(col("_w").isNotNull)
+      .select(col("_idb"), col("_w._l").as("_l"), col("_w._i").as("_i"),
+        col("_w._pb").as("_pb"), col("_w._seg").as("_seg"))
+      .distinct()
+
+    val segCands = segs.join(subs, Seq("_l", "_i", "_seg"))
+      .where(abs(col("_pa") - col("_pb")) <= k)
+      .select(col("_ida"), col("_idb"))
+
+    // short strings (< k+1 chars) cannot be segmented: length-banded
+    // direct candidates — bounded by the short-string count
+    val shortCands = l.where(!seggable).select(col("_ida"), col("_la"))
+      .join(r.select(col("_idb"), col("_lb")),
+        col("_lb") >= col("_la") - k && col("_lb") <= col("_la") + k)
+      .select(col("_ida"), col("_idb"))
+
+    val cands = segCands.unionAll(shortCands).distinct()
+
+    val bcastRows = 4L << 20
+    val lv = if (l.count() <= bcastRows) broadcast(l) else l
+    val rv = if (r.count() <= bcastRows) broadcast(r) else r
+    val verified = cands
+      .join(lv, "_ida").join(rv, "_idb")
+      .select(col("_ida").as("id_a"), col("_idb").as("id_b"),
+        levenshtein(col("_sa"), col("_sb")).cast("long").as("dist"))
+      .where(col("dist") <= k)
+      // output-sized persist so the final sort's range-sampling pass does
+      // not re-execute the candidate+verify chain (FuzzyJoin pattern)
+      .persist(MEMORY_AND_DISK)
+    verified.orderBy(col("id_a"), col("id_b"))
+  }
+}

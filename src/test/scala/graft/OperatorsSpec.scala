@@ -808,6 +808,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("EditJoin: segment pruning is exactness-preserving vs brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // clustered strings (small alphabet, shared stems) so near-misses at
+    // every distance exist; includes strings shorter than k+1 (the
+    // length-band fallback path) and empty-adjacent lengths
+    def mk(i: Int): String = {
+      val stems = Seq("alpha", "alpna", "alph", "beta", "betaa", "bta",
+        "gamma", "gamna", "ga", "g", "", "delta particle", "delta particel")
+      stems(i % stems.size) + (if (i % 4 == 0) i.toString.take(1) else "")
+    }
+    val left = (0 until 40).map(i => (i.toLong, mk(i))).toDF("id", "s")
+    val right = (0 until 40).map(i => (100L + i, mk(i + 1))).toDF("id", "s")
+    for (k <- Seq(0, 1, 2, 3)) {
+      val fast = EditJoin.join(left, right, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = left.select(col("id").as("ia"), col("s").as("sa"))
+        .crossJoin(right.select(col("id").as("ib"), col("s").as("sb")))
+        .select(col("ia"), col("ib"), levenshtein(col("sa"), col("sb")).cast("long").as("d"))
+        .where(col("d") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == brute, s"k=$k: segment-pruned != brute force " +
+        s"(missing=${brute -- fast}, extra=${fast -- brute})")
+      assert(brute.nonEmpty, s"k=$k: degenerate test — no pairs")
+    }
+  }
+
   test("TrigramLm: stupid backoff levels and integer bits") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -112,7 +112,18 @@ object ScaleProbe {
       "winsorize" -> (d => graft.operators.Calibration.winsorize(
         d, col("n_chars"), "doc_id", 10, 990)),
       "temperature_mix" -> (d => graft.operators.Sampling.temperatureMixture(
-        d, "doc_id", "lang", budgetDocs = 1000L, alphaQuarters = 2, salt = "sp")))
+        d, "doc_id", "lang", budgetDocs = 1000L, alphaQuarters = 2, salt = "sp")),
+      // edit_join salts the string with the replica id (same rationale as
+      // fuzzy_join_sh: keep matches within-replica so output stays linear
+      // and the ratio isolates the segment-index machinery)
+      "edit_join" -> { d =>
+        val rep = (col("doc_id") / 1000000000L).cast("long").cast("string")
+        val t = d.select(col("doc_id"),
+          concat(rep, lit(":"), substring(lower(col("text")), 1, 24)).as("p"))
+        graft.operators.EditJoin.join(
+          t.where(col("doc_id") % 2 === 0), t.where(col("doc_id") % 2 === 1),
+          "doc_id", "p", k = 2)
+      })
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
