@@ -1261,6 +1261,38 @@ object SparkEntry {
           gf.registeredDomain(col("host")).as("domain"))
         .orderBy(id)
     }),
+    "q_domain_reputation" -> ((s, dir) => {
+      // domain-as-unit-of-trust prior (RefinedWeb/CCNet): per-eTLD+1 doc
+      // count + exact integer milli-mean token count, joined back as a
+      // keep prior. URLs synthesized from doc_id (q_url_domains pattern).
+      val id = col("doc_id")
+      val url = when(id % 4 === 0,
+          concat(lit("https://www.shop"), id % 50, lit(".co.uk/item/"), id))
+        .when(id % 4 === 1,
+          concat(lit("http://user:pw@News"), id % 30, lit(".Example.com:8080/p?q=1")))
+        .when(id % 4 === 2,
+          concat(lit("https://static.cdn"), id % 20, lit(".io/x#frag")))
+        .otherwise(concat(lit("not a url "), id))
+      val d = tbl(s, dir, "documents")
+        .select(id, col("text"),
+          gf.registeredDomain(gf.urlHost(url)).as("dom"))
+      graft.operators.DomainOps.reputation(
+        d, "doc_id", col("dom"), gf.tokenCount(col("text")),
+        minAvgMilli = 54000L)
+    }),
+    "q_strip_templates" -> ((s, dir) => {
+      // per-domain boilerplate removal: manufactured header/footer banners
+      // (the synthetic corpus has no site furniture) around the real text;
+      // docs with doc_id%5==0 lack the footer, so the gate also proves
+      // partial-presence handling and line-order preservation
+      val id = col("doc_id")
+      val dom = concat(lit("d"), id % 7)
+      val t = concat(lit("banner of "), dom, lit("\n"), col("text"),
+        when(id % 5 === 0, lit("")).otherwise(concat(lit("\ncontact "), dom)))
+      val d = tbl(s, dir, "documents").select(id, dom.as("dom"), t.as("t"))
+      graft.operators.DomainOps.stripTemplateLines(
+        d, "doc_id", "t", col("dom"), minDocs = 3L)
+    }),
     "q_robots" -> ((s, dir) => {
       // robots.txt politeness filter for the crawl stack: the fixture's
       // graftbot group exercises longest-match, Allow-over-Disallow,
@@ -3032,6 +3064,63 @@ object SparkEntry {
                      ELSE host END AS domain
          FROM d ORDER BY doc_id"""
     },
+    "q_domain_reputation" -> {
+      val sfx = graft.functions.gf.MultiPartSuffixes
+        .map(x => s"'$x'").mkString("[", ", ", "]")
+      s"""WITH u AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0
+                         THEN 'https://www.shop' || (doc_id % 50) || '.co.uk/item/' || doc_id
+                       WHEN doc_id % 4 = 1
+                         THEN 'http://user:pw@News' || (doc_id % 30) || '.Example.com:8080/p?q=1'
+                       WHEN doc_id % 4 = 2
+                         THEN 'https://static.cdn' || (doc_id % 20) || '.io/x#frag'
+                       ELSE 'not a url ' || doc_id END AS url,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS sig
+           FROM documents),
+         h AS (SELECT doc_id, sig,
+                      lower(list_extract(string_split(list_extract(string_split(
+                        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                        '@'), -1), ':'), 1)) AS host
+               FROM u),
+         d AS (SELECT doc_id, sig, string_split(host, '.') AS ls,
+                      len(string_split(host, '.')) AS n, host
+               FROM h),
+         dm AS (SELECT doc_id, sig,
+                CASE WHEN host = '' THEN ''
+                     WHEN n >= 3 AND list_contains($sfx, ls[n-1] || '.' || ls[n])
+                       THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+                     WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
+                     ELSE host END AS domain
+                FROM d),
+         g AS (SELECT domain, CAST(count(*) AS BIGINT) AS domain_docs,
+                      CAST(sum(sig) AS BIGINT) AS s FROM dm GROUP BY domain)
+         SELECT dm.doc_id, dm.domain, g.domain_docs,
+                CAST((g.s * 1000) // g.domain_docs AS BIGINT) AS domain_avg_milli,
+                g.s * 1000 >= 54000 * g.domain_docs AS domain_keep
+         FROM dm JOIN g ON dm.domain = g.domain
+         ORDER BY dm.doc_id""".stripMargin
+    },
+    "q_strip_templates" ->
+      """WITH d AS (SELECT doc_id, 'd' || (doc_id % 7) AS dom,
+                  'banner of d' || (doc_id % 7) || chr(10) || text ||
+                  CASE WHEN doc_id % 5 = 0 THEN ''
+                       ELSE chr(10) || 'contact d' || (doc_id % 7) END AS t
+           FROM documents),
+         l AS (SELECT doc_id, dom,
+                      unnest(string_split(t, chr(10))) AS line,
+                      generate_subscripts(string_split(t, chr(10)), 1) AS pos
+               FROM d),
+         tpl AS (SELECT dom, line FROM l WHERE length(trim(line)) > 0
+                 GROUP BY dom, line HAVING count(DISTINCT doc_id) >= 3)
+         SELECT l.doc_id,
+                coalesce(string_agg(CASE WHEN tpl.line IS NULL THEN l.line END,
+                  chr(10) ORDER BY l.pos), '') AS clean_text,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(count(tpl.line) AS BIGINT) AS n_removed
+         FROM l LEFT JOIN tpl ON l.dom = tpl.dom AND l.line = tpl.line
+         GROUP BY l.doc_id ORDER BY l.doc_id""",
     "q_robots" -> {
       // the CASE chain is rendered from the SAME parsed+sorted rule table
       // the engine evaluates (the MojibakeRepair oracle pattern)

@@ -808,6 +808,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("DomainOps: reputation integer milli-mean and template stripping") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a.com", "hdr\nbody one\nftr"),
+      (2L, "a.com", "hdr\nbody two\nftr"),
+      (3L, "a.com", "hdr\nbody three"),          // no footer
+      (4L, "b.com", "hdr\nother body\nftr"),      // hdr/ftr rare within b.com
+      (5L, "b.com", "solo\n\nsolo")               // empty line never a template
+    ).toDF("id", "dom", "t")
+    val rep = DomainOps.reputation(docs, "id", col("dom"),
+      length(col("t")), minAvgMilli = 17000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // a.com lengths 16,16,14 -> sum 46, avg_milli 46000/3 = 15333, keep false
+    assert(rep(1L) == ((3L, 15333L, false)))
+    // b.com lengths 18,10 -> 14000 milli, keep false; raise threshold path
+    assert(rep(4L)._1 == 2L && rep(4L)._2 == 14000L)
+    val strip = DomainOps.stripTemplateLines(docs, "id", "t", col("dom"), 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // within a.com: "hdr" in 3 docs -> template; "ftr" only 2 -> kept
+    assert(strip(1L) == (("body one\nftr", 3L, 1L)))
+    assert(strip(3L) == (("body three", 2L, 1L)))
+    // b.com: nothing reaches minDocs=3; empty line preserved in place
+    assert(strip(4L) == (("hdr\nother body\nftr", 3L, 0L)))
+    assert(strip(5L) == (("solo\n\nsolo", 3L, 0L)))
+  }
+
   test("EditJoin: segment pruning is exactness-preserving vs brute force") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
