@@ -1618,6 +1618,12 @@ object SparkEntry {
       graft.eval.RetrievalEval.rougeN(rougeAnswers(s, dir), 2)
         .orderBy(col("query_id"))
     }),
+    "q_bleu" -> ((s, dir) =>
+      // BLEU-4 clipped precisions + sqrt-chain geometric core (no libm
+      // pow/exp anywhere, so every double is bit-identical cross-engine);
+      // brevity penalty left to the caller as exact (cand_len, ref_len)
+      graft.eval.RetrievalEval.bleuStats(rougeAnswers(s, dir))
+        .orderBy(col("query_id"))),
     "q_answer_f1" -> ((s, dir) =>
       graft.eval.RetrievalEval.answerF1(rougeAnswers(s, dir))
         .select(col("query_id"), round(col("precision"), 6).as("precision"),
@@ -3878,6 +3884,37 @@ object SparkEntry {
                 round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6)
                   AS rouge2_f1
          FROM pr ORDER BY query_id""",
+    "q_bleu" ->
+      """WITH tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                                   x -> length(x) > 0) AS toks
+                     FROM documents),
+         win AS (SELECT doc_id AS query_id, toks[1:10] AS gt, toks[3:14] AS rt FROM tk),
+         gr AS (SELECT query_id,
+                       CAST(len(gt) AS BIGINT) AS cand_len, CAST(len(rt) AS BIGINT) AS ref_len,
+                       gt AS g1, rt AS r1,
+                       list_transform(range(1, len(gt)), i -> gt[i] || ' ' || gt[i+1]) AS g2,
+                       list_transform(range(1, len(rt)), i -> rt[i] || ' ' || rt[i+1]) AS r2,
+                       list_transform(range(1, len(gt)-1), i -> gt[i] || ' ' || gt[i+1] || ' ' || gt[i+2]) AS g3,
+                       list_transform(range(1, len(rt)-1), i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2]) AS r3,
+                       list_transform(range(1, len(gt)-2), i -> gt[i] || ' ' || gt[i+1] || ' ' || gt[i+2] || ' ' || gt[i+3]) AS g4,
+                       list_transform(range(1, len(rt)-2), i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2] || ' ' || rt[i+3]) AS r4
+                FROM win),
+         pv AS (SELECT query_id, cand_len, ref_len,
+                       CASE WHEN len(g1) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g1),
+                         t -> least(len(list_filter(g1, y -> y = t)), len(list_filter(r1, y -> y = t))))), 0) AS DOUBLE) / len(g1) ELSE 0.0 END AS p1,
+                       CASE WHEN len(g2) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g2),
+                         t -> least(len(list_filter(g2, y -> y = t)), len(list_filter(r2, y -> y = t))))), 0) AS DOUBLE) / len(g2) ELSE 0.0 END AS p2,
+                       CASE WHEN len(g3) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g3),
+                         t -> least(len(list_filter(g3, y -> y = t)), len(list_filter(r3, y -> y = t))))), 0) AS DOUBLE) / len(g3) ELSE 0.0 END AS p3,
+                       CASE WHEN len(g4) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g4),
+                         t -> least(len(list_filter(g4, y -> y = t)), len(list_filter(r4, y -> y = t))))), 0) AS DOUBLE) / len(g4) ELSE 0.0 END AS p4
+                FROM gr)
+         SELECT query_id, cand_len, ref_len,
+                round(p1, 6) AS p1, round(p2, 6) AS p2, round(p3, 6) AS p3, round(p4, 6) AS p4,
+                round(sqrt(sqrt(p1 * p2 * p3 * p4)), 6) AS bleu_core,
+                cand_len >= ref_len AS brevity_ok
+         FROM pv ORDER BY query_id""",
     "q_answer_f1" ->
       """WITH tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),

@@ -174,4 +174,53 @@ object RetrievalEval {
       when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
         .otherwise(lit(0.0)).as("f1"))
   }
+
+  /** BLEU-4 statistics (Papineni et al. 2002): per-order clipped n-gram
+    * precisions p1..p4 and the geometric-mean core computed as an IEEE
+    * sqrt chain — sqrt(sqrt(p1·p2·p3·p4)) — NEVER libm pow/exp, so every
+    * value is bit-identical across engines (memory: round only ratios of
+    * exact ints; sqrt is correctly rounded everywhere, pow is not).
+    * The brevity penalty's exp(1 − r/c) is NOT folded in for the same
+    * reason; cand_len/ref_len ride along as exact ints so callers apply
+    * BP themselves (brevity_ok=true ⟺ BP=1, the common case).
+    * Zero candidate n-grams at any order, or zero overlap, give core 0
+    * (unsmoothed BLEU). Input: answers(query_id, generated, reference). */
+  def bleuStats(answers: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"need 1 <= maxN <= 9, got $maxN")
+    import graft.functions.gf
+    def cleanToks(c: Column): Column =
+      filter(gf.tokens(c), x => length(x) > 0)
+    // one tokenize per side behind a projection boundary, then every
+    // order's shingles derive from the ARRAY (no per-order re-splitting)
+    val tokd = answers.select(col("query_id"),
+      cleanToks(col("generated")).as("_gt"), cleanToks(col("reference")).as("_rt"))
+    def grams(arr: Column, n: Int): Column =
+      when(size(arr) < n, array().cast("array<string>"))
+        .otherwise(gf.tokenShingles(arr, n))
+    val withGrams = tokd.select(Seq(col("query_id"),
+      size(col("_gt")).cast("long").as("cand_len"),
+      size(col("_rt")).cast("long").as("ref_len")) ++
+      (1 to maxN).flatMap { n => Seq(
+        grams(col("_gt"), n).as(s"_g$n"), grams(col("_rt"), n).as(s"_r$n"))
+      }: _*)
+    val ps = (1 to maxN).map { n =>
+      val c = size(col(s"_g$n"))
+      when(c > 0, gf.clippedOverlap(col(s"_g$n"), col(s"_r$n")).cast("double") / c)
+        .otherwise(lit(0.0)).as(s"_p$n")
+    }
+    val staged = withGrams.select(Seq(col("query_id"), col("cand_len"),
+      col("ref_len")) ++ ps: _*)
+    // geometric mean for maxN a power of two is a pure sqrt chain; other
+    // orders would need pow — restrict core emission to 1/2/4/8
+    val core: Column =
+      if (Seq(1, 2, 4, 8).contains(maxN)) {
+        val prod = (1 to maxN).map(n => col(s"_p$n")).reduce(_ * _)
+        Iterator.iterate(prod)(sqrt).drop(
+          (math.log(maxN) / math.log(2)).round.toInt).next()
+      } else lit(null).cast("double")
+    staged.select(Seq(col("query_id"), col("cand_len"), col("ref_len")) ++
+      (1 to maxN).map(n => round(col(s"_p$n"), 6).as(s"p$n")) ++ Seq(
+        round(core, 6).as("bleu_core"),
+        (col("cand_len") >= col("ref_len")).as("brevity_ok")): _*)
+  }
 }

@@ -51,6 +51,12 @@ object gf {
   def clippedOverlap(a: Column, b: Column): Column =
     fromExpr(ClippedOverlapExpr(toExpr(a), toExpr(b)))
 
+  /** Word n-gram shingles over an ALREADY-TOKENIZED array (wordShingles
+    * minus the tokenize step) — for callers that need several n over the
+    * same token array without re-splitting the text per order. */
+  def tokenShingles(tokens: Column, n: Int): Column =
+    fromExpr(WordShinglesExpr(toExpr(tokens), n))
+
   /** Character n-gram shingles over the lowercased text. */
   def charShingles(c: Column, n: Int): Column = {
     val s = lower(c)

@@ -87,4 +87,25 @@ class EvalSpec extends AnyFunSuite {
     assert(out.keySet == Set("q1", "q2"), "unjudged query must not vanish")
     assert(out("q1") == 1.0 && out("q2") == 0.0)
   }
+
+  test("bleuStats: clipped precisions, sqrt-chain core, brevity fields") {
+    import spark.implicits._
+    val answers = Seq(
+      ("exact", "a b c d e", "a b c d e"),        // perfect: all p=1, core 1
+      ("short", "the cat sat", "the cat sat"),     // 3 toks: p4=0 -> core 0
+      ("part", "a b c d", "a b c x"),              // p=3/4, 2/3, 1/2, 0
+      ("clip", "a a a a", "a b c d"),              // p1 clipped to 1/4
+      ("empty", "", "a b"))                        // zero cand grams
+      .toDF("query_id", "generated", "reference")
+    val out = RetrievalEval.bleuStats(answers).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getBoolean(8))).toMap
+    assert(out("exact") == ((5L, 5L, 1.0, 1.0, 1.0, 1.0, 1.0, true)))
+    assert(out("short")._7 == 0.0 && out("short")._6 == 0.0) // p4=0, core 0
+    val p = out("part")
+    assert(p._3 == 0.75 && p._4 == 0.666667 && p._5 == 0.5 && p._6 == 0.0)
+    assert(out("clip")._3 == 0.25 && out("clip")._8) // cand_len 4 >= ref_len 4
+    assert(out("empty") == ((0L, 2L, 0.0, 0.0, 0.0, 0.0, 0.0, false)))
+  }
 }
