@@ -1338,6 +1338,18 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), gf.dedupKey(col("text")).as("dkey"))
         .orderBy(col("doc_id"))),
+    "q_profile" -> ((s, dir) => {
+      // one-scan column profile over orders: exact distinct counts via a
+      // single Expand, ranges profiled on exact representations (cents
+      // long, never raw floats); nulls manufactured from the clerk suffix
+      val o = tbl(s, dir, "orders")
+      graft.operators.Profiler.profile(o, Seq(
+        "priority" -> col("o_orderpriority"),
+        "custkey" -> col("o_custkey"),
+        "cents" -> cents(col("o_totalprice")),
+        "status_opt" -> when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_orderstatus"))))
+    }),
     "q_corpus_stats" -> ((s, dir) =>
       // dataset-card summary: one aggregation pass, integer sums + exact
       // ratios only (no float accumulation crosses a shuffle)
@@ -3362,6 +3374,34 @@ object SparkEntry {
       """SELECT doc_id,
                 trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS dkey
          FROM documents ORDER BY doc_id""",
+    "q_profile" ->
+      """WITH b AS (SELECT o_orderpriority, o_custkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                                ELSE o_orderstatus END AS status_opt,
+                           count(*) OVER () AS n
+                    FROM orders)
+         SELECT 'cents' AS "column", CAST(max(n) AS BIGINT) AS n_rows,
+                CAST(max(n) - count(cents) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
+                CAST(min(cents) AS VARCHAR) AS min_value,
+                CAST(max(cents) AS VARCHAR) AS max_value FROM b
+         UNION ALL
+         SELECT 'status_opt', CAST(max(n) AS BIGINT),
+                CAST(max(n) - count(status_opt) AS BIGINT),
+                CAST(count(DISTINCT status_opt) AS BIGINT),
+                min(status_opt), max(status_opt) FROM b
+         UNION ALL
+         SELECT 'custkey', CAST(max(n) AS BIGINT),
+                CAST(max(n) - count(o_custkey) AS BIGINT),
+                CAST(count(DISTINCT o_custkey) AS BIGINT),
+                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM b
+         UNION ALL
+         SELECT 'priority', CAST(max(n) AS BIGINT),
+                CAST(max(n) - count(o_orderpriority) AS BIGINT),
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                min(o_orderpriority), max(o_orderpriority) FROM b
+         ORDER BY "column"""",
     "q_corpus_stats" ->
       """WITH t AS (SELECT source, lang, length(text) AS nc,
                 CASE WHEN length(trim(text)) = 0 THEN 0

@@ -808,6 +808,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Profiler: long-format nulls/distinct/range in ONE scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 10), (2L, None, 20), (3L, Some("a"), 10),
+      (4L, Some("b"), 30)).toDF("id", "s", "v")
+    val out = Profiler.profile(df, Seq("s" -> col("s"), "v" -> col("v")))
+    val m = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(m("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(m("v") == ((4L, 0L, 3L, "10", "30")))
+    // one scan: the whole profile is a single aggregate over one relation
+    // (distinct counts multiplex through ONE Expand, never extra scans);
+    // count leaf nodes, not plan text — AQE's printout repeats the initial
+    // plan and double-counts
+    val scans = out.queryExecution.executedPlan.collectLeaves().size
+    assert(scans == 1, s"profile must read the input once, saw $scans leaves")
+  }
+
   test("DomainOps: reputation integer milli-mean and template stripping") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
