@@ -1596,6 +1596,12 @@ object SparkEntry {
       Ann.knnClassify(emb.where(col("vec_id") >= 100),
         emb.where(col("vec_id") < 100), "vec_id", "embedding", "label", k = 5)
     }),
+    "q_bitext_mine" -> ((s, dir) =>
+      // parallel-pair mining: mutual-best cosine + k=1 ratio margin
+      // (sides = vec_id parity standing in for two languages)
+      graft.operators.BitextMine.mine(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") % 2 === 0,
+        minCos = 0.2, minMargin = 1.05)),
     "q_hard_negatives" -> ((s, dir) => {
       // contrastive-training prep: for 8 anchor vectors, the 5 most
       // similar OTHER-label vectors in the corpus (the negatives a
@@ -3832,6 +3838,26 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY tid ORDER BY votes DESC, label) AS r
            FROM v) WHERE r = 1
          ORDER BY vec_id""",
+    "q_bitext_mine" ->
+      """WITH v AS (SELECT vec_id, vec_id % 2 = 0 AS sa, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+         p AS (SELECT a.vec_id ida, b.vec_id idb, list_cosine_similarity(a.e, b.e) AS c
+               FROM v a JOIN v b ON a.sa AND NOT b.sa),
+         ra AS (SELECT *, row_number() OVER (PARTITION BY ida ORDER BY c DESC, idb) AS rk FROM p),
+         b1 AS (SELECT ida, idb, c FROM ra WHERE rk = 1),
+         b2 AS (SELECT ida, c AS c2 FROM ra WHERE rk = 2),
+         rb AS (SELECT idb, ida AS back FROM (
+                  SELECT *, row_number() OVER (PARTITION BY idb ORDER BY c DESC, ida) rk
+                  FROM p) t WHERE rk = 1),
+         out AS (SELECT b1.ida AS id_a, b1.idb AS id_b, b1.c AS rawc,
+                        round(b1.c, 6) AS cosine,
+                        CASE WHEN b2.c2 > 0 THEN round(b1.c / b2.c2, 6) END AS margin,
+                        rb.back
+                 FROM b1 LEFT JOIN b2 USING (ida) JOIN rb USING (idb))
+         SELECT id_a, id_b, cosine, margin FROM out
+         WHERE back = id_a AND rawc >= 0.2
+           AND (margin IS NULL OR margin >= 1.05)
+         ORDER BY id_a""",
     "q_hard_negatives" ->
       """WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av, label AS albl
                     FROM embeddings WHERE vec_id < 8),

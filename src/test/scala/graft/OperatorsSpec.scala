@@ -808,6 +808,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BitextMine: mutual-best with ratio margin excludes non-reciprocal matches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // even ids = side A, odd = side B (2-D so the geometry is legible):
+    // a0 <-> b1 mutual and far from everything (high margin);
+    // a2's best is b1 but b1's best is a0 -> a2 not reciprocal, dropped;
+    // a4 <-> b3 mutual but b5 is nearly as close to a4 -> margin ~1, dropped
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.02f)),
+      (2L, Seq(0.95f, 0.12f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.05f, 1.0f)), (3L, Seq(-0.04f, 1.0f)))
+      .toDF("id", "vec")
+    val out = BitextMine.mine(vecs, "id", "vec", col("id") % 2 === 0,
+      minCos = 0.2, minMargin = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)),
+      s"expected only the clean mutual pair, got $out")
+    // with no margin bar the ambiguous a4<->b5 pair comes back
+    val loose = BitextMine.mine(vecs, "id", "vec", col("id") % 2 === 0,
+      minCos = 0.2, minMargin = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((0L, 1L), (4L, 3L)), s"got $loose")
+  }
+
   test("Profiler: long-format nulls/distinct/range in ONE scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
