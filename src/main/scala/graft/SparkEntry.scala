@@ -1339,16 +1339,16 @@ object SparkEntry {
         .select(col("doc_id"), gf.dedupKey(col("text")).as("dkey"))
         .orderBy(col("doc_id"))),
     "q_profile" -> ((s, dir) => {
-      // one-scan column profile over orders: exact distinct counts via a
-      // single Expand, ranges profiled on exact representations (cents
-      // long, never raw floats); nulls manufactured from the clerk suffix
-      val o = tbl(s, dir, "orders")
-      graft.operators.Profiler.profile(o, Seq(
-        "priority" -> col("o_orderpriority"),
-        "custkey" -> col("o_custkey"),
-        "cents" -> cents(col("o_totalprice")),
-        "status_opt" -> when(col("o_orderkey") % 10 === 0, lit(null))
-          .otherwise(col("o_orderstatus"))))
+      // one-scan column profile over documents: exact distinct counts via
+      // a single Expand, ranges profiled on exact representations (longs,
+      // strings - never engine-formatted floats); nulls manufactured
+      val d = tbl(s, dir, "documents")
+      graft.operators.Profiler.profile(d, Seq(
+        "lang" -> col("lang"),
+        "source" -> col("source"),
+        "n_chars" -> col("n_chars"),
+        "lang_opt" -> when(col("doc_id") % 10 === 0, lit(null))
+          .otherwise(col("lang"))))
     }),
     "q_corpus_stats" -> ((s, dir) =>
       // dataset-card summary: one aggregation pass, integer sums + exact
@@ -1532,6 +1532,16 @@ object SparkEntry {
       // market-basket association rules: suppliers co-occurring in orders
       graft.operators.Basket.rules(tbl(s, dir, "lineitem"),
         "l_orderkey", "l_suppkey", minSupport = 5)),
+    "q_link_predict" -> ((s, dir) => {
+      // distance-2 link-prediction scores on the part co-purchase graph
+      // (suppliers form a near-clique at every SF - no non-edges to score;
+      // parts give natural sparsity): exact common-neighbors and degree
+      // product, Jaccard as the one rounded ratio (Adamic-Adar omitted -
+      // libm log is not cross-engine replayable)
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2)
+      graft.operators.LinkPredict.scores(edges, "item_a", "item_b")
+    }),
     "q_clustering_coeff" -> ((s, dir) => {
       // local clustering coefficient on a SPARSE co-occurrence graph
       // (minSupport=30 thins the supplier graph at the gate SF; exact
@@ -3381,32 +3391,29 @@ object SparkEntry {
                 trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS dkey
          FROM documents ORDER BY doc_id""",
     "q_profile" ->
-      """WITH b AS (SELECT o_orderpriority, o_custkey,
-                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                           CASE WHEN o_orderkey % 10 = 0 THEN NULL
-                                ELSE o_orderstatus END AS status_opt,
+      """WITH b AS (SELECT lang, source, n_chars,
+                           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang_opt,
                            count(*) OVER () AS n
-                    FROM orders)
-         SELECT 'cents' AS "column", CAST(max(n) AS BIGINT) AS n_rows,
-                CAST(max(n) - count(cents) AS BIGINT) AS n_nulls,
-                CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
-                CAST(min(cents) AS VARCHAR) AS min_value,
-                CAST(max(cents) AS VARCHAR) AS max_value FROM b
+                    FROM documents)
+         SELECT 'lang' AS "column", CAST(max(n) AS BIGINT) AS n_rows,
+                CAST(max(n) - count(lang) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+                min(lang) AS min_value, max(lang) AS max_value FROM b
          UNION ALL
-         SELECT 'status_opt', CAST(max(n) AS BIGINT),
-                CAST(max(n) - count(status_opt) AS BIGINT),
-                CAST(count(DISTINCT status_opt) AS BIGINT),
-                min(status_opt), max(status_opt) FROM b
+         SELECT 'lang_opt', CAST(max(n) AS BIGINT),
+                CAST(max(n) - count(lang_opt) AS BIGINT),
+                CAST(count(DISTINCT lang_opt) AS BIGINT),
+                min(lang_opt), max(lang_opt) FROM b
          UNION ALL
-         SELECT 'custkey', CAST(max(n) AS BIGINT),
-                CAST(max(n) - count(o_custkey) AS BIGINT),
-                CAST(count(DISTINCT o_custkey) AS BIGINT),
-                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM b
+         SELECT 'n_chars', CAST(max(n) AS BIGINT),
+                CAST(max(n) - count(n_chars) AS BIGINT),
+                CAST(count(DISTINCT n_chars) AS BIGINT),
+                CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM b
          UNION ALL
-         SELECT 'priority', CAST(max(n) AS BIGINT),
-                CAST(max(n) - count(o_orderpriority) AS BIGINT),
-                CAST(count(DISTINCT o_orderpriority) AS BIGINT),
-                min(o_orderpriority), max(o_orderpriority) FROM b
+         SELECT 'source', CAST(max(n) AS BIGINT),
+                CAST(max(n) - count(source) AS BIGINT),
+                CAST(count(DISTINCT source) AS BIGINT),
+                min(source), max(source) FROM b
          ORDER BY "column"""",
     "q_corpus_stats" ->
       """WITH t AS (SELECT source, lang, length(text) AS nc,
@@ -3699,6 +3706,22 @@ object SparkEntry {
          JOIN p e2 ON e1.b = e2.a
          JOIN p e3 ON e1.a = e3.a AND e2.b = e3.b
          ORDER BY a, b, c""",
+    "q_link_predict" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+         p AS (SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p),
+         deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY s),
+         two AS (SELECT x.s AS a, y.s AS b, CAST(count(*) AS BIGINT) AS cn
+                 FROM und x JOIN und y ON x.d = y.d AND x.s < y.s
+                 GROUP BY 1, 2),
+         ne AS (SELECT two.* FROM two
+                WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = two.a AND p.b = two.b))
+         SELECT ne.a, ne.b, ne.cn,
+                CAST(da.dg * db.dg AS BIGINT) AS pa,
+                round(CAST(ne.cn AS DOUBLE) / (da.dg + db.dg - ne.cn), 6) AS jaccard
+         FROM ne JOIN deg da ON ne.a = da.v JOIN deg db ON ne.b = db.v
+         ORDER BY ne.a, ne.b""",
     "q_clustering_coeff" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
          p AS (SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
