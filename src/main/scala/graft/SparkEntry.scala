@@ -1454,6 +1454,15 @@ object SparkEntry {
           (col("margin_micros") >= 0).cast("long").as("keep"))
         .orderBy(col("doc_id"))
     }),
+    "q_attribution" -> ((s, dir) =>
+      // first/last-touch purchase attribution in one per-user window pass
+      // (RANGE frame over integer micros - no touch re-shuffle per
+      // conversion); 7-day lookback
+      graft.operators.Attribution.attribute(
+        events(s, dir).withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_type", "event_id",
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        lookback = 7L * 24 * 3600 * 1000000L)),
     "q_funnel" -> ((s, dir) =>
       // ordered min-ts funnel with a 7-day conversion window — stepwise
       // user-keyed joins, all time math in int64 nanos
@@ -3599,6 +3608,26 @@ object SparkEntry {
                 CASE WHEN n > 1 THEN round(CAST(rank0 AS DOUBLE) / (n - 1), 6)
                      ELSE 0.0 END AS pctl
          FROM r ORDER BY doc_id""",
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events),
+         conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+         j AS (SELECT c.event_id AS conv_id, c.user_id AS "user",
+                      c.ts_us AS conv_ts,
+                      CAST(count(t.event_id) AS BIGINT) AS n_touches,
+                      min(CASE WHEN t.event_id IS NOT NULL THEN
+                        struct_pack(t := t.ts_us, id := t.event_id, ty := t.event_type) END) AS f,
+                      max(CASE WHEN t.event_id IS NOT NULL THEN
+                        struct_pack(t := t.ts_us, id := t.event_id, ty := t.event_type) END) AS l
+               FROM conv c LEFT JOIN t
+                 ON t.user_id = c.user_id
+                AND t.ts_us BETWEEN c.ts_us - 604800000000 AND c.ts_us - 1
+               GROUP BY 1, 2, 3)
+         SELECT conv_id, "user", conv_ts, n_touches,
+                f.id AS first_id, f.ty AS first_type,
+                l.id AS last_id, l.ty AS last_type
+         FROM j ORDER BY conv_id""",
     "q_funnel" ->
       """WITH ev AS (SELECT user_id AS u, event_type AS e, epoch_ns(ts) AS t FROM events),
          s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE e = 'view' GROUP BY u),

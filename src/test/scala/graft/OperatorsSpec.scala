@@ -808,6 +808,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Attribution: first/last touch inside the lookback, exact boundaries") {
+    import spark.implicits._
+    // user 1: touches at t=10,20,30 (click,view,click), purchase at t=35,
+    // lookback 20 -> window [15,34]: first=view@20, last=click@30, n=2
+    // user 2: purchase with no touch in window -> nulls
+    // user 3: touch exactly at conv_ts (t=50) is EXCLUDED ([-L,-1])
+    val ev = Seq(
+      (101L, 10L, 1L, "click"), (102L, 20L, 1L, "view"), (103L, 30L, 1L, "click"),
+      (104L, 35L, 1L, "purchase"),
+      (201L, 5L, 2L, "click"), (202L, 40L, 2L, "purchase"),
+      (301L, 50L, 3L, "view"), (302L, 50L, 3L, "purchase"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val out = Attribution.attribute(ev, "user_id", "ts_us", "event_type",
+      "event_id", Seq("click", "view"), "purchase", lookback = 20L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.getString(5)),
+        Option(r.get(6)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(104L) == ((2L, Some(102L), Some("view"), Some(103L))))
+    assert(out(202L) == ((0L, None, None, None)))
+    assert(out(302L) == ((0L, None, None, None)), "same-ts touch must not attribute")
+  }
+
   test("BitextMine: mutual-best with ratio margin excludes non-reciprocal matches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
