@@ -1682,6 +1682,25 @@ object SparkEntry {
       graft.operators.LabelProp.propagate(edges, seeds,
         "item_a", "item_b", "node", "label", rounds = 3)
     }),
+    "q_modularity" -> ((s, dir) => {
+      // Newman modularity of the label-prop communities in EXACT integer
+      // arithmetic (decimal(38,0) numerators; Q = sum(q_num)/(4m^2) is
+      // the consumer's one division); uncolored nodes become singletons
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
+        .localCheckpoint(false)
+      val nodes = edges.select(col("item_a").as("v"))
+        .unionAll(edges.select(col("item_b").as("v"))).distinct()
+      val seeds = nodes.where(col("v") % 25 === 0)
+        .select(col("v").as("node"), col("v").as("label"))
+      val colored = graft.operators.LabelProp.propagate(edges, seeds,
+        "item_a", "item_b", "node", "label", rounds = 3)
+      val labels = nodes.join(colored, nodes("v") === colored("node"), "left")
+        .select(nodes("v").as("node"),
+          coalesce(colored("label"), nodes("v")).as("label"))
+      graft.operators.Modularity.of(edges, "item_a", "item_b",
+        labels, "node", "label")
+    }),
     "q_rollup" -> ((s, dir) =>
       // OLAP rollup totals (status x priority -> status -> grand total),
       // money in exact int64 cents
@@ -1896,6 +1915,54 @@ object SparkEntry {
       s"""
          SELECT CAST(n AS BIGINT) AS node, CAST(l AS BIGINT) AS label
          FROM l$rounds ORDER BY node"""
+  }
+
+  /** q_modularity oracle: the label-prop coloring (same CTE chain), with
+    * uncolored nodes coalesced to singleton labels, rolled up into exact
+    * per-community modularity numerators (HUGEINT -> DECIMAL(38,0)). */
+  private def modularityOracleSql(rounds: Int, minSupport: Int, seedMod: Int): String = {
+    val head =
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
+         p AS MATERIALIZED (
+                SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+                GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+         e AS MATERIALIZED (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+         l0 AS MATERIALIZED (
+                SELECT v AS n, v AS l
+                FROM (SELECT a AS v FROM p UNION SELECT b FROM p)
+                WHERE v % $seedMod = 0)"""
+    val spread = (1 to rounds).map { i =>
+      s""",
+         l$i AS MATERIALIZED (
+                SELECT n, min(l) AS l FROM (
+                  SELECT n, l FROM l${i - 1}
+                  UNION ALL
+                  SELECT e.d AS n, l${i - 1}.l AS l
+                  FROM e JOIN l${i - 1} ON e.s = l${i - 1}.n)
+                GROUP BY n)"""
+    }.mkString
+    head + spread +
+      s""",
+         nodes AS (SELECT a AS v FROM p UNION SELECT b FROM p),
+         lab AS MATERIALIZED (
+                SELECT nodes.v AS n, coalesce(l$rounds.l, nodes.v) AS l
+                FROM nodes LEFT JOIN l$rounds ON nodes.v = l$rounds.n),
+         mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM p),
+         intra AS (SELECT la.l AS lbl, CAST(count(*) AS BIGINT) AS ie
+                   FROM p JOIN lab la ON p.a = la.n JOIN lab lb ON p.b = lb.n
+                   WHERE la.l = lb.l GROUP BY 1),
+         deg AS (SELECT v, count(*) AS c FROM (
+                   SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v),
+         ds AS (SELECT lab.l AS lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(sum(coalesce(deg.c, 0)) AS BIGINT) AS dsum
+                FROM lab LEFT JOIN deg ON lab.n = deg.v GROUP BY 1)
+         SELECT CAST(ds.lbl AS BIGINT) AS label, ds.n_nodes,
+                CAST(coalesce(intra.ie, 0) AS BIGINT) AS intra_edges,
+                ds.dsum AS degree_sum,
+                CAST(4 * mm.m * coalesce(intra.ie, 0)
+                     - CAST(ds.dsum AS HUGEINT) * ds.dsum AS DECIMAL(38,0)) AS q_num
+         FROM ds LEFT JOIN intra ON ds.lbl = intra.lbl CROSS JOIN mm
+         ORDER BY label"""
   }
 
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
@@ -3924,6 +3991,7 @@ object SparkEntry {
                 CAST(rn AS BIGINT) AS rank
          FROM r WHERE rn <= 5 ORDER BY anchor_id, rank""",
     "q_label_prop" -> labelPropOracleSql(rounds = 3, minSupport = 30, seedMod = 25),
+    "q_modularity" -> modularityOracleSql(rounds = 3, minSupport = 30, seedMod = 25),
     "q_retrieval_metrics" ->
       """WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlbl
                     FROM embeddings WHERE vec_id < 8),

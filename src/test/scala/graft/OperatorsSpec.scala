@@ -808,6 +808,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Modularity: exact integer numerators on two bridged triangles") {
+    import spark.implicits._
+    // two triangles joined by one bridge: the textbook Q = 70/196 ~ 0.357
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("node", "label")
+    val out = Modularity.of(edges, "a", "b", labels, "node", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDecimal(4).longValueExact)).toMap
+    // each triangle: e_c=3, d_c=7 -> q_num = 4*7*3 - 49 = 35; Q = 70/(4*49)
+    assert(out(10L) == ((3L, 3L, 7L, 35L)))
+    assert(out(20L) == ((3L, 3L, 7L, 35L)))
+    assert(out.values.map(_._4).sum / (4.0 * 7 * 7) === 70.0 / 196.0)
+  }
+
   test("Attribution: first/last touch inside the lookback, exact boundaries") {
     import spark.implicits._
     // user 1: touches at t=10,20,30 (click,view,click), purchase at t=35,
