@@ -330,6 +330,14 @@ object SparkEntry {
         .agg(concat_ws(",", sort_array(collect_list(col("o_orderstatus")))).as("statuses"))
         .orderBy(col("o_custkey"))
     }),
+    "q_rake" -> ((s, dir) =>
+      // RAKE keyword phrases (sum-ratio scoring - one rounded division,
+      // integer aggregates; see Rake scaladoc): English stoplist plus the
+      // corpus's domain fillers as delimiters, top 3 per doc
+      graft.operators.Rake.keywords(tbl(s, dir, "documents"),
+        "doc_id", "text",
+        stopwords = gf.EnglishStopwords ++ Seq("data", "table", "row", "key", "value", "line"),
+        maxPhraseLen = 4, topK = 3)),
     "q_term_frequency" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .where(col("doc_id") < 10)
@@ -2313,6 +2321,37 @@ object SparkEntry {
     "q_reduce" ->
       """SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_rake" ->
+      """WITH tk AS (SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> length(x) > 0)) AS w,
+                       generate_subscripts(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> length(x) > 0), 1) AS pos
+                     FROM documents),
+         m AS (SELECT doc_id, w, pos, w IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'are', 'was', 'for', 'on', 'with', 'as', 'at', 'by', 'it', 'that', 'this', 'be', 'data', 'table', 'row', 'key', 'value', 'line') AS stop,
+                      sum(CASE WHEN w IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'are', 'was', 'for', 'on', 'with', 'as', 'at', 'by', 'it', 'that', 'this', 'be', 'data', 'table', 'row', 'key', 'value', 'line') THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM tk),
+         ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+                       CAST(count(*) AS BIGINT) AS n_words
+                FROM m WHERE NOT stop GROUP BY doc_id, grp
+                HAVING count(*) <= 4),
+         pw AS (SELECT doc_id, grp, n_words, unnest(string_split(phrase, ' ')) AS w FROM ph),
+         st AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(n_words) AS BIGINT) AS deg
+                FROM pw GROUP BY doc_id, w),
+         sc AS (SELECT pw.doc_id, pw.grp,
+                       CAST(sum(st.deg) AS BIGINT) AS phrase_deg,
+                       CAST(sum(st.freq) AS BIGINT) AS phrase_freq
+                FROM pw JOIN st ON pw.doc_id = st.doc_id AND pw.w = st.w
+                GROUP BY pw.doc_id, pw.grp),
+         ded AS (SELECT ph.doc_id, ph.phrase, ph.n_words, sc.phrase_deg, sc.phrase_freq,
+                        round(CAST(sc.phrase_deg AS DOUBLE) / sc.phrase_freq, 6) AS score
+                 FROM sc JOIN ph ON sc.doc_id = ph.doc_id AND sc.grp = ph.grp
+                 GROUP BY ALL),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, phrase) AS INT) AS rank
+                FROM ded)
+         SELECT doc_id, phrase, n_words, phrase_deg, phrase_freq, score, rank
+         FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q_term_frequency" ->
       """SELECT doc_id, t.token, count(*) AS tf
          FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS t(token)

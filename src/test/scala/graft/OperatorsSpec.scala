@@ -808,6 +808,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Rake: stopword-delimited phrases, sum-ratio scores, total tie order") {
+    import spark.implicits._
+    val df = Seq((1L, "deep learning of deep networks is hard")).toDF("id", "t")
+    val out = Rake.keywords(df, "id", "t", Seq("of", "is"),
+        maxPhraseLen = 4, topK = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))
+    // freq: deep 2, learning/networks/hard 1; deg: deep 4, learning 2,
+    // networks 2, hard 1 -> both "deep *" phrases score 6/3 = 2.0 (tie
+    // broken by phrase text), "hard" scores 1.0
+    assert(out.toSeq == Seq(
+      ("deep learning", 2L, 6L, 3L, 2.0, 1),
+      ("deep networks", 2L, 6L, 3L, 2.0, 2),
+      ("hard", 1L, 1L, 1L, 1.0, 3)), s"got ${out.toSeq}")
+  }
+
   test("Modularity: exact integer numerators on two bridged triangles") {
     import spark.implicits._
     // two triangles joined by one bridge: the textbook Q = 70/196 ~ 0.357
