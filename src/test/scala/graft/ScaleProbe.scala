@@ -113,6 +113,20 @@ object ScaleProbe {
         d, col("n_chars"), "doc_id", 10, 990)),
       "temperature_mix" -> (d => graft.operators.Sampling.temperatureMixture(
         d, "doc_id", "lang", budgetDocs = 1000L, alphaQuarters = 2, salt = "sp")),
+      "rake" -> (d => graft.operators.Rake.keywords(d, "doc_id", "text",
+        graft.functions.gf.EnglishStopwords ++ Seq("data", "table", "row", "key", "value", "line"),
+        maxPhraseLen = 4, topK = 3)),
+      "domain_ops" -> { d =>
+        val dom = concat(lit("d"), col("doc_id") % 97)
+        graft.operators.DomainOps.reputation(d, "doc_id", dom,
+          graft.functions.gf.tokenCount(col("text")), 54000L)
+      },
+      "bleu" -> { d =>
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        graft.eval.RetrievalEval.bleuStats(d.select(col("doc_id").as("query_id"),
+          array_join(slice(toks, 1, 10), " ").as("generated"),
+          array_join(slice(toks, 3, 12), " ").as("reference")))
+      },
       // edit_join salts the string with the replica id (same rationale as
       // fuzzy_join_sh: keep matches within-replica so output stays linear
       // and the ratio isolates the segment-index machinery)
@@ -185,12 +199,40 @@ object ScaleProbe {
       "pagerank_pers" -> (e => PageRank.personalized(e, "s", "d",
         seeds = Seq(1L, 2L, 3L, 4L, 5L), iterations = 5)),
       "triangles" -> (e => Triangles.enumerate(e, "s", "d")),
-      "clustering_coeff" -> (e => Triangles.clusteringCoefficient(e, "s", "d")))
+      "clustering_coeff" -> (e => Triangles.clusteringCoefficient(e, "s", "d")),
+      "modularity" -> { e =>
+        val c = e.select(least(col("s"), col("d")).as("a"),
+          greatest(col("s"), col("d")).as("b")).where(col("a") =!= col("b")).distinct()
+        val labels = c.select(col("a").as("node")).unionAll(c.select(col("b").as("node")))
+          .distinct().select(col("node"), (col("node") % 50).as("label"))
+        graft.operators.Modularity.of(c, "a", "b", labels, "node", "label")
+      })
     val gSmall = edgesK(1); val gBig = edgesK(k)
     if (sections("graph")) graphOps.foreach { case (name, f) =>
       val t1 = measure(f, gSmall)
       val tk = measure(f, gBig)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+
+    // link_predict probes on the DEGREE-BOUNDED part co-purchase graph
+    // (the gate's graph): 2-hop work is sum(deg^2) BY DEFINITION, so the
+    // hub-heavy supplier-customer graph above would measure the statistic's
+    // inherent blowup, not the machinery (and OOMs at 10x) — real pipelines
+    // cap degrees upstream exactly like this
+    if (sections("graph")) {
+      val pe1 = graft.operators.Basket.frequentPairs(
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minSupport = 2).localCheckpoint()
+      def peK(n: Int): DataFrame =
+        if (n == 1) pe1
+        else pe1.crossJoin(spark.range(n).select(col("id").as("_rep")))
+          .select((col("item_a") + col("_rep") * 1000000000L).as("item_a"),
+            (col("item_b") + col("_rep") * 1000000000L).as("item_b"))
+          .localCheckpoint()
+      val f = (e: DataFrame) => graft.operators.LinkPredict.scores(e, "item_a", "item_b")
+      val t1 = measure(f, peK(1))
+      val tk = measure(f, peK(k))
+      println(f"[scale] link_predict     1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
 
     // event-analytics operators scale over replicated events with offset
