@@ -518,6 +518,29 @@ object SparkEntry {
       // type at gate SF); LOCF windows run over grid rows, never events
       graft.operators.EventAnalytics.locfGrid(events(s, dir),
         "event_type", "ts", cents(col("value")), stepNs = 3600L * 1000000000L)),
+    "q_cdc_merge" -> ((s, dir) => {
+      // changelog MERGE into a snapshot: base = orders with key%3!=0;
+      // deletes (%7==0), updates (%7==1, cents+100; %14==1 gets a SECOND
+      // later update +200 - the seq race the merge must win), inserts
+      // (%7==2 re-inserting keys missing from base)
+      val o = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), cents(col("o_totalprice")).as("cents"))
+      val base = o.where(col("k") % 3 =!= 0)
+      val k = col("k")
+      val ch1 = o.where(k % 7 === 0)
+        .select(k, col("cust"), col("cents"), lit("D").as("op"), lit(1L).as("seq"))
+      val ch2 = o.where(k % 7 === 1)
+        .select(k, col("cust"), (col("cents") + 100L).as("cents"),
+          lit("U").as("op"), lit(1L).as("seq"))
+      val ch3 = o.where(k % 14 === 1)
+        .select(k, col("cust"), (col("cents") + 200L).as("cents"),
+          lit("U").as("op"), lit(2L).as("seq"))
+      val ch4 = o.where(k % 7 === 2 && k % 3 === 0)
+        .select(k, col("cust"), col("cents"), lit("I").as("op"), lit(1L).as("seq"))
+      graft.operators.Cdc.applyChanges(base,
+        ch1.unionAll(ch2).unionAll(ch3).unionAll(ch4), Seq("k"), "op", "seq")
+        .orderBy(col("k"))
+    }),
     "q_scd2" -> ((s, dir) =>
       // SCD2 history build: each user's event stream as a state machine of
       // their latest event_type — consecutive same-type events compress,
@@ -1716,6 +1739,25 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("cents"))
         .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_orderpriority"))),
+    "q_pivot" -> ((s, dir) =>
+      // wide-format pivot (priority x status -> cents), explicit value
+      // list so the plan is ONE aggregate - no distinct-values pre-scan
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(cents(col("o_totalprice"))))
+        .orderBy(col("priority"))),
+    "q_unpivot" -> ((s, dir) =>
+      // long-format melt of the same rollup (unpivot = Spark 3.4 melt)
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(sum(when(col("o_orderstatus") === "F", cents(col("o_totalprice")))).as("F"),
+          sum(when(col("o_orderstatus") === "O", cents(col("o_totalprice")))).as("O"),
+          sum(when(col("o_orderstatus") === "P", cents(col("o_totalprice")))).as("P"))
+        .unpivot(Array(col("priority")), Array(col("F"), col("O"), col("P")),
+          "status", "cents")
+        .where(col("cents").isNotNull)
+        .orderBy(col("priority"), col("status"))),
     "q_cube" -> ((s, dir) =>
       // full CUBE (every grouping-set combination incl. per-dimension
       // marginals rollup cannot produce), exact int64 qty/cents
@@ -2464,6 +2506,26 @@ object SparkEntry {
                 (n_events IS NULL AND
                  max(sum_c) OVER (PARTITION BY event_type, grp) IS NOT NULL) AS carried
          FROM w ORDER BY event_type, bucket_ns""",
+    "q_cdc_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS cust,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+         base AS (SELECT * FROM o WHERE k % 3 != 0),
+         ch AS (SELECT k, cust, cents, 'D' AS op, 1 AS seq FROM o WHERE k % 7 = 0
+                UNION ALL
+                SELECT k, cust, cents + 100, 'U', 1 FROM o WHERE k % 7 = 1
+                UNION ALL
+                SELECT k, cust, cents + 200, 'U', 2 FROM o WHERE k % 14 = 1
+                UNION ALL
+                SELECT k, cust, cents, 'I', 1 FROM o WHERE k % 7 = 2 AND k % 3 = 0),
+         w AS (SELECT k, cust, cents, op,
+                      row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+               FROM ch)
+         SELECT b.k, b.cust, b.cents FROM base b
+         WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.k = b.k)
+         UNION ALL
+         SELECT k, cust, cents FROM w WHERE rn = 1 AND op != 'D'
+         ORDER BY k""",
     "q_scd2" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
          m AS (SELECT user_id, t, event_type,
@@ -4167,6 +4229,30 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""",
+    "q_pivot" ->
+      """SELECT o_orderpriority AS priority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "F",
+                CAST(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "O",
+                CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "P"
+         FROM orders GROUP BY 1 ORDER BY priority""",
+    "q_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority AS priority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS f,
+                CAST(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS o,
+                CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS p
+           FROM orders GROUP BY 1)
+         SELECT priority, status, cents FROM (
+           SELECT priority, 'F' AS status, f AS cents FROM w
+           UNION ALL SELECT priority, 'O', o FROM w
+           UNION ALL SELECT priority, 'P', p FROM w)
+         WHERE cents IS NOT NULL
+         ORDER BY priority, status""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,

@@ -808,6 +808,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Cdc.applyChanges: latest-seq wins, deletes drop, inserts land, base passes") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L), (2L, "b3", "U", 2L),  // later seq wins
+      (3L, "x", "D", 1L),                          // delete
+      (4L, "d", "I", 1L),                          // insert
+      (5L, "e", "I", 1L), (5L, "x", "D", 2L))      // insert then delete
+      .toDF("k", "v", "op", "seq")
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b3", 4L -> "d"))
+  }
+
   test("Rake: stopword-delimited phrases, sum-ratio scores, total tie order") {
     import spark.implicits._
     val df = Seq((1L, "deep learning of deep networks is hard")).toDF("id", "t")
