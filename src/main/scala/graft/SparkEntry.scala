@@ -1686,6 +1686,11 @@ object SparkEntry {
       graft.eval.RetrievalEval.rougeN(rougeAnswers(s, dir), 2)
         .orderBy(col("query_id"))
     }),
+    "q_chrf" -> ((s, dir) =>
+      // chrF (beta=2, char 1..6-grams): clipped-overlap P/R per order,
+      // mean as ONE literal addition chain (order-stable floats)
+      graft.eval.RetrievalEval.chrF(rougeAnswers(s, dir))
+        .orderBy(col("query_id"))),
     "q_bleu" -> ((s, dir) =>
       // BLEU-4 clipped precisions + sqrt-chain geometric core (no libm
       // pow/exp anywhere, so every double is bit-identical cross-engine);
@@ -4171,6 +4176,77 @@ object SparkEntry {
                 round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6)
                   AS rouge2_f1
          FROM pr ORDER BY query_id""",
+    "q_chrf" ->
+      """WITH tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                                   x -> length(x) > 0) AS toks
+                     FROM documents),
+         win AS (SELECT doc_id AS query_id,
+                        regexp_replace(lower(coalesce(array_to_string(toks[1:10], ' '), '')), '[ \t\n\x0b\f\r]+', '', 'g') AS g,
+                        regexp_replace(lower(coalesce(array_to_string(toks[3:14], ' '), '')), '[ \t\n\x0b\f\r]+', '', 'g') AS r
+                 FROM tk),
+         gr AS (SELECT query_id,
+                       CASE WHEN length(g) < 1 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(g) - 1 + 2), i -> substr(g, i, 1)) END AS g1,
+                       CASE WHEN length(r) < 1 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(r) - 1 + 2), i -> substr(r, i, 1)) END AS r1,
+                       CASE WHEN length(g) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(g) - 2 + 2), i -> substr(g, i, 2)) END AS g2,
+                       CASE WHEN length(r) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(r) - 2 + 2), i -> substr(r, i, 2)) END AS r2,
+                       CASE WHEN length(g) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(g) - 3 + 2), i -> substr(g, i, 3)) END AS g3,
+                       CASE WHEN length(r) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(r) - 3 + 2), i -> substr(r, i, 3)) END AS r3,
+                       CASE WHEN length(g) < 4 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(g) - 4 + 2), i -> substr(g, i, 4)) END AS g4,
+                       CASE WHEN length(r) < 4 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(r) - 4 + 2), i -> substr(r, i, 4)) END AS r4,
+                       CASE WHEN length(g) < 5 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(g) - 5 + 2), i -> substr(g, i, 5)) END AS g5,
+                       CASE WHEN length(r) < 5 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(r) - 5 + 2), i -> substr(r, i, 5)) END AS r5,
+                       CASE WHEN length(g) < 6 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(g) - 6 + 2), i -> substr(g, i, 6)) END AS g6,
+                       CASE WHEN length(r) < 6 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(r) - 6 + 2), i -> substr(r, i, 6)) END AS r6
+                FROM win),
+         pv AS (SELECT query_id,
+                CASE WHEN len(g1) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g1),
+                  t -> least(len(list_filter(g1, y -> y = t)), len(list_filter(r1, y -> y = t))))), 0) AS DOUBLE) / len(g1) ELSE 0.0 END AS p1,
+                CASE WHEN len(r1) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g1),
+                  t -> least(len(list_filter(g1, y -> y = t)), len(list_filter(r1, y -> y = t))))), 0) AS DOUBLE) / len(r1) ELSE 0.0 END AS r1,
+                CASE WHEN len(g2) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g2),
+                  t -> least(len(list_filter(g2, y -> y = t)), len(list_filter(r2, y -> y = t))))), 0) AS DOUBLE) / len(g2) ELSE 0.0 END AS p2,
+                CASE WHEN len(r2) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g2),
+                  t -> least(len(list_filter(g2, y -> y = t)), len(list_filter(r2, y -> y = t))))), 0) AS DOUBLE) / len(r2) ELSE 0.0 END AS r2,
+                CASE WHEN len(g3) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g3),
+                  t -> least(len(list_filter(g3, y -> y = t)), len(list_filter(r3, y -> y = t))))), 0) AS DOUBLE) / len(g3) ELSE 0.0 END AS p3,
+                CASE WHEN len(r3) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g3),
+                  t -> least(len(list_filter(g3, y -> y = t)), len(list_filter(r3, y -> y = t))))), 0) AS DOUBLE) / len(r3) ELSE 0.0 END AS r3,
+                CASE WHEN len(g4) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g4),
+                  t -> least(len(list_filter(g4, y -> y = t)), len(list_filter(r4, y -> y = t))))), 0) AS DOUBLE) / len(g4) ELSE 0.0 END AS p4,
+                CASE WHEN len(r4) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g4),
+                  t -> least(len(list_filter(g4, y -> y = t)), len(list_filter(r4, y -> y = t))))), 0) AS DOUBLE) / len(r4) ELSE 0.0 END AS r4,
+                CASE WHEN len(g5) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g5),
+                  t -> least(len(list_filter(g5, y -> y = t)), len(list_filter(r5, y -> y = t))))), 0) AS DOUBLE) / len(g5) ELSE 0.0 END AS p5,
+                CASE WHEN len(r5) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g5),
+                  t -> least(len(list_filter(g5, y -> y = t)), len(list_filter(r5, y -> y = t))))), 0) AS DOUBLE) / len(r5) ELSE 0.0 END AS r5,
+                CASE WHEN len(g6) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g6),
+                  t -> least(len(list_filter(g6, y -> y = t)), len(list_filter(r6, y -> y = t))))), 0) AS DOUBLE) / len(g6) ELSE 0.0 END AS p6,
+                CASE WHEN len(r6) > 0 THEN CAST(coalesce(list_sum(list_transform(list_distinct(g6),
+                  t -> least(len(list_filter(g6, y -> y = t)), len(list_filter(r6, y -> y = t))))), 0) AS DOUBLE) / len(r6) ELSE 0.0 END AS r6
+                FROM gr),
+         fv AS (SELECT query_id,
+                CASE WHEN 4.0 * p1 + r1 > 0 THEN 5.0 * p1 * r1 / (4.0 * p1 + r1) ELSE 0.0 END AS f1,
+                CASE WHEN 4.0 * p2 + r2 > 0 THEN 5.0 * p2 * r2 / (4.0 * p2 + r2) ELSE 0.0 END AS f2,
+                CASE WHEN 4.0 * p3 + r3 > 0 THEN 5.0 * p3 * r3 / (4.0 * p3 + r3) ELSE 0.0 END AS f3,
+                CASE WHEN 4.0 * p4 + r4 > 0 THEN 5.0 * p4 * r4 / (4.0 * p4 + r4) ELSE 0.0 END AS f4,
+                CASE WHEN 4.0 * p5 + r5 > 0 THEN 5.0 * p5 * r5 / (4.0 * p5 + r5) ELSE 0.0 END AS f5,
+                CASE WHEN 4.0 * p6 + r6 > 0 THEN 5.0 * p6 * r6 / (4.0 * p6 + r6) ELSE 0.0 END AS f6
+                FROM pv)
+         SELECT query_id, round((f1 + f2 + f3 + f4 + f5 + f6) / 6, 6) AS chrf
+         FROM fv ORDER BY query_id""",
     "q_bleu" ->
       """WITH tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),

@@ -175,6 +175,40 @@ object RetrievalEval {
         .otherwise(lit(0.0)).as("f1"))
   }
 
+  /** chrF (Popović 2015): character n-gram F-score, β=2, orders 1..maxN
+    * over the whitespace-stripped lowercased texts. Per-order P/R come
+    * from the codegen'd clipped overlap; each F_n = 5·P·R/(4·P + R) (0
+    * when an order has no n-grams on either side — strict, documented);
+    * the final score is the arithmetic mean over orders written as ONE
+    * literal left-associated chain, so the float addition ORDER is fixed
+    * by the expression tree and the oracle replays it bit-for-bit (an
+    * aggregate mean would not be order-stable). */
+  def chrF(answers: DataFrame, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"need 1 <= maxN <= 9, got $maxN")
+    import graft.functions.gf
+    def stripped(c: Column): Column =
+      regexp_replace(lower(c), "\\s+", "")
+    // strip/lower behind a projection boundary: charShingles' lambda body
+    // re-evaluates its captured expression per element (no CSE in HOFs)
+    val pre = answers.select(col("query_id"),
+      stripped(col("generated")).as("_g"), stripped(col("reference")).as("_r"))
+    def grams(c: Column, n: Int): Column =
+      when(length(c) < n, array().cast("array<string>"))
+        .otherwise(gf.charShingles(c, n))
+    val withGrams = pre.select(Seq(col("query_id")) ++ (1 to maxN).flatMap { n =>
+      Seq(grams(col("_g"), n).as(s"_g$n"), grams(col("_r"), n).as(s"_r$n")) }: _*)
+    val fs = (1 to maxN).map { n =>
+      val o = gf.clippedOverlap(col(s"_g$n"), col(s"_r$n")).cast("double")
+      val p = when(size(col(s"_g$n")) > 0, o / size(col(s"_g$n"))).otherwise(lit(0.0))
+      val r = when(size(col(s"_r$n")) > 0, o / size(col(s"_r$n"))).otherwise(lit(0.0))
+      when(lit(4.0) * p + r > 0, lit(5.0) * p * r / (lit(4.0) * p + r))
+        .otherwise(lit(0.0)).as(s"_f$n")
+    }
+    val staged = withGrams.select(Seq(col("query_id")) ++ fs: _*)
+    val mean = (1 to maxN).map(n => col(s"_f$n")).reduce(_ + _) / maxN
+    staged.select(col("query_id"), round(mean, 6).as("chrf"))
+  }
+
   /** BLEU-4 statistics (Papineni et al. 2002): per-order clipped n-gram
     * precisions p1..p4 and the geometric-mean core computed as an IEEE
     * sqrt chain — sqrt(sqrt(p1·p2·p3·p4)) — NEVER libm pow/exp, so every

@@ -88,6 +88,21 @@ class EvalSpec extends AnyFunSuite {
     assert(out("q1") == 1.0 && out("q2") == 0.0)
   }
 
+  test("chrF: hand-computed char n-gram F on a small pair; strict short-text zeros") {
+    import spark.implicits._
+    val answers = Seq(
+      ("exact", "abcdef gh", "abcdef gh"),   // identical after strip: chrf 1
+      ("short", "ab", "ab"),                  // 2 chars: orders 3..6 are 0
+      ("none", "aaaa", "bbbb"))               // zero overlap at every order
+      .toDF("query_id", "generated", "reference")
+    val out = RetrievalEval.chrF(answers).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("exact") == 1.0)
+    // "ab": f1 = f2 = 1, f3..f6 = 0 -> mean 2/6
+    assert(out("short") == 0.333333)
+    assert(out("none") == 0.0)
+  }
+
   test("bleuStats: clipped precisions, sqrt-chain core, brevity fields") {
     import spark.implicits._
     val answers = Seq(
