@@ -151,6 +151,8 @@ object GraftSqlFunctions {
         x(gf.blocklistHits(c(es(0)), strArrayArg("gf_blocklist_hits", es(1)))))),
     ("gf_nfc_normalize", "(text) -> string",
       arity("gf_nfc_normalize", 1)(es => x(gf.nfcNormalize(c(es(0)))))),
+    ("gf_jaro_winkler", "(a, b) -> double",
+      arity("gf_jaro_winkler", 2)(es => x(gf.jaroWinkler(c(es(0)), c(es(1)))))),
     ("gf_fix_mojibake", "(text) -> string",
       arity("gf_fix_mojibake", 1)(es => x(gf.fixMojibake(c(es(0)))))),
     ("gf_fix_mojibake_fixpoint", "(text) -> string",

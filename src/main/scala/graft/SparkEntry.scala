@@ -1246,6 +1246,13 @@ object SparkEntry {
         titled.where(col("doc_id") % 2 === 1),
         "doc_id", "title_set", num = 1, den = 2)
     }),
+    "q_jaro_winkler" -> ((s, dir) =>
+      // Jaro-Winkler per-row scoring (DuckDB-bit-identical expression; the
+      // join use composes with EditJoin/sorted-blocking candidates)
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(gf.jaroWinkler(substring(lower(col("text")), 1, 24),
+          substring(lower(col("text")), 5, 24)), 6).as("jw"))
+        .orderBy(col("doc_id"))),
     "q_edit_join" -> ((s, dir) => {
       // record-linkage by CHARACTER edit distance (PassJoin segment
       // pruning + exact levenshtein verify) over the 24-char lowercased
@@ -3474,6 +3481,11 @@ object SparkEntry {
                 round(CAST(inter AS DOUBLE) / uni, 6) AS jac
          FROM p WHERE inter * 2 >= uni
          ORDER BY id_a, id_b""",
+    "q_jaro_winkler" ->
+      """SELECT doc_id,
+                round(jaro_winkler_similarity(substr(lower(text), 1, 24),
+                                              substr(lower(text), 5, 24)), 6) AS jw
+         FROM documents ORDER BY doc_id""",
     "q_edit_join" ->
       // quadratic replay: segment pruning is exactness-preserving, so the
       // brute-force cross join must agree pair for pair

@@ -51,6 +51,11 @@ object gf {
   def clippedOverlap(a: Column, b: Column): Column =
     fromExpr(ClippedOverlapExpr(toExpr(a), toExpr(b)))
 
+  /** Jaro-Winkler similarity (Winkler prefix boost over Jaro; DuckDB-
+    * bit-identical semantics — see JaroWinklerExpr). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    fromExpr(JaroWinklerExpr(toExpr(a), toExpr(b)))
+
   /** Word n-gram shingles over an ALREADY-TOKENIZED array (wordShingles
     * minus the tokenize step) — for callers that need several n over the
     * same token array without re-splitting the text per order. */

@@ -241,6 +241,28 @@ class TextExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JaroWinklerExpr: textbook values, bounds, symmetry, empty semantics") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"), ("duane", "dwayne"),
+      ("", ""), ("a", ""), ("abc", "abc"), ("abc", "xyz"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(gf.jaroWinkler($"a", $"b")).collect().map(_.getDouble(0))
+    assert(got(0) == 0.9611111111111111)      // Winkler's canonical example
+    assert(math.abs(got(1) - 0.8133333333333332) < 1e-15)
+    assert(got(3) == 0.0 && got(4) == 0.0)    // empty => 0 (DuckDB semantics)
+    assert(got(5) == 1.0 && got(6) == 0.0)
+    // symmetry + bounds on random pairs
+    val rnd = Gen.listOfN(300,
+      Gen.zip(Gen.alphaStr.map(_.take(10)), Gen.alphaStr.map(_.take(10)))).sample.get
+    val sym = rnd.toDF("a", "b").select(
+      gf.jaroWinkler($"a", $"b").as("f"), gf.jaroWinkler($"b", $"a").as("g")).collect()
+    sym.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "JW must be symmetric")
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    }
+  }
+
   test("ClippedOverlapExpr equals the HOF aggregate form and a Scala model") {
     val word = Gen.frequency(5 -> Gen.oneOf("a", "b", "c", "ab", "the", ""),
       2 -> Gen.alphaNumStr.map(_.take(4)), 1 -> Gen.oneOf("é", "日", "…"))
