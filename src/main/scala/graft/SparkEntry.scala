@@ -1376,6 +1376,23 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), gf.dedupKey(col("text")).as("dkey"))
         .orderBy(col("doc_id"))),
+    "q_checks" -> ((s, dir) => {
+      // Deequ-style contract suite over orders: row-level + uniqueness
+      // fold into ONE aggregate/one scan; the FK check adds an anti-join
+      // count. range_cents is deliberately tight so the gate proves
+      // violation COUNTING, not just pass flags
+      import graft.operators.Checks
+      import graft.operators.Checks._
+      val o = tbl(s, dir, "orders")
+      Checks.run(o, Seq(
+        RowCheck("not_null_custkey", notNull(col("o_custkey"))),
+        RowCheck("range_cents", inRange(cents(col("o_totalprice")),
+          lit(0L), lit(30000000L))),
+        RowCheck("priority_format", matches(col("o_orderpriority"), "^[1-5]-")),
+        RowCheck("status_domain", inSet(col("o_orderstatus"), Seq("F", "O", "P"))),
+        UniqueCheck("unique_orderkey", Seq(col("o_orderkey"))),
+        RefCheck("fk_customer", col("o_custkey"), tbl(s, dir, "customer"), "c_custkey")))
+    }),
     "q_profile" -> ((s, dir) => {
       // one-scan column profile over documents: exact distinct counts via
       // a single Expand, ranges profiled on exact representations (longs,
@@ -3584,6 +3601,35 @@ object SparkEntry {
       """SELECT doc_id,
                 trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS dkey
          FROM documents ORDER BY doc_id""",
+    "q_checks" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+         u AS (
+         SELECT 'fk_customer' AS "constraint", n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+         FROM n
+         UNION ALL
+         SELECT 'not_null_custkey', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) FROM n
+         UNION ALL
+         SELECT 'priority_format', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM n
+         UNION ALL
+         SELECT 'range_cents', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_totalprice IS NULL OR CAST(round(o_totalprice * 100) AS BIGINT) < 0
+                    OR CAST(round(o_totalprice * 100) AS BIGINT) > 30000000) FROM n
+         UNION ALL
+         SELECT 'status_domain', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P')) FROM n
+         UNION ALL
+         SELECT 'unique_orderkey', n.n_rows,
+                (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders) FROM n)
+         SELECT "constraint", n_rows, n_violations, n_violations = 0 AS passed
+         FROM u ORDER BY "constraint"""",
     "q_profile" ->
       """WITH b AS (SELECT lang, source, n_chars,
                            CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang_opt,

@@ -808,6 +808,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Checks: exact violation counts per constraint, one-scan row suite") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import Checks._
+    val df = Seq((1L, Some(10), "ok"), (2L, None, "ok"), (3L, Some(99), "bad"),
+      (1L, Some(20), "ok")).toDF("k", "v", "s")
+    val ref = Seq(10, 20).toDF("rv")
+    val out = Checks.run(df, Seq(
+      RowCheck("v_not_null", notNull($"v")),
+      RowCheck("v_range", inRange($"v", lit(0), lit(50))),
+      RowCheck("s_domain", inSet($"s", Seq("ok"))),
+      UniqueCheck("k_unique", Seq($"k")),
+      RefCheck("v_ref", $"v", ref, "rv")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("v_not_null") == ((4L, 1L, false)))
+    assert(out("v_range") == ((4L, 2L, false)))     // null counts + 99
+    assert(out("s_domain") == ((4L, 1L, false)))
+    assert(out("k_unique") == ((4L, 1L, false)))    // one extra copy of k=1
+    assert(out("v_ref") == ((4L, 1L, false)))       // 99 unmatched; null skipped
+  }
+
   test("Cdc.applyChanges: latest-seq wins, deletes drop, inserts land, base passes") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
