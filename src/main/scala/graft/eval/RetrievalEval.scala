@@ -188,23 +188,23 @@ object RetrievalEval {
     import graft.functions.gf
     def stripped(c: Column): Column =
       regexp_replace(lower(c), "\\s+", "")
-    // strip/lower behind a projection boundary: charShingles' lambda body
-    // re-evaluates its captured expression per element (no CSE in HOFs)
+    // whitespace stripped/lowered once; ChrfStatsExpr does the rest in a
+    // single row-local pass
+    // ALL per-order stats in one row-local expression pass — 12 shingle
+    // arrays + 6 overlap hash passes collapse into ChrfStatsExpr
     val pre = answers.select(col("query_id"),
-      stripped(col("generated")).as("_g"), stripped(col("reference")).as("_r"))
-    def grams(c: Column, n: Int): Column =
-      when(length(c) < n, array().cast("array<string>"))
-        .otherwise(gf.charShingles(c, n))
-    val withGrams = pre.select(Seq(col("query_id")) ++ (1 to maxN).flatMap { n =>
-      Seq(grams(col("_g"), n).as(s"_g$n"), grams(col("_r"), n).as(s"_r$n")) }: _*)
+      gf.chrfStats(stripped(col("generated")), stripped(col("reference")), maxN)
+        .as("_st"))
     val fs = (1 to maxN).map { n =>
-      val o = gf.clippedOverlap(col(s"_g$n"), col(s"_r$n")).cast("double")
-      val p = when(size(col(s"_g$n")) > 0, o / size(col(s"_g$n"))).otherwise(lit(0.0))
-      val r = when(size(col(s"_r$n")) > 0, o / size(col(s"_r$n"))).otherwise(lit(0.0))
+      val o = element_at(col("_st"), 3 * (n - 1) + 1).cast("double")
+      val ng = element_at(col("_st"), 3 * (n - 1) + 2)
+      val nr = element_at(col("_st"), 3 * (n - 1) + 3)
+      val p = when(ng > 0, o / ng).otherwise(lit(0.0))
+      val r = when(nr > 0, o / nr).otherwise(lit(0.0))
       when(lit(4.0) * p + r > 0, lit(5.0) * p * r / (lit(4.0) * p + r))
         .otherwise(lit(0.0)).as(s"_f$n")
     }
-    val staged = withGrams.select(Seq(col("query_id")) ++ fs: _*)
+    val staged = pre.select(Seq(col("query_id")) ++ fs: _*)
     val mean = (1 to maxN).map(n => col(s"_f$n")).reduce(_ + _) / maxN
     staged.select(col("query_id"), round(mean, 6).as("chrf"))
   }

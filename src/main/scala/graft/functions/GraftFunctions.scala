@@ -62,13 +62,17 @@ object gf {
   def tokenShingles(tokens: Column, n: Int): Column =
     fromExpr(WordShinglesExpr(toExpr(tokens), n))
 
-  /** Character n-gram shingles over the lowercased text. */
-  def charShingles(c: Column, n: Int): Column = {
-    val s = lower(c)
-    transform(
-      sequence(lit(0), greatest(length(s) - n, lit(0))),
-      i => substring(s, lit(1) + i, lit(n)).cast("string"))
-  }
+  /** chrF per-order stats [o_n, ng_n, nr_n]*maxN in one row-local pass
+    * (see ChrfStatsExpr). Inputs should be pre-stripped/lowered. */
+  def chrfStats(a: Column, b: Column, maxN: Int): Column =
+    fromExpr(ChrfStatsExpr(toExpr(a), toExpr(b), maxN))
+
+  /** Character n-gram shingles over the lowercased text. Single-pass
+    * codegen'd expression — the transform(sequence(...)) form ran
+    * interpreted and cost 5.6 s of the chrF gate (see CharShinglesExpr;
+    * contract unchanged: short texts yield one whole-string shingle). */
+  def charShingles(c: Column, n: Int): Column =
+    fromExpr(CharShinglesExpr(toExpr(lower(c)), n))
 
   // ------------------------------------------------------------ sketches
 
