@@ -127,6 +127,20 @@ object SparkEntry {
       parquetDocs.select("doc_id", "text", "lang", "source", "n_chars")
         .unionAll(ingested)
     }
+    // PRE-FLIGHT CONTRACT (Deequ shape): curation refuses to run on a
+    // drop that violates its input contract — null text or duplicate ids
+    // upstream would silently skew every signal below. One scan, exact
+    // counts; the require message carries the violating constraints.
+    {
+      import graft.operators.Checks
+      val contract = Checks.run(docs, Seq(
+        Checks.RowCheck("text_not_null", Checks.notNull(col("text"))),
+        Checks.RowCheck("lang_domain", Checks.matches(col("lang"), "^[a-z]{2,3}$")),
+        Checks.UniqueCheck("doc_id_unique", Seq(col("doc_id"))))).collect()
+      val broken = contract.filterNot(_.getBoolean(3))
+        .map(r => s"${r.getString(0)}=${r.getLong(2)}")
+      require(broken.isEmpty, s"input contract violated: ${broken.mkString(", ")}")
+    }
     // normalization-insensitive exact dedup (dedupKey collapses case/punct
     // variants); checkpointed — it feeds the near-dup pair graph, the
     // seed selection, AND the LSH dedup below
@@ -173,12 +187,20 @@ object SparkEntry {
     // template spam and symbol soup fall outside it)
     val lex = graft.operators.CorpusStats.lexicalDiversity(deduped, "doc_id", "text")
       .select(col("doc_id"), col("ttr"), col("mean_word_len"))
+    // topic handle: each survivor's top RAKE phrase; the rollup counts
+    // DISTINCT phrases per language — a cheap topic-diversity signal
+    // (template corpora collapse to few phrases, organic ones fan out)
+    val topic = graft.operators.Rake.keywords(deduped, "doc_id", "text",
+        gf.EnglishStopwords ++ Seq("data", "table", "row", "key", "value", "line"),
+        maxPhraseLen = 4, topK = 1)
+      .select(col("doc_id"), col("phrase").as("top_phrase"))
     deduped
       .join(spans, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
       .join(cc, Seq("doc_id"), "left")
       .join(ppr, Seq("doc_id"), "left")
       .join(lex, Seq("doc_id"), "left")
+      .join(topic, Seq("doc_id"), "left")
       .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8) // drop near-copied docs
       .where(coalesce(col("mean_word_len"), lit(4.0)).between(3.0, 10.0))
       // HARD Gopher+C4 gate on the INGEST rows only: the real mixed-format
@@ -213,7 +235,8 @@ object SparkEntry {
         gf.luhnValid(regexp_extract(col("text"),
           gf.CardCandidatePattern, 0)).cast("long").as("has_cc"),
         coalesce(col("coeff"), lit(0.0)).as("coeff"),
-        coalesce(col("ppr"), lit(0L)).as("ppr"))
+        coalesce(col("ppr"), lit(0L)).as("ppr"),
+        col("top_phrase"))
       .groupBy(col("src_class"), col("lang").as("key"))
       .agg(count(lit(1)).as("count"),
         sum(col("toks")).as("tokens"),
@@ -228,7 +251,8 @@ object SparkEntry {
         round(avg(col("fk").cast("double")), 1).as("avg_fk_milli"),
         sum(col("masked")).as("span_masked_blocks"),
         round(avg(col("has_cc").cast("double")), 4).as("cc_rate"),
-        sum(col("ppr")).as("seed_proximity_mass"))
+        sum(col("ppr")).as("seed_proximity_mass"),
+        countDistinct(col("top_phrase")).as("n_topics"))
       .orderBy(desc("count"), col("src_class"), col("key"))
   }
 
