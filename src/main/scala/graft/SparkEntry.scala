@@ -1548,6 +1548,16 @@ object SparkEntry {
       graft.operators.EventAnalytics.funnel(events(s, dir), "user_id",
         "event_type", "ts", Seq("view", "click", "purchase"),
         windowNs = 7L * 86400 * 1000000000L)),
+    "q_rfm" -> ((s, dir) => {
+      // RFM customer scoring: exact-rank quintiles via the two-phase
+      // prefix sum (never a one-partition NTILE); integer day recency
+      // against a fixed as-of date, exact cents monetary
+      val o = tbl(s, dir, "orders")
+      graft.operators.Rfm.scores(o, "o_custkey",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")),
+        cents(col("o_totalprice")),
+        asOf = 10591L)   // days('1998-12-31')
+    }),
     "q_retention" -> ((s, dir) =>
       // weekly cohort retention; buckets via integer `div` (int64 nanos
       // exceed double's mantissa — float division would corrupt buckets)
@@ -3909,6 +3919,26 @@ object SparkEntry {
                UNION ALL
                SELECT 'purchase', 3::BIGINT, (SELECT c FROM n3))
          ORDER BY step""",
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey AS entity,
+                10591 - max(date_diff('day', DATE '1970-01-01', o_orderdate::DATE)) AS recency,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+         FROM orders GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM base),
+         r AS (SELECT base.*,
+                row_number() OVER (ORDER BY recency DESC, entity) - 1 AS rr,
+                row_number() OVER (ORDER BY frequency, entity) - 1 AS rf,
+                row_number() OVER (ORDER BY monetary_cents, entity) - 1 AS rm
+               FROM base)
+         SELECT entity, CAST(recency AS BIGINT) AS recency, frequency, monetary_cents,
+                CAST(floor(rr * 5 / n.n) + 1 AS BIGINT) AS r_score,
+                CAST(floor(rf * 5 / n.n) + 1 AS BIGINT) AS f_score,
+                CAST(floor(rm * 5 / n.n) + 1 AS BIGINT) AS m_score,
+                CAST(CAST(floor(rr * 5 / n.n) + 1 AS BIGINT) AS VARCHAR) ||
+                CAST(CAST(floor(rf * 5 / n.n) + 1 AS BIGINT) AS VARCHAR) ||
+                CAST(CAST(floor(rm * 5 / n.n) + 1 AS BIGINT) AS VARCHAR) AS rfm
+         FROM r CROSS JOIN n ORDER BY entity""",
     "q_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id AS u,
                             epoch_ns(ts) // 604800000000000 AS b

@@ -808,6 +808,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Rfm: orientation (recent/frequent/valuable = high), exact rank quintiles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5 entities, one activity each at distinct days/values so every
+    // dimension has a total order; asOf=100
+    val acts = Seq((1L, 99L, 500L), (2L, 90L, 400L), (3L, 80L, 300L),
+      (4L, 70L, 200L), (5L, 60L, 100L)).toDF("e", "day", "cents")
+    val out = Rfm.scores(acts, "e", col("day"), col("cents"), asOf = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(6), r.getString(7))).toMap
+    // entity 1: most recent (recency 1) and most valuable -> r=5, m=5
+    assert(out(1L) == ((1L, 5L, 5L, "515")))
+    // entity 5: stalest, least valuable -> r=1, m=1; frequency all tie=1
+    assert(out(5L)._2 == 1L && out(5L)._3 == 1L)
+    // frequency ties break by entity id: deterministic 1..5 spread
+    assert(out.values.map(_._4(1)).toSeq.sorted == Seq('1', '2', '3', '4', '5'))
+  }
+
   test("Checks: exact violation counts per constraint, one-scan row suite") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
