@@ -1294,6 +1294,13 @@ object SparkEntry {
       graft.operators.Blocking.sortedNeighborhood(
         tbl(s, dir, "documents"), "doc_id",
         lower(substring(col("text"), 1, 20)), window = 2)),
+    "q_robust_outliers" -> ((s, dir) =>
+      // median/MAD outlier summary per return flag — the robust twin of
+      // the 3-sigma moment flags; med2/mad4 integer encodings, flag by
+      // pure integer cross-multiplication (see Stats.robustOutliers)
+      graft.operators.Stats.robustOutliers(tbl(s, dir, "lineitem"),
+        col("l_returnflag"), cents(col("l_extendedprice")),
+        col("l_orderkey") * 10 + col("l_linenumber"))),
     "q_event_anomaly" -> ((s, dir) =>
       // 3-sigma hourly volume spikes per event type, decided in pure
       // integers (cross-multiplied z-test; see anomalousBuckets)
@@ -3558,6 +3565,31 @@ object SparkEntry {
                 CAST(y.rank0 - x.rank0 AS BIGINT) AS dist
          FROM r x JOIN r y ON y.rank0 - x.rank0 BETWEEN 1 AND 2
          ORDER BY id_a, id_b""",
+    "q_robust_outliers" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                l_orderkey * 10 + l_linenumber AS u
+         FROM lineitem),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v, u) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n FROM b),
+         m1 AS (SELECT g, CAST(sum(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN v * 2
+                              WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN v END)
+                     AS BIGINT) AS med2
+                FROM r1 GROUP BY g),
+         d AS (SELECT b.g, b.v, b.u, abs(b.v * 2 - m1.med2) AS dv, m1.med2
+               FROM b JOIN m1 ON b.g = m1.g),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY dv, u) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n FROM d),
+         m2 AS (SELECT g, CAST(sum(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN dv * 2
+                              WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN dv END)
+                     AS BIGINT) AS mad4
+                FROM r2 GROUP BY g)
+         SELECT d.g AS "group", CAST(count(*) AS BIGINT) AS n,
+                max(d.med2) AS med2, CAST(max(m2.mad4) AS BIGINT) AS mad4,
+                CAST(sum(CASE WHEN d.dv * 20000 > m2.mad4 * 44478 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM d JOIN m2 ON d.g = m2.g
+         GROUP BY d.g ORDER BY "group"""",
     "q_event_anomaly" ->
       // cross-multiplied two-sided z-test: (n*x - S)^2 > 9*(n*SS - S^2);
       // HUGEINT on this side, decimal(38,0) on Spark's - both exact

@@ -88,6 +88,49 @@ object Stats {
    * ordered task — bounded by value cardinality, not row count; bucket
    * the column first if its support is unbounded). One output row.
    */
+  /** Per-group robust outlier summary via median/MAD, EXACT end to end:
+    * medians are represented as the SUM OF THE TWO MIDDLE VALUES in
+    * (value, unique) order (med2 = 2·median, always integer — no .5
+    * doubles cross engines), deviations as D = |2·value − med2|, the MAD
+    * as mad4 = two-middle-sum of D (= 4·MAD), and the 3σ-equivalent flag
+    * |value − med| > 3·1.4826·MAD becomes the pure integer comparison
+    * 20000·D > 44478·mad4 (1.4826 = 14826/10000, both sides ×20000).
+    * Output: (group, n, med2, mad4, n_outliers), group-ordered.
+    *
+    * Shape: two window passes PARTITIONED BY GROUP (never one-partition)
+    * + one rollup — the robust twin of the moment-based anomaly flags
+    * (EventAnalytics.anomalousBuckets), immune to the outliers it hunts. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+                     unique: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("_g"), value.cast("long").as("_v"),
+      unique.as("_u")).where(col("_v").isNotNull)
+    // two-middle sum: elements at 1-based ranks floor((n+1)/2), floor(n/2)+1
+    // (equal for odd n, adjacent for even) — summed, never averaged
+    def twoMiddleSum(d: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("_g")).orderBy(col(v), col("_u"))
+      val lo = expr("(_n + 1) DIV 2")   // DIV: Spark / on longs is DOUBLE
+      val hi = expr("_n DIV 2 + 1")
+      d.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_g"))))
+        .withColumn("_mid", when(col("_rn") === lo || col("_rn") === hi, col(v)))
+        .withColumn(out, sum(when(col("_n") % 2 === 1 && col("_rn") === lo,
+            col(v) * 2).otherwise(col("_mid")))
+          .over(Window.partitionBy(col("_g"))))
+        .drop("_rn", "_n", "_mid")
+    }
+    val withMed = twoMiddleSum(base, "_v", "_med2")
+      .withColumn("_d", abs(col("_v") * 2 - col("_med2")))
+    val withMad = twoMiddleSum(withMed, "_d", "_mad4")
+    withMad.groupBy(col("_g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        max(col("_med2")).as("med2"),
+        max(col("_mad4")).as("mad4"),
+        sum(when(col("_d") * 20000L > col("_mad4") * 44478L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("group"))
+  }
+
   def ksDistance(df: DataFrame, value: Column, side: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = df.where(value.isNotNull)

@@ -808,6 +808,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Stats.robustOutliers: exact med2/mad4 on odd and even groups, flag math") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group a (odd n=5): values 1,2,3,4,100 -> median 3 (med2=6),
+    //   deviations |2v-6|/2 = 1,2,0,1,97*? D=|2v-6| = 4,2,0,2,194 ->
+    //   sorted 0,2,2,4,194 -> MAD-median D=2 (mad4=4); outlier iff
+    //   20000*D > 44478*4 = 177912 -> only D=194 (3880000) flags
+    // group b (even n=4): 10,20,30,40 -> med2 = 20+30 = 50;
+    //   D = |2v-50| = 30,10,10,30 -> two-middle of (10,10,30,30) = 10+30
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("a", 100L, 5L), ("b", 10L, 6L), ("b", 20L, 7L), ("b", 30L, 8L),
+      ("b", 40L, 9L)).toDF("g", "v", "u")
+    val out = Stats.robustOutliers(df, col("g"), col("v"), col("u"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((5L, 6L, 4L, 1L)), s"got ${out("a")}")
+    assert(out("b") == ((4L, 50L, 40L, 0L)), s"got ${out("b")}")
+  }
+
   test("Rfm: orientation (recent/frequent/valuable = high), exact rank quintiles") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
