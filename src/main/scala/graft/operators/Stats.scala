@@ -99,7 +99,11 @@ object Stats {
     *
     * Shape: two window passes PARTITIONED BY GROUP (never one-partition)
     * + one rollup — the robust twin of the moment-based anomaly flags
-    * (EventAnalytics.anomalousBuckets), immune to the outliers it hunts. */
+    * (EventAnalytics.anomalousBuckets), immune to the outliers it hunts.
+    * Parallelism is bounded by the group count: with FEW huge groups the
+    * scale path is a per-(group, value) histogram + cumulative-count
+    * median (value-support-sized, the ksDistance pattern) instead of
+    * sorting group members — switch when groups outgrow executors. */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
                      unique: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
