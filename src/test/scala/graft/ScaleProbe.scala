@@ -127,6 +127,32 @@ object ScaleProbe {
           array_join(slice(toks, 1, 10), " ").as("generated"),
           array_join(slice(toks, 3, 12), " ").as("reference")))
       },
+      "chrf_eval" -> { d =>
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        graft.eval.RetrievalEval.chrF(d.select(col("doc_id").as("query_id"),
+          array_join(slice(toks, 1, 10), " ").as("generated"),
+          array_join(slice(toks, 3, 12), " ").as("reference")))
+      },
+      "checks_suite" -> { d =>
+        import graft.operators.Checks
+        Checks.run(d, Seq(
+          Checks.RowCheck("text_not_null", Checks.notNull(col("text"))),
+          Checks.RowCheck("lang_domain", Checks.inSet(col("lang"),
+            Seq("en", "de", "fr", "es", "zh"))),
+          Checks.UniqueCheck("doc_id_unique", Seq(col("doc_id")))))
+      },
+      "rfm" -> (d => graft.operators.Rfm.scores(d, "source",
+        col("n_chars"), col("n_chars"), asOf = 100000L)),
+      "robust_outliers" -> (d => graft.operators.Stats.robustOutliers(
+        d, col("lang"), col("n_chars"), col("doc_id"))),
+      "cdc_merge" -> { d =>
+        val base = d.where(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("n_chars"))
+        val ch = d.select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          lit(1L).as("seq"))
+        graft.operators.Cdc.applyChanges(base, ch, Seq("doc_id"), "op", "seq")
+      },
       // edit_join salts the string with the replica id (same rationale as
       // fuzzy_join_sh: keep matches within-replica so output stays linear
       // and the ratio isolates the segment-index machinery)
