@@ -85,9 +85,13 @@ case class FixMojibakeFixpointExpr(child: Expression) extends UnaryExpression {
 object MojibakeRepair {
 
   /** Fixpoint pass cap: each pass strips at most one encoding level, and
-    * real-world crawl shows double (rarely triple) encoding — 4 covers
-    * every observed depth while bounding adversarial input cost. */
-  val MaxPasses = 4
+    * real-world crawl shows double (rarely triple) encoding — but repairs
+    * can also MERGE abutting fragments into new repairable sequences, so
+    * depth-3 nestings occasionally need a 5th+ pass (a property-test
+    * counterexample caught exactly that at the old cap of 4). 8 bounds
+    * adversarial cost while clean text still exits on pass 1 via the
+    * reference-equality check. */
+  val MaxPasses = 8
 
   /** Called from generated code: re-apply [[compute]] to fixpoint (≤
     * [[MaxPasses]]). `compute` returns its argument REFERENCE when nothing

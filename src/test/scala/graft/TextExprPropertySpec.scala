@@ -17,6 +17,12 @@ class TextExprPropertySpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
   import spark.implicits._
 
+  /** Gen.sample returns None nondeterministically under load — retry
+    * instead of .get (a one-in-many-runs flake under the full parallel
+    * suite; the generators here never actually fail, only time out). */
+  private def sampled[A](g: Gen[A]): A =
+    Iterator.continually(g.sample).flatten.next()
+
   private val genText: Gen[String] = {
     val atom = Gen.frequency(
       6 -> Gen.alphaNumChar.map(_.toString),
@@ -29,7 +35,7 @@ class TextExprPropertySpec extends AnyFunSuite {
   }
 
   test("TextStatsExpr / BpeishCountExpr equal their composed forms on random text") {
-    val samples = Gen.listOfN(400, genText).sample.get
+    val samples = sampled(Gen.listOfN(400, genText))
     val df = samples.toDF("t")
     val specTokens = split(trim(lower($"t")), "\\s+")
     val rows = df.select(
@@ -60,7 +66,7 @@ class TextExprPropertySpec extends AnyFunSuite {
   }
 
   test("GopherStatsExpr invariants and composed-form agreement on random text") {
-    val samples = Gen.listOfN(400, genText).sample.get
+    val samples = sampled(Gen.listOfN(400, genText))
     val df = samples.toDF("t")
     val st = gf.gopherStats($"t")
     // composed reference forms for the fields that have clean Column twins
@@ -114,7 +120,7 @@ class TextExprPropertySpec extends AnyFunSuite {
       k2 <- Gen.oneOf(moji).map(_._1)
       post <- genText
     } yield pre + k + mid + k2 + post
-    val samples = Gen.listOfN(300, gen).sample.get
+    val samples = sampled(Gen.listOfN(300, gen))
     val out = samples.toDF("t").select($"t", gf.fixMojibake($"t").as("f")).collect()
     out.foreach { r =>
       assert(r.getString(1) == model(r.getString(0)),
@@ -150,7 +156,7 @@ class TextExprPropertySpec extends AnyFunSuite {
       b <- Gen.oneOf(nested)
       post <- genText
     } yield pre + a + mid + b + post
-    val samples = Gen.listOfN(300, gen).sample.get ++ nested
+    val samples = sampled(Gen.listOfN(300, gen)) ++ nested
     val out = samples.toDF("t")
       .select($"t", gf.fixMojibakeFixpoint($"t").as("fp")).collect()
     out.foreach { r =>
@@ -226,7 +232,7 @@ class TextExprPropertySpec extends AnyFunSuite {
       parts <- Gen.listOfN(n, Gen.frequency(5 -> phrase, 2 -> genText))
       seps <- Gen.listOfN(n, sep)
     } yield parts.zip(seps).map { case (p, s) => p + s }.mkString
-    val samples = Gen.listOfN(200, gen).sample.get
+    val samples = sampled(Gen.listOfN(200, gen))
     val fields = Seq("n_lines", "dup_lines", "line_chars", "dup_line_chars",
       "n_paras", "dup_paras", "para_chars", "dup_para_chars", "word_chars",
       "top2_chars", "top3_chars", "top4_chars") ++
@@ -253,8 +259,8 @@ class TextExprPropertySpec extends AnyFunSuite {
     assert(got(3) == 0.0 && got(4) == 0.0)    // empty => 0 (DuckDB semantics)
     assert(got(5) == 1.0 && got(6) == 0.0)
     // symmetry + bounds on random pairs
-    val rnd = Gen.listOfN(300,
-      Gen.zip(Gen.alphaStr.map(_.take(10)), Gen.alphaStr.map(_.take(10)))).sample.get
+    val rnd = sampled(Gen.listOfN(300,
+      Gen.zip(Gen.alphaStr.map(_.take(10)), Gen.alphaStr.map(_.take(10)))))
     val sym = rnd.toDF("a", "b").select(
       gf.jaroWinkler($"a", $"b").as("f"), gf.jaroWinkler($"b", $"a").as("g")).collect()
     sym.foreach { r =>
@@ -267,7 +273,7 @@ class TextExprPropertySpec extends AnyFunSuite {
     val word = Gen.frequency(5 -> Gen.oneOf("a", "b", "c", "ab", "the", ""),
       2 -> Gen.alphaNumStr.map(_.take(4)), 1 -> Gen.oneOf("é", "日", "…"))
     val arr = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, word))
-    val pairs = Gen.listOfN(300, Gen.zip(arr, arr)).sample.get
+    val pairs = sampled(Gen.listOfN(300, Gen.zip(arr, arr)))
     val df = pairs.toDF("a", "b")
     val hof = aggregate(array_distinct($"a"), lit(0),
       (acc, t) => acc + least(size(filter($"a", x => x === t)),
