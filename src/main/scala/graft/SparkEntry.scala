@@ -1294,6 +1294,11 @@ object SparkEntry {
       graft.operators.Blocking.sortedNeighborhood(
         tbl(s, dir, "documents"), "doc_id",
         lower(substring(col("text"), 1, 20)), window = 2)),
+    "q_moments" -> ((s, dir) =>
+      // shape-of-distribution stats from EXACT decimal(38,0) power sums;
+      // the only floats are one fixed IEEE chain per group
+      graft.operators.Stats.moments(tbl(s, dir, "lineitem"),
+        col("l_returnflag"), cents(col("l_extendedprice")))),
     "q_robust_outliers" -> ((s, dir) =>
       // median/MAD outlier summary per return flag — the robust twin of
       // the 3-sigma moment flags; med2/mad4 integer encodings, flag by
@@ -3565,6 +3570,31 @@ object SparkEntry {
                 CAST(y.rank0 - x.rank0 AS BIGINT) AS dist
          FROM r x JOIN r y ON y.rank0 - x.rank0 BETWEEN 1 AND 2
          ORDER BY id_a, id_b""",
+    "q_moments" ->
+      """WITH a AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS d1,
+                CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS d2,
+                CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS d3,
+                CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS d4
+         FROM lineitem GROUP BY 1),
+         m AS (SELECT g, n,
+                d1 / n AS mean,
+                d2 / n - (d1 / n) * (d1 / n) AS m2,
+                d3 / n - 3.0 * (d1 / n) * (d2 / n) + 2.0 * (d1 / n) * (d1 / n) * (d1 / n) AS m3,
+                d4 / n - 4.0 * (d1 / n) * (d3 / n)
+                  + 6.0 * (d1 / n) * (d1 / n) * (d2 / n)
+                  - 3.0 * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n) AS m4
+               FROM a)
+         SELECT g AS "group", n, round(mean, 6) AS mean, round(m2, 6) AS m2,
+                round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) ELSE 0.0 END, 6) AS skewness,
+                round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 ELSE 0.0 END, 6) AS kurtosis
+         FROM m ORDER BY "group"""",
     "q_robust_outliers" ->
       """WITH b AS (SELECT l_returnflag AS g,
                 CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -88,6 +88,41 @@ object Stats {
    * ordered task — bounded by value cardinality, not row count; bucket
    * the column first if its support is unbounded). One output row.
    */
+  /** Per-group skewness / excess kurtosis from EXACT integer power sums:
+    * Σv, Σv², Σv³, Σv⁴ accumulate in decimal(38,0) (a 600k-row cents
+    * column's 4th-power sum tops 10³³ — double accumulation would shed
+    * low bits nondeterministically with partition order), then the
+    * central-moment formulas run once per GROUP on double casts of the
+    * exact sums with a fixed association order, so both engines execute
+    * the identical IEEE chain: m₂/m₃/m₄ via the raw-moment expansion,
+    * skew = m₃/(m₂·√m₂) (sqrt, never pow^1.5), kurt = m₄/m₂² − 3.
+    * Output: (group, n, mean, m2, skewness, kurtosis), group-ordered,
+    * 6dp. One aggregation pass, map-side combinable. */
+  def moments(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = value.cast("long").cast(dec)
+    val agg = df.where(value.isNotNull).groupBy(group.as("group")).agg(
+      count(lit(1)).as("n"),
+      sum(v).as("_s1"),
+      sum(v * v).cast(dec).as("_s2"),
+      sum(v * v * v).cast(dec).as("_s3"),
+      sum(v * v * v * v).cast(dec).as("_s4"))
+    val n = col("n").cast("double")
+    val d1 = col("_s1").cast("double"); val d2 = col("_s2").cast("double")
+    val d3 = col("_s3").cast("double"); val d4 = col("_s4").cast("double")
+    val mean = d1 / n
+    val m2 = d2 / n - mean * mean
+    val m3 = d3 / n - lit(3.0) * mean * (d2 / n) + lit(2.0) * mean * mean * mean
+    val m4 = d4 / n - lit(4.0) * mean * (d3 / n) +
+      lit(6.0) * mean * mean * (d2 / n) - lit(3.0) * mean * mean * mean * mean
+    agg.select(col("group"), col("n"),
+        round(mean, 6).as("mean"),
+        round(m2, 6).as("m2"),
+        round(when(m2 > 0, m3 / (m2 * sqrt(m2))).otherwise(lit(0.0)), 6).as("skewness"),
+        round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).otherwise(lit(0.0)), 6).as("kurtosis"))
+      .orderBy(col("group"))
+  }
+
   /** Per-group robust outlier summary via median/MAD, EXACT end to end:
     * medians are represented as the SUM OF THE TWO MIDDLE VALUES in
     * (value, unique) order (med2 = 2·median, always integer — no .5

@@ -808,6 +808,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Stats.moments: symmetric data has zero skew; uniform kurtosis matches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // symmetric around 30 -> skewness exactly 0; two-point {0,10} ->
+    // m2=25, kurt = m4/m2^2 - 3 = 625/625 - 3 = -2
+    val df = Seq(("s", 10L), ("s", 20L), ("s", 30L), ("s", 40L), ("s", 50L),
+      ("b", 0L), ("b", 10L)).toDF("g", "v")
+    val out = Stats.moments(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("s")._1 == 5L && out("s")._2 == 30.0 && out("s")._4 == 0.0)
+    assert(out("b") == ((2L, 5.0, 25.0, 0.0, -2.0)))
+  }
+
   test("Stats.robustOutliers: exact med2/mad4 on odd and even groups, flag math") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
