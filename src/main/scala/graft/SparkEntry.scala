@@ -1790,8 +1790,14 @@ object SparkEntry {
     }),
     "q_modularity" -> ((s, dir) => {
       // Newman modularity of the label-prop communities in EXACT integer
-      // arithmetic (decimal(38,0) numerators; Q = sum(q_num)/(4m^2) is
-      // the consumer's one division); uncolored nodes become singletons
+      // arithmetic (Q = sum(q_num)/(4m^2) is the consumer's one division);
+      // uncolored nodes become singletons. The operator carries q_num in
+      // decimal(38,0) for the >10^9-edge regime; THIS gate's graph has a
+      // few hundred edges, so q_num = 4m*e_c - d_c^2 fits int64 with 20
+      // decimal digits to spare — emitted as BIGINT because parquet
+      // fixed-len-binary decimal and DuckDB HUGEINT->DECIMAL canonicalize
+      // differently in the driver's hasher (r10/r11 hash-red with rows and
+      // schema green, while both engines agreed locally).
       val edges = graft.operators.Basket.frequentPairs(
         tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
         .localCheckpoint(false)
@@ -1805,7 +1811,8 @@ object SparkEntry {
         .select(nodes("v").as("node"),
           coalesce(colored("label"), nodes("v")).as("label"))
       graft.operators.Modularity.of(edges, "item_a", "item_b",
-        labels, "node", "label")
+          labels, "node", "label")
+        .withColumn("q_num", col("q_num").cast("bigint"))
     }),
     "q_rollup" -> ((s, dir) =>
       // OLAP rollup totals (status x priority -> status -> grand total),
@@ -2044,7 +2051,10 @@ object SparkEntry {
 
   /** q_modularity oracle: the label-prop coloring (same CTE chain), with
     * uncolored nodes coalesced to singleton labels, rolled up into exact
-    * per-community modularity numerators (HUGEINT -> DECIMAL(38,0)). */
+    * per-community modularity numerators. q_num is computed in HUGEINT and
+    * emitted as BIGINT to match the gate query — DECIMAL(38,0) round-trips
+    * through parquet as fixed-len binary and hashed differently from
+    * DuckDB's HUGEINT->DECIMAL path in the driver (r10/r11 hash-red). */
   private def modularityOracleSql(rounds: Int, minSupport: Int, seedMod: Int): String = {
     val head =
       s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
@@ -2085,7 +2095,7 @@ object SparkEntry {
                 CAST(coalesce(intra.ie, 0) AS BIGINT) AS intra_edges,
                 ds.dsum AS degree_sum,
                 CAST(4 * mm.m * coalesce(intra.ie, 0)
-                     - CAST(ds.dsum AS HUGEINT) * ds.dsum AS DECIMAL(38,0)) AS q_num
+                     - CAST(ds.dsum AS HUGEINT) * ds.dsum AS BIGINT) AS q_num
          FROM ds LEFT JOIN intra ON ds.lbl = intra.lbl CROSS JOIN mm
          ORDER BY label"""
   }

@@ -926,6 +926,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.values.map(_._4).sum / (4.0 * 7 * 7) === 70.0 / 196.0)
   }
 
+  test("q_modularity gate pins the known sf0.01 row as BIGINT q_num") {
+    // the driver gate was hash-red in r10/r11 on decimal canonicalization
+    // alone; pin the agreed row (both engines + independent replay) and the
+    // emitted type so a regression in either is caught before the driver
+    val out = graft.SparkEntry.queries("q_modularity")(spark, "/root/testdata/sf0.01")
+    assert(out.schema("q_num").dataType == org.apache.spark.sql.types.LongType,
+      s"q_num must be BIGINT, got ${out.schema("q_num").dataType}")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((0L, 100L, 455L, 910L, 0L)), s"got ${rows.toSeq}")
+  }
+
   test("Attribution: first/last touch inside the lookback, exact boundaries") {
     import spark.implicits._
     // user 1: touches at t=10,20,30 (click,view,click), purchase at t=35,
