@@ -117,6 +117,57 @@ object Packing {
     (ranked.withColumnRenamed("_rank0", rankCol), n)
   }
 
+  /**
+   * Per-group inclusive running totals of integer weights over the total
+   * order (`group`, `order` columns) — the WEIGHTED, STRATIFIED form of
+   * the two-phase prefix sum (Calibration.percentileBy's shape,
+   * generalized from row counts to arbitrary weight columns). For each
+   * `(name, weight)` pair the output gains `name` (the running sum of
+   * `weight` within the row's group, inclusive of the current row) and
+   * `name + "_tot"` (the group's grand total — free, from the same tiny
+   * offsets frame; no second aggregation job).
+   *
+   * Scale shape: range-partition on (group, order) — big groups SPLIT
+   * across partitions, never one task per group and never one task
+   * total (the bare `Window.orderBy` trap). The per-(partition, group)
+   * partials frame is bounded by #groups + #partitions rows (groups are
+   * contiguous under range partitioning), so the windows over it and its
+   * broadcast are safe at any corpus size. Order keys must be distinct
+   * within a group (a histogram support, a bucketed domain) — ties would
+   * make "inclusive of the current row" ambiguous across engines.
+   */
+  def runningTotalsBy(df: DataFrame, group: String, order: Seq[Column],
+                      weights: Seq[(String, Column)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one (name, weight) pair")
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val tmp = weights.zipWithIndex.map { case ((n, c), i) => (s"_rs$i", n, c) }
+    val ord = col(group) +: order
+    val staged = tmp.foldLeft(df) { case (d, (t, _, c)) => d.withColumn(t, c.cast("long")) }
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // one materialization — see the object scaladoc
+    val cnt = staged.groupBy(col("_pid").as("_opid"), col(group).as("_grp"))
+      .agg(sum(col(tmp.head._1)).as(tmp.head._1 + "_c"),
+        tmp.tail.map { case (t, _, _) => sum(col(t)).as(t + "_c") }: _*)
+    val wOff = Window.partitionBy(col("_grp")).orderBy(col("_opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("_grp"))
+    val offDf = tmp.foldLeft(cnt) { case (d, (t, _, _)) =>
+      d.withColumn(t + "_off", coalesce(sum(col(t + "_c")).over(wOff), lit(0L)))
+        .withColumn(t + "_tot", sum(col(t + "_c")).over(wTot))
+    }.drop(tmp.map(_._1 + "_c"): _*)
+    val w = Window.partitionBy(col("_pid"), col(group)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = staged.join(broadcast(offDf),
+      staged("_pid") === offDf("_opid") && staged(group) <=> offDf("_grp"))
+    tmp.foldLeft(joined) { case (d, (t, name, _)) =>
+      d.withColumn(name, sum(col(t)).over(w) + col(t + "_off"))
+        .withColumn(name + "_tot", col(t + "_tot"))
+    }.drop("_pid", "_opid", "_grp")
+      .drop(tmp.flatMap(x => Seq(x._1, x._1 + "_off", x._1 + "_tot")): _*)
+  }
+
   /** Pid-stamped staged frame with the exact global 0-based rank attached,
     * plus the total row count (from the already-collected per-partition
     * counts — no extra job). */

@@ -84,9 +84,11 @@ object Stats {
    * (PSI/KL, the common alternatives, need logs and can't do this).
    *
    * Scale: rows collapse to (value, side) counts map-side FIRST; the
-   * cumulative window then runs over the DISTINCT VALUE SUPPORT (one
-   * ordered task — bounded by value cardinality, not row count; bucket
-   * the column first if its support is unbounded). One output row.
+   * cumulative counts then run over the DISTINCT VALUE SUPPORT via the
+   * range-partitioned two-phase prefix sum (Packing.runningTotalsBy) —
+   * no single-partition window anywhere, so even a support that
+   * approaches row count (timestamps, cents) stays parallel. One
+   * output row.
    */
   /** Per-group skewness / excess kurtosis from EXACT integer power sums:
     * Σv, Σv², Σv³, Σv⁴ accumulate in decimal(38,0) (a 600k-row cents
@@ -124,67 +126,80 @@ object Stats {
   }
 
   /** Per-group robust outlier summary via median/MAD, EXACT end to end:
-    * medians are represented as the SUM OF THE TWO MIDDLE VALUES in
-    * (value, unique) order (med2 = 2·median, always integer — no .5
-    * doubles cross engines), deviations as D = |2·value − med2|, the MAD
-    * as mad4 = two-middle-sum of D (= 4·MAD), and the 3σ-equivalent flag
+    * medians are represented as the SUM OF THE TWO MIDDLE VALUES in value
+    * order (med2 = 2·median, always integer — no .5 doubles cross
+    * engines), deviations as D = |2·value − med2|, the MAD as mad4 =
+    * two-middle-sum of D (= 4·MAD), and the 3σ-equivalent flag
     * |value − med| > 3·1.4826·MAD becomes the pure integer comparison
     * 20000·D > 44478·mad4 (1.4826 = 14826/10000, both sides ×20000).
     * Output: (group, n, med2, mad4, n_outliers), group-ordered.
     *
-    * Shape: two window passes PARTITIONED BY GROUP (never one-partition)
-    * + one rollup — the robust twin of the moment-based anomaly flags
-    * (EventAnalytics.anomalousBuckets), immune to the outliers it hunts.
-    * Parallelism is bounded by the group count: with FEW huge groups the
-    * scale path is a per-(group, value) histogram + cumulative-count
-    * median (value-support-sized, the ksDistance pattern) instead of
-    * sorting group members — switch when groups outgrow executors. */
+    * Scale shape: rows collapse to a per-(group, value) HISTOGRAM first
+    * (map-side combine — the frame is support-sized from here on, and the
+    * unique column never matters: the values at the middle ranks depend
+    * only on the sorted multiset). The middle-rank selection then reads
+    * per-group cumulative counts from Packing.runningTotalsBy — the
+    * stratified two-phase prefix sum, which range-partitions on
+    * (group, value) so ONE GIANT GROUP SPLITS ACROSS PARTITIONS instead
+    * of serializing onto one task the way a `Window.partitionBy(group).
+    * orderBy(value)` sort would. A histogram row [cum−c, cum] covers a
+    * middle rank iff the rank lands in that span; its value contributes
+    * once per covered rank (twice when odd-n makes both ranks coincide).
+    * Deviations re-collapse to a (group, D) histogram and take the same
+    * path. No per-group row sort exists anywhere in the plan. */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
                      unique: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(group.as("_g"), value.cast("long").as("_v"),
-      unique.as("_u")).where(col("_v").isNotNull)
-    // two-middle sum: elements at 1-based ranks floor((n+1)/2), floor(n/2)+1
-    // (equal for odd n, adjacent for even) — summed, never averaged
-    def twoMiddleSum(d: DataFrame, v: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("_g")).orderBy(col(v), col("_u"))
-      val lo = expr("(_n + 1) DIV 2")   // DIV: Spark / on longs is DOUBLE
-      val hi = expr("_n DIV 2 + 1")
-      d.withColumn("_rn", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_g"))))
-        .withColumn("_mid", when(col("_rn") === lo || col("_rn") === hi, col(v)))
-        .withColumn(out, sum(when(col("_n") % 2 === 1 && col("_rn") === lo,
-            col(v) * 2).otherwise(col("_mid")))
-          .over(Window.partitionBy(col("_g"))))
-        .drop("_rn", "_n", "_mid")
+    val base = df.select(group.as("_g"), value.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+    val hist = base.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two-middle sum over a (group, v, count) histogram: 1-based ranks
+    // floor((n+1)/2), floor(n/2)+1 (equal for odd n, adjacent for even)
+    def twoMiddleSum(h: DataFrame, v: String, out: String): DataFrame = {
+      val cum = Packing.runningTotalsBy(h, "_g", Seq(col(v)),
+        Seq(("_cum", col("_c"))))
+      val lo = expr("(_cum_tot + 1) DIV 2") // DIV: Spark / on longs is DOUBLE
+      val hi = expr("_cum_tot DIV 2 + 1")
+      def covers(r: Column) = r > col("_cum") - col("_c") && r <= col("_cum")
+      cum.select(col("_g"),
+          (col(v) * (when(covers(lo), 1L).otherwise(0L)
+            + when(covers(hi), 1L).otherwise(0L))).as("_mv"))
+        .groupBy(col("_g")).agg(sum(col("_mv")).as(out))
     }
-    val withMed = twoMiddleSum(base, "_v", "_med2")
-      .withColumn("_d", abs(col("_v") * 2 - col("_med2")))
-    val withMad = twoMiddleSum(withMed, "_d", "_mad4")
-    withMad.groupBy(col("_g").as("group"))
-      .agg(count(lit(1)).as("n"),
-        max(col("_med2")).as("med2"),
-        max(col("_mad4")).as("mad4"),
-        sum(when(col("_d") * 20000L > col("_mad4") * 44478L, 1L)
+    val med2 = twoMiddleSum(hist, "_v", "med2")
+    val devHist = hist.join(med2, Seq("_g"))
+      .groupBy(col("_g"), abs(col("_v") * 2 - col("med2")).as("_d"))
+      .agg(sum(col("_c")).as("_c"))
+    val mad4 = twoMiddleSum(devHist, "_d", "mad4")
+    hist.join(med2, Seq("_g")).join(mad4, Seq("_g"))
+      .select(col("_g"), col("_c"), col("med2"), col("mad4"),
+        abs(col("_v") * 2 - col("med2")).as("_d"))
+      .groupBy(col("_g").as("group"))
+      .agg(sum(col("_c")).as("n"),
+        max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum(when(col("_d") * 20000L > col("mad4") * 44478L, col("_c"))
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("group"))
   }
 
   def ksDistance(df: DataFrame, value: Column, side: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = df.where(value.isNotNull)
       .groupBy(value.cast("long").as("_v"), (side.cast("long") % 2).as("_s"))
       .agg(count(lit(1)).as("_n"))
     val g = c.groupBy(col("_v")).agg(
-      sum(when(col("_s") === 0, col("_n")).otherwise(0L)).as("_a"),
-      sum(when(col("_s") === 1, col("_n")).otherwise(0L)).as("_b"))
-    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.select(col("_v"), sum(col("_a")).over(w).as("_ca"),
-      sum(col("_b")).over(w).as("_cb"))
-    val tot = g.agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
-    cum.crossJoin(broadcast(tot))
-      .select(abs(col("_ca") * col("_nb") - col("_cb") * col("_na")).as("_d"),
-        col("_na"), col("_nb"))
+        sum(when(col("_s") === 0, col("_n")).otherwise(0L)).as("_a"),
+        sum(when(col("_s") === 1, col("_n")).otherwise(0L)).as("_b"))
+      .withColumn("_one", lit(0))
+    // cumulative counts over the value support via the two-phase prefix
+    // sum (range-partitioned — a bare Window.orderBy would funnel the
+    // whole support through ONE task, and long-typed supports approach
+    // row count); the grand totals ride along from the same offsets frame
+    val cum = Packing.runningTotalsBy(g, "_one", Seq(col("_v")),
+      Seq(("_ca", col("_a")), ("_cb", col("_b"))))
+    cum.select(
+        abs(col("_ca") * col("_cb_tot") - col("_cb") * col("_ca_tot")).as("_d"),
+        col("_ca_tot").as("_na"), col("_cb_tot").as("_nb"))
       .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
       .agg(max(col("_d")).as("ks_num"))
       .select(col("n_a"), col("n_b"), col("ks_num"),

@@ -841,6 +841,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("b") == ((4L, 50L, 40L, 0L)), s"got ${out("b")}")
   }
 
+  test("robustOutliers/ksDistance plans: no single-partition or per-group sort windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the two historical scale traps: ksDistance's bare Window.orderBy
+    // (everything through ONE task) and robustOutliers' per-group row sort
+    // (parallelism bounded by group count). Every ordered window must be
+    // partitioned by more than the group alone — (pid, group) in the
+    // two-phase prefix sum — or run over the tiny per-(pid, group) offsets
+    // frame (recognized by its _opid ordering).
+    val df = (1 to 200).map(i => ("g" + (i % 3), (i * 37 % 50).toLong, i.toLong))
+      .toDF("g", "v", "u")
+    def windows(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    val ws = windows(Stats.robustOutliers(df, col("g"), col("v"), col("u"))) ++
+      windows(Stats.ksDistance(df, col("v"), col("u")))
+    assert(ws.nonEmpty, "expected the prefix-sum windows in the plan")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"partition-less window: $w")
+      val overOffsetsFrame = w.orderSpec.exists(_.child.toString.contains("_opid"))
+      assert(w.orderSpec.isEmpty || w.partitionSpec.size >= 2 || overOffsetsFrame,
+        s"suspect per-group full-sort window: $w")
+    }
+  }
+
   test("Rfm: orientation (recent/frequent/valuable = high), exact rank quintiles") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
