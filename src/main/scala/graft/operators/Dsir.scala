@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -14,8 +13,9 @@ import org.apache.spark.sql.functions._
  * a model.
  *
  * Spark-first decomposition:
- *  1. bucket counts: unigrams + bigrams hashed into `numBuckets` (murmur3
- *     via HashingTF.indexOf, the same hash the quality classifier uses) —
+ *  1. bucket counts: unigrams + bigrams hashed into `numBuckets` via the
+ *     codegen `pmod(hash(ngram), numBuckets)` (Catalyst murmur3, seed 42
+ *     — no interpreted per-n-gram call anywhere in the hot path) —
  *     ONE explode + groupBy per corpus, output bounded at `numBuckets`
  *     rows regardless of corpus size;
  *  2. the importance table λ[b] = log p_target(b) − log p_source(b)
@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
  *     a fixed-size array, legitimately collectable at ANY scale;
  *  3. scoring: broadcast λ, one row-local pass summing λ[h(ngram)] over
  *     each document's n-grams in pure int64 — the 100 TB half is map-only,
- *     embarrassingly parallel, zero shuffle;
+ *     embarrassingly parallel, zero shuffle. This pass is a Scala udf BY
+ *     CHOICE: the interpreted boundary is crossed once per DOCUMENT (a
+ *     tight JVM loop over the broadcast array inside), unlike a
+ *     per-n-gram udf; the codegen alternatives either re-shuffle by doc
+ *     (explode + broadcast-join + re-agg) or embed the λ table as a plan
+ *     literal every task deserializes — both worse at scale;
  *  4. selection: top-k by (weight, doc_id) — deterministic rank, a
  *     two-phase global TakeOrdered, never a single-partition window.
  *
@@ -51,14 +56,25 @@ object Dsir {
     concat(toks, bis)
   }
 
-  /** (bucket, cnt) for a corpus — output bounded at numBuckets rows. */
-  def bucketCounts(df: DataFrame, text: String, numBuckets: Int): DataFrame = {
-    val htf = new HashingTF().setNumFeatures(numBuckets)
-    val bucket = udf((ng: String) => htf.indexOf(ng))
-    df.select(explode(ngramsCol(col(text))).as("ng"))
-      .select(bucket(col("ng")).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  /** Driver-side twin of `pmod(hash(ng), numBuckets)` — the SAME murmur3
+    * (seed 42 over UTF-8 bytes, int-truncated) Catalyst codegens, so the
+    * scoring udf and the importance table index identically. */
+  private[graft] def bucketOf(ng: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ng),
+      org.apache.spark.sql.types.StringType, 42L).toInt
+    val m = h % numBuckets
+    if (m < 0) m + numBuckets else m
   }
+
+  /** (bucket, cnt) for a corpus — output bounded at numBuckets rows.
+    * The bucket hash is pure codegen (whole-stage fused with the explode);
+    * an earlier HashingTF.indexOf udf here was the one interpreted
+    * per-n-gram call in the curation family. */
+  def bucketCounts(df: DataFrame, text: String, numBuckets: Int): DataFrame =
+    df.select(explode(ngramsCol(col(text))).as("ng"))
+      .select(pmod(hash(col("ng")), lit(numBuckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** Dense per-bucket λ in micro-nats (Laplace add-one smoothing on both
     * sides). Driver-side by design: the table is numBuckets entries no
@@ -83,12 +99,12 @@ object Dsir {
   def scoreMicros(df: DataFrame, text: String, table: Array[Long],
                   out: String = "dsir_micros"): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(table)
-    val htf = new HashingTF().setNumFeatures(table.length)
+    val n = table.length
     val score = udf { toks: Seq[String] =>
       var z = 0L
       if (toks != null)
         ngrams(toks.filter(t => t != null && t.nonEmpty))
-          .foreach(ng => z += bc.value(htf.indexOf(ng)))
+          .foreach(ng => z += bc.value(bucketOf(ng, n)))
       z
     }
     df.withColumn(out, score(graft.functions.gf.tokens(col(text))))
@@ -106,12 +122,11 @@ object Dsir {
     * is bounded at gate scale; the scoring path needs no vocabulary). */
   def ngramWeights(corpus: DataFrame, text: String, table: Array[Long],
                    maxVocab: Int = 200000): Seq[(String, Long)] = {
-    val htf = new HashingTF().setNumFeatures(table.length)
     val ngs = corpus.select(explode(ngramsCol(col(text))).as("ng"))
       .distinct().limit(maxVocab + 1).collect().map(_.getString(0))
     require(ngs.length <= maxVocab,
       s"ngramWeights is oracle-generation-only; vocabulary exceeds $maxVocab")
-    ngs.toSeq.map(ng => ng -> table(htf.indexOf(ng)))
+    ngs.toSeq.map(ng => ng -> table(bucketOf(ng, table.length)))
       .filter(_._2 != 0L).sortBy(_._1)
   }
 }

@@ -694,6 +694,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("Dsir.bucketOf is the exact driver twin of codegen pmod(hash(ng), n)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the scoring udf and the codegen bucketCounts must index the same λ
+    // slot for every n-gram, including multi-byte UTF-8 and empty strings
+    val n = 1 << 10
+    val ngs = Seq("a", "topic 99", "científico 数据", "", "buy now",
+      "x" * 300).toDF("ng")
+    ngs.select(col("ng"), pmod(hash(col("ng")), lit(n)).as("b")).collect()
+      .foreach { r =>
+        assert(Dsir.bucketOf(r.getString(0), n) == r.getInt(1),
+          s"mismatch for '${r.getString(0).take(20)}'")
+      }
+  }
+
   test("Triangles.kCore: bounded peel reaches the exact core") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
