@@ -1921,6 +1921,51 @@ object SparkEntry {
           graft.operators.Bpe.tokenCount(col("text"), merges).cast("long").as("n_bpe"),
           gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy(col("doc_id"))
+    }),
+    "q_curation_e2e" -> ((s, dir) => {
+      // the whole curation pipeline as ONE verified chain — quality filter
+      // (GopherStatsExpr fields, thresholds tuned to this corpus; the
+      // published constants are locked by q_gopher_quality) → MinHash-LSH
+      // near-dup dedup → token-budget language mixture → sequence packing —
+      // with EXACT per-stage survivor counts and token mass, so a
+      // divergence anywhere in the composition (not just in one operator)
+      // fails the gate. The mojibake-repair and C4 line-clean stages are
+      // no-ops on this corpus (no mojibake bytes, no line structure) and
+      // carry their own gates (q_fix_mojibake, q_c4_clean).
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val toks = gf.tokenCount(col("text")).cast("long")
+      val d0 = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val st = gf.gopherStats(col("text"))
+      val q = d0.where(
+          st.getField("n_words").between(30, 100000) &&
+          st.getField("word_char_sum") >= st.getField("n_words") * 3 &&
+          st.getField("word_char_sum") <= st.getField("n_words") * 10 &&
+          st.getField("n_alpha_words") * 5 >= st.getField("n_words") * 4 &&
+          st.getField("n_stop_distinct") >= 1)
+        .persist(lvl)
+      val dd = Dedup.minhashLsh(q, "doc_id", "text",
+          signature = Some(t => gf.minhashPoly(gf.wordShingles(t, 5), 16)))
+        .persist(lvl)
+      val mx = graft.operators.Sampling.tokenBudgetMixture(dd, "doc_id", "lang",
+          toks, Map("en" -> 5000L, "de" -> 2000L, "es" -> 1000L,
+            "zh" -> 1000000000L), salt = "mix1")
+        .persist(lvl)
+      val packed = graft.operators.Packing.packSequences(mx, "doc_id", toks, 512)
+      // n_units = surviving docs per stage, CHUNKS for the pack stage
+      def stageRow(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_units"),
+            coalesce(sum(toks), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_units"), col("n_tokens"))
+      val packRow = packed
+        .agg(coalesce(max(col("tok_end")), lit(0L)).as("_t"))
+        .select(lit("04_pack").as("stage"),
+          expr("(_t + 511) DIV 512").as("n_units"), col("_t").as("n_tokens"))
+      stageRow("00_ingest", d0)
+        .unionAll(stageRow("01_quality", q))
+        .unionAll(stageRow("02_dedup", dd))
+        .unionAll(stageRow("03_mixture", mx))
+        .unionAll(packRow)
+        .orderBy(col("stage"))
     })
   )
 
@@ -4580,6 +4625,79 @@ object SparkEntry {
                  AND n_ellipsis_lines * 10 <= n_lines * 3
                  AND n_alpha_words * 5 >= n_words * 4
                  AND n_stop_distinct >= 2) AS keep
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    "q_curation_e2e" ->
+      // the chained pipeline replay: every stage CTE feeds the next, so the
+      // oracle verifies the COMPOSITION (quality -> minhash dedup ->
+      // token-budget mixture -> packing), not each operator in isolation.
+      // The minhash block is q_minhash_dedup's signature/band/verify chain
+      // run over the quality survivors; the mixture block is
+      // q_token_mixture's threshold + hash rule over the dedup survivors.
+      """WITH d0 AS (SELECT doc_id, lang, text FROM documents),
+         stq AS (SELECT doc_id, lang, text,
+                   list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') AS words
+                 FROM d0),
+         q AS (SELECT doc_id, lang, text FROM stq
+               WHERE len(words) BETWEEN 30 AND 100000
+                 AND coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+                     BETWEEN len(words) * 3 AND len(words) * 10
+                 AND len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) * 5 >= len(words) * 4
+                 AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                      s -> list_contains(list_transform(words, w -> lower(w)), s))) >= 1),
+         t2 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks FROM q),
+         sh AS (SELECT doc_id, list_transform(
+                  range(0, greatest(len(toks) - 5, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+5)], ' ')) AS shingles FROM t2),
+         hs AS (SELECT doc_id, list_transform(shingles, s ->
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(str_split(s, ''), ch -> ascii(ch)::BIGINT)),
+                    (a, c) -> (a * 31 + c) % 2147483647)) AS hh FROM sh),
+         sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+                   coalesce(list_min(list_transform(hh,
+                     h -> ((2*j + 1) * h + 12345*j) % 2147483647)), 2147483647)) AS sg
+                 FROM hs),
+         prs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                 WHERE list_contains(list_transform(range(0, 4),
+                         bd -> a.sg[(bd*4+1):(bd*4+4)] = b.sg[(bd*4+1):(bd*4+4)]), true)
+                   AND len(list_filter(range(0, 16), j -> a.sg[j+1] = b.sg[j+1])) >= 8),
+         dd AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT idB FROM prs)),
+         tokf AS (SELECT doc_id, lang,
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS tok
+                  FROM dd),
+         tk AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS toks FROM tokf GROUP BY lang),
+         th AS (SELECT lang, CAST(round(least(1.0,
+                  (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 WHEN 'es' THEN 1000
+                             WHEN 'zh' THEN 1000000000 END)::DOUBLE / toks) * 10000) AS BIGINT) AS thr
+                FROM tk WHERE lang IN ('en', 'de', 'es', 'zh')),
+         mx AS (SELECT d.doc_id, d.lang, d.tok FROM tokf d JOIN th ON d.lang = th.lang
+                WHERE list_reduce(list_prepend(0::BIGINT,
+                        list_transform(str_split(d.doc_id::VARCHAR || ':mix1:' || d.doc_id::VARCHAR, ''),
+                          x -> ascii(x)::BIGINT)),
+                        (a, b) -> (a * 31 + b) % 1000000007) % 10000 < th.thr),
+         dtok AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS tok
+                  FROM d0),
+         qtok AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS tok
+                  FROM q),
+         ddtok AS (SELECT tok FROM tokf),
+         mxt AS (SELECT CAST(coalesce(sum(tok), 0) AS BIGINT) AS t FROM mx)
+         SELECT stage, n_units, n_tokens FROM (
+           SELECT '00_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_units,
+                  CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens FROM dtok
+           UNION ALL
+           SELECT '01_quality', CAST(count(*) AS BIGINT),
+                  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM qtok
+           UNION ALL
+           SELECT '02_dedup', CAST(count(*) AS BIGINT),
+                  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM ddtok
+           UNION ALL
+           SELECT '03_mixture', CAST(count(*) AS BIGINT),
+                  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM mx
+           UNION ALL
+           SELECT '04_pack', (t + 511) // 512, t FROM mxt)
+         ORDER BY stage"""
   )
 }

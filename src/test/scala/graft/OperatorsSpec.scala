@@ -694,6 +694,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("q_curation_e2e: chained stage counts pinned at sf0.001, invariants hold") {
+    val rows = graft.SparkEntry.queries("q_curation_e2e")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // pinned against the independently-computed DuckDB chain
+    assert(rows("00_ingest") == ((500L, 27939L)), s"got ${rows("00_ingest")}")
+    assert(rows("01_quality") == ((339L, 23006L)), s"got ${rows("01_quality")}")
+    assert(rows("02_dedup") == ((321L, 21686L)), s"got ${rows("02_dedup")}")
+    assert(rows("03_mixture") == ((164L, 11095L)), s"got ${rows("03_mixture")}")
+    assert(rows("04_pack") == ((22L, 11095L)), s"got ${rows("04_pack")}")
+    // structural invariants any corpus must satisfy
+    val stages = Seq("00_ingest", "01_quality", "02_dedup", "03_mixture")
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 <= rows(a)._1 && rows(b)._2 <= rows(a)._2,
+        s"stage $b must not grow vs $a")
+    }
+    assert(rows("04_pack")._1 == (rows("03_mixture")._2 + 511) / 512,
+      "chunks must equal ceil(packed tokens / 512)")
+    assert(rows("04_pack")._2 == rows("03_mixture")._2,
+      "pack must carry the full mixture token mass")
+  }
+
   test("Dsir.bucketOf is the exact driver twin of codegen pmod(hash(ng), n)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
