@@ -156,7 +156,7 @@ object Stats {
     // two-middle sum over a (group, v, count) histogram: 1-based ranks
     // floor((n+1)/2), floor(n/2)+1 (equal for odd n, adjacent for even)
     def twoMiddleSum(h: DataFrame, v: String, out: String): DataFrame = {
-      val cum = Packing.runningTotalsBy(h, "_g", Seq(col(v)),
+      val cum = Packing.runningTotalsBy(h, "_g", col(v),
         Seq(("_cum", col("_c"))))
       val lo = expr("(_cum_tot + 1) DIV 2") // DIV: Spark / on longs is DOUBLE
       val hi = expr("_cum_tot DIV 2 + 1")
@@ -166,12 +166,19 @@ object Stats {
             + when(covers(hi), 1L).otherwise(0L))).as("_mv"))
         .groupBy(col("_g")).agg(sum(col("_mv")).as(out))
     }
+    // med2/mad4 are group-sized (tiny): persist med2 (it feeds both the
+    // deviation histogram and the final rollup) and broadcast both joins
     val med2 = twoMiddleSum(hist, "_v", "med2")
-    val devHist = hist.join(med2, Seq("_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: runningTotalsBy references its input from two branches
+    // (the bucket rollup chain and the leaf join) — without a persist the
+    // join+aggregate chain below would execute twice
+    val devHist = hist.join(broadcast(med2), Seq("_g"))
       .groupBy(col("_g"), abs(col("_v") * 2 - col("med2")).as("_d"))
       .agg(sum(col("_c")).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad4 = twoMiddleSum(devHist, "_d", "mad4")
-    hist.join(med2, Seq("_g")).join(mad4, Seq("_g"))
+    hist.join(broadcast(med2), Seq("_g")).join(broadcast(mad4), Seq("_g"))
       .select(col("_g"), col("_c"), col("med2"), col("mad4"),
         abs(col("_v") * 2 - col("med2")).as("_d"))
       .groupBy(col("_g").as("group"))
@@ -191,11 +198,12 @@ object Stats {
         sum(when(col("_s") === 0, col("_n")).otherwise(0L)).as("_a"),
         sum(when(col("_s") === 1, col("_n")).otherwise(0L)).as("_b"))
       .withColumn("_one", lit(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cumulative counts over the value support via the two-phase prefix
     // sum (range-partitioned — a bare Window.orderBy would funnel the
     // whole support through ONE task, and long-typed supports approach
     // row count); the grand totals ride along from the same offsets frame
-    val cum = Packing.runningTotalsBy(g, "_one", Seq(col("_v")),
+    val cum = Packing.runningTotalsBy(g, "_one", col("_v"),
       Seq(("_ca", col("_a")), ("_cb", col("_b"))))
     cum.select(
         abs(col("_ca") * col("_cb_tot") - col("_cb") * col("_ca_tot")).as("_d"),

@@ -884,9 +884,9 @@ class OperatorsSpec extends AnyFunSuite {
     // the two historical scale traps: ksDistance's bare Window.orderBy
     // (everything through ONE task) and robustOutliers' per-group row sort
     // (parallelism bounded by group count). Every ordered window must be
-    // partitioned by more than the group alone — (pid, group) in the
-    // two-phase prefix sum — or run over the tiny per-(pid, group) offsets
-    // frame (recognized by its _opid ordering).
+    // partitioned by a `_rt` bucket column (its tasks then hold ≤ 2^16
+    // rows BY CONSTRUCTION — a bucket spans at most 2^16 child keys; see
+    // Packing.runningTotalsBy) or by ≥ 2 expressions.
     val df = (1 to 200).map(i => ("g" + (i % 3), (i * 37 % 50).toLong, i.toLong))
       .toDF("g", "v", "u")
     def windows(d: org.apache.spark.sql.DataFrame) =
@@ -896,8 +896,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ws.nonEmpty, "expected the prefix-sum windows in the plan")
     ws.foreach { w =>
       assert(w.partitionSpec.nonEmpty, s"partition-less window: $w")
-      val overOffsetsFrame = w.orderSpec.exists(_.child.toString.contains("_opid"))
-      assert(w.orderSpec.isEmpty || w.partitionSpec.size >= 2 || overOffsetsFrame,
+      val bucketPartitioned = w.partitionSpec.exists(_.toString.contains("_rt"))
+      assert(w.orderSpec.isEmpty || w.partitionSpec.size >= 2 || bucketPartitioned,
         s"suspect per-group full-sort window: $w")
     }
   }
