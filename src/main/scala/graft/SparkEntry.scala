@@ -1922,6 +1922,50 @@ object SparkEntry {
           gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "q_interval_overlap" -> ((s, dir) => {
+      // interval OVERLAP join (vs q_range_join's fixed-width point
+      // proximity): long transit windows [ship_day, ship_day + qty] of
+      // heavy lines vs short windows of light lines, per supplier —
+      // bucketed-explode equi-join, first-shared-bucket multiplicity
+      // rule, never a nested-loop (see IntervalJoin)
+      val li = tbl(s, dir, "lineitem")
+      // calendar-day arithmetic (NTZ timestamp -> date -> epoch days):
+      // identical in both engines, no epoch/timezone conversion involved
+      val dayL = expr("CAST(DATEDIFF(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS LONG)")
+      val base = li.select(col("l_suppkey").as("sk"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        dayL.as("s"),
+        (dayL + col("l_quantity").cast("long")).as("e"),
+        col("l_quantity"))
+      val l = base.where(col("l_quantity") >= 49)
+        .select(col("sk"), col("id").as("lid"), col("s").as("ls"), col("e").as("le"))
+      val r = base.where(col("l_quantity") <= 2)
+        .select(col("sk"), col("id").as("rid"), col("s").as("rs"), col("e").as("re"))
+      graft.operators.IntervalJoin.overlap(l, r, "ls", "le", "rs", "re",
+          width = 64, keys = Seq("sk"))
+        .select(col("sk"), col("lid"), col("rid"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")) + 1)
+            .as("overlap_days"))
+        .orderBy(col("sk"), col("lid"), col("rid"))
+    }),
+    "q_k_anon" -> ((s, dir) => {
+      // k-anonymous release by global full-domain generalization of the
+      // order date (month -> quarter -> year ladder) against the priority
+      // quasi-identifier; coarsest-level stragglers are suppressed. The
+      // released aggregate is what a privacy-preserving stats endpoint
+      // would publish (see Privacy.kAnonymize)
+      val o = tbl(s, dir, "orders")
+      val ladder = Seq(
+        "month" -> date_format(col("o_orderdate"), "yyyy-MM"),
+        "quarter" -> concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+          quarter(col("o_orderdate")).cast("string")),
+        "year" -> year(col("o_orderdate")).cast("string"))
+      graft.operators.Privacy.kAnonymize(o, ladder,
+          Seq(col("o_orderpriority")), k = 50L)
+        .groupBy(col("gen_level"), col("qi"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("qi"), col("o_orderpriority"))
+    }),
     "q_curation_e2e" -> ((s, dir) => {
       // the whole curation pipeline as ONE verified chain — quality filter
       // (GopherStatsExpr fields, thresholds tuned to this corpus; the
@@ -4626,6 +4670,46 @@ object SparkEntry {
                  AND n_alpha_words * 5 >= n_words * 4
                  AND n_stop_distinct >= 2) AS keep
          FROM c ORDER BY doc_id""",
+    "q_interval_overlap" ->
+      // the oracle is the NAIVE inequality join — tiny sides at gate SF;
+      // the engine's bucketed-explode plan must agree exactly
+      """WITH l AS (SELECT l_suppkey AS sk, l_orderkey*10 + l_linenumber AS lid,
+                      CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS ls,
+                      CAST(l_shipdate AS DATE) - DATE '1970-01-01' + CAST(l_quantity AS BIGINT) AS le
+                    FROM lineitem WHERE l_quantity >= 49),
+         r AS (SELECT l_suppkey AS sk, l_orderkey*10 + l_linenumber AS rid,
+                      CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS rs,
+                      CAST(l_shipdate AS DATE) - DATE '1970-01-01' + CAST(l_quantity AS BIGINT) AS re
+                    FROM lineitem WHERE l_quantity <= 2)
+         SELECT l.sk AS sk, l.lid, r.rid,
+                least(l.le, r.re) - greatest(l.ls, r.rs) + 1 AS overlap_days
+         FROM l JOIN r ON l.sk = r.sk AND l.ls <= r.re AND r.rs <= l.le
+         ORDER BY 1, 2, 3""",
+    "q_k_anon" ->
+      // replays the generalization-lattice walk: per-level min group
+      // sizes, first level reaching k wins, coarsest level suppresses
+      """WITH mg AS (SELECT strftime(o_orderdate, '%Y-%m') AS qi, o_orderpriority AS p FROM orders),
+         qg AS (SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS qi,
+                       o_orderpriority AS p FROM orders),
+         yg AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS qi, o_orderpriority AS p FROM orders),
+         mmin AS (SELECT min(c) AS m FROM (SELECT count(*) AS c FROM mg GROUP BY qi, p)),
+         qmin AS (SELECT min(c) AS m FROM (SELECT count(*) AS c FROM qg GROUP BY qi, p)),
+         ymin AS (SELECT min(c) AS m FROM (SELECT count(*) AS c FROM yg GROUP BY qi, p)),
+         lvl AS (SELECT CASE WHEN (SELECT m FROM mmin) >= 50 THEN 'month'
+                             WHEN (SELECT m FROM qmin) >= 50 THEN 'quarter'
+                             WHEN (SELECT m FROM ymin) >= 50 THEN 'year'
+                             ELSE 'year_supp' END AS l)
+         SELECT * FROM (
+           SELECT 'month' AS gen_level, qi, p AS o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM mg WHERE (SELECT l FROM lvl) = 'month' GROUP BY qi, p
+           UNION ALL
+           SELECT 'quarter', qi, p, CAST(count(*) AS BIGINT)
+           FROM qg WHERE (SELECT l FROM lvl) = 'quarter' GROUP BY qi, p
+           UNION ALL
+           SELECT 'year', qi, p, CAST(count(*) AS BIGINT)
+           FROM yg WHERE (SELECT l FROM lvl) IN ('year', 'year_supp') GROUP BY qi, p
+           HAVING (SELECT l FROM lvl) = 'year' OR count(*) >= 50)
+         ORDER BY qi, o_orderpriority""",
     "q_curation_e2e" ->
       // the chained pipeline replay: every stage CTE feeds the next, so the
       // oracle verifies the COMPOSITION (quality -> minhash dedup ->

@@ -694,6 +694,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("IntervalJoin.overlap: exact closed-interval semantics, multiplicity-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // width 10 so interval [0, 35] spans 4 buckets: the pair with [30, 40]
+    // shares buckets 3 — emitted once despite multi-bucket overlap
+    val l = Seq((1L, 10L, 0L, 35L), (1L, 11L, 50L, 55L), (2L, 20L, 0L, 35L))
+      .toDF("k", "lid", "ls", "le")
+    val r = Seq((1L, 100L, 30L, 40L), (1L, 101L, 35L, 36L), (1L, 102L, 36L, 49L),
+      (1L, 103L, 55L, 60L), (2L, 200L, 36L, 40L))
+      .toDF("k", "rid", "rs", "re")
+    val out = IntervalJoin.overlap(l, r, "ls", "le", "rs", "re", width = 10,
+        keys = Seq("k"))
+      .select("k", "lid", "rid").as[(Long, Long, Long)].collect().toSet
+    // lid 10 overlaps 100 (30<=35) and 101 (touching endpoint 35 — closed)
+    // but NOT 102 (36 > 35); lid 11 overlaps 103 (touching at 55); key 2
+    // isolates its own pair set (no overlap: 36 > 35)
+    assert(out == Set((1L, 10L, 100L), (1L, 10L, 101L), (1L, 11L, 103L)),
+      s"got $out")
+    // multiplicity-free under heavy bucket sharing: width 1 makes the
+    // first pair share 6 buckets; still exactly one output row
+    val narrow = IntervalJoin.overlap(l, r, "ls", "le", "rs", "re", width = 1,
+      keys = Seq("k")).select("k", "lid", "rid").as[(Long, Long, Long)].collect()
+    assert(narrow.length == narrow.toSet.size && narrow.toSet == out,
+      s"bucket width must not change the result: ${narrow.toSeq}")
+  }
+
+  test("Privacy.kAnonymize: first qualifying ladder level; coarsest suppresses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fine level: values 0..9 (singletons, fails k=3); mid level: value%5
+    // (pairs, fails); coarse: value%2 (5 each, passes) -> coarse chosen
+    val df = (0 until 10).map(i => (i.toLong, "p")).toDF("v", "p")
+    val ladder = Seq(
+      "fine" -> col("v").cast("string"),
+      "mid" -> (col("v") % 5).cast("string"),
+      "coarse" -> (col("v") % 2).cast("string"))
+    val out = Privacy.kAnonymize(df, ladder, Seq(col("p")), k = 3L)
+    assert(out.select("gen_level").distinct().as[String].collect().toSeq == Seq("coarse"))
+    assert(out.count() == 10)
+    // k=6: even coarse (5 per group) fails -> suppression drops ALL rows
+    // of sub-k groups; a 12-row skewed df keeps only the big group
+    val skew = ((0 until 9).map(i => (i.toLong * 2, "p")) ++
+      Seq((1L, "p"), (3L, "p"), (5L, "p"))).toDF("v", "p")
+    val sup = Privacy.kAnonymize(skew, ladder, Seq(col("p")), k = 6L)
+    assert(sup.select("gen_level").distinct().as[String].collect().toSeq == Seq("coarse"))
+    assert(sup.count() == 9, "odd-v group (3 rows < k) must be suppressed")
+    assert(sup.select("qi").distinct().as[String].collect().toSeq == Seq("0"))
+  }
+
   test("q_curation_e2e: chained stage counts pinned at sf0.001, invariants hold") {
     val rows = graft.SparkEntry.queries("q_curation_e2e")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

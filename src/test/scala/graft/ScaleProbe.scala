@@ -145,6 +145,13 @@ object ScaleProbe {
         col("n_chars"), col("n_chars"), asOf = 100000L)),
       "robust_outliers" -> (d => graft.operators.Stats.robustOutliers(
         d, col("lang"), col("n_chars"), col("doc_id"))),
+      // the giant-group regime the histogram + bucketed-prefix path exists
+      // for: half the corpus lands in ONE group — a per-group sort window
+      // would serialize it onto one task and go super-linear here
+      "robust_outliers_giant" -> (d => graft.operators.Stats.robustOutliers(
+        d, when(col("doc_id") % 2 === 0, lit("big"))
+          .otherwise(concat(lit("s"), col("doc_id") % 97)),
+        col("n_chars") * 1000 + col("doc_id") % 1000, col("doc_id"))),
       "cdc_merge" -> { d =>
         val base = d.where(col("doc_id") % 3 =!= 0)
           .select(col("doc_id"), col("n_chars"))
