@@ -1922,6 +1922,34 @@ object SparkEntry {
           gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // the FORWARD as-of with tolerance (pandas merge_asof direction=
+      // 'forward' parity): each purchase joins the user's next click
+      // within 10 minutes — follow-on engagement; matches beyond the
+      // tolerance null out, equal-µs ties break on the min payload
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin.asofForward(purchases, clicks, "user_id", "ts_us",
+          tolerance = Some(600000000L))
+        .orderBy(col("event_id"))
+    }),
+    "q_ols_trend" -> ((s, dir) =>
+      // per-flag revenue trend: cents regressed on ship epoch-day from
+      // exact decimal moment sums; slope/intercept/r2 run one fixed IEEE
+      // chain per group (see Stats.olsBy)
+      graft.operators.Stats.olsBy(tbl(s, dir, "lineitem"),
+        col("l_returnflag"),
+        expr("DATEDIFF(CAST(l_shipdate AS DATE), DATE '1970-01-01')"),
+        cents(col("l_extendedprice")))),
+    "q_chi2" -> ((s, dir) =>
+      // priority x status independence: exact integer contingency table,
+      // decimal(38,0) cell numerators, ORDERED float fold (see
+      // Stats.chiSquare for why unordered SUM can't cross engines)
+      graft.operators.Stats.chiSquare(tbl(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"))),
     "q_interval_overlap" -> ((s, dir) => {
       // interval OVERLAP join (vs q_range_join's fixed-width point
       // proximity): long transit windows [ship_day, ship_day + qty] of
@@ -4670,6 +4698,71 @@ object SparkEntry {
                  AND n_alpha_words * 5 >= n_words * 4
                  AND n_stop_distinct >= 2) AS keep
          FROM c ORDER BY doc_id""",
+    "q_asof_forward" ->
+      // forward mirror of q_asof_join's correlated-subquery oracle, with
+      // the 10-minute tolerance folded into the predicate (equivalent to
+      // match-then-check: the earliest following click outside tolerance
+      // implies every later one is too)
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts_us,
+                (SELECT min(struct_pack(u := c_us, i := click_id)).u FROM c
+                 WHERE c.user_id = p.user_id AND c.c_us >= p.ts_us
+                   AND c.c_us - p.ts_us <= 600000000) AS asof_ts_us,
+                (SELECT min(struct_pack(u := c_us, i := click_id)).i FROM c
+                 WHERE c.user_id = p.user_id AND c.c_us >= p.ts_us
+                   AND c.c_us - p.ts_us <= 600000000) AS asof_click_id
+         FROM p ORDER BY p.event_id""",
+    "q_ols_trend" ->
+      // the q_moments pattern: HUGEINT moment sums cast DOUBLE, then the
+      // IDENTICAL fixed IEEE chain as Stats.olsBy (expression shapes are
+      // part of the contract — a different association order rounds
+      // differently)
+      """WITH a AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS HUGEINT)) AS DOUBLE) AS sx,
+                CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sy,
+                CAST(sum(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS HUGEINT)
+                       * (CAST(l_shipdate AS DATE) - DATE '1970-01-01')) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy
+         FROM lineitem GROUP BY 1),
+         m AS (SELECT g, n,
+                n * sxy - sx * sy AS cov,
+                n * sxx - sx * sx AS vx,
+                n * syy - sy * sy AS vy,
+                sx, sy FROM a)
+         SELECT g AS "group", n,
+                round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
+                round(CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / n END, 6) AS intercept,
+                round(CASE WHEN vx > 0 AND vy > 0 THEN (cov / vx) * (cov / vy) END, 6) AS r2
+         FROM m ORDER BY "group"""",
+    "q_chi2" ->
+      // exact integer contingency table; cell terms (O*N - R*C)^2/(N*R*C)
+      // summed in (row, col) order via list_reduce — the ordered-fold
+      // float rule (see q_temperature_mixture's sumw)
+      """WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+                          CAST(count(*) AS BIGINT) AS o
+                        FROM orders
+                        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                        GROUP BY 1, 2),
+         rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+         ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                        CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+                        CAST(count(DISTINCT c) AS BIGINT) AS n_cols FROM cells),
+         t AS (SELECT cells.r, cells.c,
+                 CAST((CAST(cells.o AS HUGEINT) * n - CAST(rt.rtot AS HUGEINT) * ct.ctot)
+                      * (CAST(cells.o AS HUGEINT) * n - CAST(rt.rtot AS HUGEINT) * ct.ctot) AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * rt.rtot * ct.ctot AS DOUBLE) AS term
+               FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot)
+         SELECT n, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof,
+                round(list_reduce(list_prepend(0.0::DOUBLE,
+                  (SELECT list(term ORDER BY r, c) FROM t)), (a, b) -> a + b), 6) AS chi2
+         FROM tot WHERE n IS NOT NULL""",
     "q_interval_overlap" ->
       // the oracle is the NAIVE inequality join — tiny sides at gate SF;
       // the engine's bucketed-explode plan must agree exactly

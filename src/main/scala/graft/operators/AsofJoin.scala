@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /**
- * Backward as-of (point-in-time) join: each left row picks the latest right
- * row with the same key and right.time <= left.time — the join financial /
- * event pipelines mean by "join against the state as of then".
+ * As-of (point-in-time) joins: each left row picks the latest right row
+ * with the same key and right.time <= left.time (backward — "join against
+ * the state as of then"), or the earliest right row with right.time >=
+ * left.time (forward — "the next event after"). With `tolerance`, matches
+ * farther than the given distance (in the time column's own units, cast
+ * to long) are nulled out — pandas `merge_asof(direction=, tolerance=)`
+ * parity.
  *
  * Spark has no native ASOF join; the naive range-join formulation
  * (l JOIN r ON key AND r.t <= l.t, then argmax per left row) explodes to
@@ -16,29 +20,50 @@ import org.apache.spark.sql.expressions.Window
  * `last(right_payload, ignoreNulls)` over a (key)-partitioned window
  * ordered by (time, side) — ONE shuffle on the key, one sort, output
  * linear in |L| + |R|. Right rows order before left rows at equal time, so
- * the match is <= (inclusive). Exact-time ties among right rows are broken
- * by the largest payload struct (deterministic, documented).
+ * the match is <= (inclusive); the forward variant mirrors with
+ * `first(...)` over the following frame and left-before-right tie order.
+ * Exact-time ties among right rows are broken by the extreme payload
+ * struct (largest for backward, smallest for forward — deterministic,
+ * documented).
  *
  * Output: every left column, plus each non-key right column as
- * `<prefix><name>` (null when no right row precedes the left row).
+ * `<prefix><name>` (null when no right row matches).
  */
 object AsofJoin {
 
   def asofBackward(left: DataFrame, right: DataFrame, key: String, time: String,
-                   prefix: String = "asof_"): DataFrame = {
+                   prefix: String = "asof_",
+                   tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, time, prefix, tolerance, backward = true)
+
+  /** Earliest right row with right.time >= left.time (same key). */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, time: String,
+                  prefix: String = "asof_",
+                  tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, time, prefix, tolerance, backward = false)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       time: String, prefix: String, tolerance: Option[Long],
+                       backward: Boolean): DataFrame = {
     val rightOther = right.columns.filterNot(_ == key).toSeq
+    require(rightOther.contains(time) || tolerance.isEmpty,
+      s"tolerance needs the right time column '$time' in the right frame")
     val lp = struct(left.columns.map(col).toSeq: _*)
     val rp = struct(rightOther.map(col): _*)
     val lType = left.select(lp.as("_l")).schema("_l").dataType
     val rType = right.select(rp.as("_r")).schema("_r").dataType
+    // side order makes the equal-time right row fall INSIDE the frame:
+    // backward frames end at the left row (right sorts first), forward
+    // frames start at it (left sorts first)
+    val (lSide, rSide) = if (backward) (1, 0) else (0, 1)
     val lDf = left.select(col(key).as("_k"), col(time).as("_t"),
-      lit(1).as("_side"), lit(null).cast(rType).as("_r"), lp.as("_l"))
+      lit(lSide).as("_side"), lit(null).cast(rType).as("_r"), lp.as("_l"))
     val rDf = right.select(col(key).as("_k"), col(time).as("_t"),
-      lit(0).as("_side"), rp.as("_r"), lit(null).cast(lType).as("_l"))
-    // equal-time tie-break: the max right struct when the payload is
+      lit(rSide).as("_side"), rp.as("_r"), lit(null).cast(lType).as("_l"))
+    // equal-time tie-break: the extreme right struct when the payload is
     // orderable; map-typed columns (e.g. a properties map) cannot be sort
     // keys, so fall back to a deterministic hash of the row's JSON — still
-    // a stable total order, just not the lexicographic-max one
+    // a stable total order, just not the lexicographic-extreme one
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => true
       case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
@@ -46,13 +71,26 @@ object AsofJoin {
       case _ => false
     }
     val tie = if (!hasMap(rType)) col("_r") else xxhash64(to_json(col("_r")))
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"), tie)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lDf.unionAll(rDf)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-      .select(left.columns.map(c => col(s"_l.$c").as(c)).toSeq ++
-        rightOther.map(c => col(s"_m.$c").as(prefix + c)): _*)
+    val wBase = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), tie)
+    val (w, pick) =
+      if (backward)
+        (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_r"), ignoreNulls = true))
+      else
+        (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_r"), ignoreNulls = true))
+    val matched = lDf.unionAll(rDf)
+      .withColumn("_m", pick.over(w))
+      .where(col("_side") === lSide)
+    val bounded = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val dist =
+          if (backward) col("_t").cast("long") - col(s"_m.$time").cast("long")
+          else col(s"_m.$time").cast("long") - col("_t").cast("long")
+        matched.withColumn("_m", when(dist <= tol, col("_m")))
+    }
+    bounded.select(left.columns.map(c => col(s"_l.$c").as(c)).toSeq ++
+      rightOther.map(c => col(s"_m.$c").as(prefix + c)): _*)
   }
 }

@@ -190,6 +190,80 @@ object Stats {
       .orderBy(col("group"))
   }
 
+  /** Per-group simple OLS trend y = intercept + slope·x over two
+    * integer-valued columns, from EXACT decimal(38,0) moment sums (the
+    * `moments` pattern: cross products of cents-scale values overflow
+    * int64, and double accumulation sheds low bits with partition order).
+    * The closed forms then run ONCE per group on double casts of the
+    * exact sums in a fixed IEEE chain: slope = cov/vx with
+    * cov = n·Σxy − Σx·Σy, vx = n·Σx² − (Σx)²; intercept =
+    * (Σy − (cov/vx)·Σx)/n; r² = (cov/vx)·(cov/vy) — the expression
+    * SHAPES are part of the contract (an algebraically equal different
+    * association order rounds differently). Output: (group, n, slope,
+    * intercept, r2), group-ordered, 6dp; slope/intercept null for
+    * degenerate x (vx = 0), r2 additionally null for constant y. */
+  def olsBy(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val xl = x.cast("long").cast(dec)
+    val yl = y.cast("long").cast(dec)
+    val a = df.where(x.isNotNull && y.isNotNull).groupBy(group.as("group")).agg(
+      count(lit(1)).as("n"),
+      sum(xl).as("_sx"), sum(yl).as("_sy"),
+      sum(xl * yl).cast(dec).as("_sxy"),
+      sum(xl * xl).cast(dec).as("_sxx"),
+      sum(yl * yl).cast(dec).as("_syy"))
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxy = col("_sxy").cast("double"); val sxx = col("_sxx").cast("double")
+    val syy = col("_syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    a.select(col("group"), col("n"),
+        round(when(vx > 0, cov / vx), 6).as("slope"),
+        round(when(vx > 0, (sy - (cov / vx) * sx) / n), 6).as("intercept"),
+        round(when(vx > 0 && vy > 0, (cov / vx) * (cov / vy)), 6).as("r2"))
+      .orderBy(col("group"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. Counts are exact integers; each cell's statistic term is
+    * (O·N − R·C)² / (N·R·C) — numerator in decimal(38,0) (O·N tops 10¹²
+    * on a 10⁶-row corpus and is then squared), denominator likewise —
+    * and the cell terms are summed IN (row, col) ORDER via an ordered
+    * fold: float + is not associative, so an unordered SUM could differ
+    * in last ulps across engines (the temperature-mixture list_reduce
+    * pattern). The contingency table is category-cardinality-sized by
+    * nature, so the single-row fold is bounded. Output one row:
+    * (n, n_rows, n_cols, dof, chi2) with chi2 6dp. */
+  def chiSquare(df: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.where(rowC.isNotNull && colC.isNotNull)
+      .groupBy(rowC.cast("string").as("_r"), colC.cast("string").as("_c"))
+      .agg(count(lit(1)).as("_o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = cells.groupBy(col("_r")).agg(sum(col("_o")).as("_rt"))
+    val ct = cells.groupBy(col("_c")).agg(sum(col("_o")).as("_ct"))
+    val tot = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_r")).as("n_rows"), countDistinct(col("_c")).as("n_cols"))
+    val term = {
+      val num = (col("_o").cast(dec) * col("_n").cast(dec)
+        - col("_rt").cast(dec) * col("_ct").cast(dec))
+      val den = col("_n").cast(dec) * col("_rt").cast(dec) * col("_ct").cast(dec)
+      (num * num).cast(dec).cast("double") / den.cast("double")
+    }
+    cells.join(broadcast(rt), "_r").join(broadcast(ct), "_c")
+      .crossJoin(broadcast(tot))
+      .select(col("_n"), col("n_rows"), col("n_cols"),
+        struct(col("_r"), col("_c")).as("_k"), term.as("_t"))
+      .groupBy(col("_n").as("n"), col("n_rows"), col("n_cols"))
+      .agg(sort_array(collect_list(struct(col("_k"), col("_t")))).as("_a"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        round(aggregate(col("_a"), lit(0.0),
+          (acc, s) => acc + s.getField("_t")), 6).as("chi2"))
+  }
+
   def ksDistance(df: DataFrame, value: Column, side: Column): DataFrame = {
     val c = df.where(value.isNotNull)
       .groupBy(value.cast("long").as("_v"), (side.cast("long") % 2).as("_s"))

@@ -694,6 +694,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("AsofJoin.asofForward: next match, tolerance null-out, min-payload tie") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 300L), (3L, 2L, 100L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((1L, 100L, 10L), (1L, 100L, 11L), (1L, 150L, 12L),
+      (2L, 900L, 20L)).toDF("k", "t", "rid")
+    val out = AsofJoin.asofForward(left, right, "k", "t",
+        tolerance = Some(100L))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // event 1: equal-time (t=100) rights ARE eligible (>= inclusive);
+    // min payload (100, 10) wins the tie
+    assert(out(1L) == ((Some(100L), Some(10L))), s"got ${out(1L)}")
+    // event 2 at t=300: no following right for k=1 -> nulls
+    assert(out(2L) == ((None, None)))
+    // event 3: next right at 900 is 800 > tolerance 100 -> nulled out
+    assert(out(3L) == ((None, None)), "match beyond tolerance must null out")
+    // backward with tolerance: event at 300 matches 150 (dist 150 > 100 -> null)
+    val back = AsofJoin.asofBackward(left, right, "k", "t",
+        tolerance = Some(100L))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(back(2L) == None, "backward match beyond tolerance must null out")
+    assert(back(1L) == Some(11L), "backward equal-time max-payload tie")
+  }
+
+  test("Stats.olsBy: exact slope/intercept/r2; degenerate x nulls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L),
+      ("b", 7L, 9L), ("b", 7L, 11L)).toDF("g", "x", "y")
+    val out = Stats.olsBy(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    // a: perfect line y = 1 + 2x -> slope 2, intercept 1, r2 1
+    assert(out("a") == ((3L, Some(2.0), Some(1.0), Some(1.0))), s"got ${out("a")}")
+    // b: constant x -> vx = 0 -> all null
+    assert(out("b") == ((2L, None, None, None)), s"got ${out("b")}")
+  }
+
+  test("Stats.chiSquare: known 2x2 statistic, exact counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // O = [[10,20],[20,10]]: E = 15 everywhere, chi2 = 4*(25/15) = 6.666667
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(20)(("r2", "c1")) ++ Seq.fill(10)(("r2", "c2"))
+    val out = Stats.chiSquare(rows.toDF("r", "c"), col("r"), col("c")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((60L, 2L, 2L, 1L)), s"got $r")
+    assert(r.getDouble(4) == 6.666667, s"chi2: ${r.getDouble(4)}")
+  }
+
   test("IntervalJoin.overlap: exact closed-interval semantics, multiplicity-free") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
