@@ -1922,6 +1922,38 @@ object SparkEntry {
           gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "q_record_linkage" -> ((s, dir) => {
+      // Fellegi-Sunter over a deterministic "dirty second database":
+      // every 3rd nation bumped, every 5th segment tagged, every 7th
+      // balance shifted $100; candidates = true pair + next-key impostor.
+      // Field weights are driver-quantized milli-bits (Linkage.milliBits)
+      // so the pair score is pure integer addition in both engines
+      val c = tbl(s, dir, "customer")
+      val clean = c.select(col("c_custkey").as("l_key"),
+        col("c_nationkey").as("l_nation"),
+        col("c_mktsegment").as("l_segment"),
+        cents(col("c_acctbal")).as("l_bal_c"))
+      val dirty = c.select(col("c_custkey").as("r_key"),
+        (col("c_nationkey") + when(col("c_custkey") % 3 === 0, 1).otherwise(0))
+          .as("r_nation"),
+        when(col("c_custkey") % 5 === 0, concat(col("c_mktsegment"), lit("_X")))
+          .otherwise(col("c_mktsegment")).as("r_segment"),
+        (cents(col("c_acctbal"))
+          + when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L)).as("r_bal_c"))
+      val pairs = clean.join(dirty, col("l_key") === col("r_key"))
+        .unionAll(clean.join(dirty, col("l_key") + 1 === col("r_key")))
+      val fields = Seq(
+        graft.operators.Linkage.Field("nation",
+          col("l_nation") === col("r_nation"), 0.95, 0.04),
+        graft.operators.Linkage.Field("segment",
+          col("l_segment") === col("r_segment"), 0.90, 0.20),
+        graft.operators.Linkage.Field("balance",
+          abs(col("l_bal_c") - col("r_bal_c")) <= 50L, 0.98, 0.01))
+      graft.operators.Linkage.fellegiSunter(pairs, fields,
+          upperMb = 5000L, lowerMb = 0L)
+        .select(col("l_key"), col("r_key"), col("weight_mb"), col("decision"))
+        .orderBy(col("l_key"), col("r_key"))
+    }),
     "q_asof_forward" -> ((s, dir) => {
       // the FORWARD as-of with tolerance (pandas merge_asof direction=
       // 'forward' parity): each purchase joins the user's next click
@@ -2164,6 +2196,45 @@ object SparkEntry {
       s"""
          SELECT CAST(n AS BIGINT) AS node, CAST(l AS BIGINT) AS label
          FROM l$rounds ORDER BY node"""
+  }
+
+  /** q_record_linkage oracle: same dirty-twin construction and candidate
+    * pairs; the milli-bit field weights come from the SAME
+    * Linkage.milliBits quantization the engine uses, interpolated as
+    * integer literals — no engine evaluates a log. */
+  private def linkageOracleSql: String = {
+    val (nA, nD) = graft.operators.Linkage.milliBits(0.95, 0.04)
+    val (sA, sD) = graft.operators.Linkage.milliBits(0.90, 0.20)
+    val (bA, bD) = graft.operators.Linkage.milliBits(0.98, 0.01)
+    s"""WITH clean AS (SELECT c_custkey AS l_key, c_nationkey AS l_nation,
+                         c_mktsegment AS l_segment,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS l_bal_c
+                       FROM customer),
+        dirty AS (SELECT c_custkey AS r_key,
+                    c_nationkey + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS r_nation,
+                    CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '_X'
+                         ELSE c_mktsegment END AS r_segment,
+                    CAST(round(c_acctbal * 100) AS BIGINT)
+                      + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS r_bal_c
+                  FROM customer),
+        p AS (SELECT l_key, r_key, l_nation, r_nation, l_segment, r_segment,
+                     l_bal_c, r_bal_c
+              FROM clean JOIN dirty ON l_key = r_key
+              UNION ALL
+              SELECT l_key, r_key, l_nation, r_nation, l_segment, r_segment,
+                     l_bal_c, r_bal_c
+              FROM clean JOIN dirty ON l_key + 1 = r_key),
+        w AS (SELECT l_key, r_key,
+                CAST(CASE WHEN l_nation = r_nation THEN $nA ELSE $nD END
+                   + CASE WHEN l_segment = r_segment THEN $sA ELSE $sD END
+                   + CASE WHEN abs(l_bal_c - r_bal_c) <= 50 THEN $bA ELSE $bD END
+                  AS BIGINT) AS weight_mb
+              FROM p)
+        SELECT l_key, r_key, weight_mb,
+               CASE WHEN weight_mb >= 5000 THEN 'match'
+                    WHEN weight_mb <= 0 THEN 'nonmatch'
+                    ELSE 'possible' END AS decision
+        FROM w ORDER BY l_key, r_key"""
   }
 
   /** q_modularity oracle: the label-prop coloring (same CTE chain), with
@@ -4698,6 +4769,7 @@ object SparkEntry {
                  AND n_alpha_words * 5 >= n_words * 4
                  AND n_stop_distinct >= 2) AS keep
          FROM c ORDER BY doc_id""",
+    "q_record_linkage" -> linkageOracleSql,
     "q_asof_forward" ->
       // forward mirror of q_asof_join's correlated-subquery oracle, with
       // the 10-minute tolerance folded into the predicate (equivalent to

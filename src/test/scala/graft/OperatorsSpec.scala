@@ -694,6 +694,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("Linkage: milli-bit weights, decisions, m/u estimation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand math: log2(.9/.1) = 3.169925 -> 3170; log2(.1/.9) = -3170
+    assert(Linkage.milliBits(0.9, 0.1) == ((3170L, -3170L)))
+    val pairs = Seq((1L, 1L, true, true), (2L, 3L, true, false),
+      (4L, 5L, false, false)).toDF("l", "r", "a1", "a2")
+    val fields = Seq(Linkage.Field("f1", col("a1"), 0.9, 0.1),
+      Linkage.Field("f2", col("a2"), 0.9, 0.1))
+    val out = Linkage.fellegiSunter(pairs, fields, upperMb = 6000L, lowerMb = -6000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) == ((6340L, "match")))
+    assert(out(2L) == ((0L, "possible")))
+    assert(out(4L) == ((-6340L, "nonmatch")))
+    // estimation: 2 labeled matches (both agree), 2 non-matches (1 agrees)
+    val labeled = Seq((true, true), (true, true), (false, true), (false, false))
+      .toDF("lbl", "a")
+    val mu = Linkage.estimateMU(labeled, col("lbl"), Seq("a" -> col("a")))
+    // Laplace: m = (2+1)/(2+2) = 0.75, u = (1+1)/(2+2) = 0.5
+    assert(mu("a") == ((0.75, 0.5)), s"got $mu")
+  }
+
   test("AsofJoin.asofForward: next match, tolerance null-out, min-payload tie") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
