@@ -1669,6 +1669,14 @@ object SparkEntry {
         tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
       graft.operators.Triangles.kCore(edges, "item_a", "item_b", k = 6, rounds = 8)
     }),
+    "q_ktruss" -> ((s, dir) => {
+      // bounded-round 5-truss peel (edges in >= 3 triangles) over the
+      // same co-occurrence graph — the edge-level cohesion sibling of
+      // q_kcore; 4 rounds covers the peel depth at gate SF
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
+      graft.operators.Triangles.kTruss(edges, "item_a", "item_b", k = 5, rounds = 4)
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // audit diff between a corpus and a synthetic next version (every
       // 11th doc dropped, every 7th edited, every 13th re-added under a
@@ -1921,6 +1929,52 @@ object SparkEntry {
           graft.operators.Bpe.tokenCount(col("text"), merges).cast("long").as("n_bpe"),
           gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy(col("doc_id"))
+    }),
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 shape (volume shipping): revenue between two nation
+      // BANDS in both directions per ship year (single-nation pairs are
+      // empty at sf0.001); both nation dims broadcast, exact per-row
+      // cents rounding before the integer sum
+      val li = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = tbl(s, dir, "orders")
+      val cst = tbl(s, dir, "customer")
+      val sup = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation")
+      val n1 = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .where((col("s_nationkey") < 3 && col("c_nationkey") >= 22) ||
+          (col("s_nationkey") >= 22 && col("c_nationkey") < 3))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    "q_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 shape (returned-item losses): one quarter's orders,
+      // returned lines only, per customer with nation, top 20 by revenue
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = tbl(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val cst = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("c_custkey"))
+        .limit(20)
     }),
     "q_record_linkage" -> ((s, dir) => {
       // Fellegi-Sunter over a deterministic "dirty second database":
@@ -2311,6 +2365,44 @@ object SparkEntry {
          SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
            SELECT a AS v FROM p$rounds UNION ALL SELECT b FROM p$rounds) GROUP BY v
          ORDER BY node"""
+  }
+
+  /** DuckDB replay of the bounded-round k-truss peel: per round one
+    * canonical triangle enumeration (a<b<c via the two-hop + closing-edge
+    * join), per-edge support rollup, edge restriction — each round's
+    * frames forced MATERIALIZED (triangles are referenced three times by
+    * the support union; inlined CTEs would re-enumerate per reference,
+    * the kCore 3^rounds lesson). Edge list = the minSupport co-occurrence
+    * graph shared with q_kcore/q_modularity. */
+  private def kTrussOracleSql(k: Int, rounds: Int, minSupport: Int): String = {
+    val head =
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
+         p0 AS MATERIALIZED (
+                SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+                GROUP BY 1, 2 HAVING count(*) >= $minSupport)"""
+    def triSup(i: Int, src: String) =
+      s""",
+         t$i AS MATERIALIZED (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM $src e1 JOIN $src e2 ON e2.a = e1.b
+                JOIN $src e3 ON e3.a = e1.a AND e3.b = e2.b),
+         s$i AS MATERIALIZED (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+                  SELECT x AS a, y AS b FROM t$i
+                  UNION ALL SELECT x, z FROM t$i
+                  UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2)"""
+    val peel = (1 to rounds).map { i =>
+      triSup(i, s"p${i - 1}") +
+        s""",
+         p$i AS MATERIALIZED (
+                SELECT p.a, p.b FROM p${i - 1} p
+                JOIN s$i s ON p.a = s.a AND p.b = s.b AND s.c >= ${k - 2})"""
+    }.mkString
+    head + peel + triSup(rounds + 1, s"p$rounds") +
+      s"""
+         SELECT p.a AS a, p.b AS b, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+         FROM p$rounds p LEFT JOIN s${rounds + 1} s ON p.a = s.a AND p.b = s.b
+         ORDER BY 1, 2"""
   }
 
   /** DuckDB replay of BPE ENCODING under a trained merge list. The merge
@@ -4209,6 +4301,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
     "q_kcore" -> kCoreOracleSql(6, 8),
+    "q_ktruss" -> kTrussOracleSql(k = 5, rounds = 4, minSupport = 30),
     "q_pagerank_personal" -> pageRankOracleSql(5, seeds = Seq(1L, 2L, 3L)),
     "q_weighted_sample" ->
       """WITH t AS (SELECT doc_id, text,
@@ -4769,6 +4862,36 @@ object SparkEntry {
                  AND n_alpha_words * 5 >= n_words * 4
                  AND n_stop_distinct >= 2) AS keep
          FROM c ORDER BY doc_id""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((s.s_nationkey < 3 AND c.c_nationkey >= 22)
+             OR (s.s_nationkey >= 22 AND c.c_nationkey < 3))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20""",
     "q_record_linkage" -> linkageOracleSql,
     "q_asof_forward" ->
       // forward mirror of q_asof_join's correlated-subquery oracle, with

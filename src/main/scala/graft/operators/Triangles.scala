@@ -138,6 +138,48 @@ object Triangles {
       .orderBy(col("node"))
   }
 
+  /** Bounded-round k-truss peel (Cohen 2008 "Trusses: cohesive subgraphs
+    * for social network analysis"): repeat `rounds` times — count each
+    * edge's SUPPORT (triangles it closes in the current subgraph), keep
+    * edges with support ≥ k−2, restrict. The edge-level sibling of kCore
+    * (which peels vertices by degree): a k-truss is the maximal subgraph
+    * where every edge participates in ≥ k−2 triangles, a strictly
+    * stronger cohesion notion than the k-core it is always contained in.
+    * Monotone peel, so with `rounds` ≥ the true depth the output IS the
+    * exact truss; the fixed bound keeps the cross-engine oracle a finite
+    * CTE chain (the kCore/PageRank pattern). Output: surviving edges
+    * (a, b, support) with the FINAL subgraph's support, (a, b)-ordered.
+    *
+    * 100 TB shape: each round is one degree-oriented triangle enumeration
+    * (the O(E^1.5)-wedge compact-forward pass — same machinery as
+    * `count`) + an edge-keyed count + a semi-join; the edge list only
+    * ever shrinks, and each round's frame is checkpointed so the plan
+    * stays flat instead of growing a triangle join deeper per round. */
+  def kTruss(edges: DataFrame, src: String, dst: String, k: Int,
+             rounds: Int): DataFrame = {
+    require(k >= 2, "k-truss needs k >= 2")
+    def support(e: DataFrame): DataFrame =
+      enumerateOriented(orientFrom(e, degrees(e)).localCheckpoint(false))
+        .select(explode(array(
+          struct(col("a").as("a"), col("b").as("b")),
+          struct(col("a").as("a"), col("c").as("b")),
+          struct(col("b").as("a"), col("c").as("b")))).as("_e"))
+        .select(col("_e.a").as("a"), col("_e.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("support"))
+    var e = canonical(edges, src, dst).localCheckpoint(false)
+    var i = 0
+    while (i < rounds) {
+      e = e.join(support(e).where(col("support") >= k - 2),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(false)
+      i += 1
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** One row per triangle (a < b < c, id order). */
   def enumerate(edges: DataFrame, src: String, dst: String): DataFrame =
     enumerateOriented(oriented(edges, src, dst))

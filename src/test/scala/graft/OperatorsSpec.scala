@@ -694,6 +694,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("Triangles.kTruss: peels the pendant triangle, keeps the clique") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus triangle {3,4,5}: edges (3,5),(4,5) close only
+    // one triangle (support 1 < k-2 = 2) and peel off; the K4 remains
+    // with every edge at support 2
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L)).toDF("s", "d")
+    val out = Triangles.kTruss(edges, "s", "d", k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), s"got $out")
+  }
+
   test("Linkage: milli-bit weights, decisions, m/u estimation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
