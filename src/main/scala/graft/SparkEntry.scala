@@ -1669,6 +1669,25 @@ object SparkEntry {
         tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
       graft.operators.Triangles.kCore(edges, "item_a", "item_b", k = 6, rounds = 8)
     }),
+    "q_textrank" -> ((s, dir) => {
+      // TextRank keywords (Mihalcea & Tarau 2004): adjacent-token
+      // co-occurrence graph over >=4-char tokens, symmetric distinct
+      // edges, then the SAME integer fixed-point PageRank the supplier
+      // graph uses — keyword centrality with a bit-exact oracle. The
+      // zip-with-tail pairing is the Dsir bigram shape (null-padded last
+      // pair drops via the inequality predicate)
+      val toks = tbl(s, dir, "documents").select(
+        filter(gf.tokens(col("text")), t => length(t) >= 4).as("_ts"))
+      val adj = toks.select(explode(zip_with(col("_ts"),
+          slice(col("_ts"), lit(2), size(col("_ts"))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+        .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+        .where(col("w1") =!= col("w2"))
+      val e = adj.select(col("w1").as("s"), col("w2").as("d"))
+        .unionAll(adj.select(col("w2").as("s"), col("w1").as("d")))
+        .distinct()
+      graft.operators.PageRank.pageRank(e, "s", "d", iterations = 5)
+    }),
     "q_ktruss" -> ((s, dir) => {
       // bounded-round 5-truss peel (edges in >= 3 triangles) over the
       // same co-occurrence graph — the edge-level cohesion sibling of
@@ -2365,6 +2384,42 @@ object SparkEntry {
          SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
            SELECT a AS v FROM p$rounds UNION ALL SELECT b FROM p$rounds) GROUP BY v
          ORDER BY node"""
+  }
+
+  /** q_textrank oracle: the word co-occurrence graph (adjacent >=4-char
+    * tokens, symmetric, deduped) fed through the IDENTICAL integer
+    * fixed-point PageRank round chain as the supplier-graph oracle —
+    * string-keyed nodes, floor division on nonnegative scores matches the
+    * engine's truncating IntegralDivide. */
+  private def textRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH tk AS (SELECT list_filter(
+                       regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                       w -> length(w) >= 4) AS ts
+                     FROM documents),
+         adj AS (SELECT p.a AS w1, p.b AS w2 FROM (
+                   SELECT unnest(list_transform(range(1, len(ts)),
+                     i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+                   FROM tk)
+                 WHERE p.a <> p.b),
+         e AS MATERIALIZED (SELECT w1 AS s, w2 AS d FROM adj
+                            UNION SELECT w2, w1 FROM adj),
+         n AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+         deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
+         s0 AS (SELECT v, CAST(1000000 AS BIGINT) AS sc FROM n)"""
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "s0" else s"i${i - 1}"
+      s""",
+         i$i AS MATERIALIZED (
+                 SELECT n.v, CAST((15000000 + 85 * COALESCE(t.m, 0)) // 100 AS BIGINT) AS sc
+                 FROM n LEFT JOIN (SELECT e.d AS v, CAST(sum($prev.sc // deg.dg) AS BIGINT) AS m
+                                   FROM e JOIN $prev ON e.s = $prev.v
+                                          JOIN deg ON e.s = deg.s
+                                   GROUP BY e.d) t ON n.v = t.v)"""
+    }.mkString
+    head + rounds +
+      s"""
+         SELECT v AS node, sc AS score FROM i$iters ORDER BY score DESC, node"""
   }
 
   /** DuckDB replay of the bounded-round k-truss peel: per round one
@@ -4302,6 +4357,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql(5),
     "q_kcore" -> kCoreOracleSql(6, 8),
     "q_ktruss" -> kTrussOracleSql(k = 5, rounds = 4, minSupport = 30),
+    "q_textrank" -> textRankOracleSql(5),
     "q_pagerank_personal" -> pageRankOracleSql(5, seeds = Seq(1L, 2L, 3L)),
     "q_weighted_sample" ->
       """WITH t AS (SELECT doc_id, text,
