@@ -2001,31 +2001,31 @@ object SparkEntry {
       // balance shifted $100; candidates = true pair + next-key impostor.
       // Field weights are driver-quantized milli-bits (Linkage.milliBits)
       // so the pair score is pure integer addition in both engines
-      val c = tbl(s, dir, "customer")
-      val clean = c.select(col("c_custkey").as("l_key"),
-        col("c_nationkey").as("l_nation"),
-        col("c_mktsegment").as("l_segment"),
-        cents(col("c_acctbal")).as("l_bal_c"))
-      val dirty = c.select(col("c_custkey").as("r_key"),
-        (col("c_nationkey") + when(col("c_custkey") % 3 === 0, 1).otherwise(0))
-          .as("r_nation"),
-        when(col("c_custkey") % 5 === 0, concat(col("c_mktsegment"), lit("_X")))
-          .otherwise(col("c_mktsegment")).as("r_segment"),
-        (cents(col("c_acctbal"))
-          + when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L)).as("r_bal_c"))
-      val pairs = clean.join(dirty, col("l_key") === col("r_key"))
-        .unionAll(clean.join(dirty, col("l_key") + 1 === col("r_key")))
-      val fields = Seq(
-        graft.operators.Linkage.Field("nation",
-          col("l_nation") === col("r_nation"), 0.95, 0.04),
-        graft.operators.Linkage.Field("segment",
-          col("l_segment") === col("r_segment"), 0.90, 0.20),
-        graft.operators.Linkage.Field("balance",
-          abs(col("l_bal_c") - col("r_bal_c")) <= 50L, 0.98, 0.01))
-      graft.operators.Linkage.fellegiSunter(pairs, fields,
+      val (_, _, pairs) = linkageInputs(s, dir)
+      graft.operators.Linkage.fellegiSunter(pairs, linkageFields,
           upperMb = 5000L, lowerMb = 0L)
         .select(col("l_key"), col("r_key"), col("weight_mb"), col("decision"))
         .orderBy(col("l_key"), col("r_key"))
+    }),
+    "q_er_e2e" -> ((s, dir) => {
+      // the ER pipeline as ONE verified chain (the q_curation_e2e idea
+      // for entity resolution): candidate pairs -> Fellegi-Sunter match
+      // decisions -> TRANSITIVE CLOSURE of matches (connected components
+      // over the disjoint clean/dirty id spaces) -> survivorship rollup
+      // (cluster size + best balance). Impostor matches chain clusters
+      // beyond the true pairs, so the closure does real work
+      val (clean, dirty, pairs) = linkageInputs(s, dir)
+      val matches = graft.operators.Linkage.fellegiSunter(pairs, linkageFields,
+          upperMb = 5000L, lowerMb = 0L)
+        .where(col("decision") === "match")
+        .select((col("l_key") * 2).as("u"), (col("r_key") * 2 + 1).as("v"))
+      val cc = Dedup.connectedComponents(matches, "u", "v")
+      val attrs = clean.select((col("l_key") * 2).as("id"), col("l_bal_c").as("bal_c"))
+        .unionAll(dirty.select((col("r_key") * 2 + 1).as("id"), col("r_bal_c").as("bal_c")))
+      cc.join(attrs, "id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("bal_c")).as("best_bal_c"))
+        .orderBy(col("component"))
     }),
     "q_asof_forward" -> ((s, dir) => {
       // the FORWARD as-of with tolerance (pandas merge_asof direction=
@@ -2271,6 +2271,37 @@ object SparkEntry {
          FROM l$rounds ORDER BY node"""
   }
 
+  /** Shared inputs of the record-linkage gates: the clean customer frame,
+    * its deterministic dirty twin (every 3rd nation bumped, 5th segment
+    * tagged, 7th balance shifted $100), and the candidate pairs
+    * (true pair + next-key impostor). */
+  private def linkageInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val c = tbl(s, dir, "customer")
+    val clean = c.select(col("c_custkey").as("l_key"),
+      col("c_nationkey").as("l_nation"),
+      col("c_mktsegment").as("l_segment"),
+      cents(col("c_acctbal")).as("l_bal_c"))
+    val dirty = c.select(col("c_custkey").as("r_key"),
+      (col("c_nationkey") + when(col("c_custkey") % 3 === 0, 1).otherwise(0))
+        .as("r_nation"),
+      when(col("c_custkey") % 5 === 0, concat(col("c_mktsegment"), lit("_X")))
+        .otherwise(col("c_mktsegment")).as("r_segment"),
+      (cents(col("c_acctbal"))
+        + when(col("c_custkey") % 7 === 0, 10000L).otherwise(0L)).as("r_bal_c"))
+    val pairs = clean.join(dirty, col("l_key") === col("r_key"))
+      .unionAll(clean.join(dirty, col("l_key") + 1 === col("r_key")))
+    (clean, dirty, pairs)
+  }
+
+  private def linkageFields: Seq[graft.operators.Linkage.Field] = Seq(
+    graft.operators.Linkage.Field("nation",
+      col("l_nation") === col("r_nation"), 0.95, 0.04),
+    graft.operators.Linkage.Field("segment",
+      col("l_segment") === col("r_segment"), 0.90, 0.20),
+    graft.operators.Linkage.Field("balance",
+      abs(col("l_bal_c") - col("r_bal_c")) <= 50L, 0.98, 0.01))
+
   /** q_record_linkage oracle: same dirty-twin construction and candidate
     * pairs; the milli-bit field weights come from the SAME
     * Linkage.milliBits quantization the engine uses, interpolated as
@@ -2308,6 +2339,53 @@ object SparkEntry {
                     WHEN weight_mb <= 0 THEN 'nonmatch'
                     ELSE 'possible' END AS decision
         FROM w ORDER BY l_key, r_key"""
+  }
+
+  /** q_er_e2e oracle: the linkage chain (same dirty twin, pairs, and
+    * milli-bit weights), then EXACT transitive closure of the match
+    * edges via WITH RECURSIVE (the q_dedup_cc pattern) and the
+    * survivorship rollup. */
+  private def erOracleSql: String = {
+    val (nA, nD) = graft.operators.Linkage.milliBits(0.95, 0.04)
+    val (sA, sD) = graft.operators.Linkage.milliBits(0.90, 0.20)
+    val (bA, bD) = graft.operators.Linkage.milliBits(0.98, 0.01)
+    s"""WITH RECURSIVE
+        clean AS (SELECT c_custkey AS l_key, c_nationkey AS l_nation,
+                    c_mktsegment AS l_segment,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS l_bal_c
+                  FROM customer),
+        dirty AS (SELECT c_custkey AS r_key,
+                    c_nationkey + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS r_nation,
+                    CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '_X'
+                         ELSE c_mktsegment END AS r_segment,
+                    CAST(round(c_acctbal * 100) AS BIGINT)
+                      + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS r_bal_c
+                  FROM customer),
+        p AS (SELECT l_key, r_key, l_nation, r_nation, l_segment, r_segment,
+                     l_bal_c, r_bal_c
+              FROM clean JOIN dirty ON l_key = r_key
+              UNION ALL
+              SELECT l_key, r_key, l_nation, r_nation, l_segment, r_segment,
+                     l_bal_c, r_bal_c
+              FROM clean JOIN dirty ON l_key + 1 = r_key),
+        m AS (SELECT l_key * 2 AS u, r_key * 2 + 1 AS v FROM p
+              WHERE CASE WHEN l_nation = r_nation THEN $nA ELSE $nD END
+                  + CASE WHEN l_segment = r_segment THEN $sA ELSE $sD END
+                  + CASE WHEN abs(l_bal_c - r_bal_c) <= 50 THEN $bA ELSE $bD END
+                  >= 5000),
+        edges AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),
+        reach(u, v) AS (
+          SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+        attrs AS (SELECT l_key * 2 AS id, l_bal_c AS bal_c FROM clean
+                  UNION ALL SELECT r_key * 2 + 1, r_bal_c FROM dirty)
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(bal_c) AS BIGINT) AS best_bal_c
+        FROM comp JOIN attrs USING (id)
+        GROUP BY component ORDER BY component"""
   }
 
   /** q_modularity oracle: the label-prop coloring (same CTE chain), with
@@ -4949,6 +5027,7 @@ object SparkEntry {
          GROUP BY 1, 2, 3, 4
          ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20""",
     "q_record_linkage" -> linkageOracleSql,
+    "q_er_e2e" -> erOracleSql,
     "q_asof_forward" ->
       // forward mirror of q_asof_join's correlated-subquery oracle, with
       // the 10-minute tolerance folded into the predicate (equivalent to
