@@ -44,11 +44,19 @@ object Privacy {
     if (chosen.isDefined) gen
     else {
       // coarsest level still has small groups: suppress them (left-semi
-      // against the qualifying groups — no payload in the count exchange)
-      val keep = gen.groupBy(col("qi") +: otherQi: _*).count()
+      // against the qualifying groups — no payload in the count exchange).
+      // otherQi may be computed EXPRESSIONS, which cannot be re-selected
+      // off an aggregate — materialize them as stable columns first and
+      // drop them after the join
+      val oqNames = otherQi.indices.map(i => s"_oq$i")
+      val genQ = otherQi.zipWithIndex.foldLeft(gen) {
+        case (d, (c, i)) => d.withColumn(s"_oq$i", c)
+      }
+      val keys = "qi" +: oqNames
+      val keep = genQ.groupBy(keys.map(col): _*).count()
         .where(col("count") >= k)
-        .select(col("qi") +: otherQi: _*)
-      gen.join(keep, keep.columns.toSeq, "left_semi")
+        .select(keys.map(col): _*)
+      genQ.join(keep, keys, "left_semi").drop(oqNames: _*)
     }
   }
 }

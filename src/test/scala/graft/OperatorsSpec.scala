@@ -833,6 +833,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sup.select("gen_level").distinct().as[String].collect().toSeq == Seq("coarse"))
     assert(sup.count() == 9, "odd-v group (3 rows < k) must be suppressed")
     assert(sup.select("qi").distinct().as[String].collect().toSeq == Seq("0"))
+    // computed-EXPRESSION otherQi must survive the suppression path (it
+    // cannot be re-selected off the aggregate — regression for the
+    // ScaleProbe-found resolution failure)
+    val supE = Privacy.kAnonymize(skew, ladder, Seq(col("v") % 2 === 0), k = 6L)
+    assert(supE.count() == 9, "expression otherQi suppression")
+    assert(!supE.columns.exists(_.startsWith("_oq")), "helper columns must drop")
   }
 
   test("q_curation_e2e: chained stage counts pinned at sf0.001, invariants hold") {

@@ -204,6 +204,69 @@ object ScaleProbe {
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
 
+    // round-12 additions. interval_overlap and linkage_score key their
+    // joins by (lang/source, replica) — the edit_join salting rationale:
+    // matches stay within-replica so output grows linearly and the ratio
+    // isolates the bucketed-explode / scoring machinery
+    val opsR12: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "interval_overlap" -> { d =>
+        val rep = (col("doc_id") / 1000000000L).cast("long")
+        val iv = d.select(concat(col("lang"), lit(":"), rep).as("key"),
+          col("doc_id"), col("n_chars").as("s0"),
+          (col("n_chars") + col("doc_id") % 50).as("e0"))
+        graft.operators.IntervalJoin.overlap(
+          iv.where(col("doc_id") % 2 === 0)
+            .select(col("key"), col("doc_id").as("lid"), col("s0").as("ls"), col("e0").as("le")),
+          iv.where(col("doc_id") % 2 === 1)
+            .select(col("key"), col("doc_id").as("rid"), col("s0").as("rs"), col("e0").as("re")),
+          "ls", "le", "rs", "re", width = 32, keys = Seq("key"))
+      },
+      "k_anon_walk" -> (d => graft.operators.Privacy.kAnonymize(d,
+        Seq("source" -> col("source"), "lang" -> col("lang"),
+          "all" -> lit("all")),
+        Seq(col("doc_id") % 3), k = 5000L)),
+      "ols_trend" -> (d => graft.operators.Stats.olsBy(d, col("lang"),
+        col("n_chars"), col("doc_id") % 1000)),
+      "chi2" -> (d => graft.operators.Stats.chiSquare(d, col("lang"), col("source"))),
+      "linkage_score" -> { d =>
+        val rep = (col("doc_id") / 1000000000L).cast("long")
+        val t = d.select(col("doc_id"), concat(col("lang"), lit(":"), rep).as("key"),
+          col("source"), col("n_chars"))
+        val pairs = t.select(col("doc_id").as("l_id"), col("key"),
+            col("source").as("l_src"), col("n_chars").as("l_n"))
+          .join(t.select((col("doc_id") - 1).as("l_id"), col("key"),
+            col("source").as("r_src"), col("n_chars").as("r_n")), Seq("l_id", "key"))
+        graft.operators.Linkage.fellegiSunter(pairs, Seq(
+          graft.operators.Linkage.Field("src", col("l_src") === col("r_src"), 0.9, 0.1),
+          graft.operators.Linkage.Field("len",
+            abs(col("l_n") - col("r_n")) <= 20L, 0.95, 0.2)),
+          upperMb = 3000L, lowerMb = -3000L)
+      })
+    if (sections("r12")) opsR12.foreach { case (name, f) =>
+      val t1 = measure(f, small)
+      val tk = measure(f, big)
+      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+    // k-truss over the degree-bounded part co-occurrence graph, K disjoint
+    // id-offset copies (the link_predict rationale: triangles exist there,
+    // and degree caps are how production pipelines feed cohesion peels)
+    if (sections("r12")) {
+      val pe1 = graft.operators.Basket.frequentPairs(
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minSupport = 2).localCheckpoint()
+      def peK(n: Int): DataFrame =
+        if (n == 1) pe1
+        else pe1.crossJoin(spark.range(n).select(col("id").as("_rep")))
+          .select((col("item_a") + col("_rep") * 1000000000L).as("item_a"),
+            (col("item_b") + col("_rep") * 1000000000L).as("item_b"))
+          .localCheckpoint()
+      val f = (e: DataFrame) =>
+        graft.operators.Triangles.kTruss(e, "item_a", "item_b", k = 4, rounds = 2)
+      val t1 = measure(f, peK(1))
+      val tk = measure(f, peK(k))
+      println(f"[scale] ktruss_part      1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+
     // graph operators scale over a replicated edge list (K disjoint copies
     // with offset vertex ids — linear work by construction, so the ratio
     // isolates the shuffle/join machinery)
