@@ -1949,6 +1949,13 @@ object SparkEntry {
           gf.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "q_benford" -> ((s, dir) =>
+      // first-digit Benford audit over order totals in cents — the
+      // fabricated-numbers screen; expected micro-proportions are
+      // driver-quantized literals, deviations pure integer numerators
+      // (see Checks.benfordDigits)
+      graft.operators.Checks.benfordDigits(tbl(s, dir, "orders"),
+        cents(col("o_totalprice")))),
     "q_tpch_q7" -> ((s, dir) => {
       // TPC-H Q7 shape (volume shipping): revenue between two nation
       // BANDS in both directions per ship year (single-nation pairs are
@@ -2269,6 +2276,27 @@ object SparkEntry {
       s"""
          SELECT CAST(n AS BIGINT) AS node, CAST(l AS BIGINT) AS label
          FROM l$rounds ORDER BY node"""
+  }
+
+  /** q_benford oracle: same decimal-string leading digit, exact counts,
+    * and the SAME driver-quantized Benford micro-proportion literals
+    * (Checks.BenfordMicros) — no engine evaluates a log10. */
+  private def benfordOracleSql: String = {
+    val values = graft.operators.Checks.BenfordMicros.zipWithIndex
+      .map { case (m, i) => s"(${i + 1}, $m)" }
+      .mkString(", ")
+    s"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+                   WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+        c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM v GROUP BY 1),
+        d AS (SELECT * FROM (VALUES $values) AS t(digit, expected_micros)),
+        tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM c)
+        SELECT d.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+               CAST(d.expected_micros AS BIGINT) AS expected_micros,
+               CAST(abs(coalesce(c.n, 0) * 1000000 - tot.total * d.expected_micros)
+                 AS BIGINT) AS dev_num
+        FROM d LEFT JOIN c USING (digit) CROSS JOIN tot ORDER BY d.digit"""
   }
 
   /** Shared inputs of the record-linkage gates: the clean customer frame,
@@ -4996,6 +5024,7 @@ object SparkEntry {
                  AND n_alpha_words * 5 >= n_words * 4
                  AND n_stop_distinct >= 2) AS keep
          FROM c ORDER BY doc_id""",
+    "q_benford" -> benfordOracleSql,
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -69,4 +69,40 @@ object Checks {
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy(col("constraint"))
   }
+
+  /** Benford's-law micro-proportions of the leading digit d = 1..9:
+    * round(log10(1 + 1/d) · 10⁶), computed ONCE at the driver so no
+    * engine evaluates a log (the Linkage milli-bit pattern). */
+  val BenfordMicros: Array[Long] =
+    Array.tabulate(9)(i => math.round(math.log10(1.0 + 1.0 / (i + 1)) * 1e6))
+
+  /** First-significant-digit audit against Benford's law — the classic
+    * fabricated-numbers / data-quality screen for naturally-occurring
+    * magnitudes (amounts, populations, file sizes). The leading digit is
+    * extracted from the DECIMAL STRING of the positive integer value
+    * (both engines print integers identically; no libm log10 on the data
+    * path), counts are exact, and the deviation per digit is the pure
+    * integer |n_d · 10⁶ − N · expected_micros| — a rational numerator
+    * over the common denominator N·10⁶, so it cross-engine hash-matches.
+    * Rows with value < 1 are excluded (no leading digit). Output:
+    * (digit, n, expected_micros, dev_num), digit-ordered — all 9 digits
+    * present even when unobserved. One aggregation pass, map-side
+    * combinable; the 9-row digit frame is constant-size at any scale. */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val v = value.cast("long")
+    val counts = df.where(v >= 1L)
+      .groupBy(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(lit(BenfordMicros), col("id").cast("int")).as("expected_micros"))
+    val tot = counts.agg(coalesce(sum(col("n")), lit(0L)).as("_total"))
+    digits.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected_micros"),
+        abs(coalesce(col("n"), lit(0L)) * lit(1000000L)
+          - col("_total") * col("expected_micros")).as("dev_num"))
+      .orderBy(col("digit"))
+  }
 }

@@ -694,6 +694,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == 1L)
   }
 
+  test("Checks.benfordDigits: exact counts, literal table, zero-fill digits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values 10..19 (digit 1, ten times), 25 (digit 2), 0 excluded
+    val df = ((10L to 19L) ++ Seq(25L, 0L)).toDF("v")
+    val out = Checks.benfordDigits(df, col("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 9, "all 9 digits present")
+    assert(out(1)._1 == 10L && out(2)._1 == 1L && out(9)._1 == 0L)
+    // expected micros: log10(2) = 301030 micro for digit 1
+    assert(out(1)._2 == 301030L, s"got ${out(1)._2}")
+    // dev_num for digit 1: |10*1e6 - 11*301030| = 6688670
+    assert(out(1)._3 == math.abs(10L * 1000000L - 11L * 301030L))
+    // dev_num for unobserved digit 9: 11 * expected
+    assert(out(9)._3 == 11L * out(9)._2)
+  }
+
   test("Triangles.kTruss: peels the pendant triangle, keeps the clique") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
