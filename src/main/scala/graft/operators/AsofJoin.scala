@@ -20,11 +20,14 @@ import org.apache.spark.sql.expressions.Window
  * `last(right_payload, ignoreNulls)` over a (key)-partitioned window
  * ordered by (time, side) — ONE shuffle on the key, one sort, output
  * linear in |L| + |R|. Right rows order before left rows at equal time, so
- * the match is <= (inclusive); the forward variant mirrors with
- * `first(...)` over the following frame and left-before-right tie order.
- * Exact-time ties among right rows are broken by the extreme payload
- * struct (largest for backward, smallest for forward — deterministic,
- * documented).
+ * the match is <= (inclusive); the forward variant mirrors by ordering the
+ * SAME running (unboundedPreceding, currentRow) frame DESCENDING by
+ * (time, tie) — `first(...)` over an unboundedFollowing frame would make
+ * Spark re-aggregate the partition suffix per row (O(k^2) per key group;
+ * UnboundedFollowingWindowFunctionFrame has no incremental path), whereas
+ * the running frame is O(k) in both directions. Exact-time ties among
+ * right rows are broken by the extreme payload struct (largest for
+ * backward, smallest for forward — deterministic, documented).
  *
  * Output: every left column, plus each non-key right column as
  * `<prefix><name>` (null when no right row matches).
@@ -52,10 +55,10 @@ object AsofJoin {
     val rp = struct(rightOther.map(col): _*)
     val lType = left.select(lp.as("_l")).schema("_l").dataType
     val rType = right.select(rp.as("_r")).schema("_r").dataType
-    // side order makes the equal-time right row fall INSIDE the frame:
-    // backward frames end at the left row (right sorts first), forward
-    // frames start at it (left sorts first)
-    val (lSide, rSide) = if (backward) (1, 0) else (0, 1)
+    // side order makes the equal-time right row fall INSIDE the running
+    // frame: in both directions the frame ends at the left row, so right
+    // rows sort first at equal time (side asc with right=0 < left=1)
+    val (lSide, rSide) = (1, 0)
     val lDf = left.select(col(key).as("_k"), col(time).as("_t"),
       lit(lSide).as("_side"), lit(null).cast(rType).as("_r"), lp.as("_l"))
     val rDf = right.select(col(key).as("_k"), col(time).as("_t"),
@@ -71,16 +74,15 @@ object AsofJoin {
       case _ => false
     }
     val tie = if (!hasMap(rType)) col("_r") else xxhash64(to_json(col("_r")))
-    val wBase = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), tie)
-    val (w, pick) =
-      if (backward)
-        (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("_r"), ignoreNulls = true))
+    // both directions use the incremental running frame; forward just
+    // reverses the time/tie order so "earliest >= t" is the last row seen
+    val w = (if (backward)
+        Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), tie)
       else
-        (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("_r"), ignoreNulls = true))
+        Window.partitionBy(col("_k")).orderBy(col("_t").desc, col("_side"), tie.desc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lDf.unionAll(rDf)
-      .withColumn("_m", pick.over(w))
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .where(col("_side") === lSide)
     val bounded = tolerance match {
       case None => matched

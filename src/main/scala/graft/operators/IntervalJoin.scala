@@ -38,18 +38,22 @@ object IntervalJoin {
               lStart: String, lEnd: String, rStart: String, rEnd: String,
               width: Long, keys: Seq[String] = Nil): DataFrame = {
     require(width > 0, "bucket width must be positive")
-    def b(c: Column): Column = floor(c.cast("long").cast("double") / width).cast("long")
+    // bucket id = the bucket's floor MULTIPLE (x - pmod(x, width)), not the
+    // quotient: pure long arithmetic, so endpoints beyond 2^53 never take a
+    // double round-trip (floor(double/width) misbuckets them and silently
+    // drops or duplicates pairs); sequence() then steps by `width`
+    def b(c: Column): Column = { val x = c.cast("long"); x - pmod(x, lit(width)) }
     // degenerate intervals (end < start) are dropped up front: sequence()
     // would otherwise generate a DESCENDING bucket range for them;
     // sequence() is inclusive on both ends — exactly the covered buckets
     val l = left
       .where(col(lStart).cast("long") <= col(lEnd).cast("long"))
       .withColumn("_lsb", b(col(lStart)))
-      .withColumn("_bkt", explode(sequence(col("_lsb"), b(col(lEnd)))))
+      .withColumn("_bkt", explode(sequence(col("_lsb"), b(col(lEnd)), lit(width))))
     val r = right
       .where(col(rStart).cast("long") <= col(rEnd).cast("long"))
       .withColumn("_rsb", b(col(rStart)))
-      .withColumn("_bkt", explode(sequence(col("_rsb"), b(col(rEnd)))))
+      .withColumn("_bkt", explode(sequence(col("_rsb"), b(col(rEnd)), lit(width))))
     l.join(r, keys :+ "_bkt")
       .where(col("_bkt") === greatest(col("_lsb"), col("_rsb")))
       .where(col(lStart).cast("long") <= col(rEnd).cast("long") &&

@@ -55,8 +55,13 @@ object Privacy {
       val keys = "qi" +: oqNames
       val keep = genQ.groupBy(keys.map(col): _*).count()
         .where(col("count") >= k)
-        .select(keys.map(col): _*)
-      genQ.join(keep, keys, "left_semi").drop(oqNames: _*)
+        .select(keys.map(c => col(c).as(s"_r_$c")): _*)
+      // null-safe equality: groupBy treats NULL QI values as a group, so a
+      // null-QI group that reaches k must be RELEASED like any other — a
+      // plain equi-join would never match the null keys and always
+      // suppress those rows
+      val cond = keys.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
+      genQ.join(keep, cond, "left_semi").drop(oqNames: _*)
     }
   }
 }

@@ -170,8 +170,12 @@ object Triangles {
     var e = canonical(edges, src, dst).localCheckpoint(false)
     var i = 0
     while (i < rounds) {
-      e = e.join(support(e).where(col("support") >= k - 2),
-          Seq("a", "b"), "left_semi")
+      // left join, not semi: triangle-free edges are ABSENT from the
+      // support frame and must still survive when k-2 == 0 (a 2-truss
+      // retains every edge by definition)
+      e = e.join(support(e), Seq("a", "b"), "left")
+        .where(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
         .localCheckpoint(false)
       i += 1
     }

@@ -72,4 +72,61 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .toDF.select("docId").as[String].collect().toSet
     assert(kept == Set("1", "2"))
   }
+
+  test("kTruss at k=2 retains triangle-free edges (round-13 advice)") {
+    import graft.operators.Triangles
+    // path 1-2-3 has zero triangles; a 2-truss keeps every edge
+    // (support >= 0), but the old semi-join against the support frame
+    // dropped them because zero-support edges never appear in it
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = Triangles.kTruss(edges, "s", "d", k = 2, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 0L), (2L, 3L, 0L)), s"got $out")
+  }
+
+  test("asofForward plans the incremental running frame, not unbounded-following (round-13 advice)") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 150L, 7L)).toDF("k", "t", "rid")
+    val plan = AsofJoin.asofForward(left, right, "k", "t")
+      .queryExecution.executedPlan.toString.toLowerCase
+    // UnboundedFollowingWindowFunctionFrame re-aggregates the partition
+    // suffix per row — O(k^2) per key group; the fix rides the O(k)
+    // running frame in both directions
+    assert(!plan.contains("unboundedfollowing"), s"plan still has a following frame:\n$plan")
+    assert(plan.contains("unboundedpreceding"), "expected the running frame")
+  }
+
+  test("IntervalJoin buckets endpoints beyond 2^53 exactly (round-13 advice)") {
+    import graft.operators.IntervalJoin
+    // 2^60 + small offsets: floor(double/width) loses these to the 2^53
+    // mantissa and could misbucket; integer floor-multiple buckets don't
+    val base = 1L << 60
+    val l = Seq((10L, base + 1L, base + 5L)).toDF("lid", "ls", "le")
+    val r = Seq((100L, base + 5L, base + 9L), (101L, base + 6L, base + 9L))
+      .toDF("rid", "rs", "re")
+    val out = IntervalJoin.overlap(l, r, "ls", "le", "rs", "re", width = 3L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 100L)), s"got $out")
+    // negative axis too: floor semantics, not truncate-toward-zero
+    val ln = Seq((20L, -7L, -5L)).toDF("lid", "ls", "le")
+    val rn = Seq((200L, -5L, -1L), (201L, -4L, -1L)).toDF("rid", "rs", "re")
+    val outN = IntervalJoin.overlap(ln, rn, "ls", "le", "rs", "re", width = 3L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(outN == Set((20L, 200L)), s"got $outN")
+  }
+
+  test("kAnonymize releases qualifying null-QI groups in the suppression path (round-13 advice)") {
+    import graft.operators.Privacy
+    // coarsest level still fails k=3 overall (the "x" group is a
+    // singleton), so the suppression path runs; the null-valued group has
+    // 3 rows and must be RELEASED, not silently suppressed by a
+    // non-null-safe join
+    val df = Seq[(Option[String], String)](
+      (None, "p"), (None, "p"), (None, "p"), (Some("x"), "p"))
+      .toDF("qi0", "p")
+    val out = Privacy.kAnonymize(df, Seq("lvl" -> col("qi0")), Seq(col("p")), k = 3)
+    assert(out.count() == 3L, "the 3-row null-QI group must survive")
+    assert(out.where(col("qi").isNull).count() == 3L)
+  }
 }
