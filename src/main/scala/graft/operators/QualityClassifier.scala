@@ -82,24 +82,21 @@ object QualityClassifier {
       math.round(lr.intercept * 1e6))
   }
 
-  /** Broadcast-weights integer scoring: adds `out` = the quantized LR margin
-    * in micros. This is the 100 TB scoring shape — weights ride once per
-    * executor as a broadcast, the stage is a pure row map, and no vocabulary
-    * or driver state is involved (hashing replaces lookup). `keep` ≙
-    * margin ≥ 0 ≙ P(quality) ≥ 0.5. */
+  /** Codegen integer scoring: adds `out` = the quantized LR margin in
+    * micros. This is the 100 TB scoring shape — weights ride once per task
+    * binary as a plan reference object, the stage is a pure codegen row map,
+    * and no vocabulary or driver state is involved (hashing replaces
+    * lookup). `keep` ≙ margin ≥ 0 ≙ P(quality) ≥ 0.5. */
   def marginMicros(df: DataFrame, text: String, coefMicros: Array[Long],
                    interceptMicros: Long, out: String = "margin_micros"): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(coefMicros)
-    val nf = coefMicros.length
-    val htf = new HashingTF().setNumFeatures(nf)
-    val margin = udf { toks: Seq[String] =>
-      var z = interceptMicros
-      if (toks != null) toks.foreach { t =>
-        if (t != null && t.nonEmpty) z += bc.value(htf.indexOf(t))
-      }
-      z
-    }
-    df.withColumn(out, margin(graft.functions.gf.tokens(col(text))))
+    // one codegen expression, not a udf: the weight table rides as a plan
+    // reference object and the hash replicates HashingTF.indexOf exactly
+    // (see HashedWeightSumExpr), so training and scoring share buckets
+    // while the stage stays inside whole-stage codegen
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.withColumn(out, ColumnBridge.column(graft.functions.HashedWeightSumExpr(
+      ColumnBridge.expression(graft.functions.gf.tokens(col(text))),
+      coefMicros.toSeq, interceptMicros)))
   }
 
   /** (token, weight_µ) for every distinct corpus token with a nonzero hashed

@@ -164,6 +164,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(margins.sameElements(byHand))
   }
 
+  test("marginMicros is a codegen expression with HashingTF-exact buckets") {
+    import graft.operators.QualityClassifier
+    import org.apache.spark.ml.feature.HashingTF
+    // multibyte tokens with byte lengths not divisible by 4: the spot
+    // where SQL hash() (hashUnsafeBytes) and HashingTF (hashUnsafeBytes2)
+    // diverge — the expression must match HashingTF, bucket for bucket
+    val docs = Seq("héllo wörld", "a ab abc abcd abcde", "αβγ δε ζ")
+      .toDF("text")
+    val n = 64
+    val coef = Array.tabulate(n)(i => (i * 1000 + 1).toLong)
+    val htf = new HashingTF().setNumFeatures(n)
+    val expected = docs.select("text").collect().map(_.getString(0)).map { t =>
+      7L + t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(tok => coef(htf.indexOf(tok))).sum
+    }
+    // repartition defeats ConvertToLocalRelation so the executed plan
+    // shows the real scoring stage, not a pre-folded LocalTableScan
+    val out = QualityClassifier.marginMicros(docs.repartition(2), "text", coef, 7L)
+    val got = out.select("margin_micros").collect().map(_.getLong(0))
+    // repartition scrambles row order — compare as multisets
+    assert(got.sorted.sameElements(expected.sorted), s"${got.toSeq} vs ${expected.toSeq}")
+    // the executed plan carries no interpreted row udf (the DSIR rule)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"classifier scoring must not run an interpreted udf:\n$plan")
+    assert(plan.contains("hashed_weight_sum"), s"expected the codegen kernel:\n$plan")
+  }
+
   test("urlHost / registeredDomain edge cases") {
     def host(u: String) = one[String](gf.urlHost($"t"), u)
     assert(host("https://www.Example.COM/path?q=1") == "www.example.com")
