@@ -2150,6 +2150,74 @@ object SparkEntry {
         .unionAll(stageRow("03_mixture", mx))
         .unionAll(packRow)
         .orderBy(col("stage"))
+    }),
+    "q_media_e2e" -> ((s, dir) => {
+      // the multimodal family as ONE verified chain — synthetic raster
+      // corpus (MediaCorpus: deterministic bytes per doc_id, generated
+      // DISTRIBUTED as column arithmetic; a byte-identical driver twin
+      // feeds the oracle) → magic-byte sniff → decode + perceptual dHash →
+      // pigeonhole-bucketed near-dup pairs → color-histogram embedding
+      // (integer bin counts) → argmax-bin buckets → vector-store write +
+      // merge-on-read read-back. DuckDB cannot decode rasters, so the
+      // oracle literalizes each image's (fmt, dhash, bins) computed by the
+      // driver twin and independently replays every RELATIONAL stage
+      // (sniff counts, brute-force hamming pairs, bin checksum, argmax
+      // buckets) from that table. All stage values are exact integers.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val corpus = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.MediaCorpus.bytesCol(col("doc_id")).as("bytes"))
+        .persist(lvl)
+      val sniffed = corpus.select(
+        graft.operators.SniffExpr.sniffFormat(col("bytes")).as("fmt"))
+      val decoded = corpus
+        .select(col("doc_id"), col("bytes"),
+          graft.operators.MediaOps.dHash(col("bytes")).as("dhash"))
+        .where(col("dhash").isNotNull)
+        .persist(lvl)
+      val pairs = graft.operators.MediaOps.imageNearDupPairs(
+        corpus, "doc_id", "bytes", maxHamming = 6)
+      val embedded = decoded
+        .select(col("doc_id"),
+          graft.operators.MediaOps.colorHistogramCol(col("bytes")).as("emb"))
+        .withColumn("bins",
+          transform(col("emb"), x => round(x * 64).cast("long")))
+        .persist(lvl)
+      // vector-store roundtrip: bulk append + merge-on-read read-back
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft_media_store").toString
+      val store = new graft.sources.ParquetVectorStore(storePath)
+      store.append(graft.sources.DocRead.fromDataFrame(
+        embedded.select(col("doc_id").cast("string").as("id"),
+          col("emb").as("embedding")),
+        Some("id"), None))
+      val r0 = corpus.agg(count(lit(1)).as("n_units"))
+        .select(lit("00_corpus").as("stage"), col("n_units"), lit(0L).as("aux"))
+      val r1 = sniffed.agg(
+          coalesce(sum(when(col("fmt") =!= "", 1L).otherwise(0L)), lit(0L)).as("n_units"),
+          coalesce(sum(when(col("fmt") === "", 1L).otherwise(0L)), lit(0L)).as("aux"))
+        .select(lit("01_sniff").as("stage"), col("n_units"), col("aux"))
+      val r2 = decoded.agg(count(lit(1)).as("n_units"))
+        .select(lit("02_decode").as("stage"), col("n_units"), lit(0L).as("aux"))
+      val r3 = pairs.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("hamming").cast("long")), lit(0L)).as("aux"))
+        .select(lit("03_neardup").as("stage"), col("n_units"), col("aux"))
+      val r4 = embedded
+        .select(col("doc_id"), posexplode(col("bins")))
+        .agg(count_distinct(col("doc_id")).as("n_units"),
+          coalesce(sum((col("pos") + 1) * col("col")), lit(0L)).as("aux"))
+        .select(lit("04_embed").as("stage"), col("n_units"), col("aux").cast("long"))
+      val r5 = embedded
+        .select(array_position(col("emb"), array_max(col("emb"))).as("bkt"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_units"), coalesce(max(col("n")), lit(0L)).as("aux"))
+        .select(lit("05_buckets").as("stage"), col("n_units"), col("aux"))
+      val r6 = store.read(s).agg(count(lit(1)).as("n_units"))
+        .select(lit("06_store").as("stage"), col("n_units"), lit(0L).as("aux"))
+      r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+        .unionAll(r6)
+        .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -2618,7 +2686,60 @@ object SparkEntry {
     Map("q_bpe_encode" -> bpeOracleSql(merges),
       "q_quality_classifier" -> qcOracleSql(tw, icept),
       "q_dsir" -> dsirOracleSql(nw, DsirK),
-      "q_ann_sq8" -> sq8OracleSql(mn, mx, graft.ann.Ann.sq8EncodeVec(sqq, mn, mx)))
+      "q_ann_sq8" -> sq8OracleSql(mn, mx, graft.ann.Ann.sq8EncodeVec(sqq, mn, mx)),
+      "q_media_e2e" -> mediaOracleSql(spark, sfDir))
+  }
+
+  /** DuckDB replay of q_media_e2e from the literalized per-image facts
+    * (fmt, dhash, bins) computed by MediaCorpus.expected — the DRIVER twin
+    * of the gate's distributed generator, byte-identical by unit test.
+    * Decode cannot run in DuckDB; every RELATIONAL stage (sniff counts,
+    * the brute-force hamming pair set — exactly equivalent to the
+    * pigeonhole join's output by the pigeonhole guarantee — bin checksums,
+    * argmax buckets, store read-back count) is genuinely recomputed in
+    * SQL. ORACLE-GENERATION ONLY: collects the doc_id list (gate-scale
+    * bounded; the gate's own plan never collects). */
+  private def mediaOracleSql(spark: SparkSession, sfDir: String): String = {
+    val ids = tbl(spark, sfDir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    require(ids.length <= 200000, "media oracle is gate-scale only")
+    val rows = ids.map { id =>
+      val (fmt, dh, bins) = graft.operators.MediaCorpus.expected(id)
+      val d = dh.map(_.toString).getOrElse("NULL")
+      val b = bins.map(_.mkString("[", ", ", "]")).getOrElse("NULL")
+      s"($id, '$fmt', $d, $b)"
+    }
+    s"""WITH media(doc_id, fmt, dhash, bins) AS (VALUES ${rows.mkString(",\n  ")}),
+       img AS (SELECT * FROM media WHERE dhash IS NOT NULL),
+       pairs AS (SELECT bit_count(xor(a.dhash, b.dhash)) AS h
+                 FROM img a JOIN img b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+       poss AS (SELECT unnest(range(1, 65)) AS j),
+       binsx AS (SELECT m.doc_id, p.j, m.bins[p.j] AS bin FROM img m, poss p),
+       bkt AS (SELECT list_position(bins, list_aggregate(bins, 'max')) AS b,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM img GROUP BY 1)
+       SELECT stage, n_units, aux FROM (
+         SELECT '00_corpus' AS stage,
+                (SELECT CAST(count(*) AS BIGINT) FROM media) AS n_units,
+                CAST(0 AS BIGINT) AS aux
+         UNION ALL SELECT '01_sniff',
+                (SELECT CAST(count(*) AS BIGINT) FROM media WHERE fmt <> ''),
+                (SELECT CAST(count(*) AS BIGINT) FROM media WHERE fmt = '')
+         UNION ALL SELECT '02_decode',
+                (SELECT CAST(count(*) AS BIGINT) FROM img), CAST(0 AS BIGINT)
+         UNION ALL SELECT '03_neardup',
+                (SELECT CAST(count(*) AS BIGINT) FROM pairs),
+                (SELECT CAST(COALESCE(sum(h), 0) AS BIGINT) FROM pairs)
+         UNION ALL SELECT '04_embed',
+                (SELECT CAST(count(*) AS BIGINT) FROM img),
+                (SELECT CAST(COALESCE(sum(j * bin), 0) AS BIGINT) FROM binsx)
+         UNION ALL SELECT '05_buckets',
+                (SELECT CAST(count(*) AS BIGINT) FROM bkt),
+                (SELECT CAST(COALESCE(max(n), 0) AS BIGINT) FROM bkt)
+         UNION ALL SELECT '06_store',
+                (SELECT CAST(count(*) AS BIGINT) FROM img), CAST(0 AS BIGINT)
+       ) ORDER BY stage"""
   }
 
   /** DuckDB replay of Ann.sq8Encode + sq8TopK: per-dim min/scale and the

@@ -11,11 +11,14 @@ package graft.operators
  *
  * Signatures: `%PDF`; ZIP local header `PK\x03\x04` disambiguated to
  * docx/pptx by the OOXML part paths in the entry names (`word/` vs
- * `ppt/`, scanned over a bounded 64 KiB head); `WEBVTT`; an `<html` /
- * `<!doctype html` head (BOM/whitespace tolerant, case-blind); else
- * mostly-printable bytes sniff as plain text (≥90% printable in the
- * first 512 bytes — UTF-8 continuation bytes count as printable).
- * Unknown stays "" so the audit marker fires downstream.
+ * `ppt/`, scanned over a bounded 64 KiB head); `WEBVTT`; raster image
+ * magics (`P6` ppm, `BM` bmp, PNG/JPEG/GIF — exactly the formats
+ * [[MediaOps.decode]] dispatches on, so a sniff verdict of an image
+ * format guarantees a decoder exists); an `<html` / `<!doctype html`
+ * head (BOM/whitespace tolerant, case-blind); else mostly-printable
+ * bytes sniff as plain text (≥90% printable in the first 512 bytes —
+ * UTF-8 continuation bytes count as printable). Unknown stays "" so
+ * the audit marker fires downstream.
  */
 object Sniff {
 
@@ -36,6 +39,17 @@ object Sniff {
       else ""
     }
     else if (asciiAt(0, "WEBVTT")) "vtt"
+    // raster magics before the text fallback: a P6 header is printable
+    // ASCII and small solid images could otherwise sniff as "text"
+    else if (b.length >= 11 && b(0) == 'P' && b(1) == '6' &&
+             (b(2) == ' ' || b(2) == '\n' || b(2) == '\r' || b(2) == '\t' ||
+              b(2) == '#')) "ppm"
+    else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P' &&
+             b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 4 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) "jpeg"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+             b(3) == '8') "gif"
     else {
       val n = math.min(b.length, 512)
       if (n == 0) ""
@@ -56,4 +70,40 @@ object Sniff {
       }
     }
   }
+}
+
+/** Magic-byte content sniff of a binary column as one codegen'd expression
+  * (returns the [[Sniff.sniff]] format name, "" for unknown) — the
+  * DataFrame-native twin of partitionAuto's Dataset-side dispatch, for
+  * content-type audits over raw payload columns at corpus scale. */
+case class SniffExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sniff needs binary, got $other")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Sniff.sniff(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.operators.Sniff.sniff($c))")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+  override def prettyName: String = "sniff_format"
+}
+
+object SniffExpr {
+  /** Column helper: `sniffFormat($"bytes")`. */
+  def sniffFormat(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SniffExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 }

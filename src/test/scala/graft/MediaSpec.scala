@@ -192,4 +192,47 @@ class MediaSpec extends AnyFunSuite {
       .toDF("doc_id", "frame_index", "frame")
     assert(frameRows.count() == 4)
   }
+
+  test("MediaCorpus: Spark and driver generators are byte-identical; structure holds") {
+    import graft.operators.{MediaCorpus, Sniff}
+    val ids = (0L until 50L)
+    val sparkBytes = ids.toDF("doc_id")
+      .withColumn("b", MediaCorpus.bytesCol(col("doc_id")))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+    ids.foreach { id =>
+      assert(java.util.Arrays.equals(sparkBytes(id), MediaCorpus.bytesFor(id)),
+        s"byte mismatch at doc_id=$id")
+    }
+    // format dispatch: %10==8 -> bmp, %10==9 -> garbage (unknown), else ppm
+    assert(Sniff.sniff(MediaCorpus.bytesFor(8L)) == "bmp")
+    assert(Sniff.sniff(MediaCorpus.bytesFor(9L)) == "")
+    assert(Sniff.sniff(MediaCorpus.bytesFor(3L)) == "ppm")
+    // the BMP member renders the SAME pixels as its PPM siblings: decode
+    // of doc 8 (bmp, group 2) equals a hand PPM build of (grp=2, mem=0)
+    val viaBmp = MediaOps.decode(MediaCorpus.bytesFor(8L)).get
+    (0 until 64).foreach { i =>
+      assert(viaBmp.rgb(i) == MediaCorpus.pixel(2L, 0L, i.toLong).toInt,
+        s"bmp pixel $i")
+    }
+    // near-dup structure: within-group hamming small, cross-group far
+    def dh(id: Long) = MediaOps.dHash64(MediaOps.decode(MediaCorpus.bytesFor(id)).get)
+    val within = java.lang.Long.bitCount(dh(0L) ^ dh(1L))
+    val across = java.lang.Long.bitCount(dh(0L) ^ dh(12L))
+    assert(within <= 6, s"within-group hamming $within")
+    assert(across > 6, s"cross-group hamming $across")
+    // expected() facts line up with the engine expressions run in Spark
+    val facts = ids.map(id => id -> MediaCorpus.expected(id)).toMap
+    val engine = ids.toDF("doc_id")
+      .withColumn("b", MediaCorpus.bytesCol(col("doc_id")))
+      .select(col("doc_id"),
+        graft.operators.SniffExpr.sniffFormat(col("b")).as("fmt"),
+        MediaOps.dHash(col("b")).as("dhash"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    ids.foreach { id =>
+      assert(engine(id)._1 == facts(id)._1, s"fmt mismatch at $id")
+      assert(engine(id)._2 == facts(id)._2, s"dhash mismatch at $id")
+    }
+  }
 }

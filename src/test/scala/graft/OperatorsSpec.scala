@@ -1348,6 +1348,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sniff.sniff("<HTML><body>y".getBytes) == "html")
     assert(Sniff.sniff("plain prose, no markup at all.".getBytes) == "text")
     assert(Sniff.sniff(Array[Byte](0, 1, 2, 3, 0, 1, 2, 3)) == "")
+    // raster magics (MediaOps.decode's dispatch set) beat the text fallback
+    assert(Sniff.sniff(graft.operators.MediaCorpus.bytesFor(0L)) == "ppm")
+    assert(Sniff.sniff(graft.operators.MediaCorpus.bytesFor(8L)) == "bmp")
+    assert(Sniff.sniff((Array(0x89, 'P', 'N', 'G').map(_.toByte))) == "png")
+    assert(Sniff.sniff(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)) == "jpeg")
+    assert(Sniff.sniff("GIF89a".getBytes) == "gif")
     // minimal ZIPs: magic + entry name decides the OOXML flavor
     def zipWith(entry: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
