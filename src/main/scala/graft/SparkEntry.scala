@@ -2106,6 +2106,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("qi"), col("o_orderpriority"))
     }),
+    "q_k_anon_multi" -> ((s, dir) => {
+      // Incognito-style PRODUCT lattice over TWO quasi-identifier ladders
+      // (order date month->quarter->year x price $10k->$100k->*), walked
+      // by total height then lexicographic level vector; the first node
+      // where every (date, price, priority) group reaches k generalizes
+      // the release. All level values are strings on both engines; price
+      // buckets are integer cents DIV — exact cross-engine
+      val o = tbl(s, dir, "orders")
+      val dateLadder = Seq(
+        "month" -> date_format(col("o_orderdate"), "yyyy-MM"),
+        "quarter" -> concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+          quarter(col("o_orderdate")).cast("string")),
+        "year" -> year(col("o_orderdate")).cast("string"))
+      val priceLadder = Seq(
+        "price10k" -> expr(
+          "CAST(CAST(round(o_totalprice * 100) AS BIGINT) DIV 1000000 AS STRING)"),
+        "price100k" -> expr(
+          "CAST(CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000000 AS STRING)"),
+        "priceAll" -> lit("*"))
+      graft.operators.Privacy.kAnonymizeMulti(o, Seq(dateLadder, priceLadder),
+          Seq(col("o_orderpriority")), k = 20L)
+        .groupBy(col("gen_level"), col("qi0"), col("qi1"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("qi0"), col("qi1"), col("o_orderpriority"))
+    }),
     "q_curation_e2e" -> ((s, dir) => {
       // the whole curation pipeline as ONE verified chain — quality filter
       // (GopherStatsExpr fields, thresholds tuned to this corpus; the
@@ -2947,6 +2972,49 @@ object SparkEntry {
   /** DuckDB equivalents. Notes: SUM() in DuckDB widens to HUGEINT — always
     * cast back to BIGINT/DOUBLE; events.ts is TIMESTAMP_NS — epoch_ns() gives
     * the same int64 nanos Spark reads. */
+  /** DuckDB replay of the q_k_anon_multi product-lattice walk: one
+    * grouped-count CTE per node in the SAME (height, lex) order
+    * Privacy.lattice emits, a CASE chain picking the first node whose min
+    * group reaches k, and per-node release branches (the all-coarsest
+    * branch also carries the suppression HAVING). Static SQL — the lattice
+    * is fixed by the gate's ladders, no corpus-derived literals. */
+  private def kAnonMultiOracleSql(k: Long): String = {
+    val d = Seq(
+      "month" -> "strftime(o_orderdate, '%Y-%m')",
+      "quarter" -> ("CAST(year(o_orderdate) AS VARCHAR) || '-Q' || " +
+        "CAST(quarter(o_orderdate) AS VARCHAR)"),
+      "year" -> "CAST(year(o_orderdate) AS VARCHAR)")
+    val p = Seq(
+      "price10k" -> "CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS VARCHAR)",
+      "price100k" -> "CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 10000000 AS VARCHAR)",
+      "priceAll" -> "'*'")
+    // Privacy.lattice((3, 3)) order: height, then lexicographic
+    val nodes = Seq((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0), (1, 2), (2, 1), (2, 2))
+    val defs = nodes.zipWithIndex.map { case ((i, j), n) =>
+      s"""g$n AS (SELECT ${d(i)._2} AS qi0, ${p(j)._2} AS qi1,
+                        o_orderpriority AS pr FROM orders),
+         m$n AS (SELECT min(c) AS m
+                 FROM (SELECT count(*) AS c FROM g$n GROUP BY qi0, qi1, pr))"""
+    }
+    val caseChain = nodes.indices
+      .map(n => s"WHEN (SELECT m FROM m$n) >= $k THEN $n").mkString(" ")
+    val branches = nodes.zipWithIndex.map { case ((i, j), n) =>
+      val lbl = s"${d(i)._1}|${p(j)._1}"
+      if (n < nodes.length - 1)
+        s"""SELECT '$lbl' AS gen_level, qi0, qi1, pr AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM g$n WHERE (SELECT w FROM win) = $n GROUP BY qi0, qi1, pr"""
+      else
+        s"""SELECT '$lbl', qi0, qi1, pr, CAST(count(*) AS BIGINT)
+            FROM g$n WHERE (SELECT w FROM win) IN ($n, 99) GROUP BY qi0, qi1, pr
+            HAVING (SELECT w FROM win) = $n OR count(*) >= $k"""
+    }
+    s"""WITH ${defs.mkString(",\n")},
+       win AS (SELECT CASE $caseChain ELSE 99 END AS w)
+       SELECT * FROM (${branches.mkString("\nUNION ALL\n")})
+       ORDER BY qi0, qi1, o_orderpriority"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -5283,6 +5351,7 @@ object SparkEntry {
            FROM yg WHERE (SELECT l FROM lvl) IN ('year', 'year_supp') GROUP BY qi, p
            HAVING (SELECT l FROM lvl) = 'year' OR count(*) >= 50)
          ORDER BY qi, o_orderpriority""",
+    "q_k_anon_multi" -> kAnonMultiOracleSql(20L),
     "q_curation_e2e" ->
       // the chained pipeline replay: every stage CTE feeds the next, so the
       // oracle verifies the COMPOSITION (quality -> minhash dedup ->

@@ -64,4 +64,71 @@ object Privacy {
       genQ.join(keep, cond, "left_semi").drop(oqNames: _*)
     }
   }
+
+  /** Multi-attribute full-domain generalization over the PRODUCT lattice
+    * (Incognito's search space, LeFevre et al. 2005 — the general form of
+    * the single-ladder `kAnonymize`): each quasi-identifier brings its own
+    * ordered ladder (finest first), a lattice node picks one level per
+    * ladder, and nodes are visited by total height then lexicographic
+    * level vector — so "least generalized wins, dates before prices on
+    * ties" is a deterministic, documented rule both engines replay. The
+    * first node whose every (level values..., other QIs) group reaches k
+    * generalizes the whole release; if even the all-coarsest node fails,
+    * its small groups are suppressed (null-safe, like `kAnonymize`).
+    *
+    * Generalization is monotone (coarsening any ladder never shrinks a
+    * group), so the first qualifying node in this order is a minimal-
+    * height qualifying node — Samarati's criterion. Scale shape: one
+    * map-side-combinable hash aggregation per VISITED node (the walk stops
+    * at the first hit; Π|ladder| nodes worst case, each collecting ONE
+    * long to the driver), then a single generalization pass.
+    *
+    * Output: input rows plus `qi0..qiN` (each ladder's chosen level value)
+    * and `gen_level` = the chosen level names joined with '|'. */
+  def kAnonymizeMulti(df: DataFrame, ladders: Seq[Seq[(String, Column)]],
+                      otherQi: Seq[Column], k: Long): DataFrame = {
+    require(ladders.nonEmpty && ladders.forall(_.nonEmpty),
+      "each quasi-identifier needs a non-empty ladder")
+    require(k >= 1, "k must be at least 1")
+    def minGroup(node: Seq[Int]): Long = {
+      val qis = node.zip(ladders).map { case (lvl, lad) => lad(lvl)._2 }
+      df.groupBy((qis ++ otherQi): _*).count()
+        .agg(min(col("count"))).head() match {
+          case r if r.isNullAt(0) => Long.MaxValue // empty input: all nodes pass
+          case r => r.getLong(0)
+        }
+    }
+    val nodes = lattice(ladders.map(_.length))
+    val chosen = nodes.find(n => minGroup(n) >= k)
+    val node = chosen.getOrElse(nodes.last)
+    val gen0 = node.zip(ladders).zipWithIndex.foldLeft(df) {
+      case (d, ((lvl, lad), i)) => d.withColumn(s"qi$i", lad(lvl)._2)
+    }
+    val gen = gen0.withColumn("gen_level",
+      lit(node.zip(ladders).map { case (lvl, lad) => lad(lvl)._1 }.mkString("|")))
+    if (chosen.isDefined) gen
+    else {
+      val oqNames = otherQi.indices.map(i => s"_oq$i")
+      val genQ = otherQi.zipWithIndex.foldLeft(gen) {
+        case (d, (c, i)) => d.withColumn(s"_oq$i", c)
+      }
+      val keys = ladders.indices.map(i => s"qi$i") ++ oqNames
+      val keep = genQ.groupBy(keys.map(col): _*).count()
+        .where(col("count") >= k)
+        .select(keys.map(c => col(c).as(s"_r_$c")): _*)
+      val cond = keys.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
+      genQ.join(keep, cond, "left_semi").drop(oqNames: _*)
+    }
+  }
+
+  /** Product-lattice nodes in (total height, lexicographic) order —
+    * the walk order both the engine and the oracle replay. */
+  private[graft] def lattice(sizes: Seq[Int]): Seq[Seq[Int]] = {
+    import scala.math.Ordering.Implicits._
+    def all(s: Seq[Int]): Seq[Seq[Int]] = s match {
+      case Seq() => Seq(Seq())
+      case h +: t => for (i <- 0 until h; rest <- all(t)) yield i +: rest
+    }
+    all(sizes).sortBy(n => (n.sum, n.toList))
+  }
 }

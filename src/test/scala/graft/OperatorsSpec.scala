@@ -858,6 +858,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!supE.columns.exists(_.startsWith("_oq")), "helper columns must drop")
   }
 
+  test("Privacy.kAnonymizeMulti: height-lex lattice walk; mixed node wins; suppression") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // lattice order is the contract both engines replay
+    assert(Privacy.lattice(Seq(3, 3)) == Seq(
+      Seq(0, 0), Seq(0, 1), Seq(1, 0), Seq(0, 2), Seq(1, 1), Seq(2, 0),
+      Seq(1, 2), Seq(2, 1), Seq(2, 2)))
+    // 2 INDEPENDENT QIs: a = i%8 with ladders [a, a%2, const]; b = i/8
+    // with [b, const]. k=5 walks: (0,0) a x b groups of 1 fail; (0,1)
+    // a x const groups of 2 fail; (1,0) a%2 x b groups of 4 fail; (1,1)
+    // a%2 x const groups of 8 PASS -> winner (1,1), height 2
+    val df = (0 until 16).map(i => (i.toLong % 8, i.toLong / 8)).toDF("a", "b")
+    val la = Seq("a" -> col("a").cast("string"),
+      "a2" -> (col("a") % 2).cast("string"),
+      "aAll" -> lit("*"))
+    val lb = Seq("b" -> col("b").cast("string"), "bAll" -> lit("*"))
+    val out = Privacy.kAnonymizeMulti(df, Seq(la, lb), Nil, k = 5L)
+    assert(out.select("gen_level").distinct().as[String].collect().toSeq ==
+      Seq("a2|bAll"), "first qualifying node in height-lex order")
+    assert(out.count() == 16)
+    // all-coarsest failure: k above the total row count -> every row
+    // suppressed except... nothing reaches k, all suppressed
+    val sup = Privacy.kAnonymizeMulti(df, Seq(la, lb), Nil, k = 17L)
+    assert(sup.count() == 0, "sub-k all-coarsest groups suppress")
+    // null QI values in the suppression path: nulls form a group and are
+    // RELEASED when they reach k (null-safe join, round-13 advice rule)
+    val dfn = (Seq.fill(3)(Option.empty[String]) ++ Seq(Some("x")))
+      .map(v => (v, 1L)).toDF("q", "one")
+    val ln = Seq("lvl" -> col("q"))
+    val outN = Privacy.kAnonymizeMulti(dfn, Seq(ln), Seq(col("one")), k = 3L)
+    assert(outN.count() == 3 && outN.where(col("qi0").isNull).count() == 3)
+  }
+
   test("q_curation_e2e: chained stage counts pinned at sf0.001, invariants hold") {
     val rows = graft.SparkEntry.queries("q_curation_e2e")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
