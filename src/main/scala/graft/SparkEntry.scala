@@ -392,8 +392,17 @@ object SparkEntry {
         .limit(5)
     }),
     "q_random_sample" -> ((s, dir) => {
-      // rows-only: engine-specific RNG has no cross-engine oracle.
-      tbl(s, dir, "documents").sample(0.1, 42).select(col("doc_id"))
+      // the REPRODUCIBLE form of random sampling, through the DocSet API:
+      // DocSet.sampleByHash under a declared seed salt — membership is a
+      // pure function of the key, so the oracle replays it exactly.
+      // Bernoulli `randomSample(fraction, seed)` (engine RNG, no
+      // cross-engine oracle possible) remains the API's other half,
+      // unit-covered in DocSetSpec.
+      graft.sources.DocRead.fromDataFrame(
+          tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .sampleByHash(0.2, salt = "rs42")
+        .toDF.select(col("docId").cast("long").as("doc_id"))
+        .orderBy(col("doc_id"))
     }),
     "q_sample_hash" -> ((s, dir) => {
       // deterministic hash sampling (DocSet.sampleByHash shape): membership
@@ -3300,6 +3309,17 @@ object SparkEntry {
                    str_split(doc_id::VARCHAR || ':split1:' || doc_id::VARCHAR, ''),
                    x -> ascii(x)::BIGINT)),
                  (a, b) -> (a * 31 + b) % 1000000007) % 10000 < 1000
+         ORDER BY doc_id""",
+    "q_random_sample" ->
+      // DocSet.sampleByHash(0.2, salt = "rs42"): the declared-seed salted
+      // rolling-polynomial bucket, replayed exactly (q_sample_hash's twin
+      // with a different salt and fraction)
+      """SELECT doc_id FROM documents
+         WHERE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(
+                   str_split(doc_id::VARCHAR || ':rs42:' || doc_id::VARCHAR, ''),
+                   x -> ascii(x)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 10000 < 2000
          ORDER BY doc_id""",
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, text,
