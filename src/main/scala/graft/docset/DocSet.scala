@@ -42,10 +42,14 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     * `unsupported_format` property (the reference raises on unsupported
     * types, reader.py format dispatch; at corpus scale a marker an audit
     * can count beats failing the whole job for one stray file).
-    * `ocr`: optional pluggable OcrProvider for scanned/image-only PDFs —
+    * `ocr`: optional pluggable OcrProvider for scanned/image-only PDFs;
+    * `tables`: optional pluggable TableStructureProvider turning bbox'd
+    * PDF text clusters into structured `table` elements — both
     * constructed once per executor task with the partitioner set. */
-  def partitionAuto(ocr: Option[graft.operators.OcrProvider] = None): DocSet = mapBatch { it =>
-    val pdf = new graft.operators.PdfPartitioner(ocr)
+  def partitionAuto(ocr: Option[graft.operators.OcrProvider] = None,
+                    tables: Option[graft.operators.TableStructureProvider] = None)
+      : DocSet = mapBatch { it =>
+    val pdf = new graft.operators.PdfPartitioner(ocr, tables)
     val html = new graft.operators.HtmlPartitioner()
     val docx = new graft.operators.DocxPartitioner()
     val pptx = new graft.operators.PptxPartitioner()

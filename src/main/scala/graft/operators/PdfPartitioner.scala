@@ -30,7 +30,9 @@ import graft.model.{Document, Element}
  * server-side) — offline builds use FakeOcrProvider; the engine-side
  * contract (binary in, elements out, partition-parallel) is identical.
  */
-final class PdfPartitioner(ocr: Option[OcrProvider] = None) extends Partitioner {
+final class PdfPartitioner(ocr: Option[OcrProvider] = None,
+                           tables: Option[TableStructureProvider] = None)
+    extends Partitioner {
 
   override def partition(doc: Document): Document = {
     val bytes = doc.binaryRepresentation.getOrElse(Array.empty[Byte])
@@ -43,11 +45,51 @@ final class PdfPartitioner(ocr: Option[OcrProvider] = None) extends Partitioner 
     val textPages = blocks.foldLeft(0)((m, b) => math.max(m, b._3))
     val pageObjs = PdfText.pageObjectCount(bytes)
     val approx = pageObjs > 0 && pageObjs != textPages
-    val els = blocks.filter(b => PdfText.mostlyPrintable(b._1)).zipWithIndex.collect {
-      case ((text, bbox, pageNo), i) if text.nonEmpty =>
-        Element.text(i, "NarrativeText", text, bbox = bbox,
-          properties = Map("page_number" -> pageNo.toString) ++
-            (if (approx) Map("page_number_approximate" -> "true") else Map.empty))
+    def pageProps(pageNo: Int): Map[String, String] =
+      Map("page_number" -> pageNo.toString) ++
+        (if (approx) Map("page_number_approximate" -> "true") else Map.empty)
+    val kept = blocks.filter(b => PdfText.mostlyPrintable(b._1) && b._1.nonEmpty)
+    val els: Seq[Element] = tables match {
+      case None =>
+        kept.zipWithIndex.map { case ((text, bbox, pageNo), i) =>
+          Element.text(i, "NarrativeText", text, bbox = bbox,
+            properties = pageProps(pageNo))
+        }
+      case Some(tp) =>
+        // per-page structure pass: the provider sees ALL of a page's
+        // bbox'd blocks — short numeric cells ("56.2", "20") with a CID
+        // glyph artifact fail the printable guard that protects the TEXT
+        // path, but their geometry is exactly what the grid detector
+        // needs, so sanitize (drop unmapped >=0x80 glyph bytes from
+        // non-printable blocks) instead of dropping. Blocks a grid
+        // consumed are replaced by ONE `table` element at the first
+        // consumed block's reading-order position; unconsumed blocks flow
+        // through the unchanged text path (original text, printable
+        // guard).
+        def sanitize(t: String): String =
+          if (PdfText.mostlyPrintable(t)) t.trim
+          else t.filter(_ < 0x80).trim
+        val buf = scala.collection.mutable.ListBuffer[Element]()
+        blocks.filter(_._1.nonEmpty).groupBy(_._3).toSeq.sortBy(_._1)
+          .foreach { case (pageNo, pageBlocks) =>
+            val regions = tp.detect(
+              pageBlocks.map(b => (sanitize(b._1), b._2)), pageNo)
+            val firstIdx = regions.map(r => r.blockIdx.min -> r).toMap
+            val consumed = regions.flatMap(_.blockIdx).toSet
+            pageBlocks.zipWithIndex.foreach { case ((text, bbox, _), bi) =>
+              firstIdx.get(bi) match {
+                case Some(r) =>
+                  buf += Element("table", None, None, r.bbox, None, buf.size,
+                    r.cells, pageProps(pageNo))
+                case None if !consumed.contains(bi) &&
+                    PdfText.mostlyPrintable(text) =>
+                  buf += Element.text(buf.size, "NarrativeText", text,
+                    bbox = bbox, properties = pageProps(pageNo))
+                case _ => // folded into a table, or unprintable garbage
+              }
+            }
+          }
+        buf.toSeq
     }
     // scanned-PDF fallback: no text layer at all + a provider present →
     // OCR each image XObject. Page numbers are the 1-based image order
