@@ -2140,6 +2140,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("qi0"), col("qi1"), col("o_orderpriority"))
     }),
+    "q_l_diversity" -> ((s, dir) => {
+      // l-diversity release: (year, priority) groups must carry >= 3
+      // DISTINCT order statuses or be suppressed (homogeneity-attack
+      // guard on top of k-anonymity; Privacy.lDiversify)
+      val o = tbl(s, dir, "orders")
+      graft.operators.Privacy.lDiversify(o,
+          Seq(year(col("o_orderdate")).cast("string"), col("o_orderpriority")),
+          col("o_orderstatus"), l = 3L)
+        .groupBy(year(col("o_orderdate")).cast("string").as("yr"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("yr"), col("o_orderpriority"))
+    }),
+    "q_seasonality" -> ((s, dir) =>
+      // hour-of-day seasonal profile per event type: share-of-mass
+      // seasonal index in exact integer micros (EventAnalytics.seasonality)
+      graft.operators.EventAnalytics.seasonality(events(s, dir),
+        "event_type", "ts", slotNs = 3600L * 1000000000L, nSlots = 24)),
+    "q_skew_report" -> ((s, dir) =>
+      // join-key skew audit on events.user_id: top-10 heaviest keys with
+      // exact integer-micro shares + table totals (Profiler.keySkew) —
+      // the pre-join report that decides broadcast vs salting
+      graft.operators.Profiler.keySkew(events(s, dir), col("user_id"), topK = 10)
+        .orderBy(col("n").desc, col("key"))),
+    "q_kfold" -> ((s, dir) =>
+      // deterministic 5-fold assignment over documents with per-fold
+      // language stratification audit (Sampling.kFold)
+      graft.operators.Sampling.kFold(tbl(s, dir, "documents"), "doc_id", 5,
+          salt = "cv1")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("fold"))),
     "q_curation_e2e" -> ((s, dir) => {
       // the whole curation pipeline as ONE verified chain — quality filter
       // (GopherStatsExpr fields, thresholds tuned to this corpus; the
@@ -5372,6 +5404,51 @@ object SparkEntry {
            HAVING (SELECT l FROM lvl) = 'year' OR count(*) >= 50)
          ORDER BY qi, o_orderpriority""",
     "q_k_anon_multi" -> kAnonMultiOracleSql(20L),
+    "q_l_diversity" ->
+      // released groups = those with >= 3 distinct sensitive values
+      """WITH g AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+                           o_orderpriority AS pr,
+                           CAST(count(*) AS BIGINT) AS n,
+                           count(DISTINCT o_orderstatus) AS nsv
+                    FROM orders GROUP BY yr, pr)
+         SELECT yr, pr AS o_orderpriority, n FROM g WHERE nsv >= 3
+         ORDER BY yr, pr""",
+    "q_seasonality" ->
+      // hour-of-day share/index in integer micros; DuckDB reads the
+      // nanos timestamp truncated to us — hour buckets agree exactly
+      """WITH c AS (SELECT event_type,
+                           (epoch_us(ts) // 3600000000) % 24 AS slot,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+               FROM c GROUP BY 1)
+         SELECT c.event_type, CAST(c.slot AS BIGINT) AS slot, c.n,
+                CAST(c.n * 1000000 // t.total AS BIGINT) AS share_micros,
+                CAST(c.n * 24 * 1000000 // t.total AS BIGINT) AS idx_micros
+         FROM c JOIN t ON c.event_type = t.event_type
+         ORDER BY 1, 2""",
+    "q_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+         r AS (SELECT CAST(sum(n) AS BIGINT) AS rows_total,
+                      CAST(count(*) AS BIGINT) AS n_keys FROM c)
+         SELECT c.key, c.n,
+                CAST(c.n * 1000000 // r.rows_total AS BIGINT) AS share_micros,
+                r.rows_total, r.n_keys
+         FROM c, r
+         ORDER BY c.n DESC, c.key LIMIT 10""",
+    "q_kfold" ->
+      """WITH f AS (SELECT lang,
+                           list_reduce(list_prepend(0::BIGINT,
+                             list_transform(
+                               str_split(doc_id::VARCHAR || ':cv1:' || doc_id::VARCHAR, ''),
+                               x -> ascii(x)::BIGINT)),
+                             (a, b) -> (a * 31 + b) % 1000000007) % 5 AS fold
+                    FROM documents)
+         SELECT fold, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM f GROUP BY fold ORDER BY fold""",
     "q_curation_e2e" ->
       // the chained pipeline replay: every stage CTE feeds the next, so the
       // oracle verifies the COMPOSITION (quality -> minhash dedup ->

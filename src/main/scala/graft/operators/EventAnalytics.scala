@@ -199,4 +199,32 @@ object EventAnalytics {
         round(col("n").cast("double") / col("total_from"), 6).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /**
+   * Per-key seasonal profile over cyclic time slots (hour-of-day,
+   * day-of-week): slot = (ts div slotNs) mod nSlots, and the seasonal
+   * index of a slot is its share of the key's events scaled by nSlots —
+   * 1.0 (= 1e6 micros) for a perfectly flat profile, >1 for peak slots.
+   * Share-of-mass avoids the empty-bucket ambiguity of per-bucket means
+   * (a slot with no observed buckets is simply 0 mass), and everything is
+   * exact integer arithmetic: idx_micros = n·nSlots·10^6 div total.
+   *
+   * Scale: one map-combinable (key, slot) count, a key-level rollup, one
+   * broadcast join of key totals — nothing event-bounded after the first
+   * aggregate, output |keys|·nSlots rows regardless of corpus size.
+   */
+  def seasonality(events: DataFrame, keyCol: String, tsNs: String,
+                  slotNs: Long, nSlots: Int): DataFrame = {
+    require(slotNs > 0 && nSlots >= 2,
+      s"bad seasonality config: slotNs=$slotNs nSlots=$nSlots")
+    val slot = pmod(expr(s"$tsNs DIV ${slotNs}L"), lit(nSlots.toLong))
+    val counts = events.groupBy(col(keyCol), slot.as("slot"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col(keyCol)).agg(sum(col("n")).as("_total"))
+    counts.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("slot"), col("n"),
+        expr(s"n * 1000000 DIV _total").as("share_micros"),
+        expr(s"n * ${nSlots}L * 1000000 DIV _total").as("idx_micros"))
+      .orderBy(col(keyCol), col("slot"))
+  }
 }

@@ -121,6 +121,40 @@ object Privacy {
     }
   }
 
+  /** Distinct-l-diversity release (Machanavajjhala et al. 2006 "l-Diversity:
+    * Privacy Beyond k-Anonymity", §3): k-anonymity leaves a group
+    * attackable when everyone in it shares one SENSITIVE value (the
+    * homogeneity attack) — this pass additionally requires every released
+    * quasi-identifier group to carry at least `l` DISTINCT sensitive
+    * values, suppressing groups that fail. Composes after kAnonymize /
+    * kAnonymizeMulti (their output columns are the natural `qi` here).
+    *
+    * Scale shape: ONE map-combinable aggregation (count_distinct over the
+    * sensitive column per QI group — Spark plans this as two hash
+    * aggregates, no window) + a null-safe left-semi join; no driver state.
+    * Null sensitive values count as one distinct value like any other
+    * (groupBy semantics), and null QI groups release when they qualify —
+    * the kAnonymize null-safety rule. */
+  def lDiversify(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                 l: Long): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, "l must be at least 1")
+    val qiNames = qi.indices.map(i => s"_qi$i")
+    val q = qi.zipWithIndex.foldLeft(df) {
+      case (d, (c, i)) => d.withColumn(s"_qi$i", c)
+    }
+    // distinct sensitive count per group: exact, two-phase hash aggregate
+    val keep = q.groupBy(qiNames.map(col): _*)
+      .agg(countDistinct(sensitive).as("_nsv"),
+        // countDistinct ignores nulls; a null sensitive value is still A
+        // value an attacker can infer, so count it as one more class
+        max(when(sensitive.isNull, 1L).otherwise(0L)).as("_hasNull"))
+      .where(col("_nsv") + col("_hasNull") >= l)
+      .select(qiNames.map(c => col(c).as(s"_r_$c")): _*)
+    val cond = qiNames.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
+    q.join(keep, cond, "left_semi").drop(qiNames: _*)
+  }
+
   /** Product-lattice nodes in (total height, lexicographic) order —
     * the walk order both the engine and the oracle replay. */
   private[graft] def lattice(sizes: Seq[Int]): Seq[Seq[Int]] = {

@@ -41,4 +41,30 @@ object Profiler {
     one.select(explode(array(rows: _*)).as("_p")).select(col("_p.*"))
       .orderBy(col("column"))
   }
+
+  /**
+   * Join-key skew audit — the report you run BEFORE a 100 TB join to
+   * decide between a plain equi-join, a broadcast, and SkewJoin's salting:
+   * the top-k heaviest keys with their exact row counts and integer-micro
+   * share of the table, plus the table's total rows and distinct-key count
+   * on every row (so one result answers "is key X a salting candidate and
+   * how concentrated is the table overall").
+   *
+   * Scale: one map-combinable key count; the rollup (total, distinct) is
+   * a count/sum over the key-level frame, not the raw table; top-k plans
+   * as TakeOrderedAndProject (no full sort, no shuffle beyond the key
+   * aggregate); the 1-row rollup attaches via broadcast cross join.
+   */
+  def keySkew(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val rollup = counts.agg(sum(col("n")).as("rows_total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(rollup))
+      .select(col("key").cast("string").as("key"), col("n"),
+        expr("n * 1000000 DIV rows_total").as("share_micros"),
+        col("rows_total"), col("n_keys"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+  }
 }

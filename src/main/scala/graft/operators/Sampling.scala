@@ -180,4 +180,19 @@ object Sampling {
         .when(bucket < valBp, lit("val"))
         .otherwise(lit("test")).as("split"))
   }
+
+  /** Deterministic k-fold assignment: `fold` = the key's salted
+    * rolling-hash value mod k — cross-validation folds that are
+    * reproducible across engines, runs, and partitionings (the
+    * [[groupSplit]] bucket rule with a modulus instead of thresholds;
+    * fold membership must never depend on execution). Key on a GROUP
+    * column when related rows must share a fold. Row-local: zero shuffle,
+    * zero driver state. */
+  def kFold(df: DataFrame, keyCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds: $k")
+    val kc = col(keyCol).cast("string")
+    df.withColumn("fold", pmod(
+      gf.polyFingerprint(concat(kc, lit(":"), lit(salt), lit(":"), kc)),
+      lit(k.toLong)))
+  }
 }

@@ -891,6 +891,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(outN.count() == 3 && outN.where(col("qi0").isNull).count() == 3)
   }
 
+  test("Privacy.lDiversify: homogeneous groups suppress; null sensitive counts as a class") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group "a": statuses {x, y, z} (diverse); group "b": all x
+    // (homogeneity attack target — suppressed at l=3); group "c": {x, y,
+    // NULL} — the null IS an inferable value, so it counts as a third class
+    val df = Seq(
+      ("a", Some("x")), ("a", Some("y")), ("a", Some("z")),
+      ("b", Some("x")), ("b", Some("x")), ("b", Some("x")),
+      ("c", Some("x")), ("c", Some("y")), ("c", None)
+    ).toDF("g", "s")
+    val out = Privacy.lDiversify(df, Seq(col("g")), col("s"), l = 3L)
+    val kept = out.select("g").as[String].collect().toSeq.sorted
+    assert(kept == Seq("a", "a", "a", "c", "c", "c"), s"got $kept")
+    // null QI group releases when diverse (null-safe join rule)
+    val dfn = Seq((Option.empty[String], "x"), (None, "y"), (None, "z"))
+      .toDF("g", "s")
+    assert(Privacy.lDiversify(dfn, Seq(col("g")), col("s"), 3L).count() == 3)
+  }
+
+  test("EventAnalytics.seasonality: exact integer slot shares") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // key k1: 3 events in slot 0, 1 in slot 1 (slotNs=10, nSlots=2):
+    // ts 0,2,21 -> slots 0,0,0 (21 DIV 10 = 2, 2 % 2 = 0); ts 10 -> slot 1
+    val ev = Seq(("k1", 0L), ("k1", 2L), ("k1", 21L), ("k1", 10L),
+      ("k2", 5L)).toDF("k", "ts")
+    val out = EventAnalytics.seasonality(ev, "k", "ts", slotNs = 10L, nSlots = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("k1", 0L)) == ((3L, 750000L, 1500000L)), s"got ${out(("k1", 0L))}")
+    assert(out(("k1", 1L)) == ((1L, 250000L, 500000L)))
+    assert(out(("k2", 0L)) == ((1L, 1000000L, 2000000L)))
+  }
+
+  test("Profiler.keySkew: exact top-k shares and totals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("c1", "c2", "c3"))
+      .toDF("k")
+    val out = Profiler.keySkew(df, col("k"), topK = 2).collect()
+    assert(out.length == 2)
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4)) == (("hot", 6L, 500000L, 12L, 5L)))
+    assert((out(1).getString(0), out(1).getLong(1)) == (("warm", 3L)))
+  }
+
+  test("Sampling.kFold: deterministic partition into k folds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("id")
+    val out = Sampling.kFold(df, "id", 5, salt = "cv1")
+    val folds = out.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.keySet.subsetOf((0L until 5L).toSet), s"got ${folds.keySet}")
+    assert(folds.values.sum == 100L)
+    // reproducible: same assignment on re-run and under repartitioning
+    val again = Sampling.kFold(df.repartition(7), "id", 5, salt = "cv1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first)
+    // a different salt shuffles membership
+    val other = Sampling.kFold(df, "id", 5, salt = "cv2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != first)
+  }
+
   test("q_curation_e2e: chained stage counts pinned at sf0.001, invariants hold") {
     val rows = graft.SparkEntry.queries("q_curation_e2e")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
