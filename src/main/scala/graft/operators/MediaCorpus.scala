@@ -43,17 +43,23 @@ object MediaCorpus {
     * every image a constant-step luma ramp, so gradient signs — and hence
     * dHashes — collide ACROSS groups and the near-dup pair graph densifies
     * quadratically. The nonlinearity keeps cross-group hashes independent
-    * while the member flip still perturbs exactly one pixel. */
+    * while the member flip still perturbs exactly one pixel.
+    *
+    * Every intermediate is BOUNDED BY CONSTRUCTION (grp reduced mod 1e6+3
+    * before the multiply, u reduced mod 2^24 before the second): Spark
+    * runs ANSI mode where a long overflow THROWS while the driver twin
+    * would silently wrap — arbitrary 64-bit doc_ids must generate without
+    * the two paths diverging. */
   def pixel(grp: Long, mem: Long, i: Long): Long = {
     val flip = if (i == 60 + mem) FlipDelta else 0L
-    val t = (grp * 64 + i) * Mul + flip
-    Math.floorMod((t ^ (t >> 16)) * 48271L, Mod)
+    val t = (Math.floorMod(grp, 1000003L) * 64 + i) * Mul + flip
+    Math.floorMod(Math.floorMod(t ^ (t >> 16), Mod) * 48271L, Mod)
   }
 
   private def pixelCol(grp: Column, mem: Column, i: Column): Column = {
-    val t = (grp * 64 + i) * lit(Mul) +
+    val t = (pmod(grp, lit(1000003L)) * 64 + i) * lit(Mul) +
       when(i === mem + 60, lit(FlipDelta)).otherwise(lit(0L))
-    pmod(t.bitwiseXOR(shiftright(t, 16)) * lit(48271L), lit(Mod))
+    pmod(pmod(t.bitwiseXOR(shiftright(t, 16)), lit(Mod)) * lit(48271L), lit(Mod))
   }
 
   private def hexOf(bytes: Array[Byte]): String =

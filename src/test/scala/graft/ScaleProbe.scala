@@ -247,6 +247,53 @@ object ScaleProbe {
       val tk = measure(f, big)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
+    // round-13 additions. asof_forward_hot is THE probe for the advice
+    // fix: ~5 hot keys whose per-key group grows linearly with K — the old
+    // first()-over-unboundedFollowing frame re-aggregated the suffix per
+    // row (ratio ~K^2), the descending running frame is ~K. media_pipeline
+    // exercises the synthetic-corpus generator + dHash + pigeonhole pairs
+    // (groups are replica-disjoint, so pair volume grows linearly).
+    val opsR13: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "asof_forward_hot" -> { d =>
+        val l = d.select(col("lang").as("k"), col("doc_id").as("t"),
+          col("n_chars"))
+        val r = d.select(col("lang").as("k"), (col("doc_id") + 7).as("t"),
+          col("source").as("payload"))
+        graft.operators.AsofJoin.asofForward(l, r, "k", "t")
+      },
+      "asof_backward_hot" -> { d =>
+        val l = d.select(col("lang").as("k"), col("doc_id").as("t"),
+          col("n_chars"))
+        val r = d.select(col("lang").as("k"), (col("doc_id") + 7).as("t"),
+          col("source").as("payload"))
+        graft.operators.AsofJoin.asofBackward(l, r, "k", "t")
+      },
+      "classifier_margin" -> (d => graft.operators.QualityClassifier
+        .marginMicros(d, "text", Array.tabulate(1 << 12)(i => i.toLong), 0L)),
+      "media_pipeline" -> { d =>
+        val corpus = d.select(col("doc_id"),
+          graft.operators.MediaCorpus.bytesCol(col("doc_id")).as("bytes"))
+        graft.operators.MediaOps.imageNearDupPairs(corpus, "doc_id", "bytes",
+          maxHamming = 6)
+      },
+      "k_anon_lattice" -> (d => graft.operators.Privacy.kAnonymizeMulti(d,
+        Seq(Seq("source" -> col("source"), "all" -> lit("*")),
+          Seq("lang" -> col("lang"), "all" -> lit("*"))),
+        Seq(col("doc_id") % 3), k = 5000L)),
+      "l_diversity" -> (d => graft.operators.Privacy.lDiversify(d,
+        Seq(col("lang"), col("source")), col("doc_id") % 7, l = 7L)),
+      "seasonality" -> (d => graft.operators.EventAnalytics.seasonality(
+        d.select(col("lang"), (col("doc_id") * 1000L).as("ts")),
+        "lang", "ts", slotNs = 7000L, nSlots = 24)),
+      "key_skew" -> (d => graft.operators.Profiler.keySkew(d, col("source"), 10)),
+      "kfold" -> (d => graft.operators.Sampling.kFold(d, "doc_id", 5, "cv1")
+        .groupBy(col("fold")).agg(count(lit(1)).as("n"))))
+    if (sections("r13")) opsR13.foreach { case (name, f) =>
+      val t1 = measure(f, small)
+      val tk = measure(f, big)
+      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+
     // k-truss over the degree-bounded part co-occurrence graph, K disjoint
     // id-offset copies (the link_predict rationale: triangles exist there,
     // and degree caps are how production pipelines feed cohesion peels)
