@@ -746,6 +746,20 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("idA"), col("idB"))
     }),
+    "q_containment" -> ((s, dir) =>
+      // ordered shingle-containment pairs ("inner quoted inside outer") —
+      // Jaccard misses a paragraph embedded in a much longer page; the
+      // threshold is pure integer cross-multiplication
+      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, tauPermille = 700)
+        .orderBy(col("inner_id"), col("outer_id"))),
+    "q_rolling_window" -> ((s, dir) =>
+      // trailing 24h per-user rolling features (count + exact cents sum)
+      // at every event — ONE key-partitioned RANGE-frame pass
+      graft.operators.EventAnalytics.rollingByKey(
+          events(s, dir).withColumn("ts_us", expr("ts DIV 1000")),
+          "user_id", "ts_us", cents(col("value")), 86400000000L)
+        .orderBy(col("user_id"), col("t"), col("n_window"))),
     "q_minhash_dedup" -> ((s, dir) => {
       // SQL-replicable polynomial minhash (MinHashPolyExpr) -> DuckDB
       // recomputes the identical 16-slot signature, replays the band rule
@@ -3482,6 +3496,35 @@ object SparkEntry {
          FROM shared JOIN n na ON idA = na.doc_id JOIN n nb ON idB = nb.doc_id
          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
          ORDER BY idA, idB""",
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(0, greatest(len(toks) - 5, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+5)], ' ')))) AS sh
+                FROM t),
+         n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         shared AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS shared
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         ord AS (SELECT idA AS inner_id, idB AS outer_id, shared, na.n AS n_inner
+                 FROM shared JOIN n na ON idA = na.doc_id
+                 UNION ALL
+                 SELECT idB, idA, shared, nb.n
+                 FROM shared JOIN n nb ON idB = nb.doc_id)
+         SELECT inner_id, outer_id, CAST(shared AS BIGINT) AS shared,
+                CAST(n_inner AS BIGINT) AS n_inner,
+                CAST(shared * 1000 // n_inner AS BIGINT) AS containment_permille
+         FROM ord WHERE shared * 1000 >= 700 * n_inner
+         ORDER BY inner_id, outer_id""",
+    "q_rolling_window" ->
+      """SELECT user_id, epoch_us(ts) AS t,
+                CAST(count(*) OVER w AS BIGINT) AS n_window,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_window
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, t, n_window""",
     "q_minhash_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),

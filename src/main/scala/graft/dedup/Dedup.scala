@@ -346,6 +346,51 @@ object Dedup {
   }
 
   /**
+   * Shingle-CONTAINMENT pairs: ordered (inner, outer) where
+   * |shingles(inner) ∩ shingles(outer)| / |shingles(inner)| ≥ τ — "inner
+   * is (mostly) quoted inside outer". Jaccard misses exactly this case: a
+   * paragraph embedded in a 100× longer page has tiny Jaccard but
+   * containment ≈ 1, and quote/subset relationships are what benchmark
+   * contamination and boilerplate-reuse audits need (Broder 1997
+   * distinguishes resemblance from containment for the same reason).
+   *
+   * Same single-pipeline inverted-index shape as [[ngramJaccardPairs]]
+   * (count-carrying postings, stop-shingle cap before the quadratic
+   * expansion); each unordered candidate pair emits up to two ordered
+   * rows. The threshold compares by integer cross-multiplication
+   * (shared·1000 ≥ τ‰·n_inner) — no float division on the filter path.
+   */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       shingleSize: Int = 5, tauPermille: Int = 800,
+                       maxShingleFreq: Long = 1000): DataFrame = {
+    require(tauPermille >= 1 && tauPermille <= 1000,
+      s"tauPermille must be in [1, 1000]: $tauPermille")
+    val postings = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
+      .select(col("_id"),
+        array_distinct(gf.wordShingles(col("_t"), shingleSize)).as("_shs"))
+      .select(col("_id"), size(col("_shs")).as("_n"), explode(col("_shs")).as("_sh"))
+      .groupBy(col("_sh"))
+      .agg(collect_list(struct(col("_id"), col("_n"))).as("_ps"))
+    val pairs = postings
+      .where(size(col("_ps")).between(2, maxShingleFreq))
+      .select(col("_ps"), explode(col("_ps")).as("_a"))
+      .select(col("_a"), explode(col("_ps")).as("_b"))
+      .where(col("_a._id") < col("_b._id"))
+      .groupBy(col("_a._id").as("idA"), col("_a._n").cast("long").as("_nA"),
+        col("_b._id").as("idB"), col("_b._n").cast("long").as("_nB"))
+      .agg(count(lit(1)).as("_shared"))
+    val aInB = pairs.select(col("idA").as("inner_id"), col("idB").as("outer_id"),
+      col("_shared"), col("_nA").as("n_inner"))
+    val bInA = pairs.select(col("idB").as("inner_id"), col("idA").as("outer_id"),
+      col("_shared"), col("_nB").as("n_inner"))
+    aInB.unionAll(bInA)
+      .where(col("_shared") * 1000 >= lit(tauPermille.toLong) * col("n_inner"))
+      .select(col("inner_id"), col("outer_id"), col("_shared").as("shared"),
+        col("n_inner"),
+        expr("_shared * 1000 DIV n_inner").as("containment_permille"))
+  }
+
+  /**
    * Embedding near-dup pairs: cosine >= threshold among vectors sharing a
    * coarse bucket. `bucket` should be a cheap partitioner (a cluster label,
    * an LSH sign-bucket, ...) that co-locates near-neighbors; comparisons are

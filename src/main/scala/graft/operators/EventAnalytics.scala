@@ -213,6 +213,28 @@ object EventAnalytics {
    * broadcast join of key totals — nothing event-bounded after the first
    * aggregate, output |keys|·nSlots rows regardless of corpus size.
    */
+  /** Per-key TRAILING time-window aggregates (count + sum over the last
+    * `windowUnits` of event time, inclusive): the standard rolling-feature
+    * shape — "events/spend in the trailing 24 h at each event" — as ONE
+    * key-partitioned RANGE-frame window pass. Spark maintains the range
+    * frame incrementally (two pointers over the sorted partition), so the
+    * cost is one shuffle + sort per key group; keys are the parallelism
+    * unit, and a window PER KEY is exactly the partitioned-window shape
+    * the plan-hygiene rule allows (never partition-less). Equal
+    * timestamps all see the same frame (RANGE semantics) — deterministic
+    * under ties by construction. */
+  def rollingByKey(events: DataFrame, keyCol: String, tsCol: String,
+                   value: Column, windowUnits: Long): DataFrame = {
+    require(windowUnits >= 0, s"window must be non-negative: $windowUnits")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+      .rangeBetween(-windowUnits, 0)
+    events.select(col(keyCol), col(tsCol).cast("long").as("t"), value.as("_v"))
+      .select(col(keyCol), col("t"),
+        count(lit(1)).over(w).as("n_window"),
+        sum(col("_v")).over(w).as("sum_window"))
+  }
+
   def seasonality(events: DataFrame, keyCol: String, tsNs: String,
                   slotNs: Long, nSlots: Int): DataFrame = {
     require(slotNs > 0 && nSlots >= 2,

@@ -938,6 +938,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert((out(1).getString(0), out(1).getLong(1)) == (("warm", 3L)))
   }
 
+  test("Dedup.containmentPairs: ordered quote detection that Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 2 = doc 1's text embedded in a much longer page: containment
+    // (1 in 2) = 1.0 while Jaccard is small; doc 3 unrelated
+    val para = "alpha beta gamma delta epsilon zeta eta theta"
+    val page = para + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq((1L, para), (2L, page), (3L, "totally different text " * 5))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.containmentPairs(df, "doc_id", "text",
+        shingleSize = 5, tauPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"got ${out.keySet}")
+    val (shared, nInner, permille) = out((1L, 2L))
+    assert(shared == nInner && permille == 1000L, s"got $shared/$nInner")
+    // symmetric sanity: page-in-para direction is far below threshold
+    val all = graft.dedup.Dedup.containmentPairs(df, "doc_id", "text",
+      shingleSize = 5, tauPermille = 100)
+    assert(all.where(col("inner_id") === 2L && col("outer_id") === 1L).count() == 0)
+  }
+
+  test("EventAnalytics.rollingByKey: trailing range-frame count/sum with tie semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq(("u1", 0L, 10L), ("u1", 5L, 20L), ("u1", 11L, 40L),
+      ("u1", 11L, 80L), ("u2", 100L, 7L)).toDF("u", "ts", "v")
+    val out = EventAnalytics.rollingByKey(ev, "u", "ts", col("v"), windowUnits = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)) -> r.getLong(2))
+      .toMap
+    // window [-10, 0]: t=5 sees {0,5}; t=11 sees {5,11,11} (0 falls out);
+    // RANGE ties: both t=11 rows see BOTH t=11 values
+    assert(out(("u1", 0L, 10L)) == 1L)
+    assert(out(("u1", 5L, 30L)) == 2L)
+    assert(out(("u1", 11L, 140L)) == 3L, s"got $out")
+    assert(out(("u2", 100L, 7L)) == 1L)
+  }
+
   test("Sampling.kFold: deterministic partition into k folds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
