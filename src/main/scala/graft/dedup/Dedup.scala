@@ -379,11 +379,15 @@ object Dedup {
       .groupBy(col("_a._id").as("idA"), col("_a._n").cast("long").as("_nA"),
         col("_b._id").as("idB"), col("_b._n").cast("long").as("_nB"))
       .agg(count(lit(1)).as("_shared"))
-    val aInB = pairs.select(col("idA").as("inner_id"), col("idB").as("outer_id"),
-      col("_shared"), col("_nA").as("n_inner"))
-    val bInA = pairs.select(col("idB").as("inner_id"), col("idA").as("outer_id"),
-      col("_shared"), col("_nB").as("n_inner"))
-    aInB.unionAll(bInA)
+    // both directions from ONE reference to the pair frame (a union of two
+    // projections would inline the aggregation subtree twice)
+    pairs
+      .select(explode(array(
+        struct(col("idA").as("inner_id"), col("idB").as("outer_id"),
+          col("_shared"), col("_nA").as("n_inner")),
+        struct(col("idB").as("inner_id"), col("idA").as("outer_id"),
+          col("_shared"), col("_nB").as("n_inner")))).as("_e"))
+      .select(col("_e.*"))
       .where(col("_shared") * 1000 >= lit(tauPermille.toLong) * col("n_inner"))
       .select(col("inner_id"), col("outer_id"), col("_shared").as("shared"),
         col("n_inner"),

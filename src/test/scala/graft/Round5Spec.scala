@@ -404,6 +404,22 @@ class Round5Spec extends AnyFunSuite {
       "vec_id", "codes", Array.fill(8)(1L), 5))
     assert(sp.contains("TakeOrderedAndProject"), s"sq8 top-k must TakeOrdered:\n$sp")
     assert(!sp.contains("Exchange"), s"sq8 top-k must not shuffle:\n$sp")
+
+    // round-13 shapes: the skew audit's top-k is a TakeOrdered over the
+    // key aggregate (never a full sort); k-fold assignment is row-local
+    // (zero exchange); the rolling features run ONE key-partitioned window
+    val docs13 = docs
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 3).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val kp = plan(graft.operators.Profiler.keySkew(docs13, col("source"), 5))
+    assert(kp.contains("TakeOrderedAndProject"), s"keySkew must TakeOrdered:\n$kp")
+    val fp = plan(graft.operators.Sampling.kFold(docs13, "doc_id", 5, "s"))
+    assert(!fp.contains("Exchange"), s"kFold must not shuffle:\n$fp")
+    val wp = plan(graft.operators.EventAnalytics.rollingByKey(
+      docs13.select(col("source"), col("doc_id").as("ts"), col("n_chars")),
+      "source", "ts", col("n_chars"), 100L))
+    assert(wp.contains("windowspecdefinition(source"),
+      s"rolling window must partition by the key:\n$wp")
   }
 
   test("clusteringCoefficient computes the degree table exactly once") {
