@@ -771,6 +771,22 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // incremental curation: even doc_ids are the already-curated HISTORY
+      // (reduced to fingerprints — 192-bit exact key + poly minhash sig),
+      // odd doc_ids are the new batch. History-matched rows drop first
+      // (exact anti-join + band/est rule, no id ordering vs history), then
+      // the greedy within-batch rule runs over the survivors.
+      val sigFn = (t: org.apache.spark.sql.Column) =>
+        gf.minhashPoly(gf.wordShingles(t, 5), 16)
+      val docs = tbl(s, dir, "documents")
+      val hist = Dedup.fingerprints(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", signature = Some(sigFn))
+      Dedup.dedupIncrement(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", hist, signature = Some(sigFn))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time: each purchase joins the user's latest prior (or
       // simultaneous) click. Micros on both sides; the oracle compares at
@@ -3547,6 +3563,49 @@ object SparkEntry {
                            bd -> a.sg[(bd*4+1):(bd*4+4)] = b.sg[(bd*4+1):(bd*4+4)]), true)
                      AND len(list_filter(range(0, 16), j -> a.sg[j+1] = b.sg[j+1])) >= 8)
          SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT idB FROM pairs)
+         ORDER BY doc_id""",
+    "q_dedup_incremental" ->
+      // replay order: exact-vs-history (text equality = the 192-bit key's
+      // semantic), band/est near-vs-history (history wins, no id order),
+      // then the greedy min-id rule WITHIN the history-survivor set
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id, list_transform(
+                  range(0, greatest(len(toks) - 5, 0) + 1),
+                  i -> array_to_string(toks[(i+1):(i+5)], ' ')) AS shingles
+                FROM t),
+         hs AS (SELECT doc_id, list_transform(shingles, s ->
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(str_split(s, ''), ch -> ascii(ch)::BIGINT)),
+                    (a, c) -> (a * 31 + c) % 2147483647)) AS hh
+                FROM sh),
+         sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+                   coalesce(list_min(list_transform(hh,
+                     h -> ((2*j + 1) * h + 12345*j) % 2147483647)), 2147483647)) AS sg
+                 FROM hs),
+         bsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+         hsig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+         exact_drop AS (SELECT d.doc_id FROM documents d
+                        WHERE d.doc_id % 2 = 1 AND d.text IN
+                          (SELECT text FROM documents WHERE doc_id % 2 = 0)),
+         near_drop AS (SELECT DISTINCT b.doc_id
+                       FROM bsig b JOIN hsig h
+                         ON list_contains(list_transform(range(0, 4),
+                              bd -> b.sg[(bd*4+1):(bd*4+4)] = h.sg[(bd*4+1):(bd*4+4)]), true)
+                        AND len(list_filter(range(0, 16), j -> b.sg[j+1] = h.sg[j+1])) >= 8),
+         surv1 AS (SELECT doc_id FROM documents
+                   WHERE doc_id % 2 = 1
+                     AND doc_id NOT IN (SELECT doc_id FROM exact_drop)
+                     AND doc_id NOT IN (SELECT doc_id FROM near_drop)),
+         pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                   WHERE a.doc_id IN (SELECT doc_id FROM surv1)
+                     AND b.doc_id IN (SELECT doc_id FROM surv1)
+                     AND list_contains(list_transform(range(0, 4),
+                           bd -> a.sg[(bd*4+1):(bd*4+4)] = b.sg[(bd*4+1):(bd*4+4)]), true)
+                     AND len(list_filter(range(0, 16), j -> a.sg[j+1] = b.sg[j+1])) >= 8)
+         SELECT doc_id FROM surv1
          WHERE doc_id NOT IN (SELECT idB FROM pairs)
          ORDER BY doc_id""",
     "q_cosine_pairs" ->

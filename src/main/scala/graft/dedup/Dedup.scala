@@ -161,6 +161,78 @@ object Dedup {
   }
 
   /**
+   * Per-document dedup fingerprints — the compact state an INCREMENTAL
+   * curation pipeline materializes once per accepted batch: the 192-bit
+   * exact-content key (xxhash64 + md5, the `exact` family's key) plus the
+   * minhash signature. `dedupIncrement` matches new batches against this
+   * frame without ever touching historical text again; fingerprint rows
+   * are a few hundred bytes regardless of document size.
+   */
+  def fingerprints(df: DataFrame, id: String, text: String,
+                   shingleSize: Int = 5, numHashes: Int = 16,
+                   signature: Option[Column => Column] = None): DataFrame = {
+    val sigFn = signature.getOrElse((t: Column) =>
+      gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
+    df.select(col(id).as("fp_id"),
+      xxhash64(col(text)).as("content_hash"),
+      unhex(md5(col(text))).as("content_md5"),
+      sigFn(col(text)).as("sig"))
+  }
+
+  /**
+   * Incremental dedup of a NEW batch against an already-curated history
+   * (a [[fingerprints]] frame) — the shape a production pipeline runs
+   * daily, where re-deduping the full corpus is off the table at 100 TB:
+   *  1. exact drops: batch rows whose 192-bit content key exists in
+   *     history (anti-join on the key — text never shuffles as a key);
+   *  2. near drops: batch rows whose minhash signature shares an LSH band
+   *     with ANY history signature at est-jaccard ≥ threshold (history
+   *     always wins — no id ordering against history). Joins DISTINCT
+   *     signatures band-to-band, so exact-duplicate classes collapse
+   *     before the quadratic stage on both sides;
+   *  3. within-batch: `minhashLsh`'s greedy min-id rule over the
+   *     HISTORY-SURVIVORS (a batch row removed by history does not drop
+   *     other batch rows — the documented order).
+   *
+   * Shuffle volume: |batch| on the exact key, |distinct sigs| × bands on
+   * the band key — both independent of history TEXT size; history rides
+   * only as fingerprints.
+   */
+  def dedupIncrement(batch: DataFrame, id: String, text: String,
+                     history: DataFrame,
+                     shingleSize: Int = 5, numHashes: Int = 16,
+                     bands: Int = 4, threshold: Double = 0.5,
+                     signature: Option[Column => Column] = None): DataFrame = {
+    val rows = numHashes / bands
+    val sigFn = signature.getOrElse((t: Column) =>
+      gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
+    val hashed = batch
+      .withColumn("_ch", xxhash64(col(text)))
+      .withColumn("_cm", unhex(md5(col(text))))
+    val exactSurv = hashed.join(
+        history.select(col("content_hash").as("_ch"), col("content_md5").as("_cm"))
+          .dropDuplicates("_ch", "_cm"),
+        Seq("_ch", "_cm"), "left_anti")
+      .drop("_ch", "_cm")
+    val bsig = rebalance(exactSurv.select(col(id).as("_id"), col(text).as("_t")))
+      .select(col("_id"), sigFn(col("_t")).as("_sig"))
+    val bGroups = bsig.groupBy(col("_sig")).agg(collect_list(col("_id")).as("_ids"))
+    val bBands = bGroups.select(col("_sig"), col("_ids"),
+      explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
+    val hBands = history.select(col("sig")).dropDuplicates("sig")
+      .select(col("sig"), explode(gf.lshBandKeys(col("sig"), bands, rows)).as("_band"))
+    val est = size(filter(zip_with(col("_sig"), col("sig"), (x, y) => x === y),
+      m => m)).cast("double") / numHashes
+    val dropSigs = bBands.join(hBands, Seq("_band"))
+      .where(est >= threshold)
+      .select(col("_sig")).dropDuplicates("_sig")
+    val survIds = bGroups.join(dropSigs, Seq("_sig"), "left_anti")
+      .select(explode(col("_ids")).as(id))
+    val surv1 = exactSurv.join(survIds, Seq(id), "left_semi")
+    minhashLsh(surv1, id, text, shingleSize, numHashes, bands, threshold, signature)
+  }
+
+  /**
    * MinHash-LSH dedup: drop near-duplicates, keeping the smallest id of each
    * candidate group (greedy: any doc matched by a smaller-id doc is dropped).
    *

@@ -960,6 +960,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.where(col("inner_id") === 2L && col("outer_id") === 1L).count() == 0)
   }
 
+  test("Dedup.dedupIncrement: history wins first, then greedy within the survivors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // injected signatures (the pluggable-signature seam) pin band/est
+    // outcomes exactly: doc 2 shares bands 0-1 with history (est 0.5 ->
+    // history drop), doc 3 shares bands 2-3 with DOC 2 ONLY (est 0.5 vs
+    // doc 2, est 0 vs history), doc 4 is unrelated
+    def sigOf(vals: Int*) = array(vals.map(v => lit(v.toLong)): _*)
+    val sigFn = (t: org.apache.spark.sql.Column) =>
+      when(t.contains("HISTDOC"), sigOf(1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4))
+        .when(t.contains("DOCTWO"), sigOf(1, 1, 1, 1, 2, 2, 2, 2, 9, 9, 9, 9, 8, 8, 8, 8))
+        .when(t.contains("DOCTHREE"), sigOf(7, 7, 7, 7, 6, 6, 6, 6, 9, 9, 9, 9, 8, 8, 8, 8))
+        .otherwise(sigOf(21, 21, 21, 21, 22, 22, 22, 22, 23, 23, 23, 23, 24, 24, 24, 24))
+    val hist = Seq((100L, "HISTDOC words")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "HISTDOC words"),   // exact dup of history -> exact-rule drop
+      (2L, "DOCTWO words"),    // near-dup of history -> band/est drop
+      (3L, "DOCTHREE words"),  // near-dup of doc 2 ONLY
+      (4L, "fresh words")      // survivor
+    ).toDF("doc_id", "text")
+    val fp = Dedup.fingerprints(hist, "doc_id", "text", signature = Some(sigFn))
+    val out = Dedup.dedupIncrement(batch, "doc_id", "text", fp,
+        threshold = 0.5, signature = Some(sigFn))
+      .select("doc_id").as[Long].collect().toSet
+    // doc 3's only smaller-id match (doc 2) was removed by HISTORY before
+    // the within-batch pass, so doc 3 must SURVIVE — the documented order
+    assert(out == Set(3L, 4L), s"got $out")
+    // sanity: with EMPTY history the whole batch goes through the
+    // within-batch greedy rule, which is NON-iterative — doc 1 drops
+    // doc 2, and doc 2 (though itself dropped) still drops doc 3
+    val noHist = Dedup.dedupIncrement(batch, "doc_id", "text",
+        Dedup.fingerprints(hist.where(lit(false)), "doc_id", "text",
+          signature = Some(sigFn)),
+        threshold = 0.5, signature = Some(sigFn))
+      .select("doc_id").as[Long].collect().toSet
+    assert(noHist == Set(1L, 4L), s"got $noHist")
+  }
+
   test("EventAnalytics.rollingByKey: trailing range-frame count/sum with tie semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
