@@ -2247,6 +2247,63 @@ object SparkEntry {
         .unionAll(packRow)
         .orderBy(col("stage"))
     }),
+    "q_events_e2e" -> ((s, dir) => {
+      // the events-analytics family as ONE verified chain — 30-minute
+      // sessionization gates an ENGAGED population (>= 2 sessions), the
+      // view->click->purchase funnel runs only on engaged users' events,
+      // first/last-touch attribution only on the funnel's CONVERTED
+      // users, and weekly cohort retention only on those same users.
+      // Every stage count is an exact integer over the previous stage's
+      // survivor population, so a divergence anywhere in the composition
+      // fails the gate (the q_curation_e2e idea for the events family).
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val weekNs = 7L * 86400 * 1000000000L
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+        .persist(lvl)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val nSess = ev
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess", when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > 30L * 60 * 1000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id")).agg(sum(col("new_sess")).as("n_sessions"))
+      val engaged = nSess.where(col("n_sessions") >= 2).persist(lvl)
+      val evEng = ev.join(engaged.select("user_id"), Seq("user_id"), "left_semi")
+        .persist(lvl)
+      val reach = graft.operators.EventAnalytics.funnelReach(evEng, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"), windowNs = weekNs)
+      val conv = reach.last.select(col("_u").as("user_id")).persist(lvl)
+      val evConv = evEng.join(conv, Seq("user_id"), "left_semi").persist(lvl)
+      val attr = graft.operators.Attribution.attribute(evConv, "user_id",
+          "ts_us", "event_type", "event_id",
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          lookback = 7L * 24 * 3600 * 1000000L)
+        .persist(lvl)
+      val ret = graft.operators.EventAnalytics.retention(evConv, "user_id",
+        "ts", weekNs)
+      val r0 = ev.agg(count(lit(1)).as("n_units"),
+          countDistinct(col("user_id")).as("aux"))
+        .select(lit("00_ingest").as("stage"), col("n_units"), col("aux"))
+      val r1 = engaged.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("n_sessions")), lit(0L)).as("aux"))
+        .select(lit("01_engaged").as("stage"), col("n_units"), col("aux"))
+      val r2 = conv.agg(count(lit(1)).as("n_units"))
+        .crossJoin(broadcast(reach.head.agg(count(lit(1)).as("aux"))))
+        .select(lit("02_funnel").as("stage"), col("n_units"), col("aux"))
+      val r3 = attr.agg(
+          coalesce(sum(when(col("n_touches") >= 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_units"),
+          coalesce(sum(col("n_touches")), lit(0L)).as("aux"))
+        .select(lit("03_attribution").as("stage"), col("n_units"), col("aux"))
+      val r4 = ret.agg(
+          coalesce(sum(when(col("bucket_offset") >= 1, col("users"))
+            .otherwise(0L)), lit(0L)).as("n_units"),
+          count(lit(1)).as("aux"))
+        .select(lit("04_retention").as("stage"), col("n_units"), col("aux"))
+      r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4)
+        .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
+        .orderBy(col("stage"))
+    }),
     "q_media_e2e" -> ((s, dir) => {
       // the multimodal family as ONE verified chain — synthetic raster
       // corpus (MediaCorpus: deterministic bytes per doc_id, generated
@@ -3565,6 +3622,69 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT idB FROM pairs)
          ORDER BY doc_id""",
+    "q_events_e2e" ->
+      // chained replay: sessionize -> engaged gate -> funnel over engaged
+      // -> attribution over converted -> retention over converted; each
+      // stage CTE feeds the next, verifying the COMPOSITION
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS ts_us, epoch_ns(ts) AS ts_ns
+                    FROM events),
+         sess AS (SELECT user_id,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         ns AS (SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+                FROM sess GROUP BY user_id),
+         eng AS (SELECT user_id, n_sessions FROM ns WHERE n_sessions >= 2),
+         ee AS (SELECT * FROM e WHERE user_id IN (SELECT user_id FROM eng)),
+         s1 AS (SELECT user_id AS u, min(ts_ns) AS t1 FROM ee
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT ee.user_id AS u, min(ee.ts_ns) AS t2, s1.t1 AS t1
+                FROM ee JOIN s1 ON ee.user_id = s1.u
+                WHERE ee.event_type = 'click' AND ee.ts_ns > s1.t1
+                      AND ee.ts_ns - s1.t1 <= 604800000000000
+                GROUP BY 1, 3),
+         s3 AS (SELECT ee.user_id AS u, min(ee.ts_ns) AS t3
+                FROM ee JOIN s2 ON ee.user_id = s2.u
+                WHERE ee.event_type = 'purchase' AND ee.ts_ns > s2.t2
+                      AND ee.ts_ns - s2.t1 <= 604800000000000
+                GROUP BY 1),
+         ec AS (SELECT * FROM ee WHERE user_id IN (SELECT u FROM s3)),
+         att AS (SELECT c.event_id AS conv_id,
+                        CAST(count(t.event_id) AS BIGINT) AS n_touches
+                 FROM (SELECT * FROM ec WHERE event_type = 'purchase') c
+                 LEFT JOIN (SELECT * FROM ec
+                            WHERE event_type IN ('click', 'view')) t
+                   ON t.user_id = c.user_id
+                  AND t.ts_us BETWEEN c.ts_us - 604800000000 AND c.ts_us - 1
+                 GROUP BY 1),
+         act AS (SELECT DISTINCT user_id AS u, ts_ns // 604800000000000 AS b
+                 FROM ec),
+         coh AS (SELECT u, min(b) AS c FROM act GROUP BY u),
+         retm AS (SELECT coh.c AS cohort, act.b - coh.c AS off,
+                         CAST(count(*) AS BIGINT) AS users
+                  FROM act JOIN coh ON act.u = coh.u GROUP BY 1, 2)
+         SELECT stage, n_units, aux FROM (
+           SELECT '00_ingest' AS stage,
+                  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_units,
+                  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS aux
+           UNION ALL SELECT '01_engaged',
+                  (SELECT CAST(count(*) AS BIGINT) FROM eng),
+                  (SELECT CAST(COALESCE(sum(n_sessions), 0) AS BIGINT) FROM eng)
+           UNION ALL SELECT '02_funnel',
+                  (SELECT CAST(count(*) AS BIGINT) FROM s3),
+                  (SELECT CAST(count(*) AS BIGINT) FROM s1)
+           UNION ALL SELECT '03_attribution',
+                  (SELECT CAST(COALESCE(sum(CASE WHEN n_touches >= 1 THEN 1
+                                               ELSE 0 END), 0) AS BIGINT) FROM att),
+                  (SELECT CAST(COALESCE(sum(n_touches), 0) AS BIGINT) FROM att)
+           UNION ALL SELECT '04_retention',
+                  (SELECT CAST(COALESCE(sum(CASE WHEN off >= 1 THEN users
+                                               ELSE 0 END), 0) AS BIGINT) FROM retm),
+                  (SELECT CAST(count(*) AS BIGINT) FROM retm)
+         ) ORDER BY stage""",
     "q_dedup_incremental" ->
       // replay order: exact-vs-history (text equality = the 192-bit key's
       // semantic), band/est near-vs-history (history wins, no id order),

@@ -31,21 +31,33 @@ object EventAnalytics {
    * stage: (stage, step, users, conversion), conversion = users /
    * stage-1 users rounded to 6dp.
    */
-  def funnel(events: DataFrame, user: String, etype: String, tsNs: String,
-             stages: Seq[String], windowNs: Long = Long.MaxValue): DataFrame = {
+  /** Per-stage reach frames of the ordered min-ts funnel: element i is the
+    * users who reached stage i, as (_u, _t = first reach time, _t0 = the
+    * stage-0 entry time). Exposed so COMPOSITIONS can chain on the reached
+    * POPULATION (e.g. "attribution over converted users") — `funnel`
+    * aggregates these same frames into the counts view. */
+  def funnelReach(events: DataFrame, user: String, etype: String, tsNs: String,
+                  stages: Seq[String],
+                  windowNs: Long = Long.MaxValue): Seq[DataFrame] = {
     require(stages.size >= 2, "a funnel needs at least two stages")
     val ev = events.select(col(user).as("_u"), col(etype).as("_e"),
       col(tsNs).as("_ts"))
     val first = ev.where(col("_e") === stages.head)
       .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
       .withColumn("_t0", col("_t"))
-    val reach = stages.tail.scanLeft(first) { (prev, st) =>
+    stages.tail.scanLeft(first) { (prev, st) =>
       ev.where(col("_e") === st)
         .join(prev.select(col("_u"), col("_t").as("_tp"), col("_t0")), Seq("_u"))
         .where(col("_ts") > col("_tp") && col("_ts") - col("_t0") <= windowNs)
         .groupBy(col("_u"), col("_t0")).agg(min(col("_ts")).as("_t"))
         .select(col("_u"), col("_t"), col("_t0"))
     }
+  }
+
+  def funnel(events: DataFrame, user: String, etype: String, tsNs: String,
+             stages: Seq[String], windowNs: Long = Long.MaxValue): DataFrame = {
+    val reach = funnelReach(events, user, etype, tsNs, stages, windowNs)
+    val first = reach.head
     val entered = first.agg(count(lit(1)).as("_entered"))
     val counts = stages.zip(reach).zipWithIndex.map { case ((st, r), i) =>
       r.agg(count(lit(1)).as("users"))
