@@ -2247,6 +2247,70 @@ object SparkEntry {
         .unionAll(packRow)
         .orderBy(col("stage"))
     }),
+    "q_retrieval_e2e" -> ((s, dir) => {
+      // the hybrid-retrieval pipeline as ONE verified chain — per-query
+      // BM25 lexical lists (query terms derived deterministically from
+      // each query doc's text) + per-query IVF vector shortlists (pinned
+      // first-16 codebook, nprobe 4) → grouped reciprocal-rank fusion →
+      // nDCG@5 against label-match qrels, with exact integer stage counts
+      // and the int64 DCG mass as the eval checksum. Scores round to 6dp
+      // BEFORE every ranking so rank order is a function of
+      // cross-engine-equal values (the q_rrf_fusion rule).
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val qterms = retrievalQueryTerms(s, dir)
+      // bounded driver state, same contract as q_ann_ivf's pinned codebook
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val qvecs = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      val lex = qterms.map { case (q, ts) =>
+        graft.operators.Bm25.score(docs, "doc_id", "text", ts)
+          .select(lit(q).as("query_id"), col("doc_id"),
+            round(col("bm25"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+      }.reduce(_ unionAll _).persist(lvl)
+      val vec = qvecs.map { case (q, qv) =>
+        Ann.ivfTopK(emb, "vec_id", "embedding", centroids, qv, 10, nprobe = 4)
+          .select(lit(q).as("query_id"), col("vec_id").as("doc_id"),
+            round(col("cosine"), 6).as("score"))
+      }.reduce(_ unionAll _).persist(lvl)
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("rrf"), 6).desc, col("doc_id"))
+      val fused = graft.operators.Fusion
+        .rrfBy(Seq(lex, vec), "query_id", "doc_id", "score")
+        .withColumn("rank", row_number().over(wq).cast("long"))
+        .where(col("rank") <= 10)
+        .persist(lvl)
+      val anchors = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("qlbl"))
+      val relevant = emb.select(col("vec_id").as("doc_id"), col("label").as("clbl"))
+        .crossJoin(broadcast(anchors))
+        .where(col("qlbl") === col("clbl"))
+        .select(col("query_id"), col("doc_id"))
+      val eval = graft.eval.RetrievalEval.ndcgMicro(
+        fused.select(col("query_id"), col("doc_id"), col("rank")), relevant, 5)
+      val r0 = lex.sparkSession.range(1)
+        .select(lit("00_queries").as("stage"),
+          lit(qterms.size.toLong).as("n_units"),
+          lit(qterms.map(_._2.size.toLong).sum).as("aux"))
+      def arm(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_units"),
+            count_distinct(col("doc_id")).as("aux"))
+          .select(lit(name).as("stage"), col("n_units"), col("aux"))
+      val r4 = eval.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("dcg_micro")), lit(0L)).as("aux"))
+        .select(lit("04_eval").as("stage"), col("n_units"), col("aux"))
+      r0.unionAll(arm("01_lexical", lex))
+        .unionAll(arm("02_vector", vec))
+        .unionAll(arm("03_fused", fused))
+        .unionAll(r4)
+        .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
+        .orderBy(col("stage"))
+    }),
     "q_events_e2e" -> ((s, dir) => {
       // the events-analytics family as ONE verified chain — 30-minute
       // sessionization gates an ENGAGED population (>= 2 sessions), the
@@ -2417,6 +2481,127 @@ object SparkEntry {
   /** Shared inputs of the retrieval-eval gates: brute-force cosine ranking
     * of 8 anchor queries over the embeddings table (the "retriever") and
     * the same-label ground truth. */
+  /** Deterministic per-query lexical terms for q_retrieval_e2e: the 3
+    * lexicographically-smallest distinct tokens of length >= 6 in the
+    * query doc's text (first token as fallback). Derived ONCE driver-side
+    * and shared VERBATIM by the Spark arm and the oracle literals — no
+    * cross-engine tokenizer twin involved. Bounded: 8 rows. */
+  private def retrievalQueryTerms(s: SparkSession, dir: String): Seq[(Long, Seq[String])] =
+    tbl(s, dir, "documents").where(col("doc_id") < 8)
+      .select(col("doc_id"), col("text")).collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty)
+        val ts = toks.filter(_.length >= 6).distinct.sorted.take(3)
+        (r.getLong(0), if (ts.nonEmpty) ts else toks.take(1))
+      }.toSeq
+
+  /** DuckDB replay of the q_retrieval_e2e chain: BM25 generalized to a
+    * TERMS literal table (same formula as the q_bm25 oracle — tf=0 terms
+    * contribute 0 to the sum), the q_ann_ivf replay parameterized over the
+    * 8 query vectors, grouped RRF as per-query row_number ranks, and DCG
+    * mass from the literalized micro weight table. Every ranking orders by
+    * (rounded score, doc_id), mirroring the engine. */
+  private def retrievalE2eOracleSql(spark: SparkSession, sfDir: String): String = {
+    val qt = retrievalQueryTerms(spark, sfDir)
+    val termRows = qt.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '${t.replace("'", "''")}')")
+    }
+    val wRows = graft.eval.RetrievalEval.dcgWeightsMicro(5).zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }
+    val nTerms = qt.map(_._2.size).sum
+    s"""WITH terms(query_id, term) AS (VALUES ${termRows.mkString(", ")}),
+       dcgw(rank, w) AS (VALUES ${wRows.mkString(", ")}),
+       t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+             FROM documents),
+       base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+       n_ AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl FROM base),
+       dterms AS (SELECT DISTINCT term FROM terms),
+       tfd AS (SELECT dt.term, b.doc_id,
+                      CAST(len(list_filter(b.toks, x -> x = dt.term)) AS DOUBLE) AS tf,
+                      CAST(b.dl AS DOUBLE) AS dl
+               FROM base b CROSS JOIN dterms dt),
+       df AS (SELECT term, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df
+              FROM tfd GROUP BY term),
+       bm AS (SELECT tm.query_id, tfd.doc_id,
+                     round(sum(ln(1.0 + (n_.n - df.df + 0.5) / (df.df + 0.5))
+                       * tfd.tf * 2.2
+                       / (tfd.tf + 1.2 * (0.25 + 0.75 * tfd.dl / (n_.sumdl / n_.n)))), 6) AS score
+              FROM terms tm
+              JOIN tfd ON tm.term = tfd.term
+              JOIN df ON tfd.term = df.term, n_
+              GROUP BY tm.query_id, tfd.doc_id),
+       lex AS (SELECT * FROM (
+                 SELECT query_id, doc_id, score,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rn
+                 FROM bm) WHERE rn <= 10),
+       qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < 8),
+       c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 16),
+       probe AS (SELECT * FROM (
+                   SELECT q.query_id, c.cid,
+                          row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(c.cv, q.qvec) DESC, c.cid) AS rn
+                   FROM c CROSS JOIN qv q) WHERE rn <= 4),
+       assign AS (SELECT e.vec_id,
+                         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.cv),
+                                         cid := c.cid)) AS best
+                  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id),
+       vec AS (SELECT * FROM (
+                 SELECT q.query_id, e.vec_id AS doc_id,
+                        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS score,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+                                   e.vec_id) AS rn
+                 FROM embeddings e
+                 JOIN assign a ON e.vec_id = a.vec_id
+                 CROSS JOIN qv q
+                 JOIN probe p ON p.query_id = q.query_id AND p.cid = a.best.cid)
+               WHERE rn <= 10),
+       lexr AS (SELECT query_id, doc_id,
+                       1.0 / (60 + row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id)) AS r0
+                FROM lex),
+       vecr AS (SELECT query_id, doc_id,
+                       1.0 / (60 + row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id)) AS r1
+                FROM vec),
+       fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                        COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                        round(COALESCE(l.r0, 0) + COALESCE(v.r1, 0), 6) AS rrf
+                 FROM lexr l FULL JOIN vecr v
+                   ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+       ftop AS (SELECT * FROM (
+                  SELECT query_id, doc_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf DESC, doc_id) AS rank
+                  FROM fused) WHERE rank <= 10),
+       rel AS (SELECT DISTINCT a.vec_id AS query_id, e.vec_id AS doc_id
+               FROM embeddings e JOIN embeddings a
+                 ON e.label = a.label AND a.vec_id < 8),
+       dcg AS (SELECT f.query_id, CAST(sum(d.w) AS BIGINT) AS dcg_micro
+               FROM ftop f
+               JOIN rel r ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+               JOIN dcgw d ON f.rank = d.rank
+               WHERE f.rank <= 5 GROUP BY 1)
+       SELECT stage, n_units, aux FROM (
+         SELECT '00_queries' AS stage, CAST(${qt.size} AS BIGINT) AS n_units,
+                CAST($nTerms AS BIGINT) AS aux
+         UNION ALL SELECT '01_lexical', (SELECT CAST(count(*) AS BIGINT) FROM lex),
+                (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM lex)
+         UNION ALL SELECT '02_vector', (SELECT CAST(count(*) AS BIGINT) FROM vec),
+                (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM vec)
+         UNION ALL SELECT '03_fused', (SELECT CAST(count(*) AS BIGINT) FROM ftop),
+                (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM ftop)
+         UNION ALL SELECT '04_eval',
+                (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM rel),
+                (SELECT CAST(COALESCE(sum(dcg_micro), 0) AS BIGINT) FROM dcg)
+       ) ORDER BY stage"""
+  }
+
   private def retrievalInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val emb = tbl(s, dir, "embeddings")
@@ -2840,7 +3025,8 @@ object SparkEntry {
       "q_quality_classifier" -> qcOracleSql(tw, icept),
       "q_dsir" -> dsirOracleSql(nw, DsirK),
       "q_ann_sq8" -> sq8OracleSql(mn, mx, graft.ann.Ann.sq8EncodeVec(sqq, mn, mx)),
-      "q_media_e2e" -> mediaOracleSql(spark, sfDir))
+      "q_media_e2e" -> mediaOracleSql(spark, sfDir),
+      "q_retrieval_e2e" -> retrievalE2eOracleSql(spark, sfDir))
   }
 
   /** DuckDB replay of q_media_e2e from the literalized per-image facts

@@ -41,6 +41,30 @@ import org.apache.spark.sql.functions._
  */
 object Fusion {
 
+  /** Grouped reciprocal-rank fusion: `rankings` carry a query column and
+    * ranks are computed WITHIN each query — the multi-query form every
+    * hybrid-search evaluation runs (one fused list per query). Rank order
+    * inside each arm is (score desc, id) — round scores BEFORE calling if
+    * they come from float math, so rank is a function of cross-engine-equal
+    * values. Per-query windows partition on the query column; the full
+    * outer join unions each query's arm lists. */
+  def rrfBy(rankings: Seq[DataFrame], query: String, id: String, score: String,
+            k: Int = 60, outCol: String = "rrf"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    require(k >= 0, s"rrf k must be non-negative, got $k")
+    val ranked = rankings.zipWithIndex.map { case (r, i) =>
+      val w = Window.partitionBy(col(query)).orderBy(col("_s").desc, col(id))
+      r.select(col(query), col(id), col(score).as("_s"))
+        .withColumn(s"_rn$i", row_number().over(w).cast("long"))
+        .select(col(query), col(id),
+          (lit(1.0) / (lit(k.toDouble) + col(s"_rn$i"))).as(s"_rrf$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(query, id), "full"))
+    val total = ranked.indices.map(i => coalesce(col(s"_rrf$i"), lit(0.0))).reduce(_ + _)
+    joined.select(col(query), col(id), total.as(outCol))
+  }
+
   def rrf(rankings: Seq[DataFrame], id: String, score: String,
           k: Int = 60, outCol: String = "rrf"): DataFrame = {
     require(rankings.nonEmpty, "rrf needs at least one ranking")

@@ -310,6 +310,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) > out(1L) && out(1L) > out(4L) && out(4L) > out(3L))
   }
 
+  test("Fusion.rrfBy: ranks are per query, queries never cross") {
+    import org.apache.spark.sql.functions.col
+    // query 10: doc 1 ranks 1 in arm a (9.0) and 2 in arm b; query 20:
+    // doc 1 ranks 2 in arm a — per-query ranking must not mix the queries
+    val a = spark.createDataFrame(Seq(
+      (10L, 1L, 9.0), (10L, 2L, 5.0), (20L, 1L, 5.0), (20L, 3L, 9.0)))
+      .toDF("q", "id", "score")
+    val b = spark.createDataFrame(Seq((10L, 1L, 0.5), (10L, 4L, 0.9)))
+      .toDF("q", "id", "score")
+    val out = Fusion.rrfBy(Seq(a, b), "q", "id", "score", k = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((10L, 1L), (10L, 2L), (10L, 4L), (20L, 1L), (20L, 3L)))
+    assert(math.abs(out((10L, 1L)) - (1.0 / 61 + 1.0 / 62)) < 1e-12)
+    assert(math.abs(out((20L, 1L)) - 1.0 / 62) < 1e-12, "rank 2 within query 20")
+    assert(math.abs(out((20L, 3L)) - 1.0 / 61) < 1e-12)
+    assert(math.abs(out((10L, 4L)) - 1.0 / 61) < 1e-12, "rank 1 in arm b of query 10")
+  }
+
   test("Calibration.percentileBy matches per-group row_number percent rank") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
