@@ -287,7 +287,22 @@ object ScaleProbe {
         "lang", "ts", slotNs = 7000L, nSlots = 24)),
       "key_skew" -> (d => graft.operators.Profiler.keySkew(d, col("source"), 10)),
       "kfold" -> (d => graft.operators.Sampling.kFold(d, "doc_id", 5, "cv1")
-        .groupBy(col("fold")).agg(count(lit(1)).as("n"))))
+        .groupBy(col("fold")).agg(count(lit(1)).as("n"))),
+      "containment" -> (d => Dedup.containmentPairs(d, "doc_id", "text",
+        tauPermille = 700)),
+      // batch half vs fingerprinted other half — both replicate, so the
+      // exact anti-join, band join, and within-batch pass all grow linearly
+      "dedup_increment" -> { d =>
+        val hist = Dedup.fingerprints(d.where(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        Dedup.dedupIncrement(d.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", hist)
+      },
+      // ~20 hot keys whose per-key partitions grow linearly with K: the
+      // RANGE frame must stay incremental (two pointers), never re-scan
+      "rolling_window" -> (d => graft.operators.EventAnalytics.rollingByKey(
+        d.select(col("source"), col("doc_id").as("ts"), col("n_chars")),
+        "source", "ts", col("n_chars"), 1000000L)))
     if (sections("r13")) opsR13.foreach { case (name, f) =>
       val t1 = measure(f, small)
       val tk = measure(f, big)
