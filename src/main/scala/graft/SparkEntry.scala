@@ -2247,6 +2247,49 @@ object SparkEntry {
         .unionAll(packRow)
         .orderBy(col("stage"))
     }),
+    "q_graph_e2e" -> ((s, dir) => {
+      // the graph family as ONE verified chain — basket co-occurrence
+      // edges → 4-core peel → triangle census ON THE CORE → connected
+      // components of the core → exact-integer Newman modularity of the
+      // COMPONENT partition. Each stage runs on the previous stage's
+      // surviving subgraph (kCoreEdges exposes the peeled edge set), so a
+      // divergence anywhere in the composition fails the gate. This
+      // corpus's co-occurrence core is ONE dense component at gate SFs, so
+      // the final Q numerator must come out EXACTLY zero — Σ(4m·e_c −
+      // d_c²) = 0 for the trivial partition only if every stage count,
+      // degree, and edge census is exact on both engines.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val edges = graft.operators.Basket.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_suppkey", minSupport = 30)
+        .persist(lvl)
+      val core = graft.operators.Triangles.kCoreEdges(
+        edges, "item_a", "item_b", k = 4, rounds = 8).persist(lvl)
+      val tri = graft.operators.Triangles.enumerate(core, "a", "b").persist(lvl)
+      val cc = graft.dedup.Dedup.connectedComponents(core, "a", "b").persist(lvl)
+      val mod = graft.operators.Modularity.of(core, "a", "b",
+        cc, "id", "component")
+      def nodesOf(df: DataFrame, cols: Seq[String]) = df
+        .select(explode(array(cols.map(col): _*)).as("_v"))
+        .agg(count_distinct(col("_v")).as("aux"))
+      val r0 = edges.agg(count(lit(1)).as("n_units"))
+        .crossJoin(broadcast(nodesOf(edges, Seq("item_a", "item_b"))))
+        .select(lit("00_edges").as("stage"), col("n_units"), col("aux"))
+      val r1 = core.agg(count(lit(1)).as("n_units"))
+        .crossJoin(broadcast(nodesOf(core, Seq("a", "b"))))
+        .select(lit("01_kcore").as("stage"), col("n_units"), col("aux"))
+      val r2 = tri.agg(count(lit(1)).as("n_units"))
+        .crossJoin(broadcast(nodesOf(tri, Seq("a", "b", "c"))))
+        .select(lit("02_triangles").as("stage"), col("n_units"), col("aux"))
+      val r3 = cc.groupBy(col("component")).agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_units"), coalesce(max(col("_n")), lit(0L)).as("aux"))
+        .select(lit("03_components").as("stage"), col("n_units"), col("aux"))
+      val r4 = mod.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("q_num")), lit(0L)).cast("long").as("aux"))
+        .select(lit("04_modularity").as("stage"), col("n_units"), col("aux"))
+      r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4)
+        .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
+        .orderBy(col("stage"))
+    }),
     "q_retrieval_e2e" -> ((s, dir) => {
       // the hybrid-retrieval pipeline as ONE verified chain — per-query
       // BM25 lexical lists (query terms derived deterministically from
@@ -2871,6 +2914,77 @@ object SparkEntry {
                      - CAST(ds.dsum AS HUGEINT) * ds.dsum AS BIGINT) AS q_num
          FROM ds LEFT JOIN intra ON ds.lbl = intra.lbl CROSS JOIN mm
          ORDER BY label"""
+  }
+
+  /** q_graph_e2e replay: the kCoreOracleSql peel chain, then triangle
+    * census / recursive min-reach components / integer modularity all ON
+    * THE CORE subgraph — each stage CTE feeds the next, verifying the
+    * composition. Core/tri/comp are MATERIALIZED (multi-referenced). */
+  private def graphE2eOracleSql(k: Int, rounds: Int, minSupport: Int): String = {
+    val head =
+      s"""WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS i FROM lineitem),
+         p0 AS MATERIALIZED (
+                SELECT x.i AS a, y.i AS b FROM bi x JOIN bi y ON x.bk = y.bk AND x.i < y.i
+                GROUP BY 1, 2 HAVING count(*) >= $minSupport)"""
+    val peel = (1 to rounds).map { i =>
+      s""",
+         d$i AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM (
+                   SELECT a AS v FROM p${i - 1} UNION ALL SELECT b FROM p${i - 1}) GROUP BY v),
+         v$i AS MATERIALIZED (SELECT v FROM d$i WHERE c >= $k),
+         p$i AS MATERIALIZED (
+                 SELECT a, b FROM p${i - 1}
+                 WHERE a IN (SELECT v FROM v$i) AND b IN (SELECT v FROM v$i))"""
+    }.mkString
+    head + peel +
+      s""",
+         core AS MATERIALIZED (SELECT a, b FROM p$rounds),
+         tri AS MATERIALIZED (
+           SELECT x.a AS a, x.b AS b, y.b AS c
+           FROM core x JOIN core y ON x.b = y.a
+                JOIN core z ON z.a = x.a AND z.b = y.b),
+         sym AS (SELECT a AS u, b AS v FROM core
+                 UNION ALL SELECT b, a FROM core),
+         reach(u, v) AS (
+           SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym)
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u),
+         comp AS MATERIALIZED (SELECT u AS id, min(v) AS component
+                               FROM reach GROUP BY u),
+         m_ AS (SELECT CAST(count(*) AS BIGINT) AS m FROM core),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT a AS v FROM core UNION ALL SELECT b FROM core) GROUP BY v),
+         intra AS (SELECT ca.component AS l, CAST(count(*) AS BIGINT) AS e_c
+                   FROM core JOIN comp ca ON core.a = ca.id
+                        JOIN comp cb ON core.b = cb.id
+                   WHERE ca.component = cb.component GROUP BY 1),
+         dsum AS (SELECT comp.component AS l, CAST(count(*) AS BIGINT) AS n_nodes,
+                         CAST(COALESCE(sum(deg.d), 0) AS BIGINT) AS d_c
+                  FROM comp LEFT JOIN deg ON comp.id = deg.v GROUP BY 1),
+         modq AS (SELECT ds.l,
+                         CAST(4 * m_.m * COALESCE(i.e_c, 0) - ds.d_c * ds.d_c AS BIGINT) AS q_num
+                  FROM dsum ds LEFT JOIN intra i ON ds.l = i.l, m_)
+         SELECT stage, n_units, aux FROM (
+           SELECT '00_edges' AS stage,
+                  (SELECT CAST(count(*) AS BIGINT) FROM p0) AS n_units,
+                  (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM
+                    (SELECT a AS v FROM p0 UNION ALL SELECT b FROM p0)) AS aux
+           UNION ALL SELECT '01_kcore',
+                  (SELECT CAST(count(*) AS BIGINT) FROM core),
+                  (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM
+                    (SELECT a AS v FROM core UNION ALL SELECT b FROM core))
+           UNION ALL SELECT '02_triangles',
+                  (SELECT CAST(count(*) AS BIGINT) FROM tri),
+                  (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM
+                    (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri))
+           UNION ALL SELECT '03_components',
+                  (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM comp),
+                  (SELECT CAST(COALESCE(max(n), 0) AS BIGINT) FROM
+                    (SELECT count(*) AS n FROM comp GROUP BY component))
+           UNION ALL SELECT '04_modularity',
+                  (SELECT CAST(count(*) AS BIGINT) FROM modq),
+                  (SELECT CAST(COALESCE(sum(q_num), 0) AS BIGINT) FROM modq)
+         ) ORDER BY stage"""
   }
 
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
@@ -5111,6 +5225,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
     "q_pagerank" -> pageRankOracleSql(5),
     "q_kcore" -> kCoreOracleSql(6, 8),
+    "q_graph_e2e" -> graphE2eOracleSql(4, 8, 30),
     "q_ktruss" -> kTrussOracleSql(k = 5, rounds = 4, minSupport = 30),
     "q_textrank" -> textRankOracleSql(5),
     "q_pagerank_personal" -> pageRankOracleSql(5, seeds = Seq(1L, 2L, 3L)),

@@ -123,7 +123,17 @@ object Triangles {
     * AQE-broadcast) keep set; edges are localCheckpoint'd each round so
     * the plan stays flat instead of growing 3 joins deep per round. The
     * edge list only ever shrinks. */
-  def kCore(edges: DataFrame, src: String, dst: String, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int, rounds: Int): DataFrame =
+    degrees(kCoreEdges(edges, src, dst, k, rounds))
+      .select(col("_v").as("node"), col("_d").as("degree"))
+      .orderBy(col("node"))
+
+  /** The peeled EDGE set after `rounds` k-core rounds, canonical (a < b) —
+    * exposed so compositions can chain on the core SUBGRAPH (triangle
+    * census, components, modularity over the core) rather than just the
+    * node/degree view `kCore` returns. */
+  def kCoreEdges(edges: DataFrame, src: String, dst: String, k: Int,
+                 rounds: Int): DataFrame = {
     var e = canonical(edges, src, dst).localCheckpoint(false)
     var i = 0
     while (i < rounds) {
@@ -134,8 +144,7 @@ object Triangles {
         .localCheckpoint(false)
       i += 1
     }
-    degrees(e).select(col("_v").as("node"), col("_d").as("degree"))
-      .orderBy(col("node"))
+    e
   }
 
   /** Bounded-round k-truss peel (Cohen 2008 "Trusses: cohesive subgraphs
