@@ -2310,17 +2310,30 @@ object SparkEntry {
       val qvecs = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
-      val lex = qterms.map { case (q, ts) =>
-        graft.operators.Bm25.score(docs, "doc_id", "text", ts)
-          .select(lit(q).as("query_id"), col("doc_id"),
-            round(col("bm25"), 6).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(10)
-      }.reduce(_ unionAll _).persist(lvl)
-      val vec = qvecs.map { case (q, qv) =>
-        Ann.ivfTopK(emb, "vec_id", "embedding", centroids, qv, 10, nprobe = 4)
-          .select(lit(q).as("query_id"), col("vec_id").as("doc_id"),
-            round(col("cosine"), 6).as("score"))
-      }.reduce(_ unionAll _).persist(lvl)
+      // ONE corpus scan per arm regardless of query count (r13 verdict #2):
+      // Bm25.scoreMany replaces the per-query BM25 loop (the pad keeps the
+      // dense top-10 contract for queries matching < 10 docs), ivfTopKMany
+      // replaces the per-query IVF loop. Per-query top-k falls out of a
+      // window over query_id — same (rounded score desc, doc_id) order as
+      // the old per-query orderBy/limit.
+      val termsDf = {
+        import s.implicits._
+        qterms.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+          .toDF("query_id", "term")
+      }
+      val wLex = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = graft.operators.Bm25
+        .scoreMany(docs, "doc_id", "text", termsDf, padTo = 10)
+        .select(col("query_id"), col("doc_id"), round(col("bm25"), 6).as("score"))
+        .withColumn("_rn", row_number().over(wLex))
+        .where(col("_rn") <= 10).drop("_rn")
+        .persist(lvl)
+      val vec = Ann.ivfTopKMany(emb, "vec_id", "embedding", centroids,
+          qvecs.toSeq, 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(col("cosine"), 6).as("score"))
+        .persist(lvl)
       val wq = Window.partitionBy(col("query_id"))
         .orderBy(round(col("rrf"), 6).desc, col("doc_id"))
       val fused = graft.operators.Fusion

@@ -75,6 +75,40 @@ object Ann {
       id, vec, query, k)
   }
 
+  /**
+   * One-scan MULTI-query IVF top-k: every corpus row is assigned to its
+   * centroid ONCE, the (query, probed-centroid) pairs ride in as a
+   * broadcast equi-join on centroid_id, and per-query top-k falls out of a
+   * window over the query partition — so Q queries cost one corpus scan,
+   * not Q (the per-query `ivfTopK` loop is the wrong asymptote for an
+   * eval set of 1k-10k queries). The query set is bounded driver state by
+   * contract (same as the codebook).
+   *
+   * Ordering parity with ivfTopK/bruteForceTopK: rank on the UNROUNDED
+   * cosine desc, then id asc.
+   */
+  def ivfTopKMany(df: DataFrame, id: String, vec: String,
+                  centroids: Array[Array[Double]],
+                  queries: Seq[(Long, Seq[Double])],
+                  k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "ivfTopKMany needs at least one query")
+    val probe = queries.flatMap { case (q, qv) =>
+      probeSet(centroids, qv, nprobe).map(cid => (q, cid, qv))
+    }.toDF("query_id", "_cid", "_qvec")
+    val assigned = df.withColumn("_cid", nearestCentroid(col(vec), centroids))
+    val sim = gf.cosineSimilarity(col(vec), col("_qvec").cast("array<double>"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(id))
+    assigned.join(broadcast(probe), "_cid")
+      .select(col("query_id"), col(id), sim.as("cosine"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("query_id"), col(id), col("cosine"))
+  }
+
   /** The nprobe centroid ids nearest the query (by cosine). */
   def probeSet(centroids: Array[Array[Double]], query: Seq[Double], nprobe: Int): Seq[Int] =
     centroids.zipWithIndex

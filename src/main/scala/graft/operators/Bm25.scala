@@ -39,4 +39,68 @@ object Bm25 {
     }.reduce(_ + _)
     withStats.select(col(id), score.as("bm25"))
   }
+
+  /**
+   * One-pass MULTI-query BM25: `terms` is a (queryCol, termCol) DataFrame
+   * (an eval set is typically 1k-10k queries x a few terms — broadcastable),
+   * and the corpus is scanned a CONSTANT number of times regardless of the
+   * query count, instead of once per query:
+   *
+   *   - per-term document frequency comes out of ONE explode+join+aggregate
+   *     (tokens explode, broadcast-semi-join against the distinct term
+   *     vocabulary, groupBy (doc, term) count — only matching tokens survive
+   *     the join, so the shuffle carries |matches| rows, not |tokens|);
+   *   - corpus stats (N, sum dl) from one aggregate, broadcast back;
+   *   - per-(query, doc) scores by broadcast-joining the query->term table
+   *     onto the sparse (doc, term, tf) frame and summing contributions.
+   *
+   * The result is SPARSE: only (query, doc) pairs where the doc matches at
+   * least one query term appear (absent pairs score exactly 0 under BM25).
+   * `padTo > 0` additionally emits score-0 rows for the `padTo` smallest
+   * ids per query, so a per-query top-k (score desc, id asc) over the
+   * result equals the dense formulation's top-k even for queries matching
+   * fewer than k documents — the pad rows ride the SAME aggregation (a
+   * matched pair just sums an extra +0.0), so no dedup join is needed.
+   */
+  def scoreMany(df: DataFrame, id: String, text: String, terms: DataFrame,
+                queryCol: String = "query_id", termCol: String = "term",
+                k1: Double = 1.2, b: Double = 0.75, padTo: Int = 0): DataFrame = {
+    val toks = split(trim(lower(col(text))), "\\s+")
+    val base = df.select(col(id), toks.as("_toks"), size(toks).as("_dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("_dl")).cast("double").as("_sumdl"))
+    val dterms = terms.select(col(termCol).as("_t")).distinct()
+    // lazy checkpoint: tf feeds BOTH the per-term df rollup and the score
+    // join — without it each reference re-tokenizes the whole corpus
+    // (the multi-referenced-frame rule; checkpointed frame is sparse:
+    // one row per matching (doc, term), not per token)
+    val tf = base
+      .select(col(id), col("_dl"), explode(col("_toks")).as("_t"))
+      .join(broadcast(dterms), "_t")
+      .groupBy(col(id), col("_dl"), col("_t"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+      .localCheckpoint(eager = false)
+    val dfT = tf.groupBy(col("_t")).agg(count(lit(1)).cast("double").as("_df"))
+    val n = col("_n")
+    val avgdl = col("_sumdl") / n
+    val idf = log(lit(1.0) + (n - col("_df") + 0.5) / (col("_df") + 0.5))
+    val contrib = idf * col("_tf") * lit(k1 + 1.0) /
+      (col("_tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl))
+    val contribRows = tf
+      .join(broadcast(dfT), "_t")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(terms.select(col(queryCol), col(termCol).as("_t"))), "_t")
+      .select(col(queryCol), col(id), contrib.as("_c"))
+    val allRows =
+      if (padTo <= 0) contribRows
+      else {
+        val padIds = df.select(col(id)).orderBy(col(id)).limit(padTo)
+        val queries = terms.select(col(queryCol)).distinct()
+        val pad = broadcast(queries).crossJoin(padIds)
+          .select(col(queryCol), col(id), lit(0.0).as("_c"))
+        contribRows.unionByName(pad)
+      }
+    allRows.groupBy(col(queryCol), col(id))
+      .agg(sum(col("_c")).as("bm25"))
+  }
 }

@@ -515,4 +515,76 @@ class DedupAnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(out.toSeq == Seq((0L, 2L, 1L), (0L, 3L, 2L)))
   }
+
+  /** Parquet leaf-scan count of a frame's optimized plan — the multi-query
+    * retrieval contract is that this is CONSTANT in the query count. */
+  private def scans(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.size
+
+  test("Bm25.scoreMany == per-query score loop; scan count Q-independent") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25many").toString
+    Seq(
+      (0L, "spark spark spark engine"),
+      (1L, "spark engine other words"),
+      (2L, "nothing relevant at all"),
+      (3L, "query engines process spark words"),
+      (4L, "alpha beta gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val qts = Seq(0L -> Seq("spark", "engine"), 1L -> Seq("words"),
+      2L -> Seq("zzzmissing"))
+    def loopTopK(qs: Seq[(Long, Seq[String])]) = qs.map { case (q, ts) =>
+      graft.operators.Bm25.score(docs, "doc_id", "text", ts)
+        .select(lit(q).as("query_id"), col("doc_id"),
+          round(col("bm25"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(3)
+    }.reduce(_ unionAll _)
+    def manyTopK(qs: Seq[(Long, Seq[String])]) = {
+      val terms = qs.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "term")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      graft.operators.Bm25.scoreMany(docs, "doc_id", "text", terms, padTo = 3)
+        .select(col("query_id"), col("doc_id"), round(col("bm25"), 6).as("score"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 3).drop("_rn")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    // per-query equality, including the all-miss query (zero-score pad)
+    assert(rows(manyTopK(qts)) == rows(loopTopK(qts)))
+    // one-pass contract: scans don't grow with Q (the loop's do)
+    assert(scans(manyTopK(qts.take(1))) == scans(manyTopK(qts)))
+    assert(scans(manyTopK(qts)) <= 3)
+    assert(scans(loopTopK(qts)) > scans(manyTopK(qts)))
+  }
+
+  test("Ann.ivfTopKMany == per-query ivfTopK loop; one corpus scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfmany").toString
+    (0 until 40).map { i =>
+      val base = if (i < 20) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val queries = Seq(0L -> Seq(1.0, 0.05), 1L -> Seq(0.1, 1.0))
+    val loop = queries.map { case (q, qv) =>
+      Ann.ivfTopK(vecs, "vec_id", "embedding", centroids, qv, 5, nprobe = 1)
+        .select(lit(q).as("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("score"))
+    }.reduce(_ unionAll _)
+    val many = Ann.ivfTopKMany(vecs, "vec_id", "embedding", centroids,
+        queries, 5, nprobe = 1)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("score"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    assert(rows(many) == rows(loop))
+    assert(scans(many) == 1)
+    assert(scans(loop) == queries.size)
+  }
 }
