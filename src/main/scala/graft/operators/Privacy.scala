@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
  * leaves small groups, those rows are SUPPRESSED (dropped) — the output
  * is k-anonymous unconditionally.
  *
- * Scale shape: one hash aggregation per ladder level (each a map-side
- * combinable groupBy + a single-value min — the collect is ONE long per
- * level, bounded by the ladder length, never by data), then one
- * generalization pass. The level search is sequential by design: levels
- * are ordered and the first hit wins, so later (coarser) aggregations are
- * skipped once a level qualifies.
+ * Scale shape (Incognito's rollup property): the corpus is aggregated
+ * ONCE over every ladder level (plus the verbatim QIs) into a frequency
+ * frame of |distinct finest QI combos| rows, and each candidate level's
+ * minimum group size is a RE-AGGREGATION of that frame — so the level
+ * search costs one corpus scan total, not one per level, and each probe
+ * collects ONE long to the driver. The search is still sequential and
+ * first-hit-wins; only the probes' input changed.
  */
 object Privacy {
 
@@ -32,13 +33,12 @@ object Privacy {
                  otherQi: Seq[Column], k: Long): DataFrame = {
     require(ladder.nonEmpty, "need at least one generalization level")
     require(k >= 1, "k must be at least 1")
-    def minGroup(c: Column): Long =
-      df.groupBy((c +: otherQi): _*).count()
-        .agg(min(col("count"))).head() match {
-          case r if r.isNullAt(0) => Long.MaxValue // empty input: all levels pass
-          case r => r.getLong(0)
-        }
-    val chosen = ladder.find { case (_, c) => minGroup(c) >= k }
+    val freq = freqFrame(df, Seq(ladder), otherQi)
+    val chosen =
+      try ladder.indices
+        .find(lvl => minGroupOnFreq(freq, Seq(lvl), otherQi.size) >= k)
+        .map(ladder)
+      finally { freq.unpersist(false); () }
     val (name, qiCol) = chosen.getOrElse(ladder.last)
     val gen = df.withColumn("qi", qiCol).withColumn("gen_level", lit(name))
     if (chosen.isDefined) gen
@@ -78,10 +78,12 @@ object Privacy {
     *
     * Generalization is monotone (coarsening any ladder never shrinks a
     * group), so the first qualifying node in this order is a minimal-
-    * height qualifying node — Samarati's criterion. Scale shape: one
-    * map-side-combinable hash aggregation per VISITED node (the walk stops
-    * at the first hit; Π|ladder| nodes worst case, each collecting ONE
-    * long to the driver), then a single generalization pass.
+    * height qualifying node — Samarati's criterion. Scale shape
+    * (Incognito's rollup property): the corpus is aggregated ONCE over
+    * every level of every ladder into a frequency frame, and every
+    * visited node's minimum group size re-aggregates that frame — the
+    * walk costs one corpus scan total regardless of how many of the
+    * Π|ladder| nodes it visits, each probe collecting ONE long.
     *
     * Output: input rows plus `qi0..qiN` (each ladder's chosen level value)
     * and `gen_level` = the chosen level names joined with '|'. */
@@ -90,16 +92,11 @@ object Privacy {
     require(ladders.nonEmpty && ladders.forall(_.nonEmpty),
       "each quasi-identifier needs a non-empty ladder")
     require(k >= 1, "k must be at least 1")
-    def minGroup(node: Seq[Int]): Long = {
-      val qis = node.zip(ladders).map { case (lvl, lad) => lad(lvl)._2 }
-      df.groupBy((qis ++ otherQi): _*).count()
-        .agg(min(col("count"))).head() match {
-          case r if r.isNullAt(0) => Long.MaxValue // empty input: all nodes pass
-          case r => r.getLong(0)
-        }
-    }
+    val freq = freqFrame(df, ladders, otherQi)
     val nodes = lattice(ladders.map(_.length))
-    val chosen = nodes.find(n => minGroup(n) >= k)
+    val chosen =
+      try nodes.find(n => minGroupOnFreq(freq, n, otherQi.size) >= k)
+      finally { freq.unpersist(false); () }
     val node = chosen.getOrElse(nodes.last)
     val gen0 = node.zip(ladders).zipWithIndex.foldLeft(df) {
       case (d, ((lvl, lad), i)) => d.withColumn(s"qi$i", lad(lvl)._2)
@@ -153,6 +150,36 @@ object Privacy {
       .select(qiNames.map(c => col(c).as(s"_r_$c")): _*)
     val cond = qiNames.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
     q.join(keep, cond, "left_semi").drop(qiNames: _*)
+  }
+
+  /** ONE corpus aggregation shared by every lattice probe: group by every
+    * level expression of every ladder (column `_l<qi>_<lvl>`) plus the
+    * verbatim QIs (`_oq<i>`), count rows. |freq| = distinct finest-level
+    * combos — each visited node re-aggregates THIS frame, so the lattice
+    * walk's corpus cost is one scan however many nodes it probes
+    * (Incognito's bottom-up rollup, LeFevre et al. 2005 §3.2). Persisted:
+    * sequential probes reuse it; callers unpersist after the walk. */
+  private def freqFrame(df: DataFrame, ladders: Seq[Seq[(String, Column)]],
+                        otherQi: Seq[Column]): DataFrame = {
+    val cols =
+      ladders.zipWithIndex.flatMap { case (lad, i) =>
+        lad.zipWithIndex.map { case ((_, c), l) => c.as(s"_l${i}_$l") }
+      } ++ otherQi.zipWithIndex.map { case (c, i) => c.as(s"_oq$i") }
+    df.groupBy(cols: _*).agg(count(lit(1)).as("_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Minimum group size at one lattice node, evaluated on the freq frame:
+    * sum the finest counts up to the node's levels, take the min. */
+  private def minGroupOnFreq(freq: DataFrame, node: Seq[Int],
+                             nOtherQi: Int): Long = {
+    val keys = node.zipWithIndex.map { case (lvl, i) => col(s"_l${i}_$lvl") } ++
+      (0 until nOtherQi).map(i => col(s"_oq$i"))
+    freq.groupBy(keys: _*).agg(sum(col("_cnt")).as("_c"))
+      .agg(min(col("_c"))).head() match {
+        case r if r.isNullAt(0) => Long.MaxValue // empty input: all nodes pass
+        case r => r.getLong(0)
+      }
   }
 
   /** Product-lattice nodes in (total height, lexicographic) order —

@@ -909,6 +909,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(outN.count() == 3 && outN.where(col("qi0").isNull).count() == 3)
   }
 
+  test("Privacy lattice walk: one corpus scan regardless of visited nodes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every row evaluation of the corpus's QI column bumps the accumulator
+    // (nondeterministic UDF so the projection is never collapsed/pruned);
+    // the r13-advice fix: the walk aggregates the corpus ONCE into the
+    // frequency frame, so visiting 4 lattice nodes before (1,1) qualifies
+    // still reads the corpus exactly twice — freq build + the release pass
+    val acc = spark.sparkContext.longAccumulator("privacy_rows_touched")
+    val touch = udf { (v: Long) => acc.add(1L); v }.asNondeterministic()
+    val df = (0 until 16).map(i => (i.toLong % 8, i.toLong / 8)).toDF("a0", "b")
+      .withColumn("a", touch(col("a0"))).drop("a0")
+    val la = Seq("a" -> col("a").cast("string"),
+      "a2" -> (col("a") % 2).cast("string"),
+      "aAll" -> lit("*"))
+    val lb = Seq("b" -> col("b").cast("string"), "bAll" -> lit("*"))
+    acc.reset()
+    val out = Privacy.kAnonymizeMulti(df, Seq(la, lb), Nil, k = 5L)
+    assert(out.select("qi0").collect().length == 16)
+    assert(acc.value == 2L * 16,
+      s"expected 2 corpus passes (freq + release), got ${acc.value / 16.0}")
+  }
+
   test("Privacy.lDiversify: homogeneous groups suppress; null sensitive counts as a class") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
