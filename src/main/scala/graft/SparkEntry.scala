@@ -2491,6 +2491,77 @@ object SparkEntry {
         .unionAll(r6)
         .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
         .orderBy(col("stage"))
+    }),
+    "q_audio_e2e" -> ((s, dir) => {
+      // the audio family as ONE verified chain — synthetic WAV corpus
+      // (AudioCorpus: deterministic bytes per doc_id generated DISTRIBUTED
+      // as column arithmetic; byte-identical driver twin feeds the oracle;
+      // 8-bit, float-identical 16-bit, and garbage arms) → magic-byte
+      // sniff → PCM decode + perceptual aHash → pigeonhole-bucketed
+      // near-dup pairs → 64-segment energy-envelope embedding (integer
+      // micros) → argmax-segment buckets → vector-store write + read-back.
+      // DuckDB cannot decode WAV, so the oracle literalizes each clip's
+      // (fmt, ahash, envelope micros) computed by the driver twin and
+      // independently replays every RELATIONAL stage. The q_media_e2e
+      // pattern, applied to the audio leg (r13 verdict item #5).
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val corpus = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.AudioCorpus.bytesCol(col("doc_id")).as("bytes"))
+        .persist(lvl)
+      val sniffed = corpus.select(
+        graft.operators.SniffExpr.sniffFormat(col("bytes")).as("fmt"))
+      val decoded = corpus
+        .select(col("doc_id"), col("bytes"),
+          graft.operators.AudioOps.aHash(col("bytes")).as("ahash"))
+        .where(col("ahash").isNotNull)
+        .persist(lvl)
+      val pairs = graft.operators.AudioOps.audioNearDupPairs(
+        corpus, "doc_id", "bytes", maxHamming = 6)
+      val embedded = decoded
+        .select(col("doc_id"),
+          graft.operators.AudioOps.envelopeCol(col("bytes")).as("emb"))
+        .withColumn("bins",
+          transform(col("emb"),
+            x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+        .persist(lvl)
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft_audio_store").toString
+      val store = new graft.sources.ParquetVectorStore(storePath)
+      store.append(graft.sources.DocRead.fromDataFrame(
+        embedded.select(col("doc_id").cast("string").as("id"),
+          col("emb").as("embedding")),
+        Some("id"), None))
+      val r0 = corpus.agg(count(lit(1)).as("n_units"))
+        .select(lit("00_corpus").as("stage"), col("n_units"), lit(0L).as("aux"))
+      val r1 = sniffed.agg(
+          coalesce(sum(when(col("fmt") === "wav", 1L).otherwise(0L)), lit(0L)).as("n_units"),
+          coalesce(sum(when(col("fmt") === "", 1L).otherwise(0L)), lit(0L)).as("aux"))
+        .select(lit("01_sniff").as("stage"), col("n_units"), col("aux"))
+      val r2 = decoded.agg(count(lit(1)).as("n_units"),
+          count_distinct(col("ahash")).as("aux"))
+        .select(lit("02_decode").as("stage"), col("n_units"), col("aux"))
+      val r3 = pairs.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("hamming").cast("long")), lit(0L)).as("aux"))
+        .select(lit("03_neardup").as("stage"), col("n_units"), col("aux"))
+      val r4 = embedded
+        .select(col("doc_id"), posexplode(col("bins")))
+        .agg(count_distinct(col("doc_id")).as("n_units"),
+          coalesce(sum((col("pos") + 1) * col("col")), lit(0L)).as("aux"))
+        .select(lit("04_embed").as("stage"), col("n_units"), col("aux").cast("long"))
+      // argmax over the INTEGER micro bins (not the float envelope), so the
+      // oracle's list_position over the same literal ints is exact
+      val r5 = embedded
+        .select(array_position(col("bins"), array_max(col("bins"))).as("bkt"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_units"), coalesce(max(col("n")), lit(0L)).as("aux"))
+        .select(lit("05_buckets").as("stage"), col("n_units"), col("aux"))
+      val r6 = store.read(s).agg(count(lit(1)).as("n_units"))
+        .select(lit("06_store").as("stage"), col("n_units"), lit(0L).as("aux"))
+      r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+        .unionAll(r6)
+        .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -3153,6 +3224,7 @@ object SparkEntry {
       "q_dsir" -> dsirOracleSql(nw, DsirK),
       "q_ann_sq8" -> sq8OracleSql(mn, mx, graft.ann.Ann.sq8EncodeVec(sqq, mn, mx)),
       "q_media_e2e" -> mediaOracleSql(spark, sfDir),
+      "q_audio_e2e" -> audioOracleSql(spark, sfDir),
       "q_retrieval_e2e" -> retrievalE2eOracleSql(spark, sfDir))
   }
 
@@ -3205,6 +3277,59 @@ object SparkEntry {
                 (SELECT CAST(COALESCE(max(n), 0) AS BIGINT) FROM bkt)
          UNION ALL SELECT '06_store',
                 (SELECT CAST(count(*) AS BIGINT) FROM img), CAST(0 AS BIGINT)
+       ) ORDER BY stage"""
+  }
+
+  /** DuckDB replay of q_audio_e2e from the literalized per-clip facts
+    * (fmt, ahash, envelope micros) computed by AudioCorpus.expected — the
+    * DRIVER twin of the gate's distributed generator, byte-identical by
+    * unit test. Decode cannot run in DuckDB; every RELATIONAL stage
+    * (sniff counts, the brute-force hamming pair set — equivalent to the
+    * pigeonhole join's output by the pigeonhole guarantee — micro-bin
+    * checksums, argmax buckets, store read-back count) is genuinely
+    * recomputed in SQL. ORACLE-GENERATION ONLY: collects the doc_id list
+    * (gate-scale bounded; the gate's own plan never collects). */
+  private def audioOracleSql(spark: SparkSession, sfDir: String): String = {
+    val ids = tbl(spark, sfDir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    require(ids.length <= 200000, "audio oracle is gate-scale only")
+    val rows = ids.map { id =>
+      val (fmt, ah, bins) = graft.operators.AudioCorpus.expected(id)
+      val a = ah.map(_.toString).getOrElse("NULL")
+      val b = bins.map(_.mkString("[", ", ", "]")).getOrElse("NULL")
+      s"($id, '$fmt', $a, $b)"
+    }
+    s"""WITH audio(doc_id, fmt, ahash, bins) AS (VALUES ${rows.mkString(",\n  ")}),
+       snd AS (SELECT * FROM audio WHERE ahash IS NOT NULL),
+       pairs AS (SELECT bit_count(xor(a.ahash, b.ahash)) AS h
+                 FROM snd a JOIN snd b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
+       poss AS (SELECT unnest(range(1, 65)) AS j),
+       binsx AS (SELECT m.doc_id, p.j, m.bins[p.j] AS bin FROM snd m, poss p),
+       bkt AS (SELECT list_position(bins, list_aggregate(bins, 'max')) AS b,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM snd GROUP BY 1)
+       SELECT stage, n_units, aux FROM (
+         SELECT '00_corpus' AS stage,
+                (SELECT CAST(count(*) AS BIGINT) FROM audio) AS n_units,
+                CAST(0 AS BIGINT) AS aux
+         UNION ALL SELECT '01_sniff',
+                (SELECT CAST(count(*) AS BIGINT) FROM audio WHERE fmt = 'wav'),
+                (SELECT CAST(count(*) AS BIGINT) FROM audio WHERE fmt = '')
+         UNION ALL SELECT '02_decode',
+                (SELECT CAST(count(*) AS BIGINT) FROM snd),
+                (SELECT CAST(count(DISTINCT ahash) AS BIGINT) FROM snd)
+         UNION ALL SELECT '03_neardup',
+                (SELECT CAST(count(*) AS BIGINT) FROM pairs),
+                (SELECT CAST(COALESCE(sum(h), 0) AS BIGINT) FROM pairs)
+         UNION ALL SELECT '04_embed',
+                (SELECT CAST(count(*) AS BIGINT) FROM snd),
+                (SELECT CAST(COALESCE(sum(j * bin), 0) AS BIGINT) FROM binsx)
+         UNION ALL SELECT '05_buckets',
+                (SELECT CAST(count(*) AS BIGINT) FROM bkt),
+                (SELECT CAST(COALESCE(max(n), 0) AS BIGINT) FROM bkt)
+         UNION ALL SELECT '06_store',
+                (SELECT CAST(count(*) AS BIGINT) FROM snd), CAST(0 AS BIGINT)
        ) ORDER BY stage"""
   }
 

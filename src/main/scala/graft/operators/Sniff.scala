@@ -39,6 +39,7 @@ object Sniff {
       else ""
     }
     else if (asciiAt(0, "WEBVTT")) "vtt"
+    else if (b.length >= 12 && asciiAt(0, "RIFF") && asciiAt(8, "WAVE")) "wav"
     // raster magics before the text fallback: a P6 header is printable
     // ASCII and small solid images could otherwise sniff as "text"
     else if (b.length >= 11 && b(0) == 'P' && b(1) == '6' &&

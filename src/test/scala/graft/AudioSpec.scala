@@ -135,4 +135,56 @@ class AudioSpec extends AnyFunSuite {
     val textEl = out.elements.find(_.elementType == "Text").get
     assert(textEl.embedding.isEmpty && textEl.prop("audio.rms").isEmpty)
   }
+
+  test("AudioCorpus: Spark and driver generators are byte-identical; structure holds") {
+    import graft.operators.{AudioCorpus, Sniff}
+    val ids = (0L until 50L)
+    val sparkBytes = ids.toDF("doc_id")
+      .withColumn("b", AudioCorpus.bytesCol(col("doc_id")))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+    ids.foreach { id =>
+      assert(java.util.Arrays.equals(sparkBytes(id), AudioCorpus.bytesFor(id)),
+        s"byte mismatch at doc_id=$id")
+    }
+    // format dispatch: %10==9 -> garbage (unknown), everything else RIFF/WAVE
+    assert(Sniff.sniff(AudioCorpus.bytesFor(8L)) == "wav")
+    assert(Sniff.sniff(AudioCorpus.bytesFor(9L)) == "")
+    assert(Sniff.sniff(AudioCorpus.bytesFor(3L)) == "wav")
+    assert(AudioOps.decodeWav(AudioCorpus.bytesFor(9L)).isEmpty)
+    // the 16-bit member decodes to floats BIT-IDENTICAL to the 8-bit
+    // normalization of the same samples: (v-128)*256/32768 == (v-128)/128
+    val via16 = AudioOps.decodeWav(AudioCorpus.bytesFor(8L)).get
+    assert(via16.sampleRate == AudioCorpus.SampleRate)
+    (0 until AudioCorpus.NSamples).foreach { i =>
+      val v = AudioCorpus.sample(2L, 0L, i.toLong)
+      assert(via16.samples(i) == ((v - 128).toFloat / 128.0f), s"sample $i")
+    }
+    // near-dup structure: within-group hamming small, cross-group far
+    def ah(id: Long) = AudioOps.aHash64(AudioOps.decodeWav(AudioCorpus.bytesFor(id)).get)
+    val within = java.lang.Long.bitCount(ah(0L) ^ ah(1L))
+    val across = java.lang.Long.bitCount(ah(0L) ^ ah(12L))
+    assert(within <= 6, s"within-group hamming $within")
+    assert(across > 6, s"cross-group hamming $across")
+    // expected() facts line up with the engine expressions run in Spark
+    val facts = ids.map(id => id -> AudioCorpus.expected(id)).toMap
+    val engine = ids.toDF("doc_id")
+      .withColumn("b", AudioCorpus.bytesCol(col("doc_id")))
+      .select(col("doc_id"),
+        graft.operators.SniffExpr.sniffFormat(col("b")).as("fmt"),
+        AudioOps.aHash(col("b")).as("ahash"),
+        transform(AudioOps.envelopeCol(col("b")),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("bins"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getSeq[Long](3).toArray))
+      }.toMap
+    ids.foreach { id =>
+      assert(engine(id)._1 == facts(id)._1, s"fmt mismatch at $id")
+      assert(engine(id)._2 == facts(id)._2, s"ahash mismatch at $id")
+      assert(engine(id)._3.map(_.toSeq) == facts(id)._3.map(_.toSeq),
+        s"envelope micros mismatch at $id")
+    }
+  }
 }
