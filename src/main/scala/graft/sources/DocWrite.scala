@@ -41,6 +41,8 @@ object DocWrite {
       lit(index).as("_index"), col("docId").as("_id")).as("index")))
     val source = to_json(struct(
       col("docId").as("doc_id"),
+      col("parentId").as("parent_id"),
+      col("docType").as("type"),
       col("textRepresentation").as("text"),
       col("embedding"),
       col("properties")))
