@@ -2562,6 +2562,81 @@ object SparkEntry {
         .unionAll(r6)
         .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
         .orderBy(col("stage"))
+    }),
+
+    "q_video_e2e" -> ((s, dir) => {
+      // the video family as ONE verified chain, completing the multimodal
+      // triad next to q_media_e2e/q_audio_e2e — synthetic GFV0 containers
+      // (VideoCorpus: 8 PPM/BMP frames per doc_id in 3 scenes, generated
+      // DISTRIBUTED as column arithmetic; byte-identical driver twin feeds
+      // the oracle; corrupt-frame and corrupt-container arms) → codegen'd
+      // frame sampling (everyN=2 through the pluggable FrameSampler seam)
+      // → per-frame dHash → scene-cut detection (consecutive-frame hamming
+      // over a key-partitioned window) → per-video bit-majority signature
+      // (ONE groupBy, 64 partial-aggregable bit sums) → pigeonhole
+      // near-dup pairs → first-keyframe color-histogram embedding →
+      // vector-store write + read-back. DuckDB cannot slice or decode the
+      // containers, so the oracle literalizes each sampled frame's dHash
+      // computed by the driver twin and independently replays every
+      // RELATIONAL stage (r13 verdict: audio/video were the last unit-only
+      // media members; this closes video).
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val vc = graft.operators.VideoCorpus
+      val corpus = tbl(s, dir, "documents")
+        .select(col("doc_id"), vc.bytesCol(col("doc_id")).as("bytes"))
+        .persist(lvl)
+      val frames = graft.operators.VideoOps
+        .frames(corpus, "doc_id", "bytes", everyN = vc.SampleEvery)
+        .persist(lvl)
+      val dec = frames
+        .select(col("doc_id"), col("fidx"), col("frame"),
+          graft.operators.MediaOps.dHash(col("frame")).as("dhash"))
+        .where(col("dhash").isNotNull)
+        .persist(lvl)
+      val cuts = graft.operators.VideoOps
+        .sceneCuts(dec, "doc_id", "fidx", "dhash", threshold = vc.CutThreshold)
+      val sigs = graft.operators.VideoOps
+        .bitMajoritySignature(dec, "doc_id", "dhash")
+        .persist(lvl)
+      val pairs = graft.operators.VideoOps
+        .videoNearDupPairs(sigs, "doc_id", "signature", maxHamming = 6)
+      val keyframe = dec
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("fidx"))))
+        .where(col("_rn") === 1)
+        .select(col("doc_id"),
+          graft.operators.MediaOps.colorHistogramCol(col("frame")).as("emb"))
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft_video_store").toString
+      val store = new graft.sources.ParquetVectorStore(storePath)
+      store.append(graft.sources.DocRead.fromDataFrame(
+        keyframe.select(col("doc_id").cast("string").as("id"),
+          col("emb").as("embedding")),
+        Some("id"), None))
+      val r0 = corpus.agg(count(lit(1)).as("n_units"))
+        .select(lit("00_corpus").as("stage"), col("n_units"), lit(0L).as("aux"))
+      val r1 = frames.agg(count(lit(1)).as("n_units"),
+          count_distinct(col("doc_id")).as("aux"))
+        .select(lit("01_frames").as("stage"), col("n_units"), col("aux"))
+      val r2 = dec.agg(count(lit(1)).as("n_units"),
+          count_distinct(col("dhash")).as("aux"))
+        .select(lit("02_decode").as("stage"), col("n_units"), col("aux"))
+      val r3 = cuts.agg(
+          coalesce(sum(col("is_cut")), lit(0L)).as("n_units"),
+          coalesce(sum(col("hamming").cast("long")), lit(0L)).as("aux"))
+        .select(lit("03_scenes").as("stage"), col("n_units"), col("aux"))
+      val r4 = sigs.agg(count(lit(1)).as("n_units"),
+          count_distinct(col("signature")).as("aux"))
+        .select(lit("04_signature").as("stage"), col("n_units"), col("aux"))
+      val r5 = pairs.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("hamming").cast("long")), lit(0L)).as("aux"))
+        .select(lit("05_neardup").as("stage"), col("n_units"), col("aux"))
+      val r6 = store.read(s).agg(count(lit(1)).as("n_units"))
+        .select(lit("06_store").as("stage"), col("n_units"), lit(0L).as("aux"))
+      r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+        .unionAll(r6)
+        .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -3225,6 +3300,7 @@ object SparkEntry {
       "q_ann_sq8" -> sq8OracleSql(mn, mx, graft.ann.Ann.sq8EncodeVec(sqq, mn, mx)),
       "q_media_e2e" -> mediaOracleSql(spark, sfDir),
       "q_audio_e2e" -> audioOracleSql(spark, sfDir),
+      "q_video_e2e" -> videoOracleSql(spark, sfDir),
       "q_retrieval_e2e" -> retrievalE2eOracleSql(spark, sfDir))
   }
 
@@ -3330,6 +3406,77 @@ object SparkEntry {
                 (SELECT CAST(COALESCE(max(n), 0) AS BIGINT) FROM bkt)
          UNION ALL SELECT '06_store',
                 (SELECT CAST(count(*) AS BIGINT) FROM snd), CAST(0 AS BIGINT)
+       ) ORDER BY stage"""
+  }
+
+  /** DuckDB replay of q_video_e2e from the literalized per-sampled-frame
+    * dHashes computed by VideoCorpus.expected — the DRIVER twin of the
+    * gate's distributed generator, byte-identical by unit test, run
+    * through the SAME FakeFrameSampler + MediaOps decode the engine uses.
+    * Container slicing and raster decode cannot run in DuckDB; every
+    * RELATIONAL stage — frame/video counts, the lag-window scene-cut scan,
+    * the per-bit majority signature (HUGEINT bit sum wrapped to signed
+    * BIGINT, because DuckDB's BIGINT `1 << 63` overflows), the brute-force
+    * hamming pair set (equivalent to the pigeonhole join's output by the
+    * pigeonhole guarantee), store read-back count — is genuinely
+    * recomputed in SQL. ORACLE-GENERATION ONLY: collects the doc_id list
+    * (gate-scale bounded; the gate's own plan never collects). */
+  private def videoOracleSql(spark: SparkSession, sfDir: String): String = {
+    val ids = tbl(spark, sfDir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    require(ids.length <= 200000, "video oracle is gate-scale only")
+    val rows = ids.flatMap { id =>
+      graft.operators.VideoCorpus.expected(id).map { case (fidx, dh) =>
+        s"($id, $fidx, ${dh.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")})"
+      }
+    }
+    val cutT = graft.operators.VideoCorpus.CutThreshold
+    s"""WITH vf(doc_id, fidx, dhash) AS (VALUES ${rows.mkString(",\n  ")}),
+       dec AS (SELECT * FROM vf WHERE dhash IS NOT NULL),
+       cons AS (SELECT doc_id, dhash,
+                lag(dhash) OVER (PARTITION BY doc_id ORDER BY fidx) AS prev
+                FROM dec),
+       cut AS (SELECT bit_count(xor(dhash, prev)) AS h
+               FROM cons WHERE prev IS NOT NULL),
+       nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dec GROUP BY doc_id),
+       bits AS (SELECT doc_id, p.j AS p,
+                CAST((dhash >> CAST(p.j AS INTEGER)) & 1 AS BIGINT) AS b
+                FROM dec, (SELECT unnest(range(0, 64)) AS j) p),
+       maj AS (SELECT bits.doc_id, bits.p
+               FROM bits JOIN nd USING (doc_id)
+               GROUP BY bits.doc_id, bits.p, nd.n HAVING 2 * sum(b) > nd.n),
+       sigsum AS (SELECT doc_id,
+                  SUM(CAST(1 AS HUGEINT) << CAST(p AS INTEGER)) AS hs
+                  FROM maj GROUP BY doc_id),
+       sig AS (SELECT nd.doc_id,
+               CAST(CASE WHEN COALESCE(s.hs, 0) >= (CAST(1 AS HUGEINT) << 63)
+                    THEN COALESCE(s.hs, 0) - (CAST(1 AS HUGEINT) << 64)
+                    ELSE COALESCE(s.hs, 0) END AS BIGINT) AS sg
+               FROM nd LEFT JOIN sigsum s USING (doc_id)),
+       pr AS (SELECT bit_count(xor(a.sg, b.sg)) AS h
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sg, b.sg)) <= 6)
+       SELECT stage, n_units, aux FROM (
+         SELECT '00_corpus' AS stage,
+                (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_units,
+                CAST(0 AS BIGINT) AS aux
+         UNION ALL SELECT '01_frames',
+                (SELECT CAST(count(*) AS BIGINT) FROM vf),
+                (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM vf)
+         UNION ALL SELECT '02_decode',
+                (SELECT CAST(count(*) AS BIGINT) FROM dec),
+                (SELECT CAST(count(DISTINCT dhash) AS BIGINT) FROM dec)
+         UNION ALL SELECT '03_scenes',
+                (SELECT CAST(COALESCE(sum(CASE WHEN h > $cutT THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cut),
+                (SELECT CAST(COALESCE(sum(h), 0) AS BIGINT) FROM cut)
+         UNION ALL SELECT '04_signature',
+                (SELECT CAST(count(*) AS BIGINT) FROM sig),
+                (SELECT CAST(count(DISTINCT sg) AS BIGINT) FROM sig)
+         UNION ALL SELECT '05_neardup',
+                (SELECT CAST(count(*) AS BIGINT) FROM pr),
+                (SELECT CAST(COALESCE(sum(h), 0) AS BIGINT) FROM pr)
+         UNION ALL SELECT '06_store',
+                (SELECT CAST(count(*) AS BIGINT) FROM nd), CAST(0 AS BIGINT)
        ) ORDER BY stage"""
   }
 
