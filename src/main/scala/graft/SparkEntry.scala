@@ -2183,6 +2183,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("yr"), col("o_orderpriority"))
     }),
+    "q_t_closeness" -> ((s, dir) => {
+      // t-closeness report (Privacy.tClosenessReport, Li et al. 2007 —
+      // completes the k-anon → l-diversity → t-closeness family): per
+      // nation, is the account-balance distribution within EMD t = 0.15
+      // (the paper's example t) of the global one? Sensitive domain =
+      // thousand-dollar balance buckets (exact cents, shifted non-negative
+      // so integer division has no floor/truncate ambiguity); all EMD math
+      // exact integers — the gate emits the raw (emd_num, emd_den) pair,
+      // no division anywhere
+      val cust = tbl(s, dir, "customer")
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val sv = floor((cents + lit(100000L)) / lit(100000.0)).cast("long")
+      graft.operators.Privacy.tClosenessReport(
+          cust.select(col("c_nationkey").cast("long").as("nation"),
+            sv.as("bal_bucket")),
+          Seq(col("nation")), col("bal_bucket"), tPpm = 150000L)
+        .select(col("qi0").as("nation"), col("n"),
+          col("emd_num").cast("long").as("emd_num"),
+          col("emd_den").cast("long").as("emd_den"), col("pass"))
+        .orderBy(col("nation"))
+    }),
     "q_seasonality" -> ((s, dir) =>
       // hour-of-day seasonal profile per event type: share-of-mass
       // seasonal index in exact integer micros (EventAnalytics.seasonality)
@@ -6221,6 +6242,44 @@ object SparkEntry {
                     FROM orders GROUP BY yr, pr)
          SELECT yr, pr AS o_orderpriority, n FROM g WHERE nsv >= 3
          ORDER BY yr, pr""",
+    "q_t_closeness" ->
+      // ordered-EMD t-closeness replay: all integers, HUGEINT products
+      // (the Spark side carries decimal(38,0) for the same reason),
+      // cumulative sums over the class x global-domain grid, inclusive
+      // cross-multiplied threshold at t = 0.15
+      """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS qi,
+                CAST(floor((CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+                           / 100000.0) AS BIGINT) AS sv
+              FROM customer WHERE c_acctbal IS NOT NULL),
+         gdist AS (SELECT sv, CAST(count(*) AS BIGINT) AS g
+                  FROM base GROUP BY sv),
+         tot AS (SELECT CAST(sum(g) AS HUGEINT) AS tn,
+                        CAST(count(*) AS HUGEINT) AS tm FROM gdist),
+         classes AS (SELECT qi, CAST(count(*) AS BIGINT) AS n
+                     FROM base GROUP BY qi),
+         cvc AS (SELECT qi, sv, CAST(count(*) AS BIGINT) AS c
+                 FROM base GROUP BY qi, sv),
+         grid AS (SELECT cl.qi, cl.n, gl.sv, gl.g, COALESCE(cvc.c, 0) AS c
+                  FROM classes cl CROSS JOIN gdist gl
+                  LEFT JOIN cvc ON cvc.qi = cl.qi AND cvc.sv = gl.sv),
+         cums AS (SELECT qi, n,
+                  SUM(CAST(c AS HUGEINT) * (SELECT tn FROM tot)
+                      - CAST(g AS HUGEINT) * CAST(n AS HUGEINT))
+                    OVER (PARTITION BY qi ORDER BY sv
+                          ROWS UNBOUNDED PRECEDING) AS cs
+                  FROM grid),
+         rep AS (SELECT qi, CAST(max(n) AS BIGINT) AS n,
+                        SUM(abs(cs)) AS emd_num,
+                        ((SELECT tm FROM tot) - 1) * CAST(max(n) AS HUGEINT)
+                          * (SELECT tn FROM tot) AS emd_den
+                 FROM cums GROUP BY qi)
+         SELECT qi AS nation, n,
+                CAST(CASE WHEN emd_den <= 0 THEN 0 ELSE emd_num END AS BIGINT) AS emd_num,
+                CAST(CASE WHEN emd_den <= 0 THEN 0 ELSE emd_den END AS BIGINT) AS emd_den,
+                CAST(CASE WHEN emd_den <= 0 THEN 1
+                          WHEN emd_num * 1000000 <= emd_den * 150000 THEN 1
+                          ELSE 0 END AS BIGINT) AS pass
+         FROM rep ORDER BY nation""",
     "q_seasonality" ->
       // hour-of-day share/index in integer micros; DuckDB reads the
       // nanos timestamp truncated to us — hour buckets agree exactly

@@ -152,6 +152,114 @@ object Privacy {
     q.join(keep, cond, "left_semi").drop(qiNames: _*)
   }
 
+  /** t-closeness report (Li, Li & Venkatasubramanian 2007 "t-Closeness:
+    * Privacy Beyond k-Anonymity and l-Diversity", §4): l-diversity still
+    * leaks when a group's sensitive-value DISTRIBUTION diverges from the
+    * table's (skewness/similarity attacks) — a release is t-close when
+    * every quasi-identifier group's distribution is within Earth Mover's
+    * Distance t of the global one. For an ORDERED sensitive attribute the
+    * EMD has the paper's closed form: (1/(m-1)) * Σ_i |Σ_{j<=i}(p_j-q_j)|
+    * over the m ordered global domain values.
+    *
+    * All math is EXACT INTEGER: p_j - q_j over the common denominator
+    * n*N becomes the numerator c_j*N - g_j*n, cumulative sums and the
+    * final |·| sum stay integral, and the t test cross-multiplies —
+    * `emd_num * 1e6 <= tPpm * emd_den` with emd_den = (m-1)*n*N — so the
+    * oracle replays it bit-for-bit (DuckDB HUGEINT). Products are carried
+    * as decimal(38,0) (128-bit): at a 100 TB corpus n*N alone overflows
+    * int64, and a silent wrap here would corrupt a PRIVACY decision.
+    *
+    * Scale shape: one groupBy for the global domain (m rows — small by
+    * contract: bucket continuous sensitive values first), one for class
+    * sizes, one for (class, value) counts; the domain frame joins in
+    * broadcast, the cumulative sum is a KEY-PARTITIONED window per class.
+    * No driver state beyond the plan. Null sensitive values are excluded
+    * from both distributions (an ordered domain gives null no position —
+    * unlike lDiversify's categorical counting, where null is a class).
+    *
+    * Output: one row per class — qi0..qiN, n, emd_num, emd_den (exact
+    * decimal integers; EMD = emd_num/emd_den), pass (1 iff t-close). A
+    * single-value global domain (m=1) makes every class trivially t-close
+    * (every distribution IS the global one): emd_num = emd_den = 0,
+    * pass = 1. */
+  def tClosenessReport(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                       tPpm: Long): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(tPpm >= 0, "t must be non-negative (parts-per-million)")
+    val qiNames = qi.indices.map(i => s"qi$i")
+    val dec = "decimal(18,0)"
+    val base = df.where(sensitive.isNotNull)
+      .select(qi.zipWithIndex.map { case (c, i) => c.as(s"qi$i") } :+
+        sensitive.as("_sv"): _*)
+    val glob = base.groupBy(col("_sv")).agg(count(lit(1)).as("_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-row (N, m) rollup, broadcast-crossed into every downstream row
+    val tot = glob.agg(coalesce(sum(col("_g")), lit(0L)).as("_totn"),
+      count(lit(1)).as("_totm"))
+    val classes = base.groupBy(qiNames.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    // (class, value) counts RENAMED to fresh attributes: classes/cv both
+    // derive from `base`, so their qi columns share expression ids and an
+    // unrenamed join condition would be ambiguous self-join trivia
+    val cv = base.groupBy(qiNames.map(col) :+ col("_sv"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .select(qiNames.map(c => col(c).as(s"_v_$c")) :+
+        col("_sv").as("_vsv") :+ col("_c"): _*)
+    // class x global-domain grid (m is small by contract), class-value
+    // counts filled in null-safely (absent value in a class => c = 0)
+    val grid = classes
+      .crossJoin(broadcast(glob.select(col("_sv"), col("_g"))))
+      .join(cv,
+        qiNames.map(c => col(c) <=> col(s"_v_$c")).reduce(_ && _) &&
+          col("_sv") === col("_vsv"),
+        "left")
+      .select(qiNames.map(col) ++ Seq(col("_n"), col("_sv"), col("_g"),
+        coalesce(col("_c"), lit(0L)).as("_c")): _*)
+      .crossJoin(broadcast(tot))
+    // numerator of (p_j - q_j) over the common denominator n*N
+    val num = col("_c").cast(dec) * col("_totn").cast(dec) -
+      col("_g").cast(dec) * col("_n").cast(dec)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiNames.map(col): _*).orderBy(col("_sv"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = grid
+      .withColumn("_s", sum(num).over(w))
+      .groupBy(qiNames.map(col): _*)
+      .agg(first(col("_n")).as("n"),
+        sum(abs(col("_s"))).as("emd_num"),
+        ((first(col("_totm")).cast(dec) - lit(1).cast(dec)) *
+          first(col("_n")).cast(dec) * first(col("_totn")).cast(dec)).as("emd_den"))
+      .select(qiNames.map(col) :+ col("n") :+
+        // m = 1: the only cumulative sum is n*N - N*n = 0 already, but pin
+        // the degenerate domain to (0, 0) explicitly
+        when(col("emd_den") <= 0, lit(0).cast(dec))
+          .otherwise(col("emd_num")).as("emd_num") :+
+        when(col("emd_den") <= 0, lit(0).cast(dec))
+          .otherwise(col("emd_den")).as("emd_den"): _*)
+      .withColumn("pass",
+        when(col("emd_den") === 0, lit(1L)) // m = 1: trivially t-close
+          .otherwise((col("emd_num") * lit(1000000L).cast(dec) <=
+            col("emd_den") * lit(tPpm).cast(dec)).cast("long")))
+    out
+  }
+
+  /** t-closeness RELEASE: rows of classes that pass [[tClosenessReport]]
+    * (null-safe left-semi, the lDiversify composition shape — rows with a
+    * null sensitive value are dropped with their exclusion from the
+    * distributions). */
+  def tCloseness(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                 tPpm: Long): DataFrame = {
+    val qiNames = qi.indices.map(i => s"_qi$i")
+    val q = qi.zipWithIndex.foldLeft(df.where(sensitive.isNotNull)) {
+      case (d, (c, i)) => d.withColumn(s"_qi$i", c)
+    }
+    val keep = tClosenessReport(df, qi, sensitive, tPpm)
+      .where(col("pass") === 1L)
+      .select(qi.indices.map(i => col(s"qi$i").as(s"_r_qi$i")): _*)
+    val cond = qi.indices.map(i => col(s"_qi$i") <=> col(s"_r_qi$i")).reduce(_ && _)
+    q.join(keep, cond, "left_semi").drop(qiNames: _*)
+  }
+
   /** ONE corpus aggregation shared by every lattice probe: group by every
     * level expression of every ladder (column `_l<qi>_<lvl>`) plus the
     * verbatim QIs (`_oq<i>`), count rows. |freq| = distinct finest-level

@@ -952,6 +952,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Privacy.lDiversify(dfn, Seq(col("g")), col("s"), 3L).count() == 3)
   }
 
+  test("Privacy.tClosenessReport: exact integer EMD against hand computation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // global domain {1,2,3} with counts (3,1,1), N=5, m=3.
+    // A=[1,1]: nums (2*5-3*2, -1*2, -1*2)=(4,-2,-2), cums 4,2,0 -> 6/20
+    // B=[2,3]: nums (-6,3,3), cums -6,-3,0            -> 9/20
+    // C=[1]:   nums (2,-1,-1), cums 2,1,0             -> 3/10
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 3L), ("C", 1L))
+      .toDF("g", "v")
+    val rep = Privacy.tClosenessReport(df, Seq(col("g")), col("v"), tPpm = 350000L)
+      .select(col("qi0"), col("n"),
+        col("emd_num").cast("long"), col("emd_den").cast("long"), col("pass"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep("A") == ((2L, 6L, 20L, 1L)), s"A: ${rep("A")}") // 0.30 <= 0.35
+    assert(rep("B") == ((2L, 9L, 20L, 0L)), s"B: ${rep("B")}") // 0.45 >  0.35
+    assert(rep("C") == ((1L, 3L, 10L, 1L)), s"C: ${rep("C")}") // 0.30 <= 0.35
+    // threshold boundary is inclusive: t = 0.30 exactly keeps A and C
+    val edge = Privacy.tClosenessReport(df, Seq(col("g")), col("v"), 300000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(edge == Map("A" -> 1L, "B" -> 0L, "C" -> 1L))
+    // release = rows of passing classes only
+    val rel = Privacy.tCloseness(df, Seq(col("g")), col("v"), 350000L)
+      .select("g").as[String].collect().toSeq.sorted
+    assert(rel == Seq("A", "A", "C"), s"got $rel")
+    // m = 1 degenerate domain: trivially t-close, (0, 0) sentinel
+    val one = Privacy.tClosenessReport(
+      Seq(("A", 7L), ("B", 7L)).toDF("g", "v"), Seq(col("g")), col("v"), 0L)
+      .collect().map(r => (r.getDecimal(2).longValueExact(),
+        r.getDecimal(3).longValueExact(), r.getLong(4)))
+    assert(one.forall(_ == ((0L, 0L, 1L))), s"got ${one.toSeq}")
+    // null sensitive values are excluded from both distributions
+    val withNull = df.unionAll(Seq(("A", Option.empty[Long])).toDF("g", "v"))
+    val rep2 = Privacy.tClosenessReport(withNull, Seq(col("g")), col("v"), 350000L)
+      .select(col("qi0"), col("n"), col("emd_num").cast("long")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep2("A") == ((2L, 6L)), s"got ${rep2("A")}")
+  }
+
   test("EventAnalytics.seasonality: exact integer slot shares") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
