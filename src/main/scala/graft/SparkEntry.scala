@@ -2658,6 +2658,72 @@ object SparkEntry {
         .unionAll(r6)
         .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
         .orderBy(col("stage"))
+    }),
+
+    "q_stream_e2e" -> ((s, dir) => {
+      // Structured Streaming end-to-end, ORACLED — the streaming-equals-
+      // batch identity made a hash gate (streaming was the last unit-only
+      // §2 family). The events table is re-written as an 8-file corpus and
+      // re-read as a REAL file-source stream in 2-file micro-batches under
+      // Trigger.AvailableNow, through three streaming queries: a tumbling
+      // event-time window aggregation (complete mode), streaming
+      // first-seen dedup (dropDuplicates state across batches, append
+      // mode), and an exactly-once checkpointed parquet sink. Every stage
+      // checksum is INVARIANT to the micro-batch split by construction
+      // (complete-mode aggs converge to the batch answer; per-key
+      // first-seen emits exactly one row per key whatever the batch
+      // boundaries; the file sink commits each batch exactly once) — so
+      // DuckDB replays the identical numbers from plain batch SQL.
+      // Watermark EVICTION is deliberately absent here: late-drop under an
+      // unordered file split is batch-order-dependent, the one thing a
+      // hash gate cannot carry (eviction semantics are pinned by
+      // StreamingSpec instead).
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val tmpIn = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+      ev.repartition(8).write.mode("overwrite").parquet(tmpIn)
+      val schema = s.read.parquet(tmpIn).schema
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(tmpIn)
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val q1 = src
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(s"gs_win_$tag")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      val wins = s.table(s"gs_win_$tag")
+        .select(expr("unix_micros(window.start) div 3600000000").as("h"),
+          col("event_type"), col("n"))
+      val q2 = src.dropDuplicates("user_id")
+        .writeStream.format("memory").queryName(s"gs_dd_$tag")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      val dd = s.table(s"gs_dd_$tag")
+      val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+      val q3 = src.where(col("event_type") === "click")
+        .writeStream.format("parquet").option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+      val sunk = s.read.parquet(s"$outDir/data")
+      val r0 = wins.agg(coalesce(sum(col("n")), lit(0L)).as("n_units"),
+          count_distinct(col("event_type")).as("aux"))
+        .select(lit("00_ingest").as("stage"), col("n_units"), col("aux"))
+      val r1 = wins.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("h") * col("n")), lit(0L)).as("aux"))
+        .select(lit("01_windows").as("stage"), col("n_units"), col("aux"))
+      val r2 = dd.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("user_id")), lit(0L)).as("aux"))
+        .select(lit("02_dedup").as("stage"), col("n_units"), col("aux"))
+      val r3 = sunk.agg(count(lit(1)).as("n_units"),
+          coalesce(sum(col("user_id")), lit(0L)).as("aux"))
+        .select(lit("03_sink").as("stage"), col("n_units"), col("aux"))
+      r0.unionAll(r1).unionAll(r2).unionAll(r3)
+        .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -6280,6 +6346,29 @@ object SparkEntry {
                           WHEN emd_num * 1000000 <= emd_den * 150000 THEN 1
                           ELSE 0 END AS BIGINT) AS pass
          FROM rep ORDER BY nation""",
+    "q_stream_e2e" ->
+      // the streaming gate's checksums are batch-equal by construction, so
+      // the oracle IS the plain batch replay (hour index truncates ns->us
+      // on both engines for non-negative timestamps)
+      """WITH w AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+         d AS (SELECT DISTINCT user_id FROM events),
+         c AS (SELECT user_id FROM events WHERE event_type = 'click')
+         SELECT stage, n_units, aux FROM (
+           SELECT '00_ingest' AS stage,
+                  (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM w) AS n_units,
+                  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM w) AS aux
+           UNION ALL SELECT '01_windows',
+                  (SELECT CAST(count(*) AS BIGINT) FROM w),
+                  (SELECT CAST(COALESCE(sum(h * n), 0) AS BIGINT) FROM w)
+           UNION ALL SELECT '02_dedup',
+                  (SELECT CAST(count(*) AS BIGINT) FROM d),
+                  (SELECT CAST(COALESCE(sum(user_id), 0) AS BIGINT) FROM d)
+           UNION ALL SELECT '03_sink',
+                  (SELECT CAST(count(*) AS BIGINT) FROM c),
+                  (SELECT CAST(COALESCE(sum(user_id), 0) AS BIGINT) FROM c)
+         ) ORDER BY stage""",
     "q_seasonality" ->
       // hour-of-day share/index in integer micros; DuckDB reads the
       // nanos timestamp truncated to us — hour buckets agree exactly
