@@ -2183,6 +2183,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("yr"), col("o_orderpriority"))
     }),
+    "q_hll_distinct" -> ((s, dir) => {
+      // integer-exact HyperLogLog per order priority (Hll.approxDistinct,
+      // p=8): the raw estimator, the scaled harmonic denominator, and the
+      // zero-register count all replay bit-for-bit in SQL, shown next to
+      // the exact distinct count so the ~6.5% error bound is visible
+      val o = tbl(s, dir, "orders")
+      val rep = graft.operators.Hll.approxDistinct(
+        o, Seq(col("o_orderpriority")), col("o_custkey"), p = 8)
+      val exact = o.groupBy(col("o_orderpriority").as("_ep"))
+        .agg(count_distinct(col("o_custkey")).as("n_exact"))
+      rep.join(exact, col("g0") === col("_ep"))
+        .select(col("g0").as("o_orderpriority"), col("n_exact"),
+          col("est_distinct"), col("v_zero"), col("harm_scaled"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "q_t_closeness" -> ((s, dir) => {
       // t-closeness report (Privacy.tClosenessReport, Li et al. 2007 —
       // completes the k-anon → l-diversity → t-closeness family): per
@@ -6308,6 +6323,35 @@ object SparkEntry {
                     FROM orders GROUP BY yr, pr)
          SELECT yr, pr AS o_orderpriority, n FROM g WHERE nsv >= 3
          ORDER BY yr, pr""",
+    "q_hll_distinct" ->
+      // HLL replay with the same 30-bit polynomial hash: register index =
+      // low 8 bits, rho over the 22 remaining bits via length(bin(x)) —
+      // shared by both engines — harmonic sum scaled by 2^23 = 8388608,
+      // estimate by integer floor division with the pinned alphaPpm(256) =
+      // 718272 numerator
+      """WITH h AS (SELECT o_orderpriority AS pr,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(str_split(o_custkey::VARCHAR || ':hll:' || o_custkey::VARCHAR, ''),
+                  x -> ascii(x)::BIGINT)),
+                (a, b) -> (a * 31 + b) % 1000000007) AS hv
+            FROM orders),
+         r AS (SELECT pr, hv & 255 AS b,
+                      CASE WHEN (hv >> 8) = 0 THEN 23
+                           ELSE 23 - length(bin(hv >> 8)) END AS rho
+               FROM h),
+         regs AS (SELECT pr, b, max(rho) AS mr FROM r GROUP BY pr, b),
+         agg AS (SELECT pr, CAST(count(*) AS BIGINT) AS present,
+                        CAST(sum(CAST(8388608 AS BIGINT) >> CAST(mr AS INTEGER)) AS BIGINT) AS psum
+                 FROM regs GROUP BY pr),
+         ex AS (SELECT o_orderpriority AS pr,
+                       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+                FROM orders GROUP BY 1)
+         SELECT agg.pr AS o_orderpriority, ex.n_exact,
+                CAST(394874207952961536 // (1000000 * (psum + (256 - present) * 8388608)) AS BIGINT) AS est_distinct,
+                CAST(256 - present AS BIGINT) AS v_zero,
+                CAST(psum + (256 - present) * 8388608 AS BIGINT) AS harm_scaled
+         FROM agg JOIN ex ON agg.pr = ex.pr
+         ORDER BY 1""",
     "q_t_closeness" ->
       // ordered-EMD t-closeness replay: all integers, HUGEINT products
       // (the Spark side carries decimal(38,0) for the same reason),

@@ -952,6 +952,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Privacy.lDiversify(dfn, Seq(col("g")), col("s"), 3L).count() == 3)
   }
 
+  test("Hll.approxDistinct: integer HLL matches a driver-side replay; alpha pinned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Hll
+    assert(Hll.alphaPpm(256) == 718272L)
+    val rows = (0 until 3000).map(i => ("g" + (i % 3), (i * 7919 % 997).toString))
+    val got = Hll.approxDistinct(rows.toDF("g", "v"), Seq(col("g")), col("v"), p = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // driver replay of the exact integer construction
+    def poly(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val regs = new Array[Long](256)
+      rs.foreach { case (_, v) =>
+        val h = poly(v + ":hll:" + v)
+        val b = (h & 255L).toInt
+        val rest = h >>> 8
+        val rho = if (rest == 0) 23L else 23L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (rho > regs(b)) regs(b) = rho
+      }
+      val present = regs.count(_ > 0)
+      val harm = regs.filter(_ > 0).map(mr => 8388608L >>> mr).sum +
+        (256L - present) * 8388608L
+      val est = 394874207952961536L / (1000000L * harm)
+      g -> (256L - present, harm, est)
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // statistical sanity: ~997 distinct per group, sigma ~ 6.5% at m=256
+    got.values.foreach { case (_, _, est) =>
+      assert(est > 700 && est < 1300, s"estimate $est implausible for 997 distinct")
+    }
+  }
+
   test("Privacy.tClosenessReport: exact integer EMD against hand computation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
