@@ -192,7 +192,8 @@ object ScaleProbe {
     // second K without re-timing the whole suite
     val sections = sys.env.get("SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("core", "graph", "events", "ingest", "ann", "r10b"))
+      .getOrElse(Set("core", "graph", "events", "ingest", "ann", "r10b",
+        "r12", "r13", "r14"))
     if (sections("core")) ops.foreach { case (name, f) =>
       val t1 = measure(f, small)
       val tk = measure(f, big)
@@ -304,6 +305,55 @@ object ScaleProbe {
         d.select(col("source"), col("doc_id").as("ts"), col("n_chars")),
         "source", "ts", col("n_chars"), 1000000L)))
     if (sections("r13")) opsR13.foreach { case (name, f) =>
+      val t1 = measure(f, small)
+      val tk = measure(f, big)
+      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+
+    // round-14 additions. audio/video pipelines ride replica-disjoint
+    // synthetic corpora (group = doc_id/4; the 1e9 replica offset keeps
+    // groups apart, so near-dup pair volume grows linearly and the ratio
+    // isolates generation + decode + hash + join machinery). t_closeness
+    // keys classes by lang — class COUNT stays fixed while class SIZE
+    // grows Kx, the realistic release shape; the domain grid is constant,
+    // so only the three corpus aggregations should scale. hll keys by
+    // lang too: registers saturate at m per group, so everything after
+    // the first map-side combine is size-independent.
+    val opsR14: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "audio_pipeline" -> { d =>
+        val corpus = d.select(col("doc_id"),
+          graft.operators.AudioCorpus.bytesCol(col("doc_id")).as("bytes"))
+        graft.operators.AudioOps.audioNearDupPairs(corpus, "doc_id", "bytes",
+          maxHamming = 6)
+      },
+      "video_pipeline" -> { d =>
+        val corpus = d.select(col("doc_id"),
+          graft.operators.VideoCorpus.bytesCol(col("doc_id")).as("bytes"))
+        val dec = graft.operators.VideoOps.frames(corpus, "doc_id", "bytes",
+            everyN = graft.operators.VideoCorpus.SampleEvery)
+          .select(col("doc_id"), col("fidx"),
+            graft.operators.MediaOps.dHash(col("frame")).as("dhash"))
+          .where(col("dhash").isNotNull)
+        graft.operators.VideoOps.sceneCuts(dec, "doc_id", "fidx", "dhash",
+          graft.operators.VideoCorpus.CutThreshold)
+      },
+      "video_signature" -> { d =>
+        val corpus = d.select(col("doc_id"),
+          graft.operators.VideoCorpus.bytesCol(col("doc_id")).as("bytes"))
+        val dec = graft.operators.VideoOps.frames(corpus, "doc_id", "bytes",
+            everyN = graft.operators.VideoCorpus.SampleEvery)
+          .select(col("doc_id"),
+            graft.operators.MediaOps.dHash(col("frame")).as("dhash"))
+          .where(col("dhash").isNotNull)
+        val sigs = graft.operators.VideoOps.bitMajoritySignature(
+          dec, "doc_id", "dhash")
+        graft.operators.VideoOps.videoNearDupPairs(sigs, "doc_id", "signature", 6)
+      },
+      "t_closeness" -> (d => graft.operators.Privacy.tClosenessReport(d,
+        Seq(col("lang")), col("n_chars") % 37, tPpm = 150000L)),
+      "hll_distinct" -> (d => graft.operators.Hll.approxDistinct(d,
+        Seq(col("lang")), col("doc_id"), p = 8)))
+    if (sections("r14")) opsR14.foreach { case (name, f) =>
       val t1 = measure(f, small)
       val tk = measure(f, big)
       println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
