@@ -118,11 +118,25 @@ object VideoCorpus {
   /** No GFV0 magic, <90% printable: the sampler yields zero frames. */
   private val GarbageHex = "00FF81070042"
 
-  /** Synthetic GFV0 container bytes for a doc_id column — distributed
-    * generation: pure integer column arithmetic into hex, one `unhex` at
-    * the end. One expression per frame (NFrames is a constant), so no
-    * nested lambda variables. */
-  def bytesCol(docId: Column): Column = {
+  /** Synthetic GFV0 container bytes for a doc_id column — distributed,
+    * whole-stage-codegen generation (VideoBytesExpr). A video container is
+    * 8x the per-row work of MediaCorpus's single image, which crosses the
+    * house threshold for interpreted HOF lambdas (they evaluate outside
+    * codegen and defeat CSE) — the gate at sf0.1 spent most of its 9 s in
+    * the transform() tree. The column-arithmetic formulation survives as
+    * [[bytesColArith]], unit-pinned byte-identical to this path and to
+    * the driver twin, as the executable spec of the byte layout. */
+  def bytesCol(docId: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      VideoBytesExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
+        docId.cast("long"))))
+
+  /** Column-arithmetic twin of [[bytesCol]] — pure integer expressions
+    * into hex, one `unhex` at the end; one expression per frame (NFrames
+    * is a constant), so no nested lambda variables. Kept as the
+    * executable byte-layout spec; interpreted HOFs make it ~6x slower
+    * than the codegen path at corpus scale. */
+  def bytesColArith(docId: Column): Column = {
     val id = docId.cast("long")
     val grp = shiftright(id, 2)
     val mem = pmod(id, lit(4L))
@@ -213,4 +227,29 @@ object VideoCorpus {
       case (frame, j) => (j, MediaOps.decode(frame).map(MediaOps.dHash64))
     }
   }
+}
+
+/** GFV0 container bytes of a doc_id as one codegen'd expression — the
+  * distributed generator stays inside whole-stage codegen instead of
+  * paying ~512 interpreted HOF lambda evaluations per row (the
+  * TextStatsExpr rule applied to corpus synthesis). */
+case class VideoBytesExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"video_bytes needs bigint, got $other")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    VideoCorpus.bytesFor(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.VideoCorpus.bytesFor($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "video_bytes"
 }

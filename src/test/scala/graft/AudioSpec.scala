@@ -139,13 +139,19 @@ class AudioSpec extends AnyFunSuite {
   test("AudioCorpus: Spark and driver generators are byte-identical; structure holds") {
     import graft.operators.{AudioCorpus, Sniff}
     val ids = (0L until 50L)
+    // three generator paths pinned byte-identical: the codegen expression
+    // (the gate's fast path), the column-arithmetic spec, the driver twin
     val sparkBytes = ids.toDF("doc_id")
-      .withColumn("b", AudioCorpus.bytesCol(col("doc_id")))
+      .select(col("doc_id"), AudioCorpus.bytesCol(col("doc_id")).as("b"),
+        AudioCorpus.bytesColArith(col("doc_id")).as("ba"))
       .orderBy("doc_id").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+      .map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("b"), r.getAs[Array[Byte]]("ba"))).toMap
     ids.foreach { id =>
-      assert(java.util.Arrays.equals(sparkBytes(id), AudioCorpus.bytesFor(id)),
-        s"byte mismatch at doc_id=$id")
+      assert(java.util.Arrays.equals(sparkBytes(id)._1, AudioCorpus.bytesFor(id)),
+        s"codegen byte mismatch at doc_id=$id")
+      assert(java.util.Arrays.equals(sparkBytes(id)._2, AudioCorpus.bytesFor(id)),
+        s"column-arithmetic byte mismatch at doc_id=$id")
     }
     // format dispatch: %10==9 -> garbage (unknown), everything else RIFF/WAVE
     assert(Sniff.sniff(AudioCorpus.bytesFor(8L)) == "wav")

@@ -17,13 +17,19 @@ class VideoSpec extends AnyFunSuite {
 
   test("VideoCorpus: Spark and driver generators are byte-identical; structure holds") {
     val ids = (0L until 50L)
+    // three generator paths pinned byte-identical: the codegen expression
+    // (the gate's fast path), the column-arithmetic spec, the driver twin
     val sparkBytes = ids.toDF("doc_id")
-      .withColumn("b", VideoCorpus.bytesCol(col("doc_id")))
+      .select(col("doc_id"), VideoCorpus.bytesCol(col("doc_id")).as("b"),
+        VideoCorpus.bytesColArith(col("doc_id")).as("ba"))
       .orderBy("doc_id").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+      .map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("b"), r.getAs[Array[Byte]]("ba"))).toMap
     ids.foreach { id =>
-      assert(java.util.Arrays.equals(sparkBytes(id), VideoCorpus.bytesFor(id)),
-        s"byte mismatch at doc_id=$id")
+      assert(java.util.Arrays.equals(sparkBytes(id)._1, VideoCorpus.bytesFor(id)),
+        s"codegen byte mismatch at doc_id=$id")
+      assert(java.util.Arrays.equals(sparkBytes(id)._2, VideoCorpus.bytesFor(id)),
+        s"column-arithmetic byte mismatch at doc_id=$id")
     }
     // container structure: PPM arm (doc 0), BMP arm (doc 8), corrupt-frame
     // arm (doc 7), garbage arm (doc 9)
