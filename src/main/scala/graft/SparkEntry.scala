@@ -2702,27 +2702,28 @@ object SparkEntry {
       def src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(tmpIn)
       val tag = java.lang.Long.toHexString(System.nanoTime())
+      // the three queries are independent streams over the same files —
+      // start all three and await all three (wall time ~ the slowest one,
+      // not the sum; each keeps its own state, checkpoint, and sink)
       val q1 = src
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .writeStream.format("memory").queryName(s"gs_win_$tag")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q1.awaitTermination()
-      val wins = s.table(s"gs_win_$tag")
-        .select(expr("unix_micros(window.start) div 3600000000").as("h"),
-          col("event_type"), col("n"))
       val q2 = src.dropDuplicates("user_id")
         .writeStream.format("memory").queryName(s"gs_dd_$tag")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q2.awaitTermination()
-      val dd = s.table(s"gs_dd_$tag")
       val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
       val q3 = src.where(col("event_type") === "click")
         .writeStream.format("parquet").option("path", s"$outDir/data")
         .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q3.awaitTermination()
+      q1.awaitTermination(); q2.awaitTermination(); q3.awaitTermination()
+      val wins = s.table(s"gs_win_$tag")
+        .select(expr("unix_micros(window.start) div 3600000000").as("h"),
+          col("event_type"), col("n"))
+      val dd = s.table(s"gs_dd_$tag")
       val sunk = s.read.parquet(s"$outDir/data")
       val r0 = wins.agg(coalesce(sum(col("n")), lit(0L)).as("n_units"),
           count_distinct(col("event_type")).as("aux"))
