@@ -90,17 +90,24 @@ object Bm25 {
       .join(broadcast(dfT), "_t")
       .crossJoin(broadcast(stats))
       .join(broadcast(terms.select(col(queryCol), col(termCol).as("_t"))), "_t")
-      .select(col(queryCol), col(id), contrib.as("_c"))
+      .select(col(queryCol), col(id), col("_t"), contrib.as("_c"))
     val allRows =
       if (padTo <= 0) contribRows
       else {
         val padIds = df.select(col(id)).orderBy(col(id)).limit(padTo)
         val queries = terms.select(col(queryCol)).distinct()
+        // "" sorts before any real token, so pads fold first (+0.0 exactly)
         val pad = broadcast(queries).crossJoin(padIds)
-          .select(col(queryCol), col(id), lit(0.0).as("_c"))
+          .select(col(queryCol), col(id), lit("").as("_t"), lit(0.0).as("_c"))
         contribRows.unionByName(pad)
       }
+    // deterministic float sum: fold contributions in term order (a plain
+    // sum() accumulates in partition arrival order — a score landing on a
+    // round(.,6) boundary could flip top-k tie-breaks between runs)
     allRows.groupBy(col(queryCol), col(id))
-      .agg(sum(col("_c")).as("bm25"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("_t"), col("_c")))),
+        lit(0.0),
+        (acc, s) => acc + s("_c")).as("bm25"))
   }
 }

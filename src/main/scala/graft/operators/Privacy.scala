@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
  */
 object Privacy {
 
+  /** Decimal type carrying exact count products in the t-closeness EMD:
+    * any int64 count casts losslessly (decimal(18,0) nulls above 1e18 —
+    * a silent null in a privacy decision is a disclosure hazard), and
+    * the largest product n*N stays under 1e38. */
+  val CountDec = "decimal(38,0)"
+
   /** Returns the k-anonymous release: input rows with the chosen ladder
     * level's value as `qi`, its name as `gen_level`, minus suppressed
     * rows (only possible at the coarsest level). Ladder columns must share
@@ -187,7 +193,7 @@ object Privacy {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
     require(tPpm >= 0, "t must be non-negative (parts-per-million)")
     val qiNames = qi.indices.map(i => s"qi$i")
-    val dec = "decimal(18,0)"
+    val dec = CountDec
     val base = df.where(sensitive.isNotNull)
       .select(qi.zipWithIndex.map { case (c, i) => c.as(s"qi$i") } :+
         sensitive.as("_sv"): _*)

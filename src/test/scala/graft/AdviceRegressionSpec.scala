@@ -116,6 +116,74 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(outN == Set((20L, 200L)), s"got $outN")
   }
 
+  test("t-closeness count products ride decimal(38,0): any int64 count survives the cast") {
+    import graft.operators.Privacy
+    // decimal(18,0) loses counts above ~1e18 (null, or ANSI throw) — in a
+    // privacy release a silent null is a disclosure hazard. CountDec must
+    // carry every int64 count losslessly; the narrow cast demonstrably
+    // does not.
+    assert(Privacy.CountDec == "decimal(38,0)")
+    val big = Seq(Long.MaxValue).toDF("c")
+    val r = big.select(
+      col("c").cast(Privacy.CountDec).cast("string").as("wide"),
+      expr("try_cast(c AS decimal(18,0))").as("narrow")).head()
+    assert(r.getString(0) == Long.MaxValue.toString, "wide cast is lossless")
+    assert(r.isNullAt(1), "the old 18-digit cast silently nulls")
+    // and the EMD math still runs exact end-to-end on a live frame
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 2), ("b", 1))
+      .toDF("qi", "s")
+    val rep = graft.operators.Privacy
+      .tClosenessReport(df, Seq(col("qi")), col("s"), tPpm = 500000L)
+      .select(col("qi0"), col("emd_num").cast("long"), col("emd_den").cast("long"),
+        col("pass")).collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))).toSet
+    // global p = (3/6, 3/6); class a = (2/3, 1/3): EMD = |2*6-3*3|/((2-1)*3*6) = 3/18
+    assert(rep == Set(("a", 3L, 18L, 1L), ("b", 3L, 18L, 1L)))
+  }
+
+  test("Bm25.scoreMany folds contributions in term order — bit-for-bit deterministic") {
+    // a plain sum() accumulates in partition arrival order; the fold must
+    // instead equal the driver-side left-fold over SORTED terms exactly
+    // (no rounding), for any input partitioning
+    val data = Seq(
+      (0L, "spark spark engine words"),
+      (1L, "engine other words spark"),
+      (2L, "nothing here"),
+      (3L, "words words spark engine alpha"))
+    val qts = Seq((10L, "spark"), (10L, "engine"), (10L, "words"),
+      (11L, "alpha"), (11L, "spark"))
+    val k1 = 1.2; val b = 0.75
+    // driver replica of the per-term contribution, folded in term order
+    val toks = data.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = data.size.toDouble
+    val sumdl = toks.values.map(_.size).sum.toDouble
+    val avgdl = sumdl / n
+    def contrib(docId: Long, term: String): Option[Double] = {
+      val tf = toks(docId).count(_ == term).toDouble
+      if (tf == 0) None
+      else {
+        val dfT = toks.values.count(_.contains(term)).toDouble
+        val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+        val dl = toks(docId).size.toDouble
+        Some(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+      }
+    }
+    val expected = (for {
+      q <- qts.map(_._1).distinct
+      d <- data.map(_._1)
+      terms = qts.filter(_._1 == q).map(_._2).sorted
+      cs = terms.flatMap(contrib(d, _))
+      if cs.nonEmpty
+    } yield (q, d) -> cs.foldLeft(0.0)(_ + _)).toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val docs = data.toDF("doc_id", "text").repartition(parts)
+      val terms = qts.toDF("query_id", "term")
+      val got = graft.operators.Bm25.scoreMany(docs, "doc_id", "text", terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == expected, s"exact fold mismatch at $parts partitions")
+    }
+  }
+
   test("kAnonymize releases qualifying null-QI groups in the suppression path (round-13 advice)") {
     import graft.operators.Privacy
     // coarsest level still fails k=3 overall (the "x" group is a
