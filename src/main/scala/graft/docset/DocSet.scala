@@ -302,6 +302,15 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     })
   }
 
+  /** Query-as-document (reference: docset.py:1351, transforms/query.py:14):
+    * every document in this set is a search query — `properties("index")`
+    * (else `defaultIndex`) plus a SearchWire JSON body in its text — and
+    * maps to a result document whose elements are the hits, each carrying
+    * score + DB_QUERY provenance. See [[graft.sources.SearchRead.queryDocs]]. */
+  def query(factory: graft.sources.SearchClientFactory,
+            defaultIndex: Option[String] = None, pageSize: Int = 500): DocSet =
+    wrap(graft.sources.SearchRead.queryDocs(ds, factory, defaultIndex, pageSize))
+
   /** Free-form LLM query per doc (reference: transforms/llm_query.py:135). */
   def llmQuery(client: LlmClient, prompt: String,
                outputField: String = "llm_response"): DocSet =

@@ -185,7 +185,9 @@ final class HttpSearchClient(baseUri: String,
       case Some(p) =>
         val body = om.createObjectNode()
         body.set[JsonNode]("query", SearchWire.queryJson(query))
-        body.putObject("pit").put("id", p)
+        // keep_alive on every request extends the snapshot (a fixed
+        // create-time TTL would lose a >10-minute sliced read mid-flight)
+        body.putObject("pit").put("id", p).put("keep_alive", "10m")
         body.put("from", 0).put("size", 0).put("track_total_hits", true)
         val (_, resp) = send("POST", "/_search", Some(body.toString))
         om.readTree(resp).get("hits").get("total").get("value").asLong()
@@ -213,7 +215,8 @@ final class HttpSearchClient(baseUri: String,
     body.put("from", from).put("size", size)
     body.putArray("sort").addObject().put("_id", "asc")
     slice.foreach(s => body.putObject("slice").put("id", s.sliceId).put("max", s.max))
-    pit.foreach(p => body.putObject("pit").put("id", p))
+    // per-request keep_alive extends the PIT across long sliced reads
+    pit.foreach(p => body.putObject("pit").put("id", p).put("keep_alive", "10m"))
     // with a pit the index is implied by the snapshot (OpenSearch rule)
     val path = pit.map(_ => "/_search").getOrElse(s"/$index/_search")
     val (_, resp) = send("POST", path, Some(body.toString))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.docset.DocSet
-import graft.model.Document
+import graft.model.{Document, Element}
 
 /**
  * The search-index READ path (reference:
@@ -88,73 +88,97 @@ object SearchRead {
         }
       } finally driver.close()
 
-    val matched: Dataset[Document] = query match {
-      case knn: SearchQuery.Knn =>
-        // knn has no pagination (reference :86-97): one k-sized search.
-        // k-row driver contract, like the ANN query paths.
-        val client = factory.open()
-        val hits = try client.knn(index, knn) finally client.close()
-        spark.createDataset(hits.map(hitToDoc))(DocSet.docEnc)
-      case _ =>
-        val q = query
-        val ps = pageSize
-        val ns = numSlices
-        // one partition per slice, no shuffle; the body still drains every
-        // id in its partition so a repartitioned plan stays correct
-        spark.range(0, ns, 1, ns).mapPartitions { it =>
+    // PIT lifecycle (reference :740 deletes its PIT when the read ends):
+    // every frame that pages under the snapshot is materialized with an
+    // EAGER localCheckpoint — severing the lineage so no later
+    // recomputation can touch a released PIT — and the finally below
+    // deletes the PIT exactly once, on success or failure. The read is
+    // therefore eager like the reference's, and the checkpoint doubles as
+    // the cache the multi-referenced reconstruct path needs.
+    try {
+      val matched: Dataset[Document] = query match {
+        case knn: SearchQuery.Knn =>
+          // knn has no pagination (reference :86-97): one k-sized search.
+          // k-row driver contract, like the ANN query paths.
+          val client = factory.open()
+          val hits = try client.knn(index, knn) finally client.close()
+          spark.createDataset(hits.map(hitToDoc))(DocSet.docEnc)
+        case _ =>
+          val q = query
+          val ps = pageSize
+          val ns = numSlices
+          // one partition per slice, no shuffle; the body still drains every
+          // id in its partition so a repartitioned plan stays correct
+          spark.range(0, ns, 1, ns).mapPartitions { it =>
+            if (!it.hasNext) Iterator.empty
+            else {
+              val client = factory.open()
+              val out = mutable.ArrayBuffer.empty[Document]
+              try {
+                it.foreach { idLong =>
+                  val sliceId = idLong.toInt
+                  var from = 0
+                  var more = true
+                  while (more) {
+                    val page = client.searchPage(index, q,
+                      Some(SearchSlice(sliceId, ns)), pit, from, ps)
+                    out ++= page.map(hitToDoc)
+                    from += ps
+                    more = page.nonEmpty
+                  }
+                }
+              } finally client.close()
+              out.iterator
+            }
+          }(DocSet.docEnc).localCheckpoint()
+      }
+
+      if (!reconstruct) new DocSet(matched)
+      else {
+        import spark.implicits._
+        // already checkpointed above: multi-referenced below (parents,
+        // scores, matched-parent rows) without re-reading the index
+        val m = matched
+        // phase B: every record belonging to a matched parent, fetched in
+        // 100-parent terms batches, 500-row pages (reference :240-247)
+        val parentKeys = m.map(d => d.parentId.getOrElse(d.docId)).distinct()
+        val siblings: Dataset[Document] = parentKeys.mapPartitions { it =>
           if (!it.hasNext) Iterator.empty
           else {
             val client = factory.open()
             val out = mutable.ArrayBuffer.empty[Document]
             try {
-              it.foreach { idLong =>
-                val sliceId = idLong.toInt
+              it.grouped(100).foreach { batch =>
+                val q = SearchQuery.Terms("parent_id", batch.toSeq)
                 var from = 0
                 var more = true
                 while (more) {
-                  val page = client.searchPage(index, q,
-                    Some(SearchSlice(sliceId, ns)), pit, from, ps)
+                  val page = client.searchPage(index, q, None, pit, from, 500)
                   out ++= page.map(hitToDoc)
-                  from += ps
+                  from += 500
                   more = page.nonEmpty
                 }
               }
             } finally client.close()
             out.iterator
           }
-        }(DocSet.docEnc)
+        }(DocSet.docEnc).localCheckpoint()
+        reconstructFrom(m, siblings)
+      }
+    } finally {
+      pit.foreach { p =>
+        val c = factory.open()
+        try c.deletePit(p) finally c.close()
+      }
     }
+  }
 
-    if (!reconstruct) new DocSet(matched)
-    else {
-      import spark.implicits._
-      // multi-referenced below (parents, scores, matched-parent rows):
-      // cut the re-read like every shared subtree
-      val m = matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // phase B: every record belonging to a matched parent, fetched in
-      // 100-parent terms batches, 500-row pages (reference :240-247)
-      val parentKeys = m.map(d => d.parentId.getOrElse(d.docId)).distinct()
-      val siblings: Dataset[Document] = parentKeys.mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val client = factory.open()
-          val out = mutable.ArrayBuffer.empty[Document]
-          try {
-            it.grouped(100).foreach { batch =>
-              val q = SearchQuery.Terms("parent_id", batch.toSeq)
-              var from = 0
-              var more = true
-              while (more) {
-                val page = client.searchPage(index, q, None, pit, from, 500)
-                out ++= page.map(hitToDoc)
-                from += 500
-                more = page.nonEmpty
-              }
-            }
-          } finally client.close()
-          out.iterator
-        }
-      }(DocSet.docEnc)
+  /** Phase C of the reconstructing read: score/provenance join + group
+    * assembly, over frames already detached from the PIT. */
+  private def reconstructFrom(m: Dataset[Document],
+                              siblings: Dataset[Document]): DocSet = {
+    import m.sparkSession.implicits._
+    {
       // score/provenance join: a sibling the query itself matched keeps its
       // score and DB_QUERY marker; fetched-only siblings are
       // RECONSTRUCTION_RETRIEVAL at score 0 (reference :214-228). Columnar
@@ -197,6 +221,80 @@ object SearchRead {
       }
     } finally client.clearScroll(sid)
     out.toSeq
+  }
+
+  /**
+   * Query-as-document (reference transforms/query.py:14 `Query`,
+   * docset.py:1351 `DocSet.query`): each input document IS a search query —
+   * `properties("index")` (else `defaultIndex`) names the target index and
+   * `textRepresentation` carries the [[SearchWire]] JSON query body — and
+   * maps to a result document whose ELEMENTS are the hits (reference
+   * query.py:45 `result.hits = [Element(hit["_source"]) ...]`), each
+   * carrying the retrieval score and DB_QUERY provenance like the read
+   * path's documents do.
+   *
+   * Scale shape: a pure Map — one client per task, one live search per
+   * query document (the reference's executor performs exactly one POST
+   * `_search` per query); no shuffle, no driver traffic, result volume =
+   * Σ hits. Non-knn queries page from/size so large result sets don't
+   * depend on a server-side window cap.
+   */
+  def queryDocs(docs: Dataset[Document], factory: SearchClientFactory,
+                defaultIndex: Option[String] = None,
+                pageSize: Int = 500): Dataset[Document] =
+    docs.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val client = factory.open()
+        val out = mutable.ArrayBuffer.empty[Document]
+        try {
+          it.foreach { d =>
+            val index = d.prop("index").orElse(defaultIndex).getOrElse(
+              throw new IllegalArgumentException(
+                s"query document ${d.docId} names no index"))
+            val q = SearchWire.parseQuery(SearchWire.om.readTree(d.text))
+            val hits = q match {
+              case k: SearchQuery.Knn => client.knn(index, k)
+              case _ =>
+                val buf = mutable.ArrayBuffer.empty[SearchHit]
+                var from = 0
+                var more = true
+                while (more) {
+                  val page = client.searchPage(index, q, None, None, from, pageSize)
+                  buf ++= page
+                  from += pageSize
+                  more = page.nonEmpty
+                }
+                buf.toSeq
+            }
+            out += d.copy(
+              docType = Some("QueryResult"),
+              elements = hits.zipWithIndex.map { case (h, i) => hitToElement(i, h) },
+              properties = d.properties + ("result_count" -> hits.size.toString))
+          }
+        } finally client.close()
+        out.iterator
+      }
+    }(DocSet.docEnc)
+
+  /** One hit as a result-document element (reference query.py:45). */
+  private[sources] def hitToElement(idx: Int, h: SearchHit): Element = {
+    val src = h.source
+    val props = src.collect {
+      case (k, v) if k.startsWith("properties.") => k.stripPrefix("properties.") -> v
+    }
+    Element(
+      elementType = src.getOrElse("type", "hit"),
+      textRepresentation = src.get("text"),
+      binaryRepresentation = None,
+      bbox = None,
+      embedding = h.embedding,
+      elementIndex = idx,
+      tableCells = Nil,
+      properties = props ++
+        src.get("parent_id").map("parent_id" -> _) +
+        ("doc_id" -> src.getOrElse("doc_id", h.id)) +
+        (ScoreProp -> h.score.toString) + (SourceProp -> SourceDbQuery))
   }
 
   private[sources] def hitToDoc(h: SearchHit): Document = {
@@ -346,6 +444,13 @@ object FakeSearch {
 
   def dropNamespace(namespace: String): Unit =
     registry.synchronized(registry.remove(namespace))
+
+  /** Test hook: live (created, not yet deleted) PITs in a namespace —
+    * the leak detector for read()/sync() lifecycle specs. */
+  def livePits(namespace: String): Int = {
+    val n = ns(namespace)
+    n.synchronized(n.pits.size)
+  }
 
   /** Create-if-absent (idempotent ingest): every task of a distributed
     * read may race to materialize the same fixture index; the first wins
