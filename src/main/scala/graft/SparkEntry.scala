@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.gf
 import graft.dedup.Dedup
 import graft.ann.Ann
@@ -500,6 +502,45 @@ object SparkEntry {
           array_join(transform(col("elements"),
             e => e.getField("textRepresentation")), "").as("text_r"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_docset_query" -> ((s, dir) => {
+      // Query-as-document through the search seam (DocSet.query, reference
+      // docset.py:1351): the documents table is ingested into the
+      // deterministic fake index ONCE (ensureIndex — idempotent across
+      // bench re-runs), then a tiny corpus of query-documents — one term
+      // query per distinct lang plus one full-text match — maps to result
+      // documents whose hit elements explode to (query_id, doc_id) rows
+      // the oracle replays as plain SQL predicates.
+      import graft.sources._
+      val ns = s"qdq:$dir"
+      val index = "docs"
+      FakeSearch.ensureIndex(ns, index) {
+        tbl(s, dir, "documents").select("doc_id", "text", "lang", "source")
+          .collect().toSeq.map { r =>
+            SearchHit(f"d${r.getLong(0)}%09d", 1.0, Map(
+              "doc_id" -> r.getLong(0).toString,
+              "text" -> r.getString(1),
+              "properties.lang" -> r.getString(2),
+              "properties.source" -> r.getString(3)))
+          }
+      }
+      val langs = tbl(s, dir, "documents").select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val qdocs = langs.map { l =>
+        graft.model.Document.of(s"lang_$l",
+          text = SearchWire.queryJson(SearchQuery.Term("lang", l)).toString,
+          properties = Map("index" -> index))
+      } :+ graft.model.Document.of("match_sparkwindow",
+        text = SearchWire.queryJson(SearchQuery.Match("text", "spark window")).toString,
+        properties = Map("index" -> index))
+      graft.docset.DocSet.of(s, qdocs)
+        .query(FakeSearchClientFactory(ns))
+        .toDF
+        .select(col("docId").as("query_id"), explode(col("elements")).as("e"))
+        .select(col("query_id"),
+          element_at(col("e.properties"), "doc_id").cast("long").as("doc_id"))
+        .orderBy(col("query_id"), col("doc_id"))
     }),
 
     // ---- window / analytic (§2.11 gap we fill natively)
@@ -2737,9 +2778,96 @@ object SparkEntry {
       val r3 = sunk.agg(count(lit(1)).as("n_units"),
           coalesce(sum(col("user_id")), lit(0L)).as("aux"))
         .select(lit("03_sink").as("stage"), col("n_units"), col("aux"))
-      r0.unionAll(r1).unionAll(r2).unionAll(r3)
+      val res = r0.unionAll(r1).unionAll(r2).unionAll(r3)
         .select(col("stage"), col("n_units").cast("long"), col("aux").cast("long"))
         .orderBy(col("stage"))
+        // 4 rows: detach from the temp views and sink files so repeated
+        // invocations (bench runs 4x) don't accumulate session state
+        .localCheckpoint()
+      s.catalog.dropTempView(s"gs_win_$tag")
+      s.catalog.dropTempView(s"gs_dd_$tag")
+      def rmTree(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.foreach(rmTree)
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+      rmTree(java.nio.file.Paths.get(tmpIn))
+      rmTree(java.nio.file.Paths.get(outDir))
+      res
+    }),
+
+    "q_stream_eviction" -> ((s, dir) => {
+      // Watermark EVICTION, hash-gated via ORDERED REPLAY — the one
+      // streaming semantic q_stream_e2e deliberately leaves out (late-drop
+      // under an unordered file split is batch-order-dependent). Here the
+      // batch order is pinned: one file per micro-batch (maxFilesPerTrigger
+      // = 1), file b's mtime strictly increasing, so micro-batch b = file b.
+      // Event times are synthesized from event_id arithmetic — batch b's
+      // on-time rows live in hour b; kind 0 rows are FAR-late (hour b-6 —
+      // their window is evicted two batches BEFORE they arrive → DROPPED),
+      // kind 1 rows are NEAR-late (hour b-1, within the 90-minute delay →
+      // still in state → kept). Spark's mechanics — wm(b) = max event time
+      // over batches < b minus delay; an input row is dropped iff its
+      // window end <= wm(b); append mode emits a window iff its end <= the
+      // final wm — replay exactly in DuckDB over the same arithmetic. Two
+      // hazards the construction dodges: a late row landing in the SAME
+      // batch that first evicts its window is merged-then-evicted, not
+      // dropped (verified empirically — hence 6 hours late, never 4), and
+      // every comparison sits >600 s from a window boundary so
+      // strict-vs-inclusive cannot flip a row.
+      import org.apache.spark.sql.streaming.Trigger
+      val nb = 12
+      val base = events(s, dir).select(col("event_id"), col("event_type"))
+        .withColumn("batch", col("event_id") % nb)
+        .withColumn("effb",
+          when(col("event_id") % 5 === 0 && col("batch") >= 6, col("batch") - 6)
+            .when(col("event_id") % 5 === 1 && col("batch") >= 2, col("batch") - 1)
+            .otherwise(col("batch")))
+        .withColumn("ets_sec",
+          lit(1700000000L) + col("effb") * 3600L +
+            (col("event_id") % 7) * 60L + col("event_id") % 13)
+        .select(col("event_id"), col("event_type"), col("batch"),
+          timestamp_seconds(col("ets_sec")).as("ets"))
+      def rmTree(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator().asScala.foreach(rmTree)
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+      val inDir = java.nio.file.Files.createTempDirectory("graft_evict_in")
+      val mtime0 = 1700000000000L
+      (0 until nb).foreach { b =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evict_tmp")
+        base.where(col("batch") === b).drop("batch")
+          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        val dst = inDir.resolve(f"batch$b%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime0 + b * 10000L))
+        rmTree(tmp)
+      }
+      val schema = s.read.parquet(inDir.toString).schema
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .withWatermark("ets", "90 minutes")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("checksum"))
+        .writeStream.format("memory").queryName(s"gs_ev_$tag")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(s"gs_ev_$tag")
+        .select(expr("unix_seconds(window.start) div 3600").as("h"),
+          col("event_type"), col("n").cast("long"),
+          col("checksum").cast("long"))
+        .orderBy(col("h"), col("event_type"))
+        .localCheckpoint() // detach from the temp view before cleanup
+      s.catalog.dropTempView(s"gs_ev_$tag")
+      rmTree(inDir)
+      out
     })
   )
 
@@ -3977,6 +4105,13 @@ object SparkEntry {
                      ELSE CAST(ceil(length(text) / 50.0) AS BIGINT) END AS n_elements,
                 text AS text_r
          FROM documents ORDER BY doc_id""",
+    "q_docset_query" ->
+      """SELECT 'lang_' || lang AS query_id, doc_id FROM documents
+         UNION ALL
+         SELECT 'match_sparkwindow' AS query_id, doc_id FROM documents
+         WHERE ' ' || text || ' ' LIKE '% spark %'
+            OR ' ' || text || ' ' LIKE '% window %'
+         ORDER BY 1, 2""",
     "q_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, price_c FROM (
            SELECT o_custkey, o_orderkey,
@@ -6414,6 +6549,39 @@ object SparkEntry {
                   (SELECT CAST(count(*) AS BIGINT) FROM c),
                   (SELECT CAST(COALESCE(sum(user_id), 0) AS BIGINT) FROM c)
          ) ORDER BY stage""",
+    "q_stream_eviction" ->
+      // ordered replay of Spark's watermark mechanics over the same
+      // event_id arithmetic: wm(b) = running max event time over batches
+      // < b minus the 90-minute delay; a row survives iff its window end
+      // > wm(its batch); append mode emits a window iff its end <= the
+      // final watermark. The construction keeps every comparison >1400 s
+      // from a window boundary, so strict-vs-inclusive cannot flip a row.
+      """WITH t AS (
+           SELECT event_id, event_type, event_id % 12 AS batch,
+                  1700000000 + (CASE
+                      WHEN event_id % 5 = 0 AND event_id % 12 >= 6
+                        THEN event_id % 12 - 6
+                      WHEN event_id % 5 = 1 AND event_id % 12 >= 2
+                        THEN event_id % 12 - 1
+                      ELSE event_id % 12 END) * 3600
+                    + (event_id % 7) * 60 + event_id % 13 AS ets
+           FROM events),
+         bmax AS (SELECT batch, max(ets) AS mx FROM t GROUP BY batch),
+         wm AS (SELECT batch,
+                       max(mx) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         - 5400 AS w
+                FROM bmax),
+         kept AS (SELECT t.event_id, t.event_type, t.ets
+                  FROM t JOIN wm ON t.batch = wm.batch
+                  WHERE wm.w IS NULL OR ((t.ets // 3600) + 1) * 3600 > wm.w),
+         fin AS (SELECT max(ets) - 5400 AS fwm FROM t)
+         SELECT CAST(ets // 3600 AS BIGINT) AS h, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(event_id) AS BIGINT) AS checksum
+         FROM kept, fin
+         WHERE ((ets // 3600) + 1) * 3600 <= fwm
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_seasonality" ->
       // hour-of-day share/index in integer micros; DuckDB reads the
       // nanos timestamp truncated to us — hour buckets agree exactly

@@ -89,4 +89,19 @@ object Hll {
       .withColumn("est_distinct",
         expr(s"CAST($estNum AS BIGINT) div (1000000 * harm_scaled)"))
   }
+
+  /** Small-range companion (the paper's linear-counting correction,
+    * Flajolet et al. 2007 fig. 3): when the raw estimate is in the
+    * <= 2.5m zone and some registers are still zero, the better estimate
+    * is m * ln(m / V) over V = v_zero. It needs `ln`, which is libm- and
+    * engine-specific — exactly why [[approxDistinct]] ships (v_zero,
+    * est_distinct) raw for the oracle — so the correction is applied
+    * DRIVER-SIDE to the report, per group, outside the replayable plan. */
+  def correctedEstimate(estDistinct: Long, vZero: Long, p: Int = 8): Long = {
+    require(p >= 4 && p <= 10, "p in [4, 10], as in approxDistinct")
+    val m = 1L << p
+    if (2 * estDistinct <= 5 * m && vZero > 0)
+      math.round(m * math.log(m.toDouble / vZero))
+    else estDistinct
+  }
 }

@@ -985,6 +985,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Hll.correctedEstimate: linear counting below the 2.5m crossover, raw above") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Hll
+    val m = 256L
+    // tiny true cardinalities: the raw estimator is biased high; linear
+    // counting m*ln(m/V) must land within 15% of the truth
+    for (n <- Seq(5, 40, 150)) {
+      val rows = (0 until 2000).map(i => ("g", (i % n).toString))
+      val Array(r) = Hll.approxDistinct(rows.toDF("g", "v"), Seq(col("g")), col("v"), p = 8)
+        .collect()
+      val (vZero, est) = (r.getLong(1), r.getLong(3))
+      val corrected = Hll.correctedEstimate(est, vZero, p = 8)
+      assert(2 * est <= 5 * m && vZero > 0, s"n=$n should sit in the small-range zone")
+      assert(math.abs(corrected - n) <= math.max(2, n * 15 / 100),
+        s"n=$n corrected=$corrected raw=$est")
+    }
+    // above the crossover the raw estimate passes through untouched
+    assert(Hll.correctedEstimate(2000L, 3L, p = 8) == 2000L)
+    // zero empty registers: linear counting is undefined -> raw
+    assert(Hll.correctedEstimate(100L, 0L, p = 8) == 100L)
+    // exact crossover arithmetic: 2*est <= 5*m uses integers, no doubles
+    assert(Hll.correctedEstimate(640L, 1L, p = 8) ==
+      math.round(256 * math.log(256.0)))
+    assert(Hll.correctedEstimate(641L, 1L, p = 8) == 641L)
+  }
+
   test("Privacy.tClosenessReport: exact integer EMD against hand computation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -184,8 +184,8 @@ object ScaleProbe {
       math.min(time(f(d).queryExecution.toRdd.count()),
         time(f(d).queryExecution.toRdd.count()))
     }
-    val small = replicate(1).localCheckpoint()
-    val big = replicate(k).localCheckpoint()
+    lazy val small = replicate(1).localCheckpoint()
+    lazy val big = replicate(k).localCheckpoint()
     println(f"[scale] K=$k  (ratio ~ $k%d.0 is linear)")
     // SCALE_SECTIONS=ingest (comma list of: core,graph,events,ingest)
     // restricts the run — iteration aid for probing one family at a
@@ -193,17 +193,23 @@ object ScaleProbe {
     val sections = sys.env.get("SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("core", "graph", "events", "ingest", "ann", "r10b",
-        "r12", "r13", "r14"))
-    if (sections("core")) ops.foreach { case (name, f) =>
-      val t1 = measure(f, small)
-      val tk = measure(f, big)
-      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
-    }
-    if (sections("r10b")) opsR10b.foreach { case (name, f) =>
-      val t1 = measure(f, small)
-      val tk = measure(f, big)
-      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
-    }
+        "r12", "r13", "r14", "r16"))
+    // SCALE_OPS=a,b picks single operators out of any section — the cheap
+    // way to re-probe a named family at a bigger K (e.g. the 25x runs)
+    val opsFilter = sys.env.get("SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = opsFilter.forall(_(name))
+    def runAll(ops: Seq[(String, DataFrame => DataFrame)],
+               sm: DataFrame, bg: DataFrame): Unit =
+      ops.foreach { case (name, f) =>
+        if (wanted(name)) {
+          val t1 = measure(f, sm)
+          val tk = measure(f, bg)
+          println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+        }
+      }
+    if (sections("core")) runAll(ops, small, big)
+    if (sections("r10b")) runAll(opsR10b, small, big)
 
     // round-12 additions. interval_overlap and linkage_score key their
     // joins by (lang/source, replica) — the edit_join salting rationale:
@@ -243,11 +249,7 @@ object ScaleProbe {
             abs(col("l_n") - col("r_n")) <= 20L, 0.95, 0.2)),
           upperMb = 3000L, lowerMb = -3000L)
       })
-    if (sections("r12")) opsR12.foreach { case (name, f) =>
-      val t1 = measure(f, small)
-      val tk = measure(f, big)
-      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
-    }
+    if (sections("r12")) runAll(opsR12, small, big)
     // round-13 additions. asof_forward_hot is THE probe for the advice
     // fix: ~5 hot keys whose per-key group grows linearly with K — the old
     // first()-over-unboundedFollowing frame re-aggregated the suffix per
@@ -304,11 +306,7 @@ object ScaleProbe {
       "rolling_window" -> (d => graft.operators.EventAnalytics.rollingByKey(
         d.select(col("source"), col("doc_id").as("ts"), col("n_chars")),
         "source", "ts", col("n_chars"), 1000000L)))
-    if (sections("r13")) opsR13.foreach { case (name, f) =>
-      val t1 = measure(f, small)
-      val tk = measure(f, big)
-      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
-    }
+    if (sections("r13")) runAll(opsR13, small, big)
 
     // round-14 additions. audio/video pipelines ride replica-disjoint
     // synthetic corpora (group = doc_id/4; the 1e9 replica offset keeps
@@ -353,16 +351,55 @@ object ScaleProbe {
         Seq(col("lang")), col("n_chars") % 37, tPpm = 150000L)),
       "hll_distinct" -> (d => graft.operators.Hll.approxDistinct(d,
         Seq(col("lang")), col("doc_id"), p = 8)))
-    if (sections("r14")) opsR14.foreach { case (name, f) =>
-      val t1 = measure(f, small)
-      val tk = measure(f, big)
-      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    if (sections("r14")) runAll(opsR14, small, big)
+
+    // round-16 additions: the retrieval one-pass multi-query paths. The
+    // query set is FIXED while the corpus replicates, so output volume per
+    // query grows linearly and the ratio isolates the explode+join+agg
+    // (bm25) / broadcast-probe+window (ivf) machinery — exactly the
+    // 100 TB shape: a bounded eval set scored against a growing corpus.
+    if (sections("r16")) {
+      val vocab = Seq("spark", "table", "row", "key", "value", "hash",
+        "merge", "batch", "scan", "window", "sort", "line", "fast", "slow",
+        "part", "agg")
+      val qts = (0 until 20).flatMap { q =>
+        (0 until 3).map(j => (q.toLong, vocab((q * 3 + j) % vocab.size)))
+      }
+      val bm25Ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "bm25_many" -> { d =>
+          import spark.implicits._
+          val terms = qts.toDF("query_id", "term")
+          graft.operators.Bm25.scoreMany(d, "doc_id", "text", terms)
+        })
+      runAll(bm25Ops, small, big)
+      if (wanted("ivf_topk_many")) {
+        import graft.ann.Ann
+        val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          .localCheckpoint()
+        def embK(n: Int): DataFrame =
+          if (n == 1) emb1
+          else emb1.crossJoin(spark.range(n).select(col("id").as("_rep")))
+            .select((col("vec_id") + col("_rep") * 1000000000L).as("vec_id"),
+              transform(col("embedding"),
+                x => x + col("_rep").cast("double") * lit(0.001)).as("embedding"))
+            .localCheckpoint()
+        val cents = Ann.sampleCentroids(emb1, "vec_id", "embedding", 16)
+        val queries = emb1.orderBy(col("vec_id")).limit(20).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val f: DataFrame => DataFrame = d =>
+          Ann.ivfTopKMany(d, "vec_id", "embedding", cents, queries,
+            k = 10, nprobe = 4)
+        val t1 = measure(f, embK(1))
+        val tk = measure(f, embK(k))
+        println(f"[scale] ivf_topk_many    1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+      }
     }
 
     // k-truss over the degree-bounded part co-occurrence graph, K disjoint
     // id-offset copies (the link_predict rationale: triangles exist there,
     // and degree caps are how production pipelines feed cohesion peels)
-    if (sections("r12")) {
+    if (sections("r12") && wanted("ktruss_part")) {
       val pe1 = graft.operators.Basket.frequentPairs(
         spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),
         "l_orderkey", "l_partkey", minSupport = 2).localCheckpoint()
@@ -383,7 +420,7 @@ object ScaleProbe {
     // with offset vertex ids — linear work by construction, so the ratio
     // isolates the shuffle/join machinery)
     import graft.operators.{PageRank, Triangles}
-    val edges1 = {
+    lazy val edges1 = {
       val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       val o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -415,19 +452,14 @@ object ScaleProbe {
           .distinct().select(col("node"), (col("node") % 50).as("label"))
         graft.operators.Modularity.of(c, "a", "b", labels, "node", "label")
       })
-    val gSmall = edgesK(1); val gBig = edgesK(k)
-    if (sections("graph")) graphOps.foreach { case (name, f) =>
-      val t1 = measure(f, gSmall)
-      val tk = measure(f, gBig)
-      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
-    }
+    if (sections("graph")) runAll(graphOps, edgesK(1), edgesK(k))
 
     // link_predict probes on the DEGREE-BOUNDED part co-purchase graph
     // (the gate's graph): 2-hop work is sum(deg^2) BY DEFINITION, so the
     // hub-heavy supplier-customer graph above would measure the statistic's
     // inherent blowup, not the machinery (and OOMs at 10x) — real pipelines
     // cap degrees upstream exactly like this
-    if (sections("graph")) {
+    if (sections("graph") && wanted("link_predict")) {
       val pe1 = graft.operators.Basket.frequentPairs(
         spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),
         "l_orderkey", "l_partkey", minSupport = 2).localCheckpoint()
@@ -447,7 +479,7 @@ object ScaleProbe {
     // user ids (disjoint user populations — linear work by construction)
     import graft.operators.EventAnalytics
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events1 = {
+    lazy val events1 = {
       val raw = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
       val tsNs = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => col("ts")
@@ -467,12 +499,7 @@ object ScaleProbe {
         Seq("view", "click", "purchase"), windowNs = 7L * 86400 * 1000000000L)),
       "retention" -> (e => EventAnalytics.retention(e, "user_id", "tsl",
         bucketNs = 7L * 86400 * 1000000000L)))
-    val eSmall = eventsK(1); val eBig = eventsK(k)
-    if (sections("events")) eventOps.foreach { case (name, f) =>
-      val t1 = measure(f, eSmall)
-      val tk = measure(f, eBig)
-      println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
-    }
+    if (sections("events")) runAll(eventOps, eventsK(1), eventsK(k))
 
     // document-ingest front door: the reference's real PDF corpus
     // replicated Kx with DISTINCT paths (docId#rep), through
@@ -481,7 +508,7 @@ object ScaleProbe {
     // work with no shuffle, so the ratio isolates task scheduling +
     // the partitioners themselves.
     val refData = "/root/reference/lib/sycamore/sycamore/tests/resources/data"
-    if (!sections("ingest")) ()
+    if (!sections("ingest") || !wanted("doc_ingest")) ()
     else if (new java.io.File(s"$refData/pdfs").isDirectory) {
       import graft.docset.DocSet
       import graft.sources.DocRead
@@ -512,7 +539,7 @@ object ScaleProbe {
 
     // SQ8 ANN: encode + integer-dot top-k over replicated embeddings (ids
     // offset per replica; vectors perturbed by replica so codes differ)
-    if (sections("ann")) {
+    if (sections("ann") && wanted("sq8_topk")) {
       import graft.ann.Ann
       val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -419,6 +419,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(b2(12L) === false)
     } finally query.stop()
   }
+
+  test("q_stream_e2e and q_stream_eviction clean up after themselves: repeated invocations stay flat") {
+    def gsViews = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("gs_"))
+    import scala.jdk.CollectionConverters._
+    def tmpDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator()
+      .asScala.count(p => {
+        val n = p.getFileName.toString
+        n.startsWith("graft_stream_") || n.startsWith("graft_evict_")
+      })
+    val dir = "/root/testdata/sf0.001"
+    def run(q: String) = SparkEntry.queries(q)(spark, dir).collect().toSeq
+    val (v0, d0) = (gsViews, tmpDirs)
+    val a1 = run("q_stream_e2e"); val b1 = run("q_stream_eviction")
+    val a2 = run("q_stream_e2e"); val b2 = run("q_stream_eviction")
+    assert(a1 == a2 && b1 == b2, "repeat invocations agree")
+    assert(gsViews == v0, "no temp views accumulate")
+    assert(tmpDirs == d0, "no temp dirs accumulate")
+  }
 }
 
 object StreamingSpec {
