@@ -190,7 +190,7 @@ object Bench {
     val storageMb = storagePeaks.map(b => f"${b / 1048576.0}%.0f").mkString("[", ",", "]")
     val evictedJson = evictions.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"r9: codegen cache sized to hold a full pass (default 100 entries thrashed across 115 queries => every run recompiled) + one full untimed warmup pass; r7 heavy-tail unpersist retained","prev":$prev,"prev_warmup_passes":$prevWarmup,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"r9: codegen cache sized to hold a full pass + one full untimed warmup pass; r7 heavy-tail unpersist retained; run 1 can still ride residual C2-JIT/page-cache ramp (r15 saw 1.6x) - the median of 3 absorbs it by construction","prev":$prev,"prev_warmup_passes":$prevWarmup,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture tail-clips long lines (BENCH_r2/r3 both
     // recorded truncated JSON) — persist the full line as a repo artifact too
@@ -270,9 +270,34 @@ object Bench {
             case _ => JObject(Nil)
           }
         }
-        val qJson = queries.obj.collect {
-          case (k, JDouble(v)) if names(k) => s"\"" + k + "\":" + v
-          case (k, JInt(v)) if names(k)    => s"\"" + k + "\":" + v
+        // the driver's tail capture clips long lines, so the recovered map
+        // can be the alphabetical TAIL only (r15 carried 54 of 196 — ADVICE
+        // r15). The committed bench_out.json holds the same run's FULL
+        // line: when its per-query values agree exactly with every
+        // recovered pair (same run => same printed doubles), prefer it.
+        val recovered = queries.obj.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v))    => k -> v.toDouble
+        }.toMap
+        val full: Map[String, Double] =
+          (try {
+            val src = scala.io.Source.fromFile("bench_out.json")
+            val txt = try src.mkString finally src.close()
+            parse(txt) \ "queries" match {
+              case o: JObject =>
+                val m = o.obj.collect {
+                  case (k, JDouble(v)) => k -> v
+                  case (k, JInt(v))    => k -> v.toDouble
+                }.toMap
+                if (recovered.nonEmpty && m.size > recovered.size &&
+                    recovered.forall { case (k, v) => m.get(k).contains(v) })
+                  Some(m)
+                else None
+              case _ => None
+            }
+          } catch { case _: Throwable => None }).getOrElse(recovered)
+        val qJson = full.toSeq.sortBy(_._1).collect {
+          case (k, v) if names(k) => s"\"" + k + "\":" + v
         }.mkString("{", ",", "}")
         // protocol of the prev artifact: top-level field, else regex over the
         // driver's tail wrapper (lax prefix — the front-clip can bite into
