@@ -2837,18 +2837,22 @@ object SparkEntry {
       }
       val inDir = java.nio.file.Files.createTempDirectory("graft_evict_in")
       val mtime0 = 1700000000000L
+      // ONE partitioned write (vs nb sequential repartition(1) jobs — the
+      // corpus build is setup, not the semantics under test); each batch
+      // lands as a single file because batch is the partition column
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evict_tmp")
+      base.repartition(nb, col("batch"))
+        .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
       (0 until nb).foreach { b =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_evict_tmp")
-        base.where(col("batch") === b).drop("batch")
-          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
+        val bd = tmp.resolve(s"batch=$b")
+        val part = java.nio.file.Files.list(bd).iterator().asScala
           .find(_.getFileName.toString.startsWith("part-")).get
         val dst = inDir.resolve(f"batch$b%02d.parquet")
         java.nio.file.Files.move(part, dst)
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(mtime0 + b * 10000L))
-        rmTree(tmp)
       }
+      rmTree(tmp)
       val schema = s.read.parquet(inDir.toString).schema
       val tag = java.lang.Long.toHexString(System.nanoTime())
       val q = s.readStream.schema(schema)
