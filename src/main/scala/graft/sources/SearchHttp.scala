@@ -298,10 +298,16 @@ final case class HttpSearchClientFactory(baseUri: String,
  * to the fake, which the contract spec already pins; this class only
  * translates bytes. Thread pool sized for local[32] task fan-in.
  */
-final class LocalSearchServer(namespace: String) extends AutoCloseable {
+final class LocalSearchServer(namespace: String,
+                              requiredAuth: Option[(String, String)] = None)
+    extends AutoCloseable {
   import SearchWire.om
 
   private val fake = new FakeSearch.Client(namespace)
+  private val expectedAuthHeader = requiredAuth.map { case (u, p) =>
+    "Basic " + java.util.Base64.getEncoder
+      .encodeToString(s"$u:$p".getBytes("UTF-8"))
+  }
   private val pitIndex = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val server =
     com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -325,6 +331,11 @@ final class LocalSearchServer(namespace: String) extends AutoCloseable {
   def baseUri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
   private def route(ex: com.sun.net.httpserver.HttpExchange): (Int, String) = {
+    expectedAuthHeader.foreach { want =>
+      val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!got.contains(want))
+        return (401, """{"error":"unauthorized"}""")
+    }
     val method = ex.getRequestMethod
     val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
     val params = Option(ex.getRequestURI.getQuery).getOrElse("")

@@ -190,6 +190,23 @@ class SearchHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("loopback: Basic auth credentials pass through; missing/wrong ones are 401") {
+    val ns = freshNs("auth")
+    FakeSearch.createIndex(ns, "idx", Seq(hit("a"), hit("b")))
+    val server = new LocalSearchServer(ns, requiredAuth = Some(("u", "secret")))
+    try {
+      val good = new HttpSearchClient(server.baseUri, auth = Some(("u", "secret")))
+      try assert(good.count("idx", SearchQuery.MatchAll, None) == 2)
+      finally good.close()
+      val none = new HttpSearchClient(server.baseUri)
+      try intercept[java.io.IOException](none.count("idx", SearchQuery.MatchAll, None))
+      finally none.close()
+      val wrong = new HttpSearchClient(server.baseUri, auth = Some(("u", "nope")))
+      try intercept[java.io.IOException](wrong.count("idx", SearchQuery.MatchAll, None))
+      finally wrong.close()
+    } finally server.close()
+  }
+
   test("distributed sliced read over the wire == direct fake; zero PITs leak") {
     val ns = freshNs("dread")
     val hits = (0 until 40).map(i =>
