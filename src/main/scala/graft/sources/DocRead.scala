@@ -190,6 +190,60 @@ object DocRead {
     if (pairs.isEmpty) typedLit(Map.empty[String, String]) else map(pairs: _*)
   }
 
+  /**
+   * Relational source over JDBC — the read half of the reference's
+   * relational connector (reader.py:377 read.duckdb: rows of a database
+   * table become documents). The reference reads through a single-process
+   * client; Spark-first this is `spark.read.jdbc`, which keeps the two
+   * properties a large read needs:
+   *   - '''pushdown''': pass a `(SELECT ...) t` subquery as `table` and the
+   *     filter/projection runs IN the database — only the result crosses
+   *     the wire;
+   *   - '''partitioned read''': (partitionColumn, lowerBound, upperBound,
+   *     numPartitions) splits the scan into range-disjoint WHERE clauses —
+   *     N executors read concurrently, nothing passes through the driver.
+   * Columns map to documents via [[fromDataFrame]] (any JDBC driver on the
+   * classpath; tested against embedded Derby, like [[DocWrite.jdbc]]).
+   */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           docIdField: Option[String] = None, textField: Option[String] = None,
+           partitionColumn: Option[String] = None,
+           lowerBound: Long = 0L, upperBound: Long = 0L, numPartitions: Int = 1,
+           properties: java.util.Properties = new java.util.Properties()): DocSet = {
+    val df = partitionColumn match {
+      case Some(pc) =>
+        spark.read.jdbc(url, table, pc, lowerBound, upperBound, numPartitions, properties)
+      case None => spark.read.jdbc(url, table, properties)
+    }
+    fromDataFrame(df, docIdField, textField)
+  }
+
+  /** Read back a [[DocWrite.jdbc]]-written table as typed documents:
+    * doc_id/doc_type/text_representation/parent_id return to their fields
+    * and properties_json re-inflates into the properties map — the
+    * relational round trip (write.duckdb -> read.duckdb in the reference). */
+  def jdbcMaterialized(spark: SparkSession, url: String, table: String,
+                       properties: java.util.Properties = new java.util.Properties()): DocSet = {
+    val docSchema = DocSet.docEnc.schema
+    val ds = spark.read.jdbc(url, table, properties).select(
+      col("doc_id").cast("string").as("docId"),
+      concat(lit("lin-"), lower(hex(xxhash64(col("doc_id").cast("string"))))).as("lineageId"),
+      col("doc_type").cast("string").as("docType"),
+      col("text_representation").cast("string").as("textRepresentation"),
+      lit(null).cast("binary").as("binaryRepresentation"),
+      array().cast(docSchema("elements").dataType).as("elements"),
+      lit(null).cast("array<float>").as("embedding"),
+      lit(null).cast("array<bigint>").as("shingles"),
+      col("parent_id").cast("string").as("parentId"),
+      lit(null).cast(docSchema("bbox").dataType).as("bbox"),
+      coalesce(
+        from_json(col("properties_json"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")),
+        typedLit(Map.empty[String, String])).as("properties"))
+      .as[Document](DocSet.docEnc)
+    DocSet.wrap(ds)
+  }
+
   /** Read back a materialized DocSet (reference: reader.py:34
     * read.materialize over pickle dirs; ours is plain parquet of the
     * Document schema — splittable, columnar, predicate-pushable). */
