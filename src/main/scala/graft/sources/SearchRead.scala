@@ -614,12 +614,23 @@ final case class FakeSearchClientFactory(namespace: String) extends SearchClient
 final case class BulkDirSearchClientFactory(dir: String, index: String)
     extends SearchClientFactory {
   override def open(): SearchClient = {
-    val nsKey = s"bulkdir:$dir"
-    // idempotent: concurrent task opens must not re-version the index
-    // (a re-ingest after createPit would void every PIT snapshot), and
-    // the parse only runs for the open that actually ingests
+    // the namespace carries a CONTENT fingerprint (names + sizes + mtimes)
+    // so a rewritten bulk directory gets a fresh ingest instead of the
+    // stale first one the path-only key served (r14 advice); within one
+    // corpus version the key is stable, so concurrent task opens still
+    // ensure exactly one ingest and PIT versions stay stable
+    val nsKey = s"bulkdir:$dir:${fingerprint()}"
     FakeSearch.ensureIndex(nsKey, index)(parseBulkDir())
     new FakeSearch.Client(nsKey)
+  }
+
+  private def fingerprint(): String = {
+    val d = new java.io.File(dir)
+    val sig = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.lang.Long.toUnsignedString(
+      graft.functions.Xx64.hash(sig.getBytes("UTF-8"), 0L), 16)
   }
 
   private def parseBulkDir(): Seq[SearchHit] = {

@@ -200,6 +200,29 @@ class SearchReadSpec extends AnyFunSuite {
     }
   }
 
+  test("a rewritten bulk dir serves the NEW corpus, not the stale first ingest") {
+    val dir = Files.createTempDirectory("graft_osrw").toString + "/bulk"
+    def write(salt: String) = DocWrite.opensearchBulk(
+      DocSet.of(spark, (0 until 3).map(i =>
+        Document.of(s"doc$i", text = s"body $i $salt", docType = "pdf"))).explode(),
+      dir, index = "corpus")
+    write("v1")
+    val first = SearchRead.read(spark, BulkDirSearchClientFactory(dir, "corpus"),
+      "corpus", SearchQuery.MatchAll).takeAll()
+    assert(first.forall(_.text.endsWith("v1")))
+    // same path, new content: the content-fingerprinted namespace must
+    // re-ingest instead of serving the stale registry entry (r14 advice)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    write("v2")
+    val second = SearchRead.read(spark, BulkDirSearchClientFactory(dir, "corpus"),
+      "corpus", SearchQuery.MatchAll).takeAll()
+    assert(second.nonEmpty && second.forall(_.text.endsWith("v2")),
+      s"stale ingest served: ${second.map(_.text)}")
+  }
+
   private def corpus(n: Int, salt: String = ""): Seq[Document] =
     (0 until n).map { i =>
       Document.of(s"doc$i", text = s"parent $i$salt", docType = "pdf",
