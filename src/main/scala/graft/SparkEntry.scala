@@ -504,6 +504,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_attr_properties" -> ((s, dir) => {
+      // property ATTRIBUTION, exact arm (SQL-replayable): chunk each doc
+      // into 60-char elements; the "extracted" value is chars 61-72 of the
+      // full text — always exactly inside chunk 1 by construction, so the
+      // first containing element is chunk 0 (when the value repeats there)
+      // or chunk 1, replayed in the oracle with two strpos probes. The
+      // fuzzy arm is engine-specific (LCS) and stays unit-pinned.
+      val base = tbl(s, dir, "documents").where(length(col("text")) >= 73)
+      val docs = graft.sources.DocRead.fromDataFrame(base, Some("doc_id"), Some("text"))
+      docs.map { d =>
+        val t = d.text
+        val els = t.grouped(60).zipWithIndex
+          .map { case (c, i) => graft.model.Element.text(i, "chunk", c) }.toSeq
+        d.copy(elements = els,
+          properties = d.properties + ("val" -> t.substring(60, 72)))
+      }
+        .attributeProperties(Seq("val"))
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "val._attr_element").cast("long").as("attr_element"),
+          element_at(col("properties"), "val._attr_start").cast("long").as("attr_start"),
+          element_at(col("properties"), "val._attr_score_milli").cast("long").as("score_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_docset_query" -> ((s, dir) => {
       // Query-as-document through the search seam (DocSet.query, reference
       // docset.py:1351): the documents table is ingested into the
@@ -4109,6 +4134,18 @@ object SparkEntry {
                      ELSE CAST(ceil(length(text) / 50.0) AS BIGINT) END AS n_elements,
                 text AS text_r
          FROM documents ORDER BY doc_id""",
+    "q_attr_properties" ->
+      """WITH d AS (SELECT doc_id, text, substring(text, 61, 12) AS v
+                    FROM documents WHERE length(text) >= 73),
+         s AS (SELECT doc_id,
+                      strpos(substring(text, 1, 60), v) AS p0,
+                      strpos(substring(text, 61, 60), v) AS p1
+               FROM d)
+         SELECT doc_id,
+                CAST(CASE WHEN p0 > 0 THEN 0 ELSE 1 END AS BIGINT) AS attr_element,
+                CAST(CASE WHEN p0 > 0 THEN p0 - 1 ELSE p1 - 1 END AS BIGINT) AS attr_start,
+                CAST(1000 AS BIGINT) AS score_milli
+         FROM s ORDER BY doc_id""",
     "q_docset_query" ->
       """SELECT 'lang_' || lang AS query_id, doc_id FROM documents
          UNION ALL

@@ -724,6 +724,13 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
 
   /** Populate typed properties per schema with validator retries
     * (reference: extract_schema.py:186 LLMPropertyExtractor). */
+  /** Attribute extracted property values back to their source elements
+    * (reference: transforms/property_extraction/attribution.py:40
+    * TextMatchAttributionStrategy): adds `<field>._attr_element/_start/
+    * _end/_score_milli/_snippet` evidence properties. Pure per-doc map. */
+  def attributeProperties(fields: Seq[String]): DocSet =
+    map(graft.operators.PropertyAttribution.attribute(_, fields))
+
   def extractProperties(extractor: graft.llm.LlmPropertyExtractor): DocSet =
     mapBatch(extractor.extract)
 
@@ -791,6 +798,16 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
       } finally fresh.unpersist()
     }
     wrap(spark.read.parquet(path).as[Document](docEnc))
+  }
+
+  /** Delete a materialized checkpoint (reference: docset.py:1785
+    * clear_materialize): removes the directory so the next
+    * materialize(useStored = true) / materializeIncremental recomputes
+    * from scratch. Any Hadoop filesystem; returns false when the path
+    * didn't exist. */
+  def clearMaterialize(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   def writeJson(path: String): Unit = ds.toDF().write.mode("overwrite").json(path)

@@ -985,6 +985,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PropertyAttribution: exact first-element wins; fuzzy finds typo'd spans; absent stays bare") {
+    import graft.operators.PropertyAttribution
+    import graft.model.{Document, Element}
+    // exact: both elements contain the value — first in element order wins
+    val els = Seq(
+      Element.text(0, "chunk", "the solar panel output fell"),
+      Element.text(1, "chunk", "another solar panel note"))
+    val ex = PropertyAttribution.attributeValue(els, "solar panel").get
+    assert(ex.elementIndex == 0 && ex.start == 4 && ex.end == 15)
+    assert(ex.scoreMilli == 1000L && ex.snippet == "solar panel")
+    // fuzzy: the value has a typo, no exact match anywhere; the best
+    // window must land on the right element with a high (but sub-1000)
+    // score and a span overlapping the true text
+    val fz = PropertyAttribution.attributeValue(els, "solar pannel").get
+    assert(fz.elementIndex == 0 || fz.elementIndex == 1)
+    assert(fz.scoreMilli > 850L && fz.scoreMilli < 1000L, s"score ${fz.scoreMilli}")
+    assert(fz.snippet.contains("panel"), s"snippet '${fz.snippet}'")
+    // zero common characters: score 0 -> unattributed (reference :108)
+    assert(PropertyAttribution.attributeValue(els, "ZZZZQQQQ").isEmpty)
+    // LCS ratio pins
+    assert(PropertyAttribution.lcsRatioMilli("abc", "abc") == 1000L)
+    assert(PropertyAttribution.lcsRatioMilli("abc", "xyz") == 0L)
+    assert(PropertyAttribution.lcsRatioMilli("abcd", "abxd") == 750L)
+    // document-level: props attach only for present fields with evidence
+    val d = Document.of("d1", properties = Map("who" -> "solar panel", "none" -> "ZZZZ"))
+      .copy(elements = els)
+    val out = PropertyAttribution.attribute(d, Seq("who", "none", "missing"))
+    assert(out.prop("who._attr_element").contains("0"))
+    assert(out.prop("who._attr_start").contains("4"))
+    assert(out.prop("who._attr_score_milli").contains("1000"))
+    assert(out.prop("who._attr_snippet").contains("solar panel"))
+    assert(out.prop("none._attr_element").isEmpty, "zero-score value stays bare")
+    assert(out.prop("missing._attr_element").isEmpty)
+  }
+
   test("Hll.correctedEstimate: linear counting below the 2.5m crossover, raw above") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -75,6 +75,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(again.map(_.docId).sorted == docs.map(_.docId))
   }
 
+  test("clearMaterialize removes the checkpoint so useStored recomputes") {
+    val dir = Files.createTempDirectory("graft_clr").toString + "/store"
+    DocSet.of(spark, Seq(Document.of("a", text = "v1")))
+      .materialize(dir, useStored = true)
+    val d2 = DocSet.of(spark, Seq(Document.of("a", text = "v2")))
+    // stored result wins while the checkpoint exists
+    assert(d2.materialize(dir, useStored = true).takeAll().head.text == "v1")
+    assert(d2.clearMaterialize(dir), "existing checkpoint deleted")
+    assert(d2.materialize(dir, useStored = true).takeAll().head.text == "v2",
+      "cleared checkpoint recomputes from the new source")
+    assert(!d2.clearMaterialize(dir + "/nope"), "absent path is a no-op")
+  }
+
   test("ORC round-trip preserves every Document field, including binary") {
     val dir = Files.createTempDirectory("graft_orc").toString + "/out"
     val docs = (0 until 5).map { i =>
