@@ -36,6 +36,17 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Recursive delete for gate temp dirs (directory streams closed —
+    * an unclosed Files.list leaks a descriptor per level until GC). */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toList.foreach(rmTree) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
   /** events.ts normalized to int64 nanos whatever the parquet physical type:
     * TIMESTAMP(NANOS) reads directly as long via nanosAsLong; a plain
     * TIMESTAMP (micros, as in the regenerated testdata) is converted with
@@ -2811,12 +2822,6 @@ object SparkEntry {
         .localCheckpoint()
       s.catalog.dropTempView(s"gs_win_$tag")
       s.catalog.dropTempView(s"gs_dd_$tag")
-      def rmTree(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).iterator().asScala.foreach(rmTree)
-        java.nio.file.Files.deleteIfExists(p)
-        ()
-      }
       rmTree(java.nio.file.Paths.get(tmpIn))
       rmTree(java.nio.file.Paths.get(outDir))
       res
@@ -2854,12 +2859,6 @@ object SparkEntry {
             (col("event_id") % 7) * 60L + col("event_id") % 13)
         .select(col("event_id"), col("event_type"), col("batch"),
           timestamp_seconds(col("ets_sec")).as("ets"))
-      def rmTree(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).iterator().asScala.foreach(rmTree)
-        java.nio.file.Files.deleteIfExists(p)
-        ()
-      }
       val inDir = java.nio.file.Files.createTempDirectory("graft_evict_in")
       val mtime0 = 1700000000000L
       // ONE partitioned write (vs nb sequential repartition(1) jobs — the
@@ -2870,8 +2869,14 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
       (0 until nb).foreach { b =>
         val bd = tmp.resolve(s"batch=$b")
-        val part = java.nio.file.Files.list(bd).iterator().asScala
-          .find(_.getFileName.toString.startsWith("part-")).get
+        val part = {
+          val ls = java.nio.file.Files.list(bd)
+          try ls.iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(
+              s"no part file for batch $b under $bd"))
+          finally ls.close()
+        }
         val dst = inDir.resolve(f"batch$b%02d.parquet")
         java.nio.file.Files.move(part, dst)
         java.nio.file.Files.setLastModifiedTime(dst,

@@ -722,8 +722,6 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     map(_.withProps("_schema" -> schemaJson, "_schema_class" -> entityName))
   }
 
-  /** Populate typed properties per schema with validator retries
-    * (reference: extract_schema.py:186 LLMPropertyExtractor). */
   /** Attribute extracted property values back to their source elements
     * (reference: transforms/property_extraction/attribution.py:40
     * TextMatchAttributionStrategy): adds `<field>._attr_element/_start/
@@ -731,6 +729,8 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def attributeProperties(fields: Seq[String]): DocSet =
     map(graft.operators.PropertyAttribution.attribute(_, fields))
 
+  /** Populate typed properties per schema with validator retries
+    * (reference: extract_schema.py:186 LLMPropertyExtractor). */
   def extractProperties(extractor: graft.llm.LlmPropertyExtractor): DocSet =
     mapBatch(extractor.extract)
 

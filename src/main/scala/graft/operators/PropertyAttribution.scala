@@ -17,11 +17,15 @@ import graft.model.{Document, Element}
  * ratio is the classic LCS form — 2·LCS(a,b)/(|a|+|b|) — which is the same
  * quantity with the full longest-common-subsequence instead of difflib's
  * greedy block decomposition (deterministic, standard, and never smaller).
- * The window search is the reference's exactly: pass 1 slides a |value|-
- * sized window; pass 2 expands the winner by up to
- * min(|value|, MaxFuzzyPadding) characters (reference :238-256). A
- * difflib-style `quickRatio` multiset bound prunes windows that cannot beat
- * the current best, so the LCS DP runs only on candidates.
+ * The window search follows the reference's two passes — pass 1 slides a
+ * |value|-sized window; pass 2 expands the winner by up to
+ * min(|value|, MaxFuzzyPadding) characters (reference :238-256) — with one
+ * divergence: windows whose expansion would start before the element text
+ * are CLAMPED to offset 0 and still scored (the reference's Python slice
+ * with a negative start degenerates and is effectively never scored), so a
+ * match near the start of an element can win a slightly wider window here.
+ * A difflib-style `quickRatio` multiset bound prunes windows that cannot
+ * beat the current best, so the LCS DP runs only on candidates.
  *
  * Scale shape: a pure per-document map — no shuffle, no driver state; cost
  * is per-(property, element) text work, the same shape as the partitioners.

@@ -166,9 +166,16 @@ object SearchRead {
         reconstructFrom(m, siblings)
       }
     } finally {
+      // best-effort: a cleanup failure (e.g. the same dead server that
+      // failed the read) must not mask the root-cause exception
       pit.foreach { p =>
-        val c = factory.open()
-        try c.deletePit(p) finally c.close()
+        try {
+          val c = factory.open()
+          try c.deletePit(p) finally c.close()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[search] deletePit($p) failed: ${e.getMessage}")
+        }
       }
     }
   }
@@ -236,8 +243,12 @@ object SearchRead {
    * Scale shape: a pure Map — one client per task, one live search per
    * query document (the reference's executor performs exactly one POST
    * `_search` per query); no shuffle, no driver traffic, result volume =
-   * Σ hits. Non-knn queries page from/size so large result sets don't
-   * depend on a server-side window cap.
+   * Σ hits. Non-knn queries page from/size under a per-(task, index) PIT
+   * so pagination is snapshot-consistent against concurrent writers; the
+   * PITs are deleted when the task's iterator drains. Per-query result
+   * sets are expected bounded (the reference's one-POST contract) — a
+   * real backend additionally caps from+size (`max_result_window`), the
+   * same per-cursor bound the sliced read's 10k-per-slice cap reflects.
    */
   def queryDocs(docs: Dataset[Document], factory: SearchClientFactory,
                 defaultIndex: Option[String] = None,
@@ -246,6 +257,7 @@ object SearchRead {
       if (!it.hasNext) Iterator.empty
       else {
         val client = factory.open()
+        val pits = mutable.Map.empty[String, String]
         val out = mutable.ArrayBuffer.empty[Document]
         try {
           it.foreach { d =>
@@ -256,11 +268,12 @@ object SearchRead {
             val hits = q match {
               case k: SearchQuery.Knn => client.knn(index, k)
               case _ =>
+                val pit = pits.getOrElseUpdate(index, client.createPit(index))
                 val buf = mutable.ArrayBuffer.empty[SearchHit]
                 var from = 0
                 var more = true
                 while (more) {
-                  val page = client.searchPage(index, q, None, None, from, pageSize)
+                  val page = client.searchPage(index, q, None, Some(pit), from, pageSize)
                   buf ++= page
                   from += pageSize
                   more = page.nonEmpty
@@ -272,7 +285,14 @@ object SearchRead {
               elements = hits.zipWithIndex.map { case (h, i) => hitToElement(i, h) },
               properties = d.properties + ("result_count" -> hits.size.toString))
           }
-        } finally client.close()
+        } finally {
+          // best-effort cleanup must not mask the root-cause failure
+          pits.values.foreach { p =>
+            try client.deletePit(p)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          client.close()
+        }
         out.iterator
       }
     }(DocSet.docEnc)
@@ -452,6 +472,15 @@ object FakeSearch {
     n.synchronized(n.pits.size)
   }
 
+  /** Drop every namespace under `prefix` except `keep` — the eviction
+    * hook for content-fingerprinted ingests, whose superseded corpus
+    * versions would otherwise accumulate in the JVM-wide registry. */
+  def dropNamespacesWithPrefix(prefix: String, keep: String): Unit =
+    registry.synchronized {
+      registry.keys.filter(k => k.startsWith(prefix) && k != keep).toSeq
+        .foreach(registry.remove)
+    }
+
   /** Create-if-absent (idempotent ingest): every task of a distributed
     * read may race to materialize the same fixture index; the first wins
     * and later calls are no-ops, so PIT versions stay stable. */
@@ -620,6 +649,10 @@ final case class BulkDirSearchClientFactory(dir: String, index: String)
     // corpus version the key is stable, so concurrent task opens still
     // ensure exactly one ingest and PIT versions stay stable
     val nsKey = s"bulkdir:$dir:${fingerprint()}"
+    // evict superseded corpus versions of THIS dir (a long session that
+    // rewrites the fixture N times must not hold N parsed copies); the
+    // one-corpus-version-at-a-time contract of a fixture path
+    FakeSearch.dropNamespacesWithPrefix(s"bulkdir:$dir:", nsKey)
     FakeSearch.ensureIndex(nsKey, index)(parseBulkDir())
     new FakeSearch.Client(nsKey)
   }

@@ -199,13 +199,20 @@ object ScaleProbe {
     val opsFilter = sys.env.get("SCALE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = opsFilter.forall(_(name))
+    // corpora parameters are BY-NAME and only touched when some op in the
+    // section survives the SCALE_OPS filter — otherwise a targeted run
+    // (e.g. SCALE_OPS=ivf_topk_many) would still replicate and checkpoint
+    // every section's Kx corpus for nothing
     def runAll(ops: Seq[(String, DataFrame => DataFrame)],
-               sm: DataFrame, bg: DataFrame): Unit =
-      ops.foreach { case (name, f) =>
-        if (wanted(name)) {
-          val t1 = measure(f, sm)
-          val tk = measure(f, bg)
-          println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+               sm: => DataFrame, bg: => DataFrame): Unit =
+      if (ops.exists(o => wanted(o._1))) {
+        val (smV, bgV) = (sm, bg)
+        ops.foreach { case (name, f) =>
+          if (wanted(name)) {
+            val t1 = measure(f, smV)
+            val tk = measure(f, bgV)
+            println(f"[scale] $name%-16s 1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+          }
         }
       }
     if (sections("core")) runAll(ops, small, big)

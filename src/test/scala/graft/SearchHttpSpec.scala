@@ -319,6 +319,8 @@ class SearchHttpSpec extends AnyFunSuite {
     assert(byId("q2").elements.head.prop(SearchRead.ScoreProp).exists(_.toDouble > 0.99))
     assert(byId("q3").elements.isEmpty && byId("q3").prop("result_count").contains("0"))
     assert(byId("q4").elements.map(e => e.prop("doc_id").get) == Seq("b"))
+    assert(FakeSearch.livePits(ns) == 0,
+      "queryDocs pages under per-task PITs and must delete them")
     // a query document naming no index anywhere fails loudly
     val bad = DocSet.of(spark, Seq(qd("qx", SearchQuery.MatchAll, Map.empty)))
     intercept[Exception](bad.query(FakeSearchClientFactory(ns)).takeAll())
