@@ -174,6 +174,36 @@ class OperatorPropertySpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("attribution invariants: in-bounds spans, exact always wins, snippet consistency") {
+    import graft.operators.PropertyAttribution
+    import graft.model.Element
+    val genEls: Gen[List[String]] =
+      Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genText))
+    check(Prop.forAll(genEls, genText) { (els, value) =>
+      val elements = els.zipWithIndex.map { case (t, i) => Element.text(i, "chunk", t) }
+      PropertyAttribution.attributeValue(elements, value) match {
+        case None =>
+          // unattributed only when the value is empty or shares no window
+          // with any element (score 0 everywhere)
+          value.isEmpty || elements.forall { e =>
+            PropertyAttribution.findFuzzy(e.text, value)._1 == 0L
+          }
+        case Some(a) =>
+          val t = elements.find(_.elementIndex == a.elementIndex).get.text
+          val inBounds = a.start >= 0 && a.end <= t.length && a.start < a.end
+          val snippetOk = a.snippet == t.substring(a.start, a.end)
+          val scoreOk = a.scoreMilli > 0 && a.scoreMilli <= 1000
+          // exact containment anywhere forces an exact (1000) attribution
+          // on the FIRST containing element
+          val exactWins = !elements.exists(e => e.text.contains(value) && value.nonEmpty) ||
+            (a.scoreMilli == 1000L &&
+              a.elementIndex == elements.find(_.text.contains(value)).get.elementIndex &&
+              a.snippet == value)
+          inBounds && snippetOk && scoreOk && exactWins
+      }
+    }, n = 60)
+  }
+
   test("bigram LM invariants: totals, ranges, and null only for sub-2-token docs") {
     check(Prop.forAll(genCorpus) { texts =>
       val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -377,6 +377,19 @@ object ScaleProbe {
           import spark.implicits._
           val terms = qts.toDF("query_id", "term")
           graft.operators.Bm25.scoreMany(d, "doc_id", "text", terms)
+        },
+        // property attribution: pure per-doc map (chunk + exact/fuzzy span
+        // search) — probed to prove the per-row text work stays linear
+        "attr_props" -> { d =>
+          val docs = graft.sources.DocRead.fromDataFrame(
+            d.where(length(col("text")) >= 73), Some("doc_id"), Some("text"))
+          docs.map { doc =>
+            val t = doc.text
+            val els = t.grouped(60).zipWithIndex
+              .map { case (c, i) => graft.model.Element.text(i, "chunk", c) }.toSeq
+            doc.copy(elements = els,
+              properties = doc.properties + ("val" -> t.substring(60, 72)))
+          }.attributeProperties(Seq("val")).toDF
         })
       runAll(bm25Ops, small, big)
       if (wanted("ivf_topk_many")) {
