@@ -87,41 +87,59 @@ object DocRead {
     else df.columns.exists(_.equalsIgnoreCase(name))
   }
 
+  /** Columnar lineage id for relational/columnar ingests: "lin-" +
+    * hex(xxhash64(id)). Driver-built documents (Document.of, search hits)
+    * use Document.lineageOf's murmur-base36 scheme instead — lineage ids
+    * are per-document provenance handles, not cross-ingest-path join
+    * keys; the columnar scheme exists because Scala's
+    * MurmurHash3.stringHash has no Catalyst twin. */
+  private def lineageCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("lin-"), lower(hex(xxhash64(id.cast("string")))))
+
   def jsonFile(spark: SparkSession, paths: String,
                properties: Option[Seq[String]] = None,
                bodyField: Option[String] = None,
                rowsField: Option[String] = None): DocSet = {
-    val raw = spark.read.option("multiLine", "true").json(paths)
-      .withColumn("path", input_file_name())
+    // the injected file-URI column is named "path" (the read.binary
+    // contract) UNLESS the data already carries that key — then the user's
+    // field keeps its name/value and the URI rides as "_file_path" instead
+    // of silently overwriting data (or colliding into an ambiguous-column
+    // AnalysisException in rows mode)
+    val raw0 = spark.read.option("multiLine", "true").json(paths)
     rowsField match {
       case Some(rf) =>
         // one Document per array element; docId = path#index so ids stay
         // unique across rows of the same file
-        val exploded = raw
-          .select(col("path"), posexplode(col(rf)).as(Seq("_idx", "_row")))
-          .select(concat(col("path"), lit("#"), col("_idx")).as("_rowid"),
-            col("path"), col("_row.*"))
+        val exploded = raw0
+          .select(input_file_name().as("_file_uri"),
+            posexplode(col(rf)).as(Seq("_idx", "_row")))
+          .select(concat(col("_file_uri"), lit("#"), col("_idx")).as("_rowid"),
+            col("_file_uri"), col("_row.*"))
+        val fileProp = if (hasColumn(exploded, "path")) "_file_path" else "path"
+        val labeled = exploded.withColumnRenamed("_file_uri", fileProp)
         // the property subset applies to ROW fields in this mode — a
         // requested restriction must not be silently dropped
         val kept = properties match {
           case Some(keys) =>
-            exploded.select((Seq("_rowid", "path") ++ keys ++ bodyField.toSeq)
-              .distinct.filter(hasColumn(exploded, _)).map(col): _*)
-          case None => exploded
+            labeled.select((Seq("_rowid", fileProp) ++ keys ++ bodyField.toSeq)
+              .distinct.filter(hasColumn(labeled, _)).map(col): _*)
+          case None => labeled
         }
         fromDataFrame(kept, docIdField = Some("_rowid"), textField = bodyField)
       case None =>
+        val fileProp = if (hasColumn(raw0, "path")) "_file_path" else "path"
+        val raw = raw0.withColumn(fileProp, input_file_name())
         val keep = properties match {
           case Some(keys) =>
             // same missing-key contract as rows mode: a requested key that
             // no file carries is dropped, not an AnalysisException that
             // fails the whole read (corpora are ragged; spark.read.json
             // only surfaces keys that appear somewhere)
-            raw.select((("path" +: keys).distinct ++ bodyField.toSeq).distinct
+            raw.select(((fileProp +: keys).distinct ++ bodyField.toSeq).distinct
               .filter(hasColumn(raw, _)).map(col): _*)
           case None => raw
         }
-        fromDataFrame(keep, docIdField = Some("path"), textField = bodyField)
+        fromDataFrame(keep, docIdField = Some(fileProp), textField = bodyField)
     }
   }
 
@@ -144,7 +162,7 @@ object DocRead {
       lit(null).cast(docSchema(field).dataType).as(field)
     val ds = df.select(
       col(idCol).cast("string").as("docId"),
-      concat(lit("lin-"), lower(hex(xxhash64(col(idCol).cast("string"))))).as("lineageId"),
+      lineageCol(col(idCol)).as("lineageId"),
       nullOf("docType"),
       textField.map(t => col(t).cast("string")).getOrElse(lit(null).cast("string"))
         .as("textRepresentation"),
@@ -227,7 +245,7 @@ object DocRead {
     val docSchema = DocSet.docEnc.schema
     val ds = spark.read.jdbc(url, table, properties).select(
       col("doc_id").cast("string").as("docId"),
-      concat(lit("lin-"), lower(hex(xxhash64(col("doc_id").cast("string"))))).as("lineageId"),
+      lineageCol(col("doc_id")).as("lineageId"),
       col("doc_type").cast("string").as("docType"),
       col("text_representation").cast("string").as("textRepresentation"),
       lit(null).cast("binary").as("binaryRepresentation"),

@@ -91,23 +91,44 @@ object SearchWire {
     (f.getKey, f.getValue)
   }
 
-  /** `_source` of a hit: the string fields verbatim plus the embedding
-    * array (the one reserved field name, as in DocWrite.opensearchBulk). */
+  /** `_source` of a hit on the wire: dotted `properties.*` keys NEST into
+    * a `properties` object — the shape [[DocWrite.opensearchBulk]] writes
+    * and a real backend stores (a dot in a field NAME is a path on
+    * indexing) — other fields ride top-level, plus the embedding array
+    * (the one reserved field name). */
   def sourceJson(h: SearchHit): ObjectNode = {
     val s = om.createObjectNode()
-    h.source.foreach { case (k, v) => s.put(k, v) }
+    val (nested, flat) = h.source.partition(_._1.startsWith("properties."))
+    flat.foreach { case (k, v) => s.put(k, v) }
+    if (nested.nonEmpty) {
+      val p = s.putObject("properties")
+      nested.foreach { case (k, v) => p.put(k.stripPrefix("properties."), v) }
+    }
     h.embedding.foreach { e => val a = s.putArray("embedding"); e.foreach(a.add) }
     s
   }
 
+  /** Inverse of [[sourceJson]]: nested objects flatten one level into
+    * dotted keys (so a real backend's nested `properties` comes back as
+    * the flat `properties.*` map the Document model uses — asText() on a
+    * container would silently yield ""); deeper containers are skipped,
+    * like BulkDirSearchClientFactory's NDJSON ingest. */
   def parseSource(id: String, score: Double, s: JsonNode): SearchHit = {
     val fields = scala.collection.mutable.Map.empty[String, String]
     var emb: Option[Array[Float]] = None
     s.properties().asScala.foreach { f =>
-      if (f.getKey == "embedding" && f.getValue.isArray)
-        emb = Some(f.getValue.elements().asScala.map(_.floatValue()).toArray)
-      else if (!f.getValue.isNull)
-        fields(f.getKey) = f.getValue.asText()
+      f.getValue match {
+        case v if f.getKey == "embedding" && v.isArray =>
+          emb = Some(v.elements().asScala.map(_.floatValue()).toArray)
+        case v if v.isObject =>
+          v.properties().asScala.foreach { sub =>
+            if (!sub.getValue.isNull && !sub.getValue.isContainerNode)
+              fields(s"${f.getKey}.${sub.getKey}") = sub.getValue.asText()
+          }
+        case v if v.isContainerNode => () // non-embedding arrays: skipped
+        case v if !v.isNull =>
+          fields(f.getKey) = v.asText()
+      }
     }
     SearchHit(id, score, fields.toMap, emb)
   }
@@ -209,7 +230,8 @@ final class HttpSearchClient(baseUri: String,
 
   override def searchPage(index: String, query: SearchQuery,
                           slice: Option[SearchSlice], pit: Option[String],
-                          from: Int, size: Int): Seq[SearchHit] = {
+                          from: Int, size: Int,
+                          fields: Option[Seq[String]] = None): Seq[SearchHit] = {
     val body = om.createObjectNode()
     body.set[JsonNode]("query", SearchWire.queryJson(query))
     body.put("from", from).put("size", size)
@@ -217,6 +239,11 @@ final class HttpSearchClient(baseUri: String,
     slice.foreach(s => body.putObject("slice").put("id", s.sliceId).put("max", s.max))
     // per-request keep_alive extends the PIT across long sliced reads
     pit.foreach(p => body.putObject("pit").put("id", p).put("keep_alive", "10m"))
+    // server-side _source filtering: the list-don't-read economy
+    fields.foreach { fs =>
+      val a = body.putArray("_source")
+      fs.foreach(a.add)
+    }
     // with a pit the index is implied by the snapshot (OpenSearch rule)
     val path = pit.map(_ => "/_search").getOrElse(s"/$index/_search")
     val (_, resp) = send("POST", path, Some(body.toString))
@@ -311,7 +338,8 @@ final class LocalSearchServer(namespace: String,
   private val pitIndex = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val server =
     com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
   server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
     val out: (Int, String) =
       try route(exchange)
@@ -422,13 +450,20 @@ final class LocalSearchServer(namespace: String,
         Some(SearchSlice(json.get("slice").get("id").asInt(),
           json.get("slice").get("max").asInt()))
       else None
+    val fields =
+      if (json.has("_source") && json.get("_source").isArray)
+        Some(json.get("_source").elements().asScala.map(_.asText()).toSeq)
+      else None
     val hits = fake.searchPage(index, q, slice, pit,
-      json.path("from").asInt(0), json.path("size").asInt(10))
+      json.path("from").asInt(0), json.path("size").asInt(10), fields)
     SearchWire.hitsResponse(hits)
   }
 
   override def close(): Unit = {
     server.stop(0)
+    // stop(0) does not shut down a user-supplied executor: without this,
+    // every server instance leaks 8 non-daemon pool threads
+    pool.shutdown()
     fake.close()
   }
 }

@@ -74,7 +74,8 @@ object SearchRead {
    */
   def read(spark: SparkSession, factory: SearchClientFactory, index: String,
            query: SearchQuery, reconstruct: Boolean = false,
-           pageSize: Int = 1000, sliceTarget: Int = 2500): DocSet = {
+           pageSize: Int = 1000, sliceTarget: Int = 2500,
+           sourceFields: Option[Seq[String]] = None): DocSet = {
     val driver = factory.open()
     val (numSlices, pit) =
       try {
@@ -107,6 +108,7 @@ object SearchRead {
           val q = query
           val ps = pageSize
           val ns = numSlices
+          val sf = sourceFields
           // one partition per slice, no shuffle; the body still drains every
           // id in its partition so a repartitioned plan stays correct
           spark.range(0, ns, 1, ns).mapPartitions { it =>
@@ -121,10 +123,12 @@ object SearchRead {
                   var more = true
                   while (more) {
                     val page = client.searchPage(index, q,
-                      Some(SearchSlice(sliceId, ns)), pit, from, ps)
+                      Some(SearchSlice(sliceId, ns)), pit, from, ps, sf)
                     out ++= page.map(hitToDoc)
                     from += ps
-                    more = page.nonEmpty
+                    // a short page proves exhaustion (windows are
+                    // deterministic) — no extra guaranteed-empty request
+                    more = page.size == ps
                   }
                 }
               } finally client.close()
@@ -156,7 +160,7 @@ object SearchRead {
                   val page = client.searchPage(index, q, None, pit, from, 500)
                   out ++= page.map(hitToDoc)
                   from += 500
-                  more = page.nonEmpty
+                  more = page.size == 500
                 }
               }
             } finally client.close()
@@ -276,7 +280,7 @@ object SearchRead {
                   val page = client.searchPage(index, q, None, Some(pit), from, pageSize)
                   buf ++= page
                   from += pageSize
-                  more = page.nonEmpty
+                  more = page.size == pageSize
                 }
                 buf.toSeq
             }
@@ -396,9 +400,13 @@ trait SearchClient extends AutoCloseable {
   def createPit(index: String): String
   def deletePit(pitId: String): Unit
   /** One from/size page of one slice. Page order is deterministic for a
-    * fixed (query, slice, pit). */
+    * fixed (query, slice, pit). `fields` is server-side `_source`
+    * filtering (the list-don't-read economy syncs rely on): only the
+    * named source keys come back — `_id`/`_score` always ride, the
+    * embedding only when "embedding" is named. None = full source. */
   def searchPage(index: String, query: SearchQuery, slice: Option[SearchSlice],
-                 pit: Option[String], from: Int, size: Int): Seq[SearchHit]
+                 pit: Option[String], from: Int, size: Int,
+                 fields: Option[Seq[String]] = None): Seq[SearchHit]
   /** Open a scroll cursor: returns (scrollId, first page). */
   def openScroll(index: String, query: SearchQuery, size: Int): (String, Seq[SearchHit])
   def scroll(scrollId: String): Seq[SearchHit]
@@ -432,11 +440,17 @@ trait SearchClient extends AutoCloseable {
  *  - scroll cursors that snapshot at open and free on clear.
  */
 object FakeSearch {
-  private final case class Rec(hit: SearchHit, version: Long)
+  // MVCC record: visible to a snapshot at version v iff added <= v < removed.
+  // Upserts/deletes TOMBSTONE the old record (set `removed`) instead of
+  // dropping it, so a PIT opened before the write still sees the pre-write
+  // state — the isolation contract the sliced distributed read depends on.
+  private final case class Rec(hit: SearchHit, added: Long,
+                               var removed: Long = Long.MaxValue)
   private final case class Ns(
       indexes: mutable.Map[String, mutable.ArrayBuffer[Rec]] = mutable.Map.empty,
       pits: mutable.Map[String, (String, Long)] = mutable.Map.empty, // pit -> (index, version)
-      var version: Long = 0L)
+      var version: Long = 0L,
+      var pitSeq: Long = 0L)
 
   private val registry = mutable.Map.empty[String, Ns]
 
@@ -539,8 +553,8 @@ object FakeSearch {
             val (pIndex, v) = n.pits.getOrElse(p,
               throw new IllegalArgumentException(s"unknown or deleted pit: $p"))
             require(pIndex == index, s"pit $p is for index $pIndex, not $index")
-            recs.filter(_.version <= v).map(_.hit).toSeq
-          case None => recs.map(_.hit).toSeq
+            recs.filter(r => r.added <= v && r.removed > v).map(_.hit).toSeq
+          case None => recs.filter(_.removed == Long.MaxValue).map(_.hit).toSeq
         }
       }
 
@@ -549,7 +563,10 @@ object FakeSearch {
 
     override def createPit(index: String): String = n.synchronized {
       require(n.indexes.contains(index), s"no such index: $index")
-      val id = s"pit-${n.version}-${n.pits.size}"
+      // monotone sequence, never reused (pits.size shrinks on delete and
+      // a recycled id would hijack a live PIT's snapshot)
+      n.pitSeq += 1
+      val id = s"pit-${n.version}-${n.pitSeq}"
       n.pits(id) = (index, n.version)
       id
     }
@@ -559,13 +576,22 @@ object FakeSearch {
 
     override def searchPage(index: String, query: SearchQuery,
                             slice: Option[SearchSlice], pit: Option[String],
-                            from: Int, size: Int): Seq[SearchHit] = {
+                            from: Int, size: Int,
+                            fields: Option[Seq[String]] = None): Seq[SearchHit] = {
       require(from >= 0 && size > 0, "bad page window")
       val all = snapshot(index, pit)
         .filter(h => slice.forall(s => sliceOf(h.id, s.max) == s.sliceId))
         .filter(matches(query, _))
         .sortBy(_.id)
-      all.slice(from, from + size)
+      val page = all.slice(from, from + size)
+      fields match {
+        case None => page
+        case Some(fs) =>
+          val want = fs.toSet
+          page.map(h => h.copy(
+            source = h.source.filter { case (k, _) => want(k) },
+            embedding = h.embedding.filter(_ => want("embedding"))))
+      }
     }
 
     override def openScroll(index: String, query: SearchQuery,
@@ -590,18 +616,24 @@ object FakeSearch {
         val buf = n.indexes.getOrElseUpdate(index, mutable.ArrayBuffer.empty)
         n.version += 1
         val ids = hits.map(_.id).toSet
-        val keep = buf.filterNot(r => ids(r.hit.id))
-        buf.clear(); buf ++= keep; buf ++= hits.map(Rec(_, n.version))
+        // tombstone replaced records (PITs opened earlier keep seeing them)
+        buf.foreach { r =>
+          if (r.removed == Long.MaxValue && ids(r.hit.id)) r.removed = n.version
+        }
+        buf ++= hits.map(Rec(_, n.version))
       }
 
     override def deleteByParent(index: String, parentKeys: Seq[String]): Unit =
       n.synchronized {
         n.indexes.get(index).foreach { buf =>
           val ks = parentKeys.toSet
-          val keep = buf.filterNot { r =>
-            ks(r.hit.source.getOrElse("parent_id", r.hit.id))
+          n.version += 1
+          // tombstone, not drop: earlier PITs still see the deleted records
+          buf.foreach { r =>
+            if (r.removed == Long.MaxValue &&
+                ks(r.hit.source.getOrElse("parent_id", r.hit.id)))
+              r.removed = n.version
           }
-          buf.clear(); buf ++= keep
         }
       }
 

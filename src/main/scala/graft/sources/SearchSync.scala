@@ -45,11 +45,14 @@ object SearchSync {
   val HashProp = "_content_hash"
 
   /** Per-record content hash: identity + content + split position
-    * (element index rides in properties). Columnar, codegen'd; stringly
+    * (element index rides in properties) + the embedding — toHit WRITES
+    * the embedding into the index record, so an embedding-only change
+    * (re-embedding a corpus with a new model) must drift the signature or
+    * sync would silently keep stale vectors. Columnar, codegen'd; stringly
     * typed because it round-trips through an index property. */
   private def contentHash: Column =
     xxhash64(to_json(struct(col("docId"), col("parentId"), col("docType"),
-      col("textRepresentation"), col("properties")))).cast("string")
+      col("textRepresentation"), col("properties"), col("embedding")))).cast("string")
 
   private def parentSig(parent: Column, hash: Column, df: DataFrame): DataFrame =
     df.groupBy(parent.as("parent"))
@@ -72,7 +75,11 @@ object SearchSync {
     val exists = try client.indexExists(index) finally client.close()
     // a first sync bootstraps the index: nothing there, everything loads
     if (!exists) return Seq.empty[(String, Long)].toDF("parent", "sig")
-    val scan = SearchRead.read(spark, factory, index, SearchQuery.MatchAll)
+    // narrow scan: server-side _source filtering pulls only the three
+    // sync fields — the list-don't-read economy (bodies and embeddings
+    // never cross the wire, cost is O(cardinality) not O(index bytes))
+    val scan = SearchRead.read(spark, factory, index, SearchQuery.MatchAll,
+      sourceFields = Some(Seq("doc_id", "parent_id", s"properties.$HashProp")))
     val df = scan.ds
       .map(d => (d.parentId.getOrElse(d.docId), d.prop(HashProp).getOrElse("")))
       .toDF("__p", "__h")

@@ -65,6 +65,27 @@ class SearchHttpSpec extends AnyFunSuite {
       Map("doc_id" -> "d1", "text" -> "body", "properties.year" -> "2024"),
       Some(Array(0.25f, 1f)))
     assert(key(SearchWire.parseHit(SearchWire.hitJson(h))) == key(h))
+    // the wire shape NESTS properties (what opensearchBulk writes and a
+    // real backend stores) while the model keeps flat dotted keys
+    val src = SearchWire.sourceJson(h)
+    assert(src.get("properties") != null && src.get("properties").isObject,
+      "properties.* keys nest into an object on the wire")
+    assert(src.get("properties").get("year").asText() == "2024")
+    assert(!src.has("properties.year"), "no flat dotted field on the wire")
+  }
+
+  test("loopback: server-side _source filtering rides the wire") {
+    val ns = freshNs("srcfilter")
+    FakeSearch.createIndex(ns, "idx", Seq(
+      SearchHit("a", 1.0, Map("doc_id" -> "a", "text" -> "big body",
+        "parent_id" -> "p", "properties.k" -> "v"), Some(Array(1f, 0f)))))
+    withServer(ns) { (_, c) =>
+      val slim = c.searchPage("idx", SearchQuery.MatchAll, None, None, 0, 10,
+        Some(Seq("doc_id", "parent_id", "properties.k"))).head
+      assert(slim.source == Map("doc_id" -> "a", "parent_id" -> "p",
+        "properties.k" -> "v"))
+      assert(slim.embedding.isEmpty, "embedding excluded unless named")
+    }
   }
 
   test("loopback: slices are disjoint and complete; pages tile the slice") {
@@ -259,7 +280,8 @@ class SearchHttpSpec extends AnyFunSuite {
         def createPit(index: String) = inner.createPit(index)
         def deletePit(pitId: String) = inner.deletePit(pitId)
         def searchPage(index: String, query: SearchQuery, slice: Option[SearchSlice],
-                       pit: Option[String], from: Int, size: Int): Seq[SearchHit] =
+                       pit: Option[String], from: Int, size: Int,
+                       fields: Option[Seq[String]]): Seq[SearchHit] =
           throw new IllegalStateException("wire down")
         def openScroll(index: String, query: SearchQuery, size: Int) =
           inner.openScroll(index, query, size)

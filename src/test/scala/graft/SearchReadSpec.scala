@@ -67,6 +67,72 @@ class SearchReadSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("PIT snapshot survives upserts and deletes, not just appends") {
+    val ns = freshNs("pitmvcc")
+    FakeSearch.createIndex(ns, "idx", Seq(hit("a", "text" -> "v1"), hit("b")))
+    val c = FakeSearchClientFactory(ns).open()
+    try {
+      val pit = c.createPit("idx")
+      c.bulkIndex("idx", Seq(hit("a", "text" -> "v2")))
+      c.deleteByParent("idx", Seq("b"))
+      val pinned = c.searchPage("idx", SearchQuery.MatchAll, None, Some(pit), 0, 10)
+      assert(pinned.map(_.id) == Seq("a", "b"),
+        "the pre-write snapshot keeps the deleted record")
+      assert(pinned.find(_.id == "a").get.source.get("text").contains("v1"),
+        "the pre-write snapshot keeps the OLD version of an upserted record")
+      val live = c.searchPage("idx", SearchQuery.MatchAll, None, None, 0, 10)
+      assert(live.map(_.id) == Seq("a"), "live read sees the delete")
+      assert(live.head.source.get("text").contains("v2"), "live read sees the upsert")
+      c.deletePit(pit)
+    } finally c.close()
+  }
+
+  test("PIT ids are never recycled after a delete shrinks the map") {
+    val ns = freshNs("pitid")
+    FakeSearch.createIndex(ns, "idx1", Seq(hit("a")))
+    FakeSearch.createIndex(ns, "idx2", Seq(hit("b")))
+    val c = FakeSearchClientFactory(ns).open()
+    try {
+      val p1 = c.createPit("idx1")
+      val p2 = c.createPit("idx2")
+      c.deletePit(p1)
+      val p3 = c.createPit("idx1")
+      assert(p3 != p1 && p3 != p2, "a fresh PIT must not collide with a live one")
+      // p2's snapshot is untouched by p3's creation
+      assert(c.searchPage("idx2", SearchQuery.MatchAll, None, Some(p2), 0, 10)
+        .map(_.id) == Seq("b"))
+    } finally c.close()
+  }
+
+  test("searchPage server-side field filtering strips bodies but keeps keys") {
+    val ns = freshNs("fields")
+    FakeSearch.createIndex(ns, "idx", Seq(
+      SearchHit("a", 1.0, Map("doc_id" -> "a", "text" -> "big body",
+        "parent_id" -> "p", "properties.k" -> "v"), Some(Array(1f, 0f)))))
+    val c = FakeSearchClientFactory(ns).open()
+    try {
+      val slim = c.searchPage("idx", SearchQuery.MatchAll, None, None, 0, 10,
+        Some(Seq("doc_id", "parent_id"))).head
+      assert(slim.source == Map("doc_id" -> "a", "parent_id" -> "p"))
+      assert(slim.embedding.isEmpty, "embedding excluded unless named")
+      val withEmb = c.searchPage("idx", SearchQuery.MatchAll, None, None, 0, 10,
+        Some(Seq("doc_id", "embedding"))).head
+      assert(withEmb.embedding.isDefined)
+    } finally c.close()
+  }
+
+  test("sync detects embedding-only drift (re-embedded corpus must reload)") {
+    val ns = freshNs("sync4")
+    val f = FakeSearchClientFactory(ns)
+    val v1 = corpus(2)
+    SearchSync.sync(DocSet.of(spark, v1).explode(), f, "idx")
+    val v2 = v1.map(d =>
+      if (d.docId == "doc1") d.copy(embedding = Some(Array(1f, 2f))) else d)
+    val plan = SearchSync.diff(DocSet.of(spark, v2).explode(), f, "idx").collect()
+    assert(plan.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("doc1", "load")), "new vectors, same text: still a reload")
+  }
+
   test("scroll walks all pages once and dies on clear") {
     val ns = freshNs("scroll")
     FakeSearch.createIndex(ns, "idx", (0 until 7).map(i => hit(s"d$i")))

@@ -75,6 +75,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(again.map(_.docId).sorted == docs.map(_.docId))
   }
 
+  test("jsonFile: a user field named 'path' survives; the file URI rides _file_path") {
+    val dir = Files.createTempDirectory("graft_jsonpath").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"path": "user-value", "body": "text here"}""".getBytes("UTF-8"))
+    val docs = DocRead.jsonFile(spark, s"$dir/a.json", bodyField = Some("body")).takeAll()
+    assert(docs.size == 1)
+    val d = docs.head
+    assert(d.prop("path").contains("user-value"), "data's own path not overwritten")
+    assert(d.prop("_file_path").exists(_.endsWith("a.json")))
+    assert(d.docId.endsWith("a.json"), "docId is still the file URI")
+    assert(d.text == "text here")
+    // rows mode: a row field named 'path' must not collide into an
+    // ambiguous-column failure — it stays the row's own property
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"rows": [{"path": "r0", "q": "x"}, {"path": "r1", "q": "y"}]}"""
+        .getBytes("UTF-8"))
+    val rows = DocRead.jsonFile(spark, s"$dir/b.json", rowsField = Some("rows")).takeAll()
+    assert(rows.size == 2)
+    assert(rows.map(_.prop("path").get).sorted == Seq("r0", "r1"))
+    assert(rows.forall(_.prop("_file_path").exists(_.endsWith("b.json"))))
+  }
+
   test("clearMaterialize removes the checkpoint so useStored recomputes") {
     val dir = Files.createTempDirectory("graft_clr").toString + "/store"
     DocSet.of(spark, Seq(Document.of("a", text = "v1")))
