@@ -251,20 +251,36 @@ object Dedup {
                  shingleSize: Int = 5, numHashes: Int = 16,
                  bands: Int = 4, threshold: Double = 0.5,
                  signature: Option[Column => Column] = None): DataFrame = {
-    val rows = numHashes / bands
     val sigFn = signature.getOrElse((t: Column) =>
       gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
     val sig = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
       .select(col("_id"), sigFn(col("_t")).as("_sig"))
-    // KEEP-set formulation: survivors are exactly {group min ids} minus
-    // {greater min of each qualifying cross pair} — every non-min member of
-    // a signature class is dropped by its own min (est = 1), so only group
-    // mins can survive, and a min survives iff no qualifying pair gives it a
-    // smaller counterpart. This needs ONE aggregate flavor (min) — an
-    // earlier drop-set version also collected the full id lists, and that
-    // second aggregate flavor stopped AQE from reusing the scan→sketch→
-    // shuffle stage across branches: signatures were computed three times.
-    val groups = sig.groupBy(col("_sig")).agg(min(col("_id")).as("_min"))
+    df.join(minhashLshKeepIds(sig, id, numHashes, bands, threshold),
+      Seq(id), "left_semi")
+  }
+
+  /** The keep-set half of [[minhashLsh]] over an already-computed
+    * (_id, _sig) frame — exposed so callers that need the signatures
+    * anyway (the streaming near-dup log) sketch the corpus ONCE.
+    *
+    * KEEP-set formulation: survivors are exactly {group min ids} minus
+    * {greater min of each qualifying cross pair} — every non-min member of
+    * a signature class is dropped by its own min (est = 1), so only group
+    * mins can survive, and a min survives iff no qualifying pair gives it a
+    * smaller counterpart. This needs ONE aggregate flavor (min) — an
+    * earlier drop-set version also collected the full id lists, and that
+    * second aggregate flavor stopped AQE from reusing the scan→sketch→
+    * shuffle stage across branches: signatures were computed three times.
+    *
+    * NULL signatures (null text, or text too short to shingle) are not
+    * comparable and are ALWAYS kept — grouping them would silently collapse
+    * every binary-only document in a batch onto one survivor. */
+  private[graft] def minhashLshKeepIds(sig: DataFrame, id: String,
+                                       numHashes: Int, bands: Int,
+                                       threshold: Double): DataFrame = {
+    val rows = numHashes / bands
+    val groups = sig.where(col("_sig").isNotNull)
+      .groupBy(col("_sig")).agg(min(col("_id")).as("_min"))
     // repartition = shuffle barrier + the self-join arrives co-partitioned
     val banded = groups
       .select(col("_sig"), col("_min"),
@@ -280,9 +296,9 @@ object Dedup {
       .select(greatest(col("minA"), col("minB")).as(id))
     // no distinct() on crossDrops: left_anti tolerates duplicate keys, and
     // the dedup exchange would cost more than the duplicates it removes
-    val keepIds = groups.select(col("_min").as(id))
+    groups.select(col("_min").as(id))
       .join(crossDrops, Seq(id), "left_anti")
-    df.join(keepIds, Seq(id), "left_semi")
+      .unionByName(sig.where(col("_sig").isNull).select(col("_id").as(id)))
   }
 
   /**

@@ -77,21 +77,31 @@ object DocStream {
    * analogue of Dedup.exactRows — without a watermark, dedup state grows
    * with the corpus forever; with one, a duplicate arriving later than
    * `watermarkDelay` after the original is passed through, the standard
-   * completeness/state trade).
+   * completeness/state trade). Uses `dropDuplicatesWithinWatermark`:
+   * plain dropDuplicates only evicts state when the EVENT-TIME column is
+   * itself a dedup key — with content-hash keys the watermark would bound
+   * nothing and state would grow with the corpus, the exact failure this
+   * function exists to avoid.
    *
    * Keyed on a 192-bit content hash (xxhash64 + md5), matching the batch
    * path's birthday-collision reasoning at billions-of-docs scale.
+   * NULL-text documents (binary-only media) carry no content to compare
+   * and PASS THROUGH undeduplicated — hashing them would alias every
+   * binary doc onto one state key and silently drop all but the first.
    */
   def dedupExactStream(docs: DocSet, timeProperty: String,
                        watermarkDelay: String): Dataset[Document] = {
     import DocSet.docEnc
-    val withKeys = docs.toDF
+    val base = docs.toDF
       .withColumn("__ts", DocSet.fieldCol(timeProperty).cast("timestamp"))
+    val deduped = base.where(col("textRepresentation").isNotNull)
       .withColumn("__h1", xxhash64(col("textRepresentation")))
       .withColumn("__h2", md5(col("textRepresentation")))
       .withWatermark("__ts", watermarkDelay)
-      .dropDuplicates("__h1", "__h2")
-    withKeys.drop("__ts", "__h1", "__h2").as[Document]
+      .dropDuplicatesWithinWatermark("__h1", "__h2")
+      .drop("__h1", "__h2")
+    deduped.unionByName(base.where(col("textRepresentation").isNull))
+      .drop("__ts").as[Document]
   }
 
   /**
@@ -100,9 +110,14 @@ object DocStream {
    * near-dup state is corpus-sized — every kept document's minhash
    * signature, forever — so it lives in an external band-keyed parquet log
    * instead of streaming state, and the query runs as foreachBatch over the
-   * batch LSH machinery (the layout a 100 TB pipeline actually uses: the
-   * signature log is a table, partition-prunable by band, not an in-memory
-   * state store).
+   * batch LSH machinery. Per-batch cost model: one columnar scan of the
+   * log's three narrow columns + a join shuffled on the band key (band
+   * keys are hashed band contents — too high-cardinality to partition the
+   * files by, so there is no partition pruning; for long-lived logs,
+   * periodically compact (DocSet.compact) or re-layout with
+   * Bucketing.bucketBy on _band to pre-co-partition the recurring join;
+   * the batch-scale alternative is Dedup.dedupIncrement's fingerprint
+   * store).
    *
    * Per micro-batch: (1) greedy within-batch minhashLsh dedup; (2) drop
    * survivors whose any LSH band matches a previously-kept signature with
@@ -129,21 +144,24 @@ object DocStream {
     val spark = batch.spark
     val rows = numHashes / bands
     val df = batch.toDF
-    // (1) within-batch greedy dedup, identical semantics to the batch path
-    val intra = Dedup.minhashLsh(df, "docId", "textRepresentation",
-      shingleSize, numHashes, bands, threshold)
-    val sig = intra.select(col("docId").as("_id"),
+    // the sketch is the hot path: compute each doc's signature ONCE,
+    // checkpoint it, and drive BOTH the within-batch dedup and the
+    // cross-batch log join from the same frame (an earlier version ran
+    // minhashLsh then re-sketched its output — two full sketch passes per
+    // micro-batch). The id universe comes from sig, NOT the banded
+    // explode: a null-signature doc (null text — e.g. binary-only media
+    // documents) yields zero banded rows and is always KEPT, never
+    // silently collapsed or dropped.
+    val sigCk = df.select(col("docId").as("_id"),
       gf.minhashSignature(
         gf.wordShingles(col("textRepresentation"), shingleSize), numHashes).as("_sig"))
-    // checkpointed at the SIG level (one row per doc, pre-explode): sig
-    // feeds the drop join, the log write and the id universe — one
-    // evaluation of the within-batch dedup + sketch pipeline per
-    // micro-batch, micro-batch-sized by construction. The id universe must
-    // come from sig, NOT from the banded explode: a null-signature doc
-    // (null text — e.g. binary-only media documents) yields zero banded
-    // rows and would silently vanish from the kept set
-    val sigCk = sig.localCheckpoint()
-    val banded = sigCk.where(col("_sig").isNotNull)
+      .localCheckpoint()
+    // (1) within-batch greedy dedup, identical semantics to the batch path
+    // (minhashLshKeepIds IS the batch operator's keep-set, over our sigs)
+    val intraKeep = Dedup.minhashLshKeepIds(sigCk, "_id", numHashes, bands, threshold)
+      .localCheckpoint() // consumed by the banded join AND the kept-id anti-join
+    val banded = sigCk.join(intraKeep, Seq("_id"), "left_semi")
+      .where(col("_sig").isNotNull)
       .select(col("_id"), col("_sig"),
         explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
     // (2) cross-batch: any band hit against the log with est >= threshold.
@@ -178,7 +196,7 @@ object DocStream {
       .select(col("_id")).distinct()
     // keptIds is consumed by BOTH the log write and the kept-docs join —
     // checkpoint the (small, id-only) set so the store join runs once
-    val keptIds = sigCk.select(col("_id")).distinct()
+    val keptIds = intraKeep.distinct()
       .join(dropped, Seq("_id"), "left_anti")
       .localCheckpoint()
     // (3) log the kept signatures, then emit the kept documents
@@ -217,6 +235,10 @@ object DocStream {
     val ev = df
       .select(col(keyCol).cast("string").as("key"),
         col(tsCol).cast("timestamp").as("ts"))
+      // a null/unparseable timestamp passes the late-row filter (null
+      // comparisons are not "late") and would NPE in the group function
+      // on every checkpoint replay — drop malformed rows up front
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[SessEvent](E.product[SessEvent])
     def close(key: String, s: SessState): Session =
@@ -320,18 +342,31 @@ object DocStream {
     val in = df.select(col(keyCol).cast("string").as("key"),
         col(bucketCol).cast("long").as("bucketNs"),
         col(countCol).cast("long").as("x"))
+      // a null bucket/count would NPE the primitive decode inside the
+      // state function (a poison pill that kills the query on every
+      // checkpoint replay) — malformed rows are dropped up front
+      .where(col("bucketNs").isNotNull && col("x").isNotNull)
       .as[(String, Long, Long)](E.tuple(E.STRING, E.scalaLong, E.scalaLong))
     val fn = (key: String, it: Iterator[(String, Long, Long)],
               state: GroupState[AnomState]) => {
-      var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+      // running totals fold in BigInt (stringly carried in state — the
+      // product encoder has no BigInt field type): a raw Long sum of
+      // squares wraps after ~1e3 buckets of x~1e8 and then every bucket
+      // flags forever
+      var n = 0L
+      var s = BigInt(0)
+      var ss = BigInt(0)
+      state.getOption.foreach { a => n = a.n; s = BigInt(a.s); ss = BigInt(a.ss) }
       val out = it.toSeq.sortBy(_._2).map { case (_, b, x) =>
-        val dev = BigInt(st.n) * x - st.s
-        val varN2 = BigInt(st.n) * st.ss - BigInt(st.s) * st.s
-        val flag = st.n >= minPrior && dev * dev > BigInt(sigmas.toLong * sigmas) * varN2
-        st = AnomState(st.n + 1, st.s + x, st.ss + x * x)
+        val dev = BigInt(n) * x - s
+        val varN2 = BigInt(n) * ss - s * s
+        val flag = n >= minPrior && dev * dev > BigInt(sigmas.toLong * sigmas) * varN2
+        n += 1
+        s += x
+        ss += BigInt(x) * x
         AnomFlag(key, b, x, flag)
       }
-      state.update(st)
+      state.update(AnomState(n, s.toString, ss.toString))
       out.iterator
     }
     in.groupByKey(_._1)(E.STRING)
@@ -339,7 +374,7 @@ object DocStream {
         E.product[AnomState], E.product[AnomFlag])
   }
 
-  case class AnomState(n: Long, s: Long, ss: Long)
+  case class AnomState(n: Long, s: String, ss: String)
   case class AnomFlag(key: String, bucketNs: Long, x: Long, anomalous: Boolean)
 
   /**

@@ -291,16 +291,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("near-dup batch keeps null-text documents (no signature, no silent drop)") {
+  test("near-dup batch keeps ALL null-text documents (no signature, no silent drop)") {
     import graft.model.Document
     val tmp = java.nio.file.Files.createTempDirectory("nulltext").toString
+    // several binary docs in ONE batch: all null signatures must be kept —
+    // the LSH group-by once collapsed them onto a single survivor
     val docs = DocSet.wrap(spark.createDataset(Seq(
       Document.of("text-doc", text = "alpha beta gamma delta"),
-      Document.of("binary-doc").copy(binaryRepresentation = Some(Array[Byte](1, 2, 3)))
+      Document.of("binary-doc").copy(binaryRepresentation = Some(Array[Byte](1, 2, 3))),
+      Document.of("binary-doc2").copy(binaryRepresentation = Some(Array[Byte](4, 5))),
+      Document.of("binary-doc3").copy(binaryRepresentation = Some(Array[Byte](6)))
     ))(DocSet.docEnc))
     val kept = DocStream.dedupNearBatch(docs, s"$tmp/sigs", shingleSize = 3)
       .toDF.select("docId").as[String].collect().toSet
-    assert(kept == Set("text-doc", "binary-doc"))
+    assert(kept == Set("text-doc", "binary-doc", "binary-doc2", "binary-doc3"))
+    // the batch operator itself has the same contract
+    val batchKept = graft.dedup.Dedup.minhashLsh(
+      docs.toDF, "docId", "textRepresentation", shingleSize = 3)
+      .select("docId").as[String].collect().toSet
+    assert(batchKept == Set("text-doc", "binary-doc", "binary-doc2", "binary-doc3"),
+      "batch minhashLsh must keep every non-comparable (null-signature) doc")
+  }
+
+  test("streaming exact dedup passes null-text (binary) documents through undeduplicated") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = DocStream.fromStreamingDf(
+      input.toDF().toDF("doc_id", "text", "ts"), Some("doc_id"), Some("text"))
+    val deduped = DocStream.dedupExactStream(docs,
+      timeProperty = "properties.ts", watermarkDelay = "10 minutes")
+    val query = deduped.toDF.writeStream.format("memory").queryName("stream_dedup_null")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      // two null-text docs must BOTH pass (hashing null would alias every
+      // binary doc onto one state key); duplicates of real text still drop
+      input.addData((1L, null, ts(0)), (2L, null, ts(1)),
+        (3L, "same text", ts(2)), (4L, "same text", ts(3)))
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT docId FROM stream_dedup_null")
+        .as[String].collect().toSet
+      assert(kept == Set("1", "2", "3"))
+    } finally query.stop()
   }
 
   test("near-dup batch retry is idempotent: a replayed batch keeps its own documents") {
