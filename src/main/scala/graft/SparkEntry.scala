@@ -1595,7 +1595,8 @@ object SparkEntry {
       // exact-substring dedup signal (Lee et al. 2021) — 192-bit span-hash
       // keys on every exchange; the oracle groups the raw span text instead
       // (equivalent up to a 2^-192 collision)
-      Dedup.dupSpans(tbl(s, dir, "documents"), "doc_id", "text", n = 10)),
+      Dedup.dupSpans(tbl(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy(col("doc_id"))),
     "q_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
       // ranking by reciprocal-rank fusion. Scores round to 6dp BEFORE

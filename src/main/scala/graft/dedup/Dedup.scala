@@ -33,6 +33,17 @@ object Dedup {
   private def rebalance(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Validated rows-per-band: bands must divide numHashes exactly. A silent
+    * floor-division would drop signature slots (recall loss), and
+    * bands > numHashes would give rows = 0 — every distinct signature then
+    * shares every band key and the band self-join degenerates into a full
+    * O(n²) cross join of the corpus's signatures. */
+  private[graft] def bandRows(numHashes: Int, bands: Int): Int = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) exactly")
+    numHashes / bands
+  }
+
   /**
    * Exact dedup: group by content hash, keep the smallest id per group.
    * One shuffle on a 192-bit key (xxhash64 + md5); map-side partial
@@ -121,7 +132,7 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5,
                       signature: Option[Column => Column] = None): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     val sigFn = signature.getOrElse((t: Column) =>
       gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
     val sig = rebalance(df.select(col(id).as("_id"), col(text).as("_t")))
@@ -129,7 +140,10 @@ object Dedup {
     // Join DISTINCT SIGNATURES, not documents (same rationale as
     // simhashPairs): exact-duplicate classes collapse before the quadratic
     // stage; identical signatures short-circuit as est_jaccard = 1 pairs.
-    val groups = sig.groupBy(col("_sig")).agg(collect_list(col("_id")).as("_ids"))
+    // NULL signatures are not comparable and produce NO pairs — grouping
+    // them would emit false est=1.0 pairs among all binary-only docs.
+    val groups = sig.where(col("_sig").isNotNull)
+      .groupBy(col("_sig")).agg(collect_list(col("_id")).as("_ids"))
     val intra = groups.where(size(col("_ids")) > 1)
       .select(col("_ids"), explode(col("_ids")).as("idA"))
       .select(col("idA"), explode(col("_ids")).as("idB"))
@@ -203,7 +217,7 @@ object Dedup {
                      shingleSize: Int = 5, numHashes: Int = 16,
                      bands: Int = 4, threshold: Double = 0.5,
                      signature: Option[Column => Column] = None): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     val sigFn = signature.getOrElse((t: Column) =>
       gf.minhashSignature(gf.wordShingles(t, shingleSize), numHashes))
     val hashed = batch
@@ -214,8 +228,12 @@ object Dedup {
           .dropDuplicates("_ch", "_cm"),
         Seq("_ch", "_cm"), "left_anti")
       .drop("_ch", "_cm")
+    // lazy checkpoint: bsig feeds the history-band join AND the final
+    // within-batch pass — the sketch (the dominant per-row cost) must run
+    // once, not once per consumer
     val bsig = rebalance(exactSurv.select(col(id).as("_id"), col(text).as("_t")))
       .select(col("_id"), sigFn(col("_t")).as("_sig"))
+      .localCheckpoint(false)
     val bGroups = bsig.groupBy(col("_sig")).agg(collect_list(col("_id")).as("_ids"))
     val bBands = bGroups.select(col("_sig"), col("_ids"),
       explode(gf.lshBandKeys(col("_sig"), bands, rows)).as("_band"))
@@ -229,7 +247,11 @@ object Dedup {
     val survIds = bGroups.join(dropSigs, Seq("_sig"), "left_anti")
       .select(explode(col("_ids")).as(id))
     val surv1 = exactSurv.join(survIds, Seq(id), "left_semi")
-    minhashLsh(surv1, id, text, shingleSize, numHashes, bands, threshold, signature)
+    // within-batch greedy pass over the ALREADY-COMPUTED signatures of the
+    // history survivors (calling minhashLsh here would re-sketch the batch)
+    val survSig = bsig.join(survIds.withColumnRenamed(id, "_id"), Seq("_id"), "left_semi")
+    surv1.join(minhashLshKeepIds(survSig, id, numHashes, bands, threshold),
+      Seq(id), "left_semi")
   }
 
   /**
@@ -278,7 +300,7 @@ object Dedup {
   private[graft] def minhashLshKeepIds(sig: DataFrame, id: String,
                                        numHashes: Int, bands: Int,
                                        threshold: Double): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     val groups = sig.where(col("_sig").isNotNull)
       .groupBy(col("_sig")).agg(min(col("_id")).as("_min"))
     // repartition = shuffle barrier + the self-join arrives co-partitioned
@@ -500,6 +522,10 @@ object Dedup {
     // barrier keeps CollapseProject from inlining it back.
     val v = df.select(col(id).as("_id"), col(vec).as("_raw"),
         gf.l2Norm(col(vec)).as("_n"), bucket.as("_bkt"))
+      // zero-norm (degenerate) vectors have no direction: cosine against
+      // them is 0 < any positive threshold, so they pair with nothing —
+      // and dividing by the zero norm would throw under ANSI mode
+      .where(col("_n") =!= 0.0)
       .repartition(col("_bkt"))
       .select(col("_id"), col("_bkt"),
         transform(col("_raw"), x => x.cast("double") / col("_n")).as("_v"))
@@ -530,8 +556,30 @@ object Dedup {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 30,
                           localFinishEdges: Long = 1L << 20): DataFrame = {
+    // integral ids ONLY, enforced loudly: cast("long") on a UUID-style
+    // string id nulls every edge in non-ANSI mode — the operator would
+    // return the corpus completely undeduped with no error
+    val integral = Seq(src, dst).forall(c => edges.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    require(integral,
+      s"connectedComponents needs integral id columns ($src/$dst); for string ids " +
+        "use minhashLshCC, which runs the string-ordered variant internally")
+    ccImpl(edges, src, dst, maxIter, localFinishEdges, stringIds = false)
+  }
+
+  /** Shared star-contraction implementation; `stringIds` switches the id
+    * domain (and the "smallest id" order) between long and lexicographic
+    * string — every expression in the loop (greatest/least/min/xxhash64)
+    * is type-generic. */
+  private def ccImpl(edges: DataFrame, src: String, dst: String,
+                     maxIter: Int, localFinishEdges: Long,
+                     stringIds: Boolean): DataFrame = {
+    val idType = if (stringIds) "string" else "long"
     val nodes = edges
-      .select(explode(array(col(src).cast("long"), col(dst).cast("long"))).as("id"))
+      .select(explode(array(col(src).cast(idType), col(dst).cast(idType))).as("id"))
       .distinct()
     // size the loop's parallelism to the edge count: CC rounds run over the
     // (small) edge set, not the corpus — at 32 default partitions a 5k-edge
@@ -539,7 +587,7 @@ object Dedup {
     // partition per 100k edges, floor 1, cap at the session default.
     val parallelism = edges.sparkSession.sparkContext.defaultParallelism
     var e = edges
-      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .select(col(src).cast(idType).as("u"), col(dst).cast(idType).as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
@@ -558,9 +606,16 @@ object Dedup {
     // size the loop parallelism, so the gate adds no extra job. Set
     // localFinishEdges = 0 to force the distributed loop (unit tests do).
     if (edgeCount <= localFinishEdges) {
-      val comp = localUnionFind(
-        e.select(col("u"), col("v")).collect().map(r => (r.getLong(0), r.getLong(1))))
-      val mapping = e.sparkSession.createDataFrame(comp.toSeq).toDF("id", "component")
+      val rows = e.select(col("u"), col("v")).collect()
+      val mapping =
+        if (stringIds)
+          e.sparkSession.createDataFrame(
+            localUnionFind(rows.map(r => (r.getString(0), r.getString(1)))).toSeq)
+            .toDF("id", "component")
+        else
+          e.sparkSession.createDataFrame(
+            localUnionFind(rows.map(r => (r.getLong(0), r.getLong(1)))).toSeq)
+            .toDF("id", "component")
       return nodes.join(broadcast(mapping), Seq("id"), "left")
         .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     }
@@ -613,17 +668,24 @@ object Dedup {
       e = small
       iter += 1
     }
+    // at the fixpoint the edge set is a star forest — exactly one row per
+    // non-root node. A maxIter too small for the graph would instead leave
+    // multiple (id, component) rows per node and silently corrupt every
+    // downstream keep-one decision: fail loudly instead.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     nodes.join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Union-find with path compression, min-id roots (component = smallest
-    * reachable id — the same contract as the distributed loop). Driver-side
-    * endgame for edge sets under `localFinishEdges`; memory is O(|nodes in
-    * edges|) longs, bounded by the gate. */
-  private[dedup] def localUnionFind(pairs: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
+    * reachable id under the type's ordering — the same contract as the
+    * distributed loop). Driver-side endgame for edge sets under
+    * `localFinishEdges`; memory is O(|nodes in edges|), bounded by the gate. */
+  private[dedup] def localUnionFind[T](pairs: Array[(T, T)])
+                                      (implicit ord: Ordering[T]): Map[T, T] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x
@@ -632,20 +694,25 @@ object Dedup {
     }
     pairs.foreach { case (u, v) =>
       val ru = find(u); val rv = find(v)
-      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      if (ru != rv) { if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv }
     }
-    val out = Map.newBuilder[Long, Long]
+    val out = Map.newBuilder[T, T]
     pairs.foreach { case (u, v) => out += (u -> find(u)); out += (v -> find(v)) }
     out.result()
   }
 
   /**
    * Transitive MinHash-LSH dedup: candidate pairs -> connected components ->
-   * keep the smallest id per component. Unlike the greedy `minhashLsh`
-   * (whose survivor set is order-dependent under chaining: A~B, B~C, A!~C
-   * greedily keeps {A, C} — C survives because its matcher B was already
-   * dropped), this closes duplicate classes before choosing survivors, the
-   * semantics most curation pipelines mean by "dedup".
+   * keep the smallest id per component. The greedy `minhashLsh` drops the
+   * GREATER side of every qualifying pair, so its drop set is a subset of
+   * a component's non-minima — under chaining it can KEEP extra docs (pairs
+   * (A,B) and (B,D) with D < B drop only B: greedy keeps {A, D}, while the
+   * transitive class {A,B,D} keeps just A). This variant closes duplicate
+   * classes before choosing survivors — the semantics most curation
+   * pipelines mean by "dedup".
+   *
+   * String ids run the CC loop over the lexicographic order (smallest
+   * string survives); integral ids keep numeric-min semantics.
    */
   def minhashLshCC(df: DataFrame, id: String, text: String,
                    shingleSize: Int = 5, numHashes: Int = 16,
@@ -653,7 +720,13 @@ object Dedup {
                    signature: Option[Column => Column] = None): DataFrame = {
     val pairs = minhashLshPairs(df, id, text, shingleSize, numHashes, bands,
       threshold, signature)
-    val comp = connectedComponents(pairs, "idA", "idB")
+    val integral = df.schema(id).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val comp = ccImpl(pairs, "idA", "idB", maxIter = 30,
+      localFinishEdges = 1L << 20, stringIds = !integral)
     val drops = comp.where(col("id") =!= col("component")).select(col("id").as(id))
     df.join(drops, Seq(id), "left_anti")
   }
@@ -870,7 +943,9 @@ object Dedup {
         when(col("n_spans") > 0,
           round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6))
           .as("dup_frac"))
-      .orderBy(col(id))
+    // no trailing orderBy: a global range sort of the per-document output
+    // is pure wasted shuffle at corpus scale — callers needing order (the
+    // gate) sort the narrow result themselves
   }
 
   /** Random-hyperplane sign bucket for embeddingCosinePairs when no label

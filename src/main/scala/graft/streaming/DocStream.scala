@@ -142,7 +142,7 @@ object DocStream {
     import graft.functions.gf
     import graft.dedup.Dedup
     val spark = batch.spark
-    val rows = numHashes / bands
+    val rows = graft.dedup.Dedup.bandRows(numHashes, bands)
     val df = batch.toDF
     // the sketch is the hot path: compute each doc's signature ONCE,
     // checkpoint it, and drive BOTH the within-batch dedup and the

@@ -177,6 +177,53 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(survivors == (0L until 60L).toSet -- expectedDrops)
   }
 
+  test("minhashLshCC dedups STRING-id corpora (lexicographic survivor)") {
+    // the long-cast version silently nulled every edge for string ids and
+    // returned the corpus undeduped
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      ("doc-b", base), ("doc-a", base), ("doc-c", base + " kappa2"),
+      ("doc-z", "completely different text about engines and planners here"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.minhashLshCC(docs, "doc_id", "text", shingleSize = 3)
+      .select("doc_id").as[String].collect().toSet
+    assert(survivors == Set("doc-a", "doc-z"),
+      s"lexicographically-smallest id survives each class: $survivors")
+    // connectedComponents itself refuses non-integral ids loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        Seq(("a", "b")).toDF("u", "v"), "u", "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("minhashLshPairs emits no pairs among null-text docs; bands must divide numHashes") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta epsilon"), (4L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleSize = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)),
+      s"null signatures are not comparable — no false est=1.0 pairs: $pairs")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 16, bands = 5)
+    }
+    assert(e.getMessage.contains("divide"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 16, bands = 32)
+    }
+  }
+
+  test("embeddingCosinePairs survives zero-norm vectors (pairs with nothing)") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(df, "vec_id", "embedding",
+        bucket = org.apache.spark.sql.functions.lit(1), threshold = 0.9)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"zero vector pairs with nothing: $pairs")
+  }
+
   test("stratifiedByHash: partition-independent, per-stratum fractions, drops unknown strata") {
     import graft.operators.Sampling
     val df = (0 until 2000).map(i =>
