@@ -15,7 +15,11 @@ import graft.functions.gf
  *    (no shuffle of the corpus, only a k-row result per partition).
  *  - ivfTopK: IVF-style two-stage search — assign vectors to their nearest
  *    centroid (NearestCentroidExpr: one plan node at ANY nlist), probe only
- *    the nprobe lists nearest the query.
+ *    the nprobe lists nearest the query. IVF CONTRACT: embeddings are
+ *    assumed (approximately) unit-normalized — rows are assigned by
+ *    squared-L2 argmin while probes rank centroids by cosine, and the two
+ *    agree only on the unit sphere (the standard FAISS-style practice for
+ *    cosine IVF: normalize upstream; unnormalized corpora lose recall).
  *  - buildIvfIndex / ivfTopKIndexed: the 100 TB path — corpus persisted
  *    PARTITIONED BY centroid_id, so a probe is parquet partition PRUNING
  *    (reads nprobe/nlist of the data), not a filter over a full scan.
@@ -28,8 +32,9 @@ import graft.functions.gf
  */
 object Ann {
 
-  /** Literal vector -> array<double> column. */
-  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+  /** Literal vector -> array<double> column — ONE plan node (array(lit...)
+    * would inflate the plan with d Literal nodes at d=1536). */
+  def vecLit(v: Seq[Double]): Column = typedLit(v)
 
   /**
    * Exact top-k by cosine similarity against a literal query vector.
@@ -52,15 +57,22 @@ object Ann {
     org.apache.spark.sql.graft.ColumnBridge.column(NearestCentroidExpr(e, centroids))
   }
 
-  /** Deterministic centroid selection: every (nRows/nlist)-th row by id hash
-    * order — cheap, shuffle-free codebook bootstrap. For tighter lists run
-    * MLlib KMeans (DocSet.kmeans) and pass its centers instead. */
+  /** Deterministic centroid selection: the first nlist DISTINCT vectors in
+    * id-hash order — cheap, shuffle-free codebook bootstrap (duplicate
+    * corpus vectors must not seed duplicate centroids: the strict-< argmin
+    * would leave the higher-index copy an empty list that still consumes a
+    * probe slot). Over-samples 4x before the driver-side content dedup.
+    * For tighter lists run MLlib KMeans (DocSet.kmeans) and pass its
+    * centers instead. */
   def sampleCentroids(df: DataFrame, id: String, vec: String, nlist: Int): Array[Array[Double]] =
     df.select(col(vec).cast("array<double>").as("v"))
       .orderBy(xxhash64(col(id)))
-      .limit(nlist)
+      .limit(4 * nlist)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[Double](0))
+      .distinct
+      .take(nlist)
+      .map(_.toArray)
 
   /**
    * IVF top-k, in-memory variant: assign each row to its nearest centroid,
@@ -95,14 +107,20 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     require(queries.nonEmpty, "ivfTopKMany needs at least one query")
-    val probe = queries.flatMap { case (q, qv) =>
-      probeSet(centroids, qv, nprobe).map(cid => (q, cid, qv))
-    }.toDF("query_id", "_cid", "_qvec")
+    // (query, centroid) pairs and the query vectors broadcast SEPARATELY:
+    // carrying the full vector on every probe pair would replicate each
+    // query nprobe times (10k queries x d=1536 x nprobe=8 ~ 1 GB instead
+    // of ~125 MB)
+    val probePairs = queries.flatMap { case (q, qv) =>
+      probeSet(centroids, qv, nprobe).map(cid => (q, cid))
+    }.toDF("query_id", "_cid")
+    val qvecs = queries.toDF("query_id", "_qvec")
     val assigned = df.withColumn("_cid", nearestCentroid(col(vec), centroids))
     val sim = gf.cosineSimilarity(col(vec), col("_qvec").cast("array<double>"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(id))
-    assigned.join(broadcast(probe), "_cid")
+    assigned.join(broadcast(probePairs), "_cid")
+      .join(broadcast(qvecs), "query_id")
       .select(col("query_id"), col(id), sim.as("cosine"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
@@ -171,7 +189,10 @@ object Ann {
     val subDim = d / m
     Array.tabulate(m) { s =>
       val subs = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
-      var cents = subs.distinct.take(ksub)
+      // content distinctness: Array equality is reference equality, so a
+      // raw .distinct is a no-op — duplicate seeds would permanently
+      // shrink the effective ksub (ties go to the lower index forever)
+      var cents = subs.map(_.toSeq).distinct.take(ksub).map(_.toArray)
       var it = 0
       while (it < iters) {
         val assign = subs.groupBy(v => cents.indices.minBy(c => l2sq(v, cents(c))))
@@ -246,23 +267,13 @@ object Ann {
 
   private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
     val dot = a.zip(b).map { case (x, y) => x * y }.sum
-    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val denom = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+    // zero-norm guard, matching gf.cosineSimilarity: a NaN here would sort
+    // a degenerate centroid's list out of every probe set (rows assigned
+    // to it become unreachable) or scramble the whole probe order
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
-  /**
-   * kNN label propagation: classify each target vector by the majority
-   * label of its k nearest labeled seeds (cosine) — the standard way a
-   * small hand-labeled quality set bootstraps corpus-wide curation labels
-   * (fastText-classifier-style filtering without the classifier).
-   *
-   * The seed set broadcasts (hand-labeled sets are small by construction);
-   * each target scores the seeds in a crossJoin whose per-target window is
-   * bounded by the seed count, so no partition ever exceeds |seeds| rows.
-   * For seed sets too big to broadcast, prefilter candidates through the
-   * IVF index (ivfTopKIndexed) and vote over its shortlist instead.
-   * Cosines round to 6dp BEFORE ranking (cross-engine-stable order); all
-   * ties — neighbor rank and vote — break deterministically.
-   */
   // -------------------------------------------------- SQ8 scalar quantization
 
   /** Per-dimension (min, max) over the corpus — ONE aggregation whose output
@@ -319,20 +330,31 @@ object Ann {
   def sq8TopK(df: DataFrame, id: String, codes: String,
               queryCodes: Array[Long], k: Int): DataFrame = {
     val qc = typedLit(queryCodes.toSeq)
+    // codegen'd DotProductExpr, not aggregate(zip_with(...)) — HOF lambdas
+    // evaluate interpreted on the hot per-row path. The double accumulator
+    // is exact here: products are <= 255^2 and sums stay far below 2^53,
+    // so the cast back to long loses nothing and the gate schema holds.
     df.select(col(id),
-        aggregate(zip_with(col(codes), qc, (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v).as("sq8_dot"))
+        gf.dotProduct(col(codes), qc).cast("long").as("sq8_dot"))
       .orderBy(desc("sq8_dot"), col(id))
       .limit(k)
   }
 
   /** SQ8 shortlist (expand·k by quantized dot) re-ranked by exact cosine —
     * the standard two-stage recall/precision trade. The shortlist join is
-    * a broadcast of expand·k ids; the exact pass touches only those rows. */
+    * a broadcast of expand·k ids; the exact pass touches only those rows.
+    * Pass `codes` to reuse a PRE-ENCODED codes column (the query-many
+    * shape: encoding is query-independent — re-quantizing the corpus per
+    * query would pay a full interpreted transform pass each call, the
+    * pqSearch precomputed-codes pattern). */
   def sq8SearchRerank(df: DataFrame, id: String, vec: String,
                       mn: Array[Double], mx: Array[Double],
-                      query: Seq[Double], k: Int, expand: Int = 4): DataFrame = {
-    val coded = df.withColumn("__sq8", sq8Encode(col(vec), mn, mx))
+                      query: Seq[Double], k: Int, expand: Int = 4,
+                      codes: Option[String] = None): DataFrame = {
+    val coded = codes match {
+      case Some(c) => df.withColumnRenamed(c, "__sq8")
+      case None => df.withColumn("__sq8", sq8Encode(col(vec), mn, mx))
+    }
     val shortlist = sq8TopK(coded, id, "__sq8", sq8EncodeVec(query, mn, mx), k * expand)
       .select(col(id))
     df.join(broadcast(shortlist), Seq(id))
@@ -341,6 +363,20 @@ object Ann {
       .limit(k)
   }
 
+  /**
+   * kNN label propagation: classify each target vector by the majority
+   * label of its k nearest labeled seeds (cosine) — the standard way a
+   * small hand-labeled quality set bootstraps corpus-wide curation labels
+   * (fastText-classifier-style filtering without the classifier).
+   *
+   * The seed set broadcasts (hand-labeled sets are small by construction);
+   * each target scores the seeds in a crossJoin whose per-target window is
+   * bounded by the seed count, so no partition ever exceeds |seeds| rows.
+   * For seed sets too big to broadcast, prefilter candidates through the
+   * IVF index (ivfTopKIndexed) and vote over its shortlist instead.
+   * Cosines round to 6dp BEFORE ranking (cross-engine-stable order); all
+   * ties — neighbor rank and vote — break deterministically.
+   */
   def knnClassify(targets: DataFrame, seeds: DataFrame, id: String, vec: String,
                   label: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -358,6 +394,9 @@ object Ann {
     val wVote = Window.partitionBy(col("_tid")).orderBy(desc("votes"), col("_lbl"))
     votes.withColumn("_r", row_number().over(wVote)).where(col("_r") === 1)
       .select(col("_tid").as(id), col("_lbl").as(label), col("votes"))
+      // lazy checkpoint before the trailing sort: the range partitioner's
+      // sampling pass otherwise re-executes the whole crossJoin chain
+      .localCheckpoint(false)
       .orderBy(col(id))
   }
 
@@ -389,6 +428,9 @@ object Ann {
     val w = Window.partitionBy(col("anchor_id")).orderBy(desc("cosine"), col("neg_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+      // lazy checkpoint before the trailing sort (anchors x k rows): the
+      // sort's sampling pass must not re-run the corpus-wide scoring join
+      .localCheckpoint(false)
       .orderBy(col("anchor_id"), col("rank"))
   }
 }
