@@ -57,9 +57,13 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     val transcript = new graft.operators.TranscriptPartitioner()
     def formatOf(d: Document): String =
       d.docType.getOrElse {
+        // extension from the BASENAME: a dot in a directory component
+        // ('/corpus/v2.1/report') must not read as extension '1/report' —
+        // that would both misdispatch and suppress the sniffing fallback
         val id = d.docId.toLowerCase
-        val dot = id.lastIndexOf('.')
-        val ext = if (dot < 0) "" else id.substring(dot + 1)
+        val base = id.substring(id.lastIndexOf('/') + 1)
+        val dot = base.lastIndexOf('.')
+        val ext = if (dot < 0) "" else base.substring(dot + 1)
         // EXTENSION-LESS payloads (WARC bodies, CDN download URLs) fall
         // back to magic-byte sniffing before the unsupported_format
         // marker fires; an explicit unknown extension keeps the marker —
@@ -111,11 +115,20 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     }
   }
 
-  /** Regex substitutions over element text (reference: transforms/regex_replace.py:16). */
-  def regexReplace(spec: Seq[(String, String)]): DocSet = mapElements { e =>
-    e.textRepresentation match {
-      case Some(t) => e.withText(spec.foldLeft(t) { case (s, (re, rep)) => s.replaceAll(re, rep) })
-      case None => e
+  /** Regex substitutions over element text (reference: transforms/regex_replace.py:16).
+    * Patterns compile ONCE in the closure — String.replaceAll would
+    * re-compile every pattern per element on a corpus-scale hot path. */
+  def regexReplace(spec: Seq[(String, String)]): DocSet = {
+    val compiled = spec.map { case (re, rep) =>
+      (java.util.regex.Pattern.compile(re), rep)
+    }
+    mapElements { e =>
+      e.textRepresentation match {
+        case Some(t) => e.withText(compiled.foldLeft(t) {
+          case (s, (p, rep)) => p.matcher(s).replaceAll(rep)
+        })
+        case None => e
+      }
     }
   }
 
@@ -148,7 +161,13 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
         shingles = None,
         parentId = Some(d.docId),
         bbox = e.bbox,
-        properties = inherited ++ e.properties +
+        properties = inherited ++ e.properties ++
+          // Document has no tableCells field: extracted table structure
+          // rides the round trip as JSON, or reconstruct() would silently
+          // rebuild every table element with empty cells
+          (if (e.tableCells.nonEmpty)
+             Map("_table_cells_json" -> DocSet.tableCellsToJson(e.tableCells))
+           else Map.empty[String, String]) +
           ("_element_index" -> e.elementIndex.toString))
     }
     d.copy(elements = Nil) +: children
@@ -181,11 +200,14 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
         val els = children
           .map { c =>
             val idx = c.prop("_element_index").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
-            val props = (c.properties - "_element_index").filterNot { case (k, v) =>
-              k.startsWith("_") && parent.properties.get(k).contains(v)
-            }
+            val cells = c.prop("_table_cells_json")
+              .map(DocSet.tableCellsFromJson).getOrElse(Nil)
+            val props = (c.properties - "_element_index" - "_table_cells_json")
+              .filterNot { case (k, v) =>
+                k.startsWith("_") && parent.properties.get(k).contains(v)
+              }
             Element(c.docType.getOrElse("chunk"), c.textRepresentation,
-              c.binaryRepresentation, c.bbox, c.embedding, idx, Nil, props)
+              c.binaryRepresentation, c.bbox, c.embedding, idx, cells, props)
           }
           .sortBy(e => (e.elementIndex, e.text))
         parent.copy(elements = els)
@@ -197,9 +219,14 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     * (reference: transforms/explode.py:68 UnRoll). */
   def unroll(field: String, sep: String = ","): DocSet = flatMap { d =>
     d.fieldToValue(field) match {
-      case Some(v) => v.split(sep).toSeq.zipWithIndex.map { case (part, i) =>
-        d.setField(field, part.trim).copy(docId = s"${d.docId}#u$i")
-      }
+      // Pattern.quote: sep is a LITERAL separator — raw split() treats it
+      // as a regex, so sep = "|" would explode per character and "." on
+      // every character
+      case Some(v) =>
+        v.split(java.util.regex.Pattern.quote(sep)).toSeq.zipWithIndex
+          .map { case (part, i) =>
+            d.setField(field, part.trim).copy(docId = s"${d.docId}#u$i")
+          }
       case None => Seq(d)
     }
   }
@@ -485,14 +512,20 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   /** Redact PII (emails / SSNs / phone numbers / IPv4s) from document and
     * element text — training-corpus cleaning with the same patterns as
     * gf.scrubPii, so the DocSet verb and the columnar path agree. */
-  def scrubPii(replacement: String = "[PII]"): DocSet = map { d =>
-    def clean(t: String): String = graft.functions.gf.PiiPatterns.foldLeft(t) {
-      case (acc, (_, p)) =>
-        acc.replaceAll(p, java.util.regex.Matcher.quoteReplacement(replacement))
+  def scrubPii(replacement: String = "[PII]"): DocSet = {
+    // patterns compile ONCE in the closure — String.replaceAll would pay
+    // 4 Pattern.compile calls per document plus 4 per element
+    val compiled = graft.functions.gf.PiiPatterns.map { case (_, p) =>
+      java.util.regex.Pattern.compile(p)
     }
-    val d2 = d.textRepresentation.map(t => d.withText(clean(t))).getOrElse(d)
-    d2.copy(elements = d2.elements.map(e =>
-      e.textRepresentation.map(t => e.withText(clean(t))).getOrElse(e)))
+    val quoted = java.util.regex.Matcher.quoteReplacement(replacement)
+    map { d =>
+      def clean(t: String): String =
+        compiled.foldLeft(t)((acc, p) => p.matcher(acc).replaceAll(quoted))
+      val d2 = d.textRepresentation.map(t => d.withText(clean(t))).getOrElse(d)
+      d2.copy(elements = d2.elements.map(e =>
+        e.textRepresentation.map(t => e.withText(clean(t))).getOrElse(e)))
+    }
   }
 
   /** Per-doc token->count table into properties.term_frequency
@@ -500,8 +533,17 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def termFrequency(): DocSet = map { d =>
     val tf = d.text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    // full JSON string escaping: backslash BEFORE quote (a token like
+    // 'a\path' would otherwise emit the invalid escape '\p' and null the
+    // whole map for any JSON consumer), control chars as \u00XX
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json = tf.toSeq.sortBy(_._1)
-      .map { case (t, n) => s""""${t.replace("\"", "\\\"")}":$n""" }
+      .map { case (t, n) => s""""${esc(t)}":$n""" }
       .mkString("{", ",", "}")
     d.withProp("term_frequency", json)
   }
@@ -514,6 +556,9 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
   def embed(embedder: Embedder, batchSize: Int = 64): DocSet = mapBatch { it =>
     it.grouped(batchSize).flatMap { batch =>
       val vecs = embedder.embed(batch.map(_.text))
+      // a short batch would silently DELETE the unzipped documents
+      require(vecs.size == batch.size,
+        s"embedder returned ${vecs.size} vectors for ${batch.size} texts")
       batch.zip(vecs).map { case (d, v) => d.copy(embedding = Some(v)) }
     }
   }
@@ -563,9 +608,15 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     * @param threshold largest sketch distance considered a duplicate
     *                  (reference SketchUniquify default 0.4).
     */
-  def sketchDedup(bands: Int = 4, threshold: Double = 0.4): DocSet = {
-    val sk = ds.toDF().where(col("shingles").isNotNull)
-    val rows = 16 / bands
+  def sketchDedup(bands: Int = 4, threshold: Double = 0.4,
+                  numHashes: Int = 16): DocSet = {
+    // numHashes MUST match sketch(number) and bands must divide it; docs
+    // whose sketch length differs are not comparable on this band layout
+    // and are KEPT (banding past a shorter signature would throw, and a
+    // hardcoded 16 silently ignored slots of a wider sketch)
+    val rows = graft.dedup.Dedup.bandRows(numHashes, bands)
+    val sk = ds.toDF().where(col("shingles").isNotNull &&
+      size(col("shingles")) === numHashes)
     // repartition on the band: one shuffle, self-join arrives co-partitioned
     val banded = sk.select(col("docId"), col("shingles"),
       org.apache.spark.sql.functions.explode(
@@ -588,6 +639,10 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     * cross-encoder in production, deterministic token-overlap fake in tests). */
   def rerank(scorer: (String, String) => Double, query: String,
              limitN: Option[Int] = None): DocSet = {
+    // limitN bounds the SCORING INPUT, matching the reference exactly
+    // (docset.py:1392 applies Limit to the plan BEFORE ScoreSimilarity —
+    // "Limit scoring and sorting to fixed size"); callers wanting
+    // top-N-of-all must score first and limit after the sort
     val limited = limitN.map(limit).getOrElse(this)
     val scored = limited.map(d => d.withProp("_rerank_score", scorer(query, d.text).toString))
     // numeric sort on the score (string sort would put "9" after "10")
@@ -607,6 +662,9 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     mapBatch { it =>
       it.grouped(16).flatMap { batch =>
         val outs = client.generateBatch(batch.map(d => PromptTemplate.render(prompt, d)))
+        // a short batch would silently DELETE the unzipped documents
+        require(outs.size == batch.size,
+          s"LLM client returned ${outs.size} outputs for ${batch.size} prompts")
         batch.zip(outs).map { case (d, o) => d.setField(outputField, o) }
       }
     }
@@ -616,6 +674,8 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     map { d =>
       val outs = client.generateBatch(
         d.elements.map(e => PromptTemplate.renderElement(prompt, d, e)))
+      require(outs.size == d.elements.size,
+        s"LLM client returned ${outs.size} outputs for ${d.elements.size} elements")
       d.copy(elements = d.elements.zip(outs).map { case (e, o) => e.withProps(outputKey -> o) })
     }
 
@@ -626,8 +686,9 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     llmMap(client, prompt, scoreField)
       .filter { d =>
         val score = d.fieldToValue(scoreField).flatMap { v =>
-          val digits = v.trim.takeWhile(_.isDigit)
-          if (digits.isEmpty) None else Some(digits.toInt)
+          // toIntOption: a long digit run in the reply (an echoed date/id)
+          // must filter the doc, not NumberFormatException the whole job
+          v.trim.takeWhile(_.isDigit).toIntOption
         }
         score.exists(_ >= threshold)
       }
@@ -675,7 +736,8 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
           val text = w.map(_.text.take(maxTokens)).mkString("\n")
           val out = client.generate(
             s"$question\nText:\n$text\nRate 0-5 and answer with the number only.")
-          val score = "\\d+".r.findAllIn(out).toSeq.lastOption.map(_.toInt).getOrElse(-1)
+          val score = "\\d+".r.findAllIn(out).toSeq.lastOption
+            .flatMap(_.toIntOption).getOrElse(-1)
           if (score > best) { best = score; bestIdx = w.head.elementIndex }
           if (score >= threshold) done = true
         }
@@ -831,6 +893,19 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
 
 object DocSet {
   implicit val docEnc: Encoder[Document] = Encoders.product[Document]
+
+  /** TableCell round-trip codec for explode()/reconstruct() — Document has
+    * no tableCells field, so extracted table structure rides as a JSON
+    * property across the explode round trip. */
+  private[graft] def tableCellsToJson(cells: Seq[graft.model.TableCell]): String = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(cells)
+  }
+
+  private[graft] def tableCellsFromJson(json: String): Seq[graft.model.TableCell] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.read[Seq[graft.model.TableCell]](json)
+  }
 
   def wrap(ds: Dataset[Document]): DocSet = new DocSet(ds)
 

@@ -53,6 +53,32 @@ class DocSetSpec extends AnyFunSuite {
     assert(unrolled.flatMap(_.prop("tags")).toSet == Set("a", "b", "c"))
   }
 
+  test("explode -> reconstruct round-trips tableCells; unroll separators are literal") {
+    import graft.model.{Bbox, TableCell}
+    val cells = Seq(
+      TableCell("h", Array(0), Array(0, 1), isHeader = true,
+        Some(Bbox(0.1, 0.2, 0.3, 0.4))),
+      TableCell("v", Array(1), Array(0), isHeader = false, None))
+    val d = Document.of("t1", text = "doc").copy(elements = Seq(
+      Element.text(0, "NarrativeText", "para"),
+      Element("table", Some("grid"), None, None, None, 1, cells, Map.empty)))
+    val back = DocSet.of(spark, Seq(d)).explode().reconstruct().takeAll()
+      .find(_.docId == "t1").get
+    val table = back.elements.find(_.elementType == "table").get
+    assert(table.tableCells.size == 2, "table structure survives the round trip")
+    assert(table.tableCells.head.content == "h")
+    assert(table.tableCells.head.isHeader)
+    assert(table.tableCells.head.cols.toSeq == Seq(0, 1))
+    assert(table.tableCells.head.bbox.contains(Bbox(0.1, 0.2, 0.3, 0.4)))
+    assert(table.prop("_table_cells_json").isEmpty, "codec property stripped")
+    assert(back.elements.find(_.elementType == "NarrativeText").get.tableCells.isEmpty)
+    // unroll: a regex-metachar separator splits literally, not per character
+    val u = Document.of("u2", properties = Map("tags" -> "a|b|c"))
+    val unrolled = DocSet.of(spark, Seq(u)).unroll("properties.tags", sep = "|").takeAll()
+    assert(unrolled.flatMap(_.prop("tags")).toSet == Set("a", "b", "c"),
+      s"got ${unrolled.flatMap(_.prop("tags"))}")
+  }
+
   test("sort drops docs missing field when no default (reference semantics)") {
     val mixed = docs(4) :+ Document.of("dX", text = "no i prop")
       .copy(properties = Map.empty)
