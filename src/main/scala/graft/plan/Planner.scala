@@ -117,7 +117,11 @@ object OnlyRetrieval extends QPlanProcessor {
     // all-retrieval prefix
     var last = 0
     var cur = 0
-    var continue = isRetrieval(plan.node(0))
+    // nodes.get: the LLM may number nodes from 1 — absent node 0 means
+    // "no retrieval prefix to trim", not a crash (the sibling processor's
+    // contract); the plan passes through unchanged
+    if (!plan.nodes.get(0).exists(isRetrieval)) return plan
+    var continue = true
     while (continue) {
       last = cur
       plan.downstreamNodes(cur) match {

@@ -60,13 +60,49 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
       case Some(v) => v
       case None =>
         val n = plan.node(id)
+        // cache-hit short circuit BEFORE recursing into the subtree: the
+        // cache exists for exactly the expensive eager operators (kmeans
+        // fits, driver-side LLM clustering) — evaluating first would
+        // re-run them and discard the result (the reference checks its
+        // cache before process_node recursion). A marker only ever exists
+        // for nodes a prior run wrote under the no-sort-below guard, so
+        // trusting it preserves the ordering rule; read-back is unordered,
+        // hence sortBelow = false.
+        val hitValue = cacheDir.flatMap { dir =>
+          val cacheable = !(n.isInstanceOf[QSort] || n.isInstanceOf[QTopK] ||
+            n.isInstanceOf[QQueryVectorDatabase])
+          if (!cacheable) None
+          else {
+            val path = s"$dir/${plan.cacheKey(id)}"
+            val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+            val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(marker)) {
+              hits.incrementAndGet()
+              Some((QDocs(DocRead.materialized(spark, path)): QValue, false))
+            } else None
+          }
+        }
+        hitValue match {
+          case Some(v) =>
+            memo(id) = v
+            v
+          case None => recompute(id, n)
+        }
+    }
+
+    def recompute(id: Int, n: QNode): (QValue, Boolean) = {
         val ins = n.inputs.map(rec)
-        val sortBelow = n.isInstanceOf[QSort] || ins.exists(_._2)
+        // ordered-output nodes must not round-trip through the parquet
+        // cache (read-back loses row order): Sort, but also TopK and the
+        // score-ordered vector retrieval
+        val sortBelow = n.isInstanceOf[QSort] || n.isInstanceOf[QTopK] ||
+          n.isInstanceOf[QQueryVectorDatabase] || ins.exists(_._2)
         val value = eval(plan, n, ins.map(_._1))
         val cached = (value, cacheDir) match {
           case (QDocs(ds), Some(dir)) if !sortBelow =>
             val path = s"$dir/${plan.cacheKey(id)}"
             // Hadoop FS, not java.io: cacheDir may be hdfs://, s3a://, ...
+            // (the hit path short-circuited above, so this is a miss)
             val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
             val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(marker)) hits.incrementAndGet()
@@ -282,12 +318,21 @@ object Dsl {
       // exhaustive over clause keys: an unknown clause (filter,
       // minimum_should_match, ...) must throw, not be silently dropped —
       // dropping a clause returns a SUPERSET of the intended rows
+      // NOTE (deliberate filter semantics): `should` ANDs in alongside
+      // must/must_not — this DSL compiles to a boolean row FILTER, where a
+      // search engine's optional-should only affects SCORING; a should
+      // that filtered nothing would be dead syntax here. Empty clause
+      // arrays are match-all (the common degenerate LLM output), not an
+      // empty.reduce crash.
       clauses.map {
-        case ("must", JArray(xs)) => xs.map(predicate).reduce(_ && _)
+        case ("must", JArray(xs)) =>
+          if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ && _)
         case ("must", single: JObject) => predicate(single)
-        case ("must_not", JArray(xs)) => !xs.map(predicate).reduce(_ || _)
+        case ("must_not", JArray(xs)) =>
+          if (xs.isEmpty) lit(true) else !xs.map(predicate).reduce(_ || _)
         case ("must_not", single: JObject) => !predicate(single)
-        case ("should", JArray(xs)) => xs.map(predicate).reduce(_ || _)
+        case ("should", JArray(xs)) =>
+          if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ || _)
         case ("should", single: JObject) => predicate(single)
         case (other, _) =>
           throw new IllegalArgumentException(s"unsupported bool clause: $other")
@@ -296,7 +341,17 @@ object Dsl {
         case ps => ps.reduce(_ && _)
       }
     case JObject(List(("terms", JObject(List((f, JArray(vs))))))) =>
-      col(f).cast("string").isin(vs.map(scalarString): _*)
+      // TYPED membership, consistent with `term`: casting the column to
+      // string would stringify a DOUBLE as "1.0" while JInt(1) prints "1"
+      // — numeric terms would silently match nothing
+      if (vs.isEmpty) lit(false)
+      else vs.map {
+        case JString(s) => col(f) === s
+        case JInt(x)    => col(f) === x.toLong
+        case JLong(x)   => col(f) === x
+        case JDouble(x) => col(f) === x
+        case other => throw new IllegalArgumentException(s"bad terms value: $other")
+      }.reduce(_ || _)
     case JObject(List(("exists", JObject(List(("field", JString(f))))))) =>
       col(f).isNotNull
     case JObject(List(("match", JObject(List((f, v)))))) =>

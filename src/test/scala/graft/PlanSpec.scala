@@ -251,13 +251,16 @@ class PlanSpec extends AnyFunSuite {
       val QDocs(first) = ex.execute(p): @unchecked
       val rows1 = first.count()
       val cachedDirs = new java.io.File(dir).listFiles().map(_.getName).toSet
-      assert(cachedDirs.contains(p.cacheKey(0)) && cachedDirs.contains(p.cacheKey(1)))
-      assert(ex.cacheMisses == 2 && ex.cacheHits == 0)
+      // the TopK node (1) produces ORDERED output and must NOT round-trip
+      // through the parquet cache (read-back loses row order); only the
+      // unordered scan below it caches
+      assert(cachedDirs.contains(p.cacheKey(0)) && !cachedDirs.contains(p.cacheKey(1)))
+      assert(ex.cacheMisses == 1 && ex.cacheHits == 0)
       // second executor run must read back identical results from cache
       val ex2 = executor(cacheDir = Some(dir))
       val QDocs(second) = ex2.execute(p): @unchecked
       assert(second.count() == rows1)
-      assert(ex2.cacheHits == 2 && ex2.cacheMisses == 0)
+      assert(ex2.cacheHits == 1 && ex2.cacheMisses == 0)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
