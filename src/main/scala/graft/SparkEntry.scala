@@ -4156,8 +4156,8 @@ object SparkEntry {
       """SELECT 'lang_' || lang AS query_id, doc_id FROM documents
          UNION ALL
          SELECT 'match_sparkwindow' AS query_id, doc_id FROM documents
-         WHERE ' ' || text || ' ' LIKE '% spark %'
-            OR ' ' || text || ' ' LIKE '% window %'
+         WHERE ' ' || regexp_replace(text, '\s', ' ', 'g') || ' ' LIKE '% spark %'
+            OR ' ' || regexp_replace(text, '\s', ' ', 'g') || ' ' LIKE '% window %'
          ORDER BY 1, 2""",
     "q_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, price_c FROM (

@@ -317,23 +317,26 @@ object Dsl {
     case JObject(List(("bool", JObject(clauses)))) =>
       // exhaustive over clause keys: an unknown clause (filter,
       // minimum_should_match, ...) must throw, not be silently dropped —
-      // dropping a clause returns a SUPERSET of the intended rows
-      // NOTE (deliberate filter semantics): `should` ANDs in alongside
-      // must/must_not — this DSL compiles to a boolean row FILTER, where a
-      // search engine's optional-should only affects SCORING; a should
-      // that filtered nothing would be dead syntax here. Empty clause
-      // arrays are match-all (the common degenerate LLM output), not an
-      // empty.reduce crash.
-      clauses.map {
+      // dropping a clause returns a SUPERSET of the intended rows.
+      // Engine-compatible `should` (the Lucene bool contract): when
+      // must/must_not are present, should defaults to
+      // minimum_should_match=0 — it only affects SCORING, never membership
+      // — so it contributes no filter here; should standing ALONE defaults
+      // to minimum_should_match=1 — an OR filter. Empty clause arrays are
+      // match-all (the common degenerate LLM output), not an empty.reduce
+      // crash.
+      val hasMust = clauses.exists { case (k, _) => k == "must" || k == "must_not" }
+      clauses.flatMap {
         case ("must", JArray(xs)) =>
-          if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ && _)
-        case ("must", single: JObject) => predicate(single)
+          Some(if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ && _))
+        case ("must", single: JObject) => Some(predicate(single))
         case ("must_not", JArray(xs)) =>
-          if (xs.isEmpty) lit(true) else !xs.map(predicate).reduce(_ || _)
-        case ("must_not", single: JObject) => !predicate(single)
+          Some(if (xs.isEmpty) lit(true) else !xs.map(predicate).reduce(_ || _))
+        case ("must_not", single: JObject) => Some(!predicate(single))
+        case ("should", _) if hasMust => None // optional-scoring only
         case ("should", JArray(xs)) =>
-          if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ || _)
-        case ("should", single: JObject) => predicate(single)
+          Some(if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ || _))
+        case ("should", single: JObject) => Some(predicate(single))
         case (other, _) =>
           throw new IllegalArgumentException(s"unsupported bool clause: $other")
       } match {

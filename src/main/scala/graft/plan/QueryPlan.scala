@@ -317,7 +317,11 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
   }
 
   /** Per-node content hash over the subtree, excluding ids/descriptions —
-    * the intermediate-result cache key (reference: logical_plan.py:131-148). */
+    * the intermediate-result cache key (reference: logical_plan.py:131-148).
+    * Salted with [[QPlan.CacheFormatVersion]]: markers written under an
+    * older caching guard (e.g. before TopK/QueryVectorDatabase were marked
+    * order-sensitive) must not be trusted by newer builds, and content alone
+    * cannot distinguish them. */
   def cacheKey(nodeId: Int): String = {
     def cacheDict(id: Int): JValue = {
       val n = node(id)
@@ -326,7 +330,8 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
         n.opFields.filterNot(_._2 == JNothing).toList :+
         ("inputs" -> JArray(n.inputs.map(cacheDict).toList)))
     }
-    val canonical = JsonMethods.compact(JsonMethods.render(cacheDict(nodeId)))
+    val canonical = QPlan.CacheFormatVersion +
+      JsonMethods.compact(JsonMethods.render(cacheDict(nodeId)))
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -335,6 +340,11 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
 }
 
 object QPlan {
+  /** Bump whenever the executor's cacheability guard changes meaning —
+    * entries written under an older guard version then miss instead of
+    * being trusted (v2: TopK/QueryVectorDatabase excluded as order-lossy). */
+  val CacheFormatVersion = "v2:"
+
   def fromJson(json: String): QPlan = QPlanJson.parse(json)
 }
 

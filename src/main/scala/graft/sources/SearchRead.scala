@@ -488,11 +488,18 @@ object FakeSearch {
 
   /** Drop every namespace under `prefix` except `keep` — the eviction
     * hook for content-fingerprinted ingests, whose superseded corpus
-    * versions would otherwise accumulate in the JVM-wide registry. */
+    * versions would otherwise accumulate in the JVM-wide registry.
+    * Namespaces with live PITs are spared: an in-flight sliced read of an
+    * older corpus version still holds clients against it, and evicting
+    * underneath them would break PIT isolation mid-read — they are
+    * reaped on a later call once their PITs close. */
   def dropNamespacesWithPrefix(prefix: String, keep: String): Unit =
     registry.synchronized {
-      registry.keys.filter(k => k.startsWith(prefix) && k != keep).toSeq
-        .foreach(registry.remove)
+      registry.iterator
+        .filter { case (k, n) =>
+          k.startsWith(prefix) && k != keep && n.synchronized(n.pits.isEmpty)
+        }
+        .map(_._1).toSeq.foreach(registry.remove)
     }
 
   /** Create-if-absent (idempotent ingest): every task of a distributed
@@ -690,12 +697,21 @@ final case class BulkDirSearchClientFactory(dir: String, index: String)
   }
 
   private def fingerprint(): String = {
+    // CONTENT hash, not name:size:mtime — a same-size rewrite within the
+    // filesystem's mtime granularity (common on coarse-mtime filesystems
+    // and fast test loops) must produce a new namespace, not serve the
+    // stale ingest. The dir is a broadcast-sized fixture by contract, so
+    // one streaming pass per open() is cheap relative to the replay parse.
     val d = new java.io.File(dir)
-    val sig = Option(d.listFiles()).getOrElse(Array.empty)
+    val parts = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    java.lang.Long.toUnsignedString(
-      graft.functions.Xx64.hash(sig.getBytes("UTF-8"), 0L), 16)
+    var acc = 0L
+    parts.foreach { f =>
+      acc = graft.functions.Xx64.hash(f.getName.getBytes("UTF-8"), acc)
+      acc = graft.functions.Xx64.hash(
+        java.nio.file.Files.readAllBytes(f.toPath), acc)
+    }
+    java.lang.Long.toUnsignedString(acc, 16)
   }
 
   private def parseBulkDir(): Seq[SearchHit] = {

@@ -374,6 +374,12 @@ object DocStream {
         E.product[AnomState], E.product[AnomFlag])
   }
 
+  /** Running-moment state for [[anomalies]]. CHECKPOINT COMPATIBILITY: the
+    * schema changed from (Long, Long, Long) to (Long, String, String) when
+    * the sums moved to BigInt-backed strings (overflow fix) — a streaming
+    * checkpoint written under the old encoder cannot be restored by this
+    * build. Restart such queries with a fresh checkpoint location (or a new
+    * query name); Spark will otherwise fail or mis-decode the state. */
   case class AnomState(n: Long, s: String, ss: String)
   case class AnomFlag(key: String, bucketNs: Long, x: Long, anomalous: Boolean)
 

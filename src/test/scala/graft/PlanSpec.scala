@@ -86,7 +86,9 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("EqualTo(o_orderstatus,F)"), s"filter not pushed:\n$plan")
   }
 
-  test("Dsl terms / exists / should clauses") {
+  test("Dsl terms / exists / should clauses (engine-compatible bool)") {
+    // should alongside must: minimum_should_match=0 — scoring only, no
+    // filter effect (the Lucene bool contract the reference executes on)
     val p = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
       "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
             "index":"orders","query":{"bool":{
@@ -94,10 +96,19 @@ class PlanSpec extends AnyFunSuite {
               "should":[{"terms":{"o_orderstatus":["F","P"]}},
                         {"range":{"o_totalprice":{"gte":400000}}}]}}}}}""")
     val QDocs(ds) = executor().execute(p): @unchecked
-    val want = tables("orders").where(
-      col("o_orderkey").isNotNull &&
-        (col("o_orderstatus").isin("F", "P") || col("o_totalprice") >= 400000.0)).count()
+    val want = tables("orders").where(col("o_orderkey").isNotNull).count()
     assert(ds.count() == want)
+
+    // should standing alone: minimum_should_match=1 — an OR filter
+    val alone = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+            "index":"orders","query":{"bool":{
+              "should":[{"terms":{"o_orderstatus":["F","P"]}},
+                        {"range":{"o_totalprice":{"gte":400000}}}]}}}}}""")
+    val QDocs(ds2) = executor().execute(alone): @unchecked
+    val want2 = tables("orders").where(
+      col("o_orderstatus").isin("F", "P") || col("o_totalprice") >= 400000.0).count()
+    assert(ds2.count() == want2)
   }
 
   test("Count / distinct Count / Math divide") {

@@ -289,6 +289,65 @@ class SearchReadSpec extends AnyFunSuite {
       s"stale ingest served: ${second.map(_.text)}")
   }
 
+  test("same-size same-mtime rewrite still re-ingests (content fingerprint)") {
+    val dir = Files.createTempDirectory("graft_osfp").toString + "/bulk"
+    DocWrite.opensearchBulk(
+      DocSet.of(spark, (0 until 3).map(i =>
+        Document.of(s"doc$i", text = s"body $i vA", docType = "pdf"))).explode(),
+      dir, index = "corpus")
+    val first = SearchRead.read(spark, BulkDirSearchClientFactory(dir, "corpus"),
+      "corpus", SearchQuery.MatchAll).takeAll()
+    assert(first.forall(_.text.endsWith("vA")))
+    // in-place byte edit: SAME file names, SAME lengths, and mtime restored
+    // to the original value — only the bytes differ. A name:size:mtime
+    // fingerprint would serve the stale vA ingest here.
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val mtime = f.lastModified()
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val edited = new String(bytes, "UTF-8").replace("vA", "vB").getBytes("UTF-8")
+      assert(edited.length == bytes.length)
+      java.nio.file.Files.write(f.toPath, edited)
+      assert(f.setLastModified(mtime))
+    }
+    val second = SearchRead.read(spark, BulkDirSearchClientFactory(dir, "corpus"),
+      "corpus", SearchQuery.MatchAll).takeAll()
+    assert(second.nonEmpty && second.forall(_.text.endsWith("vB")),
+      s"stale ingest served after same-size same-mtime rewrite: ${second.map(_.text)}")
+  }
+
+  test("namespace eviction spares a superseded corpus version with live PITs") {
+    val prefix = "bulkdir:/graft-evict-spec:"
+    val oldNs = prefix + "old"
+    val newNs = prefix + "new"
+    FakeSearch.dropNamespace(oldNs); FakeSearch.dropNamespace(newNs)
+    FakeSearch.createIndex(oldNs, "idx", Seq(hit("a"), hit("b")))
+    FakeSearch.createIndex(newNs, "idx", Seq(hit("c")))
+    val c = new FakeSearch.Client(oldNs)
+    try {
+      val pit = c.createPit("idx")
+      // an in-flight read of the OLD version holds a PIT: eviction must
+      // spare it, or the read's remaining pages break mid-flight
+      FakeSearch.dropNamespacesWithPrefix(prefix, keep = newNs)
+      assert(FakeSearch.livePits(oldNs) == 1, "live-PIT namespace evicted")
+      val page = c.searchPage("idx", SearchQuery.MatchAll, None, Some(pit), 0, 10)
+      assert(page.map(_.id).sorted == Seq("a", "b"), "old snapshot lost")
+      c.deletePit(pit)
+      // PITs closed: the superseded version is now reapable. The OLD client
+      // keeps its captured snapshot object (harmless — it dies with the
+      // read); a FRESH open against the registry must find nothing.
+      FakeSearch.dropNamespacesWithPrefix(prefix, keep = newNs)
+      assert(FakeSearch.livePits(oldNs) == 0)
+      val fresh = new FakeSearch.Client(oldNs)
+      try assertThrows[IllegalArgumentException] {
+        fresh.searchPage("idx", SearchQuery.MatchAll, None, None, 0, 10)
+      } finally fresh.close()
+    } finally c.close()
+    FakeSearch.dropNamespace(newNs)
+  }
+
   private def corpus(n: Int, salt: String = ""): Seq[Document] =
     (0 until n).map { i =>
       Document.of(s"doc$i", text = s"parent $i$salt", docType = "pdf",
