@@ -87,9 +87,14 @@ object Calibration {
     // action over the staged checkpoint — the previous shape spent four
     // driver jobs (checkpoint-count + two head()s + the final pass) on
     // what is two bounds
+    // nulls are excluded from the rank frame: they'd sort first and claim
+    // the low ranks, and a null value at a bound rank would read back as 0
+    // (Row.getLong on null) — corrupting BOTH clip bounds silently. Null
+    // rows still pass through the clip map below (clipCol stays null).
     val (ranked, n) = Packing.globalRankCounted(
-      keyed.select(col(unique), col("_wv")), Seq(col("_wv")), unique, "_rank0")
-    require(n > 0, "winsorize needs a non-empty input")
+      keyed.select(col(unique), col("_wv")).where(col("_wv").isNotNull),
+      Seq(col("_wv")), unique, "_rank0")
+    require(n > 0, "winsorize needs a non-empty (non-null) input")
     val kLo = loPermille.toLong * (n - 1) / 1000L
     val kHi = hiPermille.toLong * (n - 1) / 1000L
     val bounds = ranked.where(col("_rank0").isin(kLo, kHi))
@@ -97,9 +102,14 @@ object Calibration {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lo = bounds(kLo)
     val hi = bounds(kHi)
+    // explicit null passthrough: greatest/least SKIP null operands, so the
+    // bare clip chain would silently pin a null value to the LOW bound
     keyed
-      .withColumn(clipCol, least(greatest(col("_wv"), lit(lo)), lit(hi)))
-      .withColumn("clipped", col("_wv") < lo || col("_wv") > hi)
+      .withColumn(clipCol,
+        when(col("_wv").isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(col("_wv"), lit(lo)), lit(hi))))
+      .withColumn("clipped",
+        coalesce(col("_wv") < lo || col("_wv") > hi, lit(false)))
       .drop("_wv")
   }
 }

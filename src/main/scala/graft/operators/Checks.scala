@@ -48,7 +48,11 @@ object Checks {
       case c: RowCheck => c.name ->
         sum(when(c.violated, 1L).otherwise(0L))
       case c: UniqueCheck => c.name ->
-        (count(lit(1)) - countDistinct(c.keys.head, c.keys.tail: _*))
+        // distinct over a STRUCT of the keys: countDistinct(a, b) skips any
+        // row with a null key entirely, so a single null-key row would be
+        // flagged as a violation; the struct wrapper keeps null as a key
+        // value (two null-key rows = one duplicate, one = none)
+        (count(lit(1)) - countDistinct(struct(c.keys: _*)))
     }
     val aggs = Seq(count(lit(1)).as("_n")) ++
       rowish.zipWithIndex.map { case ((_, a), i) => a.as(s"_v$i") }

@@ -40,8 +40,11 @@ object EventAnalytics {
                   stages: Seq[String],
                   windowNs: Long = Long.MaxValue): Seq[DataFrame] = {
     require(stages.size >= 2, "a funnel needs at least two stages")
+    // null users can never convert (equijoins drop null keys at stage 2+),
+    // so counting them at stage 1 would deflate every conversion rate —
+    // exclude them from the population outright
     val ev = events.select(col(user).as("_u"), col(etype).as("_e"),
-      col(tsNs).as("_ts"))
+      col(tsNs).as("_ts")).where(col("_u").isNotNull)
     val first = ev.where(col("_e") === stages.head)
       .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
       .withColumn("_t0", col("_t"))
@@ -198,7 +201,11 @@ object EventAnalytics {
                         tsNs: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(user)).orderBy(col(tsNs), col(idCol))
+    // a null event type is indistinguishable from end-of-sequence in the
+    // lead() pair (and its count would vanish at the totals equijoin
+    // anyway); null users likewise — treat both as absent records
     val pairs = events
+      .where(col(user).isNotNull && col(etype).isNotNull)
       .withColumn("_next", lead(col(etype), 1).over(w))
       .where(col("_next").isNotNull)
     val trans = pairs
@@ -251,7 +258,10 @@ object EventAnalytics {
                   slotNs: Long, nSlots: Int): DataFrame = {
     require(slotNs > 0 && nSlots >= 2,
       s"bad seasonality config: slotNs=$slotNs nSlots=$nSlots")
-    val slot = pmod(expr(s"$tsNs DIV ${slotNs}L"), lit(nSlots.toLong))
+    // floorDiv, not expr-interpolated DIV: interpolating the column name
+    // breaks on names that need backticks, and truncating division
+    // misassigns the slot for pre-epoch (negative) timestamps
+    val slot = pmod(floorDiv(col(tsNs), slotNs), lit(nSlots.toLong))
     val counts = events.groupBy(col(keyCol), slot.as("slot"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy(col(keyCol)).agg(sum(col("n")).as("_total"))

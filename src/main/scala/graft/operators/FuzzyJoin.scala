@@ -49,11 +49,17 @@ object FuzzyJoin {
     // short array — orders of magnitude under the raw input) so the prep
     // runs once per side, not three times; this is the materialize step
     // every ppjoin-family implementation carries.
+    // array_compact strips null tokens BEFORE anything else: the prefix
+    // ranking drops them at its freq equi-join while array_intersect at
+    // verify would count them — a pair whose overlap includes null would
+    // break the prefix filter's recall guarantee
     val l = left.select(col(idCol).as("_ida"),
-      array_distinct(col(setCol)).as("_ta")).where(size(col("_ta")) > 0)
+      array_distinct(array_compact(col(setCol))).as("_ta"))
+      .where(size(col("_ta")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = right.select(col(idCol).as("_idb"),
-      array_distinct(col(setCol)).as("_tb")).where(size(col("_tb")) > 0)
+      array_distinct(array_compact(col(setCol))).as("_tb"))
+      .where(size(col("_tb")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one global rare-first total order (freq, token) over BOTH sides'

@@ -45,7 +45,10 @@ object Linkage {
     require(lowerMb <= upperMb, "lower threshold must not exceed upper")
     val weight = fields.map { f =>
       val (wa, wd) = milliBits(f.m, f.u)
-      when(f.agree, lit(wa)).otherwise(lit(wd))
+      // three-valued on purpose: a NULL agreement (field missing on either
+      // side) is NOT a disagreement — it contributes no evidence (weight 0),
+      // per the standard Fellegi-Sunter treatment of missing comparisons
+      when(f.agree, lit(wa)).when(!f.agree, lit(wd)).otherwise(lit(0L))
     }.reduce(_ + _)
     pairs
       .withColumn("weight_mb", weight)

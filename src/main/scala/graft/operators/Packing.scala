@@ -63,7 +63,8 @@ object Packing {
       .repartitionByRange(parts, col(order))
       .sortWithinPartitions(col(order))
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_w", tokenCol.cast("long"))
+      // null token count = empty doc (0 tokens), not a null-poisoned span
+      .withColumn("_w", coalesce(tokenCol.cast("long"), lit(0L)))
       .localCheckpoint()
     val offsets = prefixOffsets(staged)
     val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
@@ -94,8 +95,11 @@ object Packing {
                nBins: Int, binCol: String = "bin"): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     val (ranked, n) = rankedStage(df, order, unique)
+    // integer DIV, not floor(/): Spark / on longs is DOUBLE division, and
+    // past 2^53 rows rank*nBins loses low bits — a boundary rank could land
+    // in the wrong bin. Both operands are non-negative, so DIV == floor.
     ranked
-      .withColumn(binCol, floor(col("_rank0") * nBins / n).cast("long"))
+      .withColumn(binCol, expr(s"_rank0 * ${nBins}L DIV ${n}L"))
       .drop("_rank0")
   }
 

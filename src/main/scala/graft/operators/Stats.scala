@@ -265,8 +265,11 @@ object Stats {
   }
 
   def ksDistance(df: DataFrame, value: Column, side: Column): DataFrame = {
+    // pmod, not %: Spark % is a REMAINDER, so a negative side label would
+    // map to -1 and its rows would silently vanish from both CDFs
     val c = df.where(value.isNotNull)
-      .groupBy(value.cast("long").as("_v"), (side.cast("long") % 2).as("_s"))
+      .groupBy(value.cast("long").as("_v"),
+        pmod(side.cast("long"), lit(2L)).as("_s"))
       .agg(count(lit(1)).as("_n"))
     val g = c.groupBy(col("_v")).agg(
         sum(when(col("_s") === 0, col("_n")).otherwise(0L)).as("_a"),

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Round-17 review-pass pins: contract bugs found by the operators/ sweep
+  * (nulls, negative keys, integer-division precision, null tokens) — each
+  * test fails on the pre-fix implementation. */
+class Round17Spec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // ----------------------------------------------------- EventAnalytics
+
+  test("seasonality: negative (pre-epoch) timestamps land in the floor-division slot") {
+    // ts = -1 with slotNs=10, nSlots=4: floor(-1/10) = -1, pmod(-1,4) = 3.
+    // Truncating DIV would give 0 -> slot 0 — the wrong cyclic slot.
+    val ev = Seq(("k", -1L), ("k", -1L), ("k", 25L)).toDF("key", "ts")
+    val out = EventAnalytics.seasonality(ev, "key", "ts", 10L, 4)
+      .select("slot", "n").as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 2L, 2L -> 1L), s"got $out")
+  }
+
+  test("seasonality: works on a column name that needs backticks") {
+    val ev = Seq(("k", 35L)).toDF("key", "week day")
+    val out = EventAnalytics.seasonality(ev, "key", "week day", 10L, 4)
+      .select("slot").as[Long].collect().toSeq
+    assert(out == Seq(3L))
+  }
+
+  test("funnel: null users are excluded from the entry population") {
+    val ev = Seq(
+      (Some("u1"), "a", 1L), (Some("u1"), "b", 2L),
+      (None: Option[String], "a", 1L) // can never convert; must not deflate
+    ).toDF("u", "e", "ts")
+    val out = EventAnalytics.funnel(ev, "u", "e", "ts", Seq("a", "b"))
+      .select("step", "users", "conversion").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1.0)))
+    assert(out(1) == ((2L, 1L, 1.0)), s"null user deflated conversion: ${out(1)}")
+  }
+
+  test("markovTransitions: null event types are absent records, not states") {
+    val ev = Seq(
+      (Some("u"), Some("a"), 1L, 1L), (Some("u"), Some("b"), 2L, 2L),
+      (Some("u"), None: Option[String], 3L, 3L),
+      (None: Option[String], Some("a"), 4L, 4L)
+    ).toDF("u", "e", "ts", "id")
+    val out = EventAnalytics.markovTransitions(ev, "u", "e", "ts", "id")
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "b")), s"got $out")
+  }
+
+  // --------------------------------------------------------------- Stats
+
+  test("ksDistance: a negative side label maps into a CDF instead of vanishing") {
+    // sides -1 (odd -> b) and 0 (a); identical value distributions -> ks 0
+    val df = Seq((1L, -1L), (2L, -1L), (1L, 0L), (2L, 0L)).toDF("v", "side")
+    val r = Stats.ksDistance(df, col("v"), col("side")).head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L,
+      s"negative side vanished: $r")
+    assert(r.getAs[Long]("ks_num") == 0L)
+  }
+
+  // --------------------------------------------------------- Calibration
+
+  test("winsorize: null values neither claim ranks nor corrupt the bounds") {
+    // 10 non-null values 1..10 (+2 nulls). lo=0 -> rank 0 -> 1;
+    // hi=1000 -> rank 9 -> 10. Pre-fix, nulls ranked first and a null at a
+    // bound rank read back as 0 via Row.getLong.
+    val df = ((1 to 10).map(i => Some(i.toLong)) ++ Seq(None, None))
+      .zipWithIndex.map { case (v, i) => (s"id$i", v) }.toDF("id", "v")
+    val out = Calibration.winsorize(df, col("v"), "id", 0, 1000)
+    val clipped = out.where(col("clipped")).count()
+    assert(clipped == 0L, "no non-null value should clip at 0/1000 permille")
+    val nullRows = out.where(col("v").isNull).select("clipped_value", "clipped")
+      .collect()
+    assert(nullRows.length == 2 && nullRows.forall(_.isNullAt(0)),
+      "null values should pass through with null clip")
+  }
+
+  // ------------------------------------------------------------- Packing
+
+  test("rankBins: bins match exact integer floor(rank*nBins/n)") {
+    val df = (0 until 10).map(i => (s"id$i", i.toLong)).toDF("id", "v")
+    val bins = Packing.rankBins(df, Seq(col("v")), "id", 3)
+      .orderBy("v").select("bin").as[Long].collect().toSeq
+    assert(bins == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L))
+  }
+
+  test("packSequences: a null token count is an empty doc, not a null span") {
+    val df = Seq(("a", Some(3L)), ("b", None: Option[Long]), ("c", Some(2L)))
+      .toDF("id", "toks")
+    val out = Packing.packSequences(df, "id", col("toks"), 4)
+      .orderBy("id").select("tok_start", "tok_end").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 3L), (3L, 3L), (3L, 5L)), s"got ${out.toSeq}")
+  }
+
+  // ------------------------------------------------------------- Linkage
+
+  test("fellegiSunter: a null agreement (missing field) contributes no evidence") {
+    val pairs = Seq((1L, Some(true)), (2L, Some(false)), (3L, None: Option[Boolean]))
+      .toDF("pair", "agr")
+    val f = Linkage.Field("f", col("agr"), m = 0.9, u = 0.1)
+    val (wa, wd) = Linkage.milliBits(0.9, 0.1)
+    val out = Linkage.fellegiSunter(pairs, Seq(f), upperMb = wa, lowerMb = wd)
+      .select("pair", "weight_mb").as[(Long, Long)].collect().toMap
+    assert(out(1L) == wa && out(2L) == wd)
+    assert(out(3L) == 0L, s"missing comparison must weigh 0, got ${out(3L)}")
+  }
+
+  // ----------------------------------------------------------- FuzzyJoin
+
+  test("jaccardJoin: null tokens are stripped, not counted at verify") {
+    // both sets carry a null token; without array_compact the verify
+    // intersection counts null while the prefix ranking dropped it
+    val l = Seq((1L, Seq[String]("x", "y", null))).toDF("id", "toks")
+    val r = Seq((10L, Seq[String]("x", "y", null))).toDF("id", "toks")
+    val out = FuzzyJoin.jaccardJoin(l, r, "id", "toks", 1, 2)
+      .select("inter", "uni").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 2L)), s"null token leaked into the verify: $out")
+  }
+
+  // -------------------------------------------------------------- Checks
+
+  test("UniqueCheck: null keys are key values, not automatic violations") {
+    val df = Seq(Some("a"), Some("b"), None, None).toDF("k")
+    val out = Checks.run(df, Seq(Checks.UniqueCheck("uniq_k", Seq(col("k")))))
+      .select("n_violations").as[Long].head()
+    // two null-key rows = ONE duplicate; pre-fix countDistinct skipped both
+    // nulls and reported 2
+    assert(out == 1L, s"got $out")
+    val single = Seq(Some("a"), None).toDF("k")
+    val out1 = Checks.run(single, Seq(Checks.UniqueCheck("uniq_k", Seq(col("k")))))
+      .select("n_violations").as[Long].head()
+    assert(out1 == 0L, s"a single null key is not a duplicate: $out1")
+  }
+}
