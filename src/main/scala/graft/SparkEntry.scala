@@ -579,6 +579,46 @@ object SparkEntry {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    "q_docset_query_knn" -> ((s, dir) => {
+      // the KNN arm of DocSet.query (SearchRead.queryDocs knn branch,
+      // reference docset.py:1351 + query_database.py:81): the embeddings
+      // table is ingested into the fake index WITH vectors, then a corpus
+      // of knn query-documents — three one-hot query vectors plus one with
+      // a label filter — maps to result documents whose hit elements
+      // explode to (query_id, vec_id) rows. One-hot query vectors are
+      // exactly replayable as oracle list literals (the q_nlq_vector
+      // pattern), so score ordering needs no float to cross the hash.
+      import graft.sources._
+      val ns = s"qdqk:$dir"
+      val index = "vecs"
+      FakeSearch.ensureIndex(ns, index) {
+        tbl(s, dir, "embeddings").select("vec_id", "embedding", "label")
+          .collect().toSeq.map { r =>
+            SearchHit(f"v${r.getLong(0)}%09d", 1.0, Map(
+              "doc_id" -> r.getLong(0).toString,
+              "properties.label" -> r.getInt(2).toString),
+              Some(r.getSeq[Float](1).toArray))
+          }
+      }
+      def oneHot(idx: Int): Array[Float] =
+        Array.tabulate(64)(i => if (i == idx) 1.0f else 0.0f)
+      val qdocs = Seq(3, 17, 42).map { idx =>
+        graft.model.Document.of(f"knn_$idx%02d",
+          text = SearchWire.queryJson(SearchQuery.Knn(oneHot(idx), 8)).toString,
+          properties = Map("index" -> index))
+      } :+ graft.model.Document.of("knn_f03",
+        text = SearchWire.queryJson(SearchQuery.Knn(oneHot(3), 8,
+          Some(SearchQuery.Term("properties.label", "1")))).toString,
+        properties = Map("index" -> index))
+      graft.docset.DocSet.of(s, qdocs)
+        .query(FakeSearchClientFactory(ns))
+        .toDF
+        .select(col("docId").as("query_id"), explode(col("elements")).as("e"))
+        .select(col("query_id"),
+          element_at(col("e.properties"), "doc_id").cast("long").as("vec_id"))
+        .orderBy(col("query_id"), col("vec_id"))
+    }),
+
     // ---- window / analytic (§2.11 gap we fill natively)
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1249,6 +1289,77 @@ object SparkEntry {
       val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
         name => tbl(s, dir, name))
       keyCountDf(exec.execute(plan))
+    }),
+    "q_nlq_bool" -> ((s, dir) => {
+      // bool-filter QueryDatabase through the FULL planner flow (reference
+      // planner_prompt.py:175 "incidents between ... matching ..." example
+      // shape: bool must range + must_not term, engine-compatible should).
+      // The should clause is scoring-only alongside must — it must NOT
+      // change membership (the Lucene bool contract, ADVICE r16 #2).
+      val canned = """Sure, here is the query plan JSON:
+        {"query": "top order statuses for mid-priced orders", "result_node": 1,
+         "nodes": {
+           "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+                 "index":"orders","query":{"bool":{
+                   "must":[{"range":{"o_totalprice":{"gte":50000,"lte":150000}}}],
+                   "must_not":[{"term":{"o_orderstatus":"P"}}],
+                   "should":[{"term":{"o_orderkey":1}}]}}},
+           "1": {"node_type":"TopK","node_id":1,"inputs":[0],
+                 "field":"properties.o_orderstatus","K":2,"descending":true,
+                 "llm_cluster":false}}}"""
+      val planner = new graft.plan.LlmPlanner(
+        new graft.llm.CannedLlmClient(canned),
+        schema = Map("orders" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice")),
+        processors = Seq(graft.plan.DefaultPlanValidator,
+          graft.plan.LimitLlmOperations(100)))
+      val plan = planner.plan("top order statuses for mid-priced orders")
+      val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
+        name => tbl(s, dir, name))
+      keyCountDf(exec.execute(plan))
+    }),
+    "q_nlq_vector" -> ((s, dir) => {
+      // QueryVectorDatabase through the planner flow (reference
+      // planner_prompt.py QueryVectorDatabase examples): the phrase is ONE
+      // token, so the HashEmbedder query vector is an exact one-hot ±1 —
+      // the oracle replays it as a literal list with no float-accumulation
+      // hazard (cosine math then mirrors the q_ann_bruteforce pattern).
+      val canned = """{"query": "vectors most similar to spark", "result_node": 0,
+         "nodes": {
+           "0": {"node_type":"QueryVectorDatabase","node_id":0,"inputs":[],
+                 "index":"embeddings","query_phrase":"spark","K":8}}}"""
+      val planner = new graft.plan.LlmPlanner(
+        new graft.llm.CannedLlmClient(canned),
+        schema = Map("embeddings" -> Seq("vec_id", "embedding", "label")),
+        processors = Seq(graft.plan.DefaultPlanValidator))
+      val plan = planner.plan("vectors most similar to spark")
+      val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
+        name => tbl(s, dir, name))
+      exec.execute(plan) match {
+        case QDocs(ds) => ds.toDF
+          .select(element_at(col("properties"), "vec_id").cast("long").as("vec_id"))
+          .orderBy(col("vec_id"))
+        case other => throw new IllegalStateException(s"$other")
+      }
+    }),
+    "q_nlq_count_distinct" -> ((s, dir) => {
+      // match_phrase QueryDatabase + distinct Count through the planner
+      // flow (reference planner_prompt.py:196 "How many cities did Cessna
+      // aircrafts have incidents in?" shape).
+      val canned = """{"query": "how many sources mention spark", "result_node": 1,
+         "nodes": {
+           "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+                 "index":"documents","query":{"match_phrase":{"text":"spark"}}},
+           "1": {"node_type":"Count","node_id":1,"inputs":[0],
+                 "distinct_field":"properties.source"}}}"""
+      val planner = new graft.plan.LlmPlanner(
+        new graft.llm.CannedLlmClient(canned),
+        schema = Map("documents" -> Seq("doc_id", "text", "lang", "source")),
+        processors = Seq(graft.plan.DefaultPlanValidator,
+          graft.plan.LimitLlmOperations(100)))
+      val plan = planner.plan("how many sources mention spark")
+      val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
+        name => tbl(s, dir, name))
+      scalarDf(s, exec.execute(plan), "value")
     }),
     "q_nlq_summarize" -> ((s, dir) => {
       // AlwaysSummarize must append the answer-synthesis node carrying the
@@ -4777,6 +4888,46 @@ object SparkEntry {
                        'Question: how many orders are there' || chr(10) ||
                        'Input 1: ' || CAST(count(*) AS VARCHAR), 1, 64) AS answer
          FROM orders""",
+    "q_nlq_bool" ->
+      // should is scoring-only alongside must (Lucene bool): no WHERE term
+      """SELECT o_orderstatus AS key, count(*) AS count FROM orders
+         WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+           AND o_orderstatus <> 'P'
+         GROUP BY 1 ORDER BY count DESC, key LIMIT 2""",
+    "q_nlq_vector" -> {
+      // the HashEmbedder embedding of the one-token phrase "spark" is an
+      // exact one-hot ±1 at floorMod(murmur3(tok), 64) — literalized here
+      // so the oracle replays the identical query vector (q_ann pattern)
+      val h = scala.util.hashing.MurmurHash3.stringHash("spark")
+      val idx1 = math.floorMod(h, 64) + 1 // 1-based list index
+      val sign = if (((h >>> 16) & 1) == 0) "1.0" else "-1.0"
+      s"""WITH q AS (SELECT list_transform(range(1, 65),
+                       i -> CASE WHEN i = $idx1 THEN $sign ELSE 0.0 END) AS qv),
+          top AS (SELECT vec_id FROM embeddings, q
+                  ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+                           vec_id LIMIT 8)
+          SELECT vec_id FROM top ORDER BY vec_id"""
+    },
+    "q_nlq_count_distinct" ->
+      """SELECT CAST(count(DISTINCT source) AS DOUBLE) AS value
+         FROM documents WHERE contains(text, 'spark')""",
+    "q_docset_query_knn" ->
+      // one-hot knn query vectors replay as list literals; the filtered arm
+      // restricts to label = 1 before ranking (the fake's pre-rank filter)
+      """WITH q AS (SELECT * FROM (VALUES
+              ('knn_03', 4, NULL), ('knn_17', 18, NULL), ('knn_42', 43, NULL),
+              ('knn_f03', 4, 1)) t(query_id, idx1, lab)),
+         ranked AS (
+           SELECT q.query_id, e.vec_id,
+                  row_number() OVER (PARTITION BY q.query_id ORDER BY
+                    list_cosine_similarity(e.embedding::DOUBLE[],
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN i = q.idx1 THEN 1.0 ELSE 0.0 END)) DESC,
+                    e.vec_id) AS rn
+           FROM embeddings e, q
+           WHERE q.lab IS NULL OR e.label = q.lab)
+         SELECT query_id, vec_id FROM ranked WHERE rn <= 8
+         ORDER BY query_id, vec_id""",
     "q_asof_join" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
                     FROM events WHERE event_type = 'click'),

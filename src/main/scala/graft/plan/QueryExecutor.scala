@@ -130,13 +130,17 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
 
     case QQueryVectorDatabase(_, _, _, index, phrase, k) =>
       // embed the phrase, top-k by cosine over the table's embedding column
-      // (scan + TakeOrderedAndProject — no shuffle of the corpus)
+      // (scan + TakeOrderedAndProject — no shuffle of the corpus). The
+      // row-content hash tie-break makes the k-boundary deterministic when
+      // scores tie exactly — bare orderBy(desc(score)).limit(k) would break
+      // ties by partition order, which is not contractual across re-runs.
       val df = tables(index)
       val qv = embedder.embed(Seq(phrase)).head.map(_.toDouble).toSeq
       val top = df
         .withColumn("__score",
           graft.functions.gf.cosineSimilarity(col("embedding"), graft.ann.Ann.vecLit(qv)))
-        .orderBy(desc("__score")).limit(k)
+        .orderBy(desc("__score"), xxhash64(to_json(struct(df.columns.map(col): _*))))
+        .limit(k)
         .drop("__score")
       QDocs(docsFrom(top))
 
