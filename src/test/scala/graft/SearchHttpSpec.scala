@@ -342,7 +342,7 @@ class SearchHttpSpec extends AnyFunSuite {
     assert(byId("q3").elements.isEmpty && byId("q3").prop("result_count").contains("0"))
     assert(byId("q4").elements.map(e => e.prop("doc_id").get) == Seq("b"))
     assert(FakeSearch.livePits(ns) == 0,
-      "queryDocs pages under per-task PITs and must delete them")
+      "queryDocs pages via scroll cursors and must hold no PITs")
     // a query document naming no index anywhere fails loudly
     val bad = DocSet.of(spark, Seq(qd("qx", SearchQuery.MatchAll, Map.empty)))
     intercept[Exception](bad.query(FakeSearchClientFactory(ns)).takeAll())
