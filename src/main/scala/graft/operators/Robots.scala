@@ -32,6 +32,7 @@ object Robots {
     val ua = userAgent.toLowerCase
     var groupAgents = List.empty[String]
     var afterRules = true // true while reading User-agent lines of a new group
+    var specificSeen = false // a group NAMED the agent (even with no rules)
     val specific = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     val wildcard = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     robotsTxt.linesIterator.foreach { raw =>
@@ -44,6 +45,7 @@ object Robots {
           case "user-agent" =>
             if (!afterRules) groupAgents = Nil // a rule block ended; new group
             groupAgents ::= value.toLowerCase
+            if (value.toLowerCase == ua) specificSeen = true
             afterRules = true
           case "allow" | "disallow" =>
             afterRules = false
@@ -58,7 +60,11 @@ object Robots {
         }
       }
     }
-    val rules = if (specific.nonEmpty) specific else wildcard
+    // RFC 9309 §2.2.1: when a group NAMES the agent, only that group
+    // applies — even if it carries no rules (meaning allow-all). Falling
+    // back to the * group because the specific rule LIST is empty would
+    // wrongly apply the generic disallows to an explicitly-freed agent.
+    val rules = if (specificSeen) specific else wildcard
     rules.sortBy { case (p, allow) => (-p.length, !allow) }.toList.distinct
   }
 

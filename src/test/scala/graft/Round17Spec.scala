@@ -123,6 +123,33 @@ class Round17Spec extends AnyFunSuite {
     assert(out == Seq((2L, 2L)), s"null token leaked into the verify: $out")
   }
 
+  // -------------------------------------------------------------- Robots
+
+  test("robots: a named group with no usable rules means allow-all, not *-fallback") {
+    // RFC 9309 §2.2.1: when a group names the agent, only that group
+    // applies — even when it carries no rules. (Blank lines do NOT split
+    // groups — consecutive user-agent lines stack onto one group — so the
+    // empty named group sits after the * group's rules.)
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |""".stripMargin
+    assert(Robots.parse(txt, "graftbot") == Nil,
+      "explicitly-freed agent must not inherit the * disallows")
+    assert(Robots.parse(txt, "otherbot") == Seq(("/", false)))
+    // a named group whose only rules use out-of-scope wildcards likewise
+    // resolves to allow-all for that agent
+    val wild =
+      """User-agent: graftbot
+        |Disallow: /private*
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(Robots.parse(wild, "graftbot") == Nil)
+  }
+
   // -------------------------------------------------------------- Checks
 
   test("UniqueCheck: null keys are key values, not automatic violations") {
