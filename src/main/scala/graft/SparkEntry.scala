@@ -579,6 +579,72 @@ object SparkEntry {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    "q_standardize" -> ((s, dir) => {
+      // standardizers end-to-end through the Document map API (reference
+      // standardizer.py USStateStandardizer + DateTimeStandardizer): each
+      // doc gets a SYNTHESIZED location/date derived from its id, so the
+      // oracle constructs the expected normalized outputs directly — the
+      // machinery under test is the dotted-path field plumbing + token
+      // replace + multi-format date parse.
+      val abbrs = graft.operators.Standardizers.UsStates.keys.toSeq.sorted
+      val docs = graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        Some("doc_id"), Some("text"))
+      docs.map { d =>
+        val id = d.docId.toLong
+        val loc = s"City ${id % 100}, ${abbrs((id % abbrs.size).toInt)}"
+        val date = (id % 3) match {
+          case 0 => "2023-07-01"
+          case 1 => "07/15/2023 10:30:00"
+          case _ => "March 5, 2021"
+        }
+        val std = graft.operators.Standardizers.usState("properties.location")(
+          d.withProp("location", loc).withProp("event_date", date))
+        graft.operators.Standardizers.dateTime("properties.event_date")(std)
+      }.toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "location").as("location"),
+          element_at(col("properties"), "event_date").as("event_iso"),
+          element_at(col("properties"), "day").as("day"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_markdown" -> ((s, dir) => {
+      // markdown rendering end-to-end (reference transforms/markdown.py):
+      // deterministic per-doc elements (title / narrative / list item /
+      // caption + a 2x2 header table) render to one blob the oracle
+      // replays as string concatenation — newlines and all.
+      val docs = graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents").select("doc_id", "text", "lang"),
+        Some("doc_id"), Some("text"))
+      docs.map { d =>
+        val id = d.docId
+        // FULL text, not a take(n): a JVM take counts UTF-16 units while
+        // the oracle's substr counts code points — they disagree on astral
+        // characters, and the whole text concatenates identically anyway
+        val body = d.text
+        val els = Seq(
+          graft.model.Element.text(0, "Title", s"Doc $id"),
+          graft.model.Element.text(1, "NarrativeText", body),
+          graft.model.Element.text(2, "List-item", s"id $id"),
+          graft.model.Element(
+            elementType = "table", textRepresentation = None,
+            binaryRepresentation = None, bbox = None, embedding = None,
+            elementIndex = 3,
+            tableCells = Seq(
+              graft.model.TableCell("k", Array(0), Array(0), isHeader = true, None),
+              graft.model.TableCell("v", Array(0), Array(1), isHeader = true, None),
+              graft.model.TableCell("doc", Array(1), Array(0), isHeader = false, None),
+              graft.model.TableCell(id, Array(1), Array(1), isHeader = false, None)),
+            properties = Map.empty),
+          graft.model.Element.text(4, "Caption", s"caption $id"))
+        graft.operators.Markdown.toMarkdown(d.copy(elements = els))
+      }.toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          col("textRepresentation").as("md"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_docset_query_knn" -> ((s, dir) => {
       // the KNN arm of DocSet.query (SearchRead.queryDocs knn branch,
       // reference docset.py:1351 + query_database.py:81): the embeddings
@@ -4916,6 +4982,37 @@ object SparkEntry {
     "q_nlq_count_distinct" ->
       """SELECT CAST(count(DISTINCT source) AS DOUBLE) AS value
          FROM documents WHERE contains(text, 'spark')""",
+    "q_markdown" ->
+      // concatenation replay of the renderer: title / narrative (dropped
+      // when empty — the renderer filters empty blocks) / list item /
+      // 2x2 header table / caption, joined by blank lines
+      """SELECT doc_id,
+           '# Doc ' || doc_id ||
+           CASE WHEN text <> '' THEN chr(10) || chr(10) || text ELSE '' END ||
+           chr(10) || chr(10) || '- id ' || doc_id ||
+           chr(10) || chr(10) ||
+           '| k | v |' || chr(10) || '| --- | --- |' || chr(10) ||
+           '| doc | ' || doc_id || ' |' ||
+           chr(10) || chr(10) || '*caption ' || doc_id || '*' AS md
+         FROM documents ORDER BY doc_id""",
+    "q_standardize" -> {
+      // the full-name list literal rides in SORTED-ABBREVIATION order,
+      // mirroring the Spark side's abbrs indexing
+      val names = graft.operators.Standardizers.UsStates.toSeq.sortBy(_._1)
+        .map(_._2).map(n => s"'$n'").mkString(", ")
+      s"""SELECT doc_id,
+            'City ' || (doc_id % 100) || ', ' ||
+              ([$names])[CAST(doc_id % 50 AS INT) + 1] AS location,
+            CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN '2023-07-01T00:00'
+              WHEN 1 THEN '2023-07-15T10:30'
+              ELSE '2021-03-05T00:00' END AS event_iso,
+            CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN '2023-07-01'
+              WHEN 1 THEN '2023-07-15'
+              ELSE '2021-03-05' END AS day
+          FROM documents ORDER BY doc_id"""
+    },
     "q_docset_query_knn" ->
       // one-hot knn query vectors replay as list literals; the filtered arm
       // restricts to label = 1 before ranking (the fake's pre-rank filter)
