@@ -609,6 +609,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pii_iban" -> ((s, dir) => {
+      // ISO 13616 mod-97 IBAN validity over per-id synthesized account
+      // strings (check digits = id % 97, so validity varies across rows):
+      // both engines run the identical left fold — int64, fixed order.
+      val iban = concat(lit("DE"),
+        lpad((col("doc_id") % 97).cast("string"), 2, "0"),
+        lpad(((col("doc_id") * 7919L) % 1000000000000000000L).cast("string"),
+          18, "0"))
+      tbl(s, dir, "documents").select(col("doc_id"), iban.as("iban"))
+        .withColumn("valid", gf.ibanValid(col("iban")))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_markdown" -> ((s, dir) => {
       // markdown rendering end-to-end (reference transforms/markdown.py):
       // deterministic per-doc elements (title / narrative / list item /
@@ -4982,6 +4995,28 @@ object SparkEntry {
     "q_nlq_count_distinct" ->
       """SELECT CAST(count(DISTINCT source) AS DOUBLE) AS value
          FROM documents WHERE contains(text, 'spark')""",
+    "q_pii_iban" ->
+      // the mod-97 left fold replayed via list_reduce: each char pre-maps
+      // to width*1000+value (digit -> one *10 step, letter -> one *100
+      // step) and a prepended 0 seeds the accumulator (DuckDB's
+      // list_reduce uses the first element as the initial value)
+      """WITH t AS (
+           SELECT doc_id,
+                  'DE' || lpad(CAST(doc_id % 97 AS VARCHAR), 2, '0') ||
+                    lpad(CAST((doc_id * 7919) % 1000000000000000000 AS VARCHAR),
+                         18, '0') AS iban
+           FROM documents),
+         m AS (SELECT doc_id, iban,
+                      substr(iban, 5) || substr(iban, 1, 4) AS re FROM t)
+         SELECT doc_id, iban,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(str_split(re, ''),
+                      ch -> CAST(CASE WHEN ascii(ch) BETWEEN 48 AND 57
+                                      THEN 10000 + ascii(ch) - 48
+                                      ELSE 100000 + ascii(ch) - 55 END AS BIGINT))),
+                  (acc, x) -> (acc * (x // 1000) + x % 1000) % 97) = 1 AS valid
+         FROM m ORDER BY doc_id""",
     "q_markdown" ->
       // concatenation replay of the renderer: title / narrative (dropped
       // when empty — the renderer filters empty blocks) / list item /

@@ -592,6 +592,46 @@ object gf {
     length(ds).between(13, 19) && sum % 10 === 0
   }
 
+  /**
+   * IBAN checksum validity (ISO 13616 mod-97): the bank-account leg of the
+   * PII family, the Luhn pattern applied to account identifiers. The
+   * check: strip separators, uppercase, move the first 4 chars to the end,
+   * map letters A..Z to 10..35, and the resulting digit string mod 97 must
+   * be 1. The mod is computed as a LEFT FOLD over characters —
+   * acc = (acc·10 + digit) % 97, letters as two digit steps — pure int64
+   * in fixed order, so a SQL oracle replays it bit-for-bit (no bignum
+   * needed on either engine). Valid = 15-34 chars, two leading letters,
+   * two check digits, alphanumeric body, checksum 1.
+   */
+  def ibanValid(c: Column): Column = {
+    val s = upper(regexp_replace(c, "[ -]", ""))
+    val shaped = s.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    val rearranged = concat(substring(s, 5, 34), substring(s, 1, 4))
+    val m = aggregate(
+      split(rearranged, ""),
+      lit(0L),
+      (acc, ch) => {
+        val a = ascii(ch)
+        when(a.between(48, 57), (acc * 10L + (a - 48).cast("long")) % 97L)
+          .otherwise((acc * 100L + (a - 55).cast("long")) % 97L)
+      })
+    shaped && m === 1L
+  }
+
+  /** Candidate IBAN pattern: country code + check digits + 11-30
+    * alphanumerics, single space/dash separators allowed. ASCII-only, no
+    * lookaround — Java and RE2 agree. */
+  val IbanCandidatePattern = "\\b[A-Z]{2}\\d{2}(?:[ -]?[A-Z0-9]){11,30}\\b"
+
+  /** Redact checksum-VALID IBANs only (the scrubCreditCards discipline:
+    * shape alone over-redacts; the mod-97 gate separates real account
+    * numbers from arbitrary alphanumeric runs). */
+  def scrubIbans(c: Column, replacement: String = "[IBAN]"): Column = {
+    val cands = regexp_extract_all(c, lit(IbanCandidatePattern), lit(0))
+    val valid = filter(cands, p => ibanValid(p))
+    aggregate(valid, c, (acc, p) => replace(acc, p, lit(replacement)))
+  }
+
   /** Candidate card-number pattern: 13-19 digits, single space/dash
     * separators allowed (the common formatting). ASCII-only, no
     * lookaround — Java and RE2 agree. */

@@ -123,6 +123,31 @@ class Round17Spec extends AnyFunSuite {
     assert(out == Seq((2L, 2L)), s"null token leaked into the verify: $out")
   }
 
+  // ------------------------------------------------------------ gf.iban
+
+  test("ibanValid: ISO 13616 mod-97 checksum, separators and case tolerated") {
+    import graft.functions.gf
+    val rows = Seq(
+      "GB82WEST12345698765432",       // canonical valid example
+      "GB82 WEST 1234 5698 7654 32",  // with separators
+      "gb82-west-1234-5698-7654-32",  // lowercase + dashes
+      "DE89370400440532013000",       // valid German IBAN
+      "GB82WEST12345698765433",       // one digit off -> invalid
+      "GB00WEST12345698765432",       // wrong check digits -> invalid
+      "XX12",                         // too short
+      "1234567890123456",             // no country code
+      "")
+      .toDF("s").select(gf.ibanValid(col("s"))).as[Boolean].collect().toSeq
+    assert(rows == Seq(true, true, true, true, false, false, false, false, false))
+  }
+
+  test("scrubIbans redacts checksum-valid IBANs only") {
+    import graft.functions.gf
+    val txt = "pay DE89370400440532013000 not GB82WEST12345698765433 ok"
+    val out = Seq(txt).toDF("t").select(gf.scrubIbans(col("t"))).head().getString(0)
+    assert(out == "pay [IBAN] not GB82WEST12345698765433 ok", out)
+  }
+
   // -------------------------------------------------------------- Robots
 
   test("robots: a named group with no usable rules means allow-all, not *-fallback") {
