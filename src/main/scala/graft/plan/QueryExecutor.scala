@@ -329,11 +329,19 @@ object Dsl {
       // to minimum_should_match=1 — an OR filter. Empty clause arrays are
       // match-all (the common degenerate LLM output), not an empty.reduce
       // crash.
-      val hasMust = clauses.exists { case (k, _) => k == "must" || k == "must_not" }
+      val hasMust = clauses.exists {
+        case (k, _) => k == "must" || k == "must_not" || k == "filter"
+      }
       clauses.flatMap {
         case ("must", JArray(xs)) =>
           Some(if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ && _))
         case ("must", single: JObject) => Some(predicate(single))
+        // `filter` = must without scoring — identical membership here,
+        // and the idiom LLM planners emit most often for non-scoring
+        // predicates (it also suppresses should, like must)
+        case ("filter", JArray(xs)) =>
+          Some(if (xs.isEmpty) lit(true) else xs.map(predicate).reduce(_ && _))
+        case ("filter", single: JObject) => Some(predicate(single))
         case ("must_not", JArray(xs)) =>
           Some(if (xs.isEmpty) lit(true) else !xs.map(predicate).reduce(_ || _))
         case ("must_not", single: JObject) => Some(!predicate(single))

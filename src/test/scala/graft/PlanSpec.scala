@@ -109,6 +109,17 @@ class PlanSpec extends AnyFunSuite {
     val want2 = tables("orders").where(
       col("o_orderstatus").isin("F", "P") || col("o_totalprice") >= 400000.0).count()
     assert(ds2.count() == want2)
+
+    // `filter` = must without scoring (the commonest LLM bool idiom);
+    // it also suppresses should, like must
+    val filt = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+            "index":"orders","query":{"bool":{
+              "filter":[{"term":{"o_orderstatus":"F"}}],
+              "should":[{"range":{"o_totalprice":{"gte":400000}}}]}}}}}""")
+    val QDocs(ds3) = executor().execute(filt): @unchecked
+    val want3 = tables("orders").where(col("o_orderstatus") === "F").count()
+    assert(ds3.count() == want3)
   }
 
   test("Count / distinct Count / Math divide") {
