@@ -10,8 +10,11 @@ import graft.model.{Document, Element}
  */
 object Marks {
 
+  // toIntOption, not toInt: properties are free-form strings (JSON ingest
+  // can carry anything), and a garbage page_number must degrade to the
+  // default page rather than kill the task (the r16 unguarded-.toInt rule)
   private def page(e: Element): Int =
-    e.properties.get("page_number").map(_.toInt).getOrElse(1)
+    e.properties.get("page_number").flatMap(_.toIntOption).getOrElse(1)
 
   /** Order elements by (page, y1, x1) (reference: bbox_merge.py SortByPageBbox). */
   def sortByPageBbox(d: Document): Document =

@@ -14,6 +14,9 @@ object SplitElements {
     elements.flatMap(e => splitOne(e, maxTokens))
 
   def splitOne(e: Element, maxTokens: Int): Seq[Element] = {
+    // a budget under one token cannot terminate (a single unsplittable
+    // token always "exceeds" it and splitAt(0) makes no progress)
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     val text = e.text
     if (Tokens.count(text) <= maxTokens) Seq(e)
     else {

@@ -123,6 +123,23 @@ class Round17Spec extends AnyFunSuite {
     assert(out == Seq((2L, 2L)), s"null token leaked into the verify: $out")
   }
 
+  // --------------------------------------------------- Marks / SplitElements
+
+  test("Marks: a garbage page_number degrades to page 1 instead of killing the task") {
+    val d = graft.model.Document.of("d1", elements = Seq(
+      graft.model.Element.text(0, "NarrativeText", "a",
+        properties = Map("page_number" -> "not-a-number")),
+      graft.model.Element.text(1, "NarrativeText", "b",
+        properties = Map("page_number" -> "2"))))
+    val out = Marks.markBreakPage(d) // page() parse happens here
+    assert(out.elements.count(_.prop("_break").contains("true")) == 1)
+  }
+
+  test("SplitElements: a sub-token budget is rejected loudly, not an infinite loop") {
+    val e = graft.model.Element.text(0, "NarrativeText", "one two three")
+    assertThrows[IllegalArgumentException](SplitElements.splitOne(e, 0))
+  }
+
   // ------------------------------------------------------------ gf.iban
 
   test("ibanValid: ISO 13616 mod-97 checksum, separators and case tolerated") {
