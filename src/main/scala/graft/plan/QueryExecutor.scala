@@ -136,10 +136,23 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
       // ties by partition order, which is not contractual across re-runs.
       val df = tables(index)
       val qv = embedder.embed(Seq(phrase)).head.map(_.toDouble).toSeq
+      // tie-break hash: xxhash64 consumes structs/arrays natively (the
+      // shuffle-hash machinery) — no per-row JSON materialization in the
+      // scan; map-typed columns are the one thing it refuses, so those
+      // few route through to_json
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val tieCols = df.schema.fields.map { f =>
+        if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+      }
       val top = df
         .withColumn("__score",
           graft.functions.gf.cosineSimilarity(col("embedding"), graft.ann.Ann.vecLit(qv)))
-        .orderBy(desc("__score"), xxhash64(to_json(struct(df.columns.map(col): _*))))
+        .orderBy(desc("__score"), xxhash64(tieCols: _*))
         .limit(k)
         .drop("__score")
       QDocs(docsFrom(top))
