@@ -148,7 +148,12 @@ final class DocxPartitioner extends Partitioner {
         .exists(m => Option(m.group(1)).forall(v => v != "0" && v != "false"))
       var c = 0
       CellRe.findAllIn(row.group(0)).foreach { cell =>
-        val span = GridSpanRe.findFirstMatchIn(cell).map(_.group(1).toInt).getOrElse(1)
+        // toIntOption + cap: a hostile gridSpan of 2e9 would otherwise be
+        // an OOM bomb (the col-slot array is span ints), and 11+ digits a
+        // NumberFormatException poison pill
+        val span = GridSpanRe.findFirstMatchIn(cell)
+          .flatMap(_.group(1).toIntOption).map(v => math.min(math.max(v, 1), 1024))
+          .getOrElse(1)
         val vm = VMergeRe.findFirstMatchIn(cell)
         val vRestart = vm.exists(m => Option(m.group(1)).exists(_.contains("restart")))
         val vCont = vm.isDefined && !vRestart
@@ -227,7 +232,10 @@ final class PptxPartitioner(includeNotes: Boolean = true) extends Partitioner {
     Ooxml.zipEntries(bytes, n => re.pattern.matcher(n).matches())
       .map { case (name, b) =>
         val re(num) = name: @unchecked
-        (num.toInt, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        // toIntOption: a 10+-digit slide number in a hostile zip must not
+        // kill the task; absurd numbers sort last and still partition
+        (num.toIntOption.getOrElse(Int.MaxValue),
+          new String(b, java.nio.charset.StandardCharsets.UTF_8))
       }
       .sortBy(_._1)
 
@@ -252,8 +260,11 @@ final class PptxPartitioner(includeNotes: Boolean = true) extends Partitioner {
         // property of the matched text, not a capture group
         val selfClosed = m.matched.endsWith("/>")
         if (!merged && !selfClosed) {
+          // same guard as the DOCX gridSpan: parse failures degrade to 1,
+          // absurd spans cap rather than allocating span-sized slot arrays
           val spans = SpanAttrRe.findAllMatchIn(attrs)
-            .map(a => a.group(1) -> a.group(2).toInt).toMap
+            .flatMap(a => a.group(2).toIntOption
+              .map(v => a.group(1) -> math.min(math.max(v, 1), 1024))).toMap
           val end = if (i + 1 < opens.size) opens(i + 1).start else row.group(1).length
           val body = row.group(1).substring(m.end, end)
           val text = ParaRe.findAllIn(body).map(Ooxml.paragraphText)

@@ -123,6 +123,34 @@ class Round17Spec extends AnyFunSuite {
     assert(out == Seq((2L, 2L)), s"null token leaked into the verify: $out")
   }
 
+  // ---------------------------------------------------------------- Ooxml
+
+  test("DocxPartitioner: a hostile gridSpan neither crashes nor allocates span-sized arrays") {
+    // minimal docx: one table with gridSpan="2000000000" (an OOM bomb if
+    // honored) and one with an 11-digit span (a NumberFormatException
+    // poison pill if parsed with toInt)
+    def docx(span: String): Array[Byte] = {
+      val xml =
+        s"""<w:document><w:body><w:tbl><w:tr><w:tc>
+           |<w:tcPr><w:gridSpan w:val="$span"/></w:tcPr>
+           |<w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+           |</w:body></w:document>""".stripMargin
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      z.write(xml.getBytes("UTF-8")); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    Seq("2000000000", "99999999999").foreach { span =>
+      val d = graft.model.Document.of("d1").copy(
+        binaryRepresentation = Some(docx(span)))
+      val out = new DocxPartitioner().partition(d)
+      val cells = out.elements.flatMap(_.tableCells)
+      assert(cells.nonEmpty && cells.forall(_.cols.length <= 1024),
+        s"span=$span produced ${cells.map(_.cols.length)}")
+    }
+  }
+
   // --------------------------------------------------- Marks / SplitElements
 
   test("Marks: a garbage page_number degrades to page 1 instead of killing the task") {
