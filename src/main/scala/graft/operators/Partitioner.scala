@@ -187,8 +187,12 @@ final class HtmlPartitioner(skipHeadersAndFooters: Boolean = true,
       var c = 0
       segments(rowBody, cellOpenRe).foreach { case (cellOpen, cellBody) =>
         while (occupied((r, c))) c += 1
+        // toIntOption + cap: crawl HTML is THE hostile input surface — a
+        // colspan of 2e9 would allocate span-sized slot arrays (OOM bomb)
+        // and 11+ digits threw NumberFormatException
         val spans = spanRe.findAllMatchIn(cellOpen.group(2))
-          .map(m => m.group(1).toLowerCase -> m.group(2).toInt).toMap
+          .flatMap(m => m.group(2).toIntOption
+            .map(v => m.group(1).toLowerCase -> math.min(v, 1024))).toMap
         val rs = math.max(1, spans.getOrElse("rowspan", 1))
         val cs = math.max(1, spans.getOrElse("colspan", 1))
         val rows = (r until r + rs).toArray

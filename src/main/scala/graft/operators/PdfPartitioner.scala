@@ -212,8 +212,10 @@ private[graft] object PdfCrypt {
   }
 
   private def intEntry(dict: String, key: String): Option[Int] =
+    // toIntOption: an 11+-digit entry in a hostile Encrypt dict must fail
+    // the lookup, not kill the task
     (java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)").r
-      .findFirstMatchIn(dict).map(_.group(1).toInt)
+      .findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
 
   /** Parse /Encrypt + /ID and derive the empty-user-password file key
     * (§7.6.3.3 Algorithm 2), verifying it against /U (Algorithm 5).
@@ -739,7 +741,10 @@ object PdfText {
       else {
         val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
         "(?<![0-9])(\\d+)\\s+(\\d+)\\s+obj\\b".r.findAllMatchIn(s)
-          .map(m => (m.start, m.group(1).toInt, m.group(2).toInt)).toArray
+          .flatMap(m => for {
+            o <- m.group(1).toIntOption // 10+-digit garbage "object numbers"
+            g <- m.group(2).toIntOption // must be skipped, not crash
+          } yield (m.start, o, g)).toArray
       }
     def owner(pos: Int): (Int, Int) = {
       var lo = 0; var hi = objHeaders.length - 1; var best = -1

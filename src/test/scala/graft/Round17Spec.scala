@@ -151,6 +151,21 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("HtmlPartitioner: a hostile colspan neither crashes nor allocates span-sized arrays") {
+    Seq("2000000000", "99999999999").foreach { span =>
+      val html =
+        s"""<html><body><table><tr>
+           |<td colspan="$span">a</td><td>b</td></tr></table></body></html>"""
+          .stripMargin
+      val d = graft.model.Document.of("h1")
+        .copy(binaryRepresentation = Some(html.getBytes("UTF-8")))
+      val out = new HtmlPartitioner(extractTables = true).partition(d)
+      val cells = out.elements.flatMap(_.tableCells)
+      assert(cells.nonEmpty && cells.forall(_.cols.length <= 1024),
+        s"colspan=$span produced ${cells.map(_.cols.length)}")
+    }
+  }
+
   // --------------------------------------------------- Marks / SplitElements
 
   test("Marks: a garbage page_number degrades to page 1 instead of killing the task") {
