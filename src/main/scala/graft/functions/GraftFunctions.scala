@@ -625,10 +625,28 @@ object gf {
 
   /** Redact checksum-VALID IBANs only (the scrubCreditCards discipline:
     * shape alone over-redacts; the mod-97 gate separates real account
-    * numbers from arbitrary alphanumeric runs). */
+    * numbers from arbitrary alphanumeric runs).
+    *
+    * The greedy candidate pattern can absorb a following space/dash-
+    * separated uppercase/digit token ("pay DE89...3000 NOW" matches as one
+    * candidate); the merged string fails mod-97 and the genuine IBAN would
+    * escape unredacted. So each candidate is validated longest-first
+    * against its separator-boundary prefixes (the full match, then trimmed
+    * back to each space/dash), and the longest checksum-valid prefix is
+    * what gets redacted. Cost is bounded by separators-per-candidate
+    * (≤ 30), never corpus size. */
   def scrubIbans(c: Column, replacement: String = "[IBAN]"): Column = {
     val cands = regexp_extract_all(c, lit(IbanCandidatePattern), lit(0))
-    val valid = filter(cands, p => ibanValid(p))
+    val best = transform(cands, p => {
+      // prefix end positions: full length first, then each position just
+      // before a separator, descending (longest valid prefix wins)
+      val sepPos = filter(sequence(lit(1), length(p)),
+        i => p.substr(i, lit(1)).isin(" ", "-"))
+      val ends = concat(array(length(p)), reverse(transform(sepPos, i => i - 1)))
+      get(filter(transform(ends, e => p.substr(lit(1), e)), q => ibanValid(q)),
+        lit(0))
+    })
+    val valid = filter(best, p => p.isNotNull)
     aggregate(valid, c, (acc, p) => replace(acc, p, lit(replacement)))
   }
 

@@ -336,14 +336,15 @@ object Dsl {
       // minimum_should_match, ...) must throw, not be silently dropped —
       // dropping a clause returns a SUPERSET of the intended rows.
       // Engine-compatible `should` (the Lucene bool contract): when
-      // must/must_not are present, should defaults to
+      // must/filter are present, should defaults to
       // minimum_should_match=0 — it only affects SCORING, never membership
-      // — so it contributes no filter here; should standing ALONE defaults
-      // to minimum_should_match=1 — an OR filter. Empty clause arrays are
-      // match-all (the common degenerate LLM output), not an empty.reduce
-      // crash.
+      // — so it contributes no filter here; otherwise should defaults to
+      // minimum_should_match=1 — an OR filter. must_not does NOT count:
+      // bool{must_not, should} still requires one should clause to match.
+      // Empty clause arrays are match-all (the common degenerate LLM
+      // output), not an empty.reduce crash.
       val hasMust = clauses.exists {
-        case (k, _) => k == "must" || k == "must_not" || k == "filter"
+        case (k, _) => k == "must" || k == "filter"
       }
       clauses.flatMap {
         case ("must", JArray(xs)) =>

@@ -247,12 +247,21 @@ object SearchRead {
    * Scale shape: a pure Map — one client per task, one live search per
    * query document (the reference's executor performs exactly one POST
    * `_search` per query); no shuffle, no driver traffic, result volume =
-   * Σ hits. Non-knn queries page from/size under a per-(task, index) PIT
-   * so pagination is snapshot-consistent against concurrent writers; the
-   * PITs are deleted when the task's iterator drains. Per-query result
-   * sets are expected bounded (the reference's one-POST contract) — a
-   * real backend additionally caps from+size (`max_result_window`), the
-   * same per-cursor bound the sliced read's 10k-per-slice cap reflects.
+   * Σ hits. Non-knn queries page through a scroll cursor (O(1) per page;
+   * a deep `from` re-executes quadratically — see the inline note).
+   *
+   * Snapshot semantics: each query document's pagination is internally
+   * consistent (the scroll snapshots its index at open), but DIFFERENT
+   * query documents — even in the same task, against the same index — may
+   * observe different index versions under concurrent writes, because a
+   * scroll cursor is bound to one query and cannot be shared the way the
+   * pre-r17 per-(task, index) PIT was. This matches the reference's
+   * contract (one independent POST per query document, no cross-query
+   * point-in-time); callers needing one snapshot across all query docs
+   * should quiesce writers or materialize the index first. Per-query
+   * result sets are expected bounded (the reference's one-POST contract) —
+   * a real backend additionally caps open cursors, the same per-cursor
+   * bound the sliced read's 10k-per-slice cap reflects.
    */
   def queryDocs(docs: Dataset[Document], factory: SearchClientFactory,
                 defaultIndex: Option[String] = None,

@@ -120,6 +120,22 @@ class PlanSpec extends AnyFunSuite {
     val QDocs(ds3) = executor().execute(filt): @unchecked
     val want3 = tables("orders").where(col("o_orderstatus") === "F").count()
     assert(ds3.count() == want3)
+
+    // must_not does NOT suppress should (Lucene contract:
+    // minimum_should_match defaults to 1 when no must/filter exists) —
+    // bool{must_not, should} is (NOT x) AND (a OR b), not just NOT x
+    val mn = QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+            "index":"orders","query":{"bool":{
+              "must_not":[{"term":{"o_orderstatus":"O"}}],
+              "should":[{"terms":{"o_orderstatus":["P"]}},
+                        {"range":{"o_totalprice":{"gte":200000}}}]}}}}}""")
+    val QDocs(ds4) = executor().execute(mn): @unchecked
+    val want4 = tables("orders").where(!(col("o_orderstatus") === "O") &&
+      (col("o_orderstatus").isin("P") || col("o_totalprice") >= 200000.0)).count()
+    val superset = tables("orders").where(!(col("o_orderstatus") === "O")).count()
+    assert(want4 < superset, "fixture must distinguish the two readings")
+    assert(ds4.count() == want4)
   }
 
   test("Count / distinct Count / Math divide") {
