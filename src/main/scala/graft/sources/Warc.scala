@@ -36,14 +36,22 @@ object Warc {
     def targetUri: String = headers.getOrElse("warc-target-uri", "")
   }
 
+  /** Gunzip, degrading on corruption: a crawl file whose gzip stream is
+    * damaged mid-way yields the bytes decompressed SO FAR (records() then
+    * parses that complete prefix), never a task-killing ZipException —
+    * the same truncated-prefix contract the plain-WARC parse keeps.
+    * (Found by FuzzSpec: any flipped byte in a .warc.gz payload or
+    * trailer threw out of records().) */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 65536)
     val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 65536)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: java.io.IOException => /* corrupt tail: keep prefix */ }
     out.toByteArray
   }
 
