@@ -472,6 +472,136 @@ class StreamingSpec extends AnyFunSuite {
     assert(gsViews == v0, "no temp views accumulate")
     assert(tmpDirs == d0, "no temp dirs accumulate")
   }
+
+  // -------------------------------------------- checkpoint stop/restore
+  // r18 brief #2: for each stateful operator, kill the query at a phase
+  // boundary, restart from its checkpoint, and require the combined output
+  // to be IDENTICAL to the uninterrupted run — state (including event-time
+  // timeout timestamps and BigInt-string moments) must round-trip through
+  // the state store, and no batch may replay into the sink.
+
+  import org.apache.spark.sql.{DataFrame, Encoder, Row}
+
+  /** Feed `phases` as one micro-batch each; optionally stop + restart from
+    * the shared checkpoint after phase `stopAfter`. The sink is
+    * foreachBatch into a static queue — the memory sink refuses checkpoint
+    * recovery ("does not support recovering"), foreachBatch is the
+    * restartable sink shape. Returns every output row as a string. */
+  private def runPhases[A: Encoder](phases: Seq[Seq[A]], stopAfter: Option[Int],
+      mode: String, prefix: String)(build: DataFrame => DataFrame): Seq[String] = {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[A]
+    val out = build(input.toDF())
+    val ck = java.nio.file.Files.createTempDirectory(s"restore_$prefix").toString
+    val runId = s"${prefix}_${StreamingSpec.calls.incrementAndGet()}"
+    def start() =
+      out.writeStream.outputMode(mode)
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => RestoreSink.q(runId).add(r.toString))
+        }
+        .start()
+    var q = start()
+    try {
+      phases.zipWithIndex.foreach { case (data, i) =>
+        input.addData(data: _*)
+        q.processAllAvailable()
+        if (stopAfter.contains(i)) { q.stop(); q = start() }
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    RestoreSink.q(runId).iterator().asScala.toSeq
+  }
+
+  private def restoreMatchesUninterrupted[A: Encoder](phases: Seq[Seq[A]],
+      stopAfter: Int, mode: String, prefix: String)
+      (build: DataFrame => DataFrame): Unit = {
+    val whole = runPhases(phases, None, mode, prefix)(build).sorted
+    val split = runPhases(phases, Some(stopAfter), mode, prefix)(build).sorted
+    assert(whole.nonEmpty, "fixture must produce output")
+    assert(split == whole,
+      s"restored run diverged:\nuninterrupted=$whole\nrestored=$split")
+  }
+
+  test("restore: sessionizeStream resumes open sessions and timeout clocks") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val phases = Seq(
+      Seq(("u", ts(10, 0)), ("u", ts(10, 5)), ("u", ts(10, 30))),
+      Seq(("u", ts(10, 32)), ("w", ts(11, 30))), // merges into restored open session
+      Seq(("w", ts(13, 0))),                     // watermark closes u's session by timeout
+      Seq(("z", ts(14, 0))))
+    restoreMatchesUninterrupted(phases, stopAfter = 0, "append", "sess") { df =>
+      DocStream.sessionizeStream(df.toDF("key", "ts"), "key", "ts",
+        gapMs = 600000L, watermarkDelay = "5 minutes").toDF
+    }
+  }
+
+  test("restore: heavyHittersStream resumes the Misra-Gries counters") {
+    val phases = Seq(
+      Seq(("u", "alpha alpha beta"), ("v", "x y")),
+      Seq(("u", "beta beta gamma gamma gamma")),
+      Seq(("u", "alpha"), ("v", "x")))
+    restoreMatchesUninterrupted(phases, stopAfter = 1, "update", "hh") { df =>
+      DocStream.heavyHittersStream(df.toDF("key", "text"), "key", "text",
+        capacity = 2).toDF
+    }
+  }
+
+  test("restore: anomalyStream resumes the BigInt running moments") {
+    val phases = Seq(
+      Seq(("k", 1L, 10L), ("k", 2L, 10L), ("k", 3L, 10L)),
+      Seq(("k", 4L, 100L), ("k", 5L, 10L)), // 4 must flag vs restored moments
+      Seq(("k", 6L, 10L)))
+    restoreMatchesUninterrupted(phases, stopAfter = 0, "update", "anom") { df =>
+      DocStream.anomalyStream(df.toDF("key", "bucket", "x"),
+        "key", "bucket", "x", sigmas = 3, minPrior = 2).toDF
+    }
+  }
+
+  test("restore: dedupNearStream resumes against its signature log, no replay") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val phases = Seq(
+      Seq((1L, base), (2L, base.replace("river", "creek")),
+        (3L, "completely different text about query engines and planners")),
+      // 4 near-dups the logged 1 (cross-restart store hit); 5 is new
+      Seq((4L, base.replace("lazy", "sleepy")),
+        (5L, "another unrelated document mentioning streams and state")))
+    def run(stopAfter: Option[Int], runId: String): Seq[String] = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"restore_nd").toString
+      val input = MemoryStream[(Long, String)]
+      val docs = DocStream.fromStreamingDf(
+        input.toDF().toDF("doc_id", "text"), Some("doc_id"), Some("text"))
+      val writer = DocStream.dedupNearStream(docs, s"$tmp/sigs", s"$tmp/ckpt",
+          shingleSize = 3, bands = 8, threshold = 0.3) { kept =>
+        kept.toDF.select("docId").collect()
+          .foreach(r => RestoreSink.q(runId).add(r.getString(0)))
+      }
+      var q = writer.start()
+      try {
+        phases.zipWithIndex.foreach { case (d, i) =>
+          input.addData(d: _*)
+          q.processAllAvailable()
+          if (stopAfter.contains(i)) { q.stop(); q = writer.start() }
+        }
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      RestoreSink.q(runId).iterator().asScala.toSeq.sorted
+    }
+    val whole = run(None, "nd_whole")
+    val split = run(Some(0), "nd_split")
+    assert(whole == Seq("1", "3", "5"), s"uninterrupted kept $whole")
+    assert(split == whole, s"restored run diverged: $split vs $whole")
+  }
+}
+
+/** JVM-static per-run sinks for foreachBatch restore tests (closures are
+  * serialized; recorded state must live on a static object). */
+object RestoreSink {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+  def q(run: String): java.util.concurrent.ConcurrentLinkedQueue[String] =
+    m.computeIfAbsent(run, _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
 }
 
 object StreamingSpec {
