@@ -1456,6 +1456,37 @@ object SparkEntry {
         name => tbl(s, dir, name))
       scalarDf(s, exec.execute(plan), "answer")
     }),
+    "q_nlq_retry" -> ((s, dir) => {
+      // the LLM-misbehaving path (r18 brief #4): the model returns
+      // truncated JSON, then an unknown node_type, and only cooperates on
+      // the THIRD call — LlmPlanner's retry/repair loop must recover and
+      // the recovered plan execute to the same answer as the direct SQL
+      // (reference: llms/chained_llm.py try-next chain; planner.py:105).
+      val truncated = """{"query": "how many building customers", "result_no"""
+      val unknownNode = """{"query": "how many building customers", "result_node": 1,
+         "nodes": {
+           "0": {"node_type":"FrobnicateDocs","node_id":0,"inputs":[],
+                 "index":"customer"},
+           "1": {"node_type":"Count","node_id":1,"inputs":[0]}}}"""
+      val good = """Apologies — corrected plan:
+        {"query": "how many building customers", "result_node": 1,
+         "nodes": {
+           "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+                 "index":"customer","query":{"term":{"c_mktsegment":"BUILDING"}}},
+           "1": {"node_type":"Count","node_id":1,"inputs":[0]}}}"""
+      val flaky = new graft.llm.FlakyLlmClient(Seq(truncated, unknownNode), good)
+      val planner = new graft.plan.LlmPlanner(
+        flaky,
+        schema = Map("customer" -> Seq("c_custkey", "c_name", "c_mktsegment")),
+        processors = Seq(graft.plan.DefaultPlanValidator,
+          graft.plan.LimitLlmOperations(100)))
+      val plan = planner.plan("how many building customers", maxAttempts = 3)
+      require(flaky.calls == 3,
+        s"retry loop must consume both bad responses, called ${flaky.calls}x")
+      val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
+        name => tbl(s, dir, name))
+      scalarDf(s, exec.execute(plan), "value")
+    }),
 
     "q_clustering" -> ((s, dir) => {
       // nearest-centroid assignment (NearestCentroidExpr) with a
@@ -4995,6 +5026,9 @@ object SparkEntry {
     "q_nlq_count_distinct" ->
       """SELECT CAST(count(DISTINCT source) AS DOUBLE) AS value
          FROM documents WHERE contains(text, 'spark')""",
+    "q_nlq_retry" ->
+      """SELECT CAST(count(*) AS DOUBLE) AS value
+         FROM customer WHERE c_mktsegment = 'BUILDING'""",
     "q_pii_iban" ->
       // the mod-97 left fold replayed via list_reduce: each char pre-maps
       // to width*1000+value (digit -> one *10 step, letter -> one *100

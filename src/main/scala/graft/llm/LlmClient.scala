@@ -82,6 +82,22 @@ final class CannedLlmClient(response: String) extends LlmClient {
   override def generate(prompt: String): String = response
 }
 
+/** Planner LLM that misbehaves before it cooperates: returns each entry of
+  * `bad` (truncated JSON, unknown node_type, plain prose) for the first
+  * calls, then `good` forever — the test double for LlmPlanner's
+  * retry/repair loop (reference: llms/chained_llm.py generate tries the
+  * next chain member when one fails; query/planner.py:105 raises once
+  * nothing usable remains). */
+final class FlakyLlmClient(bad: Seq[String], good: String) extends LlmClient {
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def generate(prompt: String): String = {
+    val i = n.getAndIncrement()
+    if (i < bad.size) bad(i) else good
+  }
+  /** How many times the planner actually called the model. */
+  def calls: Int = n.get()
+}
+
 /**
  * Deterministic fake for the llm_cluster_entity flow (reference:
  * docset.py:1590): the group-propose call returns the configured group

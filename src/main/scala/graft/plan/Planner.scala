@@ -146,11 +146,43 @@ final class LlmPlanner(client: LlmClient,
                        schema: Map[String, Seq[String]],
                        processors: Seq[QPlanProcessor] = Seq(DefaultPlanValidator)) {
 
-  def plan(question: String): QPlan = {
-    val response = client.generate(buildPrompt(question))
-    val json = extractJson(response)
-    val parsed = QPlan.fromJson(json).copy(query = question)
-    processors.foldLeft(parsed)((p, proc) => proc(p))
+  def plan(question: String): QPlan = plan(question, maxAttempts = 3)
+
+  /** Retry/repair loop: an unusable LLM response (no JSON, truncated JSON,
+    * unknown node_type, validator rejection) is fed BACK to the model with
+    * the error, and the call retried up to `maxAttempts` times — the
+    * engine-side twin of the reference's try-the-next-LLM chain
+    * (llms/chained_llm.py generate: each failing chain member falls
+    * through to the next; planner.py:105 raises once nothing usable
+    * remains). Temperature-0 models still vary under a changed prompt,
+    * which is exactly what the appended error text provides. */
+  def plan(question: String, maxAttempts: Int): QPlan = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var prompt = buildPrompt(question)
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val response = client.generate(prompt)
+      try {
+        val json = extractJson(response)
+        val parsed = QPlan.fromJson(json).copy(query = question)
+        return processors.foldLeft(parsed)((p, proc) => proc(p))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e
+          prompt = buildPrompt(question) +
+            s"""|
+                |Your previous response could not be used:
+                |$response
+                |Error: ${e.getMessage}
+                |Return ONLY the corrected JSON plan.
+                |""".stripMargin
+      }
+      attempt += 1
+    }
+    throw new IllegalArgumentException(
+      s"planner produced no usable plan after $maxAttempts attempts: " +
+        s"${lastErr.getMessage}", lastErr)
   }
 
   /** Operator usage docs generated from the node vocabulary — the planner's

@@ -28,4 +28,37 @@ class Round18Spec extends AnyFunSuite {
       .select(gf.scrubIbans(col("t"))).as[String].collect().toSeq
     assert(out == cases.map(_._2), out)
   }
+
+  // --------------------------------------------------- planner retry loop
+
+  test("LlmPlanner retry: repair prompt carries the failure, exhaustion throws") {
+    val good = """{"query": "q", "result_node": 1, "nodes": {
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"t"},
+      "1": {"node_type":"Count","node_id":1,"inputs":[0]}}}"""
+    // second call must see the repair prompt: previous response + error
+    val probe = new graft.llm.LlmClient {
+      var seen = Vector.empty[String]
+      override def generate(prompt: String): String = {
+        seen :+= prompt
+        if (seen.size == 1) "no json here at all" else good
+      }
+    }
+    val planner = new graft.plan.LlmPlanner(probe, schema = Map("t" -> Seq("a")))
+    val plan = planner.plan("q", maxAttempts = 2)
+    assert(plan.resultNode == 1)
+    assert(probe.seen.size == 2)
+    assert(probe.seen(1).contains("no json here at all") &&
+      probe.seen(1).contains("could not be used"), "repair prompt shape")
+
+    // exhaustion: every attempt unusable -> throws, with the real cause
+    val hopeless = new graft.llm.FlakyLlmClient(
+      Seq.fill(5)("""{"query": "x", "result_node": 0, "nodes": {
+        "0": {"node_type":"NopeNode","node_id":0,"inputs":[]}}}"""), good)
+    val ex = intercept[IllegalArgumentException] {
+      new graft.plan.LlmPlanner(hopeless, schema = Map("t" -> Seq("a")))
+        .plan("x", maxAttempts = 3)
+    }
+    assert(ex.getMessage.contains("3 attempts"), ex.getMessage)
+    assert(hopeless.calls == 3)
+  }
 }
