@@ -152,35 +152,31 @@ object Stats {
     val base = df.select(group.as("_g"), value.cast("long").as("_v"))
       .where(col("_v").isNotNull)
     val hist = base.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    // value-phase order: one range exchange on (_g, _v); the frame is read
+    // three times (rank metadata, rank emit, deviation derivation)
+    val ranged = hist.repartitionByRange(col("_g"), col("_v"))
+      .sortWithinPartitions(col("_g"), col("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // two-middle sum over a (group, v, count) histogram: 1-based ranks
-    // floor((n+1)/2), floor(n/2)+1 (equal for odd n, adjacent for even)
-    def twoMiddleSum(h: DataFrame, v: String, out: String): DataFrame = {
-      val cum = Packing.runningTotalsBy(h, "_g", col(v),
-        Seq(("_cum", col("_c"))))
-      val lo = expr("(_cum_tot + 1) DIV 2") // DIV: Spark / on longs is DOUBLE
-      val hi = expr("_cum_tot DIV 2 + 1")
-      def covers(r: Column) = r > col("_cum") - col("_c") && r <= col("_cum")
-      cum.select(col("_g"),
-          (col(v) * (when(covers(lo), 1L).otherwise(0L)
-            + when(covers(hi), 1L).otherwise(0L))).as("_mv"))
-        .groupBy(col("_g")).agg(sum(col("_mv")).as(out))
-    }
-    // med2/mad4 are group-sized (tiny): persist med2 (it feeds both the
-    // deviation histogram and the final rollup) and broadcast both joins
-    val med2 = twoMiddleSum(hist, "_v", "med2")
+    // med2 is group-sized but referenced twice (deviation derivation +
+    // final rollup) and its emit pass re-scans the cached frame per
+    // reference — a LAZY local checkpoint makes it a leaf
+    val med2 = twoMiddleSumSel(ranged, "_v", "med2").localCheckpoint(false)
+    // deviation-phase order: D = |2v − med2| does NOT preserve value order
+    // (it folds the axis around the median), so the value-phase exchange
+    // cannot be reused — this second range exchange is inherent to the
+    // exact-MAD contract (r17 ADVICE follow-up: the two phases don't
+    // compose; what WAS removable is everything else — the prefix-sum
+    // hierarchy, its windows, and the separate deviation re-histogram,
+    // all replaced by the selection passes below). Duplicate (_g, _d)
+    // rows need no re-collapse: the rank-coverage walk only needs equal
+    // keys contiguous, which the range partitioner guarantees.
+    val dev = ranged.join(broadcast(med2), Seq("_g"))
+      .select(col("_g"), abs(col("_v") * 2 - col("med2")).as("_d"), col("_c"))
+    val devRanged = dev.repartitionByRange(col("_g"), col("_d"))
+      .sortWithinPartitions(col("_g"), col("_d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted: runningTotalsBy references its input from two branches
-    // (the bucket rollup chain and the leaf join) — without a persist the
-    // join+aggregate chain below would execute twice
-    val devHist = hist.join(broadcast(med2), Seq("_g"))
-      .groupBy(col("_g"), abs(col("_v") * 2 - col("med2")).as("_d"))
-      .agg(sum(col("_c")).as("_c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mad4 = twoMiddleSum(devHist, "_d", "mad4")
-    hist.join(broadcast(med2), Seq("_g")).join(broadcast(mad4), Seq("_g"))
-      .select(col("_g"), col("_c"), col("med2"), col("mad4"),
-        abs(col("_v") * 2 - col("med2")).as("_d"))
+    val mad4 = twoMiddleSumSel(devRanged, "_d", "mad4")
+    devRanged.join(broadcast(med2), Seq("_g")).join(broadcast(mad4), Seq("_g"))
       .groupBy(col("_g").as("group"))
       .agg(sum(col("_c")).as("n"),
         max(col("med2")).as("med2"),
@@ -188,6 +184,77 @@ object Stats {
         sum(when(col("_d") * 20000L > col("mad4") * 44478L, col("_c"))
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("group"))
+  }
+
+  /** Per-group sum of the values at the two middle ranks (1-based ranks
+    * floor((n+1)/2) and floor(n/2)+1 — equal for odd n, adjacent for even;
+    * the sum is 2·median, always an exact integer) by classic two-phase
+    * distributed selection over a pre-range-partitioned (_g, key, _c)
+    * frame: (1) a per-(partition, group) count collect — METADATA, not
+    * data: range partitioning keeps each group on a contiguous partition
+    * run, so the collect is O(partitions + groups) rows at any data size —
+    * and (2) one streaming pass emitting each covered rank's key. Replaces
+    * a prefix-sum hierarchy (4 aggregation levels + windows + joins) with
+    * zero additional exchanges. Input must be range-partitioned and
+    * sorted within partitions on (_g, key); equal keys may span rows but
+    * not partitions (the RangePartitioner contract). */
+  private def twoMiddleSumSel(ranged: DataFrame, key: String,
+                              out: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = ranged.sparkSession
+    val gIdx = ranged.schema.fieldIndex("_g")
+    val kIdx = ranged.schema.fieldIndex(key)
+    val cIdx = ranged.schema.fieldIndex("_c")
+    // phase 1: per-(partition, group) counts
+    val partCounts: Array[(Int, Any, Long)] =
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          val g = r.get(gIdx)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(cIdx))
+        }
+        m.iterator.map { case (g, n) => (pid, g, n) }
+      }.collect()
+    // driver-side: per-group totals -> target ranks; per-(pid, group)
+    // exclusive start offsets (counts in lower-pid partitions)
+    val byGroup = partCounts.groupBy(_._2)
+    val targets: Map[Any, (Long, Long)] = byGroup.map { case (g, a) =>
+      val n = a.iterator.map(_._3).sum
+      g -> (((n + 1) / 2, n / 2 + 1))
+    }
+    val offsets: Map[(Int, Any), Long] = byGroup.flatMap { case (g, a) =>
+      var acc = 0L
+      a.sortBy(_._1).map { case (pid, _, n) =>
+        val s = acc; acc += n; ((pid, g), s)
+      }
+    }
+    val bT = spark.sparkContext.broadcast(targets)
+    val bO = spark.sparkContext.broadcast(offsets)
+    // phase 2: walk each partition in key order, emit covered-rank keys
+    val hits = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val t = bT.value; val o = bO.value
+      var curG: Any = null
+      var cum = 0L
+      var started = false
+      it.flatMap { r =>
+        val g = r.get(gIdx)
+        if (!started || g != curG) {
+          curG = g; cum = o.getOrElse((pid, g), 0L); started = true
+        }
+        val before = cum
+        cum += r.getLong(cIdx)
+        val (lo, hi) = t(g)
+        val cover = (if (lo > before && lo <= cum) 1L else 0L) +
+          (if (hi > before && hi <= cum) 1L else 0L)
+        if (cover > 0) Iterator.single(Row(g, r.getLong(kIdx) * cover))
+        else Iterator.empty
+      }
+      // ≤ 2 emitted rows per group overall; the groupBy below is trivial
+    }
+    val schema = StructType(Seq(ranged.schema("_g"), StructField(out, LongType)))
+    spark.createDataFrame(hits, schema)
+      .groupBy(col("_g")).agg(sum(col(out)).as(out))
   }
 
   /** Per-group simple OLS trend y = intercept + slope·x over two
