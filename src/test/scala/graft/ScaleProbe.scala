@@ -648,6 +648,62 @@ object ScaleProbe {
       println(f"[scale] doc_ingest       1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     } else println("[scale] doc_ingest skipped: reference corpus not present")
 
+    // WARC crawl ingest (r18 brief #6): K× synthesized WARC files — 100
+    // HTML response records each, half the files gzipped — through
+    // Warc.read -> partitionAuto. Per-BYTE cost family (record walk,
+    // gunzip, HTTP split, HTML partition), zero shuffle; both corpora are
+    // many-files (8 vs 8K) so the ratio isolates parse cost, not
+    // parallelism granted only to the big side.
+    if (sections("ingest") && wanted("warc_ingest")) {
+      def record(id: String, body: String): Array[Byte] = {
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          body).getBytes("UTF-8")
+        (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://example.com/$id\r\n" +
+          s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+          http ++ "\r\n\r\n".getBytes("UTF-8")
+      }
+      def warcFile(seed: Int): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        (0 until 100).foreach { i =>
+          val body = s"<html><head><title>Page $seed-$i</title></head><body>" +
+            (0 until 12).map(p =>
+              s"<p>paragraph $p of page $i in file $seed carrying enough " +
+                s"narrative text to make the partitioner do real work</p>").mkString +
+            "<ul>" + (0 until 5).map(li => s"<li>item $li</li>").mkString +
+            "</ul></body></html>"
+          bos.write(record(s"rec-$seed-$i", body))
+        }
+        bos.toByteArray
+      }
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(b); g.close(); bos.toByteArray
+      }
+      def corpus(files: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("warc_probe").toString
+        (0 until files).foreach { i =>
+          val raw = warcFile(i)
+          if (i % 2 == 0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"crawl-$i%05d.warc"), raw)
+          else
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"crawl-$i%05d.warc.gz"), gz(raw))
+        }
+        dir
+      }
+      val base = 8
+      val d1 = corpus(base); val dk = corpus(base * k)
+      def ingest(p: String): DataFrame =
+        graft.sources.Warc.read(spark, p).partitionAuto().toDF
+      val t1 = measure(_ => ingest(d1), spark.emptyDataFrame)
+      val tk = measure(_ => ingest(dk), spark.emptyDataFrame)
+      println(f"[scale] warc_ingest      1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
+
     // SQ8 ANN: encode + integer-dot top-k over replicated embeddings (ids
     // offset per replica; vectors perturbed by replica so codes differ)
     if (sections("ann") && wanted("sq8_topk")) {
