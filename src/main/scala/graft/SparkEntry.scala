@@ -5551,7 +5551,7 @@ object SparkEntry {
                       regexp_replace(
                         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                         '/$$', '') AS path,
-                      regexp_extract(url, '\\?([^#]*)', 1) AS query
+                      regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
                FROM u),
          d AS (SELECT doc_id, url, scheme, path,
                       regexp_replace(lower(list_extract(string_split(hostport, ':'), 1)),

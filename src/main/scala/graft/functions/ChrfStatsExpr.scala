@@ -52,10 +52,11 @@ object ChrfStatsExpr {
     val a = ua.toString
     val b = ub.toString
     val out = new Array[Int](3 * maxN)
+    // loop-invariant: one O(len) codepoint scan per side, not one per order
+    val ca = a.codePointCount(0, a.length)
+    val cb = b.codePointCount(0, b.length)
     var n = 1
     while (n <= maxN) {
-      val ca = a.codePointCount(0, a.length)
-      val cb = b.codePointCount(0, b.length)
       val na = math.max(ca - n + 1, 0)
       val nb = math.max(cb - n + 1, 0)
       var o = 0

@@ -199,9 +199,14 @@ object gf {
       when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(
         st.getField("stop_hits").cast("double") / st.getField("n_tokens"))
     } else {
-      val ts = tokens(c)
-      when(length(trim(c)) === 0, lit(0.0)).otherwise(
-        size(filter(ts, t => t.isin(stopwords: _*))).cast("double") / size(ts))
+      // lowercase the caller's list like blocklistHits does — tokens()
+      // lowercases the text, so 'The' in a raw list could never match;
+      // and count only NONEMPTY tokens, so leading non-space whitespace
+      // (split's leading-empty artifact) can't deflate the ratio
+      val ts = filter(tokens(c), t => t =!= "")
+      val lowered = stopwords.map(_.toLowerCase).distinct
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        size(filter(ts, t => t.isin(lowered: _*))).cast("double") / size(ts))
     }
 
   /** Mean whitespace-token length in characters (single-pass). */
@@ -325,7 +330,10 @@ object gf {
     // chunks = 1 + ceil((n - maxTokens) / step) for n > maxTokens, else 1
     val extra = ceil((n - lit(maxTokens)).cast("double") / step).cast("int")
     val nChunks = when(n <= maxTokens, lit(1)).otherwise(lit(1) + extra)
-    when(length(trim(c)) === 0, array().cast("array<string>"))
+    // \S probe, not length(trim(...)): trim strips only SPACES, so a
+    // newline/tab-only text would dodge a trim-based guard and emit one
+    // junk chunk of bare separators instead of the documented zero
+    when(!c.rlike("\\S"), array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * step + 1, lit(maxTokens)), " ")))
   }
@@ -410,7 +418,10 @@ object gf {
     val portPart = when(port === "" || defaultPort, lit("")).otherwise(concat(lit(":"), port))
     val path0 = regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = regexp_replace(path0, "/$", "")
-    val query = regexp_extract(c, "\\?([^#]*)", 1)
+    // the query starts at the first '?' BEFORE any '#': a '?' inside the
+    // fragment ('/p#sec?x=1') is fragment content and must drop with it,
+    // not resurrect as the canonical query
+    val query = regexp_extract(c, "^[^#?]*\\?([^#]*)", 1)
     val keep = filter(split(query, "&"), p => {
       val name = element_at(split(p, "="), 1)
       p =!= "" && !name.startsWith("utm_") && !name.isin(TrackingParams: _*)

@@ -24,13 +24,18 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
  * Null and empty tokens contribute nothing (matching the trainer, which
  * filters empty tokens before featurization).
  */
-/** `weightsMicros` is a Seq, not an Array: structural equality keeps two
-  * nodes built from the same model semanticEquals for Catalyst CSE. */
-case class HashedWeightSumExpr(child: Expression, weightsMicros: Seq[Long],
+/** The weight table rides inside a [[HashedWeightSumExpr.WeightTable]]
+  * wrapper: value semantics keep two nodes built from the same model
+  * semanticEquals for Catalyst CSE, but with a PRECOMPUTED hash — a bare
+  * Seq[Long] field made every ExpressionSet insert / canonicalization
+  * compare during optimization walk the full table (O(2^18) boxed longs
+  * for a realistic hashed model, paid repeatedly at planning time). */
+case class HashedWeightSumExpr(child: Expression,
+                               table: HashedWeightSumExpr.WeightTable,
                                interceptMicros: Long)
     extends UnaryExpression {
 
-  @transient private lazy val weightsArr: Array[Long] = weightsMicros.toArray
+  private def weightsArr: Array[Long] = table.weights
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -55,6 +60,25 @@ case class HashedWeightSumExpr(child: Expression, weightsMicros: Seq[Long],
 }
 
 object HashedWeightSumExpr {
+
+  /** Construction from a raw weight list (the caller-facing shape). */
+  def apply(child: Expression, weightsMicros: Seq[Long],
+            interceptMicros: Long): HashedWeightSumExpr =
+    HashedWeightSumExpr(child, new WeightTable(weightsMicros.toArray),
+      interceptMicros)
+
+  /** Value-semantics weight table with O(1) comparisons: hashCode is
+    * precomputed once at construction; equals short-circuits on reference,
+    * then hash, and walks the array only on a genuine hash match. */
+  final class WeightTable(val weights: Array[Long]) extends Serializable {
+    override val hashCode: Int = java.util.Arrays.hashCode(weights)
+    override def equals(o: Any): Boolean = o match {
+      case w: WeightTable => (this eq w) ||
+        (hashCode == w.hashCode && java.util.Arrays.equals(weights, w.weights))
+      case _ => false
+    }
+    override def toString: String = s"WeightTable(n=${weights.length})"
+  }
 
   /** HashingTF.indexOf parity: murmur3 hashUnsafeBytes2, seed 42. */
   private final val Seed = 42

@@ -162,14 +162,21 @@ object LangIdExpr {
       val c = if (atEnd) ' ' else str.charAt(i)
       if (atEnd || isTokenSep(c)) {
         if (sb.length > 0) {
-          val hits = wordToLangs.get(sb.toString)
+          // full-string lowercase (Locale.ROOT), NOT per-char
+          // Character.toLowerCase: the SQL oracle's lower() maps Turkish
+          // U+0130 to 'i'+combining-dot (two chars) where the per-char
+          // form yields bare 'i' — the counts must agree with the oracle
+          // on such text. ASCII (the common case) takes the fast path
+          // inside String.toLowerCase anyway.
+          val hits = wordToLangs.get(
+            sb.toString.toLowerCase(java.util.Locale.ROOT))
           if (hits != null) {
             var h = 0
             while (h < hits.length) { counts(hits(h)) += 1; h += 1 }
           }
           sb.setLength(0)
         }
-      } else sb.append(Character.toLowerCase(c))
+      } else sb.append(c)
       i += 1
     }
     var best = -1; var bestScore = 0

@@ -88,6 +88,23 @@ object RepetitionStatsExpr {
 
   private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
 
+  /** CODE-POINT order (== UTF-8 byte order, the oracle's ORDER BY
+    * collation). String.compareTo is UTF-16 code-unit order, which ranks
+    * supplementary-plane characters (surrogates 0xD800+) BELOW
+    * [U+E000, U+FFFF] — a tie between such n-grams would pick different
+    * winners on the two engines. */
+  private def cpCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca) // equal cps advance both in lockstep
+    }
+    Integer.compare(a.length, b.length)
+  }
+
   /** Trim of [ \t\x0B\f\r] (NOT \n — it is the separator) from both ends. */
   private def trimLine(s: String): String = {
     var a = 0; var b = s.length
@@ -159,7 +176,7 @@ object RepetitionStatsExpr {
         val it = m.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
-          if (e.getValue > bestC || (e.getValue == bestC && e.getKey.compareTo(bestK) < 0)) {
+          if (e.getValue > bestC || (e.getValue == bestC && cpCompare(e.getKey, bestK) < 0)) {
             bestC = e.getValue; bestK = e.getKey
           }
         }

@@ -349,6 +349,14 @@ case class LshBandKeysExpr(child: Expression, bands: Int, rows: Int)
 
 object LshBandKeysExpr {
   def compute(arr: ArrayData, bands: Int, rows: Int): Array[Long] = {
+    // fail FAST on a short signature: UnsafeArrayData.getLong does not
+    // bounds-check, so an under-sized signature (k < bands*rows) would
+    // otherwise read adjacent buffer memory and emit nondeterministic
+    // garbage band keys — silently corrupting LSH candidate generation
+    if (arr.numElements() < bands * rows)
+      throw new IllegalArgumentException(
+        s"lsh_band_keys needs a signature of >= ${bands * rows} hashes " +
+          s"(bands=$bands x rowsPerBand=$rows), got ${arr.numElements()}")
     val out = new Array[Long](bands)
     val buf = new Array[Byte](rows * 8)
     var b = 0

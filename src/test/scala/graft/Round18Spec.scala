@@ -61,4 +61,76 @@ class Round18Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("3 attempts"), ex.getMessage)
     assert(hopeless.calls == 3)
   }
+
+  // ------------------------------------------- functions/ sweep findings
+
+  test("canonicalizeUrl: a '?' inside the fragment is not a query") {
+    val cases = Seq(
+      // fragment content must drop WITH the fragment, not resurrect
+      ("http://ex.com/p#sec?x=1", "http://ex.com/p"),
+      // a real query before the fragment still survives
+      ("http://ex.com/p?x=1#frag", "http://ex.com/p?x=1"),
+      ("https://www.Ex.com:443/a/?b=2&utm_source=m&a=1#top",
+        "https://ex.com/a?a=1&b=2"),
+      ("plain text", "plain text"))
+    val out = cases.map(_._1).toDF("u")
+      .select(gf.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2), out)
+  }
+
+  test("langId: full-string lowercase like the SQL oracle, not per-char") {
+    // Turkish dotted capital I: lower() maps U+0130 to 'i' + combining
+    // dot (two chars), so these tokens must NOT count as English
+    // 'it'/'is'/'in' — Character.toLowerCase per-char would say "en"
+    val out = Seq("İT İS İN", "it is in").toDF("t")
+      .select(gf.langId(col("t"))).as[String].collect().toSeq
+    assert(out == Seq("und", "en"), out)
+  }
+
+  test("chunkTokens: newline-only text yields zero chunks, not one junk chunk") {
+    val out = Seq("\n\n", "\t \t", "", "one two three").toDF("t")
+      .select(gf.chunkTokens(col("t"), 2)).as[Seq[String]].collect().toSeq
+    assert(out == Seq(Nil, Nil, Nil, Seq("one two", "three")), out)
+  }
+
+  test("repetition top-ngram tie-break is code-point order (oracle collation)") {
+    // two bigrams tied at count 2; the emoji gram sorts FIRST in UTF-16
+    // code-unit order (surrogate 0xD83D < 0xE000) but LAST in code-point
+    // order (U+1F600 > U+E000) — the oracle's ORDER BY picks U+E000's
+    // gram, whose words are 1 cp shorter, so top2_chars = 2 x 2 = 4
+    val emoji = "😀a"
+    val pua = ""
+    val text = s"$emoji x $emoji x $pua y $pua y"
+    val top2 = Seq(text).toDF("t")
+      .select(gf.repetitionStats(col("t")).getField("top2_chars"))
+      .as[Long].head()
+    assert(top2 == 4L, s"got $top2 (6 = the UTF-16-order winner)")
+  }
+
+  test("stopwordRatio: a caller's mixed-case list matches lowercased tokens") {
+    val out = Seq("The cat AND dog").toDF("t")
+      .select(gf.stopwordRatio(col("t"), Seq("The", "And"))).as[Double].head()
+    assert(out == 0.5, s"got $out (0.0 = the unnormalized-list bug)")
+  }
+
+  test("lshBandKeys: a short signature fails fast, never reads out of bounds") {
+    val sig = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate(8)(_.toLong * 31))
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.LshBandKeysExpr.compute(sig, 4, 5) // needs 20 hashes
+    }
+    assert(ex.getMessage.contains(">= 20"), ex.getMessage)
+  }
+
+  test("HashedWeightSumExpr: O(1) structural equality still enables CSE") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val child = Literal.create(null, ArrayType(StringType))
+    val a = graft.functions.HashedWeightSumExpr(child, Seq(1L, 2L, 3L), 7L)
+    val b = graft.functions.HashedWeightSumExpr(child, Seq(1L, 2L, 3L), 7L)
+    val c = graft.functions.HashedWeightSumExpr(child, Seq(1L, 2L, 4L), 7L)
+    assert(a == b && a.semanticEquals(b), "same model must stay CSE-able")
+    assert(a != c, "different weights must not collide")
+    assert(a.table.hashCode == b.table.hashCode)
+  }
 }
