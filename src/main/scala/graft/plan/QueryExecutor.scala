@@ -49,9 +49,66 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
   def cacheHits: Long = hits.get
   def cacheMisses: Long = misses.get
 
+  /** Only the EXPENSIVE eager operators cache — LLM-per-row work and ML
+    * fits, the operators whose recomputation costs real money/minutes.
+    * Scans/filters/relational nodes must NOT: materializing a raw
+    * QueryDatabase scan copies the whole table to cacheDir per distinct
+    * plan prefix AND severs Catalyst pushdown for everything above it
+    * (downstream reads the copy, not the pruned original scan). */
+  private def cacheableOp(n: QNode): Boolean = n match {
+    case _: QLlmFilter | _: QLlmExtractEntity | _: QLLMClustering |
+         _: QKMeanClustering => true
+    case _ => false
+  }
+
+  /** Cache path = plan content hash + a fingerprint of the SOURCE DATA
+    * under the subtree (sorted `inputFiles` of every referenced table /
+    * loader path — parquet rewrites always change part-file names). A
+    * purely plan-derived key would keep serving stale results after a
+    * table is re-ingested. Fingerprints are metadata-only (driver file
+    * index, no scan) and memoized per executor. */
+  private val sourceFps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachePath(dir: String, plan: QPlan, id: Int): String =
+    s"$dir/${plan.cacheKey(id)}-${sourceFingerprint(plan, id)}"
+
+  private def sha16(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  private def sourceFingerprint(plan: QPlan, id: Int): String = {
+    def filesOf(df: => DataFrame): String =
+      try df.inputFiles.sorted.mkString("\n")
+      catch { case scala.util.control.NonFatal(_) => "" } // non-file tables: stable empty
+    val sources = scala.collection.mutable.SortedSet.empty[String]
+    def walk(i: Int): Unit = {
+      plan.node(i) match {
+        case q: QQueryDatabase       => sources += s"t:${q.index}"
+        case q: QQueryVectorDatabase => sources += s"t:${q.index}"
+        case d: QDataLoader          => sources += s"p:${d.path}"
+        case _ =>
+      }
+      plan.node(i).inputs.foreach(walk)
+    }
+    walk(id)
+    val parts = sources.toSeq.map { s =>
+      sourceFps.computeIfAbsent(s, _ =>
+        if (s.startsWith("t:")) sha16(filesOf(tables(s.drop(2))))
+        else sha16(filesOf(spark.read.parquet(s.drop(2)))))
+    }
+    sha16(parts.mkString(","))
+  }
+
   def execute(plan: QPlan): QValue = {
     plan.validate()
     val memo = scala.collection.mutable.Map[Int, (QValue, Boolean)]()
+    // downstream-consumer counts: a node referenced by >1 consumer is only
+    // memoized as a LAZY DocSet — each consumer's Spark ACTION would
+    // re-execute the whole subtree (LLM operators would bill twice, and a
+    // nondeterministic LLM could make the consumers disagree within one
+    // answer), so such nodes get a lazy local checkpoint below
+    val refCount: Map[Int, Int] = plan.nodes.values.flatMap(_.inputs).toSeq
+      .groupBy(identity).map { case (id, xs) => id -> xs.size }
 
     // (value, subtreeHasSort). Explicit check-then-insert, NOT
     // getOrElseUpdate: the default closure recurses into rec, and mutating
@@ -69,11 +126,9 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
         // trusting it preserves the ordering rule; read-back is unordered,
         // hence sortBelow = false.
         val hitValue = cacheDir.flatMap { dir =>
-          val cacheable = !(n.isInstanceOf[QSort] || n.isInstanceOf[QTopK] ||
-            n.isInstanceOf[QQueryVectorDatabase])
-          if (!cacheable) None
+          if (!cacheableOp(n)) None
           else {
-            val path = s"$dir/${plan.cacheKey(id)}"
+            val path = cachePath(dir, plan, id)
             val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
             val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(marker)) {
@@ -99,8 +154,8 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
           n.isInstanceOf[QQueryVectorDatabase] || ins.exists(_._2)
         val value = eval(plan, n, ins.map(_._1))
         val cached = (value, cacheDir) match {
-          case (QDocs(ds), Some(dir)) if !sortBelow =>
-            val path = s"$dir/${plan.cacheKey(id)}"
+          case (QDocs(ds), Some(dir)) if !sortBelow && cacheableOp(n) =>
+            val path = cachePath(dir, plan, id)
             // Hadoop FS, not java.io: cacheDir may be hdfs://, s3a://, ...
             // (the hit path short-circuited above, so this is a miss)
             val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -108,6 +163,11 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
             if (fs.exists(marker)) hits.incrementAndGet()
             else { misses.incrementAndGet(); ds.writeParquet(path) }
             QDocs(DocRead.materialized(spark, path))
+          case (QDocs(ds), _) if refCount.getOrElse(id, 0) > 1 =>
+            // shared subtree: lazy local checkpoint so the consumers'
+            // separate actions compute it once (the repo-wide rule for
+            // multi-referenced frames; lazy — no eager job here)
+            QDocs(DocSet.wrap(ds.ds.localCheckpoint(false)))
           case _ => value
         }
         val out = (cached, sortBelow)
@@ -202,8 +262,23 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
     case QAggregateCollect(_, _, _) =>
       QDocs(grouped(ins.head).collect())
 
-    case QKMeanClustering(_, _, _, _, newField, k) =>
-      val ds = docs(ins.head)
+    case QKMeanClustering(_, _, _, field, newField, k) =>
+      // `field` names the property whose VALUE is embedded for clustering
+      // (reference sycamore_operator.py:746 sets embedder.embed_name to
+      // it); absent -> cluster on the existing document embedding. It was
+      // previously parsed and cache-keyed but silently ignored.
+      val ds0 = docs(ins.head)
+      val ds = field.fold(ds0) { f =>
+        val emb = embedder
+        ds0.mapBatch { it =>
+          it.grouped(64).flatMap { batch =>
+            val vecs = emb.embed(batch.map(_.fieldToValue(f).getOrElse("")))
+            require(vecs.size == batch.size,
+              s"embedder returned ${vecs.size} vectors for ${batch.size} values")
+            batch.zip(vecs).map { case (d, v) => d.copy(embedding = Some(v)) }
+          }
+        }
+      }
       val centroids = ds.kmeans(k.getOrElse(5))
       QDocs(ds.clustering(centroids, newField))
 
@@ -244,7 +319,10 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
   }
 
   private def matchPredicate(key: Column, query: JValue): Column = query match {
-    case JString(s) => lower(key.cast("string")).contains(s.toLowerCase)
+    // Locale.ROOT: a tr_TR driver JVM would lowercase "TITLE" to dotless
+    // "tıtle" and never match the column side's locale-agnostic lower()
+    case JString(s) =>
+      lower(key.cast("string")).contains(s.toLowerCase(java.util.Locale.ROOT))
     case JInt(v)    => tryCast(key, "double") === v.toDouble
     case JLong(v)   => tryCast(key, "double") === v.toDouble
     case JDouble(v) => tryCast(key, "double") === v
@@ -303,6 +381,13 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
 
   // --------------------------------------------------------------- helpers
 
+  /** Table-to-document mapping contract: a column literally named `text`
+    * becomes textRepresentation (everything else rides as string
+    * properties). Operators addressing `text_representation` — including
+    * the RemoveVectorSearchForAnalytics rewrite's LlmFilter, same field
+    * the reference strategy hardcodes (strategy.py:148) — therefore
+    * require the table to expose its content under `text`; tables using
+    * another name should be aliased by the `tables` callback. */
   private def docsFrom(df: DataFrame): DocSet = {
     val cols = df.schema.fieldNames.toSet
     DocRead.fromDataFrame(df,
@@ -384,7 +469,8 @@ object Dsl {
     case JObject(List(("exists", JObject(List(("field", JString(f))))))) =>
       col(f).isNotNull
     case JObject(List(("match", JObject(List((f, v)))))) =>
-      lower(col(f).cast("string")).contains(scalarString(v).toLowerCase)
+      lower(col(f).cast("string"))
+        .contains(scalarString(v).toLowerCase(java.util.Locale.ROOT))
     case JObject(List(("match_phrase", JObject(List((f, v)))))) =>
       col(f).cast("string").contains(scalarString(v))
     case JObject(List(("term", JObject(List((f, v)))))) => v match {
@@ -396,7 +482,10 @@ object Dsl {
       case other => throw new IllegalArgumentException(s"unsupported term value: $other")
     }
     case JObject(List(("range", JObject(List((f, JObject(bounds))))))) =>
-      bounds.map {
+      // empty bounds = no constraint = match-all (the same degenerate-LLM
+      // convention as empty bool clause arrays), not an empty.reduce crash
+      if (bounds.isEmpty) lit(true)
+      else bounds.map {
         case ("gte", v) => boundCol(f, v) >= boundLit(v)
         case ("lte", v) => boundCol(f, v) <= boundLit(v)
         case ("gt", v)  => boundCol(f, v) > boundLit(v)
@@ -409,7 +498,19 @@ object Dsl {
 
   private def boundCol(f: String, v: JValue): Column = v match {
     case JString(_) => col(f).cast("string")
-    case _ => col(f).cast("double")
+    // TRY cast: ANSI mode (Spark 4 default) makes a plain numeric cast
+    // THROW on any malformed string value — a pushed-down range filter
+    // must treat non-castable rows as non-matching, like BasicFilter's
+    // tryCast path, not kill the query
+    case _ => tryCastDouble(col(f))
+  }
+
+  private def tryCastDouble(c: Column): Column = {
+    val e = org.apache.spark.sql.graft.ColumnBridge.expression(c)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e, org.apache.spark.sql.types.DoubleType, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
   }
   private def boundLit(v: JValue): Column = v match {
     case JString(s) => lit(s)

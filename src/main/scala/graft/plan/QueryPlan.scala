@@ -245,7 +245,12 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
   def downstreamNodes(nodeId: Int): Seq[Int] =
     nodes.collect { case (id, n) if n.inputs.contains(nodeId) => id }.toSeq.sorted
 
-  /** Type-check every edge (reference: strategy.py:48 DefaultPlanValidator). */
+  /** Type-check every edge (reference: strategy.py:48 DefaultPlanValidator),
+    * PLUS input arity: a type-valid plan with the wrong input COUNT
+    * (Math with one input, Count with none) would otherwise pass here and
+    * crash deep inside eval with an opaque IndexOutOfBounds AFTER the
+    * upstream work already ran — and past the planner's retry loop, which
+    * can only repair failures raised at plan time. */
   def validate(): Unit = {
     val errors = scala.collection.mutable.ListBuffer[String]()
     if (!nodes.contains(resultNode)) errors += s"result_node $resultNode not in plan"
@@ -258,6 +263,19 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
               s"from node $dep (${d.nodeType}); supported: ${n.inputTypes}"
           case _ =>
         }
+      }
+      val arity: Option[(Int, Int)] = n match { // (min, max) inputs
+        case _: QDataLoader | _: QQueryDatabase | _: QQueryVectorDatabase =>
+          Some((0, 0))
+        case _: QMath | _: QFieldIn => Some((2, 2))
+        case _: QSummarizeData => Some((1, Int.MaxValue))
+        case _ => Some((1, 1)) // every remaining operator is unary
+      }
+      arity.foreach { case (lo, hi) =>
+        if (n.inputs.size < lo || n.inputs.size > hi)
+          errors += s"node $id (${n.nodeType}): needs " +
+            (if (lo == hi) s"$lo input(s)" else s"$lo..${if (hi == Int.MaxValue) "N" else hi} inputs") +
+            s", got ${n.inputs.size}"
       }
     }
     // cycle check via DFS
@@ -294,7 +312,10 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
     * Appending (nodeId == max+1) wires the new node onto the current
     * result node. */
   def insertNode(nodeId: Int, newNode: QNode): QPlan = {
-    require(nodeId > 0, "cannot insert before the source node")
+    // nodeId == 0 is allowed: an unconventionally numbered but DAG-valid
+    // plan can put a single-input operator at id 0 (LimitLlmOperations
+    // must be able to guard it); the single-input require below is the
+    // real safety condition — a true source (zero inputs) still rejects.
     if (!nodes.contains(nodeId)) {
       val wired = QPlanJson.withMeta(newNode, nodeId, Seq(resultNode))
       copy(nodes = nodes.updated(nodeId, wired), resultNode = nodeId)
@@ -342,8 +363,10 @@ final case class QPlan(query: String, nodes: Map[Int, QNode], resultNode: Int) {
 object QPlan {
   /** Bump whenever the executor's cacheability guard changes meaning —
     * entries written under an older guard version then miss instead of
-    * being trusted (v2: TopK/QueryVectorDatabase excluded as order-lossy). */
-  val CacheFormatVersion = "v2:"
+    * being trusted (v2: TopK/QueryVectorDatabase excluded as order-lossy;
+    * v3: only expensive LLM/ML operators cache, and paths carry a source
+    * -data fingerprint). */
+  val CacheFormatVersion = "v3:"
 
   def fromJson(json: String): QPlan = QPlanJson.parse(json)
 }

@@ -281,29 +281,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("executor caches subtrees by content hash and reuses them") {
+  test("executor caches ONLY expensive ops, keyed by plan + source data") {
     val dir = java.nio.file.Files.createTempDirectory("plancache").toString
+    val tblDir = java.nio.file.Files.createTempDirectory("plantbl").toString
     try {
-      val p = QPlan.fromJson(topkPlanJson)
-      val ex = executor(cacheDir = Some(dir))
-      val QDocs(first) = ex.execute(p): @unchecked
+      // a private copy of the documents table so the test can re-ingest it
+      tables("documents").limit(40).write.parquet(s"$tblDir/documents")
+      def myTables(n: String): DataFrame = spark.read.parquet(s"$tblDir/$n")
+      val p = QPlan.fromJson("""{"query":"q","result_node":1,"nodes":{
+        "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+        "1": {"node_type":"LlmFilter","node_id":1,"inputs":[0],
+              "field":"properties.source","question":"good source?"}}}""")
+      def ex() = new QueryExecutor(spark, new FakeLlmClient("score"),
+        myTables, Some(dir))
+      val e1 = ex()
+      val QDocs(first) = e1.execute(p): @unchecked
       val rows1 = first.count()
       val cachedDirs = new java.io.File(dir).listFiles().map(_.getName).toSet
-      // the TopK node (1) produces ORDERED output and must NOT round-trip
-      // through the parquet cache (read-back loses row order); only the
-      // unordered scan below it caches
-      assert(cachedDirs.contains(p.cacheKey(0)) && !cachedDirs.contains(p.cacheKey(1)))
-      assert(ex.cacheMisses == 1 && ex.cacheHits == 0)
-      // second executor run must read back identical results from cache
-      val ex2 = executor(cacheDir = Some(dir))
-      val QDocs(second) = ex2.execute(p): @unchecked
+      // ONLY the expensive LlmFilter node caches — materializing the raw
+      // scan would copy the whole table per plan prefix and sever pushdown
+      assert(cachedDirs.size == 1 &&
+        cachedDirs.head.startsWith(p.cacheKey(1)), cachedDirs)
+      assert(e1.cacheMisses == 1 && e1.cacheHits == 0)
+      // second run: same plan + same data -> read back from cache
+      val e2 = ex()
+      val QDocs(second) = e2.execute(p): @unchecked
       assert(second.count() == rows1)
-      assert(ex2.cacheHits == 1 && ex2.cacheMisses == 0)
+      assert(e2.cacheHits == 1 && e2.cacheMisses == 0)
+      // RE-INGEST the table: the plan-only key would serve the stale
+      // cache; the source fingerprint must force a miss
+      myTables("documents").limit(10).localCheckpoint()
+        .write.mode("overwrite").parquet(s"$tblDir/documents")
+      val e3 = ex()
+      val QDocs(third) = e3.execute(p): @unchecked
+      assert(e3.cacheMisses == 1 && e3.cacheHits == 0,
+        s"stale cache served after re-ingest: hits=${e3.cacheHits}")
+      assert(third.count() <= 10)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
-      rm(new java.io.File(dir))
+      rm(new java.io.File(dir)); rm(new java.io.File(tblDir))
     }
   }
 

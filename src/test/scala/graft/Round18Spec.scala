@@ -7,6 +7,12 @@ import graft.functions.gf
 
 /** Round-18 review-pass pins: each test fails on the pre-fix
   * implementation (ADVICE r17 items + the functions/ sweep). */
+/** JVM-static counters: LLM clients are serialized into task closures, so
+  * call counts must live on a static object (local[*] = one JVM). */
+object Round18Counters {
+  val filterPrompts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class Round18Spec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
   import spark.implicits._
@@ -120,6 +126,97 @@ class Round18Spec extends AnyFunSuite {
       graft.functions.LshBandKeysExpr.compute(sig, 4, 5) // needs 20 hashes
     }
     assert(ex.getMessage.contains(">= 20"), ex.getMessage)
+  }
+
+  // ------------------------------------------------ plan/ sweep findings
+
+  test("Dsl range filter survives non-numeric strings under ANSI mode") {
+    import org.json4s.jackson.JsonMethods
+    val df = Seq(("a", "2"), ("b", "n/a"), ("c", "10")).toDF("id", "version")
+    // a plain .cast(\"double\") would THROW SparkNumberFormatException on
+    // "n/a"; the TRY cast treats the row as non-matching
+    val kept = df.where(graft.plan.Dsl.predicate(
+        JsonMethods.parse("""{"range":{"version":{"gte":3}}}""")))
+      .select("id").as[String].collect().toSeq
+    assert(kept == Seq("c"), kept)
+    // empty bounds = no constraint = match-all, not empty.reduce
+    val all = df.where(graft.plan.Dsl.predicate(
+      JsonMethods.parse("""{"range":{"version":{}}}"""))).count()
+    assert(all == 3)
+  }
+
+  test("validate() rejects wrong input arity at plan time") {
+    val badMath = graft.plan.QPlan.fromJson("""{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"t"},
+      "1": {"node_type":"Math","node_id":1,"inputs":[0],"operation":"add"}}}""")
+    val ex = intercept[IllegalArgumentException](badMath.validate())
+    assert(ex.getMessage.contains("needs 2"), ex.getMessage)
+    val badCount = graft.plan.QPlan.fromJson("""{"query":"","result_node":0,"nodes":{
+      "0": {"node_type":"Count","node_id":0,"inputs":[]}}}""")
+    val ex2 = intercept[IllegalArgumentException](badCount.validate())
+    assert(ex2.getMessage.contains("needs 1"), ex2.getMessage)
+  }
+
+  test("LimitLlmOperations guards an LLM operator at node id 0") {
+    // DAG-valid but unconventionally numbered: the LLM node IS node 0
+    val p = graft.plan.QPlan.fromJson("""{"query":"q","result_node":0,"nodes":{
+      "0": {"node_type":"LlmFilter","node_id":0,"inputs":[1],
+            "field":"properties.lang","question":"english?"},
+      "1": {"node_type":"QueryDatabase","node_id":1,"inputs":[],"index":"documents"}}}""")
+    p.validate()
+    val guarded = graft.plan.LimitLlmOperations(50)(p)
+    guarded.validate()
+    val limits = guarded.nodes.values.collect { case l: graft.plan.QLimit => l }
+    assert(limits.nonEmpty, "the cost guard must be inserted, not crash")
+  }
+
+  test("a multi-consumer plan node executes its LLM subtree once") {
+    Round18Counters.filterPrompts.set(0)
+    val counting = new graft.llm.LlmClient {
+      override def generate(prompt: String): String = {
+        if (prompt.contains("Rate 0-5"))
+          Round18Counters.filterPrompts.incrementAndGet()
+        "4"
+      }
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    def tables(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+    // node 2 (LlmFilter) feeds BOTH Count(3) and SummarizeData(4): two
+    // downstream Spark actions — without the shared-subtree checkpoint the
+    // per-doc LLM filter would run (and bill) twice
+    val p = graft.plan.QPlan.fromJson("""{"query":"q","result_node":4,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+      "1": {"node_type":"Limit","node_id":1,"inputs":[0],"num_records":10},
+      "2": {"node_type":"LlmFilter","node_id":2,"inputs":[1],
+            "field":"properties.source","question":"good?"},
+      "3": {"node_type":"Count","node_id":3,"inputs":[2]},
+      "4": {"node_type":"SummarizeData","node_id":4,"inputs":[2,3],
+            "question":"how many good docs?"}}}""")
+    new graft.plan.QueryExecutor(spark, counting, tables).execute(p)
+    val calls = Round18Counters.filterPrompts.get()
+    assert(calls == 10, s"LLM filter ran $calls times for 10 docs (20 = double-run)")
+  }
+
+  test("KMeanClustering clusters on the named field, not only doc embeddings") {
+    val df = Seq(
+      ("d1", "t", "tokyo tokyo tokyo"), ("d2", "t", "tokyo tokyo tokyo"),
+      ("d3", "t", "rio rio rio rio"), ("d4", "t", "rio rio rio rio"))
+      .toDF("doc_id", "text", "city")
+    def tables(n: String) = df
+    val p = graft.plan.QPlan.fromJson("""{"query":"","result_node":1,"nodes":{
+      "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"t"},
+      "1": {"node_type":"KMeanClustering","node_id":1,"inputs":[0],
+            "field":"properties.city","new_field":"grp","K":2}}}""")
+    val out = new graft.plan.QueryExecutor(spark,
+      new graft.llm.FakeLlmClient("echo:64"), tables).execute(p) match {
+      case graft.plan.QDocs(ds) => ds.takeAll()
+      case other => fail(s"$other")
+    }
+    val byCity = out.groupBy(_.prop("city").get)
+      .map { case (c, ds) => c -> ds.flatMap(_.prop("grp")).distinct }
+    assert(byCity.values.forall(_.size == 1), s"same city, same cluster: $byCity")
+    assert(byCity.values.flatten.toSet.size == 2,
+      s"two cities, two clusters: $byCity")
   }
 
   test("HashedWeightSumExpr: O(1) structural equality still enables CSE") {
