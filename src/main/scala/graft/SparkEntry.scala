@@ -1487,6 +1487,30 @@ object SparkEntry {
         name => tbl(s, dir, name))
       scalarDf(s, exec.execute(plan), "value")
     }),
+    "q_nlq_kmeans" -> ((s, dir) => {
+      // KMeanClustering over a NAMED field (reference
+      // sycamore_operator.py:746: `field` is embedded for clustering)
+      // with K = the field's distinct-value count: every distinct value
+      // embeds to one deterministic HashEmbedder point, kmeans converges
+      // to one centroid per point (cost 0), and the sorted cluster SIZES
+      // equal the sorted GROUP BY counts — an exact oracle that never
+      // depends on which arbitrary id each cluster gets.
+      val k = tbl(s, dir, "documents").select("lang").distinct().count().toInt
+      val plan = s"""{"query": "cluster documents by language", "result_node": 1,
+         "nodes": {
+           "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],
+                 "index":"documents"},
+           "1": {"node_type":"KMeanClustering","node_id":1,"inputs":[0],
+                 "field":"properties.lang","new_field":"grp","K":$k}}}"""
+      val exec = new QueryExecutor(s, new FakeLlmClient("echo:64"),
+        name => tbl(s, dir, name))
+      exec.execute(QPlan.fromJson(plan)) match {
+        case QDocs(ds) => ds.toDF
+          .groupBy(element_at(col("properties"), "grp"))
+          .agg(count(lit(1)).as("n")).select("n").orderBy("n")
+        case other => throw new IllegalStateException(s"$other")
+      }
+    }),
 
     "q_clustering" -> ((s, dir) => {
       // nearest-centroid assignment (NearestCentroidExpr) with a
@@ -5029,6 +5053,12 @@ object SparkEntry {
     "q_nlq_retry" ->
       """SELECT CAST(count(*) AS DOUBLE) AS value
          FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    "q_nlq_kmeans" ->
+      // cluster sizes == per-language counts when K = #distinct langs
+      // (one centroid per distinct embedded point); ids are arbitrary so
+      // only the sorted sizes are contractual
+      """SELECT CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY lang ORDER BY n""",
     "q_pii_iban" ->
       // the mod-97 left fold replayed via list_reduce: each char pre-maps
       // to width*1000+value (digit -> one *10 step, letter -> one *100
