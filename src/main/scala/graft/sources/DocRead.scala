@@ -109,20 +109,31 @@ object DocRead {
     rowsField match {
       case Some(rf) =>
         // one Document per array element; docId = path#index so ids stay
-        // unique across rows of the same file
+        // unique across rows of the same file. posexplode_OUTER: a file
+        // whose rowsField is null/absent-in-this-file must surface as ONE
+        // marker document (rows_missing=true, all row fields null), not
+        // silently contribute zero documents — whole-file loss with no
+        // error is the failure mode this reader otherwise avoids
         val exploded = raw0
           .select(input_file_name().as("_file_uri"),
-            posexplode(col(rf)).as(Seq("_idx", "_row")))
-          .select(concat(col("_file_uri"), lit("#"), col("_idx")).as("_rowid"),
-            col("_file_uri"), col("_row.*"))
+            posexplode_outer(col(rf)).as(Seq("_idx", "_row")))
+          .select(
+            concat(col("_file_uri"), lit("#"),
+              coalesce(col("_idx").cast("string"), lit("norows"))).as("_rowid"),
+            col("_file_uri"),
+            when(col("_idx").isNull, lit("true")).as("rows_missing"),
+            col("_row.*"))
         val fileProp = if (hasColumn(exploded, "path")) "_file_path" else "path"
         val labeled = exploded.withColumnRenamed("_file_uri", fileProp)
         // the property subset applies to ROW fields in this mode — a
         // requested restriction must not be silently dropped
         val kept = properties match {
           case Some(keys) =>
-            labeled.select((Seq("_rowid", fileProp) ++ keys ++ bodyField.toSeq)
-              .distinct.filter(hasColumn(labeled, _)).map(col): _*)
+            // rows_missing survives a property restriction: the marker is
+            // the only evidence a file contributed no rows
+            labeled.select(
+              (Seq("_rowid", fileProp, "rows_missing") ++ keys ++ bodyField.toSeq)
+                .distinct.filter(hasColumn(labeled, _)).map(col): _*)
           case None => labeled
         }
         fromDataFrame(kept, docIdField = Some("_rowid"), textField = bodyField)
@@ -170,10 +181,13 @@ object DocRead {
       // [] not null: the Seq encoder round-trips empty, not missing
       array().cast(docSchema("elements").dataType).as("elements"),
       // an array-typed `embedding` column passes through as the document
-      // embedding (kmeans/clustering/ANN need it)
-      (df.schema.find(f => f.name == "embedding" &&
+      // embedding (kmeans/clustering/ANN need it). equalsIgnoreCase: the
+      // analyzer resolves case-insensitively by default, so an 'Embedding'
+      // column would otherwise miss the promotion AND get stringified into
+      // the properties map (double row width through every shuffle)
+      (df.schema.find(f => f.name.equalsIgnoreCase("embedding") &&
           f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) match {
-        case Some(_) => col("embedding").cast("array<float>")
+        case Some(f) => col(f.name).cast("array<float>")
         case None => lit(null).cast(docSchema("embedding").dataType)
       }).as("embedding"),
       nullOf("shingles"),
@@ -200,7 +214,7 @@ object DocRead {
     val pairs = cols.flatMap { c =>
       df.schema(c).dataType match {
         case BinaryType => Nil
-        case _: ArrayType if c == "embedding" => Nil
+        case _: ArrayType if c.equalsIgnoreCase("embedding") => Nil
         case _: ArrayType | _: StructType | _: MapType => Seq(lit(c), to_json(col(c)))
         case _ => Seq(lit(c), col(c).cast("string"))
       }

@@ -261,16 +261,29 @@ final class HttpSearchClient(baseUri: String,
     (n.get("_scroll_id").asText(), SearchWire.parseHits(n))
   }
 
+  /** ES/OpenSearch rotate `_scroll_id` between pages and the wire contract
+    * says "always use the most recent id" — but the SearchClient trait keys
+    * a cursor by its OPEN id, so track the latest id per open cursor and
+    * translate on each call (a stale id is SearchContextMissing or silent
+    * truncation on a real backend). */
+  private val scrollLatest =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   override def scroll(scrollId: String): Seq[SearchHit] = {
+    val actual = Option(scrollLatest.get(scrollId)).getOrElse(scrollId)
     val body = om.createObjectNode()
-    body.put("scroll", "10m").put("scroll_id", scrollId)
+    body.put("scroll", "10m").put("scroll_id", actual)
     val (_, resp) = send("POST", "/_search/scroll", Some(body.toString))
-    SearchWire.parseHits(om.readTree(resp))
+    val n = om.readTree(resp)
+    Option(n.get("_scroll_id")).filter(!_.isNull)
+      .foreach(s => scrollLatest.put(scrollId, s.asText()))
+    SearchWire.parseHits(n)
   }
 
   override def clearScroll(scrollId: String): Unit = {
+    val actual = Option(scrollLatest.remove(scrollId)).getOrElse(scrollId)
     val body = om.createObjectNode()
-    body.putArray("scroll_id").add(scrollId)
+    body.putArray("scroll_id").add(actual)
     send("DELETE", "/_search/scroll", Some(body.toString))
     ()
   }
@@ -336,6 +349,9 @@ final class LocalSearchServer(namespace: String,
       .encodeToString(s"$u:$p".getBytes("UTF-8"))
   }
   private val pitIndex = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // rotated single-use scroll tokens -> the fake's stable cursor id
+  private val scrollTokens = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val scrollSeq = new java.util.concurrent.atomic.AtomicLong()
   private val server =
     com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -385,13 +401,29 @@ final class LocalSearchServer(namespace: String,
         }
         (200, """{"succeeded":true}""")
       case ("POST", "_search" :: "scroll" :: Nil) =>
-        // scroll cursors are per-connection mutable state in the fake;
-        // serialize them under the pooled executor
-        val hits = fake.synchronized(fake.scroll(json.get("scroll_id").asText()))
-        (200, SearchWire.hitsResponse(hits, Some(json.get("scroll_id").asText())).toString)
+        // ROTATED single-use ids, like a real backend (the wire contract:
+        // "the _scroll_id may change between requests; always use the most
+        // recent"): the presented token is consumed and a fresh one issued
+        // per page, so a client that re-sends a stale id fails HERE in the
+        // loopback tests instead of against production ES/OpenSearch
+        val presented = json.get("scroll_id").asText()
+        Option(scrollTokens.remove(presented)) match {
+          case None =>
+            (404, om.createObjectNode()
+              .put("error", s"search context missing (stale scroll id)").toString)
+          case Some(sid) =>
+            // per-connection mutable state in the fake; serialize under
+            // the pooled executor
+            val hits = fake.synchronized(fake.scroll(sid))
+            val next = s"$sid#${scrollSeq.incrementAndGet()}"
+            scrollTokens.put(next, sid)
+            (200, SearchWire.hitsResponse(hits, Some(next)).toString)
+        }
       case ("DELETE", "_search" :: "scroll" :: Nil) =>
-        json.get("scroll_id").elements().asScala
-          .foreach(s => fake.synchronized(fake.clearScroll(s.asText())))
+        json.get("scroll_id").elements().asScala.foreach { s =>
+          val sid = Option(scrollTokens.remove(s.asText())).getOrElse(s.asText())
+          fake.synchronized(fake.clearScroll(sid))
+        }
         (200, """{"succeeded":true}""")
       case ("POST", "_bulk" :: Nil) =>
         val lines = body.split("\n").filter(_.trim.nonEmpty)
@@ -433,7 +465,9 @@ final class LocalSearchServer(namespace: String,
           case _ if params.contains("scroll=") =>
             val (sid, hits) =
               fake.synchronized(fake.openScroll(index, q, json.get("size").asInt()))
-            (200, SearchWire.hitsResponse(hits, Some(sid)).toString)
+            val token = s"$sid#${scrollSeq.incrementAndGet()}"
+            scrollTokens.put(token, sid)
+            (200, SearchWire.hitsResponse(hits, Some(token)).toString)
           case _ =>
             (200, pagedSearch(index, json, None).toString)
         }

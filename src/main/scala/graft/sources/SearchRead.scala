@@ -84,8 +84,15 @@ object SearchRead {
           case _: SearchQuery.Knn => (0, None)
           case _ =>
             val n = driver.count(index, query, None)
-            // reference :699-700: target ~2500 docs/slice, minimum 2 slices
-            ((1L + n / sliceTarget).max(2L).toInt, Some(driver.createPit(index)))
+            // reference :699-700: target ~2500 docs/slice, minimum 2
+            // slices — CLAMPED at 1024, the backend's slices-per-PIT cap
+            // (index.max_slices_per_pit default): an unclamped count made
+            // every slice request invalid past ~2.5M matched docs. At the
+            // clamp, per-slice from-depth stays under the 10k result
+            // window up to ~10M matched docs; beyond that the extension
+            // is a search_after cursor per slice.
+            ((1L + n / sliceTarget).max(2L).min(1024L).toInt,
+              Some(driver.createPit(index)))
         }
       } finally driver.close()
 
@@ -154,13 +161,26 @@ object SearchRead {
             try {
               it.grouped(100).foreach { batch =>
                 val q = SearchQuery.Terms("parent_id", batch.toSeq)
-                var from = 0
-                var more = true
-                while (more) {
-                  val page = client.searchPage(index, q, None, pit, from, 500)
-                  out ++= page.map(hitToDoc)
-                  from += 500
-                  more = page.size == 500
+                // SCROLL, not from/size under the PIT: a deep `from`
+                // re-executes the terms query per page (the quadratic
+                // queryDocs pathology fixed in r17) and a real backend
+                // rejects from+size past max_result_window (10k — one
+                // 100-parent batch averaging >100 elements crosses it).
+                // Trade, documented like queryDocs': phase B reads a
+                // per-batch scroll snapshot rather than phase A's PIT;
+                // under concurrent writes reconstruct() tolerates the
+                // drift (absent parents are synthesized, extra siblings
+                // group under their parent key).
+                val (sid, first) = client.openScroll(index, q, 500)
+                try {
+                  var page = first
+                  while (page.nonEmpty) {
+                    out ++= page.map(hitToDoc)
+                    page = client.scroll(sid)
+                  }
+                } finally {
+                  try client.clearScroll(sid)
+                  catch { case scala.util.control.NonFatal(_) => () }
                 }
               }
             } finally client.close()
@@ -230,7 +250,12 @@ object SearchRead {
         out ++= page.map(hitToDoc)
         page = client.scroll(sid)
       }
-    } finally client.clearScroll(sid)
+    } finally {
+      // guarded like every other cleanup in this file: the same dead
+      // server that failed the read must not mask the root cause
+      try client.clearScroll(sid)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     out.toSeq
   }
 
@@ -690,6 +715,14 @@ final case class FakeSearchClientFactory(namespace: String) extends SearchClient
 final case class BulkDirSearchClientFactory(dir: String, index: String)
     extends SearchClientFactory {
   override def open(): SearchClient = {
+    // fail LOUDLY on an unusable dir: java.io.File cannot list non-local
+    // paths (hdfs://, s3a://) and returns null for a mistyped one —
+    // silently ingesting an EMPTY index would pass indexExists and return
+    // an empty read with no error (silent data loss)
+    val d = new java.io.File(dir)
+    require(d.isDirectory && d.canRead,
+      s"bulk dir not listable: $dir (must be a readable LOCAL directory — " +
+        "java.io listing; non-local filesystems are not supported here)")
     // the namespace carries a CONTENT fingerprint (names + sizes + mtimes)
     // so a rewritten bulk directory gets a fresh ingest instead of the
     // stale first one the path-only key served (r14 advice); within one
@@ -739,31 +772,11 @@ final case class BulkDirSearchClientFactory(dir: String, index: String)
           require(idxMeta != null && idxMeta.get("_index").asText() == index,
             s"bulk action for wrong index in ${f.getName}")
           val id = idxMeta.get("_id").asText()
-          val s = om.readTree(source)
-          val flat = mutable.Map.empty[String, String]
-          val it = s.fields()
-          var emb: Option[Array[Float]] = None
-          while (it.hasNext) {
-            val e = it.next()
-            e.getKey match {
-              case "embedding" if e.getValue.isArray =>
-                val arr = new Array[Float](e.getValue.size())
-                var i = 0
-                while (i < arr.length) { arr(i) = e.getValue.get(i).floatValue(); i += 1 }
-                emb = Some(arr)
-              case "properties" if e.getValue.isObject =>
-                val pit2 = e.getValue.fields()
-                while (pit2.hasNext) {
-                  val p = pit2.next()
-                  if (!p.getValue.isNull)
-                    flat(s"properties.${p.getKey}") = p.getValue.asText()
-                }
-              case k if !e.getValue.isNull && !e.getValue.isContainerNode =>
-                flat(k) = e.getValue.asText()
-              case _ => ()
-            }
-          }
-          hits += SearchHit(id, 1.0, flat.toMap, emb)
+          // the ONE source-flattening codec (SearchWire.parseSource) — the
+          // fake server's _bulk route parses identical NDJSON lines with
+          // it; a hand-rolled copy here had already drifted on nested
+          // non-properties objects
+          hits += SearchWire.parseSource(id, 1.0, om.readTree(source))
         }
       } finally src.close()
     }

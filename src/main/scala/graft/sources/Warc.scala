@@ -43,7 +43,13 @@ object Warc {
     * (Found by FuzzSpec: any flipped byte in a .warc.gz payload or
     * trailer threw out of records().) */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    // size HINT bounded in Long space: bytes.length * 4 Int-overflows to a
+    // NEGATIVE hint for inputs over 512 MB (Common Crawl files run ~1 GB)
+    // and ByteArrayOutputStream(negative) throws OUTSIDE the catch below —
+    // exactly the task death the degrade contract forbids. 64 MB is hint
+    // ceiling, not a data cap — the stream grows past it fine.
+    val hint = math.min(math.max(bytes.length.toLong * 4, 65536L), 64L << 20)
+    val out = new java.io.ByteArrayOutputStream(hint.toInt)
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 65536)

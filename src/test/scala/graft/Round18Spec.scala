@@ -219,6 +219,48 @@ class Round18Spec extends AnyFunSuite {
       s"two cities, two clusters: $byCity")
   }
 
+  // --------------------------------------------- sources/ sweep findings
+
+  test("BulkDirSearchClientFactory fails loudly on an unusable directory") {
+    // java.io listing returns null for non-local/mistyped paths; the old
+    // code ingested an EMPTY index and reads returned nothing, silently
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.BulkDirSearchClientFactory("/no/such/dir", "idx").open()
+    }
+    assert(ex.getMessage.contains("not listable"), ex.getMessage)
+  }
+
+  test("jsonFile rows mode: a file without the rows field surfaces as a marker doc") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonrows")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.json"),
+        """{"rows": [{"v": 1}, {"v": 2}]}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("b.json"),
+        """{"other": true}""".getBytes("UTF-8"))
+      val docs = graft.sources.DocRead.jsonFile(spark, dir.toString,
+        rowsField = Some("rows")).takeAll()
+      assert(docs.size == 3, s"b.json must not vanish: ${docs.map(_.docId)}")
+      val markers = docs.filter(_.prop("rows_missing").contains("true"))
+      assert(markers.size == 1 && markers.head.docId.contains("b.json"),
+        s"marker doc expected for b.json: $markers")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("fromDataFrame promotes an array column named 'Embedding' (any case)") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("doc_id", "Embedding")
+    val docs = graft.sources.DocRead.fromDataFrame(df, Some("doc_id"), None)
+      .takeAll().sortBy(_.docId)
+    assert(docs.forall(_.embedding.isDefined),
+      "case-insensitive analyzer resolution must extend to the promotion")
+    assert(docs.forall(!_.properties.contains("Embedding")),
+      "the promoted array must not also stringify into properties")
+  }
+
   test("HashedWeightSumExpr: O(1) structural equality still enables CSE") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}
