@@ -65,7 +65,10 @@ object Ann {
     * For tighter lists run MLlib KMeans (DocSet.kmeans) and pass its
     * centers instead. */
   def sampleCentroids(df: DataFrame, id: String, vec: String, nlist: Int): Array[Array[Double]] =
-    df.select(col(vec).cast("array<double>").as("v"))
+    // isNotNull: a null embedding row in the sample would NPE at .toArray —
+    // real corpora carry docs that never got embedded
+    df.where(col(vec).isNotNull)
+      .select(col(vec).cast("array<double>").as("v"))
       .orderBy(xxhash64(col(id)))
       .limit(4 * nlist)
       .collect()
@@ -181,9 +184,11 @@ object Ann {
     * MLlib KMeans per subspace and pass its centers. */
   def pqTrain(df: DataFrame, id: String, vec: String, m: Int, ksub: Int,
               sampleN: Int = 4096, iters: Int = 5): Array[Array[Array[Double]]] = {
-    val sample = df.select(col(vec).cast("array<double>").as("v"))
+    val sample = df.where(col(vec).isNotNull)
+      .select(col(vec).cast("array<double>").as("v"))
       .orderBy(xxhash64(col(id))).limit(sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain needs at least one non-null vector")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val subDim = d / m
@@ -228,13 +233,21 @@ object Ann {
       val qSub = query.slice(s * subDim, (s + 1) * subDim).toArray
       cb.map(c => l2sq(qSub, c))
     }
-    val adc = tables.zipWithIndex.map { case (table, s) =>
+    val lookups = tables.zipWithIndex.map { case (table, s) =>
       // element_at over a literal lookup array: ksub lits per subspace,
       // m*ksub total — fine at ksub<=256; codes are 0-based
       element_at(array(table.toIndexedSeq.map(lit): _*), element_at(col(codes), s + 1) + 1)
     }.reduce(_ + _)
+    // the isNotNull guard is CORRECTNESS, not style: element_at over a
+    // literal array (containsNull=false) mis-declares its output as
+    // non-nullable, so a null codes column reads back as slot-0 garbage
+    // (adc_dist = sum of table[0]s — a real-looking distance) instead of
+    // null; with the guard the un-embedded row gets a true null and
+    // asc_nulls_last (Spark's asc default is nulls-FIRST) ranks it behind
+    // every real distance
+    val adc = when(col(codes).isNotNull, lookups)
     df.select(col(id), adc.as("adc_dist"))
-      .orderBy(asc("adc_dist"), col(id))
+      .orderBy(asc_nulls_last("adc_dist"), col(id))
       .limit(k)
   }
 
@@ -256,7 +269,9 @@ object Ann {
       lit(0.0), (acc, v) => acc + v)
     df.join(broadcast(short), Seq(id), "left_semi")
       .select(col(id), exact.as("dist"))
-      .orderBy(asc("dist"), col(id)).limit(k)
+      // nulls-last for the same reason as pqAdcTopK: a shortlisted row
+      // whose full vector is null must not outrank real distances
+      .orderBy(asc_nulls_last("dist"), col(id)).limit(k)
   }
 
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {

@@ -51,9 +51,15 @@ object Dedup {
    * billions-of-docs scale this targets (~50% chance of one collision at
    * 5B docs); the extra 128 bits make collisions cosmologically unlikely
    * while keeping the shuffle key 24 bytes instead of the full text.
+   *
+   * NULL-text rows (binary-only documents) carry no content to compare and
+   * are EXCLUDED from the group summary — grouping them (groupBy treats
+   * null keys as equal) would report every binary document in the corpus
+   * as one giant duplicate class.
    */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
-    df.groupBy(xxhash64(col(text)).as("content_hash"),
+    df.where(col(text).isNotNull)
+      .groupBy(xxhash64(col(text)).as("content_hash"),
                unhex(md5(col(text))).as("content_md5"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
       .drop("content_md5")
@@ -70,9 +76,15 @@ object Dedup {
    * side — never as a grouping or join key. An earlier version grouped and
    * joined on the raw text column, which made every exchange comparator
    * walk full documents.
+   *
+   * NULL-text rows (binary-only documents) are not comparable and are ALL
+   * KEPT — same contract as minhashLsh's null-signature rule. An earlier
+   * version ran them through the hash path, where the null md5 key grouped
+   * (groupBy equates nulls) but never matched the equi-semi-join (join
+   * EqualTo does not), silently DELETING every binary-only document.
    */
   def exactRows(df: DataFrame, id: String, text: String): DataFrame = {
-    val hashed = df
+    val hashed = df.where(col(text).isNotNull)
       .withColumn("_content_hash", xxhash64(col(text)))
       .withColumn("_content_md5", unhex(md5(col(text))))
     val keyed = hashed.select(col("_content_hash"), col("_content_md5"), col(id))
@@ -80,6 +92,7 @@ object Dedup {
       .agg(min(col(id)).as(id))
     hashed.join(keyed, Seq("_content_hash", "_content_md5", id), "left_semi")
       .drop("_content_hash", "_content_md5")
+      .unionByName(df.where(col(text).isNull))
   }
 
   /**
@@ -98,7 +111,8 @@ object Dedup {
    */
   def exactRowsKeepBest(df: DataFrame, id: String, text: String,
                         better: Column): DataFrame = {
-    val hashed = df
+    // null-text rows bypass the hash path entirely (see exactRows)
+    val hashed = df.where(col(text).isNotNull)
       .withColumn("_content_hash", xxhash64(col(text)))
       .withColumn("_content_md5", unhex(md5(col(text))))
       .withColumn("_rank", better)
@@ -116,6 +130,7 @@ object Dedup {
           lit(Double.NegativeInfinity))), col(id))).as(id))
     hashed.join(keyed, Seq("_content_hash", "_content_md5", id), "left_semi")
       .drop("_content_hash", "_content_md5", "_rank")
+      .unionByName(df.where(col(text).isNull))
   }
 
   /**

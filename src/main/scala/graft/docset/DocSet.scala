@@ -99,10 +99,13 @@ final class DocSet(val ds: Dataset[Document]) extends Serializable {
     map(d => fs.foldLeft(d) { case (acc, (n, f)) => acc.withProp(n, f(acc)) })
 
   /** Copy doc-level properties down to every element
-    * (reference: transforms/spread_properties.py:8). */
+    * (reference: transforms/spread_properties.py:8). The DOC value wins on a
+    * key collision — the reference assigns unconditionally over existing
+    * element properties (spread_properties.py:38-43, with an explicit TODO
+    * that element-wins is NOT yet offered). */
   def spreadProperties(keys: Seq[String]): DocSet = map { d =>
     val spread = keys.flatMap(k => d.properties.get(k).map(k -> _)).toMap
-    d.copy(elements = d.elements.map(e => e.copy(properties = spread ++ e.properties)))
+    d.copy(elements = d.elements.map(e => e.copy(properties = e.properties ++ spread)))
   }
 
   /** Lift the first matching element's properties up to the doc

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
  */
 object RetrievalEval {
 
-  /** Per-query hit/recall/precision@k + MRR, plus a micro-averaged summary
-    * row (query_id = NULL). */
+  /** Per-query hit/recall/precision@k + reciprocal rank, one row per query
+    * WITH at least one relevance judgment (recall is undefined without one);
+    * roll up with [[summarize]]. Note the denominator differs from [[ndcg]],
+    * which also scores judgment-less retrieved queries as 0. */
   def retrievalMetrics(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     val rel = relevant.select(col("query_id"), col("doc_id")).distinct()
     val relCounts = rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))

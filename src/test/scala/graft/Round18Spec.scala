@@ -261,6 +261,68 @@ class Round18Spec extends AnyFunSuite {
       "the promoted array must not also stringify into properties")
   }
 
+  // -------------------------------- docset/dedup/ann sweep findings (late r18)
+
+  test("spreadProperties: the doc value wins over an existing element property") {
+    // reference spread_properties.py:38-43 assigns unconditionally over
+    // element properties (its TODO says element-wins is NOT yet offered)
+    import graft.model.{Document, Element}
+    val doc = Document.of("d1", properties = Map("title" -> "DocTitle"))
+      .copy(elements = Seq(
+        Element.text(0, "para", "x", properties = Map("title" -> "ElTitle")),
+        Element.text(1, "para", "y")))
+    val out = graft.docset.DocSet.of(spark, Seq(doc))
+      .spreadProperties(Seq("title")).takeAll().head
+    assert(out.elements.forall(_.prop("title").contains("DocTitle")),
+      out.elements.map(_.properties).toString)
+  }
+
+  test("exactRows/exactRowsKeepBest: null-text rows are kept, not deleted") {
+    // pre-fix: the null md5 key grouped (groupBy equates nulls) but never
+    // matched the equi-semi-join -> every binary-only row silently vanished
+    val df = Seq(("a", "same"), ("b", "same"), ("bin1", null), ("bin2", null))
+      .toDF("id", "text")
+    val kept = graft.dedup.Dedup.exactRows(df, "id", "text")
+      .select("id").as[String].collect().sorted.toSeq
+    assert(kept == Seq("a", "bin1", "bin2"), kept)
+    val keptBest = graft.dedup.Dedup.exactRowsKeepBest(df, "id", "text",
+        length(col("text")).cast("double"))
+      .select("id").as[String].collect().sorted.toSeq
+    assert(keptBest == Seq("a", "bin1", "bin2"), keptBest)
+    // and the group summary excludes the non-comparable null class
+    val groups = graft.dedup.Dedup.exact(df, "id", "text")
+    assert(groups.count() == 1, "null texts are not one giant duplicate class")
+  }
+
+  test("pqAdcTopK/pqSearch: null codes cannot claim top-k slots") {
+    // pre-fix: asc() is nulls-FIRST in Spark, so the un-embedded row ranked
+    // ahead of every real distance
+    val cb = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)))  // m=1, ksub=2
+    val df = Seq(
+      ("real1", Seq(0.1, 0.1), Seq(0)),
+      ("real2", Seq(0.9, 0.9), Seq(1)),
+      ("hole", null, null))
+      .toDF("id", "vec", "codes")
+      .select(col("id"), col("vec").cast("array<double>").as("vec"),
+        col("codes").cast("array<int>").as("codes"))
+    val adc = graft.ann.Ann.pqAdcTopK(df, "id", "codes", cb, Seq(0.0, 0.0), 2)
+      .select("id").as[String].collect().toSeq
+    assert(adc == Seq("real1", "real2"), adc)
+    val full = graft.ann.Ann.pqSearch(df, "id", "vec", "codes", cb,
+      Seq(0.0, 0.0), k = 2, shortlist = 3)
+      .select("id").as[String].collect().toSeq
+    assert(full == Seq("real1", "real2"), full)
+  }
+
+  test("sampleCentroids/pqTrain tolerate null embedding rows") {
+    val df = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0)), ("c", null))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val cents = graft.ann.Ann.sampleCentroids(df, "id", "vec", 2)
+    assert(cents.length == 2 && cents.forall(_ != null))
+    val cbs = graft.ann.Ann.pqTrain(df, "id", "vec", m = 1, ksub = 2, iters = 1)
+    assert(cbs.length == 1 && cbs.head.nonEmpty)
+  }
+
   test("HashedWeightSumExpr: O(1) structural equality still enables CSE") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}
