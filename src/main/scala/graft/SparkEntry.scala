@@ -1247,6 +1247,34 @@ object SparkEntry {
           element_at(col("properties"), "entity.mentions_spark").cast("boolean").as("mentions_spark"))
         .orderBy(col("doc_id"))
     }),
+    "q_llm_map" -> ((s, dir) => {
+      // llm_map e2e (reference: transforms/base_llm.py:76 LLMMap): prompt
+      // template renders doc_id + a dotted property + the text, the echo
+      // fake returns the first 64 chars of the rendered prompt, the result
+      // lands in properties.gist via setField — all SQL-replayable.
+      graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents").select("doc_id", "text", "lang"),
+        Some("doc_id"), Some("text"))
+        .llmMap(new FakeLlmClient("echo:64"),
+          "doc {doc_id} [{properties.lang}] {text_representation}",
+          "properties.gist")
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "gist").as("gist"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_extract_entity" -> ((s, dir) => {
+      // extract_entity e2e (reference: transforms/extract_entity.py:50): the
+      // deterministic regex flavor finds the first 19xx/20xx year in the
+      // text; docs without one keep the property absent (NULL downstream).
+      graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .extractEntity(new graft.llm.RegexEntityExtractor("year", "((?:19|20)\\d\\d)"))
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "year").as("year"))
+        .orderBy(col("doc_id"))
+    }),
     "q_summarize_onestep" -> ((s, dir) => {
       // one-step summarizer + echo fake: summary = first 80 chars of the
       // synthesis prompt, exactly replicable in SQL.
@@ -4993,6 +5021,14 @@ object SparkEntry {
                      ELSE CAST(len(toks) AS BIGINT) END AS word_count,
                 contains(text, 'spark') AS mentions_spark
          FROM t ORDER BY doc_id""",
+    "q_llm_map" ->
+      """SELECT doc_id,
+                substr('doc ' || doc_id || ' [' || lang || '] ' || text, 1, 64) AS gist
+         FROM documents ORDER BY doc_id""",
+    "q_extract_entity" ->
+      """SELECT doc_id,
+                nullif(regexp_extract(text, '((?:19|20)\d\d)', 1), '') AS year
+         FROM documents ORDER BY doc_id""",
     "q_summarize_onestep" ->
       """SELECT doc_id,
                 substr('Summarize:' || chr(10) || substr(text, 1, 10000), 1, 80) AS summary

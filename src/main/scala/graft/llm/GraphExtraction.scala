@@ -96,6 +96,11 @@ object GraphExtraction {
             s"""Identify relationships of types ${relTypes.mkString(", ")} among these entities.
                |Respond with {"relationships": [{"type":..., "start":hash, "end":hash}]}.
                |${SchemaExtraction.DocStart}$listing${SchemaExtraction.DocEnd}""".stripMargin
+          // hashes that actually exist in this section; a relationship whose
+          // start/end doesn't resolve to an extracted entity is skipped, like
+          // the reference's start_exists/end_exists continue
+          // (extract_graph_relationships.py:72-80)
+          val known = ents.map(_.split("\\|", 3)(0)).toSet
           SchemaExtraction.extractJsonObject(client.generate(prompt)).collectFirst {
             case ("relationships", JArray(rels)) => rels.collect {
               case o: JObject =>
@@ -103,7 +108,8 @@ object GraphExtraction {
                 val s0 = (o \ "start") match { case JString(s) => s; case _ => "" }
                 val e0 = (o \ "end") match { case JString(s) => s; case _ => "" }
                 GraphRelationship(docId, sectionId, t, s0, e0)
-            }.filter(r => relTypes.contains(r.relType))
+            }.filter(r => relTypes.contains(r.relType) &&
+              known.contains(r.startHash) && known.contains(r.endHash))
           }.getOrElse(Nil)
         }
       }

@@ -28,6 +28,8 @@ trait LlmClient extends Serializable {
  * executor shutdown never hangs on it.
  */
 final class AsyncLlmClient(underlying: LlmClient, concurrency: Int = 8) extends LlmClient {
+  // fail at construction on the driver, not lazily inside an executor task
+  require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
   @transient private lazy val pool =
     java.util.concurrent.Executors.newFixedThreadPool(concurrency,
       (r: Runnable) => {

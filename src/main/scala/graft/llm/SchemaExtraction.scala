@@ -174,8 +174,12 @@ final class LlmPropertyExtractor(client: LlmClient,
     extends Serializable {
 
   def extract(docs: Iterator[Document]): Iterator[Document] = docs.map { d =>
-    val effective = schema.orElse(
-      d.prop("_schema").map(GSchema.fromJson)).getOrElse(GSchema(Nil))
+    // a corrupt stored _schema must not kill the task — the reference wraps
+    // its parse in try/except and degrades (extract_schema.py:153-156); a
+    // doc whose schema can't be parsed just passes through un-extracted
+    val stored = d.prop("_schema").flatMap(s =>
+      scala.util.Try(GSchema.fromJson(s)).toOption)
+    val effective = schema.orElse(stored).getOrElse(GSchema(Nil))
     if (effective.fields.isEmpty) d
     else {
       val block = SchemaExtraction.docBlock(d, numElements)

@@ -83,7 +83,9 @@ final case class Element(
     properties: Map[String, String]) {
 
   def text: String = textRepresentation.getOrElse("")
-  def prop(key: String): Option[String] = properties.get(key)
+  // flatMap(Option(_)) for parity with Document.prop: a column-built map can
+  // carry null values; Some(null) would NPE in prompt rendering downstream
+  def prop(key: String): Option[String] = properties.get(key).flatMap(Option(_))
   def withText(t: String): Element = copy(textRepresentation = Option(t))
   def withProps(kvs: (String, String)*): Element = copy(properties = properties ++ kvs)
 }

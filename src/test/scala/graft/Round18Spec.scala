@@ -323,6 +323,54 @@ class Round18Spec extends AnyFunSuite {
     assert(cbs.length == 1 && cbs.head.nonEmpty)
   }
 
+  // ------------------------------------------------------------- llm/ sweep
+
+  test("extractRelationships drops relationships with dangling entity hashes") {
+    // the reference skips a relationship whose start/end hash doesn't resolve
+    // to an extracted entity (extract_graph_relationships.py:72-80)
+    val h1 = "a" * 64
+    val h2 = "b" * 64
+    val ghost = "c" * 64
+    val ents = Seq(
+      ("d1", "s1", "Company", """{"name":"alpha"}""", h1),
+      ("d1", "s1", "Company", """{"name":"beta"}""", h2))
+      .toDF("docId", "sectionId", "label", "entityJson", "entityHash")
+    val relClient = new graft.llm.LlmClient {
+      def generate(p: String): String =
+        s"""{"relationships": [
+           |  {"type": "ACQUIRED", "start": "$h1", "end": "$h2"},
+           |  {"type": "ACQUIRED", "start": "$h1", "end": "$ghost"}]}""".stripMargin
+    }
+    val docs = graft.docset.DocSet.of(spark, Seq(graft.model.Document.of("d1")))
+    val rels = graft.llm.GraphExtraction
+      .extractRelationships(docs, relClient, ents, Seq("ACQUIRED")).collect()
+    assert(rels.length == 1, rels.toSeq)
+    assert(rels.head.getAs[String]("endHash") == h2)
+  }
+
+  test("LlmPropertyExtractor: a corrupt stored _schema degrades, not kills") {
+    // reference wraps the _schema parse in try/except (extract_schema.py:153)
+    val client = new graft.llm.LlmClient {
+      def generate(p: String): String = """{"x": "1"}"""
+    }
+    val d = graft.model.Document.of("d1", text = "hello",
+      properties = Map("_schema" -> "{not json at all"))
+    val out = new graft.llm.LlmPropertyExtractor(client, "entity", None)
+      .extract(Iterator(d)).toSeq
+    assert(out == Seq(d)) // passes through un-extracted, task alive
+  }
+
+  test("Element.prop treats a null map value as missing, like Document.prop") {
+    val e = graft.model.Element.text(0, "Text", "t")
+      .copy(properties = Map("k" -> (null: String)))
+    assert(e.prop("k").isEmpty)
+  }
+
+  test("AsyncLlmClient rejects a non-positive concurrency at construction") {
+    val c = new graft.llm.CannedLlmClient("ok")
+    intercept[IllegalArgumentException](new graft.llm.AsyncLlmClient(c, 0))
+  }
+
   test("HashedWeightSumExpr: O(1) structural equality still enables CSE") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}
