@@ -1275,6 +1275,44 @@ object SparkEntry {
           element_at(col("properties"), "year").as("year"))
         .orderBy(col("doc_id"))
     }),
+    "q_llm_filter" -> ((s, dir) => {
+      // llm_filter e2e (reference: transforms/llm_filter.py:113): prompt is
+      // the doc_id, the echo:1 fake returns its first digit, the score parse
+      // takes the digit prefix — keep docs whose doc_id starts with >= 3.
+      graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .llmFilter(new FakeLlmClient("echo:1"), "{doc_id}", threshold = 3)
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_graph_resolve" -> ((s, dir) => {
+      // graph entity extraction + cross-doc resolution e2e (reference:
+      // extract_graph_entities.py, resolve_graph_entities.py:149): each doc
+      // becomes one section; the deterministic fake extracts each topic-word
+      // occurrence as a Topic entity; in-section dedup + resolveEntities
+      // counting = docs-containing-word, replayed via regexp_extract_all.
+      import org.json4s._
+      val docs = graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .map { d =>
+          // element 0 is the section HEADER (sections() excludes it from the
+          // summary); the body text must be a child element
+          val sid = Map(graft.operators.DocStructure.SectionId -> "s1")
+          d.copy(elements = Seq(
+            graft.model.Element.text(0, "Section-header", "all", properties = sid),
+            graft.model.Element.text(1, "Text", d.text, properties = sid)))
+        }
+      val client = new graft.llm.FakeJsonExtractorClient(Map(
+        "Topic" -> (t => JArray(
+          "\\b(spark|merge|join)\\b".r.findAllMatchIn(t).map(m =>
+            JObject(List("w" -> JString(m.group(1))))).toList))))
+      val ents = graft.llm.GraphExtraction.extractEntities(docs, client, Seq("Topic"))
+      graft.llm.GraphExtraction.resolveEntities(ents)
+        .select(col("entityJson").as("entity_json"),
+          col("n_occurrences").cast("long").as("n_occurrences"))
+        .orderBy(col("entity_json"))
+    }),
     "q_summarize_onestep" -> ((s, dir) => {
       // one-step summarizer + echo fake: summary = first 80 chars of the
       // synthesis prompt, exactly replicable in SQL.
@@ -5029,6 +5067,19 @@ object SparkEntry {
       """SELECT doc_id,
                 nullif(regexp_extract(text, '((?:19|20)\d\d)', 1), '') AS year
          FROM documents ORDER BY doc_id""",
+    "q_llm_filter" ->
+      """SELECT doc_id FROM documents
+         WHERE CAST(substr(CAST(doc_id AS VARCHAR), 1, 1) AS INT) >= 3
+         ORDER BY doc_id""",
+    "q_graph_resolve" ->
+      """WITH m AS (
+           SELECT DISTINCT doc_id, y FROM
+             (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\b(spark|merge|join)\b', 1)) AS y
+              FROM documents))
+         SELECT '{"w":"' || y || '"}' AS entity_json,
+                CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM m GROUP BY y ORDER BY entity_json""",
     "q_summarize_onestep" ->
       """SELECT doc_id,
                 substr('Summarize:' || chr(10) || substr(text, 1, 10000), 1, 80) AS summary
