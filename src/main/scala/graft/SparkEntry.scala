@@ -1313,6 +1313,56 @@ object SparkEntry {
           col("n_occurrences").cast("long").as("n_occurrences"))
         .orderBy(col("entity_json"))
     }),
+    "q_cluster_entity" -> ((s, dir) => {
+      // llm_cluster_entity e2e (reference: docset.py:1590): the fake's
+      // group-propose call returns the configured groups; the assignment
+      // call maps each doc's lang to the first group contained in it, else
+      // "Other" — replayed as a CASE over contains().
+      graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents").select("doc_id", "text", "lang"),
+        Some("doc_id"), Some("text"))
+        .llmClusterEntity(new graft.llm.FakeClusterLlmClient(Seq("en", "de")),
+          "Group languages", "properties.lang")
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "_autogen_ClusterAssignment").as("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_extract_schema" -> ((s, dir) => {
+      // extract_schema e2e (reference: extract_schema.py:105): the fake
+      // proposes a one-field schema named after the doc's first word; the
+      // stored _schema JSON and constant _schema_class replay in SQL.
+      val client = new graft.llm.LlmClient {
+        def generate(p: String): String = {
+          val s0 = p.indexOf(graft.llm.SchemaExtraction.DocStart)
+          val e0 = p.lastIndexOf(graft.llm.SchemaExtraction.DocEnd)
+          val t = if (s0 < 0 || e0 <= s0) ""
+                  else p.substring(s0 + graft.llm.SchemaExtraction.DocStart.length, e0)
+          val w = t.trim.split("\\s+").headOption.filter(_.nonEmpty).getOrElse("none")
+          s"""{"$w": {"type": "string"}}"""
+        }
+      }
+      graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .extractSchema(new graft.llm.LlmSchemaExtractor(client, "Doc"))
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "_schema").as("schema_json"),
+          element_at(col("properties"), "_schema_class").as("schema_class"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_llm_query" -> ((s, dir) => {
+      // llm_query e2e (reference: transforms/llm_query.py): fixed prompt +
+      // doc text, echo fake returns the first 48 chars of the combined
+      // prompt — substr-replayable.
+      graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .llmQuery(new FakeLlmClient("echo:48"), "Q:")
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          element_at(col("properties"), "llm_response").as("llm_response"))
+        .orderBy(col("doc_id"))
+    }),
     "q_summarize_onestep" -> ((s, dir) => {
       // one-step summarizer + echo fake: summary = first 80 chars of the
       // synthesis prompt, exactly replicable in SQL.
@@ -5080,6 +5130,23 @@ object SparkEntry {
          SELECT '{"w":"' || y || '"}' AS entity_json,
                 CAST(count(*) AS BIGINT) AS n_occurrences
          FROM m GROUP BY y ORDER BY entity_json""",
+    "q_cluster_entity" ->
+      """SELECT doc_id,
+                CASE WHEN contains(lang, 'en') THEN 'en'
+                     WHEN contains(lang, 'de') THEN 'de'
+                     ELSE 'Other' END AS cluster
+         FROM documents ORDER BY doc_id""",
+    "q_extract_schema" ->
+      """SELECT doc_id,
+                '{"' || CASE WHEN length(trim(text)) = 0 THEN 'none'
+                             ELSE regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')[1]
+                        END || '":{"type":"string"}}' AS schema_json,
+                'Doc' AS schema_class
+         FROM documents ORDER BY doc_id""",
+    "q_llm_query" ->
+      """SELECT doc_id,
+                substr('Q:' || chr(10) || text, 1, 48) AS llm_response
+         FROM documents ORDER BY doc_id""",
     "q_summarize_onestep" ->
       """SELECT doc_id,
                 substr('Summarize:' || chr(10) || substr(text, 1, 10000), 1, 80) AS summary
