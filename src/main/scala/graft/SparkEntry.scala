@@ -1363,6 +1363,30 @@ object SparkEntry {
           element_at(col("properties"), "llm_response").as("llm_response"))
         .orderBy(col("doc_id"))
     }),
+    "q_llm_map_elements" -> ((s, dir) => {
+      // llm_map_elements e2e (reference: base_llm.py LLMMapElements): chunk
+      // each doc into 50-codepoint elements, render "{type}:{text}" per
+      // element, echo:24 fake — each element's new property replays as a
+      // generate_series + substr oracle.
+      graft.sources.DocRead.fromDataFrame(
+        tbl(s, dir, "documents"), Some("doc_id"), Some("text"))
+        .map { d =>
+          val cps = d.text.codePoints.toArray
+          val els = cps.grouped(50).zipWithIndex.map { case (a, i) =>
+            graft.model.Element.text(i, "chunk", new String(a, 0, a.length))
+          }.toSeq
+          d.copy(elements = els)
+        }
+        .llmMapElements(new FakeLlmClient("echo:24"),
+          "{type}:{text_representation}", "cap")
+        .toDF
+        .select(col("docId").cast("long").as("doc_id"),
+          explode(col("elements")).as("e"))
+        .select(col("doc_id"),
+          col("e.elementIndex").cast("long").as("element_index"),
+          element_at(col("e.properties"), "cap").as("cap"))
+        .orderBy(col("doc_id"), col("element_index"))
+    }),
     "q_summarize_onestep" -> ((s, dir) => {
       // one-step summarizer + echo fake: summary = first 80 chars of the
       // synthesis prompt, exactly replicable in SQL.
@@ -5147,6 +5171,13 @@ object SparkEntry {
       """SELECT doc_id,
                 substr('Q:' || chr(10) || text, 1, 48) AS llm_response
          FROM documents ORDER BY doc_id""",
+    "q_llm_map_elements" ->
+      """SELECT doc_id, i AS element_index,
+                substr('chunk:' || substr(text, i*50+1, 50), 1, 24) AS cap
+         FROM documents,
+              LATERAL (SELECT unnest(generate_series(0,
+                         CAST(ceil(length(text)/50.0) AS INT)-1)) AS i) gs
+         ORDER BY doc_id, element_index""",
     "q_summarize_onestep" ->
       """SELECT doc_id,
                 substr('Summarize:' || chr(10) || substr(text, 1, 10000), 1, 80) AS summary
