@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape pins over the WHOLE gate surface: the per-round hand
+ * `.explain` audit, automated. The oracle proves each gate's ANSWER; these
+ * tests prove the gates keep the PLANS that survive a 100 TB scale-up —
+ * the two failure classes the audits keep hunting are global invariants:
+ *
+ *  - a CartesianProduct (both sides large, no join keys) is O(n·m) and
+ *    never acceptable; the intentional 1-row rollup crossJoins plan as
+ *    BroadcastNestedLoopJoin, which stays allowed;
+ *  - a partition-less ordered window serializes the whole input through
+ *    ONE task — the historical ksDistance trap (OperatorsSpec pins the
+ *    two-operator version; this is the same assertion, every gate).
+ *
+ * Plans are taken at `sparkPlan` (post-strategy, pre-AQE): deterministic,
+ * no execution of the final query. Building a gate's DataFrame still runs
+ * its driver-side prep (fake-index ingest, cluster-group sampling), so the
+ * suite shares one lazy plan set across tests.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // the two streaming gates execute real multi-query streaming runs inside
+  // their builders (~6 s each) and their RESULT is a tiny literal batch
+  // frame — there is no scale-relevant plan to pin, so they are excluded
+  // for runtime, not to hide a shape
+  private val skip = Set("q_stream_e2e", "q_stream_eviction")
+
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.filterNot(kv => skip(kv._1)).sortBy(_._1).map {
+      case (name, f) => name -> f(spark, dir).queryExecution.sparkPlan
+    }
+
+  private def all(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }
+
+  test("no gate plans a CartesianProduct") {
+    val offenders = plans.flatMap { case (name, p) =>
+      all(p).collect { case c: CartesianProductExec => name -> c.nodeName }
+    }
+    assert(offenders.isEmpty, offenders.map(_._1).distinct.mkString(", "))
+  }
+
+  test("no gate plans a partition-less ordered window") {
+    // same contract as the robustOutliers/ksDistance pin, gate-wide: every
+    // ordered window must be partitioned (a bare Window.orderBy funnels the
+    // full input through one task)
+    val offenders = plans.flatMap { case (name, p) =>
+      all(p).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
+          name -> w.toString.linesIterator.next()
+      }
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, w) => s"$n: $w" }.mkString("\n"))
+  }
+
+  test("q_filter_range pushes its range predicates into the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = plans.find(_._1 == "q_filter_range").get._2
+    val pushed = all(p).collect {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(f => f.contains("GreaterThan") || f.contains("LessThan") ||
+      f.contains("IsNotNull")), s"no pushed filters in scan: $pushed")
+  }
+
+  test("q_tpch_q3 broadcasts its dimension side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = plans.find(_._1 == "q_tpch_q3").get._2
+    assert(all(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected a broadcast hash join:\n$p")
+  }
+
+  test("q_sort_topk plans a true top-k, not a global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p = plans.find(_._1 == "q_sort_topk").get._2
+    assert(all(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_dedup_exact aggregates map-side before the shuffle") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+    val p = plans.find(_._1 == "q_dedup_exact").get._2
+    val modes = all(p).collect { case h: HashAggregateExec =>
+      h.aggregateExpressions.map(_.mode)
+    }.flatten
+    assert(modes.contains(Partial) || modes.contains(PartialMerge),
+      s"no partial aggregation in plan:\n$p")
+  }
+}
