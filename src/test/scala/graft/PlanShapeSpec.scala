@@ -86,6 +86,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject:\n$p")
   }
 
+  test("q_count prunes the parquet scan to zero data columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // a count must not read document text: ReadSchema should be empty (or
+    // metadata-only) — the column-pruning half of the pushdown contract
+    val p = plans.find(_._1 == "q_count").get._2
+    val widths = all(p).collect { case s: FileSourceScanExec => s.requiredSchema.size }
+    assert(widths.nonEmpty && widths.forall(_ == 0),
+      s"count scan reads data columns (widths=$widths):\n$p")
+  }
+
   test("q_dedup_exact aggregates map-side before the shuffle") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
