@@ -371,6 +371,34 @@ class Round18Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](new graft.llm.AsyncLlmClient(c, 0))
   }
 
+  test("idempotence laws: nfcNormalize, canonicalizeUrl, c4CleanLines, exactRows") {
+    // f(f(x)) == f(x) — the replay-safety contract a retried 100 TB stage
+    // depends on; checked over the real corpus plus adversarial rows
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val adv = Seq(
+      "", "  ", "Ångström é ḟ",
+      "HTTP://WWW.Ex.COM:80/a/../b?utm_source=x&b=1#frag",
+      "line one\nLine two.\nlorem {", "a.b?x=1&x=2 not a url",
+      "Trailing.   \n\n\nOnly punct!.")
+      .zipWithIndex.map { case (t, i) => (-(i + 1).toLong, t) }
+      .toDF("doc_id", "text")
+    val t = base.unionByName(adv)
+    val bad = t.select(
+        (gf.nfcNormalize(gf.nfcNormalize(col("text"))) <=>
+          gf.nfcNormalize(col("text"))).as("nfc"),
+        (gf.canonicalizeUrl(gf.canonicalizeUrl(col("text"))) <=>
+          gf.canonicalizeUrl(col("text"))).as("url"),
+        (gf.c4CleanLines(gf.c4CleanLines(col("text"))) <=>
+          gf.c4CleanLines(col("text"))).as("c4"))
+      .where(!col("nfc") || !col("url") || !col("c4"))
+    assert(bad.isEmpty, bad.collect().take(3).toSeq.toString)
+    val d1 = graft.dedup.Dedup.exactRows(t, "doc_id", "text")
+    val d2 = graft.dedup.Dedup.exactRows(d1, "doc_id", "text")
+    assert(d1.count() == d2.count() &&
+      d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
+  }
+
   test("HashedWeightSumExpr: O(1) structural equality still enables CSE") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}
