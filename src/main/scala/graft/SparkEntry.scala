@@ -1387,6 +1387,26 @@ object SparkEntry {
           element_at(col("e.properties"), "cap").as("cap"))
         .orderBy(col("doc_id"), col("element_index"))
     }),
+    "q_bradley_terry" -> ((s, dir) => {
+      // pairwise-preference Bradley-Terry scoring (engine addition — RLHF
+      // preference-data curation; no reference counterpart): deterministic
+      // comparison pairs — doc i vs doc (7i+3) mod N, winner = more chars
+      // (tie: smaller id) — scored by 3 integer-micros MM iterations; every
+      // division floors positive longs, so the DuckDB // replay is exact.
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val n = docs.count()
+      val right = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_nc"))
+      val aWins = col("n_chars") > col("b_nc") ||
+        (col("n_chars") === col("b_nc") && col("doc_id") < col("b_id"))
+      val pairs = docs.join(right, ((col("doc_id") * 7 + 3) % n) === col("b_id"))
+        .where(col("doc_id") =!= col("b_id"))
+        .select(when(aWins, col("doc_id")).otherwise(col("b_id")).as("winner"),
+          when(aWins, col("b_id")).otherwise(col("doc_id")).as("loser"))
+      graft.operators.Preference.bradleyTerry(pairs, "winner", "loser", iters = 3)
+        .select(col("id").cast("long").as("doc_id"), col("n_wins"),
+          col("n_pairs"), col("score_micros"))
+        .orderBy(col("doc_id"))
+    }),
     "q_summarize_onestep" -> ((s, dir) => {
       // one-step summarizer + echo fake: summary = first 80 chars of the
       // synthesis prompt, exactly replicable in SQL.
@@ -5178,6 +5198,36 @@ object SparkEntry {
               LATERAL (SELECT unnest(generate_series(0,
                          CAST(ceil(length(text)/50.0) AS INT)-1)) AS i) gs
          ORDER BY doc_id, element_index""",
+    "q_bradley_terry" ->
+      """WITH pr AS (
+           SELECT CASE WHEN a.n_chars > b.n_chars OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+                       THEN a.doc_id ELSE b.doc_id END AS w,
+                  CASE WHEN a.n_chars > b.n_chars OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+                       THEN b.doc_id ELSE a.doc_id END AS l
+           FROM documents a JOIN documents b
+             ON b.doc_id = (a.doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+           WHERE a.doc_id <> b.doc_id),
+         edges AS (SELECT w AS id, w AS a, l AS b FROM pr UNION ALL SELECT l, w, l FROM pr),
+         base AS (SELECT id, CAST(SUM(CASE WHEN id = a THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+                         CAST(count(*) AS BIGINT) AS n_pairs FROM edges GROUP BY id),
+         p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS p FROM base),
+         d1 AS (SELECT e.id, CAST(SUM(1000000000000 // (pa.p + pb.p)) AS BIGINT) AS den
+                FROM edges e JOIN p0 pa ON pa.id = e.a JOIN p0 pb ON pb.id = e.b GROUP BY e.id),
+         p1 AS (SELECT base.id, CAST(least(greatest(((base.n_wins + 1) * 1000000000000) //
+                  (d1.den + 1000000000000 // (p0.p + 1000000)), 1000), 1000000000) AS BIGINT) AS p
+                FROM base JOIN d1 USING (id) JOIN p0 USING (id)),
+         d2 AS (SELECT e.id, CAST(SUM(1000000000000 // (pa.p + pb.p)) AS BIGINT) AS den
+                FROM edges e JOIN p1 pa ON pa.id = e.a JOIN p1 pb ON pb.id = e.b GROUP BY e.id),
+         p2 AS (SELECT base.id, CAST(least(greatest(((base.n_wins + 1) * 1000000000000) //
+                  (d2.den + 1000000000000 // (p1.p + 1000000)), 1000), 1000000000) AS BIGINT) AS p
+                FROM base JOIN d2 USING (id) JOIN p1 USING (id)),
+         d3 AS (SELECT e.id, CAST(SUM(1000000000000 // (pa.p + pb.p)) AS BIGINT) AS den
+                FROM edges e JOIN p2 pa ON pa.id = e.a JOIN p2 pb ON pb.id = e.b GROUP BY e.id),
+         p3 AS (SELECT base.id, CAST(least(greatest(((base.n_wins + 1) * 1000000000000) //
+                  (d3.den + 1000000000000 // (p2.p + 1000000)), 1000), 1000000000) AS BIGINT) AS p
+                FROM base JOIN d3 USING (id) JOIN p2 USING (id))
+         SELECT base.id AS doc_id, base.n_wins, base.n_pairs, p3.p AS score_micros
+         FROM base JOIN p3 USING (id) ORDER BY doc_id""",
     "q_summarize_onestep" ->
       """SELECT doc_id,
                 substr('Summarize:' || chr(10) || substr(text, 1, 10000), 1, 80) AS summary

@@ -399,6 +399,21 @@ class Round18Spec extends AnyFunSuite {
       d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
   }
 
+  test("Bradley-Terry: transitive dominance orders scores; zero-win stays finite") {
+    val pairs = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"), ("a", "c"))
+      .toDF("winner", "loser")
+    val out = graft.operators.Preference.bradleyTerry(pairs, "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("a") > out("b") && out("b") > out("c"), out.toString)
+    assert(out("c") >= 1000L) // the virtual win keeps the all-loss item finite
+    // self-pairs and null endpoints are dropped, not scored
+    val dirty = Seq(("x", "x"), ("x", null), (null, "y"), ("x", "y"))
+      .toDF("winner", "loser")
+    val clean = graft.operators.Preference.bradleyTerry(dirty, "winner", "loser")
+    assert(clean.count() == 2 &&
+      clean.where(col("id") === "x").head().getLong(1) == 1L)
+  }
+
   test("HashedWeightSumExpr: O(1) structural equality still enables CSE") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}
