@@ -61,6 +61,10 @@ object Preference {
         .join(scores.select(col("id").as("b"), col("p").as("pb")), Seq("b"))
         .groupBy(col("id"))
         .agg(sum(floor(lit(Num) / (col("pa") + col("pb")))).as("den"))
+      // each round references the previous scores THREE times (both join
+      // sides of den + p_prev) — without a per-round checkpoint the plan
+      // tree grows 3^iters and re-executes every prior round per reference
+      // (the PageRank pattern, PageRank.scala:28)
       scores = base
         .join(den, Seq("id"))
         .join(scores.select(col("id"), col("p").as("p_prev")), Seq("id"))
@@ -69,6 +73,7 @@ object Preference {
             floor(((col("n_wins") + lit(1L)) * lit(Num)) /
               (col("den") + floor(lit(Num) / (col("p_prev") + lit(Unit6))))),
             lit(PMin)), lit(PMax)).as("p"))
+        .localCheckpoint(false)
     }
     base.join(scores, Seq("id"))
       .select(col("id"), col("n_wins"), col("n_pairs"),
