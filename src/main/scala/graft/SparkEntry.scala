@@ -5154,8 +5154,12 @@ object SparkEntry {
                 contains(text, 'spark') AS mentions_spark
          FROM t ORDER BY doc_id""",
     "q_llm_map" ->
+      // coalesce both rendered fields: PromptTemplate.render substitutes a
+      // missing/null field as '' while DuckDB '||' null-propagates the whole
+      // gist — the gate must stay stable if the corpus gains null lang/text
       """SELECT doc_id,
-                substr('doc ' || doc_id || ' [' || lang || '] ' || text, 1, 64) AS gist
+                substr('doc ' || doc_id || ' [' || coalesce(lang, '') || '] '
+                       || coalesce(text, ''), 1, 64) AS gist
          FROM documents ORDER BY doc_id""",
     "q_extract_entity" ->
       """SELECT doc_id,
@@ -5181,12 +5185,19 @@ object SparkEntry {
                      ELSE 'Other' END AS cluster
          FROM documents ORDER BY doc_id""",
     "q_extract_schema" ->
-      """SELECT doc_id,
-                '{"' || CASE WHEN length(trim(text)) = 0 THEN 'none'
-                             ELSE regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')[1]
+      // regexp-trim, not trim(): DuckDB trim() strips only ' ' while Scala
+      // String.trim strips every codepoint <= U+0020 — a leading tab/newline
+      // would diverge on the first word; [\x00-\x20] is String.trim's set
+      """WITH t AS (SELECT doc_id,
+                regexp_replace(coalesce(text, ''),
+                               '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS tt
+              FROM documents)
+         SELECT doc_id,
+                '{"' || CASE WHEN length(tt) = 0 THEN 'none'
+                             ELSE regexp_split_to_array(tt, '[ \t\n\x0b\f\r]+')[1]
                         END || '":{"type":"string"}}' AS schema_json,
                 'Doc' AS schema_class
-         FROM documents ORDER BY doc_id""",
+         FROM t ORDER BY doc_id""",
     "q_llm_query" ->
       """SELECT doc_id,
                 substr('Q:' || chr(10) || text, 1, 48) AS llm_response

@@ -238,14 +238,19 @@ object Ann {
       // m*ksub total — fine at ksub<=256; codes are 0-based
       element_at(array(table.toIndexedSeq.map(lit): _*), element_at(col(codes), s + 1) + 1)
     }.reduce(_ + _)
-    // the isNotNull guard is CORRECTNESS, not style: element_at over a
+    // the validity guard is CORRECTNESS, not style: element_at over a
     // literal array (containsNull=false) mis-declares its output as
-    // non-nullable, so a null codes column reads back as slot-0 garbage
+    // non-nullable, so a null index reads back as slot-0 garbage
     // (adc_dist = sum of table[0]s — a real-looking distance) instead of
-    // null; with the guard the un-embedded row gets a true null and
-    // asc_nulls_last (Spark's asc default is nulls-FIRST) ranks it behind
-    // every real distance
-    val adc = when(col(codes).isNotNull, lookups)
+    // null. pqEncode guarantees non-null, m-long codes, but the column is
+    // caller-supplied — so the guard covers every malformed shape, not
+    // just a fully-null column: short/long arrays and arrays with null
+    // entries also get a true null, and asc_nulls_last (Spark's asc
+    // default is nulls-FIRST) ranks them behind every real distance
+    val valid = col(codes).isNotNull &&
+      size(col(codes)) === lit(tables.length) &&
+      !exists(col(codes), _.isNull)
+    val adc = when(valid, lookups)
     df.select(col(id), adc.as("adc_dist"))
       .orderBy(asc_nulls_last("adc_dist"), col(id))
       .limit(k)

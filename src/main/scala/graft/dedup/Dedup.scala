@@ -524,9 +524,22 @@ object Dedup {
    * coarse bucket. `bucket` should be a cheap partitioner (a cluster label,
    * an LSH sign-bucket, ...) that co-locates near-neighbors; comparisons are
    * quadratic only within buckets.
+   *
+   * Oversize-bucket guard (the hot-key contract, same family as the
+   * jaccard path's `maxShingleFreq` cap at [[ngramJaccardPairs]]): the
+   * bucket column is caller-supplied and near-duplicate-heavy corpora —
+   * exactly the dedup use case — concentrate mass on few centroids, so an
+   * unguarded hot bucket costs B² pairs on ONE join key. Buckets wider
+   * than `maxBucketSize` are sub-split by a secondary id-hash into
+   * ceil(B/maxBucketSize) sub-buckets, bounding the quadratic at
+   * ~maxBucketSize² per sub-bucket AND spreading the hot key across
+   * reducers. Documented under-count: pairs straddling two sub-splits of
+   * the same hot bucket are missed — strictly better than the reference's
+   * contract (SketchUniquify is O(n²) on a single actor), and within-split
+   * recall stays exact. Set maxBucketSize <= 0 to disable.
    */
   def embeddingCosinePairs(df: DataFrame, id: String, vec: String, bucket: Column,
-                           threshold: Double): DataFrame = {
+                           threshold: Double, maxBucketSize: Int = 8192): DataFrame = {
     // normalize each vector ONCE before the join (repartition = shuffle
     // barrier + co-partitioned self-join) — cosine per candidate pair is
     // then a single dot-product fold instead of dot + two norms per pair.
@@ -535,7 +548,7 @@ object Dedup {
     // O(d) norm fold per element (no subexpression elimination inside
     // higher-order-function lambdas) -> O(d^2) per row. The repartition
     // barrier keeps CollapseProject from inlining it back.
-    val v = df.select(col(id).as("_id"), col(vec).as("_raw"),
+    val v0 = df.select(col(id).as("_id"), col(vec).as("_raw"),
         gf.l2Norm(col(vec)).as("_n"), bucket.as("_bkt"))
       // zero-norm (degenerate) vectors have no direction: cosine against
       // them is 0 < any positive threshold, so they pair with nothing —
@@ -544,9 +557,35 @@ object Dedup {
       .repartition(col("_bkt"))
       .select(col("_id"), col("_bkt"),
         transform(col("_raw"), x => x.cast("double") / col("_n")).as("_v"))
-    val a = v.select(col("_bkt"), col("_id").as("idA"), col("_v").as("vA"))
-    val b = v.select(col("_bkt"), col("_id").as("idB"), col("_v").as("vB"))
-    a.join(b, Seq("_bkt"))
+    // sub-split assignment: ONE aggregation over the already-bucket-
+    // partitioned frame (reuses the exchange) finds the oversized buckets;
+    // that frame is bucket-count-sized and only OVERSIZED entries survive
+    // (<= n/maxBucketSize rows by definition), so the broadcast back is
+    // bounded. The isEmpty probe is the AQE-philosophy size gate (same as
+    // connectedComponents' localFinishEdges): with no hot bucket the join
+    // keeps the single-key (_bkt) shape and REUSES the repartition exchange
+    // (zero extra shuffle); only a corpus that actually concentrates pays
+    // the (_bkt, _sub) re-shuffle — which is exactly what spreads the hot
+    // key across reducers. Normal buckets get sub-bucket 0.
+    val (v, keys) =
+      if (maxBucketSize <= 0) (v0, Seq("_bkt"))
+      else {
+        val over = v0.groupBy(col("_bkt")).agg(count(lit(1)).as("_cnt"))
+          .where(col("_cnt") > maxBucketSize.toLong)
+        if (over.isEmpty) (v0, Seq("_bkt"))
+        else {
+          val split = v0.join(broadcast(over), Seq("_bkt"), "left")
+            .withColumn("_sub",
+              when(col("_cnt").isNull, lit(0L))
+                .otherwise(pmod(xxhash64(col("_id")),
+                  ceil(col("_cnt").cast("double") / lit(maxBucketSize.toDouble)).cast("long"))))
+            .drop("_cnt")
+          (split, Seq("_bkt", "_sub"))
+        }
+      }
+    val a = v.select(col("_id").as("idA") +: col("_v").as("vA") +: keys.map(col): _*)
+    val b = v.select(col("_id").as("idB") +: col("_v").as("vB") +: keys.map(col): _*)
+    a.join(b, keys)
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         gf.dotProduct(col("vA"), col("vB")).as("cosine"))
@@ -820,11 +859,17 @@ object Dedup {
    * Greedy min-id survivor semantics (a dropped doc's own matches are not
    * revived) — the same contract as minhashLsh; use connectedComponents on
    * the pairs when transitive-closure classes are needed.
+   *
+   * `maxBucketSize` inherits [[embeddingCosinePairs]]' oversize-bucket
+   * guard: a corpus that concentrates on few centroids (near-dup-heavy —
+   * the SemDeDup use case) sub-splits its hot clusters instead of paying
+   * B² on one join key.
    */
   def semDedup(df: DataFrame, id: String, vec: String,
-               centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+               centroids: Array[Array[Double]], threshold: Double,
+               maxBucketSize: Int = 8192): DataFrame = {
     val bucket = graft.ann.Ann.nearestCentroid(col(vec), centroids)
-    val pairs = embeddingCosinePairs(df, id, vec, bucket, threshold)
+    val pairs = embeddingCosinePairs(df, id, vec, bucket, threshold, maxBucketSize)
     // no distinct(): left_anti tolerates duplicate keys (same reasoning as
     // minhashLsh's crossDrops)
     val drops = pairs.select(col("idB").as(id))

@@ -21,14 +21,21 @@ import org.apache.spark.sql.functions._
  * driver-side state and no per-item loops. Scales with pairs, not items².
  *
  * INTEGER-EXACT by construction (the repo's micro-quantization
- * discipline): scores live in micros, every division is a floor division
- * of positive longs, and each iteration clamps scores to [1e3, 1e9] —
- * which both anchors the MM iterate (together with one virtual win AND
- * loss against a fixed phantom at 1e6 micros, the standard regularizer
- * that keeps zero-win items finite) and keeps every quotient in the range
- * where floor(double-division) equals exact integer division (error
- * ≤ q·2⁻⁵², fractional gap ≥ 1/denominator; q·den ≤ ~1e15 < 2⁵²), so a
- * DuckDB `//` replay matches bit-for-bit.
+ * discipline): scores live in micros, every division is an exact integral
+ * division, and each iteration clamps scores to [1e3, 1e9] — which anchors
+ * the MM iterate (together with one virtual win AND loss against a fixed
+ * phantom at 1e6 micros, the standard regularizer that keeps zero-win
+ * items finite). The per-pair contribution floor(1e12 / (pa + pb)) uses
+ * double division, exact because the numerator is a constant 1e12 < 2⁵²;
+ * the score update's numerator (n_wins + 1)·1e12 is NOT bounded, so it is
+ * computed as DECIMAL and divided with `DIV` (IntegralDivide) — exact for
+ * every n_wins, with no 2⁵²-floor drift and no long-multiply overflow at
+ * n_wins ≳ 9.2e6. A DuckDB `//` replay matches bit-for-bit (beyond
+ * n_wins ~9.2e6 the DuckDB side must widen its numerator to HUGEINT,
+ * since BIGINT `*` errors on overflow there). Remaining documented bound:
+ * `den` (a sum of per-pair longs ≤ 1e9 each) overflows long only past
+ * ~9.2e9 pairs on ONE item — beyond any single-key cardinality this
+ * operator is sane for.
  */
 object Preference {
 
@@ -55,29 +62,44 @@ object Preference {
       .persist(lvl)
 
     var scores = base.select(col("id"), lit(Unit6).as("p"))
-    for (_ <- 0 until iters) {
-      val den = edges
-        .join(scores.select(col("id").as("a"), col("p").as("pa")), Seq("a"))
-        .join(scores.select(col("id").as("b"), col("p").as("pb")), Seq("b"))
-        .groupBy(col("id"))
-        .agg(sum(floor(lit(Num) / (col("pa") + col("pb")))).as("den"))
-      // each round references the previous scores THREE times (both join
-      // sides of den + p_prev) — without a per-round checkpoint the plan
-      // tree grows 3^iters and re-executes every prior round per reference
-      // (the PageRank pattern, PageRank.scala:28)
-      scores = base
-        .join(den, Seq("id"))
-        .join(scores.select(col("id"), col("p").as("p_prev")), Seq("id"))
-        .select(col("id"),
-          least(greatest(
-            floor(((col("n_wins") + lit(1L)) * lit(Num)) /
-              (col("den") + floor(lit(Num) / (col("p_prev") + lit(Unit6))))),
-            lit(PMin)), lit(PMax)).as("p"))
-        .localCheckpoint(false)
+    try {
+      for (_ <- 0 until iters) {
+        val den = edges
+          .join(scores.select(col("id").as("a"), col("p").as("pa")), Seq("a"))
+          .join(scores.select(col("id").as("b"), col("p").as("pb")), Seq("b"))
+          .groupBy(col("id"))
+          .agg(sum(floor(lit(Num) / (col("pa") + col("pb")))).as("den"))
+        // each round references the previous scores THREE times (both join
+        // sides of den + p_prev) — without a per-round checkpoint the plan
+        // tree grows 3^iters and re-executes every prior round per reference
+        // (the PageRank pattern, PageRank.scala:28)
+        scores = base
+          .join(den, Seq("id"))
+          .join(scores.select(col("id"), col("p").as("p_prev")), Seq("id"))
+          .select(col("id"),
+            least(greatest(
+              // DECIMAL numerator + DIV (IntegralDivide): exact floor for
+              // EVERY n_wins — (n_wins+1)*1e12 as a long multiply would
+              // overflow at n_wins ≳ 9.2e6, and as a double division the
+              // floor drifts once the numerator passes 2^52 (n_wins ≳ 4.5e3)
+              expr(s"CAST(n_wins + 1 AS DECIMAL(24,0)) * $Num" +
+                s" DIV (den + ($Num DIV (p_prev + $Unit6)))"),
+              lit(PMin)), lit(PMax)).as("p"))
+          .localCheckpoint(false)
+      }
+      // eager cut BEFORE unpersisting: the caller's frame must not recompute
+      // edges/base after they are dropped (the lazy per-round checkpoints
+      // materialize under this one action); orderBy stays lazy on top
+      base.join(scores, Seq("id"))
+        .select(col("id"), col("n_wins"), col("n_pairs"),
+          col("p").cast("long").as("score_micros"))
+        .localCheckpoint()
+        .orderBy(col("id"))
+    } finally {
+      // library callers don't run inside the bench harness's global
+      // persistent-RDD sweep — leaking these would hold executor storage
+      // per call (the Privacy.scala try/finally pattern)
+      edges.unpersist(false); base.unpersist(false); ()
     }
-    base.join(scores, Seq("id"))
-      .select(col("id"), col("n_wins"), col("n_pairs"),
-        col("p").cast("long").as("score_micros"))
-      .orderBy(col("id"))
   }
 }

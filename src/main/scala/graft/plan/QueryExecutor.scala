@@ -66,20 +66,27 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
     * loader path — parquet rewrites always change part-file names). A
     * purely plan-derived key would keep serving stale results after a
     * table is re-ingested. Fingerprints are metadata-only (driver file
-    * index, no scan) and memoized per executor. */
+    * index, no scan) and memoized per executor.
+    *
+    * REFUSE-TO-CACHE when no fingerprint exists: an in-memory/view-backed
+    * table has no file list, so a stable-empty fallback would let the
+    * table change without invalidating the cache — such subtrees return
+    * None here and are recomputed every run (honest > fast-and-stale). */
   private val sourceFps = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def cachePath(dir: String, plan: QPlan, id: Int): String =
-    s"$dir/${plan.cacheKey(id)}-${sourceFingerprint(plan, id)}"
+  private def cachePath(dir: String, plan: QPlan, id: Int): Option[String] =
+    sourceFingerprint(plan, id).map(fp => s"$dir/${plan.cacheKey(id)}-$fp")
 
   private def sha16(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }
 
-  private def sourceFingerprint(plan: QPlan, id: Int): String = {
-    def filesOf(df: => DataFrame): String =
-      try df.inputFiles.sorted.mkString("\n")
-      catch { case scala.util.control.NonFatal(_) => "" } // non-file tables: stable empty
+  private def sourceFingerprint(plan: QPlan, id: Int): Option[String] = {
+    // empty inputFiles is as fingerprint-less as an exception: a LocalRelation
+    // / view-backed frame legitimately reports zero files
+    def filesOf(df: => DataFrame): Option[String] =
+      try Some(df.inputFiles).filter(_.nonEmpty).map(f => f.sorted.mkString("\n"))
+      catch { case scala.util.control.NonFatal(_) => None }
     val sources = scala.collection.mutable.SortedSet.empty[String]
     def walk(i: Int): Unit = {
       plan.node(i) match {
@@ -92,11 +99,15 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
     }
     walk(id)
     val parts = sources.toSeq.map { s =>
-      sourceFps.computeIfAbsent(s, _ =>
-        if (s.startsWith("t:")) sha16(filesOf(tables(s.drop(2))))
-        else sha16(filesOf(spark.read.parquet(s.drop(2)))))
+      // computeIfAbsent never stores null, so a fingerprint-less source is
+      // re-probed each call (cheap: driver metadata) instead of poisoning
+      // the memo with a sentinel
+      Option(sourceFps.computeIfAbsent(s, _ =>
+        (if (s.startsWith("t:")) filesOf(tables(s.drop(2)))
+         else filesOf(spark.read.parquet(s.drop(2)))).map(sha16).orNull))
     }
-    sha16(parts.mkString(","))
+    if (parts.exists(_.isEmpty)) None
+    else Some(sha16(parts.flatten.mkString(",")))
   }
 
   def execute(plan: QPlan): QValue = {
@@ -127,8 +138,7 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
         // hence sortBelow = false.
         val hitValue = cacheDir.flatMap { dir =>
           if (!cacheableOp(n)) None
-          else {
-            val path = cachePath(dir, plan, id)
+          else cachePath(dir, plan, id).flatMap { path =>
             val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
             val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(marker)) {
@@ -154,14 +164,25 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
           n.isInstanceOf[QQueryVectorDatabase] || ins.exists(_._2)
         val value = eval(plan, n, ins.map(_._1))
         val cached = (value, cacheDir) match {
-          case (QDocs(ds), Some(dir)) if !sortBelow && cacheableOp(n) =>
-            val path = cachePath(dir, plan, id)
+          case (QDocs(ds), Some(dir)) if !sortBelow && cacheableOp(n) &&
+              cachePath(dir, plan, id).isDefined =>
+            val path = cachePath(dir, plan, id).get
             // Hadoop FS, not java.io: cacheDir may be hdfs://, s3a://, ...
             // (the hit path short-circuited above, so this is a miss)
             val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
             val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (fs.exists(marker)) hits.incrementAndGet()
-            else { misses.incrementAndGet(); ds.writeParquet(path) }
+            else {
+              misses.incrementAndGet()
+              // write-to-temp + atomic rename: two executors sharing a
+              // cacheDir must not interleave part-files under one key (the
+              // bare writeParquet path is check-then-write); whoever renames
+              // first wins, the loser discards its temp and reads the winner
+              val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+              ds.writeParquet(tmp)
+              QueryExecutor.atomicPublish(fs, new org.apache.hadoop.fs.Path(tmp),
+                new org.apache.hadoop.fs.Path(path))
+            }
             QDocs(DocRead.materialized(spark, path))
           case (QDocs(ds), _) if refCount.getOrElse(id, 0) > 1 =>
             // shared subtree: lazy local checkpoint so the consumers'
@@ -406,6 +427,29 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
   private def num(v: QValue): Double = v match {
     case QNumV(d) => d
     case other => throw new IllegalArgumentException(s"expected a number, got $other")
+  }
+}
+
+object QueryExecutor {
+  /** Publish a completed cache write: rename `tmp` to `dst` in one FS call
+    * (atomic on HDFS and posix-local; the strongest primitive a generic
+    * Hadoop FS offers). If the rename fails because a concurrent executor
+    * already published `dst`, the loser's temp is deleted and the winner's
+    * result stands — the two results are equivalent by construction (same
+    * plan key + same source fingerprint). A failed rename with NO winner
+    * present is a real error and throws. */
+  private[graft] def atomicPublish(fs: org.apache.hadoop.fs.FileSystem,
+                                  tmp: org.apache.hadoop.fs.Path,
+                                  dst: org.apache.hadoop.fs.Path): Unit = {
+    val renamed = try fs.rename(tmp, dst)
+                  catch { case scala.util.control.NonFatal(_) => false }
+    if (!renamed) {
+      val winner = fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
+      fs.delete(tmp, true)
+      if (!winner)
+        throw new java.io.IOException(s"cache publish failed: rename $tmp -> $dst " +
+          "returned false and no completed winner exists at the destination")
+    }
   }
 }
 
