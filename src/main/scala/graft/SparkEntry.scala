@@ -254,16 +254,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("count"),
         sum(col("toks")).as("tokens"),
         sum(col("chunks")).as("train_chunks"),
-        round(avg(col("q")), 4).as("avg_quality"),
-        round(avg(col("cr")), 4).as("avg_compress"),
-        round(avg(col("mean_bits")), 4).as("avg_surprise_bits"),
-        round(avg(col("ttr")), 4).as("avg_lexical_ttr"),
-        round(avg(col("gopher_ok")), 4).as("gopher_keep_rate"),
-        round(avg(col("c4_ok")), 4).as("c4_keep_rate"),
-        round(avg(col("coeff")), 4).as("avg_dup_clustering"),
+        graft.functions.gf.roundHalfUp(avg(col("q")), 4).as("avg_quality"),
+        graft.functions.gf.roundHalfUp(avg(col("cr")), 4).as("avg_compress"),
+        graft.functions.gf.roundHalfUp(avg(col("mean_bits")), 4).as("avg_surprise_bits"),
+        graft.functions.gf.roundHalfUp(avg(col("ttr")), 4).as("avg_lexical_ttr"),
+        graft.functions.gf.roundHalfUp(avg(col("gopher_ok")), 4).as("gopher_keep_rate"),
+        graft.functions.gf.roundHalfUp(avg(col("c4_ok")), 4).as("c4_keep_rate"),
+        graft.functions.gf.roundHalfUp(avg(col("coeff")), 4).as("avg_dup_clustering"),
         round(avg(col("fk").cast("double")), 1).as("avg_fk_milli"),
         sum(col("masked")).as("span_masked_blocks"),
-        round(avg(col("has_cc").cast("double")), 4).as("cc_rate"),
+        graft.functions.gf.roundHalfUp(avg(col("has_cc").cast("double")), 4).as("cc_rate"),
         sum(col("ppr")).as("seed_proximity_mass"),
         countDistinct(col("top_phrase")).as("n_topics"))
       .orderBy(desc("count"), col("src_class"), col("key"))
@@ -806,9 +806,9 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           gf.punctCount(col("text")).cast("long").as("n_punct"),
-          round(gf.alphaRatio(col("text")), 6).as("alpha_ratio"),
-          round(gf.stopwordRatio(col("text")), 6).as("stop_ratio"),
-          round(gf.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+          graft.functions.gf.roundHalfUp(gf.alphaRatio(col("text")), 6).as("alpha_ratio"),
+          graft.functions.gf.roundHalfUp(gf.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          graft.functions.gf.roundHalfUp(gf.meanTokenLength(col("text")), 6).as("mean_tok_len"))
         .orderBy(col("doc_id"))
     }),
     "q_langid" -> ((s, dir) => {
@@ -878,8 +878,8 @@ object SparkEntry {
         .select(col("doc_id"), regexp_replace(col("text"), "\\. ", "\n").as("t"))
         .select(col("doc_id"), col("t"), gf.wordShingles(col("t"), 2).as("bgs"))
         .select(col("doc_id"),
-          round(gf.dupLineFraction(col("t")), 6).as("dup_line_frac"),
-          round(gf.topCount(col("bgs")).cast("double") /
+          graft.functions.gf.roundHalfUp(gf.dupLineFraction(col("t")), 6).as("dup_line_frac"),
+          graft.functions.gf.roundHalfUp(gf.topCount(col("bgs")).cast("double") /
             size(col("bgs")).cast("double"), 6).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
@@ -939,7 +939,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
           shingleSize = 5, threshold = 0.5)
-        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("idA"), col("idB"), graft.functions.gf.roundHalfUp(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("idA"), col("idB"))
     }),
     "q_containment" -> ((s, dir) =>
@@ -1002,8 +1002,8 @@ object SparkEntry {
       // matches DuckDB's quantile_cont definition (rank = p*(n-1))
       tbl(s, dir, "documents")
         .groupBy(col("lang"))
-        .agg(round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+        .agg(graft.functions.gf.roundHalfUp(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+          graft.functions.gf.roundHalfUp(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
           count(lit(1)).as("n"))
         .orderBy(col("lang"))
     }),
@@ -1119,7 +1119,7 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       graft.operators.Bm25.score(tbl(s, dir, "documents"), "doc_id", "text",
           Seq("spark", "shuffle", "window"))
-        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+        .select(col("doc_id"), graft.functions.gf.roundHalfUp(col("bm25"), 4).as("bm25"))
         .orderBy(col("doc_id"))
     }),
     "q_simhash_pairs" -> ((s, dir) => {
@@ -1136,7 +1136,7 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, dir) => {
       Dedup.embeddingCosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           col("label"), threshold = 0.4)
-        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+        .select(col("idA"), col("idB"), graft.functions.gf.roundHalfUp(col("cosine"), 6).as("cosine"))
         .orderBy(col("idA"), col("idB"))
     }),
     "q_semdedup" -> ((s, dir) => {
@@ -1702,7 +1702,7 @@ object SparkEntry {
       val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Ann.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding", q, 10)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .select(col("vec_id"), graft.functions.gf.roundHalfUp(col("cosine"), 6).as("cosine"))
         .orderBy(desc("cosine"), col("vec_id"))
     }),
     "q_ann_pq" -> ((s, dir) => {
@@ -1723,7 +1723,7 @@ object SparkEntry {
         first16.map(v => v.slice(sp * subDim, (sp + 1) * subDim)))
       val coded = emb.withColumn("codes", Ann.pqEncode(col("embedding"), codebooks))
       Ann.pqAdcTopK(coded, "vec_id", "codes", codebooks, q, 10)
-        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+        .select(col("vec_id"), graft.functions.gf.roundHalfUp(col("adc_dist"), 6).as("adc_dist"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
       // Oracle-verified IVF: the codebook is PINNED to the first 16 vectors
@@ -1738,7 +1738,7 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).collect()
         .map(_.getSeq[Double](0).toArray)
       Ann.ivfTopK(emb, "vec_id", "embedding", centroids, q, 10, nprobe = 4)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .select(col("vec_id"), graft.functions.gf.roundHalfUp(col("cosine"), 6).as("cosine"))
     }),
     "q_sql_surface" -> ((s, dir) => {
       // The SparkSessionExtensions path: the SAME codegen'd expressions the
@@ -1752,7 +1752,7 @@ object SparkEntry {
           |       CAST(gf_token_count(text) AS BIGINT) AS n_ws,
           |       gf_poly_fingerprint(text) AS fp,
           |       gf_langid(text) AS lang_detected,
-          |       round(gf_alpha_ratio(text), 6) AS alpha_ratio
+          |       floor((gf_alpha_ratio(text)) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio
           |FROM gf_sql_docs
           |ORDER BY doc_id""".stripMargin)
     }),
@@ -1795,7 +1795,7 @@ object SparkEntry {
       // Jaro-Winkler per-row scoring (DuckDB-bit-identical expression; the
       // join use composes with EditJoin/sorted-blocking candidates)
       tbl(s, dir, "documents").select(col("doc_id"),
-        round(gf.jaroWinkler(substring(lower(col("text")), 1, 24),
+        graft.functions.gf.roundHalfUp(gf.jaroWinkler(substring(lower(col("text")), 1, 24),
           substring(lower(col("text")), 5, 24)), 6).as("jw"))
         .orderBy(col("doc_id"))),
     "q_edit_join" -> ((s, dir) => {
@@ -2011,13 +2011,13 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val lex = graft.operators.Bm25
         .score(docs, "doc_id", "text", Seq("spark", "shuffle", "window"))
-        .select(col("doc_id"), round(col("bm25"), 6).as("score"))
+        .select(col("doc_id"), graft.functions.gf.roundHalfUp(col("bm25"), 6).as("score"))
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val sem = emb.select(col("vec_id").as("doc_id"),
-        round(gf.cosineSimilarity(col("embedding"), Ann.vecLit(q)), 6).as("score"))
+        graft.functions.gf.roundHalfUp(gf.cosineSimilarity(col("embedding"), Ann.vecLit(q)), 6).as("score"))
       graft.operators.Fusion.rrf(Seq(lex, sem), "doc_id", "score")
-        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+        .select(col("doc_id"), graft.functions.gf.roundHalfUp(col("rrf"), 6).as("rrf"))
         .orderBy(col("doc_id"))
     }),
     "q_quality_calibrated" -> ((s, dir) => {
@@ -2287,9 +2287,9 @@ object SparkEntry {
       val (retrieved, relevant) = retrievalInputs(s, dir)
       graft.eval.RetrievalEval.retrievalMetrics(retrieved, relevant, 5)
         .select(col("query_id"), col("n_hits"), col("n_relevant"),
-          round(col("recall_at_5"), 6).as("recall_at_5"),
-          round(col("precision_at_5"), 6).as("precision_at_5"),
-          round(col("reciprocal_rank"), 6).as("reciprocal_rank"))
+          graft.functions.gf.roundHalfUp(col("recall_at_5"), 6).as("recall_at_5"),
+          graft.functions.gf.roundHalfUp(col("precision_at_5"), 6).as("precision_at_5"),
+          graft.functions.gf.roundHalfUp(col("reciprocal_rank"), 6).as("reciprocal_rank"))
         .orderBy(col("query_id"))
     }),
     "q_ndcg" -> ((s, dir) => {
@@ -2318,8 +2318,8 @@ object SparkEntry {
         .orderBy(col("query_id"))),
     "q_answer_f1" -> ((s, dir) =>
       graft.eval.RetrievalEval.answerF1(rougeAnswers(s, dir))
-        .select(col("query_id"), round(col("precision"), 6).as("precision"),
-          round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+        .select(col("query_id"), graft.functions.gf.roundHalfUp(col("precision"), 6).as("precision"),
+          graft.functions.gf.roundHalfUp(col("recall"), 6).as("recall"), graft.functions.gf.roundHalfUp(col("f1"), 6).as("f1"))
         .orderBy(col("query_id"))),
     "q_label_prop" -> ((s, dir) => {
       // seeded min-label spread over the supplier co-occurrence graph:
@@ -2844,17 +2844,17 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
       val lex = graft.operators.Bm25
         .scoreMany(docs, "doc_id", "text", termsDf, padTo = 10)
-        .select(col("query_id"), col("doc_id"), round(col("bm25"), 6).as("score"))
+        .select(col("query_id"), col("doc_id"), graft.functions.gf.roundHalfUp(col("bm25"), 6).as("score"))
         .withColumn("_rn", row_number().over(wLex))
         .where(col("_rn") <= 10).drop("_rn")
         .persist(lvl)
       val vec = Ann.ivfTopKMany(emb, "vec_id", "embedding", centroids,
           qvecs.toSeq, 10, nprobe = 4)
         .select(col("query_id"), col("vec_id").as("doc_id"),
-          round(col("cosine"), 6).as("score"))
+          graft.functions.gf.roundHalfUp(col("cosine"), 6).as("score"))
         .persist(lvl)
       val wq = Window.partitionBy(col("query_id"))
-        .orderBy(round(col("rrf"), 6).desc, col("doc_id"))
+        .orderBy(graft.functions.gf.roundHalfUp(col("rrf"), 6).desc, col("doc_id"))
       val fused = graft.operators.Fusion
         .rrfBy(Seq(lex, vec), "query_id", "doc_id", "score")
         .withColumn("rank", row_number().over(wq).cast("long"))
@@ -3403,9 +3403,9 @@ object SparkEntry {
        df AS (SELECT term, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df
               FROM tfd GROUP BY term),
        bm AS (SELECT tm.query_id, tfd.doc_id,
-                     round(sum(ln(1.0 + (n_.n - df.df + 0.5) / (df.df + 0.5))
+                     floor((sum(ln(1.0 + (n_.n - df.df + 0.5) / (df.df + 0.5))
                        * tfd.tf * 2.2
-                       / (tfd.tf + 1.2 * (0.25 + 0.75 * tfd.dl / (n_.sumdl / n_.n)))), 6) AS score
+                       / (tfd.tf + 1.2 * (0.25 + 0.75 * tfd.dl / (n_.sumdl / n_.n))))) * 1000000.0 + 0.5) / 1000000.0 AS score
               FROM terms tm
               JOIN tfd ON tm.term = tfd.term
               JOIN df ON tfd.term = df.term, n_
@@ -3430,7 +3430,7 @@ object SparkEntry {
                   FROM embeddings e CROSS JOIN c GROUP BY e.vec_id),
        vec AS (SELECT * FROM (
                  SELECT q.query_id, e.vec_id AS doc_id,
-                        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS score,
+                        floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)) * 1000000.0 + 0.5) / 1000000.0 AS score,
                         row_number() OVER (PARTITION BY q.query_id
                           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
                                    e.vec_id) AS rn
@@ -3449,7 +3449,7 @@ object SparkEntry {
                 FROM vec),
        fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
                         COALESCE(l.doc_id, v.doc_id) AS doc_id,
-                        round(COALESCE(l.r0, 0) + COALESCE(v.r1, 0), 6) AS rrf
+                        floor((COALESCE(l.r0, 0) + COALESCE(v.r1, 0)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
                  FROM lexr l FULL JOIN vecr v
                    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
        ftop AS (SELECT * FROM (
@@ -3490,7 +3490,7 @@ object SparkEntry {
       col("embedding").cast("array<double>").as("cv"), col("label").as("clbl"))
     val scored = cands.crossJoin(broadcast(anchors))
       .select(col("query_id"), col("doc_id"), col("qlbl"), col("clbl"),
-        round(gf.cosineSimilarity(col("qv"), col("cv")), 6).as("cos"))
+        graft.functions.gf.roundHalfUp(gf.cosineSimilarity(col("qv"), col("cv")), 6).as("cos"))
       .localCheckpoint(false) // feeds retrieved AND relevant
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("doc_id"))
     val retrieved = scored
@@ -4490,7 +4490,7 @@ object SparkEntry {
                 FROM pw JOIN st ON pw.doc_id = st.doc_id AND pw.w = st.w
                 GROUP BY pw.doc_id, pw.grp),
          ded AS (SELECT ph.doc_id, ph.phrase, ph.n_words, sc.phrase_deg, sc.phrase_freq,
-                        round(CAST(sc.phrase_deg AS DOUBLE) / sc.phrase_freq, 6) AS score
+                        floor((CAST(sc.phrase_deg AS DOUBLE) / sc.phrase_freq) * 1000000.0 + 0.5) / 1000000.0 AS score
                  FROM sc JOIN ph ON sc.doc_id = ph.doc_id AND sc.grp = ph.grp
                  GROUP BY ALL),
          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
@@ -4684,17 +4684,17 @@ object SparkEntry {
          SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
                 CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
-                round(CASE WHEN length(text) = 0 THEN 0.0
+                floor((CASE WHEN length(text) = 0 THEN 0.0
                       ELSE CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
-                           / length(text) END, 6) AS alpha_ratio,
-                round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                           / length(text) END) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio,
+                floor((CASE WHEN length(trim(text)) = 0 THEN 0.0
                       ELSE CAST(len(list_filter(toks, t -> list_contains(
                              ['the','a','an','of','and','or','to','in','is','are','was',
                               'for','on','with','as','at','by','it','that','this','be'], t))) AS DOUBLE)
-                           / len(toks) END, 6) AS stop_ratio,
-                round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                           / len(toks) END) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+                floor((CASE WHEN length(trim(text)) = 0 THEN 0.0
                       ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-                           / len(toks) END, 6) AS mean_tok_len
+                           / len(toks) END) * 1000000.0 + 0.5) / 1000000.0 AS mean_tok_len
          FROM t ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,
@@ -4725,8 +4725,7 @@ object SparkEntry {
                            regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents)
          SELECT doc_id,
-                round(
-                  least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+                floor((least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
                   (CASE WHEN length(text) = 0 THEN 0.0
                         ELSE CAST(length(text) -
                                length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
@@ -4738,8 +4737,7 @@ object SparkEntry {
                                AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3 +
                   (1.0 - least(CAST(length(text) -
                            length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1
-                , 6) AS quality
+                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1) * 1000000.0 + 0.5) / 1000000.0 AS quality
          FROM t ORDER BY doc_id""",
     "q_pii_scrub" ->
       """SELECT doc_id,
@@ -4811,10 +4809,10 @@ object SparkEntry {
          l AS (SELECT doc_id, list_filter(str_split(t, chr(10)),
                  x -> length(trim(x)) > 0) AS ls FROM d)
          SELECT l.doc_id AS doc_id,
-                round(CASE WHEN len(ls) = 0 THEN 0.0
+                floor((CASE WHEN len(ls) = 0 THEN 0.0
                       ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
-                      END, 6) AS dup_line_frac,
-                round(s.tbf, 6) AS top_bigram_frac
+                      END) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,
+                floor((s.tbf) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
          FROM l JOIN s ON l.doc_id = s.doc_id
          ORDER BY l.doc_id""",
     "q_gopher_repetition" -> repetitionOracleSql,
@@ -4845,7 +4843,7 @@ object SparkEntry {
                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
          SELECT idA, idB,
-                round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+                floor((CAST(shared AS DOUBLE) / (na.n + nb.n - shared)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          FROM shared JOIN n na ON idA = na.doc_id JOIN n nb ON idB = nb.doc_id
          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
          ORDER BY idA, idB""",
@@ -5010,7 +5008,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_cosine_pairs" ->
       """SELECT a.vec_id AS idA, b.vec_id AS idB,
-                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+                floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS cosine
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
@@ -5041,7 +5039,7 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                             ORDER BY score DESC, term) AS rk FROM sc)
          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-                round(score, 6) AS score
+                floor((score) * 1000000.0 + 0.5) / 1000000.0 AS score
          FROM r WHERE rk <= 3 ORDER BY doc_id, term""",
     "q_ctfidf" ->
       """WITH toks AS (SELECT lang,
@@ -5058,7 +5056,7 @@ object SparkEntry {
                 FROM tf JOIN ft USING (term) CROSS JOIN tot),
          r AS (SELECT *, row_number() OVER (PARTITION BY lang
                                             ORDER BY score DESC, term) AS rk FROM sc)
-         SELECT lang, term, tf, ft, round(score, 6) AS score,
+         SELECT lang, term, tf, ft, floor((score) * 1000000.0 + 0.5) / 1000000.0 AS score,
                 CAST(rk AS BIGINT) AS rank
          FROM r WHERE rk <= 10 ORDER BY lang, rank""",
     "q_heavy_hitters" ->
@@ -5388,8 +5386,8 @@ object SparkEntry {
          FROM p ORDER BY p.event_id""",
     "q_percentiles" ->
       """SELECT lang,
-                round(quantile_cont(n_chars, 0.5), 4) AS p50,
-                round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                floor((quantile_cont(n_chars, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+                floor((quantile_cont(n_chars, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
                 CAST(count(*) AS BIGINT) AS n
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_sample_stratified" ->
@@ -5562,8 +5560,7 @@ object SparkEntry {
            CAST(sum(CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
            CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
            FROM base)
-         SELECT doc_id, round(
-             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+         SELECT doc_id, floor((ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
                * CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0)
                / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
                   + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
@@ -5574,7 +5571,7 @@ object SparkEntry {
            + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
                * CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0)
                / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
-                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))), 4) AS bm25
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))) * 10000.0 + 0.5) / 10000.0 AS bm25
          FROM base, stats ORDER BY doc_id""",
     "q_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
@@ -5612,7 +5609,7 @@ object SparkEntry {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          top AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS c
                  FROM embeddings, q ORDER BY c DESC, vec_id LIMIT 10)
-         SELECT vec_id, round(c, 6) AS cosine FROM top ORDER BY cosine DESC, vec_id""",
+         SELECT vec_id, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS cosine FROM top ORDER BY cosine DESC, vec_id""",
     "q_ann_pq" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          cb AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
@@ -5637,7 +5634,7 @@ object SparkEntry {
                  FROM subdist GROUP BY vec_id),
          top AS (SELECT vec_id, adc_dist FROM adc
                  ORDER BY adc_dist ASC, vec_id LIMIT 10)
-         SELECT vec_id, round(adc_dist, 6) AS adc_dist FROM top
+         SELECT vec_id, floor((adc_dist) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist FROM top
          ORDER BY adc_dist, vec_id""",
     "q_ann_ivf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -5654,7 +5651,7 @@ object SparkEntry {
                  FROM embeddings e JOIN a ON e.vec_id = a.vec_id, q
                  WHERE a.best.cid IN (SELECT cid FROM probe)
                  ORDER BY cos DESC, e.vec_id LIMIT 10)
-         SELECT vec_id, round(cos, 6) AS cosine FROM top
+         SELECT vec_id, floor((cos) * 1000000.0 + 0.5) / 1000000.0 AS cosine FROM top
          ORDER BY cosine DESC, vec_id""",
     "q_sql_surface" ->
       """WITH t AS (SELECT doc_id, text,
@@ -5677,9 +5674,9 @@ object SparkEntry {
                 CAST(list_reduce(list_prepend(0::BIGINT, list_transform(str_split(t.text, ''), x -> ascii(x)::BIGINT)),
                      (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp,
                 CASE WHEN s.best.score > 0 THEN s.best.lang ELSE 'und' END AS lang_detected,
-                round(CASE WHEN length(t.text) = 0 THEN 0.0
+                floor((CASE WHEN length(t.text) = 0 THEN 0.0
                       ELSE CAST(length(t.text) - length(regexp_replace(t.text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
-                           / length(t.text) END, 6) AS alpha_ratio
+                           / length(t.text) END) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio
          FROM t JOIN s ON t.doc_id = s.doc_id
          ORDER BY t.doc_id""",
     "q_unigram_logprob" ->
@@ -5694,10 +5691,10 @@ object SparkEntry {
          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
          per AS (SELECT tf.doc_id,
                         CAST(sum(tf.tf) AS BIGINT) AS n_toks,
-                        round(CAST(sum(tf.tf * (length(bin(tot.n)) - length(bin(vocab.c)))) AS DOUBLE)
-                              / sum(tf.tf), 6) AS mean_bits,
-                        round(CAST(sum(CASE WHEN vocab.c = 1 THEN tf.tf ELSE 0 END) AS DOUBLE)
-                              / sum(tf.tf), 6) AS rare_frac
+                        floor((CAST(sum(tf.tf * (length(bin(tot.n)) - length(bin(vocab.c)))) AS DOUBLE)
+                              / sum(tf.tf)) * 1000000.0 + 0.5) / 1000000.0 AS mean_bits,
+                        floor((CAST(sum(CASE WHEN vocab.c = 1 THEN tf.tf ELSE 0 END) AS DOUBLE)
+                              / sum(tf.tf)) * 1000000.0 + 0.5) / 1000000.0 AS rare_frac
                  FROM tf JOIN vocab USING (tok), tot
                  GROUP BY tf.doc_id)
          SELECT d.doc_id, per.n_toks, per.mean_bits, per.rare_frac
@@ -5862,8 +5859,8 @@ object SparkEntry {
          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
          per AS (SELECT tf.doc_id,
                         CAST(sum(tf.tf) AS BIGINT) AS n_toks,
-                        round(CAST(sum(tf.tf * (length(bin(tot.n)) - length(bin(vocab.c)))) AS DOUBLE)
-                              / sum(tf.tf), 6) AS mean_bits
+                        floor((CAST(sum(tf.tf * (length(bin(tot.n)) - length(bin(vocab.c)))) AS DOUBLE)
+                              / sum(tf.tf)) * 1000000.0 + 0.5) / 1000000.0 AS mean_bits
                  FROM tf JOIN vocab USING (tok), tot
                  GROUP BY tf.doc_id),
          scored AS (SELECT d.doc_id, d.lang, per.n_toks, per.mean_bits,
@@ -5874,10 +5871,10 @@ object SparkEntry {
                       count(*) OVER (PARTITION BY lang) AS n
                FROM scored)
          SELECT doc_id, lang, n_toks, mean_bits,
-                CASE WHEN n > 1 THEN round(CAST(rank0 AS DOUBLE) / (n - 1), 6)
+                CASE WHEN n > 1 THEN floor((CAST(rank0 AS DOUBLE) / (n - 1)) * 1000000.0 + 0.5) / 1000000.0
                      ELSE 0.0 END AS pctl,
                 CAST(least(floor(CASE WHEN n > 1
-                        THEN round(CAST(rank0 AS DOUBLE) / (n - 1), 6)
+                        THEN floor((CAST(rank0 AS DOUBLE) / (n - 1)) * 1000000.0 + 0.5) / 1000000.0
                         ELSE 0.0 END * 3), 2) AS BIGINT) AS bucket
          FROM r ORDER BY doc_id""",
     "q_bigram_logprob" ->
@@ -5893,10 +5890,10 @@ object SparkEntry {
                  FROM vocab GROUP BY 1),
          per AS (SELECT bf.doc_id,
                         CAST(sum(bf.bf) AS BIGINT) AS n_bigrams,
-                        round(CAST(sum(bf.bf * (length(bin(ctx.c1)) - length(bin(vocab.c2)))) AS DOUBLE)
-                              / sum(bf.bf), 6) AS mean_bits,
-                        round(CAST(sum(CASE WHEN vocab.c2 = 1 THEN bf.bf ELSE 0 END) AS DOUBLE)
-                              / sum(bf.bf), 6) AS novel_frac
+                        floor((CAST(sum(bf.bf * (length(bin(ctx.c1)) - length(bin(vocab.c2)))) AS DOUBLE)
+                              / sum(bf.bf)) * 1000000.0 + 0.5) / 1000000.0 AS mean_bits,
+                        floor((CAST(sum(CASE WHEN vocab.c2 = 1 THEN bf.bf ELSE 0 END) AS DOUBLE)
+                              / sum(bf.bf)) * 1000000.0 + 0.5) / 1000000.0 AS novel_frac
                  FROM bf JOIN vocab USING (bg)
                          JOIN ctx ON split_part(bf.bg, ' ', 1) = ctx.w1
                  GROUP BY bf.doc_id)
@@ -5923,13 +5920,13 @@ object SparkEntry {
                            - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
                FROM a, b)
          SELECT id_a, id_b, inter, uni,
-                round(CAST(inter AS DOUBLE) / uni, 6) AS jac
+                floor((CAST(inter AS DOUBLE) / uni) * 1000000.0 + 0.5) / 1000000.0 AS jac
          FROM p WHERE inter * 2 >= uni
          ORDER BY id_a, id_b""",
     "q_jaro_winkler" ->
       """SELECT doc_id,
-                round(jaro_winkler_similarity(substr(lower(text), 1, 24),
-                                              substr(lower(text), 5, 24)), 6) AS jw
+                floor((jaro_winkler_similarity(substr(lower(text), 1, 24),
+                                              substr(lower(text), 5, 24))) * 1000000.0 + 0.5) / 1000000.0 AS jw
          FROM documents ORDER BY doc_id""",
     "q_edit_join" ->
       // quadratic replay: segment pruning is exactness-preserving, so the
@@ -5973,9 +5970,9 @@ object SparkEntry {
                   + 6.0 * (d1 / n) * (d1 / n) * (d2 / n)
                   - 3.0 * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n) AS m4
                FROM a)
-         SELECT g AS "group", n, round(mean, 6) AS mean, round(m2, 6) AS m2,
-                round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) ELSE 0.0 END, 6) AS skewness,
-                round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 ELSE 0.0 END, 6) AS kurtosis
+         SELECT g AS "group", n, floor((mean) * 1000000.0 + 0.5) / 1000000.0 AS mean, floor((m2) * 1000000.0 + 0.5) / 1000000.0 AS m2,
+                floor((CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+                floor((CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS kurtosis
          FROM m ORDER BY "group"""",
     "q_robust_outliers" ->
       """WITH b AS (SELECT l_returnflag AS g,
@@ -6026,7 +6023,7 @@ object SparkEntry {
          tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total_from
                  FROM tr GROUP BY 1)
          SELECT tr.from_type, tr.to_type, tr.n, tot.total_from,
-                round(tr.n::DOUBLE / tot.total_from, 6) AS p
+                floor((tr.n::DOUBLE / tot.total_from) * 1000000.0 + 0.5) / 1000000.0 AS p
          FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
     "q_trigram_backoff" ->
       // train counts on the even-doc_id half; 1-based toks[i], trigram
@@ -6068,9 +6065,9 @@ object SparkEntry {
                 LEFT JOIN uni u2 ON p.w2 = u2.tok
                 LEFT JOIN uni u3 ON p.w3 = u3.tok, tot),
          per AS (SELECT i.doc_id, CAST(sum(i.tf) AS BIGINT) AS n_trigrams,
-                        round(CAST(sum(i.tf * sv.bits) AS DOUBLE) / sum(i.tf), 6) AS mean_bits,
-                        round(CAST(sum(CASE WHEN sv.lvl > 0 THEN i.tf ELSE 0 END) AS DOUBLE)
-                              / sum(i.tf), 6) AS backoff_frac
+                        floor((CAST(sum(i.tf * sv.bits) AS DOUBLE) / sum(i.tf)) * 1000000.0 + 0.5) / 1000000.0 AS mean_bits,
+                        floor((CAST(sum(CASE WHEN sv.lvl > 0 THEN i.tf ELSE 0 END) AS DOUBLE)
+                              / sum(i.tf)) * 1000000.0 + 0.5) / 1000000.0 AS backoff_frac
                  FROM inst i JOIN sv USING (tg) GROUP BY i.doc_id)
          SELECT d.doc_id, per.n_trigrams, per.mean_bits, per.backoff_frac
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
@@ -6142,9 +6139,9 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(nt) AS BIGINT) AS n_tokens,
                 CAST(sum(nc) AS BIGINT) AS n_chars,
-                round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS mean_tokens,
-                round(CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / count(*), 6) AS short_frac
+                floor((CAST(sum(nt) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_tokens,
+                floor((CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS short_frac
          FROM t GROUP BY source, lang ORDER BY source, lang""",
     "q_lexical_diversity" ->
       """WITH tok AS (SELECT doc_id,
@@ -6159,9 +6156,9 @@ object SparkEntry {
                 CAST(sum(c * length(t)) AS BIGINT) AS chars
               FROM tc GROUP BY doc_id)
          SELECT doc_id, n_tokens, n_types,
-                round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
-                round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
-                round(CAST(chars AS DOUBLE) / n_tokens, 6) AS mean_word_len
+                floor((CAST(n_types AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+                floor((CAST(n_hapax AS DOUBLE) / n_types) * 1000000.0 + 0.5) / 1000000.0 AS hapax_frac,
+                floor((CAST(chars AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len
          FROM agg ORDER BY doc_id""",
     "q_chunk_text" ->
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
@@ -6249,7 +6246,7 @@ object SparkEntry {
                 COALESCE(tot.n_spans, 0) AS n_spans,
                 COALESCE(dups.dup_spans, 0) AS dup_spans,
                 CASE WHEN tot.n_spans > 0
-                     THEN round(CAST(COALESCE(dups.dup_spans, 0) AS DOUBLE) / tot.n_spans, 6)
+                     THEN floor((CAST(COALESCE(dups.dup_spans, 0) AS DOUBLE) / tot.n_spans) * 1000000.0 + 0.5) / 1000000.0
                 END AS dup_frac
          FROM documents d
          LEFT JOIN tot ON d.doc_id = tot.doc_id
@@ -6264,8 +6261,7 @@ object SparkEntry {
            CAST(sum(CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
            CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
            FROM base),
-         lexs AS (SELECT doc_id, round(
-             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+         lexs AS (SELECT doc_id, floor((ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
                * CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0)
                / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
                   + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))
@@ -6276,16 +6272,16 @@ object SparkEntry {
            + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
                * CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0)
                / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
-                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))), 6) AS score
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))) * 1000000.0 + 0.5) / 1000000.0 AS score
            FROM base, stats),
          lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lexs),
          q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          sems AS (SELECT vec_id AS doc_id,
-                         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS score
+                         floor((list_cosine_similarity(embedding::DOUBLE[], qv)) * 1000000.0 + 0.5) / 1000000.0 AS score
                   FROM embeddings, q),
          sem AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sems)
          SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
-                round(COALESCE(1.0 / (60 + lex.r), 0) + COALESCE(1.0 / (60 + sem.r), 0), 6) AS rrf
+                floor((COALESCE(1.0 / (60 + lex.r), 0) + COALESCE(1.0 / (60 + sem.r), 0)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
          FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
          ORDER BY doc_id""",
     "q_quality_calibrated" ->
@@ -6293,8 +6289,7 @@ object SparkEntry {
                            regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          qs AS (SELECT doc_id, source,
-                round(
-                  least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+                floor((least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
                   (CASE WHEN length(text) = 0 THEN 0.0
                         ELSE CAST(length(text) -
                                length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
@@ -6306,15 +6301,14 @@ object SparkEntry {
                                AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3 +
                   (1.0 - least(CAST(length(text) -
                            length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1
-                , 6) AS qscore
+                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1) * 1000000.0 + 0.5) / 1000000.0 AS qscore
                 FROM t),
          r AS (SELECT doc_id, source, qscore,
                       row_number() OVER (PARTITION BY source ORDER BY qscore, doc_id) - 1 AS rank0,
                       count(*) OVER (PARTITION BY source) AS n
                FROM qs)
          SELECT doc_id, source, qscore,
-                CASE WHEN n > 1 THEN round(CAST(rank0 AS DOUBLE) / (n - 1), 6)
+                CASE WHEN n > 1 THEN floor((CAST(rank0 AS DOUBLE) / (n - 1)) * 1000000.0 + 0.5) / 1000000.0
                      ELSE 0.0 END AS pctl
          FROM r ORDER BY doc_id""",
     "q_attribution" ->
@@ -6355,7 +6349,7 @@ object SparkEntry {
          n3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s3)
          SELECT stage, step, users,
                 CASE WHEN (SELECT c FROM n1) > 0
-                     THEN round(CAST(users AS DOUBLE) / (SELECT c FROM n1), 6)
+                     THEN floor((CAST(users AS DOUBLE) / (SELECT c FROM n1)) * 1000000.0 + 0.5) / 1000000.0
                      ELSE 0.0 END AS conversion
          FROM (SELECT 'view' AS stage, 1::BIGINT AS step, (SELECT c FROM n1) AS users
                UNION ALL
@@ -6402,8 +6396,7 @@ object SparkEntry {
                            regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents),
          qs AS (SELECT doc_id,
-                round(
-                  least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+                floor((least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
                   (CASE WHEN length(text) = 0 THEN 0.0
                         ELSE CAST(length(text) -
                                length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
@@ -6415,8 +6408,7 @@ object SparkEntry {
                                AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3 +
                   (1.0 - least(CAST(length(text) -
                            length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1
-                , 6) AS q
+                         / greatest(length(text), 1) * 4.0, 1.0)) * 0.1) * 1000000.0 + 0.5) / 1000000.0 AS q
                 FROM t)
          SELECT doc_id FROM qs
          WHERE list_reduce(list_prepend(0::BIGINT,
@@ -6480,7 +6472,7 @@ object SparkEntry {
                 WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = two.a AND p.b = two.b))
          SELECT ne.a, ne.b, ne.cn,
                 CAST(da.dg * db.dg AS BIGINT) AS pa,
-                round(CAST(ne.cn AS DOUBLE) / (da.dg + db.dg - ne.cn), 6) AS jaccard
+                floor((CAST(ne.cn AS DOUBLE) / (da.dg + db.dg - ne.cn)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          FROM ne JOIN deg da ON ne.a = da.v JOIN deg db ON ne.b = db.v
          ORDER BY ne.a, ne.b""",
     "q_clustering_coeff" ->
@@ -6499,8 +6491,8 @@ object SparkEntry {
          SELECT deg.node, deg.degree,
                 CAST(COALESCE(tv.n_triangles, 0) AS BIGINT) AS n_triangles,
                 CASE WHEN deg.degree < 2 THEN 0.0
-                     ELSE round(2.0 * COALESCE(tv.n_triangles, 0)
-                                / (deg.degree * (deg.degree - 1)), 6) END AS coeff
+                     ELSE floor((2.0 * COALESCE(tv.n_triangles, 0)
+                                / (deg.degree * (deg.degree - 1))) * 1000000.0 + 0.5) / 1000000.0 END AS coeff
          FROM deg LEFT JOIN tv ON deg.node = tv.node
          ORDER BY deg.node""",
     "q_basket_rules" ->
@@ -6512,7 +6504,7 @@ object SparkEntry {
          dirs AS (SELECT a AS lhs, c AS rhs, support FROM p
                   UNION ALL SELECT c, a, support FROM p)
          SELECT lhs, rhs, support,
-                round(CAST(support AS DOUBLE) / sup.s, 6) AS confidence
+                floor((CAST(support AS DOUBLE) / sup.s) * 1000000.0 + 0.5) / 1000000.0 AS confidence
          FROM dirs JOIN sup ON dirs.lhs = sup.i
          ORDER BY lhs, rhs""",
     "q_snapshot_diff" ->
@@ -6549,9 +6541,9 @@ object SparkEntry {
          SELECT n,
                 CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
                       AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
-                     THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     THEN floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                                   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                                   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5) / 1000000.0
                 END AS corr
          FROM m""",
     "q_abtest" ->
@@ -6563,16 +6555,16 @@ object SparkEntry {
          a AS (SELECT g AS group_a, n AS n_a, x AS x_a FROM agg ORDER BY g LIMIT 1),
          b AS (SELECT g AS group_b, n AS n_b, x AS x_b FROM agg ORDER BY g DESC LIMIT 1)
          SELECT group_a, n_a, x_a, group_b, n_b, x_b,
-                round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-                round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+                floor((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+                floor((CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
                 CASE WHEN sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                                * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
-                     THEN round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     THEN floor(((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                                  - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                                 / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-                                       * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+                                       * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
                 END AS z
          FROM a, b""",
     "q_ks_drift" ->
@@ -6587,7 +6579,7 @@ object SparkEntry {
          SELECT na AS n_a, nb AS n_b,
                 CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
                 CAST(na * nb AS BIGINT) AS ks_den,
-                round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / (na * nb), 6) AS ks
+                floor((CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / (na * nb)) * 1000000.0 + 0.5) / 1000000.0 AS ks
          FROM w, t GROUP BY na, nb""",
     "q_winsorize" ->
       // bound VALUES at exact ranks are tie-order invariant, so the bare
@@ -6609,7 +6601,7 @@ object SparkEntry {
                     FROM embeddings WHERE vec_id < 100),
          t AS (SELECT vec_id AS tid, embedding::DOUBLE[] AS tv
                FROM embeddings WHERE vec_id >= 100),
-         sc AS (SELECT tid, sid, label, round(list_cosine_similarity(tv, sv), 6) AS c
+         sc AS (SELECT tid, sid, label, floor((list_cosine_similarity(tv, sv)) * 1000000.0 + 0.5) / 1000000.0 AS c
                 FROM t, s),
          top AS (SELECT tid, label FROM (
                    SELECT tid, label,
@@ -6634,8 +6626,8 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY idb ORDER BY c DESC, ida) rk
                   FROM p) t WHERE rk = 1),
          out AS (SELECT b1.ida AS id_a, b1.idb AS id_b, b1.c AS rawc,
-                        round(b1.c, 6) AS cosine,
-                        CASE WHEN b2.c2 > 0 THEN round(b1.c / b2.c2, 6) END AS margin,
+                        floor((b1.c) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+                        CASE WHEN b2.c2 > 0 THEN floor((b1.c / b2.c2) * 1000000.0 + 0.5) / 1000000.0 END AS margin,
                         rb.back
                  FROM b1 LEFT JOIN b2 USING (ida) JOIN rb USING (idb))
          SELECT id_a, id_b, cosine, margin FROM out
@@ -6647,7 +6639,7 @@ object SparkEntry {
                     FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS clbl
                FROM embeddings),
-         sc AS (SELECT aid, cid, round(list_cosine_similarity(av, cv), 6) AS cos
+         sc AS (SELECT aid, cid, floor((list_cosine_similarity(av, cv)) * 1000000.0 + 0.5) / 1000000.0 AS cos
                 FROM c, a WHERE clbl <> albl),
          r AS (SELECT aid, cid, cos,
                       row_number() OVER (PARTITION BY aid ORDER BY cos DESC, cid) AS rn
@@ -6663,7 +6655,7 @@ object SparkEntry {
          c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS cv, label AS clbl
                FROM embeddings),
          sc AS (SELECT qid, did, qlbl, clbl,
-                       round(list_cosine_similarity(qv, cv), 6) AS cos
+                       floor((list_cosine_similarity(qv, cv)) * 1000000.0 + 0.5) / 1000000.0 AS cos
                 FROM c, a),
          r AS (SELECT qid, did, qlbl, clbl,
                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
@@ -6676,9 +6668,9 @@ object SparkEntry {
                   WHERE r.rank <= 5 GROUP BY r.qid)
          SELECT relc.qid AS query_id,
                 CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, n_relevant,
-                round(COALESCE(n_hits, 0)::DOUBLE / least(n_relevant, 5), 6) AS recall_at_5,
-                round(COALESCE(n_hits, 0)::DOUBLE / 5, 6) AS precision_at_5,
-                round(CASE WHEN fhr IS NOT NULL THEN 1.0 / fhr ELSE 0.0 END, 6)
+                floor((COALESCE(n_hits, 0)::DOUBLE / least(n_relevant, 5)) * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5,
+                floor((COALESCE(n_hits, 0)::DOUBLE / 5) * 1000000.0 + 0.5) / 1000000.0 AS precision_at_5,
+                floor((CASE WHEN fhr IS NOT NULL THEN 1.0 / fhr ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0
                   AS reciprocal_rank
          FROM relc LEFT JOIN hits ON relc.qid = hits.qid ORDER BY query_id""",
     "q_ndcg" -> {
@@ -6692,7 +6684,7 @@ object SparkEntry {
          c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS cv, label AS clbl
                FROM embeddings),
          sc AS (SELECT qid, did, qlbl, clbl,
-                       round(list_cosine_similarity(qv, cv), 6) AS cos
+                       floor((list_cosine_similarity(qv, cv)) * 1000000.0 + 0.5) / 1000000.0 AS cos
                 FROM c, a),
          r AS (SELECT qid, did, qlbl, clbl,
                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
@@ -6704,8 +6696,8 @@ object SparkEntry {
                  WHERE r.rank <= 5 GROUP BY r.qid)
          SELECT relc.qid AS query_id,
                 CAST(COALESCE(dcg_micro, 0) AS BIGINT) AS dcg_micro,
-                round(COALESCE(dcg_micro, 0)::DOUBLE
-                      / ($pl)[CAST(least(n_relevant, 5) + 1 AS INT)], 6) AS ndcg_at_5
+                floor((COALESCE(dcg_micro, 0)::DOUBLE
+                      / ($pl)[CAST(least(n_relevant, 5) + 1 AS INT)]) * 1000000.0 + 0.5) / 1000000.0 AS ndcg_at_5
          FROM relc LEFT JOIN dcg ON relc.qid = dcg.qid ORDER BY query_id"""
     },
     "q_rouge_f1" ->
@@ -6731,8 +6723,8 @@ object SparkEntry {
                        CASE WHEN len(gg) > 0 THEN o / len(gg) ELSE 0.0 END AS p,
                        CASE WHEN len(rg) > 0 THEN o / len(rg) ELSE 0.0 END AS r
                 FROM ov)
-         SELECT query_id, round(p, 6) AS rouge2_precision, round(r, 6) AS rouge2_recall,
-                round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6)
+         SELECT query_id, floor((p) * 1000000.0 + 0.5) / 1000000.0 AS rouge2_precision, floor((r) * 1000000.0 + 0.5) / 1000000.0 AS rouge2_recall,
+                floor((CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0
                   AS rouge2_f1
          FROM pr ORDER BY query_id""",
     "q_chrf" ->
@@ -6804,7 +6796,7 @@ object SparkEntry {
                 CASE WHEN 4.0 * p5 + r5 > 0 THEN 5.0 * p5 * r5 / (4.0 * p5 + r5) ELSE 0.0 END AS f5,
                 CASE WHEN 4.0 * p6 + r6 > 0 THEN 5.0 * p6 * r6 / (4.0 * p6 + r6) ELSE 0.0 END AS f6
                 FROM pv)
-         SELECT query_id, round((f1 + f2 + f3 + f4 + f5 + f6) / 6, 6) AS chrf
+         SELECT query_id, floor(((f1 + f2 + f3 + f4 + f5 + f6) / 6) * 1000000.0 + 0.5) / 1000000.0 AS chrf
          FROM fv ORDER BY query_id""",
     "q_bleu" ->
       """WITH tk AS (SELECT doc_id,
@@ -6833,8 +6825,8 @@ object SparkEntry {
                          t -> least(len(list_filter(g4, y -> y = t)), len(list_filter(r4, y -> y = t))))), 0) AS DOUBLE) / len(g4) ELSE 0.0 END AS p4
                 FROM gr)
          SELECT query_id, cand_len, ref_len,
-                round(p1, 6) AS p1, round(p2, 6) AS p2, round(p3, 6) AS p3, round(p4, 6) AS p4,
-                round(sqrt(sqrt(p1 * p2 * p3 * p4)), 6) AS bleu_core,
+                floor((p1) * 1000000.0 + 0.5) / 1000000.0 AS p1, floor((p2) * 1000000.0 + 0.5) / 1000000.0 AS p2, floor((p3) * 1000000.0 + 0.5) / 1000000.0 AS p3, floor((p4) * 1000000.0 + 0.5) / 1000000.0 AS p4,
+                floor((sqrt(sqrt(p1 * p2 * p3 * p4))) * 1000000.0 + 0.5) / 1000000.0 AS bleu_core,
                 cand_len >= ref_len AS brevity_ok
          FROM pv ORDER BY query_id""",
     "q_answer_f1" ->
@@ -6856,8 +6848,8 @@ object SparkEntry {
                        CASE WHEN len(gs) > 0 THEN o / len(gs) ELSE 0.0 END AS p,
                        CASE WHEN len(rs) > 0 THEN o / len(rs) ELSE 0.0 END AS r
                 FROM ov)
-         SELECT query_id, round(p, 6) AS precision, round(r, 6) AS recall,
-                round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+         SELECT query_id, floor((p) * 1000000.0 + 0.5) / 1000000.0 AS precision, floor((r) * 1000000.0 + 0.5) / 1000000.0 AS recall,
+                floor((CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS f1
          FROM pr ORDER BY query_id""",
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -7027,9 +7019,9 @@ object SparkEntry {
                 n * syy - sy * sy AS vy,
                 sx, sy FROM a)
          SELECT g AS "group", n,
-                round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS slope,
-                round(CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / n END, 6) AS intercept,
-                round(CASE WHEN vx > 0 AND vy > 0 THEN (cov / vx) * (cov / vy) END, 6) AS r2
+                floor((CASE WHEN vx > 0 THEN cov / vx END) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+                floor((CASE WHEN vx > 0 THEN (sy - (cov / vx) * sx) / n END) * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+                floor((CASE WHEN vx > 0 AND vy > 0 THEN (cov / vx) * (cov / vy) END) * 1000000.0 + 0.5) / 1000000.0 AS r2
          FROM m ORDER BY "group"""",
     "q_chi2" ->
       // exact integer contingency table; cell terms (O*N - R*C)^2/(N*R*C)
@@ -7051,8 +7043,8 @@ object SparkEntry {
                    / CAST(CAST(n AS HUGEINT) * rt.rtot * ct.ctot AS DOUBLE) AS term
                FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot)
          SELECT n, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof,
-                round(list_reduce(list_prepend(0.0::DOUBLE,
-                  (SELECT list(term ORDER BY r, c) FROM t)), (a, b) -> a + b), 6) AS chi2
+                floor((list_reduce(list_prepend(0.0::DOUBLE,
+                  (SELECT list(term ORDER BY r, c) FROM t)), (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS chi2
          FROM tot WHERE n IS NOT NULL""",
     "q_interval_overlap" ->
       // the oracle is the NAIVE inequality join — tiny sides at gate SF;

@@ -15,7 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val verbose = sys.env.contains("VERIFY_VERBOSE")
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (verbose) System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -406,7 +406,7 @@ object Ann {
       col(label).as("_lbl"))
     val scored = t.crossJoin(broadcast(s))
       .select(col("_tid"), col("_sid"), col("_lbl"),
-        round(gf.cosineSimilarity(col("_tv"), col("_sv")), 6).as("_cos"))
+        graft.functions.gf.roundHalfUp(gf.cosineSimilarity(col("_tv"), col("_sv")), 6).as("_cos"))
     val wTop = Window.partitionBy(col("_tid")).orderBy(desc("_cos"), col("_sid"))
     val votes = scored
       .withColumn("_rn", row_number().over(wTop)).where(col("_rn") <= k)
@@ -444,7 +444,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(a))
       .where(col("_clbl") =!= col("_albl"))
       .select(col("anchor_id"), col("neg_id"),
-        round(gf.cosineSimilarity(col("_av"), col("_cv")), 6).as("cosine"))
+        graft.functions.gf.roundHalfUp(gf.cosineSimilarity(col("_av"), col("_cv")), 6).as("cosine"))
     val w = Window.partitionBy(col("anchor_id")).orderBy(desc("cosine"), col("neg_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -1001,7 +1001,7 @@ object Dedup {
         col("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         when(col("n_spans") > 0,
-          round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6))
+          graft.functions.gf.roundHalfUp(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6))
           .as("dup_frac"))
     // no trailing orderBy: a global range sort of the per-document output
     // is pure wasted shuffle at corpus scale — callers needing order (the

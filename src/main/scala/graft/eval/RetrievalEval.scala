@@ -79,7 +79,7 @@ object RetrievalEval {
       .join(dcg, Seq("query_id"), "left")
       .select(col("query_id"),
         when(col("n_relevant").isNull, lit(0.0))
-          .otherwise(round(coalesce(col("dcg"), lit(0.0)) / idcg, 6))
+          .otherwise(graft.functions.gf.roundHalfUp(coalesce(col("dcg"), lit(0.0)) / idcg, 6))
           .as(s"ndcg_at_$k"))
   }
 
@@ -115,7 +115,7 @@ object RetrievalEval {
       .select(col("query_id"),
         coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
         when(col("n_relevant").isNull, lit(0.0))
-          .otherwise(round(coalesce(col("dcg_micro"), lit(0L)).cast("double") / idcg, 6))
+          .otherwise(graft.functions.gf.roundHalfUp(coalesce(col("dcg_micro"), lit(0L)).cast("double") / idcg, 6))
           .as(s"ndcg_at_$k"))
   }
 
@@ -149,9 +149,9 @@ object RetrievalEval {
     val prec = when(size(g) > 0, overlap / size(g)).otherwise(lit(0.0))
     val rec = when(size(r) > 0, overlap / size(r)).otherwise(lit(0.0))
     pre.select(col("query_id"),
-      round(prec, 6).as(s"rouge${n}_precision"),
-      round(rec, 6).as(s"rouge${n}_recall"),
-      round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+      graft.functions.gf.roundHalfUp(prec, 6).as(s"rouge${n}_precision"),
+      graft.functions.gf.roundHalfUp(rec, 6).as(s"rouge${n}_recall"),
+      graft.functions.gf.roundHalfUp(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
         .otherwise(lit(0.0)), 6).as(s"rouge${n}_f1"))
   }
 
@@ -208,7 +208,7 @@ object RetrievalEval {
     }
     val staged = pre.select(Seq(col("query_id")) ++ fs: _*)
     val mean = (1 to maxN).map(n => col(s"_f$n")).reduce(_ + _) / maxN
-    staged.select(col("query_id"), round(mean, 6).as("chrf"))
+    staged.select(col("query_id"), graft.functions.gf.roundHalfUp(mean, 6).as("chrf"))
   }
 
   /** BLEU-4 statistics (Papineni et al. 2002): per-order clipped n-gram
@@ -255,8 +255,8 @@ object RetrievalEval {
           (math.log(maxN) / math.log(2)).round.toInt).next()
       } else lit(null).cast("double")
     staged.select(Seq(col("query_id"), col("cand_len"), col("ref_len")) ++
-      (1 to maxN).map(n => round(col(s"_p$n"), 6).as(s"p$n")) ++ Seq(
-        round(core, 6).as("bleu_core"),
+      (1 to maxN).map(n => graft.functions.gf.roundHalfUp(col(s"_p$n"), 6).as(s"p$n")) ++ Seq(
+        graft.functions.gf.roundHalfUp(core, 6).as("bleu_core"),
         (col("cand_len") >= col("ref_len")).as("brevity_ok")): _*)
   }
 }

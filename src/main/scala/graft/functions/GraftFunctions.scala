@@ -217,6 +217,32 @@ object gf {
   }
 
   /**
+   * Cross-engine midpoint-safe rounding: floor(x·10^s + 0.5)/10^s. NEVER use
+   * Spark's round(c, s>0) in an oracled result column: Spark rounds the
+   * double's SHORTEST decimal representation (BigDecimal.valueOf) half-up
+   * while DuckDB multiplies-and-rounds — a value whose shortest repr is an
+   * exact scale-(s+1) midpoint (common for ratios of small integers, e.g.
+   * 0.5118375) rounds UP in Spark and DOWN in DuckDB, the ±1e-6 divergence
+   * the round-19 sf0.1 hash sweep caught on q_quality_score row 1388. This
+   * form applies identical IEEE ops to the identical double in both engines
+   * (SQL twin: floor((x) * 1e6 + 0.5) / 1e6), so the result is bit-equal by
+   * construction — the sq8Encode floor(v + 0.5) discipline, generalized.
+   * Scale-0 round() stays safe (shortest-repr round-trips preserve order
+   * around integral midpoints) and is not swept.
+   */
+  def roundHalfUp(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale) // exact for scale <= 15
+    // floor WITHOUT Spark's floor(): that returns BIGINT and overflows at
+    // |x·10^s| > 2^63 (q_moments' m2 ~9.3e12 × 1e6 clamped to Long.Max).
+    // y − pmod(y, 1) is the exact double-space floor for any finite y —
+    // fmod is exact, the subtraction result is an integral double, and
+    // beyond 2^53 y is already integral (pmod = 0) — matching DuckDB's
+    // double-returning floor() bit-for-bit at every magnitude.
+    val y = c * lit(p) + lit(0.5)
+    (y - pmod(y, lit(1.0))) / lit(p)
+  }
+
+  /**
    * Composite document-quality score in [0,1]: blends length, alpha ratio,
    * stopword presence, and punctuation density — the usual pre-training
    * corpus filters (C4/Gopher-style rules), deterministic and codegen'd.
@@ -227,7 +253,7 @@ object gf {
     val stopwords = least(stopwordRatio(c) * 5.0, lit(1.0))
     val punctPenalty = least(punctCount(c).cast("double") /
       greatest(length(c), lit(1)).cast("double") * 4.0, lit(1.0))
-    round((lenScore * 0.3 + alpha * 0.3 + stopwords * 0.3 + (lit(1.0) - punctPenalty) * 0.1), 6)
+    graft.functions.gf.roundHalfUp((lenScore * 0.3 + alpha * 0.3 + stopwords * 0.3 + (lit(1.0) - punctPenalty) * 0.1), 6)
   }
 
   /** Unicode NFC normalization (codegen'd; fast no-op path for text that

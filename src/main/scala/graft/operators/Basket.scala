@@ -49,7 +49,7 @@ object Basket {
       .unionAll(pairs.select(col("item_b").as("lhs"), col("item_a").as("rhs"), col("support")))
     dirs.join(itemSup.withColumnRenamed("_i", "lhs"), Seq("lhs"))
       .select(col("lhs"), col("rhs"), col("support"),
-        round(col("support").cast("double") / col("_sup"), 6).as("confidence"))
+        graft.functions.gf.roundHalfUp(col("support").cast("double") / col("_sup"), 6).as("confidence"))
       .orderBy(col("lhs"), col("rhs"))
   }
 

@@ -61,8 +61,8 @@ object BigramLm {
       .groupBy(col(idCol))
       .agg(
         sum(col("bf")).as("n_bigrams"),
-        round(sum(col("bf") * bits).cast("double") / sum(col("bf")), 6).as("mean_bits"),
-        round(sum(when(col("c2") === 1, col("bf")).otherwise(lit(0))).cast("double")
+        graft.functions.gf.roundHalfUp(sum(col("bf") * bits).cast("double") / sum(col("bf")), 6).as("mean_bits"),
+        graft.functions.gf.roundHalfUp(sum(when(col("c2") === 1, col("bf")).otherwise(lit(0))).cast("double")
           / sum(col("bf")), 6).as("novel_frac"))
 
     // left join keeps sub-2-token documents (null score) so the output is

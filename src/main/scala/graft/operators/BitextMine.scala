@@ -68,8 +68,8 @@ object BitextMine {
       .where(col("_back") === col("_ida"))                 // mutual best
       .where(col("_cos") >= minCos)
       .select(col("_ida").as("id_a"), col("_idb").as("id_b"),
-        round(col("_cos"), 6).as("cosine"),
-        when(col("_cos2") > 0, round(col("_cos") / col("_cos2"), 6)).as("margin"))
+        graft.functions.gf.roundHalfUp(col("_cos"), 6).as("cosine"),
+        when(col("_cos2") > 0, graft.functions.gf.roundHalfUp(col("_cos") / col("_cos2"), 6)).as("margin"))
       .where(col("margin").isNull || col("margin") >= minMargin)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.orderBy(col("id_a"))

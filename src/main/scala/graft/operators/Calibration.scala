@@ -56,7 +56,7 @@ object Calibration {
         staged("_pid") === offDf("_opid") && staged(group) <=> offDf("_grp"))
       .withColumn("_rank0", row_number().over(w).cast("long") - 1 + col("_off"))
       .withColumn(outCol,
-        when(col("_n") > 1, round(col("_rank0").cast("double") / (col("_n") - 1), 6))
+        when(col("_n") > 1, graft.functions.gf.roundHalfUp(col("_rank0").cast("double") / (col("_n") - 1), 6))
           .otherwise(lit(0.0)))
       .drop("_pid", "_opid", "_grp", "_off", "_n", "_rank0")
   }

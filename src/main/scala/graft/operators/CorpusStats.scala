@@ -35,8 +35,8 @@ object CorpusStats {
         count(lit(1)).as("n_docs"),
         sum(col("_nt")).as("n_tokens"),
         sum(col("_nc")).as("n_chars"),
-        round(sum(col("_nt")).cast("double") / count(lit(1)), 6).as("mean_tokens"),
-        round(sum(when(col("_nt") < minTokens, 1L).otherwise(0L)).cast("double")
+        graft.functions.gf.roundHalfUp(sum(col("_nt")).cast("double") / count(lit(1)), 6).as("mean_tokens"),
+        graft.functions.gf.roundHalfUp(sum(when(col("_nt") < minTokens, 1L).otherwise(0L)).cast("double")
           / count(lit(1)), 6).as("short_frac"))
       .orderBy(groups.map(col): _*)
   }
@@ -70,9 +70,9 @@ object CorpusStats {
         sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"),
         sum(col("_c") * length(col("_t"))).as("_chars"))
       .select(col(id), col("n_tokens"), col("n_types"),
-        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
-        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
-        round(col("_chars").cast("double") / col("n_tokens"), 6).as("mean_word_len"))
+        graft.functions.gf.roundHalfUp(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        graft.functions.gf.roundHalfUp(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
+        graft.functions.gf.roundHalfUp(col("_chars").cast("double") / col("n_tokens"), 6).as("mean_word_len"))
       .orderBy(col(id))
   }
 }

@@ -68,24 +68,30 @@ object EditJoin {
 
     // right side: for every candidate source length l in [len-k, len+k],
     // every segment index, every start shift in [-k, k], the substring of
-    // that segment's length at that position (out-of-range slots yield
-    // null structs and are dropped)
-    val windows = for {
-      o <- -k to k
-      i <- 0 to k
-      s <- -k to k
-    } yield {
-      val lc = col("_lb") + o
-      val start = segStart(lc, i) + s
-      val len = segLen(lc, i)
-      when(lc >= k + 1 && start >= 0 && len >= 1 && start + len <= col("_lb"),
-        struct(lc.cast("int").as("_l"), lit(i).as("_i"), start.as("_pb"),
-          col("_sb").substr(start + 1, len).as("_seg")))
-    }
-    val subs = r.select(col("_idb"), explode_outer(array(windows: _*)).as("_w"))
-      .where(col("_w").isNotNull)
-      .select(col("_idb"), col("_w._l").as("_l"), col("_w._i").as("_i"),
-        col("_w._pb").as("_pb"), col("_w._seg").as("_seg"))
+    // that segment's length at that position. The (o, i, s) triplets ride
+    // in as ONE constant array that is exploded FIRST, and a single
+    // column-parameterized substring expression serves every triplet —
+    // inlining the (2k+1)²(k+1) window expressions into one explode (the
+    // previous shape) generated an ~18k-line doConsume that janino refused
+    // to compile, silently dropping the whole stage to interpreted mode.
+    def segStartC(lc: Column, i: Column): Column =
+      i * floor(lc / (k + 1)).cast("int") + least(i, pmod(lc, lit(k + 1)))
+    def segLenC(lc: Column, i: Column): Column =
+      floor(lc / (k + 1)).cast("int") +
+        when(i < pmod(lc, lit(k + 1)), lit(1)).otherwise(lit(0))
+    val triplets = typedLit(for { o <- -k to k; i <- 0 to k; s <- -k to k }
+      yield (o, i, s))
+    val subs = r.select(col("_idb"), col("_sb"), col("_lb"),
+        explode(triplets).as("_t"))
+      .select(col("_idb"), col("_sb"), col("_lb"),
+        (col("_lb") + col("_t._1")).cast("int").as("_l"), col("_t._2").as("_i"),
+        col("_t._3").as("_s"))
+      .withColumn("_pb", segStartC(col("_l"), col("_i")) + col("_s"))
+      .withColumn("_len", segLenC(col("_l"), col("_i")))
+      .where(col("_l") >= k + 1 && col("_pb") >= 0 && col("_len") >= 1 &&
+        col("_pb") + col("_len") <= col("_lb"))
+      .select(col("_idb"), col("_l"), col("_i"), col("_pb"),
+        col("_sb").substr(col("_pb") + 1, col("_len")).as("_seg"))
       .distinct()
 
     val segCands = segs.join(subs, Seq("_l", "_i", "_seg"))

@@ -70,7 +70,7 @@ object EventAnalytics {
     counts.crossJoin(broadcast(entered))
       .select(col("stage"), col("step"), col("users"),
         when(col("_entered") > 0,
-          round(col("users").cast("double") / col("_entered"), 6))
+          graft.functions.gf.roundHalfUp(col("users").cast("double") / col("_entered"), 6))
           .otherwise(lit(0.0)).as("conversion"))
       .orderBy(col("step"))
   }
@@ -215,7 +215,7 @@ object EventAnalytics {
       .agg(sum(col("n")).as("total_from"))
     trans.join(totals, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"), col("total_from"),
-        round(col("n").cast("double") / col("total_from"), 6).as("p"))
+        graft.functions.gf.roundHalfUp(col("n").cast("double") / col("total_from"), 6).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
 

@@ -114,7 +114,7 @@ object FuzzyJoin {
       .select(col("_ida").as("id_a"), col("_idb").as("id_b"),
         inter.cast("long").as("inter"), uni.cast("long").as("uni"))
       .where(col("inter") * den >= col("uni") * num)
-      .withColumn("jac", round(col("inter").cast("double") / col("uni"), 6))
+      .withColumn("jac", graft.functions.gf.roundHalfUp(col("inter").cast("double") / col("uni"), 6))
       // output-sized persist: without it the final sort's range-sampling
       // pass re-executes the ENTIRE candidate+verify chain a second time
       // (measured 4.2 -> 0.7 s at sf0.1); the verified pair set is the

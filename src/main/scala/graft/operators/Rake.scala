@@ -61,7 +61,7 @@ object Rake {
       .agg(count(lit(1)).as("_dup"))
       .select(col(idCol), col("phrase"), col("n_words"),
         col("phrase_deg"), col("phrase_freq"),
-        round(col("phrase_deg").cast("double") / col("phrase_freq"), 6).as("score"))
+        graft.functions.gf.roundHalfUp(col("phrase_deg").cast("double") / col("phrase_freq"), 6).as("score"))
     scored
       // output-sized persist: the final sort's range-sampling pass would
       // otherwise re-execute the stats join + double rollup (FuzzyJoin

@@ -36,7 +36,7 @@ object Stats {
     val vx = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
     val vy = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
     m.select(col("n"),
-      when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("corr"))
+      when(vx > 0 && vy > 0, graft.functions.gf.roundHalfUp(cov / (sqrt(vx) * sqrt(vy)), 6)).as("corr"))
   }
 
   /** Two-proportion z-test (pooled): one row per experiment with group
@@ -70,8 +70,8 @@ object Stats {
       (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
     j.select(col("group_a"), col("n_a"), col("x_a"),
       col("group_b"), col("n_b"), col("x_b"),
-      round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
-      when(se > 0, round((p1 - p2) / se, 6)).as("z"))
+      graft.functions.gf.roundHalfUp(p1, 6).as("rate_a"), graft.functions.gf.roundHalfUp(p2, 6).as("rate_b"),
+      when(se > 0, graft.functions.gf.roundHalfUp((p1 - p2) / se, 6)).as("z"))
   }
 
   /**
@@ -118,10 +118,10 @@ object Stats {
     val m4 = d4 / n - lit(4.0) * mean * (d3 / n) +
       lit(6.0) * mean * mean * (d2 / n) - lit(3.0) * mean * mean * mean * mean
     agg.select(col("group"), col("n"),
-        round(mean, 6).as("mean"),
-        round(m2, 6).as("m2"),
-        round(when(m2 > 0, m3 / (m2 * sqrt(m2))).otherwise(lit(0.0)), 6).as("skewness"),
-        round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).otherwise(lit(0.0)), 6).as("kurtosis"))
+        graft.functions.gf.roundHalfUp(mean, 6).as("mean"),
+        graft.functions.gf.roundHalfUp(m2, 6).as("m2"),
+        graft.functions.gf.roundHalfUp(when(m2 > 0, m3 / (m2 * sqrt(m2))).otherwise(lit(0.0)), 6).as("skewness"),
+        graft.functions.gf.roundHalfUp(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).otherwise(lit(0.0)), 6).as("kurtosis"))
       .orderBy(col("group"))
   }
 
@@ -287,9 +287,9 @@ object Stats {
     val vx = n * sxx - sx * sx
     val vy = n * syy - sy * sy
     a.select(col("group"), col("n"),
-        round(when(vx > 0, cov / vx), 6).as("slope"),
-        round(when(vx > 0, (sy - (cov / vx) * sx) / n), 6).as("intercept"),
-        round(when(vx > 0 && vy > 0, (cov / vx) * (cov / vy)), 6).as("r2"))
+        graft.functions.gf.roundHalfUp(when(vx > 0, cov / vx), 6).as("slope"),
+        graft.functions.gf.roundHalfUp(when(vx > 0, (sy - (cov / vx) * sx) / n), 6).as("intercept"),
+        graft.functions.gf.roundHalfUp(when(vx > 0 && vy > 0, (cov / vx) * (cov / vy)), 6).as("r2"))
       .orderBy(col("group"))
   }
 
@@ -327,7 +327,7 @@ object Stats {
       .agg(sort_array(collect_list(struct(col("_k"), col("_t")))).as("_a"))
       .select(col("n"), col("n_rows"), col("n_cols"),
         ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
-        round(aggregate(col("_a"), lit(0.0),
+        graft.functions.gf.roundHalfUp(aggregate(col("_a"), lit(0.0),
           (acc, s) => acc + s.getField("_t")), 6).as("chi2"))
   }
 
@@ -356,6 +356,6 @@ object Stats {
       .agg(max(col("_d")).as("ks_num"))
       .select(col("n_a"), col("n_b"), col("ks_num"),
         (col("n_a") * col("n_b")).as("ks_den"),
-        round(col("ks_num").cast("double") / (col("n_a") * col("n_b")), 6).as("ks"))
+        graft.functions.gf.roundHalfUp(col("ks_num").cast("double") / (col("n_a") * col("n_b")), 6).as("ks"))
   }
 }

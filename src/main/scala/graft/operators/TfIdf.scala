@@ -67,7 +67,7 @@ object TfIdf {
     scored.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= k)
       .select(col("_id").as(id), col("term"), col("tf"), col("df"),
-        round(col("score"), 6).as("score"))
+        graft.functions.gf.roundHalfUp(col("score"), 6).as("score"))
   }
 
   /**
@@ -102,7 +102,7 @@ object TfIdf {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("_cls").as(cls), col("term"), col("tf"), col("ft"),
-        round(col("score"), 6).as("score"), col("rank"))
+        graft.functions.gf.roundHalfUp(col("score"), 6).as("score"), col("rank"))
       .orderBy(col(cls), col("rank"))
   }
 }

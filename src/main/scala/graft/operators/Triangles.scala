@@ -104,7 +104,7 @@ object Triangles {
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") < 2, lit(0.0))
-          .otherwise(round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+          .otherwise(graft.functions.gf.roundHalfUp(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
             (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
   }
 

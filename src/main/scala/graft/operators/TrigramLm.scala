@@ -110,9 +110,9 @@ object TrigramLm {
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).as("n_trigrams"),
-        round(sum(col("tf") * col("bits")).cast("double") / sum(col("tf")), 6)
+        graft.functions.gf.roundHalfUp(sum(col("tf") * col("bits")).cast("double") / sum(col("tf")), 6)
           .as("mean_bits"),
-        round(sum(when(col("lvl") > 0, col("tf")).otherwise(lit(0))).cast("double")
+        graft.functions.gf.roundHalfUp(sum(when(col("lvl") > 0, col("tf")).otherwise(lit(0))).cast("double")
           / sum(col("tf")), 6).as("backoff_frac"))
 
     // keep sub-3-token documents (null score) so output covers the corpus;

@@ -59,8 +59,8 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).as("n_toks"),
-        round(sum(col("tf") * bits).cast("double") / sum(col("tf")), 6).as("mean_bits"),
-        round(sum(when(col("c") === 1, col("tf")).otherwise(lit(0))).cast("double")
+        graft.functions.gf.roundHalfUp(sum(col("tf") * bits).cast("double") / sum(col("tf")), 6).as("mean_bits"),
+        graft.functions.gf.roundHalfUp(sum(when(col("c") === 1, col("tf")).otherwise(lit(0))).cast("double")
           / sum(col("tf")), 6).as("rare_frac"))
 
     // left join keeps empty/whitespace-only documents (null score) so the

@@ -730,6 +730,33 @@ object ScaleProbe {
       val tk = measure(sq8, aBig)
       println(f"[scale] sq8_topk         1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
     }
+
+    // semDedup under adversarial concentration (round 19): HALF the corpus
+    // shares ONE centroid — the exact shape that made the uncapped
+    // within-bucket quadratic a B² hot-key risk. With the oversize-bucket
+    // cap the total candidate count is n·cap/2 BY CONSTRUCTION (n/cap
+    // sub-buckets × cap²/2 pairs), so the probe must read at-or-below
+    // linear; the uncapped path would grow quadratically in the hot bucket
+    // (ratio ~K² on the hot half).
+    if (sections("ann") && wanted("semdedup_hot")) {
+      import graft.dedup.Dedup
+      val dim = 16
+      def hotVecs(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            when(j === when(col("id") % 2 === 0, lit(0))
+              .otherwise(col("id") % 15 + 1).cast("int"), lit(1.0))
+              .otherwise(lit(0.0))).as("embedding"))
+          .localCheckpoint()
+      val centroids = Array.tabulate(dim)(i =>
+        Array.tabulate(dim)(j => if (i == j) 1.0 else 0.0))
+      val f: DataFrame => DataFrame = d =>
+        Dedup.semDedup(d, "vec_id", "embedding", centroids, 0.9, maxBucketSize = 256)
+      val s = hotVecs(4000); val b = hotVecs(4000L * k)
+      val t1 = measure(f, s)
+      val tk = measure(f, b)
+      println(f"[scale] semdedup_hot     1x=${t1}%6.2fs  ${k}x=${tk}%7.2fs  ratio=${tk / t1}%5.1f")
+    }
     spark.stop()
   }
 }
