@@ -5197,8 +5197,10 @@ object SparkEntry {
                 'Doc' AS schema_class
          FROM t ORDER BY doc_id""",
     "q_llm_query" ->
+      // coalesce: the Scala side renders null text as '' (PromptTemplate
+      // convention) while '||' would null-propagate the whole response
       """SELECT doc_id,
-                substr('Q:' || chr(10) || text, 1, 48) AS llm_response
+                substr('Q:' || chr(10) || coalesce(text, ''), 1, 48) AS llm_response
          FROM documents ORDER BY doc_id""",
     "q_llm_map_elements" ->
       """SELECT doc_id, i AS element_index,

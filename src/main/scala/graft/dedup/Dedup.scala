@@ -557,20 +557,25 @@ object Dedup {
       .repartition(col("_bkt"))
       .select(col("_id"), col("_bkt"),
         transform(col("_raw"), x => x.cast("double") / col("_n")).as("_v"))
-    // sub-split assignment: ONE aggregation over the already-bucket-
-    // partitioned frame (reuses the exchange) finds the oversized buckets;
-    // that frame is bucket-count-sized and only OVERSIZED entries survive
-    // (<= n/maxBucketSize rows by definition), so the broadcast back is
-    // bounded. The isEmpty probe is the AQE-philosophy size gate (same as
-    // connectedComponents' localFinishEdges): with no hot bucket the join
-    // keeps the single-key (_bkt) shape and REUSES the repartition exchange
-    // (zero extra shuffle); only a corpus that actually concentrates pays
-    // the (_bkt, _sub) re-shuffle — which is exactly what spreads the hot
-    // key across reducers. Normal buckets get sub-bucket 0.
+    // sub-split assignment. The isEmpty probe is the AQE-philosophy size
+    // gate (same as connectedComponents' localFinishEdges): with no hot
+    // bucket the join keeps the single-key (_bkt) shape and REUSES the
+    // repartition exchange (zero extra shuffle); only a corpus that
+    // actually concentrates pays the (_bkt, _sub) re-shuffle — which is
+    // exactly what spreads the hot key across reducers. The probe itself
+    // aggregates the RAW frame on the bucket column alone (map-side
+    // combined, column-pruned, BEFORE the normalize + repartition subtree
+    // — probing v0 would execute that whole subtree a second time, +50%
+    // on the gate) and skips the zero-norm filter: counting degenerate
+    // vectors only OVER-counts a bucket, so the guard stays conservative.
+    // Only OVERSIZED entries survive (<= n/maxBucketSize rows by
+    // definition), so the broadcast back is bounded; normal buckets get
+    // sub-bucket 0 via the null-count branch.
     val (v, keys) =
       if (maxBucketSize <= 0) (v0, Seq("_bkt"))
       else {
-        val over = v0.groupBy(col("_bkt")).agg(count(lit(1)).as("_cnt"))
+        val over = df.select(bucket.as("_bkt"))
+          .groupBy(col("_bkt")).agg(count(lit(1)).as("_cnt"))
           .where(col("_cnt") > maxBucketSize.toLong)
         if (over.isEmpty) (v0, Seq("_bkt"))
         else {

@@ -232,14 +232,15 @@ object gf {
    */
   def roundHalfUp(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale) // exact for scale <= 15
-    // floor WITHOUT Spark's floor(): that returns BIGINT and overflows at
-    // |x·10^s| > 2^63 (q_moments' m2 ~9.3e12 × 1e6 clamped to Long.Max).
-    // y − pmod(y, 1) is the exact double-space floor for any finite y —
-    // fmod is exact, the subtraction result is an integral double, and
-    // beyond 2^53 y is already integral (pmod = 0) — matching DuckDB's
-    // double-returning floor() bit-for-bit at every magnitude.
-    val y = c * lit(p) + lit(0.5)
-    (y - pmod(y, lit(1.0))) / lit(p)
+    // floor via FloorDoubleExpr, NOT Spark's floor(): that returns BIGINT
+    // and overflows at |x·10^s| > 2^63 (q_moments' m2 ~9.3e12 × 1e6
+    // clamped to Long.Max). And not the algebraic y − pmod(y, 1) twin:
+    // it references the input twice, and FilterExec codegen has no
+    // subexpression elimination — a predicate over roundHalfUp(heavy
+    // blend) re-evaluated the blend per reference (+60% on
+    // q_weighted_sample). Math.floor matches DuckDB's double-returning
+    // floor() bit-for-bit at every magnitude.
+    fromExpr(FloorDoubleExpr(toExpr(c.cast("double") * lit(p) + lit(0.5)))) / lit(p)
   }
 
   /**

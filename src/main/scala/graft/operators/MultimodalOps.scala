@@ -56,10 +56,14 @@ object MultimodalOps {
     * (reference: llm_query.py:135 LLMTextQueryAgent, per-doc flavor). */
   def llmQuery(d: Document, client: LlmClient, prompt: String,
                outputField: String = "llm_response", numElements: Int = 35): Document = {
+    // null text (binary-only doc) renders as "" — the PromptTemplate
+    // missing-field convention; bare interpolation would inject the
+    // LITERAL string "null" into the prompt
     val body =
       if (d.elements.nonEmpty)
-        d.elements.sortBy(_.elementIndex).take(numElements).map(_.text).mkString("\n")
-      else d.text
+        d.elements.sortBy(_.elementIndex).take(numElements)
+          .map(e => Option(e.text).getOrElse("")).mkString("\n")
+      else Option(d.text).getOrElse("")
     d.withProp(outputField, client.generate(s"$prompt\n$body"))
   }
 
