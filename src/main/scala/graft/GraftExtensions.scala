@@ -146,6 +146,13 @@ object GraftSqlFunctions {
       arity("gf_mean_token_length", 1)(es => x(gf.meanTokenLength(c(es(0)))))),
     ("gf_quality_score", "(text) -> double",
       arity("gf_quality_score", 1)(es => x(gf.qualityScore(c(es(0)))))),
+    // the midpoint-safe cross-engine rounding (see gf.roundHalfUp): SQL
+    // users writing oracled pipelines need the same primitive the engine's
+    // own gates use — Spark's round(x, s>0) diverges from DuckDB at
+    // shortest-repr decimal midpoints
+    ("gf_round_half_up", "(x, scale) -> double",
+      arity("gf_round_half_up", 2)(es =>
+        x(gf.roundHalfUp(c(es(0)), intArg("gf_round_half_up", es(1)))))),
     ("gf_blocklist_hits", "(text, array('w1','w2',...)) -> int",
       arity("gf_blocklist_hits", 2)(es =>
         x(gf.blocklistHits(c(es(0)), strArrayArg("gf_blocklist_hits", es(1)))))),

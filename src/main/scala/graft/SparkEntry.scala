@@ -1752,7 +1752,7 @@ object SparkEntry {
           |       CAST(gf_token_count(text) AS BIGINT) AS n_ws,
           |       gf_poly_fingerprint(text) AS fp,
           |       gf_langid(text) AS lang_detected,
-          |       floor((gf_alpha_ratio(text)) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio
+          |       gf_round_half_up(gf_alpha_ratio(text), 6) AS alpha_ratio
           |FROM gf_sql_docs
           |ORDER BY doc_id""".stripMargin)
     }),

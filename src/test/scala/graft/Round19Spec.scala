@@ -278,6 +278,35 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("roundHalfUp: midpoint-exact, overflow-proof, SQL-registered") {
+    GraftSqlFunctions.register(spark)
+    import graft.functions.gf
+    // 0.5118375's nearest double reads back as the exact 7-decimal midpoint
+    // (the q_quality_score row-1388 shape): Spark's round() rounds the
+    // SHORTEST repr half-up to 0.511838, while the double's true value sits
+    // just below the midpoint — the multiply-path (DuckDB, and this
+    // function) floors to 0.511837. The contract is ENGINE AGREEMENT: the
+    // result must equal the same IEEE ops run driver-side, and must differ
+    // from Spark's round() on exactly this input (proving the gate bug is
+    // pinned)
+    val df = Seq(0.5118375, 9301059586166.8049, -0.0000005, 2.5e18)
+      .toDF("x")
+    val got = df.select(gf.roundHalfUp(col("x"), 6).as("r")).as[Double].collect()
+    assert(got(0) == math.floor(0.5118375 * 1e6 + 0.5) / 1e6)
+    assert(got(0) == 0.511837)
+    val sparkRound = df.limit(1).select(round(col("x"), 6)).as[Double].head()
+    assert(sparkRound == 0.511838, "Spark round() changed behavior — revisit the sweep")
+    // the q_moments magnitude: Spark floor() would clamp x*1e6 at 2^63
+    assert(math.abs(got(1) - 9301059586166.8049) < 1e-3 &&
+      got(1) != 9223372036854.775807)
+    assert(got(3) == 2.5e18) // beyond 2^53: already integral, passes through
+    // SQL surface agrees with the Column API
+    df.createOrReplaceTempView("r19_round")
+    val viaSql = spark.sql(
+      "SELECT gf_round_half_up(x, 6) AS r FROM r19_round").as[Double].collect()
+    assert(viaSql.toSeq == got.toSeq)
+  }
+
   test("sampleByHash (DocSet) obeys the same partition-independence law") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sets = Seq(1, 7, 32).map { n =>
