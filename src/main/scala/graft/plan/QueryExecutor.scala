@@ -33,12 +33,18 @@ final case class QStrV(s: String) extends QValue
  *
  * @param tables resolves a QueryDatabase `index` name to a DataFrame
  *               (e.g. parquet table under a data dir).
+ * @param cacheEpoch caller-asserted data version for sources WITHOUT a file
+ *                   fingerprint (in-memory/view tables). Default None =
+ *                   refuse-to-cache such subtrees (honest > fast-and-stale);
+ *                   setting it opts back into caching, keyed by the epoch —
+ *                   the caller owns bumping it when the view's data changes.
  */
 final class QueryExecutor(spark: SparkSession, llm: LlmClient,
                           tables: String => DataFrame,
                           cacheDir: Option[String] = None,
                           summarizeMaxDocs: Int = 100,
-                          embedder: graft.embed.Embedder = new graft.embed.HashEmbedder()) {
+                          embedder: graft.embed.Embedder = new graft.embed.HashEmbedder(),
+                          cacheEpoch: Option[String] = None) {
 
   // Cache telemetry (reference logs per-node cache events,
   // sycamore_executor.py): cumulative across execute() calls on this
@@ -105,6 +111,10 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
       Option(sourceFps.computeIfAbsent(s, _ =>
         (if (s.startsWith("t:")) filesOf(tables(s.drop(2)))
          else filesOf(spark.read.parquet(s.drop(2)))).map(sha16).orNull))
+        // the caller-asserted epoch stands in for a missing file
+        // fingerprint (never memoized — the caller may hand a new epoch
+        // to the next executor over the same cacheDir)
+        .orElse(cacheEpoch.map(e => sha16(s"epoch:$e")))
     }
     if (parts.exists(_.isEmpty)) None
     else Some(sha16(parts.flatten.mkString(",")))

@@ -150,6 +150,33 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("cacheEpoch opts a fingerprint-less source back into caching, keyed by epoch") {
+    val dir = java.nio.file.Files.createTempDirectory("r19epoch").toString
+    try {
+      val mem = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(20).localCheckpoint()
+      val p = QPlan.fromJson("""{"query":"q","result_node":1,"nodes":{
+        "0": {"node_type":"QueryDatabase","node_id":0,"inputs":[],"index":"documents"},
+        "1": {"node_type":"LlmFilter","node_id":1,"inputs":[0],
+              "field":"properties.source","question":"good source?"}}}""")
+      def ex(epoch: String) = new QueryExecutor(spark, new FakeLlmClient("score"),
+        _ => mem.toDF(), Some(dir), cacheEpoch = Some(epoch))
+      val e1 = ex("v1"); e1.execute(p)
+      assert(e1.cacheMisses == 1 && e1.cacheHits == 0)
+      val e2 = ex("v1"); e2.execute(p)
+      assert(e2.cacheHits == 1 && e2.cacheMisses == 0, "same epoch must hit")
+      // bumping the epoch invalidates — the caller's signal that the
+      // view's data changed
+      val e3 = ex("v2"); e3.execute(p)
+      assert(e3.cacheMisses == 1 && e3.cacheHits == 0, "new epoch must miss")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("atomicPublish: concurrent loser discards its temp; no-winner failure throws") {
     val root = java.nio.file.Files.createTempDirectory("r19pub")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
