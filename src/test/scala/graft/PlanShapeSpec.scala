@@ -106,4 +106,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(modes.contains(Partial) || modes.contains(PartialMerge),
       s"no partial aggregation in plan:\n$p")
   }
+
+  test("every gate's whole-stage codegen COMPILES (no silent interpreted fallback)") {
+    // Janino failures don't fail queries — Spark logs one ERROR and runs
+    // the stage interpreted, a pure perf rot that nothing else catches
+    // (q_edit_join shipped a round with a ~18k-line doConsume running
+    // interpreted before the r19 sf0.1 log grep noticed). This compiles
+    // every generated stage DIRECTLY — compile errors become test
+    // failures, not log lines. AQE is disabled for the pass so
+    // executedPlan carries the WholeStageCodegen wrappers statically;
+    // CodeGenerator.compile caches by source, so repeated shapes are free.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val failures = scala.collection.mutable.ListBuffer.empty[String]
+      var stages = 0
+      SparkEntry.queries.toSeq.filterNot(kv => skip(kv._1)).sortBy(_._1)
+        .foreach { case (name, f) =>
+          val plan = f(spark, dir).queryExecution.executedPlan
+          plan.collectWithSubqueries { case w: WholeStageCodegenExec => w }
+            .foreach { w =>
+              stages += 1
+              try { val (_, code) = w.doCodeGen(); CodeGenerator.compile(code); () }
+              catch { case e: Throwable =>
+                failures += s"$name: ${e.getMessage.linesIterator.next().take(160)}"
+              }
+            }
+        }
+      assert(stages > 200, s"suspiciously few codegen stages compiled: $stages")
+      assert(failures.isEmpty,
+        s"codegen fell back to interpreted:\n${failures.distinct.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+  }
 }
