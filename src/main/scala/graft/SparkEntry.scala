@@ -1055,6 +1055,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_epoch_mixture" -> ((s, dir) =>
+      // fractional-epoch UPsampling (the repetition half of mixture
+      // policy): en's budget is ~2.x its n_chars mass (docs repeat, the
+      // hash-selected slice gets an extra copy), de ~1x, fr fractional
+      // (downsample), es unbudgeted (dropped). Output carries the 0-based
+      // copy index.
+      graft.operators.Sampling.epochMixture(
+          tbl(s, dir, "documents"), "doc_id", "lang",
+          col("n_chars"),
+          Map("en" -> 2000000L, "de" -> 120000L, "fr" -> 30000L),
+          salt = "ep1")
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
     "q_temperature_mixture" -> ((s, dir) =>
       // mT5-style α=1/2 temperature flattening over languages: draw
       // probability ∝ sqrt(count) — head languages downsample hardest,
@@ -5453,6 +5466,28 @@ object SparkEntry {
                  (a, b) -> (a * 31 + b) % 1000000007) % 10000
                < th.thr
          ORDER BY d.doc_id""",
+    "q_epoch_mixture" ->
+      // exact integer replay: epochs-in-basis-points via `//` (matches the
+      // Scala long division and the in-plan DIV), copies = full epochs +
+      // the hash-gated extra, epochs unrolled with generate_series
+      """WITH tot AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS t
+                      FROM documents GROUP BY lang),
+         e AS (SELECT lang,
+                      (CASE lang WHEN 'en' THEN 2000000 WHEN 'de' THEN 120000
+                                 WHEN 'fr' THEN 30000 END)::BIGINT * 10000 // t AS ebp
+               FROM tot WHERE lang IN ('en', 'de', 'fr') AND t > 0),
+         c AS (SELECT d.doc_id, d.lang,
+                      e.ebp // 10000 +
+                      CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                             list_transform(
+                               str_split(d.doc_id::VARCHAR || ':ep1:' || d.doc_id::VARCHAR, ''),
+                               x -> ascii(x)::BIGINT)),
+                             (a, b) -> (a * 31 + b) % 1000000007) % 10000
+                           < e.ebp % 10000 THEN 1 ELSE 0 END AS copies
+               FROM documents d JOIN e USING (lang))
+         SELECT doc_id, lang, CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+         FROM c WHERE copies >= 1
+         ORDER BY doc_id, epoch""",
     "q_temperature_mixture" ->
       // sumw replays the Scala foldLeft exactly: left fold from 0.0 in
       // stratum order (list_reduce, not list_sum — float + isn't

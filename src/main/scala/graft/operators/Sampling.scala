@@ -158,6 +158,67 @@ object Sampling {
     else stratifiedByHash(df, key, stratum, fractions, salt)
   }
 
+  /**
+   * Fractional-epoch UPsampling — the data-repetition half of mixture
+   * policy that [[tokenBudgetMixture]]'s `min(1, budget/tokens)` cannot
+   * express: modern pretraining mixes see scarce high-quality sources
+   * MORE than once (e.g. ~2.4 epochs of one corpus while a web crawl gets
+   * 0.6). Per-stratum epochs e = budget/total are quantized to basis
+   * points with exact integer division; each row is emitted
+   * floor(e) times, plus one extra copy when its salted hash bucket falls
+   * under frac(e) — so the expected stratum mass meets the budget, the
+   * SAME rows get the extra copy on every engine/run/partitioning, and
+   * disjoint salts vary which rows repeat. Output adds an `epoch` column
+   * (0-based copy index) so downstream shuffling/packing can separate
+   * copies; strata without a budget are dropped (tokenBudgetMixture's
+   * contract).
+   *
+   * Scale: one stratum-sized aggregate to the driver + a row-local
+   * explode of `sequence(0, copies-1)` — output-bounded, no shuffle.
+   * `maxEpochs` guards against a misconfigured budget exploding a row
+   * into millions of copies (a budget 1000× the corpus is a config bug,
+   * not a mixture).
+   */
+  def epochMixture(df: DataFrame, key: String, stratum: String,
+                   tokens: Column, budgets: Map[String, Long],
+                   salt: String = "", maxEpochs: Int = 1000): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(maxEpochs >= 1, s"maxEpochs must be positive: $maxEpochs")
+    val totals = df.groupBy(col(stratum).cast("string").as("_s"))
+      .agg(sum(tokens.cast("long")).as("_t"))
+      .collect().collect {
+        case r if !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) > 0 =>
+          r.getString(0) -> r.getLong(1)
+      }.toMap
+    // exact integer basis points (floor); budget*10000 stays in long up to
+    // ~9.2e14 budget tokens per stratum — beyond any single-stratum budget
+    // this quantization is sane for
+    val ebp = budgets.flatMap { case (s, b) =>
+      totals.get(s).map { t =>
+        val e = b * 10000L / t
+        require(e <= maxEpochs.toLong * 10000L,
+          s"epochMixture: stratum '$s' would repeat ${e / 10000.0} epochs " +
+            s"(> maxEpochs=$maxEpochs) — budget $b vs observed mass $t")
+        s -> e
+      }
+    }
+    if (ebp.isEmpty) return df.withColumn("epoch", lit(0L)).limit(0)
+    val k = col(key).cast("string")
+    val bucket = pmod(
+      gf.polyFingerprint(concat(k, lit(":"), lit(salt), lit(":"), k)), lit(10000L))
+    val em = map(ebp.toSeq.sortBy(_._1)
+      .flatMap { case (s, e) => Seq(lit(s), lit(e)) }: _*)
+    df.withColumn("_ebp", element_at(em, col(stratum).cast("string")))
+      // DIV: exact integral division (never double floor); null _ebp
+      // (unbudgeted stratum) nulls copies and the filter drops the row
+      .withColumn("_copies",
+        expr("_ebp DIV 10000") +
+          when(bucket < pmod(col("_ebp"), lit(10000L)), 1L).otherwise(0L))
+      .where(col("_copies") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1L)))
+      .drop("_ebp", "_copies")
+  }
+
   /** Leakage-safe train/val/test split: the split is a pure function of
     * the GROUP id (a near-dup component root, a registered domain, a
     * source shard), never of the row — so related rows land in the same

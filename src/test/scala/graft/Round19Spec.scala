@@ -288,7 +288,10 @@ class Round19Spec extends AnyFunSuite {
       "tokenBudgetMixture" -> (d => Sampling.tokenBudgetMixture(d, "doc_id", "lang",
         col("n_chars"), budgets, "s5")),
       "groupSplit" -> (d => Sampling.groupSplit(d, "doc_id", "source", "s6")),
-      "kFold" -> (d => Sampling.kFold(d, "doc_id", 5, "s7").select("doc_id", "fold")))
+      "kFold" -> (d => Sampling.kFold(d, "doc_id", 5, "s7").select("doc_id", "fold")),
+      "epochMixture" -> (d => Sampling.epochMixture(d, "doc_id", "lang",
+        col("n_chars"), Map("en" -> 2000000L, "de" -> 120000L), "s8")
+        .select(col("doc_id"))))
     for ((name, f) <- samplers) {
       // identical selected sets under 1/7/32 input partitions — per-row
       // salted hashing means a task RETRY (re-execution over ANY row
@@ -332,6 +335,34 @@ class Round19Spec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT gf_round_half_up(x, 6) AS r FROM r19_round").as[Double].collect()
     assert(viaSql.toSeq == got.toSeq)
+  }
+
+  test("epochMixture: exact copy counts, budget-proportional mass, config-bug guard") {
+    import graft.functions.gf
+    // 4 strata rows with known token mass: 'a' has 100 tokens total and a
+    // 250-token budget -> 2.5 epochs: every row appears >= 2 times, the
+    // hash-selected half appears 3 times; 'b' (no budget) is dropped
+    val df = (0L until 40L).map(i => (i, if (i < 20) "a" else "b", 5L))
+      .toDF("id", "s", "tok")
+    val out = Sampling.epochMixture(df, "id", "s", col("tok"),
+      Map("a" -> 250L), "se")
+    val byId = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(byId.keySet == (0L until 20L).toSet, "stratum b must be dropped")
+    assert(byId.values.forall(c => c == 2L || c == 3L))
+    // the extra copy goes to exactly the rows whose salted bucket < 5000
+    val bucket = pmod(gf.polyFingerprint(
+      concat(col("id").cast("string"), lit(":se:"), col("id").cast("string"))), lit(10000L))
+    val expectExtra = df.where(col("s") === "a" && bucket < 5000)
+      .select("id").as[Long].collect().toSet
+    assert(byId.filter(_._2 == 3L).keySet == expectExtra)
+    // epoch index is a dense 0..copies-1 per id
+    val epochs = out.where(col("id") === byId.keys.head)
+      .select("epoch").as[Long].collect().sorted.toSeq
+    assert(epochs == (0L until byId(byId.keys.head)).toSeq)
+    // a budget 1000x the mass is a config bug, not a mixture
+    assertThrows[IllegalArgumentException](
+      Sampling.epochMixture(df, "id", "s", col("tok"),
+        Map("a" -> 200000000L), "se", maxEpochs = 1000))
   }
 
   test("sampleByHash (DocSet) obeys the same partition-independence law") {
