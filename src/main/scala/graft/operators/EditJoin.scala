@@ -37,9 +37,21 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 object EditJoin {
 
   /** Pairs (id_a, id_b, dist) from `left` × `right` with
-    * levenshtein(strCol_a, strCol_b) <= k, id-ordered. */
+    * levenshtein(strCol_a, strCol_b) <= k, id-ordered.
+    *
+    * `maxSegFreq` is the hot-key guard (the family contract shared with
+    * ngramJaccardPairs' maxShingleFreq and embeddingCosinePairs'
+    * maxBucketSize, r19): a (length, seg-index, segment) key shared by B
+    * records on each side yields B² candidate pairs on ONE reducer — and
+    * generic substrings at a fixed position (template prefixes, common
+    * name particles) concentrate exactly like hot shingles. Keys whose
+    * frequency exceeds the cap on EITHER side are dropped from candidate
+    * generation. Documented under-count: a true pair is missed only when
+    * EVERY segment that witnesses it is hot — the pigeonhole still fires
+    * through any selective segment. 0 disables. */
   def join(left: DataFrame, right: DataFrame,
-           idCol: String, strCol: String, k: Int): DataFrame = {
+           idCol: String, strCol: String, k: Int,
+           maxSegFreq: Long = 10000L): DataFrame = {
     require(k >= 0, s"need k >= 0, got $k")
     val l = left.select(col(idCol).as("_ida"), col(strCol).as("_sa"),
       length(col(strCol)).as("_la")).where(col("_sa").isNotNull)
@@ -94,7 +106,22 @@ object EditJoin {
         col("_sb").substr(col("_pb") + 1, col("_len")).as("_seg"))
       .distinct()
 
-    val segCands = segs.join(subs, Seq("_l", "_i", "_seg"))
+    // hot-key guard: keys over the cap on either side leave candidate
+    // generation entirely (pairs need both sides, so one anti-join on the
+    // left segments suffices). The hot set is tiny by construction
+    // (<= rows/cap keys per side), hence the broadcast.
+    val segsGuarded =
+      if (maxSegFreq <= 0) segs
+      else {
+        val hot = segs.groupBy(col("_l"), col("_i"), col("_seg"))
+          .agg(count(lit(1)).as("_c")).where(col("_c") > maxSegFreq)
+          .select(col("_l"), col("_i"), col("_seg"))
+          .unionAll(subs.groupBy(col("_l"), col("_i"), col("_seg"))
+            .agg(count(lit(1)).as("_c")).where(col("_c") > maxSegFreq)
+            .select(col("_l"), col("_i"), col("_seg")))
+        segs.join(broadcast(hot), Seq("_l", "_i", "_seg"), "left_anti")
+      }
+    val segCands = segsGuarded.join(subs, Seq("_l", "_i", "_seg"))
       .where(abs(col("_pa") - col("_pb")) <= k)
       .select(col("_ida"), col("_idb"))
 

@@ -50,6 +50,7 @@ class InvarianceSpec extends AnyFunSuite {
   private val gateSubset = Seq(
     // sampling family
     "q_random_sample", "q_weighted_sample", "q_sample_hash", "q_sample_stratified",
+    "q_epoch_mixture",
     // ANN / top-k tie-breaks
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_sq8",
     "q_sort_topk", "q_docset_topk", "q_topk_groups", "q_rerank",

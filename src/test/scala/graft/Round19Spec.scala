@@ -81,6 +81,24 @@ class Round19Spec extends AnyFunSuite {
     assert(capped.size > 1 && capped.size < n)
   }
 
+  test("EditJoin hot-segment cap: bounded candidates, selective pairs survive") {
+    import graft.operators.EditJoin
+    // 30 identical strings (every segment key hot) + 2 selective near-dups
+    val l = ((0L until 30L).map(i => (i, "aaaabbbb")) ++
+      Seq((100L, "unique-x"), (101L, "uniq"))).toDF("id", "s")
+    val r = ((200L until 230L).map(i => (i, "aaaabbbb")) ++
+      Seq((300L, "unique-y"), (301L, "uniqz"))).toDF("id", "s")
+    val capped = EditJoin.join(l, r, "id", "s", k = 1, maxSegFreq = 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the hot 'aaaabbbb' block (30x30 exact matches) is dropped by the
+    // guard; the selective pairs still come through their own segments
+    assert(capped == Set((100L, 300L), (101L, 301L)), s"got $capped")
+    val uncapped = EditJoin.join(l, r, "id", "s", k = 1, maxSegFreq = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 30 * 30 + 2, s"got ${uncapped.size}")
+    assert(capped.subsetOf(uncapped))
+  }
+
   // ------------------------------------------------ pqAdcTopK validity guard
 
   test("pqAdcTopK: short codes and null-entry codes rank last, not as slot-0 garbage") {
