@@ -190,10 +190,13 @@ object Sampling {
         case r if !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) > 0 =>
           r.getString(0) -> r.getLong(1)
       }.toMap
-    // exact integer basis points (floor); budget*10000 stays in long up to
-    // ~9.2e14 budget tokens per stratum — beyond any single-stratum budget
-    // this quantization is sane for
+    // exact integer basis points (floor); budget*10000 must stay in long —
+    // enforced loudly, since a 920T-token stratum budget is conceivable at
+    // extreme scale and a silent overflow would flip ebp negative (every
+    // row of the richest stratum dropped with no error)
     val ebp = budgets.flatMap { case (s, b) =>
+      require(b >= 0 && b <= Long.MaxValue / 10000L,
+        s"epochMixture: budget for '$s' out of range: $b")
       totals.get(s).map { t =>
         val e = b * 10000L / t
         require(e <= maxEpochs.toLong * 10000L,
