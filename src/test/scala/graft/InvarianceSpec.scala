@@ -60,6 +60,14 @@ class InvarianceSpec extends AnyFunSuite {
     "q_window_rank", "q_window_running", "q_rolling_window", "q_time_window",
     // order-sensitive folds
     "q_reduce", "q_rank_bins",
+    // partition-indexed selection / rank machinery (twoMiddleSumSel walks
+    // partitions by index; globalRank prefix-sums per partition — the
+    // shapes MOST at risk of partition-count dependence)
+    "q_robust_outliers", "q_winsorize", "q_percentiles", "q_moments",
+    "q_pack_sequences", "q_quality_calibrated",
+    // sketch finalize + score-ordered fusion + scoring tie-breaks
+    "q_heavy_hitters", "q_rrf_fusion", "q_bm25",
+    "q_line_dedup", "q_dedup_keep_best", "q_simhash_pairs",
     // iterative + dedup shapes whose tie-breaks must not see partitioning
     "q_pagerank", "q_minhash_dedup", "q_semdedup", "q_cosine_pairs",
     // streaming checksum
