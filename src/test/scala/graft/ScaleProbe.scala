@@ -113,6 +113,17 @@ object ScaleProbe {
         d, col("n_chars"), "doc_id", 10, 990)),
       "temperature_mix" -> (d => graft.operators.Sampling.temperatureMixture(
         d, "doc_id", "lang", budgetDocs = 1000L, alphaQuarters = 2, salt = "sp")),
+      // r19: fractional-epoch upsampling — budgets derived from observed
+      // mass so epochs stay exactly 2.0/0.5 at every K (a fixed budget
+      // would compare different mixtures, not the machinery); the derive
+      // agg is timed as part of the arm, itself linear
+      "epoch_mix" -> { d =>
+        val mass = d.groupBy(col("lang")).agg(sum(col("n_chars")).as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.operators.Sampling.epochMixture(d, "doc_id", "lang",
+          col("n_chars"),
+          Map("en" -> mass("en") * 2L, "de" -> mass("de") / 2L), "sp")
+      },
       "rake" -> (d => graft.operators.Rake.keywords(d, "doc_id", "text",
         graft.functions.gf.EnglishStopwords ++ Seq("data", "table", "row", "key", "value", "line"),
         maxPhraseLen = 4, topK = 3)),
