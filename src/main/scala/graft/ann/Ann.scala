@@ -240,16 +240,24 @@ object Ann {
     }.reduce(_ + _)
     // the validity guard is CORRECTNESS, not style: element_at over a
     // literal array (containsNull=false) mis-declares its output as
-    // non-nullable, so a null index reads back as slot-0 garbage
-    // (adc_dist = sum of table[0]s — a real-looking distance) instead of
-    // null. pqEncode guarantees non-null, m-long codes, but the column is
-    // caller-supplied — so the guard covers every malformed shape, not
-    // just a fully-null column: short/long arrays and arrays with null
-    // entries also get a true null, and asc_nulls_last (Spark's asc
-    // default is nulls-FIRST) ranks them behind every real distance
+    // non-nullable, so a null OR out-of-bounds index reads back as slot-0
+    // garbage (adc_dist = sum of table[0]s — a real-looking distance)
+    // instead of null. pqEncode guarantees non-null, m-long codes in
+    // [0, ksub), but the column is caller-supplied — so the guard covers
+    // every malformed shape: null column, short/long arrays, null entries,
+    // AND code values outside [0, ksub) (element_at past the table end is
+    // the same mis-declared null → slot-0 garbage). Malformed rows get a
+    // true null, and asc_nulls_last (Spark's asc default is nulls-FIRST)
+    // ranks them behind every real distance. The range check is
+    // PER-SUBSPACE (not one shared ksub): pqTrain's distinct-sample seeding
+    // can yield fewer than ksub centroids in a subspace, so table lengths
+    // may legitimately differ.
     val valid = col(codes).isNotNull &&
       size(col(codes)) === lit(tables.length) &&
-      !exists(col(codes), _.isNull)
+      tables.zipWithIndex.map { case (t, s) =>
+        val c = element_at(col(codes), s + 1)
+        c.isNotNull && c >= 0 && c < lit(t.length)
+      }.reduce(_ && _)
     val adc = when(valid, lookups)
     df.select(col(id), adc.as("adc_dist"))
       .orderBy(asc_nulls_last("adc_dist"), col(id))

@@ -536,7 +536,12 @@ object Dedup {
    * reducers. Documented under-count: pairs straddling two sub-splits of
    * the same hot bucket are missed — strictly better than the reference's
    * contract (SketchUniquify is O(n²) on a single actor), and within-split
-   * recall stays exact. Set maxBucketSize <= 0 to disable.
+   * recall stays exact. Set maxBucketSize <= 0 to disable. When the cap is
+   * active, the oversize probe runs ONE aggregation job at
+   * DataFrame-construction time (bucket column only, map-side combined) —
+   * a caller constructing frames it may never execute should pass 0.
+   * Oversize buckets are counted and logged at WARN so the under-count is
+   * observable.
    */
   def embeddingCosinePairs(df: DataFrame, id: String, vec: String, bucket: Column,
                            threshold: Double, maxBucketSize: Int = 8192): DataFrame = {
@@ -577,7 +582,18 @@ object Dedup {
         val over = df.select(bucket.as("_bkt"))
           .groupBy(col("_bkt")).agg(count(lit(1)).as("_cnt"))
           .where(col("_cnt") > maxBucketSize.toLong)
-        if (over.isEmpty) (v0, Seq("_bkt"))
+        // count(), not isEmpty: same single probe job, and the hot-bucket
+        // count makes the cap's under-count OBSERVABLE (r20, ADVICE) —
+        // pairs straddling sub-splits of a hot bucket are missed, which
+        // must be a logged fact, not a silent one
+        val nHot = over.count()
+        if (nHot > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"embeddingCosinePairs: $nHot buckets exceed maxBucketSize=" +
+              s"$maxBucketSize and are sub-split by id-hash — near-dup " +
+              "pairs straddling two sub-splits of the same hot bucket are " +
+              "under-counted (pass maxBucketSize=0 for exact recall)")
+        if (nHot == 0L) (v0, Seq("_bkt"))
         else {
           val split = v0.join(broadcast(over), Seq("_bkt"), "left")
             .withColumn("_sub",
@@ -866,13 +882,16 @@ object Dedup {
    * the pairs when transitive-closure classes are needed.
    *
    * `maxBucketSize` inherits [[embeddingCosinePairs]]' oversize-bucket
-   * guard: a corpus that concentrates on few centroids (near-dup-heavy —
-   * the SemDeDup use case) sub-splits its hot clusters instead of paying
-   * B² on one join key.
+   * guard, but here it defaults to 0 = OFF (r20): sub-splitting a hot
+   * cluster drops exactly the pairs a DEDUP op exists to find — the
+   * densest near-duplicate clusters would silently under-deduplicate by
+   * ~1/ceil(B/cap). A corpus that genuinely cannot afford B² on its
+   * hottest cluster opts in explicitly (and gets the WARN-logged
+   * hot-bucket count from the pairs op).
    */
   def semDedup(df: DataFrame, id: String, vec: String,
                centroids: Array[Array[Double]], threshold: Double,
-               maxBucketSize: Int = 8192): DataFrame = {
+               maxBucketSize: Int = 0): DataFrame = {
     val bucket = graft.ann.Ann.nearestCentroid(col(vec), centroids)
     val pairs = embeddingCosinePairs(df, id, vec, bucket, threshold, maxBucketSize)
     // no distinct(): left_anti tolerates duplicate keys (same reasoning as

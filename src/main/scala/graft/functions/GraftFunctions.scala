@@ -231,7 +231,13 @@ object gf {
    * around integral midpoints) and is not swept.
    */
   def roundHalfUp(c: Column, scale: Int): Column = {
-    val p = math.pow(10, scale) // exact for scale <= 15
+    // enforced, not just documented (r20, ADVICE): 10^s is an exact double
+    // only for s <= 15, and gf_round_half_up exposes this to arbitrary
+    // SQL-supplied scales — an out-of-contract scale must fail loudly, not
+    // quietly void the bit-equality-with-DuckDB guarantee
+    require(scale >= 0 && scale <= 15,
+      s"roundHalfUp: scale must be in [0, 15] (10^s exactness bound), got $scale")
+    val p = math.pow(10, scale)
     // floor via FloorDoubleExpr, NOT Spark's floor(): that returns BIGINT
     // and overflows at |x·10^s| > 2^63 (q_moments' m2 ~9.3e12 × 1e6
     // clamped to Long.Max). And not the algebraic y − pmod(y, 1) twin:

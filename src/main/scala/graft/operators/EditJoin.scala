@@ -39,19 +39,28 @@ object EditJoin {
   /** Pairs (id_a, id_b, dist) from `left` × `right` with
     * levenshtein(strCol_a, strCol_b) <= k, id-ordered.
     *
-    * `maxSegFreq` is the hot-key guard (the family contract shared with
-    * ngramJaccardPairs' maxShingleFreq and embeddingCosinePairs'
+    * `maxSegFreq` is the OPT-IN hot-key guard (the family contract shared
+    * with ngramJaccardPairs' maxShingleFreq and embeddingCosinePairs'
     * maxBucketSize, r19): a (length, seg-index, segment) key shared by B
     * records on each side yields B² candidate pairs on ONE reducer — and
     * generic substrings at a fixed position (template prefixes, common
     * name particles) concentrate exactly like hot shingles. Keys whose
     * frequency exceeds the cap on EITHER side are dropped from candidate
-    * generation. Documented under-count: a true pair is missed only when
-    * EVERY segment that witnesses it is hot — the pigeonhole still fires
-    * through any selective segment. 0 disables. */
+    * generation. The default is 0 = DISABLED (r20): with a cap, a group of
+    * more than `maxSegFreq` template-identical strings makes every
+    * witnessing key hot on both sides and silently drops ALL pairs among
+    * them — including dist=0 exact duplicates, the primary dedup case —
+    * which breaks the operator's all-pairs contract with no signal. A
+    * caller who opts in gets (a) exact-equality pairs re-admitted through
+    * a separate equality pre-join (they cost no verification and ARE the
+    * output, so the cap only prunes near-miss candidates), and (b) a WARN
+    * log with the dropped-hot-key count, so the remaining under-count —
+    * a true 1..k pair ALL of whose witnessing segments are hot (the
+    * pigeonhole otherwise fires through any selective segment) — is
+    * observable instead of silent. */
   def join(left: DataFrame, right: DataFrame,
            idCol: String, strCol: String, k: Int,
-           maxSegFreq: Long = 10000L): DataFrame = {
+           maxSegFreq: Long = 0L): DataFrame = {
     require(k >= 0, s"need k >= 0, got $k")
     val l = left.select(col(idCol).as("_ida"), col(strCol).as("_sa"),
       length(col(strCol)).as("_la")).where(col("_sa").isNotNull)
@@ -106,10 +115,14 @@ object EditJoin {
         col("_sb").substr(col("_pb") + 1, col("_len")).as("_seg"))
       .distinct()
 
-    // hot-key guard: keys over the cap on either side leave candidate
-    // generation entirely (pairs need both sides, so one anti-join on the
-    // left segments suffices). The hot set is tiny by construction
-    // (<= rows/cap keys per side), hence the broadcast.
+    // hot-key guard (opt-in): keys over the cap on either side leave
+    // candidate generation entirely (pairs need both sides, so one
+    // anti-join on the left segments suffices). The hot set is tiny by
+    // construction (<= rows/cap keys per side), hence the broadcast; it is
+    // also COUNTED and logged — the cap's under-count must never be
+    // silent (r20, ADVICE). The count is one action over two map-side-
+    // combined aggregates of the tiny hot frame, paid only by opt-in
+    // callers, and the persist means the broadcast reuses its rows.
     val segsGuarded =
       if (maxSegFreq <= 0) segs
       else {
@@ -119,11 +132,30 @@ object EditJoin {
           .unionAll(subs.groupBy(col("_l"), col("_i"), col("_seg"))
             .agg(count(lit(1)).as("_c")).where(col("_c") > maxSegFreq)
             .select(col("_l"), col("_i"), col("_seg")))
+          .persist(MEMORY_AND_DISK)
+        val nHot = hot.count()
+        if (nHot > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"EditJoin: maxSegFreq=$maxSegFreq drops $nHot hot segment keys " +
+              "from candidate generation — near-miss pairs witnessed ONLY by " +
+              "hot segments are under-counted (exact-equality pairs are " +
+              "re-admitted separately)")
         segs.join(broadcast(hot), Seq("_l", "_i", "_seg"), "left_anti")
       }
     val segCands = segsGuarded.join(subs, Seq("_l", "_i", "_seg"))
       .where(abs(col("_pa") - col("_pb")) <= k)
       .select(col("_ida"), col("_idb"))
+
+    // cap exemption for the primary dedup case: dist=0 pairs among a hot
+    // template group are exactly the pairs the cap would otherwise drop
+    // wholesale. An equality join re-admits them at zero verification
+    // cost (their levenshtein is 0 by construction); its output size is
+    // the TRUE pair count, so it adds no work the contract doesn't owe.
+    val exactCands =
+      if (maxSegFreq <= 0) None
+      else Some(l.select(col("_ida"), col("_sa"))
+        .join(r.select(col("_idb"), col("_sb")), col("_sa") === col("_sb"))
+        .select(col("_ida"), col("_idb")))
 
     // short strings (< k+1 chars) cannot be segmented: length-banded
     // direct candidates — bounded by the short-string count
@@ -132,7 +164,7 @@ object EditJoin {
         col("_lb") >= col("_la") - k && col("_lb") <= col("_la") + k)
       .select(col("_ida"), col("_idb"))
 
-    val cands = segCands.unionAll(shortCands).distinct()
+    val cands = exactCands.foldLeft(segCands.unionAll(shortCands))(_ unionAll _).distinct()
 
     val bcastRows = 4L << 20
     val lv = if (l.count() <= bcastRows) broadcast(l) else l

@@ -443,22 +443,42 @@ final class QueryExecutor(spark: SparkSession, llm: LlmClient,
 object QueryExecutor {
   /** Publish a completed cache write: rename `tmp` to `dst` in one FS call
     * (atomic on HDFS and posix-local; the strongest primitive a generic
-    * Hadoop FS offers). If the rename fails because a concurrent executor
-    * already published `dst`, the loser's temp is deleted and the winner's
-    * result stands — the two results are equivalent by construction (same
-    * plan key + same source fingerprint). A failed rename with NO winner
-    * present is a real error and throws. */
+    * Hadoop FS offers). If a concurrent executor already published `dst`,
+    * the loser's temp is deleted and the winner's result stands — the two
+    * results are equivalent by construction (same plan key + same source
+    * fingerprint). A loss with NO winner present is a real error and
+    * throws.
+    *
+    * The legacy `FileSystem.rename` boolean CANNOT be trusted for the
+    * contended case: the old-API HDFS semantics (which RawLocalFileSystem
+    * inherits via a FileUtil.copy fallback) move `tmp` INTO an existing
+    * `dst` directory and return TRUE — the losing racer would nest its
+    * whole temp dir (part-files + `_SUCCESS`) UNDER the winner's path, and
+    * a later `spark.read.parquet(dst)` would read duplicated rows. So:
+    * (1) an existing `dst` is a loss before any rename is attempted, and
+    * (2) a "successful" rename is disbelieved if `dst/<tmp.name>` now
+    * exists — the nested artifact is removed and the call is treated as a
+    * loss against the already-present winner. Temp names carry a unique
+    * suffix, so `dst/<tmp.name>` can only be the nested loser, never
+    * winner content. */
   private[graft] def atomicPublish(fs: org.apache.hadoop.fs.FileSystem,
                                   tmp: org.apache.hadoop.fs.Path,
                                   dst: org.apache.hadoop.fs.Path): Unit = {
-    val renamed = try fs.rename(tmp, dst)
-                  catch { case scala.util.control.NonFatal(_) => false }
-    if (!renamed) {
+    val renamed =
+      if (fs.exists(dst)) false
+      else try fs.rename(tmp, dst)
+           catch { case scala.util.control.NonFatal(_) => false }
+    // detect the rename-into-existing-directory race: both racers passed
+    // the exists() pre-check, the loser's "true" moved tmp inside dst
+    val nested = new org.apache.hadoop.fs.Path(dst, tmp.getName)
+    val nestedLoss = renamed && fs.exists(nested)
+    if (nestedLoss) fs.delete(nested, true)
+    if (!renamed || nestedLoss) {
       val winner = fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
-      fs.delete(tmp, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       if (!winner)
-        throw new java.io.IOException(s"cache publish failed: rename $tmp -> $dst " +
-          "returned false and no completed winner exists at the destination")
+        throw new java.io.IOException(s"cache publish failed: $tmp -> $dst " +
+          "lost the publish race but no completed winner exists at the destination")
     }
   }
 }

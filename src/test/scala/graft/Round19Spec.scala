@@ -81,22 +81,28 @@ class Round19Spec extends AnyFunSuite {
     assert(capped.size > 1 && capped.size < n)
   }
 
-  test("EditJoin hot-segment cap: bounded candidates, selective pairs survive") {
+  test("EditJoin hot-segment cap: bounded candidates, exact + selective pairs survive") {
     import graft.operators.EditJoin
-    // 30 identical strings (every segment key hot) + 2 selective near-dups
+    // 30 identical strings (every segment key hot), one near-miss of the
+    // hot template, and 2 selective near-dups. Contract after r20: the
+    // opt-in cap prunes only near-miss candidates whose EVERY witnessing
+    // segment is hot (102's 'aaaa' witness — the documented, WARN-logged
+    // under-count); exact-duplicate pairs of the hot group are re-admitted
+    // through the equality pre-join, and selective pairs come through
+    // their own segments.
     val l = ((0L until 30L).map(i => (i, "aaaabbbb")) ++
-      Seq((100L, "unique-x"), (101L, "uniq"))).toDF("id", "s")
+      Seq((100L, "unique-x"), (101L, "uniq"), (102L, "aaaabbbx"))).toDF("id", "s")
     val r = ((200L until 230L).map(i => (i, "aaaabbbb")) ++
       Seq((300L, "unique-y"), (301L, "uniqz"))).toDF("id", "s")
+    val hotExact = (for { a <- 0L until 30L; b <- 200L until 230L } yield (a, b)).toSet
     val capped = EditJoin.join(l, r, "id", "s", k = 1, maxSegFreq = 10L)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // the hot 'aaaabbbb' block (30x30 exact matches) is dropped by the
-    // guard; the selective pairs still come through their own segments
-    assert(capped == Set((100L, 300L), (101L, 301L)), s"got $capped")
+    assert(capped == hotExact ++ Set((100L, 300L), (101L, 301L)), s"got ${capped.size}")
     val uncapped = EditJoin.join(l, r, "id", "s", k = 1, maxSegFreq = 0L)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(uncapped.size == 30 * 30 + 2, s"got ${uncapped.size}")
-    assert(capped.subsetOf(uncapped))
+    // uncapped adds 102's 30 near-miss pairs against the hot group
+    assert(uncapped == capped ++ (200L until 230L).map((102L, _)).toSet,
+      s"got ${uncapped.size}")
   }
 
   // ------------------------------------------------ pqAdcTopK validity guard
