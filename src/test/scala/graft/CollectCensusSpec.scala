@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-materialization census as an ENFORCED invariant (round 20).
+  *
+  * SURVEY §6 classifies every `.collect()` / `.head()` call in src/main by
+  * its driver-memory bound (metadata / bounded-k / stratum-sized /
+  * size-gated / oracle-gen / action). Round 19 audited that census as a
+  * snapshot; this spec turns it into a RATCHET: the per-file call counts
+  * below are the registered census, and any drift — a new collect site, a
+  * removed one, a site moved between files — fails the suite until BOTH
+  * this table and the SURVEY §6 classification are updated. An
+  * uncataloged driver collect is how a scale-killer (a corpus-sized
+  * materialization) slips in looking like a one-liner.
+  *
+  * Counts are raw regex matches: `.collect()` includes the two documented
+  * name collisions (GroupedDocSet.collect / the Scala-Array `.collect{}`
+  * chains match only once because the partial-function form has no
+  * parens), and `.head()` counts DataFrame head() actions — Scala
+  * collection `.head` (no parens) is not matched.
+  */
+class CollectCensusSpec extends AnyFunSuite {
+
+  private val root = java.nio.file.Paths.get("src/main/scala")
+
+  // file (relative to src/main/scala) -> (collect() sites, head() sites)
+  private val census: Map[String, (Int, Int)] = Map(
+    "graft/SparkEntry.scala" -> (15, 6),
+    "graft/docset/DocSet.scala" -> (3, 0),
+    "graft/ann/Ann.scala" -> (3, 0),
+    "graft/plan/QueryExecutor.scala" -> (2, 0),
+    "graft/dedup/Dedup.scala" -> (1, 1),
+    "graft/operators/Sampling.scala" -> (3, 0),
+    "graft/operators/Packing.scala" -> (2, 0),
+    "graft/operators/Dsir.scala" -> (2, 0),
+    "graft/operators/Stats.scala" -> (1, 0),
+    "graft/operators/QualityClassifier.scala" -> (1, 0),
+    "graft/operators/Fusion.scala" -> (1, 0),
+    "graft/operators/Calibration.scala" -> (1, 0),
+    "graft/operators/Bpe.scala" -> (1, 0),
+    "graft/operators/HeavyHitters.scala" -> (0, 1),
+    "graft/operators/Linkage.scala" -> (0, 1),
+    "graft/operators/Privacy.scala" -> (0, 1))
+
+  private def countIn(s: String, needle: String): Int = {
+    var i = 0; var n = 0
+    while ({ i = s.indexOf(needle, i); i >= 0 }) { n += 1; i += needle.length }
+    n
+  }
+
+  test("every driver collect()/head() site is registered in the census") {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .toSeq.sortBy(_.toString)
+    assert(files.nonEmpty, s"no sources under $root — run from the repo root")
+    val drift = scala.collection.mutable.ListBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    for (p <- files) {
+      val rel = root.relativize(p).toString.replace('\\', '/')
+      val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val got = (countIn(src, ".collect()"), countIn(src, ".head()"))
+      val want = census.getOrElse(rel, (0, 0))
+      seen += rel
+      if (got != want)
+        drift += s"$rel: counted (collect, head) = $got, census says $want"
+    }
+    for ((rel, _) <- census if !seen.contains(rel))
+      drift += s"$rel: registered in the census but the file no longer exists"
+    assert(drift.isEmpty,
+      "driver-materialization census drift — classify the new/changed site " +
+        "in SURVEY §6 AND update CollectCensusSpec:\n" + drift.mkString("\n"))
+  }
+
+  test("the ratchet actually fires on an unregistered site") {
+    // self-test of the counter, so a silent regex bitrot can't neuter the
+    // census: a synthetic source with one of each site must be counted
+    val fake = "val x = df.groupBy(k).agg(f).collect().map(r => r)\n" +
+      "val y = df.agg(m).head()\n" +
+      "val z = xs.collect { case a => a }\n" + // partial-function: NOT a site
+      "val w = xs.head\n" // collection head: NOT a site
+    assert(countIn(fake, ".collect()") == 1 && countIn(fake, ".head()") == 1)
+  }
+}
