@@ -1207,6 +1207,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("bin"))
         .orderBy(col("doc_id"))
     }),
+    "q_mixture_pack_e2e" -> ((s, dir) => {
+      // the mixture→packing COMPOSITION (r20): fractional-epoch upsampling
+      // emits a 0-based `epoch` copy index precisely so downstream packing
+      // can separate copies — this gate proves the chain end-to-end.
+      // Copies are separated EPOCH-MAJOR ((epoch, doc_id) as one struct
+      // order key, native composite ordering for both the range partition
+      // and the in-partition window): copy 0 of the whole upsampled corpus
+      // packs before any copy 1, the pretraining-loader layout where a
+      // repeated document never lands twice in one context window until
+      // the corpus has been seen once.
+      val mixed = graft.operators.Sampling.epochMixture(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+          "doc_id", "lang", col("n_chars"),
+          Map("en" -> 2000000L, "de" -> 120000L, "fr" -> 30000L), salt = "ep1")
+        .withColumn("_ord", struct(col("epoch"), col("doc_id")))
+      graft.operators.Packing.packSequences(mixed, "_ord",
+          gf.tokenCount(col("text")), contextLen = 512)
+        .select(col("doc_id"), col("epoch"), col("tok_start"), col("tok_end"),
+          col("chunk_start"), col("chunk_end"), col("chunk_offset"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
     "q_zorder" -> ((s, dir) => {
       // Morton layout key: exact-rank buckets (16 per dim) bit-interleaved
       // into one codegen'd expression — deterministic, so an external
@@ -5109,6 +5131,42 @@ object SparkEntry {
                     FROM documents)
          SELECT doc_id, n_chars, CAST(floor(rank0 * 10 / n) AS BIGINT) AS bin
          FROM r ORDER BY doc_id""",
+    "q_mixture_pack_e2e" ->
+      // the q_epoch_mixture CTE chained into the q_pack_sequences CTE,
+      // cumulative token sum ordered (epoch, doc_id) — the epoch-major
+      // copy separation the Spark side encodes as the struct order key
+      """WITH tot AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS t
+                      FROM documents GROUP BY lang),
+         e AS (SELECT lang,
+                      (CASE lang WHEN 'en' THEN 2000000 WHEN 'de' THEN 120000
+                                 WHEN 'fr' THEN 30000 END)::BIGINT * 10000 // t AS ebp
+               FROM tot WHERE lang IN ('en', 'de', 'fr') AND t > 0),
+         c AS (SELECT d.doc_id, d.text,
+                      e.ebp // 10000 +
+                      CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                             list_transform(
+                               str_split(d.doc_id::VARCHAR || ':ep1:' || d.doc_id::VARCHAR, ''),
+                               x -> ascii(x)::BIGINT)),
+                             (a, b) -> (a * 31 + b) % 1000000007) % 10000
+                           < e.ebp % 10000 THEN 1 ELSE 0 END AS copies
+               FROM documents d JOIN e USING (lang)),
+         u AS (SELECT doc_id, text,
+                      CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+               FROM c WHERE copies >= 1),
+         t2 AS (SELECT doc_id, epoch,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) END AS w
+                FROM u),
+         cm AS (SELECT doc_id, epoch, w,
+                       CAST(SUM(w) OVER (ORDER BY epoch, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM t2)
+         SELECT doc_id, epoch, cum - w AS tok_start, cum AS tok_end,
+                CAST(floor((cum - w) / 512) AS BIGINT) AS chunk_start,
+                CASE WHEN w > 0 THEN CAST(floor((cum - 1) / 512) AS BIGINT)
+                     ELSE CAST(floor((cum - w) / 512) AS BIGINT) END AS chunk_end,
+                (cum - w) % 512 AS chunk_offset
+         FROM cm ORDER BY doc_id, epoch""",
     "q_zorder" ->
       """WITH r AS (SELECT doc_id,
                       CAST(floor((row_number() OVER (ORDER BY source, doc_id) - 1) * 16
