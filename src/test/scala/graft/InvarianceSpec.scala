@@ -73,28 +73,87 @@ class InvarianceSpec extends AnyFunSuite {
     // streaming checksum
     "q_stream_e2e")
 
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("gate subset: canonical hash is identical across the partitioning matrix") {
     val qs = SparkEntry.queries
     val missing = gateSubset.filterNot(qs.contains)
     assert(missing.isEmpty, s"unknown gates in subset: $missing")
-    val shuffle0 = spark.conf.get("spark.sql.shuffle.partitions")
-    val split0 = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    try {
+    withConfs() {
       val failures = scala.collection.mutable.ListBuffer.empty[String]
       for (name <- gateSubset) {
         val hashes = matrix.map { case (shuffle, split) =>
-          spark.conf.set("spark.sql.shuffle.partitions", shuffle)
-          spark.conf.set("spark.sql.files.maxPartitionBytes", split)
-          resultHash(qs(name)(spark, sfDir))
+          var h: String = null
+          withConfs("spark.sql.shuffle.partitions" -> shuffle,
+            "spark.sql.files.maxPartitionBytes" -> split) {
+            h = resultHash(qs(name)(spark, sfDir))
+          }
+          h
         }
         if (hashes.distinct.size != 1)
           failures += s"$name: ${hashes.mkString(", ")}"
       }
       assert(failures.isEmpty,
         s"partition-dependent gates:\n${failures.mkString("\n")}")
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
-      spark.conf.set("spark.sql.files.maxPartitionBytes", split0)
     }
+  }
+
+  test("FULL surface: every remaining gate hash-stable in the wide-fragmented cell") {
+    // round-20 closure of the uncovered-config class (the r19 sf0.1 sweep
+    // proved that class pays): every gate NOT in the curated subset runs
+    // once at the canonical cell and once at (200 reducers, 64 KiB scan
+    // splits) — a wide cluster with fragmented inputs — and the driver-
+    // style hash must match. Together with the matrix test above, all
+    // gates are partition-invariance-checked every round.
+    val qs = SparkEntry.queries
+    val rest = qs.keys.toSeq.sorted.filterNot(gateSubset.contains)
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- rest) {
+      var canonical: String = null
+      var alt: String = null
+      withConfs("spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.files.maxPartitionBytes" -> "134217728") {
+        canonical = resultHash(qs(name)(spark, sfDir))
+      }
+      withConfs("spark.sql.shuffle.partitions" -> "200",
+        "spark.sql.files.maxPartitionBytes" -> "65536") {
+        alt = resultHash(qs(name)(spark, sfDir))
+      }
+      if (canonical != alt) failures += name
+    }
+    assert(failures.isEmpty,
+      s"partition-dependent gates (full-surface cell):\n${failures.mkString("\n")}")
+  }
+
+  test("gate subset: hash invariant to AQE (adaptive coalescing / skew split)") {
+    // AQE re-plans at runtime — coalesced shuffle partitions and split
+    // skew joins are a partition-dependence class the static matrix cannot
+    // see (and the codegen-health pass runs with AQE off, so nothing else
+    // asserts result equality under it). 200 initial reducers make the
+    // coalescer actually fire at sf0.001.
+    val qs = SparkEntry.queries
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- gateSubset) {
+      val hashes = Seq("false", "true").map { aqe =>
+        var h: String = null
+        withConfs("spark.sql.shuffle.partitions" -> "200",
+          "spark.sql.adaptive.enabled" -> aqe,
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.enabled" -> "true") {
+          h = resultHash(qs(name)(spark, sfDir))
+        }
+        h
+      }
+      if (hashes.distinct.size != 1) failures += name
+    }
+    assert(failures.isEmpty,
+      s"AQE-dependent gates:\n${failures.mkString("\n")}")
   }
 }
