@@ -197,16 +197,27 @@ object Triangles {
   def enumerate(edges: DataFrame, src: String, dst: String): DataFrame =
     enumerateOriented(oriented(edges, src, dst))
 
-  /** Triangle enumeration over an already-oriented (u, w, dw) edge list. */
+  /** Triangle enumeration over an already-oriented (u, w, dw) edge list.
+    *
+    * Both joins carry an explicit MERGE hint (r20): graph joins are the
+    * case where size statistics systematically mislead the planner — the
+    * map-side output is a slim (id, id, long) list, but the join output is
+    * wedge-expanded (O(E^1.5) bound), so AQE's per-partition size check
+    * happily converts the SMJ to a shuffled-hash join whose BUILD side
+    * cannot spill. The r20 memory probe pinned the failure: at K=25 under
+    * a 2 GiB heap the hash build dies with UNABLE_TO_ACQUIRE_MEMORY while
+    * the hinted sort-merge path completes with ~15 GB of clean spill and
+    * an identical checksum. Sort-merge degrades to disk; a hash build
+    * degrades to a stage failure — at 100 TB only the first is acceptable. */
   private[graft] def enumerateOriented(o: DataFrame): DataFrame = {
     // wedges (x→y, x→z) with y ≺ z in (degree, id) order: the closing edge
     // of a real triangle is then oriented y→z, matched by equality below
-    val wedges = o.as("e1").join(o.as("e2"),
+    val wedges = o.as("e1").join(o.as("e2").hint("merge"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dw") < col("e2.dw") ||
             (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
       .select(col("e1.w").as("_y"), col("e2.w").as("_z"), col("e1.u").as("_x"))
-    wedges.join(o.as("e3"),
+    wedges.join(o.as("e3").hint("merge"),
         col("_y") === col("e3.u") && col("_z") === col("e3.w"))
       .select(sort_array(array(col("_x"), col("_y"), col("_z"))).as("_t"))
       .select(col("_t").getItem(0).as("a"), col("_t").getItem(1).as("b"),
