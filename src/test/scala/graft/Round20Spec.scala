@@ -136,6 +136,24 @@ class Round20Spec extends AnyFunSuite {
     assert(top2 == Set(0L, 1L))
   }
 
+  // ------------------------------------------------ triangle join strategy
+
+  test("triangle enumeration keeps sort-merge joins under AQE (merge hints honored)") {
+    // the r20 memory probe pinned AQE's SMJ->shuffled-hash conversion as a
+    // stage-killer for the wedge joins (the hash BUILD side cannot spill,
+    // and graph joins are where per-partition size stats mislead the
+    // planner); the MERGE hints must survive into the AQE-final plan
+    val edges = (0 until 200).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 200).toLong), (i.toLong, ((i + 2) % 200).toLong)))
+      .toDF("s", "d")
+    val tri = graft.operators.Triangles.enumerate(edges, "s", "d")
+    assert(tri.count() == 200) // each i closes (i, i+1, i+2) exactly once
+    val plan = tri.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffledHashJoin"),
+      s"wedge join converted to a non-spillable hash build:\n${plan.take(1500)}")
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   // ------------------------------------------------ roundHalfUp contract
 
   test("roundHalfUp: out-of-contract scales fail loudly") {
