@@ -214,6 +214,124 @@ object Packing {
   /** Pid-stamped staged frame with the exact global 0-based rank attached,
     * plus the total row count (from the already-collected per-partition
     * counts — no extra job). */
+  /**
+   * Truncation-free sequence packing — the complement of [[packSequences]]:
+   * concat-and-chunk SPLITS documents at context boundaries; this assigns
+   * every document WHOLE to a bin of capacity `contextLen`, the
+   * "packing without cross-contamination" formulation (Krell et al. 2022,
+   * arXiv:2107.02027, shortest-pack-first histogram packing; Ding et al.
+   * 2024 measure the downstream win of fewer truncations). Returns one row
+   * per document: (`unique`, tokens, bin) with bin a 0-based id such that
+   * each bin's token total is <= contextLen.
+   *
+   * 100 TB shape — the histogram is the trick: token lengths are clamped
+   * to [1, contextLen], so the length histogram has at most `contextLen`
+   * rows (STRATUM-SIZED, census class: one map-side-combined aggregate +
+   * one bounded collect). The best-fit greedy runs on the DRIVER over the
+   * histogram only — groups of identical bins are processed in bulk, so
+   * driver work is O(classes x bin-groups), independent of corpus size —
+   * and emits a RUN TABLE: (class, rank range, first bin, docs per bin).
+   * Each doc then finds its bin with pure rank arithmetic — a global rank
+   * via the two-phase prefix sum (never a partition-less window), minus
+   * the driver-known class offset, joined to the broadcast run table. The
+   * assignment is a pure function of the token-length multiset and the
+   * per-class `unique` order: partitioning-invariant by construction
+   * (PackBestFitSpec pins this plus the capacity law).
+   *
+   * Equivalent to per-doc best-fit ("place in the fullest bin that still
+   * fits, opening a new bin when none does") processed in descending
+   * length: filling one group of identical bins in bulk IS repeated
+   * best-fit, because after a placement the chosen bin's residual shrinks
+   * and remains the best fit until it no longer admits the class.
+   */
+  def packBestFit(df: DataFrame, tokenCol: Column, unique: String,
+                  contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val c = contextLen.toLong
+    val dfw = df.select(col(unique),
+      least(greatest(coalesce(tokenCol.cast("long"), lit(1L)), lit(1L)), lit(c)).as("tokens"))
+    // histogram: at most contextLen rows to the driver
+    val hist = dfw.groupBy(col("tokens")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (hist.isEmpty) return dfw.withColumn("bin", lit(0L)).limit(0)
+
+    // ---- driver greedy over the histogram (bulk best-fit)
+    final case class Grp(var residual: Long, var binStart: Long, var count: Long)
+    final case class Run(cls: Long, cumStart: Long, cumEnd: Long,
+                         binStart: Long, perBin: Long)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Grp]
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
+    var nextBin = 0L
+    var guard = 0
+    for (cls <- hist.keys.toSeq.sorted(Ordering[Long].reverse)) {
+      var n = hist(cls)
+      var cum = 0L
+      while (n > 0) {
+        guard += 1
+        require(guard < (1 << 24),
+          "packBestFit: pathological histogram (driver greedy exceeded its " +
+            "iteration budget) — this bounds driver work, not correctness")
+        // best fit: smallest residual that still admits the class;
+        // ties broken by lowest bin id for determinism
+        val fit = groups.filter(_.residual >= cls)
+        if (fit.nonEmpty) {
+          val g = fit.minBy(g => (g.residual, g.binStart))
+          val k = g.residual / cls // docs per bin in this group, >= 1
+          val fullBins = math.min(g.count, n / k)
+          if (fullBins > 0) {
+            runs += Run(cls, cum, cum + fullBins * k, g.binStart, k)
+            groups += Grp(g.residual - k * cls, g.binStart, fullBins)
+            cum += fullBins * k; n -= fullBins * k
+            g.binStart += fullBins; g.count -= fullBins
+          } else { // n < k: one partial bin absorbs the class remainder
+            runs += Run(cls, cum, cum + n, g.binStart, n)
+            groups += Grp(g.residual - n * cls, g.binStart, 1L)
+            g.binStart += 1; g.count -= 1
+            cum += n; n = 0
+          }
+          if (g.count == 0) { groups -= g; () }
+        } else { // no bin admits the class: open new bins
+          val k = c / cls
+          val fullBins = n / k
+          if (fullBins > 0) {
+            runs += Run(cls, cum, cum + fullBins * k, nextBin, k)
+            groups += Grp(c - k * cls, nextBin, fullBins)
+            cum += fullBins * k; nextBin += fullBins; n -= fullBins * k
+          }
+          if (n > 0) {
+            runs += Run(cls, cum, cum + n, nextBin, n)
+            groups += Grp(c - n * cls, nextBin, 1L)
+            cum += n; nextBin += 1; n = 0
+          }
+        }
+      }
+    }
+
+    // ---- distributed assignment: rank within class -> run -> bin
+    // class offsets under the (tokens DESC, unique ASC) total order
+    val descCls = hist.keys.toSeq.sorted(Ordering[Long].reverse)
+    val offsets = descCls.zip(
+      descCls.scanLeft(0L)((acc, l) => acc + hist(l)).dropRight(1)).toMap
+    // ONE map literal, not a chained when(): up to contextLen classes
+    // nested 512 deep is exactly the janino-refusal shape the codegen
+    // invariant exists to prevent (the epochMixture pattern)
+    val offExpr = element_at(
+      map(offsets.toSeq.sortBy(_._1)
+        .flatMap { case (l, o) => Seq(lit(l), lit(o)) }: _*),
+      col("tokens"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val runsDf = runs.toSeq
+      .map(r => (r.cls, r.cumStart, r.cumEnd, r.binStart, r.perBin))
+      .toDF("_cls", "_cs", "_ce", "_bs", "_pb")
+    globalRank(dfw, Seq(col("tokens").desc), unique, "_gr")
+      .withColumn("_rc", col("_gr") - offExpr)
+      .join(broadcast(runsDf),
+        col("tokens") === col("_cls") && col("_rc") >= col("_cs") && col("_rc") < col("_ce"))
+      .select(col(unique), col("tokens"),
+        (col("_bs") + expr("(_rc - _cs) DIV _pb")).as("bin"))
+  }
+
   private def rankedStage(df: DataFrame, order: Seq[Column],
                           unique: String): (DataFrame, Long) = {
     val parts = df.sparkSession.sparkContext.defaultParallelism

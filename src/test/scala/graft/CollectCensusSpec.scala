@@ -32,7 +32,7 @@ class CollectCensusSpec extends AnyFunSuite {
     "graft/plan/QueryExecutor.scala" -> (2, 0),
     "graft/dedup/Dedup.scala" -> (1, 1),
     "graft/operators/Sampling.scala" -> (3, 0),
-    "graft/operators/Packing.scala" -> (2, 0),
+    "graft/operators/Packing.scala" -> (3, 0),
     "graft/operators/Dsir.scala" -> (2, 0),
     "graft/operators/Stats.scala" -> (1, 0),
     "graft/operators/QualityClassifier.scala" -> (1, 0),
@@ -42,6 +42,26 @@ class CollectCensusSpec extends AnyFunSuite {
     "graft/operators/HeavyHitters.scala" -> (0, 1),
     "graft/operators/Linkage.scala" -> (0, 1),
     "graft/operators/Privacy.scala" -> (0, 1))
+
+  // second ratchet (r20): the other two audited anti-pattern families.
+  // crossJoin sites must be broadcast-1-row-rollup shapes (a scalar
+  // aggregate joined onto every row — never a real Cartesian; PlanShapeSpec
+  // separately pins zero CartesianProduct nodes in every gate plan), and
+  // udf() is allowed only for MLlib vector plumbing (codegen'd expressions
+  // otherwise). file -> (crossJoin( sites, udf( sites)
+  private val antiPatterns: Map[String, (Int, Int)] = Map(
+    "graft/SparkEntry.scala" -> (6, 0),
+    "graft/ann/Ann.scala" -> (2, 0),
+    "graft/operators/TrigramLm.scala" -> (1, 0),
+    "graft/operators/TfIdf.scala" -> (2, 0),
+    "graft/operators/Bm25.scala" -> (3, 0),
+    "graft/operators/EventAnalytics.scala" -> (2, 0),
+    "graft/operators/Privacy.scala" -> (2, 0),
+    "graft/operators/Checks.scala" -> (2, 0),
+    "graft/operators/Profiler.scala" -> (1, 0),
+    "graft/operators/Stats.scala" -> (2, 0),
+    "graft/operators/UnigramLm.scala" -> (1, 0),
+    "graft/operators/QualityClassifier.scala" -> (0, 1))
 
   private def countIn(s: String, needle: String): Int = {
     var i = 0; var n = 0
@@ -71,6 +91,26 @@ class CollectCensusSpec extends AnyFunSuite {
     assert(drift.isEmpty,
       "driver-materialization census drift — classify the new/changed site " +
         "in SURVEY §6 AND update CollectCensusSpec:\n" + drift.mkString("\n"))
+  }
+
+  test("every crossJoin()/udf() site is registered in the anti-pattern census") {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .toSeq.sortBy(_.toString)
+    val drift = scala.collection.mutable.ListBuffer.empty[String]
+    for (p <- files) {
+      val rel = root.relativize(p).toString.replace('\\', '/')
+      val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val got = (countIn(src, "crossJoin("), countIn(src, "udf("))
+      val want = antiPatterns.getOrElse(rel, (0, 0))
+      if (got != want)
+        drift += s"$rel: counted (crossJoin, udf) = $got, census says $want"
+    }
+    assert(drift.isEmpty,
+      "anti-pattern census drift — audit the new site (crossJoin: is it a " +
+        "1-row broadcast rollup? udf: why not a codegen'd expression?) and " +
+        "update CollectCensusSpec:\n" + drift.mkString("\n"))
   }
 
   test("the ratchet actually fires on an unregistered site") {
