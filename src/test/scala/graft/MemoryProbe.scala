@@ -109,6 +109,20 @@ object MemoryProbe {
           "doc_id", "ts", 1, 2)
       },
       "dup_spans" -> (() => graft.dedup.Dedup.dupSpans(docs, "doc_id", "text", 10)),
+      // r20 breadth: the LSH band-bucket join and the PassJoin segment
+      // machinery — the two other candidate-generation shapes whose
+      // intermediates dwarf their outputs (docs-backed, so they run before
+      // the graph ops release the docs checkpoint)
+      "minhash_lsh" -> (() =>
+        graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text")),
+      "edit_join" -> { () =>
+        val rep = (col("doc_id") / 1000000000L).cast("long").cast("string")
+        val t = docs.select(col("doc_id"),
+          concat(rep, lit(":"), substring(lower(col("text")), 1, 24)).as("p"))
+        graft.operators.EditJoin.join(
+          t.where(col("doc_id") % 2 === 0), t.where(col("doc_id") % 2 === 1),
+          "doc_id", "p", k = 2)
+      },
       "pagerank_5r" -> (() =>
         graft.operators.PageRank.pageRank(edges, "s", "d", iterations = 5)),
       "triangles" -> (() =>
@@ -133,7 +147,8 @@ object MemoryProbe {
 
     val filter = sys.env.get("MEM_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val usesDocs = Set("robust_outliers", "fuzzy_join", "dup_spans")
+    val usesDocs = Set("robust_outliers", "fuzzy_join", "dup_spans",
+      "minhash_lsh", "edit_join")
     for ((name, f) <- ops if filter.forall(_(name))) {
       // per-op isolation: localCheckpoint blocks of frames the PREVIOUS op
       // no longer references are reclaimed by the ContextCleaner only

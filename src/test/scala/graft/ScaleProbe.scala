@@ -42,6 +42,11 @@ object ScaleProbe {
       "heavy_hitters" -> (d => HeavyHitters.topTokens(d, "text", 0.01)),
       "pack_sequences" -> (d =>
         Packing.packSequences(d, "doc_id", gf.tokenCount(col("text")), 512)),
+      // r20: histogram best-fit packing — driver greedy is O(classes x
+      // groups) by construction; the probe checks the DISTRIBUTED half
+      // (rank + broadcast-run join) stays linear
+      "pack_best_fit" -> (d =>
+        Packing.packBestFit(d, gf.tokenCount(col("text")), "doc_id", 512)),
       "rank_bins" -> (d => Packing.rankBins(d, Seq(col("n_chars")), "doc_id", 10)),
       "dup_spans" -> (d => Dedup.dupSpans(d, "doc_id", "text", 10)),
       "unigram_lm" -> (d => graft.operators.UnigramLm.score(d, "doc_id", "text")),
