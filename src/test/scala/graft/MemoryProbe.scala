@@ -123,6 +123,20 @@ object MemoryProbe {
           t.where(col("doc_id") % 2 === 0), t.where(col("doc_id") % 2 === 1),
           "doc_id", "p", k = 2)
       },
+      // quadratic-within-bucket pairs over fat (vector) rows — the same
+      // slim-input/explosive-output stats profile as the triangle joins;
+      // per-replica buckets keep the OUTPUT linear in K so the probe
+      // measures the join machinery, not a K^2 answer
+      "cosine_pairs" -> { () =>
+        val e1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val eK = e1.crossJoin(spark.range(k).select(col("id").as("_rep")))
+          .select((col("vec_id") + col("_rep") * 1000000000L).as("vec_id"),
+            col("embedding"),
+            concat(col("label"), lit(":"), col("_rep")).as("label"))
+          .localCheckpoint()
+        graft.dedup.Dedup.embeddingCosinePairs(eK, "vec_id", "embedding",
+          col("label"), threshold = 0.4)
+      },
       "pagerank_5r" -> (() =>
         graft.operators.PageRank.pageRank(edges, "s", "d", iterations = 5)),
       "triangles" -> (() =>
