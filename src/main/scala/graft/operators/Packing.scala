@@ -37,13 +37,46 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
-  /** Exclusive per-partition offsets of sum(weight) over the pid-stamped
-    * staged frame. */
+  /** Exclusive per-partition offsets of sum(weight) over the staged frame
+    * (keyed by the checkpoint's physical partition index). */
   private def prefixOffsets(staged: DataFrame): Map[Int, Long] = {
-    val sums = staged.groupBy(col("_pid")).agg(sum(col("_w")).as("_s"))
+    val sums = staged.groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col("_w")).as("_s"))
       .collect().collect { case r if !r.isNullAt(1) => r.getInt(0) -> r.getLong(1) }.toMap
     val ordered = sums.keys.toSeq.sorted
     ordered.zip(ordered.scanLeft(0L)((acc, p) => acc + sums(p)).dropRight(1)).toMap
+  }
+
+  /** Append an inclusive per-partition running total of long column `w`
+    * (pre-seeded with the partition's exclusive global offset) as `out`.
+    *
+    * This is the zero-shuffle finish of the two-phase prefix sum (r20):
+    * the staged checkpoint is ALREADY range-partitioned and sorted within
+    * partitions, but that co-location is invisible to Catalyst (the
+    * checkpoint scan is an ExistingRDD with unknown partitioning), so a
+    * `Window.partitionBy(pid)` finish forced `EnsureRequirements` to
+    * re-shuffle the FULL corpus by pid — a pure-waste exchange at any
+    * scale, the dominant one at 100 TB. A per-partition imperative fold
+    * (the charter's mapPartitions-as-last-resort case — no declarative
+    * operator can express "trust my physical partitioning") reads each
+    * checkpoint partition in its sorted order and accumulates in place:
+    * zero exchanges, zero sorts, one pass. */
+  private def withRunningTotal(staged: DataFrame, w: String, out: String,
+                               offsets: Map[Int, Long]): DataFrame = {
+    val spark = staged.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      staged.schema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType,
+          nullable = false))
+    val wIdx = staged.schema.fieldIndex(w)
+    val rdd = staged.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = offsets.getOrElse(pid, 0L)
+      it.map { r =>
+        cum += r.getLong(wIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /**
@@ -62,17 +95,12 @@ object Packing {
     val staged = df
       .repartitionByRange(parts, col(order))
       .sortWithinPartitions(col(order))
-      .withColumn("_pid", spark_partition_id())
       // null token count = empty doc (0 tokens), not a null-poisoned span
       .withColumn("_w", coalesce(tokenCol.cast("long"), lit(0L)))
       .localCheckpoint()
-    val offsets = prefixOffsets(staged)
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(col("_pid") === p, lit(off)).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("_pid")).orderBy(col(order))
-    val out = staged
-      .withColumn("_cum", sum(col("_w")).over(w) + offExpr)
+    // zero-shuffle finish: in-partition fold seeded by the broadcast
+    // offsets (see withRunningTotal) — no pid re-shuffle, no window
+    val out = withRunningTotal(staged, "_w", "_cum", prefixOffsets(staged))
       .withColumn("tok_start", col("_cum") - col("_w"))
       .withColumn("tok_end", col("_cum"))
       .withColumn("chunk_start", floor(col("tok_start") / contextLen).cast("long"))
@@ -81,7 +109,7 @@ object Packing {
         when(col("_w") > 0, floor((col("tok_end") - 1) / contextLen).cast("long"))
           .otherwise(col("chunk_start")))
       .withColumn("chunk_offset", pmod(col("tok_start"), lit(contextLen.toLong)))
-      .drop("_pid", "_w", "_cum")
+      .drop("_w", "_cum")
     out
   }
 
@@ -341,20 +369,20 @@ object Packing {
     val staged = df
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
-      .withColumn("_pid", spark_partition_id())
+      // rank = running count: reuse the zero-shuffle fold with weight 1
+      .withColumn("_one", lit(1L))
       .localCheckpoint()
-    val counts = staged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+    val counts = staged.groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val orderedP = counts.keys.toSeq.sorted
     val excl = orderedP.zip(orderedP.scanLeft(0L)((acc, p) => acc + counts(p)).dropRight(1)).toMap
     val n = math.max(1L, counts.values.sum)
-    val offExpr = excl.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(col("_pid") === p, lit(off)).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
-    val ranked = staged
-      .withColumn("_rank0", row_number().over(w).cast("long") - 1 + offExpr)
-      .drop("_pid")
+    // zero-shuffle finish (see withRunningTotal): inclusive count minus 1
+    // = 0-based global rank; no pid re-shuffle, no window
+    val ranked = withRunningTotal(staged, "_one", "_incl", excl)
+      .withColumn("_rank0", col("_incl") - 1L)
+      .drop("_one", "_incl")
     (ranked, n)
   }
 }
