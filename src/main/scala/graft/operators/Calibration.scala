@@ -82,24 +82,22 @@ object Calibration {
     require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
       s"need 0 <= lo <= hi <= 1000, got $loPermille/$hiPermille")
     val keyed = df.withColumn("_wv", value.cast("long"))
-    // rankedStage already collects per-partition counts, so n is free (no
-    // separate count job), and both order statistics come back in ONE
-    // action over the staged checkpoint — the previous shape spent four
-    // driver jobs (checkpoint-count + two head()s + the final pass) on
-    // what is two bounds
-    // nulls are excluded from the rank frame: they'd sort first and claim
-    // the low ranks, and a null value at a bound rank would read back as 0
-    // (Row.getLong on null) — corrupting BOTH clip bounds silently. Null
-    // rows still pass through the clip map below (clipCol stays null).
-    val (ranked, n) = Packing.globalRankCounted(
-      keyed.select(col(unique), col("_wv")).where(col("_wv").isNotNull),
-      Seq(col("_wv")), unique, "_rank0")
+    // r21: the two bounds are ORDER STATISTICS of the value multiset — the
+    // unique column never mattered (the value at rank k is independent of
+    // tie order) — so they come from Stats.valuesAtRanks' histogram
+    // selection: the corpus collapses to a (value, count) histogram
+    // map-side and only the SUPPORT is range-partitioned, vs the previous
+    // globalRank shape that range-exchanged + checkpointed every (id,
+    // value) row to rank all of them and then read back exactly two.
+    // Nulls are excluded by valuesAtRanks (they'd otherwise claim the low
+    // ranks); null rows still pass through the clip map below (clipCol
+    // stays null).
+    val (n, bounds) = graft.operators.Stats.valuesAtRanks(keyed, col("_wv")) { n =>
+      Seq(loPermille.toLong * (n - 1) / 1000L, hiPermille.toLong * (n - 1) / 1000L)
+    }
     require(n > 0, "winsorize needs a non-empty (non-null) input")
     val kLo = loPermille.toLong * (n - 1) / 1000L
     val kHi = hiPermille.toLong * (n - 1) / 1000L
-    val bounds = ranked.where(col("_rank0").isin(kLo, kHi))
-      .select(col("_rank0"), col("_wv")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lo = bounds(kLo)
     val hi = bounds(kHi)
     // explicit null passthrough: greatest/least SKIP null operands, so the

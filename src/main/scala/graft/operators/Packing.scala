@@ -60,23 +60,55 @@ object Packing {
     * (the charter's mapPartitions-as-last-resort case — no declarative
     * operator can express "trust my physical partitioning") reads each
     * checkpoint partition in its sorted order and accumulates in place:
-    * zero exchanges, zero sorts, one pass. */
+    * zero exchanges, zero sorts, one pass.
+    *
+    * r21: the fold runs at the INTERNAL row level (toRdd in, unsafe
+    * projection out, via InternalRowBridge). The previous `staged.rdd`
+    * shape deserialized every row to external Row and paid the
+    * CatalystTypeConverters re-conversion in createDataFrame — two
+    * whole-corpus per-row conversion passes on the hot path of every
+    * rank/packing operator (ADVICE r20). The pid alignment contract is
+    * unchanged (toRdd IS the physical plan's RDD, the same partitions
+    * `spark_partition_id()` reports — Round21Spec pins it directly). */
   private def withRunningTotal(staged: DataFrame, w: String, out: String,
                                offsets: Map[Int, Long]): DataFrame = {
-    val spark = staged.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      staged.schema.fields :+
-        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType,
-          nullable = false))
     val wIdx = staged.schema.fieldIndex(w)
-    val rdd = staged.rdd.mapPartitionsWithIndex { case (pid, it) =>
+    appendLong(staged, out) { pid =>
       var cum = offsets.getOrElse(pid, 0L)
-      it.map { r =>
-        cum += r.getLong(wIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
-      }
+      r => { cum += r.getLong(wIdx); cum }
     }
-    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Append the 0-based GLOBAL row rank (partition offset + position) as
+    * `out` — the weight-1 running total without reading (or storing) a
+    * weight column at all. */
+  private def withPartitionRank(staged: DataFrame, out: String,
+                                offsets: Map[Int, Long]): DataFrame =
+    appendLong(staged, out) { pid =>
+      var next = offsets.getOrElse(pid, 0L) - 1L
+      _ => { next += 1L; next }
+    }
+
+  /** Zero-shuffle per-partition append of one computed long column:
+    * internal rows in (reused buffers — the fold holds nothing across
+    * rows), JoinedRow + UnsafeProjection out (the standard SparkPlan
+    * output convention: consumers copy before buffering). */
+  private def appendLong(staged: DataFrame, out: String)
+                        (mk: Int => org.apache.spark.sql.catalyst.InternalRow => Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = staged.sparkSession
+    val schema = StructType(staged.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd = org.apache.spark.sql.graft.InternalRowBridge.toInternalRdd(staged)
+      .mapPartitionsWithIndex({ (pid, it) =>
+        val f = mk(pid)
+        val extra = new SpecificInternalRow(Seq(LongType))
+        val joined = new JoinedRow
+        val proj = UnsafeProjection.create(schema)
+        it.map { r => extra.setLong(0, f(r))
+          proj(joined(r, extra)): org.apache.spark.sql.catalyst.InternalRow }
+      }, preservesPartitioning = true)
+    org.apache.spark.sql.graft.InternalRowBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
   /**
@@ -369,8 +401,6 @@ object Packing {
     val staged = df
       .repartitionByRange(parts, ord: _*)
       .sortWithinPartitions(ord: _*)
-      // rank = running count: reuse the zero-shuffle fold with weight 1
-      .withColumn("_one", lit(1L))
       .localCheckpoint()
     val counts = staged.groupBy(spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("_c"))
@@ -378,11 +408,10 @@ object Packing {
     val orderedP = counts.keys.toSeq.sorted
     val excl = orderedP.zip(orderedP.scanLeft(0L)((acc, p) => acc + counts(p)).dropRight(1)).toMap
     val n = math.max(1L, counts.values.sum)
-    // zero-shuffle finish (see withRunningTotal): inclusive count minus 1
-    // = 0-based global rank; no pid re-shuffle, no window
-    val ranked = withRunningTotal(staged, "_one", "_incl", excl)
-      .withColumn("_rank0", col("_incl") - 1L)
-      .drop("_one", "_incl")
-    (ranked, n)
+    // zero-shuffle finish (see withRunningTotal): partition offset plus
+    // in-partition position IS the 0-based global rank — no pid re-shuffle,
+    // no window, and (r21) no materialized weight-1 column in the
+    // checkpoint (8 bytes/row fewer stored and folded)
+    (withPartitionRank(staged, "_rank0", excl), n)
   }
 }

@@ -157,10 +157,10 @@ object Stats {
     val ranged = hist.repartitionByRange(col("_g"), col("_v"))
       .sortWithinPartitions(col("_g"), col("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // med2 is group-sized but referenced twice (deviation derivation +
-    // final rollup) and its emit pass re-scans the cached frame per
-    // reference — a LAZY local checkpoint makes it a leaf
-    val med2 = twoMiddleSumSel(ranged, "_v", "med2").localCheckpoint(false)
+    // med2 is group-sized and referenced twice, but (r21) it is now a
+    // driver-local one-partition relation — already a leaf, nothing to
+    // re-scan, no checkpoint needed
+    val med2 = twoMiddleSumSel(ranged, "_v", "med2")
     // deviation-phase order: D = |2v − med2| does NOT preserve value order
     // (it folds the axis around the median), so the value-phase exchange
     // cannot be reused — this second range exchange is inherent to the
@@ -193,14 +193,25 @@ object Stats {
     * frame: (1) a per-(partition, group) count collect — METADATA, not
     * data: range partitioning keeps each group on a contiguous partition
     * run, so the collect is O(partitions + groups) rows at any data size —
-    * and (2) one streaming pass emitting each covered rank's key. Replaces
-    * a prefix-sum hierarchy (4 aggregation levels + windows + joins) with
-    * zero additional exchanges. Input must be range-partitioned and
-    * sorted within partitions on (_g, key); equal keys may span rows but
-    * not partitions (the RangePartitioner contract). */
+    * and (2) one streaming pass emitting each covered rank's key, with the
+    * <= 2-per-group hit rows summed on the DRIVER and re-entered as a
+    * one-partition relation (r21: the hit set is output-sized — group
+    * cardinality — and phase 1 already collects that much; the previous
+    * distributed groupBy spent an exchange plus two aggregate stages on a
+    * handful of rows, ~0.3 s of pure stage overhead per call at the gate
+    * scale). Replaces a prefix-sum hierarchy (4 aggregation levels +
+    * windows + joins) with zero additional exchanges. Input must be
+    * range-partitioned and sorted within partitions on (_g, key); equal
+    * keys may span rows but not partitions (the RangePartitioner
+    * contract). The walks stay on `ranged.rdd`, NOT queryExecution.toRdd:
+    * the input is a columnar MEMORY_AND_DISK cache, and the Dataset.rdd
+    * path fuses cache-scan → row conversion → deserialize into one codegen
+    * pass, while a bare toRdd consumer pays a standalone ColumnarToRow
+    * materialization — measured ~0.5 s SLOWER per robustOutliers call
+    * (the opposite holds for Packing's checkpoint-backed frames, where
+    * toRdd reads the stored rows directly). */
   private def twoMiddleSumSel(ranged: DataFrame, key: String,
                               out: String): DataFrame = {
-    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = ranged.sparkSession
     val gIdx = ranged.schema.fieldIndex("_g")
@@ -231,6 +242,7 @@ object Stats {
     }
     val bT = spark.sparkContext.broadcast(targets)
     val bO = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(Seq(ranged.schema("_g"), StructField(out, LongType)))
     // phase 2: walk each partition in key order, emit covered-rank keys
     val hits = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       val t = bT.value; val o = bO.value
@@ -247,14 +259,18 @@ object Stats {
         val (lo, hi) = t(g)
         val cover = (if (lo > before && lo <= cum) 1L else 0L) +
           (if (hi > before && hi <= cum) 1L else 0L)
-        if (cover > 0) Iterator.single(Row(g, r.getLong(kIdx) * cover))
+        if (cover > 0) Iterator.single((g, r.getLong(kIdx) * cover))
         else Iterator.empty
       }
-      // ≤ 2 emitted rows per group overall; the groupBy below is trivial
-    }
-    val schema = StructType(Seq(ranged.schema("_g"), StructField(out, LongType)))
-    spark.createDataFrame(hits, schema)
-      .groupBy(col("_g")).agg(sum(col(out)).as(out))
+      // <= 2 emitted rows per group overall — summed on the DRIVER (the
+      // per-group totals already live there from phase 1, so this adds
+      // nothing asymptotically) and re-entered as a one-partition internal
+      // relation: the previous distributed groupBy spent an exchange + two
+      // aggregate stages on a handful of rows
+    }.collect()
+    val sums = hits.groupBy(_._1).map { case (g, a) => (g, a.map(_._2).sum) }.toSeq
+    val rows = sums.map { case (g, v) => org.apache.spark.sql.Row(g, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Per-group simple OLS trend y = intercept + slope·x over two
@@ -329,6 +345,62 @@ object Stats {
         ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
         graft.functions.gf.roundHalfUp(aggregate(col("_a"), lit(0.0),
           (acc, s) => acc + s.getField("_t")), 6).as("chi2"))
+  }
+
+  /**
+   * EXACT order statistics of an integer column by histogram selection —
+   * the values at caller-chosen 0-based global ranks of the sorted order
+   * (nulls excluded), plus the non-null row count. `ranks0` receives n and
+   * returns the wanted ranks (they usually depend on n — permille bounds,
+   * medians).
+   *
+   * 100 TB shape (r21, replaces full-corpus globalRank selection in
+   * winsorize): rows collapse to a (value, count) HISTOGRAM first — one
+   * map-side-combined aggregate, support-sized from here on — then ONE
+   * range exchange of the histogram, a per-partition count collect
+   * (METADATA: O(partitions) rows at any corpus size), and a streaming
+   * walk that emits only the covered ranks. The corpus itself is scanned
+   * once and never shuffled; the previous shape range-partitioned and
+   * checkpointed EVERY (id, value) row to rank all of them when only two
+   * ranks were ever read. Ties need no tiebreaker: the value at rank k of
+   * the sorted multiset is independent of tie order.
+   */
+  def valuesAtRanks(df: DataFrame, value: Column)
+                   (ranks0: Long => Seq[Long]): (Long, Map[Long, Long]) = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val hist = df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      .repartitionByRange(parts, col("_v"))
+      .sortWithinPartitions(col("_v"))
+      // one materialization shared by the counts job and the walk (the
+      // Packing rule: two plans could range-partition boundary rows
+      // differently and the offsets would misalign)
+      .localCheckpoint()
+    val pc = hist.groupBy(spark_partition_id().as("_pid")).agg(sum(col("_c")).as("_n"))
+      .collect().collect { case r if !r.isNullAt(1) => r.getInt(0) -> r.getLong(1) }.toMap
+    val n = pc.values.sum
+    if (n == 0) return (0L, Map.empty)
+    val ks = ranks0(n).distinct.sorted
+    require(ks.forall(k => k >= 0 && k < n), s"ranks out of [0, $n): $ks")
+    val orderedP = pc.keys.toSeq.sorted
+    val excl = orderedP.zip(orderedP.scanLeft(0L)((a, p) => a + pc(p)).dropRight(1)).toMap
+    val bK = spark.sparkContext.broadcast(ks.map(_ + 1L)) // 1-based positions
+    val vIdx = hist.schema.fieldIndex("_v")
+    val cIdx = hist.schema.fieldIndex("_c")
+    val found = org.apache.spark.sql.graft.InternalRowBridge.toInternalRdd(hist)
+      .mapPartitionsWithIndex { (pid, it) =>
+        val targets = bK.value
+        var cum = excl.getOrElse(pid, 0L)
+        it.flatMap { r =>
+          val before = cum
+          cum += r.getLong(cIdx)
+          targets.collect {
+            case t if t > before && t <= cum => (t - 1L, r.getLong(vIdx))
+          }
+        }
+      }.collect()
+    (n, found.toMap)
   }
 
   def ksDistance(df: DataFrame, value: Column, side: Column): DataFrame = {
