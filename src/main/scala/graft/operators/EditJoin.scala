@@ -118,28 +118,36 @@ object EditJoin {
     // hot-key guard (opt-in): keys over the cap on either side leave
     // candidate generation entirely (pairs need both sides, so one
     // anti-join on the left segments suffices). The hot set is tiny by
-    // construction (<= rows/cap keys per side), hence the broadcast; it is
-    // also COUNTED and logged — the cap's under-count must never be
-    // silent (r20, ADVICE). The count is one action over two map-side-
-    // combined aggregates of the tiny hot frame, paid only by opt-in
-    // callers, and the persist means the broadcast reuses its rows.
+    // construction (<= rows/cap keys per side) — r21: COLLECTED to the
+    // driver and re-entered as a literal local relation instead of a
+    // persist()ed distributed frame (ADVICE r20: the persist was never
+    // unpersisted, so storage lingered until driver GC; the collect is
+    // the same bounded rows the count action already shipped, and the
+    // broadcast now builds from a local relation with no cache entry at
+    // all). The drop count is WARN-logged — the cap's under-count must
+    // never be silent.
+    val hotKeys: Array[(Int, Int, String)] =
+      if (maxSegFreq <= 0) Array.empty
+      else segs.groupBy(col("_l"), col("_i"), col("_seg"))
+        .agg(count(lit(1)).as("_c")).where(col("_c") > maxSegFreq)
+        .select(col("_l"), col("_i"), col("_seg"))
+        .unionAll(subs.groupBy(col("_l"), col("_i"), col("_seg"))
+          .agg(count(lit(1)).as("_c")).where(col("_c") > maxSegFreq)
+          .select(col("_l"), col("_i"), col("_seg")))
+        .distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
     val segsGuarded =
       if (maxSegFreq <= 0) segs
+      else if (hotKeys.isEmpty) segs
       else {
-        val hot = segs.groupBy(col("_l"), col("_i"), col("_seg"))
-          .agg(count(lit(1)).as("_c")).where(col("_c") > maxSegFreq)
-          .select(col("_l"), col("_i"), col("_seg"))
-          .unionAll(subs.groupBy(col("_l"), col("_i"), col("_seg"))
-            .agg(count(lit(1)).as("_c")).where(col("_c") > maxSegFreq)
-            .select(col("_l"), col("_i"), col("_seg")))
-          .persist(MEMORY_AND_DISK)
-        val nHot = hot.count()
-        if (nHot > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"EditJoin: maxSegFreq=$maxSegFreq drops $nHot hot segment keys " +
-              "from candidate generation — near-miss pairs witnessed ONLY by " +
-              "hot segments are under-counted (exact-equality pairs are " +
-              "re-admitted separately)")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"EditJoin: maxSegFreq=$maxSegFreq drops ${hotKeys.length} hot " +
+            "segment keys from candidate generation — near-miss pairs " +
+            "witnessed ONLY by hot segments are under-counted " +
+            "(exact-equality pairs are re-admitted separately)")
+        val spark = left.sparkSession
+        import spark.implicits._
+        val hot = hotKeys.toSeq.toDF("_l", "_i", "_seg")
         segs.join(broadcast(hot), Seq("_l", "_i", "_seg"), "left_anti")
       }
     val segCands = segsGuarded.join(subs, Seq("_l", "_i", "_seg"))
@@ -151,11 +159,42 @@ object EditJoin {
     // wholesale. An equality join re-admits them at zero verification
     // cost (their levenshtein is 0 by construction); its output size is
     // the TRUE pair count, so it adds no work the contract doesn't owe.
+    // r21 (ADVICE): the raw equality join funneled a hot template group of
+    // B identical strings onto ONE reducer emitting B² pairs — the exact
+    // single-reducer skew the cap exists to bound. Over-cap strings now
+    // take a SALTED join (left scattered by a deterministic hash of its
+    // id, right replicated SaltWays ways), spreading each hot string's B²
+    // output across SaltWays reducers; under-cap strings join unsalted.
+    // The hot-string set is bounded by rows/cap per side, collected once
+    // and re-entered as a broadcast literal.
+    val SaltWays = 32
     val exactCands =
       if (maxSegFreq <= 0) None
-      else Some(l.select(col("_ida"), col("_sa"))
-        .join(r.select(col("_idb"), col("_sb")), col("_sa") === col("_sb"))
-        .select(col("_ida"), col("_idb")))
+      else {
+        val hotStrs = l.groupBy(col("_sa").as("_hs")).agg(count(lit(1)).as("_c"))
+          .where(col("_c") > maxSegFreq).select(col("_hs"))
+          .unionAll(r.groupBy(col("_sb").as("_hs")).agg(count(lit(1)).as("_c"))
+            .where(col("_c") > maxSegFreq).select(col("_hs")))
+          .distinct()
+        val spark = left.sparkSession
+        import spark.implicits._
+        val hotLit = hotStrs.as[String].collect().toSeq.toDF("_hs")
+        val cold = l.select(col("_ida"), col("_sa"))
+          .join(broadcast(hotLit), col("_sa") === col("_hs"), "left_anti")
+          .join(r.select(col("_idb"), col("_sb")), col("_sa") === col("_sb"))
+          .select(col("_ida"), col("_idb"))
+        val lHot = l.select(col("_ida"), col("_sa"))
+          .join(broadcast(hotLit), col("_sa") === col("_hs"), "left_semi")
+          .withColumn("_salt", pmod(xxhash64(col("_ida")), lit(SaltWays.toLong)))
+        val rHot = r.select(col("_idb"), col("_sb"))
+          .join(broadcast(hotLit), col("_sb") === col("_hs"), "left_semi")
+          .withColumn("_salt",
+            explode(typedLit((0 until SaltWays).map(_.toLong))))
+        val hot = lHot.join(rHot,
+            lHot("_sa") === rHot("_sb") && lHot("_salt") === rHot("_salt"))
+          .select(col("_ida"), col("_idb"))
+        Some(cold.unionAll(hot))
+      }
 
     // short strings (< k+1 chars) cannot be segmented: length-banded
     // direct candidates — bounded by the short-string count

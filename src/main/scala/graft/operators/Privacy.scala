@@ -41,10 +41,10 @@ object Privacy {
     require(k >= 1, "k must be at least 1")
     val freq = freqFrame(df, Seq(ladder), otherQi)
     val chosen =
-      try ladder.indices
-        .find(lvl => minGroupOnFreq(freq, Seq(lvl), otherQi.size) >= k)
-        .map(ladder)
-      finally { freq.unpersist(false); () }
+      try {
+        val mins = minGroupsOnFreq(freq, ladder.indices.map(Seq(_)), otherQi.size)
+        ladder.indices.find(lvl => mins(lvl) >= k).map(ladder)
+      } finally { freq.unpersist(false); () }
     val (name, qiCol) = chosen.getOrElse(ladder.last)
     val gen = df.withColumn("qi", qiCol).withColumn("gen_level", lit(name))
     if (chosen.isDefined) gen
@@ -101,8 +101,10 @@ object Privacy {
     val freq = freqFrame(df, ladders, otherQi)
     val nodes = lattice(ladders.map(_.length))
     val chosen =
-      try nodes.find(n => minGroupOnFreq(freq, n, otherQi.size) >= k)
-      finally { freq.unpersist(false); () }
+      try {
+        val mins = minGroupsOnFreq(freq, nodes, otherQi.size)
+        nodes.indices.find(i => mins(i) >= k).map(nodes)
+      } finally { freq.unpersist(false); () }
     val node = chosen.getOrElse(nodes.last)
     val gen0 = node.zip(ladders).zipWithIndex.foldLeft(df) {
       case (d, ((lvl, lad), i)) => d.withColumn(s"qi$i", lad(lvl)._2)
@@ -283,17 +285,31 @@ object Privacy {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Minimum group size at one lattice node, evaluated on the freq frame:
-    * sum the finest counts up to the node's levels, take the min. */
-  private def minGroupOnFreq(freq: DataFrame, node: Seq[Int],
-                             nOtherQi: Int): Long = {
-    val keys = node.zipWithIndex.map { case (lvl, i) => col(s"_l${i}_$lvl") } ++
-      (0 until nOtherQi).map(i => col(s"_oq$i"))
-    freq.groupBy(keys: _*).agg(sum(col("_cnt")).as("_c"))
-      .agg(min(col("_c"))).head() match {
-        case r if r.isNullAt(0) => Long.MaxValue // empty input: all nodes pass
-        case r => r.getLong(0)
+  /** Minimum group sizes of MANY lattice nodes in ONE action (r21): each
+    * node is a branch re-aggregating the persisted freq frame, unioned
+    * into a single job — the sequential per-node probes each paid a full
+    * driver round trip (up to Π|ladder| jobs per walk), and the branches
+    * are independent so one job also runs them concurrently. The frame is
+    * support-sized and cached, so computing nodes the early-exit walk
+    * would have skipped costs bounded re-aggregation, not corpus work;
+    * WALK_BATCH caps the union width (an enormous lattice falls back to
+    * sequential batches, which is also the early-exit worst case). */
+  private val WalkBatch = 64
+  private def minGroupsOnFreq(freq: DataFrame, nodes: Seq[Seq[Int]],
+                              nOtherQi: Int): Seq[Long] = {
+    nodes.grouped(WalkBatch).flatMap { batch =>
+      val branches = batch.zipWithIndex.map { case (node, ni) =>
+        val keys = node.zipWithIndex.map { case (lvl, i) => col(s"_l${i}_$lvl") } ++
+          (0 until nOtherQi).map(i => col(s"_oq$i"))
+        freq.groupBy(keys: _*).agg(sum(col("_cnt")).as("_c"))
+          .agg(lit(ni).as("_ni"), min(col("_c")).as("_m"))
       }
+      val got = branches.reduce(_ unionAll _).collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))) // empty input: all nodes pass
+        .toMap
+      batch.indices.map(i => got.getOrElse(i, Long.MaxValue))
+    }.toSeq
   }
 
   /** Product-lattice nodes in (total height, lexicographic) order —

@@ -89,6 +89,18 @@ class Round21Spec extends AnyFunSuite {
     }
   }
 
+  test("EditJoin salted hot-equality path == uncapped pairs on a template-heavy corpus") {
+    // 8 identical "template" strings per side (over the cap of 3, so the
+    // equality path takes the salted join) plus a unique near-miss pair
+    // (witnessed by non-hot segments, so the cap must not touch it)
+    val l = ((0L until 8L).map(i => (i, "tmpl-string-xx")) :+ (100L, "unique-left-str")).toDF("id", "s")
+    val r = ((10L until 18L).map(i => (i, "tmpl-string-xx")) :+ (200L, "unique-left-stz")).toDF("id", "s")
+    def pairs(cap: Long) =
+      graft.operators.EditJoin.join(l, r, "id", "s", k = 1, maxSegFreq = cap)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(pairs(3L) == pairs(0L))
+  }
+
   test("winsorize histogram-selected bounds == brute-force clip") {
     val rows = skewed(4000).map { case (id, w) => (id, w * 7 - 3) }
     val df = spark.createDataFrame(rows).toDF("id", "v").repartition(6)
