@@ -2398,13 +2398,18 @@ object SparkEntry {
           labels, "node", "label")
         .withColumn("q_num", col("q_num").cast("bigint"))
     }),
-    "q_rollup" -> ((s, dir) =>
+    "q_rollup" -> ((s, dir) => {
       // OLAP rollup totals (status x priority -> status -> grand total),
-      // money in exact int64 cents
-      tbl(s, dir, "orders")
-        .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("cents"))
-        .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_orderpriority"))),
+      // money in exact int64 cents. Finest-grouping aggregate first, then
+      // rollup of the tiny aggregate (the q_cube rationale: the Expand x3
+      // multiplies ~15 rows, not the corpus).
+      val fine = tbl(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_n"), sum(cents(col("o_totalprice"))).as("_c"))
+      fine.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("_n")).as("n"), sum(col("_c")).as("cents"))
+        .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_orderpriority"))
+    }),
     "q_pivot" -> ((s, dir) =>
       // wide-format pivot (priority x status -> cents), explicit value
       // list so the plan is ONE aggregate - no distinct-values pre-scan
@@ -2424,15 +2429,23 @@ object SparkEntry {
           "status", "cents")
         .where(col("cents").isNotNull)
         .orderBy(col("priority"), col("status"))),
-    "q_cube" -> ((s, dir) =>
+    "q_cube" -> ((s, dir) => {
       // full CUBE (every grouping-set combination incl. per-dimension
-      // marginals rollup cannot produce), exact int64 qty/cents
-      tbl(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("l_quantity")).cast("long")).as("qty"),
-          sum(cents(col("l_extendedprice"))).as("cents"))
-        .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))),
+      // marginals rollup cannot produce), exact int64 qty/cents.
+      // r21: aggregate to the FINEST grouping first (map-side combine to a
+      // handful of rows), then cube the tiny aggregate — counts and int64
+      // sums are additive, so the grouping-set totals are identical, but
+      // the Expand x4 now multiplies ~6 rows instead of the whole corpus.
+      val fine = tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_n"),
+          sum(round(col("l_quantity")).cast("long")).as("_q"),
+          sum(cents(col("l_extendedprice"))).as("_c"))
+      fine.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_n")).as("n"), sum(col("_q")).as("qty"),
+          sum(col("_c")).as("cents"))
+        .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
+    }),
     "q_nfc" -> ((s, dir) =>
       // deterministic decomposed-accent suffix appended to each doc so NFC
       // composition is genuinely exercised (same pattern as q_pii_scrub);

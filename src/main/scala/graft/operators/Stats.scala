@@ -404,6 +404,7 @@ object Stats {
   }
 
   def ksDistance(df: DataFrame, value: Column, side: Column): DataFrame = {
+    val spark = df.sparkSession
     // pmod, not %: Spark % is a REMAINDER, so a negative side label would
     // map to -1 and its rows would silently vanish from both CDFs
     val c = df.where(value.isNotNull)
@@ -413,19 +414,46 @@ object Stats {
     val g = c.groupBy(col("_v")).agg(
         sum(when(col("_s") === 0, col("_n")).otherwise(0L)).as("_a"),
         sum(when(col("_s") === 1, col("_n")).otherwise(0L)).as("_b"))
-      .withColumn("_one", lit(0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cumulative counts over the value support via the two-phase prefix
-    // sum (range-partitioned — a bare Window.orderBy would funnel the
-    // whole support through ONE task, and long-typed supports approach
-    // row count); the grand totals ride along from the same offsets frame
-    val cum = Packing.runningTotalsBy(g, "_one", col("_v"),
-      Seq(("_ca", col("_a")), ("_cb", col("_b"))))
-    cum.select(
-        abs(col("_ca") * col("_cb_tot") - col("_cb") * col("_ca_tot")).as("_d"),
-        col("_ca_tot").as("_na"), col("_cb_tot").as("_nb"))
-      .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
-      .agg(max(col("_d")).as("ks_num"))
+    // r21: the cumulative diff max comes from the offsets-and-walk pattern
+    // (the valuesAtRanks shape) instead of the 4-level bucketed prefix-sum
+    // hierarchy — the support histogram is range-partitioned ONCE, the
+    // per-partition (Σa, Σb) collect is metadata-sized, and a single
+    // streaming pass tracks max |ca·nb − cb·na| per partition (the old
+    // runningTotalsBy finish spent ~13 exchanges + windows + a non-equi
+    // self-join materializing full cumulative columns that were only ever
+    // MAX-reduced). Same integer math, same long-overflow envelope.
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = g.repartitionByRange(parts, col("_v"))
+      .sortWithinPartitions(col("_v"))
+      .localCheckpoint() // one materialization shared by offsets + walk
+    val pc = ranged.groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col("_a")).as("_sa"), sum(col("_b")).as("_sb"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val na = pc.values.map(_._1).sum
+    val nb = pc.values.map(_._2).sum
+    val orderedP = pc.keys.toSeq.sorted
+    val excl: Map[Int, (Long, Long)] = orderedP.zip(
+      orderedP.scanLeft((0L, 0L)) { case ((a, b), p) =>
+        (a + pc(p)._1, b + pc(p)._2) }.dropRight(1)).toMap
+    val aIdx = ranged.schema.fieldIndex("_a")
+    val bIdx = ranged.schema.fieldIndex("_b")
+    val ksNum = org.apache.spark.sql.graft.InternalRowBridge.toInternalRdd(ranged)
+      .mapPartitionsWithIndex { (pid, it) =>
+        var (ca, cb) = excl.getOrElse(pid, (0L, 0L))
+        var best = 0L
+        it.foreach { r =>
+          ca += r.getLong(aIdx); cb += r.getLong(bIdx)
+          val d = math.abs(ca * nb - cb * na)
+          if (d > best) best = d
+        }
+        Iterator.single(best)
+      }.collect().foldLeft(0L)(math.max)
+    // the one-row result re-enters through the SAME expression chain the
+    // old plan ended in, so the rounded ks is bit-identical; an empty
+    // input yields an empty frame (the old groupBy-of-nothing shape)
+    spark.range(if (pc.isEmpty) 0 else 1)
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(ksNum).as("ks_num"))
       .select(col("n_a"), col("n_b"), col("ks_num"),
         (col("n_a") * col("n_b")).as("ks_den"),
         graft.functions.gf.roundHalfUp(col("ks_num").cast("double") / (col("n_a") * col("n_b")), 6).as("ks"))
