@@ -3232,6 +3232,21 @@ object SparkEntry {
       val schema = s.read.parquet(tmpIn).schema
       def src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(tmpIn)
+      // state-store partition sizing (r21): every stateful streaming query
+      // creates one state store instance PER SHUFFLE PARTITION PER
+      // MICRO-BATCH (tasks + delta files + commits) — per-batch fixed cost
+      // that scales with the partition count, not the data. State
+      // partitions should track stateful-KEY cardinality (here: event
+      // types x hour windows, user ids — tens), not core count. Sized
+      // scale-adaptively as min(defaultParallelism, 8) and overridable via
+      // GRAFT_STREAM_STATE_PARTS for deployments with wide key spaces;
+      // every gate is partition-count-invariant by construction (pinned by
+      // the InvarianceSpec matrix), so this changes no result. Restored
+      // after the streams finish so batch queries are untouched.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS",
+          math.min(s.sparkContext.defaultParallelism, 8).toString))
       val tag = java.lang.Long.toHexString(System.nanoTime())
       // the three queries are independent streams over the same files —
       // start all three and await all three (wall time ~ the slowest one,
@@ -3251,6 +3266,7 @@ object SparkEntry {
         .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q1.awaitTermination(); q2.awaitTermination(); q3.awaitTermination()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val wins = s.table(s"gs_win_$tag")
         .select(expr("unix_micros(window.start) div 3600000000").as("h"),
           col("event_type"), col("n"))
@@ -3344,6 +3360,14 @@ object SparkEntry {
       rmTree(tmp)
       val schema = s.read.parquet(inDir.toString).schema
       val tag = java.lang.Long.toHexString(System.nanoTime())
+      // state-store partition sizing — see q_stream_e2e: per-micro-batch
+      // state cost scales with shuffle partitions, and this stream's
+      // stateful keys are ~10 hour-windows; result is partition-count-
+      // invariant (watermark = global max over prior batches)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS",
+          math.min(s.sparkContext.defaultParallelism, 8).toString))
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
         .withWatermark("ets", "90 minutes")
@@ -3352,6 +3376,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(s"gs_ev_$tag")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val out = s.table(s"gs_ev_$tag")
         .select(expr("unix_seconds(window.start) div 3600").as("h"),
           col("event_type"), col("n").cast("long"),

@@ -23,6 +23,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // deterministic storage sweep between queries (the Bench r7 fix):
+      // each query fully materializes into its parquet before the next
+      // starts, so nothing can need the blocks again — without this,
+      // operator persists/checkpoints from 219 queries accumulate until
+      // driver GC and compete with later queries' execution memory
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
