@@ -45,24 +45,34 @@ object Stats {
     * formula runs in one fixed double-expression order. */
   def twoProportionZ(df: DataFrame, unit: Column, group: Column,
                      success: Column): DataFrame = {
-    // one row per group value; materialized once (the a/b branches would
-    // otherwise each rescan the source) and validated to exactly two
-    // groups — extra groups silently vanishing, or one group compared
-    // against itself, would be a wrong answer with no error
+    // one row per group value, validated to exactly two groups — extra
+    // groups silently vanishing, or one group compared against itself,
+    // would be a wrong answer with no error. r21: the 2-row frame is
+    // collected once (take(3) bounds the fetch whatever the group count)
+    // and re-entered as a one-row literal relation through the SAME final
+    // expression chain — the old shape spent a checkpoint + limit-count +
+    // two orderBy/limit jobs on two rows.
     val per = df
       .groupBy(unit.as("_u"), group.as("_g"))
       .agg(max(success.cast("int")).as("_s")) // a unit converts if it ever succeeded
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("n"), sum(col("_s")).cast("long").as("x"))
-      .localCheckpoint()
-    val nGroups = per.limit(3).count()
-    require(nGroups == 2, s"twoProportionZ needs exactly 2 group values, found $nGroups" +
-      (if (nGroups > 2) "+" else ""))
-    val a = per.orderBy(col("_g")).limit(1)
-      .select(col("_g").as("group_a"), col("n").as("n_a"), col("x").as("x_a"))
-    val b = per.orderBy(desc("_g")).limit(1)
-      .select(col("_g").as("group_b"), col("n").as("n_b"), col("x").as("x_b"))
-    val j = a.crossJoin(b)
+    val gType = per.schema("_g").dataType
+    // ORDERED collect: Spark's own asc (nulls first) on the native group
+    // type reproduces the old a=orderBy(asc).limit(1) / b=desc assignment
+    // for any group type; take(3) bounds the fetch whatever the count
+    val rows = per.orderBy(col("_g")).take(3)
+    require(rows.length == 2, s"twoProportionZ needs exactly 2 group values, found ${rows.length}" +
+      (if (rows.length > 2) "+" else ""))
+    val spark = df.sparkSession
+    val (ra, rb) = (rows(0), rows(1))
+    // cast pins the group columns to their native type even for a null
+    // group value (lit(null) alone would type them NullType)
+    val j = spark.range(1).select(
+      lit(ra.get(0)).cast(gType).as("group_a"),
+      lit(ra.getLong(1)).as("n_a"), lit(ra.getLong(2)).as("x_a"),
+      lit(rb.get(0)).cast(gType).as("group_b"),
+      lit(rb.getLong(1)).as("n_b"), lit(rb.getLong(2)).as("x_b"))
     val p1 = col("x_a").cast("double") / col("n_a").cast("double")
     val p2 = col("x_b").cast("double") / col("n_b").cast("double")
     val p = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")

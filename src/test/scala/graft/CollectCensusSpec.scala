@@ -34,14 +34,21 @@ class CollectCensusSpec extends AnyFunSuite {
     "graft/operators/Sampling.scala" -> (3, 0),
     "graft/operators/Packing.scala" -> (3, 0),
     "graft/operators/Dsir.scala" -> (2, 0),
-    "graft/operators/Stats.scala" -> (1, 0),
+    // r21: Stats gained the histogram-selection walks (valuesAtRanks x2,
+    // ksDistance x2, twoMiddleSumSel phase-2 hits) — all metadata/
+    // output-sized; Calibration's bounds collect moved into
+    // Stats.valuesAtRanks; Privacy's per-node head() became ONE batched
+    // lattice collect; EditJoin's opt-in hot sets are collected as
+    // broadcast literals instead of persisted frames. SURVEY §6 rows
+    // 10-12b/46-47 classify each.
+    "graft/operators/Stats.scala" -> (6, 0),
     "graft/operators/QualityClassifier.scala" -> (1, 0),
     "graft/operators/Fusion.scala" -> (1, 0),
-    "graft/operators/Calibration.scala" -> (1, 0),
+    "graft/operators/EditJoin.scala" -> (2, 0),
     "graft/operators/Bpe.scala" -> (1, 0),
     "graft/operators/HeavyHitters.scala" -> (0, 1),
     "graft/operators/Linkage.scala" -> (0, 1),
-    "graft/operators/Privacy.scala" -> (0, 1))
+    "graft/operators/Privacy.scala" -> (1, 0))
 
   // second ratchet (r20): the other two audited anti-pattern families.
   // crossJoin sites must be broadcast-1-row-rollup shapes (a scalar
@@ -59,7 +66,10 @@ class CollectCensusSpec extends AnyFunSuite {
     "graft/operators/Privacy.scala" -> (2, 0),
     "graft/operators/Checks.scala" -> (2, 0),
     "graft/operators/Profiler.scala" -> (1, 0),
-    "graft/operators/Stats.scala" -> (2, 0),
+    // r21: twoProportionZ's crossJoin fell away (the 2-row frame is
+    // collected and re-entered as a one-row literal); chiSquare's 1-row
+    // broadcast rollup remains
+    "graft/operators/Stats.scala" -> (1, 0),
     "graft/operators/UnigramLm.scala" -> (1, 0),
     "graft/operators/QualityClassifier.scala" -> (0, 1))
 

@@ -1399,23 +1399,20 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     // the two historical scale traps: ksDistance's bare Window.orderBy
     // (everything through ONE task) and robustOutliers' per-group row sort
-    // (parallelism bounded by group count). Every ordered window must be
-    // partitioned by a `_rt` bucket column (its tasks then hold ≤ 2^16
-    // rows BY CONSTRUCTION — a bucket spans at most 2^16 child keys; see
-    // Packing.runningTotalsBy) or by ≥ 2 expressions.
+    // (parallelism bounded by group count). Since r21 BOTH operators run
+    // on selection/offsets-and-walk machinery with NO window anywhere —
+    // robustOutliers since r17, ksDistance since its runningTotalsBy
+    // hierarchy was replaced by the per-partition max walk. The pin is
+    // therefore the stronger invariant: zero WindowExec nodes; if one
+    // ever reappears it must at least be key-partitioned.
     val df = (1 to 200).map(i => ("g" + (i % 3), (i * 37 % 50).toLong, i.toLong))
       .toDF("g", "v", "u")
     def windows(d: org.apache.spark.sql.DataFrame) =
       d.queryExecution.sparkPlan.collect { case w: WindowExec => w }
     val ws = windows(Stats.robustOutliers(df, col("g"), col("v"), col("u"))) ++
       windows(Stats.ksDistance(df, col("v"), col("u")))
-    assert(ws.nonEmpty, "expected the prefix-sum windows in the plan")
-    ws.foreach { w =>
-      assert(w.partitionSpec.nonEmpty, s"partition-less window: $w")
-      val bucketPartitioned = w.partitionSpec.exists(_.toString.contains("_rt"))
-      assert(w.orderSpec.isEmpty || w.partitionSpec.size >= 2 || bucketPartitioned,
-        s"suspect per-group full-sort window: $w")
-    }
+    assert(ws.isEmpty,
+      s"expected window-free selection plans, found: ${ws.mkString("; ")}")
   }
 
   test("Rfm: orientation (recent/frequent/valuable = high), exact rank quintiles") {
