@@ -189,9 +189,25 @@ object Bench {
     val (prev, prevWarmup) = prevJson(results.map(_._1).toSet)
     val storageMb = storagePeaks.map(b => f"${b / 1048576.0}%.0f").mkString("[", ",", "]")
     val evictedJson = evictions.mkString("[", ",", "]")
+    // MEASUREMENT-CONTRACT FIX (r22, VERDICT r21 "What's wrong #1"): the
+    // driver keeps only a 2000-char stdout TAIL, and this line is ~16 KB —
+    // every BENCH_r*.json since r18 recorded parsed=null, and with "prev"
+    // trailing the line the surviving tail was LAST round's numbers
+    // impersonating the live run. Two changes, both output-only:
+    //   (a) the full line now ends with the LIVE "queries" map (prev moved
+    //       before it), so whatever survives the clip is this run's data;
+    //   (b) a second, compact line (<1500 chars, no per-query maps) is
+    //       printed LAST so the driver's tail always contains one complete
+    //       parseable JSON object. The full per-query map is in the big
+    //       line and in bench_out.json (same content, written below).
+    // Same protocol, same timed action, same queries — nothing about the
+    // measurement itself changed.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"r9: codegen cache sized to hold a full pass + one full untimed warmup pass; r7 heavy-tail unpersist retained; run 1 can still ride residual C2-JIT/page-cache ramp (r15 saw 1.6x) - the median of 3 absorbs it by construction","prev":$prev,"prev_warmup_passes":$prevWarmup,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"storage_peak_mb":$storageMb,"rdds_evicted":$evictedJson,"variance_note":"r9: codegen cache sized to hold a full pass + one full untimed warmup pass; r7 heavy-tail unpersist retained; run 1 can still ride residual C2-JIT/page-cache ramp (r15 saw 1.6x) - the median of 3 absorbs it by construction","prev":$prev,"prev_warmup_passes":$prevWarmup,"sf":"$sfDir","queries":$qs}"""
     println(line)
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$fails,"runs":$runs,"aggregate":"median","warmup_passes":$warmupPasses,"run_totals":$runTotals,"cpus":"$cpus","n_queries":${results.size},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+    println(compact)
     // the driver's stdout capture tail-clips long lines (BENCH_r2/r3 both
     // recorded truncated JSON) — persist the full line as a repo artifact too
     try {
@@ -249,24 +265,38 @@ object Bench {
                   case -1 => t.substring(i)
                   case j  => t.substring(i, j)
                 }
-              if (line.nonEmpty) parse(line) \ "queries" match {
-                case o: JObject => o
-                case _ => JObject(Nil)
-              } else {
+              // r22+: the LAST {"metric" line in a tail is the compact
+              // summary (no per-query map) — a successful parse of it must
+              // still fall through to regex recovery over the big line
+              val fromLine =
+                if (line.isEmpty) JObject(Nil)
+                else parse(line) \ "queries" match {
+                  case o: JObject => o
+                  case _ => JObject(Nil)
+                }
+              if (fromLine.obj.nonEmpty) fromLine
+              else {
                 // the driver's capture byte-clips long lines from the FRONT
                 // (BENCH_r06 lost the {"metric" prefix entirely) — recover
-                // per-query pairs by regex. Only matches BEFORE the embedded
-                // "prev" object count: its keys are the same q_* names
-                // carrying the round-BEFORE-last's values, and a query whose
-                // current entry was clipped away must stay absent from the
-                // basis rather than silently inherit a two-rounds-stale one.
-                val cutoff = t.indexOf("\"prev\":") match {
-                  case -1 => t.length
-                  case i => i
-                }
+                // per-query pairs by regex. Formats:
+                //  - r22+ big line ends with the LIVE "queries" map: match
+                //    only after the last "queries": marker (pairs before it
+                //    are the embedded prev map).
+                //  - pre-r22 line had queries first, prev last: match only
+                //    BEFORE "prev": — its keys are the same q_* names
+                //    carrying the round-BEFORE-last's values, and a query
+                //    whose current entry was clipped away must stay absent
+                //    rather than silently inherit a two-rounds-stale one.
+                val qMark = t.lastIndexOf("\"queries\":")
+                val region =
+                  if (qMark >= 0) t.substring(qMark)
+                  else t.substring(0, t.indexOf("\"prev\":") match {
+                    case -1 => t.length
+                    case p  => p
+                  })
                 val pair = "\"(q_[A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r
                 val seen = scala.collection.mutable.LinkedHashMap[String, Double]()
-                pair.findAllMatchIn(t.substring(0, cutoff)).foreach { m =>
+                pair.findAllMatchIn(region).foreach { m =>
                   if (!seen.contains(m.group(1)))
                     try seen(m.group(1)) = m.group(2).toDouble
                     catch { case _: NumberFormatException => }

@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
   * subset) to a directory — the optimization-round audit tool: the judge
   * checks plan claims against these files, and grepping them for Exchange /
   * join-strategy / PushedFilters patterns finds plan-shape waste across the
-  * whole surface without running anything.
+  * whole surface. NOTE (ADVICE r21): "dumping a plan" is not free —
+  * constructing the e2e/streaming DataFrames (q_stream_e2e, q_curation_e2e,
+  * ...) executes their full pipelines inside the builder, so a sweep runs
+  * real jobs. Per-query failures are counted and the process exits nonzero
+  * when any plan is missing, so an audit run cannot silently lose files.
   *
   * usage: runMain graft.PlanDump <outDir> [q_a,q_b,...]
   * env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (same contract as Bench)
@@ -33,6 +37,7 @@ object PlanDump {
         SparkEntry.queries.keys.toSeq.filter(keep).sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
+    var failed = 0
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -43,10 +48,13 @@ object PlanDump {
         try w.println(txt) finally w.close()
         println(s"[plandump] $name ok")
       } catch { case scala.util.control.NonFatal(e) =>
+        failed += 1
         println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    println(s"[plandump] done: ${names.size - failed}/${names.size} ok, $failed failed")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

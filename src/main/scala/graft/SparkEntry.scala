@@ -3010,19 +3010,26 @@ object SparkEntry {
         .persist(lvl)
       val sniffed = corpus.select(
         graft.operators.SniffExpr.sniffFormat(col("bytes")).as("fmt"))
+      // decode-once (r22): ONE expression yields struct(dhash, hist) per
+      // raster — the chain previously decoded each image up to 3x (dHash,
+      // the near-dup sketch inside imageNearDupPairs, the histogram). Same
+      // decoder and feature math, so every stage value is bit-identical;
+      // the near-dup join consumes the PRE-COMPUTED dhash through
+      // simhashPairs' pluggable-sketch seam (identity fn) instead of
+      // re-decoding the corpus.
       val decoded = corpus
-        .select(col("doc_id"), col("bytes"),
-          graft.operators.MediaOps.dHash(col("bytes")).as("dhash"))
+        .select(col("doc_id"),
+          graft.operators.MediaOps.featuresCol(col("bytes")).as("_mf"))
+        .select(col("doc_id"), col("_mf.dhash").as("dhash"), col("_mf.hist").as("emb"))
         .where(col("dhash").isNotNull)
         .persist(lvl)
-      val pairs = graft.operators.MediaOps.imageNearDupPairs(
-        corpus, "doc_id", "bytes", maxHamming = 6)
+      val pairs = graft.dedup.Dedup.simhashPairs(
+        decoded.select(col("doc_id"), col("dhash")), "doc_id", "dhash",
+        maxHamming = 6, simhashFn = c => c, bits = 64)
       val embedded = decoded
-        .select(col("doc_id"),
-          graft.operators.MediaOps.colorHistogramCol(col("bytes")).as("emb"))
+        .select(col("doc_id"), col("emb"))
         .withColumn("bins",
           transform(col("emb"), x => round(x * 64).cast("long")))
-        .persist(lvl)
       // vector-store roundtrip: bulk append + merge-on-read read-back
       val storePath = java.nio.file.Files
         .createTempDirectory("graft_media_store").toString
@@ -3248,25 +3255,29 @@ object SparkEntry {
         sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS",
           math.min(s.sparkContext.defaultParallelism, 8).toString))
       val tag = java.lang.Long.toHexString(System.nanoTime())
-      // the three queries are independent streams over the same files —
-      // start all three and await all three (wall time ~ the slowest one,
-      // not the sum; each keeps its own state, checkpoint, and sink)
-      val q1 = src
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(s"gs_win_$tag")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      val q2 = src.dropDuplicates("user_id")
-        .writeStream.format("memory").queryName(s"gs_dd_$tag")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
       val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
-      val q3 = src.where(col("event_type") === "click")
-        .writeStream.format("parquet").option("path", s"$outDir/data")
-        .option("checkpointLocation", s"$outDir/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q1.awaitTermination(); q2.awaitTermination(); q3.awaitTermination()
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // restore in a finally (ADVICE r21 item 1): Bench/Verify catch
+      // per-query failures and keep going, so a failing stream must not
+      // leave every subsequent query in the shared session at 8 partitions
+      try {
+        // the three queries are independent streams over the same files —
+        // start all three and await all three (wall time ~ the slowest one,
+        // not the sum; each keeps its own state, checkpoint, and sink)
+        val q1 = src
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(s"gs_win_$tag")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        val q2 = src.dropDuplicates("user_id")
+          .writeStream.format("memory").queryName(s"gs_dd_$tag")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val q3 = src.where(col("event_type") === "click")
+          .writeStream.format("parquet").option("path", s"$outDir/data")
+          .option("checkpointLocation", s"$outDir/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q1.awaitTermination(); q2.awaitTermination(); q3.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val wins = s.table(s"gs_win_$tag")
         .select(expr("unix_micros(window.start) div 3600000000").as("h"),
           col("event_type"), col("n"))
@@ -3368,15 +3379,18 @@ object SparkEntry {
       s.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS",
           math.min(s.sparkContext.defaultParallelism, 8).toString))
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-        .withWatermark("ets", "90 minutes")
-        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("checksum"))
-        .writeStream.format("memory").queryName(s"gs_ev_$tag")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // restore in a finally (ADVICE r21 item 1): a failing stream must not
+      // leave the shared session at 8 partitions for later queries
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          .withWatermark("ets", "90 minutes")
+          .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("checksum"))
+          .writeStream.format("memory").queryName(s"gs_ev_$tag")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val out = s.table(s"gs_ev_$tag")
         .select(expr("unix_seconds(window.start) div 3600").as("h"),
           col("event_type"), col("n").cast("long"),

@@ -235,6 +235,18 @@ object MediaOps {
     org.apache.spark.sql.graft.ColumnBridge.column(
       ColorHistogramExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** Decode-once combined features: struct(dhash, hist) from ONE decode of
+    * the raster (null struct when undecodable). The e2e chains previously
+    * decoded each image up to 3x — once for the dHash, once inside the
+    * near-dup sketch, once for the histogram; at gate scale that is noise,
+    * at 100 TB it is two full decode passes of the corpus (r22, guide §1.2
+    * per-task work / §4 expressions). dhash and hist are exactly
+    * DHashExpr / ColorHistogramExpr over the same bytes — same decoder,
+    * same math — so results are bit-identical by construction. */
+  def featuresCol(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      MediaFeaturesExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Perceptual image near-dup pairs: dHash sketch into the existing
     * pigeonhole-bucketed hamming join (Dedup.simhashPairs) — undecodable
     * rows drop at the sketch stage. Returns (idA, idB, hamming). */
@@ -335,6 +347,48 @@ object ColorHistogramExpr {
       case Some(img) =>
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
           MediaOps.colorHistogram(img))
+      case None => null
+    }
+}
+
+/** struct(dhash: long, hist: array<float>) from ONE decode of a binary
+  * image column (null when the bytes are not a supported raster) — the
+  * decode-once fusion of DHashExpr + ColorHistogramExpr. */
+case class MediaFeaturesExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("dhash", LongType, nullable = false),
+    StructField("hist", ArrayType(FloatType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"media_features needs binary, got $other")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    MediaFeaturesExpr.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow ${ev.value}_r =
+         |  graft.operators.MediaFeaturesExpr.compute($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "media_features"
+}
+
+object MediaFeaturesExpr {
+  /** Called from generated code. */
+  def compute(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    MediaOps.decode(bytes) match {
+      case Some(img) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          MediaOps.dHash64(img),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            MediaOps.colorHistogram(img)))
       case None => null
     }
 }

@@ -181,96 +181,6 @@ object Packing {
     (ranked.withColumnRenamed("_rank0", rankCol), n)
   }
 
-  /**
-   * Per-group inclusive running totals of integer weights over an INT64
-   * order key — via a DATA-INDEPENDENT bucketed prefix sum. The key is
-   * bucketed by arithmetic bit-shifts (monotone for negatives):
-   * b1 = key>>16, b2 = key>>32, b3 = key>>48, b4 = key>>56. Every
-   * ordered window partitions by (group, parent bucket) and therefore
-   * sees at most 2^16 rows per task (a parent bucket spans 2^16 child
-   * buckets; b4 spans 2^8 b3 values), and the terminal b4 frame has a
-   * STATIC 256-value domain, so its exclusive prefix is a tiny non-equi
-   * self-join — no window at all. One giant group therefore splits
-   * across tasks BY CONSTRUCTION, with no range-partitioner sampling,
-   * no checkpoint, no driver collect, and no data-dependent broadcast:
-   * the whole thing is one lazy, fully deterministic plan (the earlier
-   * two-phase implementation spent ~4 driver jobs per call on
-   * sampling + checkpoint + offset collect). Works unchanged when
-   * `group` is a constant (a global running total): the optimizer folds
-   * the group key out of the window partitions, leaving the bucket keys
-   * — still bounded, still never a partition-less window.
-   *
-   * For each `(name, weight)` pair the output gains `name` (running sum
-   * of `weight` within the row's group, inclusive of the current row, in
-   * `order` key order) and `name + "_tot"` (the group's grand total).
-   * Order keys must be distinct within a group (a histogram support, a
-   * bucketed domain) — ties would make "inclusive" ambiguous.
-   */
-  def runningTotalsBy(df: DataFrame, group: String, order: Column,
-                      weights: Seq[(String, Column)]): DataFrame = {
-    require(weights.nonEmpty, "need at least one (name, weight) pair")
-    val wNames = weights.map(_._1)
-    def sums(d: DataFrame, g: Column, k: Column): DataFrame =
-      d.groupBy(g.as("_rtg"), k.as("_rtb"))
-        .agg(sum(col(s"_rtw_${wNames.head}")).as(s"_rtw_${wNames.head}"),
-          wNames.tail.map(n => sum(col(s"_rtw_$n")).as(s"_rtw_$n")): _*)
-    val hb = weights.foldLeft(df.withColumn("_rtk", order.cast("long"))) {
-      case (d, (n, c)) => d.withColumn(s"_rtw_$n", c.cast("long"))
-    }.withColumn("_rtb1", shiftright(col("_rtk"), 16))
-    // l1 is referenced 2x downstream and every higher level re-derives
-    // from it — a LAZY local checkpoint makes it a shared leaf, or the
-    // inlined references expand the plan tree multiplicatively (observed:
-    // 1300+ Exchange nodes, seconds of planning — the Spark twin of
-    // DuckDB's MATERIALIZED-CTE rule). l2-l4 stay plain: they are tiny
-    // aggregations over the l1 leaf, and their duplicate references cost
-    // only re-aggregating a bucket-count frame
-    val l1 = sums(hb, col(group), col("_rtb1")).localCheckpoint(false)  // key >> 16
-    val l2 = sums(l1, col("_rtg"), shiftright(col("_rtb"), 16)) // key >> 32
-    val l3 = sums(l2, col("_rtg"), shiftright(col("_rtb"), 16)) // key >> 48
-    val l4 = sums(l3, col("_rtg"), shiftright(col("_rtb"), 8))  // key >> 56
-    // terminal level: 256-value static domain -> exclusive prefix by
-    // non-equi self-join, grand totals by plain aggregate; no window
-    val x = l4.as("x"); val y = l4.as("y")
-    val exclAgg = x.join(y,
-        col("x._rtg") <=> col("y._rtg") && col("y._rtb") < col("x._rtb"), "left")
-      .groupBy(col("x._rtg").as("_rtg"), col("x._rtb").as("_rtb"))
-      .agg(coalesce(sum(col(s"y._rtw_${wNames.head}")), lit(0L)).as(s"_rte_${wNames.head}"),
-        wNames.tail.map(n => coalesce(sum(col(s"y._rtw_$n")), lit(0L)).as(s"_rte_$n")): _*)
-    val tots = l4.groupBy(col("_rtg").as("_t_g"))
-      .agg(sum(col(s"_rtw_${wNames.head}")).as(s"_rtt_${wNames.head}"),
-        wNames.tail.map(n => sum(col(s"_rtw_$n")).as(s"_rtt_$n")): _*)
-    val e4 = exclAgg.join(tots, col("_rtg") <=> col("_t_g"))
-      .select(col("_rtg").as("_p_g") +: col("_rtb").as("_p_b") +:
-        wNames.flatMap(n => Seq(col(s"_rte_$n"), col(s"_rtt_$n"))): _*)
-    // each lower level: exclusive running sum WITHIN the parent bucket
-    // (<= 2^shift child buckets per task) + the parent's exclusive
-    // prefix, joined down the hierarchy
-    def descend(frame: DataFrame, parent: DataFrame, shift: Int): DataFrame = {
-      val j = frame.withColumn("_rtpb", shiftright(col("_rtb"), shift))
-        .join(parent, col("_rtg") <=> col("_p_g") && col("_rtpb") === col("_p_b"))
-      val w = Window.partitionBy(col("_rtg"), col("_rtpb")).orderBy(col("_rtb"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      wNames.foldLeft(j) { (d, n) =>
-        d.withColumn(s"_rte_$n",
-          coalesce(sum(col(s"_rtw_$n")).over(w), lit(0L)) + col(s"_rte_$n"))
-      }.select(col("_rtg").as("_p_g") +: col("_rtb").as("_p_b") +:
-        wNames.flatMap(n => Seq(col(s"_rte_$n"), col(s"_rtt_$n"))): _*)
-    }
-    val e3 = descend(l3, e4, 8)
-    val e2 = descend(l2, e3, 16)
-    val e1 = descend(l1, e2, 16)
-    // leaf: within-b1 inclusive running sum over the raw keys (<= 2^16
-    // distinct keys per b1 bucket) + b1's exclusive prefix
-    val wIn = Window.partitionBy(col(group), col("_rtb1")).orderBy(col("_rtk"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = hb.join(e1, col(group) <=> col("_p_g") && col("_rtb1") === col("_p_b"))
-    weights.foldLeft(joined) { case (d, (n, _)) =>
-      d.withColumn(n, sum(col(s"_rtw_$n")).over(wIn) + col(s"_rte_$n"))
-        .withColumn(n + "_tot", col(s"_rtt_$n"))
-    }.drop("_rtk", "_rtb1", "_p_g", "_p_b")
-      .drop(wNames.flatMap(n => Seq(s"_rtw_$n", s"_rte_$n", s"_rtt_$n")): _*)
-  }
-
   /** Pid-stamped staged frame with the exact global 0-based rank attached,
     * plus the total row count (from the already-collected per-partition
     * counts — no extra job). */

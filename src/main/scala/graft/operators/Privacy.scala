@@ -41,10 +41,9 @@ object Privacy {
     require(k >= 1, "k must be at least 1")
     val freq = freqFrame(df, Seq(ladder), otherQi)
     val chosen =
-      try {
-        val mins = minGroupsOnFreq(freq, ladder.indices.map(Seq(_)), otherQi.size)
-        ladder.indices.find(lvl => mins(lvl) >= k).map(ladder)
-      } finally { freq.unpersist(false); () }
+      try firstQualifying(freq, ladder.indices.map(Seq(_)), otherQi.size, k)
+        .map(ladder)
+      finally { freq.unpersist(false); () }
     val (name, qiCol) = chosen.getOrElse(ladder.last)
     val gen = df.withColumn("qi", qiCol).withColumn("gen_level", lit(name))
     if (chosen.isDefined) gen
@@ -101,10 +100,8 @@ object Privacy {
     val freq = freqFrame(df, ladders, otherQi)
     val nodes = lattice(ladders.map(_.length))
     val chosen =
-      try {
-        val mins = minGroupsOnFreq(freq, nodes, otherQi.size)
-        nodes.indices.find(i => mins(i) >= k).map(nodes)
-      } finally { freq.unpersist(false); () }
+      try firstQualifying(freq, nodes, otherQi.size, k).map(nodes)
+      finally { freq.unpersist(false); () }
     val node = chosen.getOrElse(nodes.last)
     val gen0 = node.zip(ladders).zipWithIndex.foldLeft(df) {
       case (d, ((lvl, lad), i)) => d.withColumn(s"qi$i", lad(lvl)._2)
@@ -285,19 +282,30 @@ object Privacy {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Minimum group sizes of MANY lattice nodes in ONE action (r21): each
-    * node is a branch re-aggregating the persisted freq frame, unioned
-    * into a single job — the sequential per-node probes each paid a full
-    * driver round trip (up to Π|ladder| jobs per walk), and the branches
-    * are independent so one job also runs them concurrently. The frame is
-    * support-sized and cached, so computing nodes the early-exit walk
-    * would have skipped costs bounded re-aggregation, not corpus work;
-    * WALK_BATCH caps the union width (an enormous lattice falls back to
-    * sequential batches, which is also the early-exit worst case). */
+  /** First lattice node (in walk order) whose minimum group size reaches k,
+    * probing MANY nodes per action (r21/r22): each node is a branch
+    * re-aggregating the persisted freq frame, unioned into a single job —
+    * the original sequential per-node probes each paid a full driver round
+    * trip (up to Π|ladder| jobs per walk), and the branches are independent
+    * so one job also runs them concurrently. The frame is support-sized and
+    * cached, so probing nodes ahead of the first hit costs bounded
+    * re-aggregation, not corpus work.
+    *
+    * Batch sizes grow GEOMETRICALLY (4 → 16 → 64, r22, VERDICT r21 item 3):
+    * the r21 fixed-64 batch computed min-groups for the whole lattice even
+    * when the walk's first node qualified — 32-branch eager work where 3
+    * probes sufficed (q_k_anon_multi read 0.80x in a loaded-window A/B but
+    * regressed cross-archive). A shallow walk now pays one 4-branch job; a
+    * deep walk reaches the full 64-wide batches within two steps, keeping
+    * the one-job win. Evaluation is lazy batch-by-batch — the first batch
+    * containing a qualifying node ends the walk (ADVICE r21 item 3). */
   private val WalkBatch = 64
-  private def minGroupsOnFreq(freq: DataFrame, nodes: Seq[Seq[Int]],
-                              nOtherQi: Int): Seq[Long] = {
-    nodes.grouped(WalkBatch).flatMap { batch =>
+  private def firstQualifying(freq: DataFrame, nodes: Seq[Seq[Int]],
+                              nOtherQi: Int, k: Long): Option[Int] = {
+    var start = 0
+    var width = 4
+    while (start < nodes.size) {
+      val batch = nodes.slice(start, start + width)
       val branches = batch.zipWithIndex.map { case (node, ni) =>
         val keys = node.zipWithIndex.map { case (lvl, i) => col(s"_l${i}_$lvl") } ++
           (0 until nOtherQi).map(i => col(s"_oq$i"))
@@ -308,8 +316,14 @@ object Privacy {
         .map(r => r.getInt(0) ->
           (if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))) // empty input: all nodes pass
         .toMap
-      batch.indices.map(i => got.getOrElse(i, Long.MaxValue))
-    }.toSeq
+      // walk order preserved: the first qualifying index within the batch
+      // is the first qualifying node overall (batches partition the order)
+      val hit = batch.indices.find(i => got.getOrElse(i, Long.MaxValue) >= k)
+      if (hit.isDefined) return hit.map(start + _)
+      start += batch.size
+      width = math.min(width * 4, WalkBatch)
+    }
+    None
   }
 
   /** Product-lattice nodes in (total height, lexicographic) order —

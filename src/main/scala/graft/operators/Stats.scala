@@ -67,12 +67,17 @@ object Stats {
     val spark = df.sparkSession
     val (ra, rb) = (rows(0), rows(1))
     // cast pins the group columns to their native type even for a null
-    // group value (lit(null) alone would type them NullType)
+    // group value (lit(null) alone would type them NullType); x is null
+    // when every unit's success is null — re-enter it as a typed null so
+    // the z propagates null like the pre-collect column shape did, instead
+    // of a bare NPE from getLong (ADVICE r21 item 2)
+    def xOf(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(2)) lit(null) else lit(r.getLong(2))).cast("long")
     val j = spark.range(1).select(
       lit(ra.get(0)).cast(gType).as("group_a"),
-      lit(ra.getLong(1)).as("n_a"), lit(ra.getLong(2)).as("x_a"),
+      lit(ra.getLong(1)).as("n_a"), xOf(ra).as("x_a"),
       lit(rb.get(0)).cast(gType).as("group_b"),
-      lit(rb.getLong(1)).as("n_b"), lit(rb.getLong(2)).as("x_b"))
+      lit(rb.getLong(1)).as("n_b"), xOf(rb).as("x_b"))
     val p1 = col("x_a").cast("double") / col("n_a").cast("double")
     val p2 = col("x_b").cast("double") / col("n_b").cast("double")
     val p = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
@@ -93,12 +98,13 @@ object Stats {
    * ks_den = na·nb — pure integers, no float CDF ever crosses an engine
    * (PSI/KL, the common alternatives, need logs and can't do this).
    *
-   * Scale: rows collapse to (value, side) counts map-side FIRST; the
-   * cumulative counts then run over the DISTINCT VALUE SUPPORT via the
-   * range-partitioned two-phase prefix sum (Packing.runningTotalsBy) —
-   * no single-partition window anywhere, so even a support that
-   * approaches row count (timestamps, cents) stays parallel. One
-   * output row.
+   * Scale: rows collapse to (value, side) counts map-side FIRST; the max
+   * cumulative diff then runs over the DISTINCT VALUE SUPPORT by the
+   * offsets-and-walk pattern (range-partition the histogram, collect the
+   * metadata-sized per-partition (Σa, Σb), stream one pass per partition
+   * tracking max |ca·nb − cb·na|) — no single-partition window anywhere,
+   * so even a support that approaches row count (timestamps, cents)
+   * stays parallel. One output row.
    */
   /** Per-group skewness / excess kurtosis from EXACT integer power sums:
     * Σv, Σv², Σv³, Σv⁴ accumulate in decimal(38,0) (a 600k-row cents
@@ -147,12 +153,12 @@ object Stats {
     * Scale shape: rows collapse to a per-(group, value) HISTOGRAM first
     * (map-side combine — the frame is support-sized from here on, and the
     * unique column never matters: the values at the middle ranks depend
-    * only on the sorted multiset). The middle-rank selection then reads
-    * per-group cumulative counts from Packing.runningTotalsBy — the
-    * stratified two-phase prefix sum, which range-partitions on
-    * (group, value) so ONE GIANT GROUP SPLITS ACROSS PARTITIONS instead
-    * of serializing onto one task the way a `Window.partitionBy(group).
-    * orderBy(value)` sort would. A histogram row [cum−c, cum] covers a
+    * only on the sorted multiset). The middle-rank selection
+    * (twoMiddleSumSel) range-partitions the histogram on (group, value) —
+    * so ONE GIANT GROUP SPLITS ACROSS PARTITIONS instead of serializing
+    * onto one task the way a `Window.partitionBy(group).orderBy(value)`
+    * sort would — collects metadata-sized per-(partition, group) counts,
+    * and streams one walk. A histogram row [cum−c, cum] covers a
     * middle rank iff the rank lands in that span; its value contributes
     * once per covered rank (twice when odd-n makes both ranks coincide).
     * Deviations re-collapse to a (group, D) histogram and take the same
