@@ -2870,12 +2870,16 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val emb = tbl(s, dir, "embeddings")
       val qterms = retrievalQueryTerms(s, dir)
-      // bounded driver state, same contract as q_ann_ivf's pinned codebook
-      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
-        .select(col("embedding").cast("array<double>")).collect()
-        .map(_.getSeq[Double](0).toArray)
-      val qvecs = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
-        .select(col("vec_id"), col("embedding")).collect()
+      // bounded driver state, same contract as q_ann_ivf's pinned codebook.
+      // ONE collect (r22): centroids (first 16), query vectors (first 8),
+      // and the query anchors' labels all come from the same 16 rows —
+      // previously three separate driver jobs scanned embeddings for them.
+      // Float->double widening is exact, so splitting the raw collect
+      // driver-side is bit-identical to the old cast("array<double>") path.
+      val head16 = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("label")).collect()
+      val centroids = head16.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val qvecs = head16.filter(_.getLong(0) < 8)
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
       // ONE corpus scan per arm regardless of query count (r13 verdict #2):
       // Bm25.scoreMany replaces the per-query BM25 loop (the pad keeps the
@@ -2908,8 +2912,14 @@ object SparkEntry {
         .withColumn("rank", row_number().over(wq).cast("long"))
         .where(col("rank") <= 10)
         .persist(lvl)
-      val anchors = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("label").as("qlbl"))
+      // anchors re-enter as a literal frame from the same collected rows —
+      // no fourth scan branch over embeddings for 8 (id, label) pairs
+      val anchors = {
+        import s.implicits._
+        head16.filter(_.getLong(0) < 8)
+          .map(r => (r.getLong(0), r.getInt(2))).toSeq
+          .toDF("query_id", "qlbl")
+      }
       val relevant = emb.select(col("vec_id").as("doc_id"), col("label").as("clbl"))
         .crossJoin(broadcast(anchors))
         .where(col("qlbl") === col("clbl"))
