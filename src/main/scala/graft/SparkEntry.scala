@@ -1141,8 +1141,11 @@ object SparkEntry {
       // chunks = maxHamming+1). maxHamming scaled to the 31-bit sketch
       // (radius 2/31 ~ radius 4/64); larger radii covered by the
       // brute-force unit test on the 64-bit sketch.
+      // persistGroups=false (r22): the polynomial sketch recomputes cheaper
+      // than the support-sized cache fills at this SF (A/B 1.26 vs 1.48 s);
+      // the decode-backed media/audio/video sketches keep the default
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 2,
-          simhashFn = gf.simhashPoly31(_), bits = 31)
+          simhashFn = gf.simhashPoly31(_), bits = 31, persistGroups = false)
         .select(col("idA"), col("idB"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("idA"), col("idB"))
     }),

@@ -359,7 +359,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3,
                    simhashFn: Column => Column = gf.simhash64(_),
-                   bits: Int = 64): DataFrame = {
+                   bits: Int = 64,
+                   persistGroups: Boolean = true): DataFrame = {
     val chunks = math.min(maxHamming + 1, bits)
     // distribute `bits` over `chunks` as evenly as possible
     val widths = Array.tabulate(chunks)(q => bits / chunks + (if (q < bits % chunks) 1 else 0))
@@ -373,7 +374,25 @@ object Dedup {
     // exact-duplicate classes (identical sketches), so grouping first makes
     // the candidate join quadratic in distinct sketch values and the doc-pair
     // volume appears only at the final, unavoidable expansion.
-    val groups = hashed.groupBy(col("_sh")).agg(collect_list(col("_id")).as("_ids"))
+    //
+    // PERSISTED (r22): `groups` is scanned three times below (intra pairs +
+    // both sides of the chunk join), each scan sits behind its own
+    // AdaptiveSparkPlan boundary, and AQE does not reuse exchanges across
+    // those boundaries — so without the persist the SKETCH FUNCTION and the
+    // collect_list aggregation re-execute per scan (3x simhash64 over full
+    // text for the text gate, 3x aHash/dHash decode for the media gates; a
+    // warm q_video_e2e pairs stage carried 14 live Exchanges and 6
+    // ObjectHashAggregates, zero reused). The frame is support-sized
+    // (distinct sketches), the same bound as FuzzyJoin's load-bearing
+    // internal persist; Bench/Verify sweep leaked persists between queries.
+    // `persistGroups=false` opts out for callers whose sketch is cheaper to
+    // recompute than the cache-fill barrier costs (measured: the polynomial
+    // text sketch at sf0.1, 1.26→1.48 s persisted, while the decode-backed
+    // aHash/dHash sketches win 0.83×/0.89×).
+    val groupsBare = hashed.groupBy(col("_sh")).agg(collect_list(col("_id")).as("_ids"))
+    val groups = if (persistGroups)
+      groupsBare.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else groupsBare
     // (a) intra-group pairs: identical sketch -> hamming 0
     val intra = groups.where(size(col("_ids")) > 1)
       .select(col("_ids"), explode(col("_ids")).as("idA"))

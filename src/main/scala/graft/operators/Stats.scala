@@ -303,14 +303,24 @@ object Stats {
     * degenerate x (vx = 0), r2 additionally null for constant y. */
   def olsBy(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val xl = x.cast("long").cast(dec)
-    val yl = y.cast("long").cast(dec)
+    val xi = x.cast("long")
+    val yi = y.cast("long")
+    val xl = xi.cast(dec)
+    val yl = yi.cast(dec)
+    // r22: the per-row cross products multiply in LONG and enter decimal
+    // only at the SUM — same integer summands, so the exact sums (and the
+    // double chain below) are bit-identical. Callers must keep |x|,|y|
+    // small enough that |x·y|, |x²|, |y²| < 2⁶³ PER ROW (a bound on value
+    // RANGES, independent of row count; the engine's caller has days
+    // ≤ 1.2e4 × cents ≤ 1.1e7 → products ≤ 1.3e14). Only the running sums
+    // overflow int64 with row count, and those stay decimal(38,0). Under
+    // ANSI (the default) a violating caller fails loudly, not silently.
     val a = df.where(x.isNotNull && y.isNotNull).groupBy(group.as("group")).agg(
       count(lit(1)).as("n"),
       sum(xl).as("_sx"), sum(yl).as("_sy"),
-      sum(xl * yl).cast(dec).as("_sxy"),
-      sum(xl * xl).cast(dec).as("_sxx"),
-      sum(yl * yl).cast(dec).as("_syy"))
+      sum((xi * yi).cast(dec)).cast(dec).as("_sxy"),
+      sum((xi * xi).cast(dec)).cast(dec).as("_sxx"),
+      sum((yi * yi).cast(dec)).cast(dec).as("_syy"))
     val n = col("n").cast("double")
     val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
     val sxy = col("_sxy").cast("double"); val sxx = col("_sxx").cast("double")
