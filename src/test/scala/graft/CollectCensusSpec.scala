@@ -26,7 +26,10 @@ class CollectCensusSpec extends AnyFunSuite {
 
   // file (relative to src/main/scala) -> (collect() sites, head() sites)
   private val census: Map[String, (Int, Int)] = Map(
-    "graft/SparkEntry.scala" -> (15, 6),
+    // r22: q_retrieval_e2e's three embedding collects (centroids, query
+    // vectors, anchor labels) merged into ONE ordered 16-row collect —
+    // bounded driver state, same contract as q_ann_ivf's pinned codebook
+    "graft/SparkEntry.scala" -> (14, 6),
     "graft/docset/DocSet.scala" -> (3, 0),
     "graft/ann/Ann.scala" -> (3, 0),
     "graft/plan/QueryExecutor.scala" -> (2, 0),
